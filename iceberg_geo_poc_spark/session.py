@@ -1,0 +1,77 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case and merely *sized down* by environment
+variables for the test harness:
+
+- AQE on: runtime re-planning (skew joins, dynamic coalescing) is the
+  main defence against skew at scale.
+- ``spark.sql.shuffle.partitions`` defaults small locally; on a real
+  cluster it should be ~2-3x total cores (AQE coalesces down anyway).
+- Arrow enabled: every Python-boundary crossing in this engine is a
+  vectorized pandas UDF; row-at-a-time Python UDFs are banned.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "iceberg-geo-poc-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read as long and rescale in load_table (one footer inspection).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+_NANOS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as Parquet TIMESTAMP(NANOS) (driver-side footer read)."""
+    if path not in _NANOS_COLS_CACHE:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        _NANOS_COLS_CACHE[path] = tuple(
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    return _NANOS_COLS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated testdata table (TESTDATA.md).
+
+    TIMESTAMP(NANOS) columns (read as raw nanos longs under
+    ``nanosAsLong``) are rescaled to micros timestamps JVM-side —
+    integer division, no Python boundary, stays in codegen.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))"))
+    return df
