@@ -1,0 +1,144 @@
+"""Geo query surface over testdata-derived point columns, oracle-checked.
+
+Geometry is synthesized deterministically from numeric testdata columns
+(st_point over scaled lineitem/customer keys), the predicate path runs
+through the real WKB + pandas-UDF kernel, and the oracle expresses the
+same semantics as plain coordinate SQL — so DuckDB (no spatial
+extension loaded) can still verify st_intersects/st_covers/st_distance
+row-level behavior exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_geo_poc_spark.geo import Point, box
+from iceberg_geo_poc_spark.geo.functions import (
+    geo_literal,
+    st_distance,
+    st_hilbert,
+    st_intersects,
+    st_point,
+)
+from iceberg_geo_poc_spark.registry import query
+from iceberg_geo_poc_spark.session import load_table
+
+# deterministic lon/lat derivation shared by Spark and oracle SQL
+_LON = "(CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount)"
+_LAT = "(CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax)"
+
+
+def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"),
+    ).withColumn("geom", st_point("lon", "lat"))
+
+
+@query(
+    "geo_points_in_window",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND({_LON}, 6) AS lon, ROUND({_LAT}, 6) AS lat
+    FROM lineitem
+    WHERE {_LON} BETWEEN 10.0 AND 60.0
+      AND {_LAT} BETWEEN -20.0 AND 30.0
+    """,
+)
+def geo_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_intersects(point, envelope) row filter through the WKB kernel.
+
+    Parity target: reference row-level ST_INTERSECTS evaluation
+    (api/.../expressions/BoundLiteralPredicate.java:91-92).
+    """
+    pts = _lineitem_points(spark, sf_dir)
+    window = box(10.0, -20.0, 60.0, 30.0)
+    return pts.filter(st_intersects("geom", geo_literal(window))).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+    )
+
+
+@query(
+    "geo_covers_quadrant_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_LON} >= 0 AND {_LAT} >= 0 THEN 0
+                WHEN {_LON} < 0 AND {_LAT} >= 0 THEN 1
+                WHEN {_LON} < 0 AND {_LAT} < 0 THEN 2
+                ELSE 3 END AS quadrant,
+           COUNT(*) AS n_points
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def geo_covers_quadrant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_covers against quadrant half-plane windows, aggregated.
+
+    Each point is assigned to the first world-quadrant box that covers
+    it — exercises st_covers(literal_polygon, point_column) semantics.
+    """
+    pts = _lineitem_points(spark, sf_dir)
+    # coordinate granularity is 0.01 (discount/tax decimals), so a box edge
+    # at -0.005 cleanly separates "< 0" from ">= 0" without boundary-epsilon
+    # ambiguity in the covers predicate
+    q0 = box(0.0, 0.0, 181.0, 91.0)
+    q1 = box(-181.0, 0.0, -0.005, 91.0)
+    q2 = box(-181.0, -91.0, -0.005, -0.005)
+    from iceberg_geo_poc_spark.geo.functions import st_covers
+
+    return (
+        pts.withColumn(
+            "quadrant",
+            F.when(st_covers(geo_literal(q0), F.col("geom")), F.lit(0))
+            .when(st_covers(geo_literal(q1), F.col("geom")), F.lit(1))
+            .when(st_covers(geo_literal(q2), F.col("geom")), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        .groupBy("quadrant")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+@query(
+    "geo_distance_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(POW({_LON} - 0.0, 2) + POW({_LAT} - 0.0, 2)), 6) AS dist_origin
+    FROM lineitem
+    WHERE SQRT(POW({_LON} - 0.0, 2) + POW({_LAT} - 0.0, 2)) < 25.0
+    """,
+)
+def geo_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_distance(point, literal) range query (reference st function
+    surface via SPI; SURVEY §2.7)."""
+    pts = _lineitem_points(spark, sf_dir)
+    origin = geo_literal(Point(0.0, 0.0))
+    return (
+        pts.withColumn("dist_origin", st_distance("geom", origin))
+        .filter(F.col("dist_origin") < 25.0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("dist_origin", 6).alias("dist_origin"),
+        )
+    )
+
+
+@query("geo_hilbert_clustering", oracle=None)  # curve values are impl-specific
+def geo_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert index distribution over lineitem points (SURVEY §2.7
+    hilbert system function; locality contract tested in unit tests —
+    physical values intentionally not oracle-checked, matching the
+    reference's own property-only test posture TestHilbert.java:60-83)."""
+    pts = _lineitem_points(spark, sf_dir)
+    return (
+        pts.withColumn("h", st_hilbert("geom", 8))
+        .groupBy((F.col("h") / 256).cast("long").alias("h_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

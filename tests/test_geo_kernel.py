@@ -1,0 +1,246 @@
+"""Geometry kernel unit tests (no Spark).
+
+Mirrors the reference's unit-test strategy: codec round-trips,
+predicate semantics on the quadrant-fixture shapes
+(reference data/.../havasu/TestGeometryReadersAndWriters.java:100-144),
+and the Hilbert locality properties
+(reference api/.../transforms/TestHilbert.java:60-115).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from iceberg_geo_poc_spark.geo import (
+    GeometryCollection,
+    LineString,
+    MultiLineString,
+    MultiPoint,
+    MultiPolygon,
+    Point,
+    Polygon,
+    box,
+    geometry_from_wkb,
+    geometry_from_wkt,
+    geometry_to_wkb,
+    geometry_to_wkt,
+)
+from iceberg_geo_poc_spark.geo.geojson import geometry_from_geojson, geometry_to_geojson
+from iceberg_geo_poc_spark.geo.hilbert import hilbert_index_geoms, hilbert_index_xy
+
+
+SAMPLES = [
+    Point(1.5, -2.25),
+    LineString([(0, 0), (1, 1), (2, 0)]),
+    Polygon([(0, 0), (4, 0), (4, 4), (0, 4)]),
+    Polygon([(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]]),
+    MultiPoint([(0, 0), (2, 3)]),
+    MultiLineString([[(0, 0), (1, 1)], [(2, 2), (3, 3)]]),
+    MultiPolygon([Polygon([(0, 0), (1, 0), (1, 1)]), Polygon([(5, 5), (6, 5), (6, 6)])]),
+    GeometryCollection([Point(1, 2), LineString([(0, 0), (1, 0)])]),
+]
+
+
+@pytest.mark.parametrize("g", SAMPLES, ids=lambda g: type(g).__name__)
+def test_wkb_roundtrip(g):
+    assert geometry_from_wkb(geometry_to_wkb(g)) == g
+
+
+@pytest.mark.parametrize("g", SAMPLES, ids=lambda g: type(g).__name__)
+def test_ewkb_roundtrip(g):
+    assert geometry_from_wkb(geometry_to_wkb(g, srid=4326)) == g
+
+
+@pytest.mark.parametrize("g", SAMPLES, ids=lambda g: type(g).__name__)
+def test_wkt_roundtrip(g):
+    assert geometry_from_wkt(geometry_to_wkt(g)) == g
+
+
+@pytest.mark.parametrize("g", SAMPLES, ids=lambda g: type(g).__name__)
+def test_geojson_roundtrip(g):
+    assert geometry_from_geojson(geometry_to_geojson(g)) == g
+
+
+def test_wkt_parse_forms():
+    assert geometry_from_wkt("POINT (1 2)") == Point(1, 2)
+    assert geometry_from_wkt("POINT EMPTY").is_empty()
+    g = geometry_from_wkt("MULTIPOINT ((1 1), (2 2))")
+    assert g == geometry_from_wkt("MULTIPOINT (1 1, 2 2)")
+    with pytest.raises(ValueError):
+        geometry_from_wkt("POINT (1 2) trailing")
+
+
+def test_big_endian_wkb():
+    import struct
+
+    raw = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    assert geometry_from_wkb(raw) == Point(3.0, 4.0)
+
+
+# -- quadrant fixture shapes (F1) ------------------------------------------
+
+def quadrant_rows():
+    """4 files x 10 ids x {point, polygon=buffer(0.5)} per the reference."""
+    rows = []  # (file_idx, id, geom)
+    next_id = 0
+    for quadrant in range(4):
+        for k in range(1, 11):
+            sx = (1, -1, -1, 1)[quadrant]
+            sy = (1, 1, -1, -1)[quadrant]
+            center = Point(sx * k, sy * k)
+            rows.append((quadrant, next_id, center))
+            rows.append((quadrant, next_id, center.buffer(0.5)))
+            next_id += 1
+    return rows
+
+
+GOLDEN = [
+    # (predicate, window, expected_rows) from TestGeometryReadersAndWriters.java:229-263
+    ("intersects", Point(1, 1), 2),
+    ("intersects", Point(0, 0), 0),
+    ("intersects", Point(1.5, 1.5), 0),
+    ("intersects", box(0.5, -1.1, 1.1, 1.1), 4),
+    ("intersects", box(0, 0, 0.75, 0.75), 1),
+    ("intersects", box(0.75, 0.75, 1.25, 1.25), 2),
+    ("covers", Point(1, 1), 2),
+    ("covers", Point(0, 0), 0),
+    ("covers", Point(1.5, 1.5), 0),
+    ("covers", box(0, 0, 0.75, 0.75), 0),
+    ("covers", box(0.75, 0.75, 1.25, 1.25), 1),
+]
+
+
+@pytest.mark.parametrize("pred,window,expected", GOLDEN,
+                         ids=[f"{p}-{i}" for i, (p, _, _) in enumerate(GOLDEN)])
+def test_quadrant_predicate_goldens(pred, window, expected):
+    rows = quadrant_rows()
+    n = sum(1 for _, _, g in rows if getattr(g, pred)(window))
+    assert n == expected
+
+
+def test_combined_id_and_intersects():
+    # id <= 10 AND st_intersects(envelope [0.5,1.1]x[-1.1,1.1]) -> 2 rows
+    rows = quadrant_rows()
+    w = box(0.5, -1.1, 1.1, 1.1)
+    n = sum(1 for _, i, g in rows if i <= 10 and g.intersects(w))
+    assert n == 2
+
+
+def test_part_filter_and_intersects():
+    # part = 3 AND the same envelope -> 2 rows (quadrant 3 = +x,-y)
+    rows = quadrant_rows()
+    w = box(0.5, -1.1, 1.1, 1.1)
+    n = sum(1 for q, _, g in rows if q == 3 and g.intersects(w))
+    assert n == 2
+
+
+# -- predicate edge semantics ---------------------------------------------
+
+def test_covers_boundary_vs_contains():
+    poly = box(0, 0, 2, 2)
+    edge_pt = Point(0, 1)
+    assert poly.covers(edge_pt)
+    assert not poly.contains(edge_pt)
+    assert poly.contains(Point(1, 1))
+
+
+def test_polygon_hole_semantics():
+    donut = Polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        holes=[[(3, 3), (7, 3), (7, 7), (3, 7)]],
+    )
+    assert donut.covers(Point(1, 1))
+    assert not donut.covers(Point(5, 5))  # inside the hole
+    assert donut.covers(Point(3, 5))  # on the hole boundary
+    # a window strictly inside the hole does not intersect the donut
+    assert not donut.intersects(box(4, 4, 6, 6))
+    # a window spanning the hole edge does
+    assert donut.intersects(box(2, 4, 6, 6))
+
+
+def test_area_distance_centroid():
+    sq = box(0, 0, 4, 4)
+    assert sq.area == pytest.approx(16)
+    donut = Polygon([(0, 0), (4, 0), (4, 4), (0, 4)], holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]])
+    assert donut.area == pytest.approx(15)
+    assert Point(0, 3).distance(Point(4, 0)) == pytest.approx(5)
+    assert Point(5, 2).distance(sq) == pytest.approx(1)
+    assert sq.centroid() == Point(2, 2)
+    circle = Point(3, 3).buffer(0.5)
+    c = circle.centroid()
+    assert c.x == pytest.approx(3) and c.y == pytest.approx(3)
+    assert circle.area == pytest.approx(math.pi * 0.25, rel=0.01)
+
+
+# -- hilbert properties (F3) -----------------------------------------------
+
+def _idx(x, y, res=10):
+    return int(hilbert_index_xy(np.array([x]), np.array([y]), res)[0])
+
+
+def test_hilbert_null_semantics():
+    assert _idx(200, 10) == -1  # out of world bounds
+    assert hilbert_index_geoms([None], 10)[0] == -1
+    assert hilbert_index_geoms([Point(float("nan"), float("nan"))], 10)[0] == -1
+
+
+def test_hilbert_locality_ordering():
+    # reference TestHilbert.java:60-83 — closer points => closer indexes
+    v0 = _idx(10, 10)
+    v1 = _idx(15, 15)
+    v2 = _idx(30, 30)
+    v3 = _idx(-60, -30)
+    v4 = _idx(-61, -31)
+    assert abs(v3 - v4) < abs(v0 - v1) < abs(v1 - v2) < abs(v0 - v3)
+
+
+def test_hilbert_polygon_envelope_center():
+    sq = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    assert hilbert_index_geoms([sq], 10)[0] >= 0
+
+
+def test_hilbert_custom_extent():
+    idx = hilbert_index_xy(np.array([300.0]), np.array([200.0]), 10, (0, 0, 1000, 1000))
+    assert idx[0] >= 0
+    idx2 = hilbert_index_xy(np.array([-10.0]), np.array([-10.0]), 10, (0, 0, 1000, 1000))
+    assert idx2[0] == -1
+
+
+def _grid_points(res):
+    """One coordinate per grid cell under the reference's (2^res-1)/extent
+    scale (HilbertCurve2D.java:62-66): x_i = minx + i*extent/(n-1)."""
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    gx = -180 + xs.ravel() * (360.0 / (n - 1))
+    gy = -90 + ys.ravel() * (180.0 / (n - 1))
+    return xs, ys, gx, gy
+
+
+def test_hilbert_bijective_on_grid():
+    # every cell of a res-4 grid maps to a unique index in [0, 2^8)
+    res = 4
+    n = 1 << res
+    _, _, gx, gy = _grid_points(res)
+    idx = hilbert_index_xy(gx, gy, res)
+    assert len(set(idx.tolist())) == n * n
+    assert idx.min() == 0 and idx.max() == n * n - 1
+
+
+def test_hilbert_adjacent_cells_adjacent_indexes():
+    # the defining property of the Hilbert curve: consecutive indexes are
+    # adjacent grid cells (tested at integer-cell level; float coordinate
+    # snapping at exact cell boundaries is allowed to go either way)
+    from iceberg_geo_poc_spark.geo.hilbert import hilbert_d_from_cells
+
+    res = 5
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    idx = hilbert_d_from_cells(xs.ravel(), ys.ravel(), res)
+    assert len(set(idx.tolist())) == n * n
+    order = np.argsort(idx)
+    cx, cy = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(cx)) + np.abs(np.diff(cy))
+    assert (steps == 1).all()

@@ -1,0 +1,83 @@
+"""Spark-side geo UDF tests: the st_* surface over DataFrames."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_geo_poc_spark.geo import Point, box
+from iceberg_geo_poc_spark.geo.functions import (
+    geo_literal,
+    register_geo_functions,
+    st_hilbert,
+    st_intersects,
+    st_point,
+)
+from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rows = [(i, float(i), float(i) * 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    return df.withColumn("geom", st_point("x", "y"))
+
+
+def test_st_point_roundtrip(geo_df):
+    got = geo_df.select("id", "geom").orderBy("id").collect()
+    for row in got:
+        g = geometry_from_wkb(bytes(row.geom))
+        assert g == Point(float(row.id), float(row.id) * 2)
+
+
+def test_st_intersects_with_literal_window(geo_df):
+    window = box(1.5, 2.5, 5.5, 20.0)
+    got = (
+        geo_df.filter(st_intersects("geom", geo_literal(window)))
+        .select("id")
+        .orderBy("id")
+        .collect()
+    )
+    # points (x, 2x) with 1.5<=x<=5.5 and 2.5<=2x<=20 -> x in {2,3,4,5}
+    assert [r.id for r in got] == [2, 3, 4, 5]
+
+
+def test_sql_registration(spark, geo_df):
+    register_geo_functions(spark)
+    geo_df.createOrReplaceTempView("geo_pts")
+    got = spark.sql(
+        """
+        SELECT id, st_x(geom) AS x, st_y(geom) AS y,
+               st_astext(geom) AS wkt,
+               st_area(st_buffer(geom, CAST(1.0 AS DOUBLE))) AS buf_area
+        FROM geo_pts WHERE id = 3
+        """
+    ).collect()[0]
+    assert got.x == 3.0 and got.y == 6.0
+    assert got.wkt == "POINT (3 6)"
+    assert abs(got.buf_area - 3.14159) < 0.01
+
+
+def test_st_hilbert_column(spark, geo_df):
+    got = geo_df.select("id", st_hilbert("geom", 10).alias("h")).collect()
+    assert all(r.h is not None and r.h >= 0 for r in got)
+    # out-of-bounds point -> NULL
+    oob = spark.createDataFrame([(200.0, 10.0)], "x double, y double")
+    hrow = oob.select(st_hilbert(st_point("x", "y"), 10).alias("h")).collect()[0]
+    assert hrow.h is None
+
+
+def test_distance_and_covers_sql(spark, geo_df):
+    register_geo_functions(spark)
+    geo_df.createOrReplaceTempView("geo_pts")
+    row = spark.sql(
+        """
+        SELECT st_distance(st_point(CAST(0.0 AS DOUBLE), CAST(3.0 AS DOUBLE)),
+                           st_point(CAST(4.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS d,
+               st_covers(st_buffer(st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                                   CAST(2.0 AS DOUBLE)),
+                         st_point(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS c
+        """
+    ).collect()[0]
+    assert row.d == pytest.approx(5.0)
+    assert row.c is True
