@@ -1,0 +1,185 @@
+"""Warehouse-directory catalog: create/load/drop tables + geo DDL.
+
+Analogue of the reference's catalog surface (HadoopCatalog-style
+directory layout) plus the fork's geometry DDL:
+``set_geometry_fields`` mirrors ``ALTER TABLE t SET GEOMETRY FIELDS``
+(reference spark-extensions grammar IcebergSqlExtensions.g4:80-82,
+exec SetGeometryFieldsExec.scala:43-73 incl. the physical-type check),
+and ``add_columns`` / schema evolution land in the metadata schema log.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+from iceberg_geo_poc_spark.geo.encoding import ENCODINGS, spark_physical_type
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.table import Table, _ddl_fields
+from iceberg_geo_poc_spark.table.transforms import PartitionField, parse_transform
+
+
+class Catalog:
+    def __init__(self, warehouse: str, spark: SparkSession):
+        self.warehouse = warehouse
+        self.spark = spark
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _table_location(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def create_table(
+        self,
+        name: str,
+        schema_ddl: str,
+        partition_by: list[tuple[str, str]] | None = None,
+        geometry_columns: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Table:
+        """partition_by: [(source_col, transform_spec)], e.g.
+        [("part", "identity"), ("geom", "hilbert[10]")]."""
+        location = self._table_location(name)
+        if os.path.exists(MD.metadata_dir(location)):
+            raise ValueError(f"table {name} already exists")
+        geometry_columns = geometry_columns or {}
+        _validate_geometry_columns(schema_ddl, geometry_columns)
+        spec = [
+            PartitionField(src, parse_transform(t)).to_json()
+            for src, t in (partition_by or [])
+        ]
+        meta = MD.TableMetadata(
+            table_uuid=str(uuid.uuid4()),
+            location=location,
+            schema_ddl=schema_ddl,
+            partition_spec=spec,
+            geo_fields=dict(geometry_columns),
+            properties=dict(properties or {}),
+            current_snapshot_id=None,
+            snapshots=[],
+            last_sequence_number=0,
+        )
+        MD.write_new_metadata(meta, base_version=-1)
+        return Table(meta, self.spark)
+
+    def load_table(self, name: str) -> Table:
+        return Table(MD.read_metadata(self._table_location(name)), self.spark)
+
+    table = load_table
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(MD.metadata_dir(self._table_location(name)))
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for d in sorted(os.listdir(self.warehouse)):
+            if os.path.exists(MD.metadata_dir(os.path.join(self.warehouse, d))):
+                out.append(d)
+        return out
+
+    def drop_table(self, name: str) -> None:
+        shutil.rmtree(self._table_location(name))
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+    def set_geometry_fields(self, name: str, fields: dict[str, str]) -> Table:
+        """Promote string/binary columns to geometry (or change
+        encoding); rejects physical-type mismatches exactly like
+        reference SetGeometryFieldsExec.scala:52-57."""
+        t = self.load_table(name)
+        _validate_geometry_columns(t.meta.schema_ddl, fields)
+        t.meta.geo_fields.update(fields)
+        t.meta.schema_log.append({"set-geometry-fields": fields, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def drop_geometry_fields(self, name: str, columns: list[str]) -> Table:
+        """Demote geometry columns back to their physical type."""
+        t = self.load_table(name)
+        for c in columns:
+            t.meta.geo_fields.pop(c, None)
+        t.meta.schema_log.append({"drop-geometry-fields": columns, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def add_columns(self, name: str, ddl: str) -> Table:
+        """Schema evolution: append nullable columns; existing files
+        read the new columns as NULL (id-free name-based variant of the
+        reference's AddColumn update)."""
+        t = self.load_table(name)
+        t.meta.schema_ddl = f"{t.meta.schema_ddl}, {ddl}"
+        t.meta.schema_log.append({"add-columns": ddl, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def alter_partition_spec(self, name: str, partition_by: list[tuple[str, str]]) -> Table:
+        """Replace the partition spec; existing files keep their layout
+        (hidden partitioning: specs apply to future writes, reference
+        ALTER TABLE ... ADD/DROP PARTITION FIELD)."""
+        t = self.load_table(name)
+        t.meta.partition_spec = [
+            PartitionField(src, parse_transform(tr)).to_json() for src, tr in partition_by
+        ]
+        t.meta.schema_log.append({"set-partition-spec": t.meta.partition_spec, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    # ------------------------------------------------------------------
+    # snapshot pointer surgery (reference procedures: RollbackToSnapshot,
+    # SetCurrentSnapshot, branch/tag DDL)
+    # ------------------------------------------------------------------
+    def rollback_to_snapshot(self, name: str, snapshot_id: int) -> Table:
+        t = self.load_table(name)
+        t.meta.snapshot_by_id(snapshot_id)  # validate
+        t.meta.current_snapshot_id = snapshot_id
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def rollback_to_timestamp(self, name: str, timestamp_ms: int) -> Table:
+        t = self.load_table(name)
+        snap = t.meta.snapshot_as_of(timestamp_ms)
+        t.meta.current_snapshot_id = snap.snapshot_id
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def create_tag(self, name: str, tag: str, snapshot_id: int | None = None) -> Table:
+        t = self.load_table(name)
+        sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
+        t.meta.refs[tag] = {"snapshot-id": sid, "type": "tag"}
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def create_branch(self, name: str, branch: str, snapshot_id: int | None = None) -> Table:
+        t = self.load_table(name)
+        sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
+        t.meta.refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+
+def _validate_geometry_columns(schema_ddl: str, geometry_columns: dict[str, str]) -> None:
+    types = {}
+    for fielddef in _ddl_fields(schema_ddl):
+        parts = fielddef.split(None, 1)
+        if len(parts) == 2:
+            types[parts[0].strip("`")] = parts[1].split()[0].lower()
+    for col, enc in geometry_columns.items():
+        if enc not in ENCODINGS:
+            raise ValueError(f"unknown geometry encoding {enc!r}")
+        if col not in types:
+            raise ValueError(f"geometry column {col!r} not in schema")
+        expected = spark_physical_type(enc)
+        actual = types[col]
+        if expected == "binary" and actual != "binary":
+            raise ValueError(
+                f"cannot set geometry field {col!r}: encoding {enc} requires BINARY, "
+                f"column is {actual.upper()}"
+            )
+        if expected == "string" and actual != "string":
+            raise ValueError(
+                f"cannot set geometry field {col!r}: encoding {enc} requires STRING, "
+                f"column is {actual.upper()}"
+            )

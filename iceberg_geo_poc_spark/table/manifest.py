@@ -1,0 +1,191 @@
+"""Manifests: per-file entries with column stats + geometry bboxes.
+
+Analogue of the reference's manifest files (reference
+api/src/main/java/org/apache/iceberg/DataFile.java:30-140 for the
+entry fields; the fork's geom_lower_bounds/geom_upper_bounds maps at
+DataFile.java:87-98).  Stored as Parquet (readable by Spark/pandas for
+metadata tables) with stats maps flattened to JSON columns.
+
+Stats sourcing is the Spark-native split:
+- primitive min/max/null-counts come free from the Parquet footers the
+  executors already wrote (harvested driver-side with pyarrow, thread
+  pool over files — the analogue of reference ParquetUtil.footerMetrics);
+- geometry bboxes come from ONE distributed Spark aggregation per
+  append over just-written files, grouped by input file (the analogue
+  of write-time GeometryFieldMetrics.java:33-90 accumulation).
+
+Values in the JSON stats maps: numbers/strings/bools natively;
+timestamps as ISO 'YYYY-MM-DD HH:MM:SS.ffffff' strings and dates as
+'YYYY-MM-DD' (lexicographic order == chronological order, so range
+pruning against ISO-string literals stays correct).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from iceberg_geo_poc_spark.table.expressions import FileStats
+
+MANIFEST_COLUMNS = [
+    "content",  # "data" | "posdel"
+    "file_path",
+    "file_size",
+    "record_count",
+    "sequence_number",
+    "snapshot_id",  # snapshot that added the file
+    "partition",  # JSON object {field_name: value}
+    "lower",  # JSON {col: min}
+    "upper",  # JSON {col: max}
+    "nulls",  # JSON {col: null_count}
+    "bbox",  # JSON {geo_col: [xmin, ymin, xmax, ymax]}
+]
+
+
+def _enc_stat(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, bytes):
+        return None  # binary stats not tracked
+    if isinstance(v, (int, float, str)):
+        return v
+    try:
+        return float(v)  # Decimal and friends
+    except (TypeError, ValueError):
+        return None
+
+
+def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict]:
+    """(record_count, file_size, lower, upper, nulls) from one footer."""
+    f = pq.ParquetFile(path)
+    meta = f.metadata
+    lower: dict = {}
+    upper: dict = {}
+    nulls: dict = {}
+    schema = meta.schema
+    # only top-level primitive columns: path without '.' nesting
+    for rg_i in range(meta.num_row_groups):
+        rg = meta.row_group(rg_i)
+        for col_i in range(rg.num_columns):
+            col = rg.column(col_i)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                lo = _enc_stat(st.min)
+                hi = _enc_stat(st.max)
+                if lo is not None:
+                    lower[name] = lo if name not in lower else min(lower[name], lo)
+                if hi is not None:
+                    upper[name] = hi if name not in upper else max(upper[name], hi)
+    return meta.num_rows, os.path.getsize(path), lower, upper, nulls
+
+
+def harvest_stats(paths: list[str], max_workers: int = 16) -> dict[str, tuple]:
+    """Footer stats for many files, driver-side thread pool."""
+    with ThreadPoolExecutor(max_workers=min(max_workers, max(1, len(paths)))) as ex:
+        results = ex.map(harvest_footer_stats, paths)
+    return dict(zip(paths, results))
+
+
+def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str]):
+    """Per-file geometry bboxes via one distributed aggregation.
+
+    Returns {file_path: {geo_col: [xmin,ymin,xmax,ymax] | None}}.
+    """
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import (
+        convert_encoding_udf,
+        st_xmax_udf,
+        st_xmin_udf,
+        st_ymax_udf,
+        st_ymin_udf,
+    )
+
+    if not geo_fields or not paths:
+        return {}
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__file"),
+        *geo_fields.keys(),
+    )
+    aggs = []
+    for col, enc in geo_fields.items():
+        wkb = F.col(col) if enc in ("ewkb", "wkb") else convert_encoding_udf(enc, "wkb")(
+            F.col(col)
+        )
+        aggs += [
+            F.min(st_xmin_udf(wkb)).alias(f"{col}__xmin"),
+            F.min(st_ymin_udf(wkb)).alias(f"{col}__ymin"),
+            F.max(st_xmax_udf(wkb)).alias(f"{col}__xmax"),
+            F.max(st_ymax_udf(wkb)).alias(f"{col}__ymax"),
+        ]
+    rows = df.groupBy("__file").agg(*aggs).collect()
+    out: dict[str, dict] = {}
+    for row in rows:
+        d = row.asDict()
+        path = _strip_scheme(d["__file"])
+        bboxes = {}
+        for col in geo_fields:
+            vals = [d[f"{col}__xmin"], d[f"{col}__ymin"], d[f"{col}__xmax"], d[f"{col}__ymax"]]
+            bboxes[col] = None if any(v is None for v in vals) else [float(v) for v in vals]
+        out[path] = bboxes
+    return out
+
+
+def _strip_scheme(p: str) -> str:
+    # Spark renders local paths as file:/... (sometimes file:///...)
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return p
+
+
+def entries_dataframe(entries: list[dict]) -> pd.DataFrame:
+    df = pd.DataFrame(entries, columns=MANIFEST_COLUMNS)
+    return df.astype(
+        {
+            "file_size": "int64",
+            "record_count": "int64",
+            "sequence_number": "int64",
+            "snapshot_id": "int64",
+        }
+    )
+
+
+def write_manifest(df: pd.DataFrame, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.to_parquet(path, index=False)
+
+
+def read_manifest(path: str) -> pd.DataFrame:
+    return pd.read_parquet(path)
+
+
+def file_stats_of(row) -> FileStats:
+    """FileStats view of one manifest entry (pandas row)."""
+    bbox_raw = json.loads(row.bbox) if row.bbox else {}
+    return FileStats(
+        record_count=int(row.record_count),
+        lower=json.loads(row.lower) if row.lower else {},
+        upper=json.loads(row.upper) if row.upper else {},
+        nulls=json.loads(row.nulls) if row.nulls else {},
+        bbox={k: tuple(v) if v else None for k, v in bbox_raw.items()},
+    )

@@ -1,0 +1,624 @@
+"""Table: versioned writes, pruned scans, row-level ops.
+
+The Spark-first re-expression of the reference's table stack:
+
+- write path     = Spark DataFrame write (partitionBy on hidden
+  transform columns) + footer-stats harvest + one bbox aggregation
+  (vs reference MergingSnapshotProducer/SparkWrite.java)
+- scan path      = driver-side manifest pruning (inclusive metrics +
+  geometry bbox, reference ManifestGroup.java:177-221 /
+  InclusiveMetricsEvaluator.java) -> spark.read.parquet(pruned files)
+  -> MoR delete anti-join -> residual filter
+- row-level ops  = copy-on-write rewrite of affected files only, or
+  merge-on-read position-delete files applied at read via left_anti
+  join on (_metadata.file_path, _metadata.row_index)
+  (vs reference SparkCopyOnWriteOperation / SparkPositionDeltaWrite)
+- commit         = optimistic metadata-version put-if-absent with
+  retry (vs reference SnapshotProducer.java:369-409)
+
+Everything data-sized runs in Spark executors; the driver touches only
+footers and manifests.  At 1000-executor scale the manifest itself can
+be processed as a DataFrame — entries are plain Parquet — but driver-
+side pandas is the right call up to ~10^5 files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_geo_poc_spark.table import expressions as E
+from iceberg_geo_poc_spark.table import manifest as M
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.transforms import PartitionField
+
+_MAX_COMMIT_RETRIES = 5
+
+
+class Table:
+    def __init__(self, meta: MD.TableMetadata, spark: SparkSession):
+        self.meta = meta
+        self.spark = spark
+
+    # ------------------------------------------------------------------
+    # metadata accessors
+    # ------------------------------------------------------------------
+    @property
+    def location(self) -> str:
+        return self.meta.location
+
+    @property
+    def partition_fields(self) -> list[PartitionField]:
+        return [PartitionField.from_json(o) for o in self.meta.partition_spec]
+
+    @property
+    def geo_fields(self) -> dict[str, str]:
+        return dict(self.meta.geo_fields)
+
+    def schema_ddl(self) -> str:
+        return self.meta.schema_ddl
+
+    def refresh(self) -> "Table":
+        self.meta = MD.read_metadata(self.meta.location)
+        return self
+
+    def snapshots(self) -> list[MD.Snapshot]:
+        return list(self.meta.snapshots)
+
+    def current_snapshot(self) -> MD.Snapshot | None:
+        return self.meta.current_snapshot()
+
+    def history(self) -> list[dict]:
+        return [
+            {"snapshot_id": s.snapshot_id, "timestamp_ms": s.timestamp_ms,
+             "operation": s.operation, "sequence_number": s.sequence_number}
+            for s in self.meta.snapshots
+        ]
+
+    # ------------------------------------------------------------------
+    # manifests
+    # ------------------------------------------------------------------
+    def _entries(self, snapshot: MD.Snapshot | None = None) -> pd.DataFrame:
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            return M.entries_dataframe([])
+        return M.read_manifest(os.path.join(self.location, snap.manifest))
+
+    def _write_snapshot(
+        self,
+        operation: str,
+        entries: pd.DataFrame,
+        base: MD.TableMetadata,
+        summary: dict | None = None,
+    ) -> MD.Snapshot:
+        snapshot_id = MD.new_snapshot_id()
+        seq = base.last_sequence_number + 1
+        rel_manifest = os.path.join(
+            "metadata", "manifests", f"snap-{snapshot_id}.parquet"
+        )
+        M.write_manifest(entries, os.path.join(self.location, rel_manifest))
+        parent = base.current_snapshot_id
+        snap = MD.Snapshot(
+            snapshot_id=snapshot_id,
+            parent_id=parent,
+            sequence_number=seq,
+            timestamp_ms=MD.now_ms(),
+            operation=operation,
+            manifest=rel_manifest,
+            summary=summary or {},
+        )
+        return snap
+
+    def _commit(self, operation: str, build_entries, summary: dict | None = None):
+        """Optimistic commit loop: build_entries(current_entries) -> new
+        full entry set; retried against fresh metadata on conflict."""
+        for _attempt in range(_MAX_COMMIT_RETRIES):
+            base = MD.read_metadata(self.location) if _attempt else self.meta
+            current = self._entries(base.current_snapshot()) if base.current_snapshot_id else M.entries_dataframe([])
+            new_entries = build_entries(current, base.last_sequence_number + 1)
+            snap = self._write_snapshot(operation, new_entries, base, summary)
+            base.snapshots.append(snap)
+            base.current_snapshot_id = snap.snapshot_id
+            base.last_sequence_number = snap.sequence_number
+            try:
+                MD.write_new_metadata(base, base.version)
+                self.meta = base
+                return snap
+            except MD.CommitConflict:
+                continue
+        raise MD.CommitConflict(f"commit failed after {_MAX_COMMIT_RETRIES} retries")
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _partition_columns(self) -> list[tuple[str, PartitionField]]:
+        return [(f"__p_{pf.name}", pf) for pf in self.partition_fields]
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet files; return entry dicts (no seq/snap)."""
+        stage = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        pcols = self._partition_columns()
+        out = df
+        for cname, pf in pcols:
+            out = out.withColumn(cname, pf.transform.spark_column(pf.source))
+        if pcols:
+            # hash-distribute by partition tuple so each partition's rows
+            # co-locate (SparkWriteConf DistributionMode.HASH analogue)
+            out = out.repartition(*[F.col(c) for c, _ in pcols])
+            out.write.partitionBy([c for c, _ in pcols]).parquet(stage)
+        else:
+            out.write.parquet(stage)
+        paths = _list_parquet(stage)
+        stats = M.harvest_stats(paths)
+        bboxes = M.compute_bboxes(self.spark, paths, self.geo_fields)
+        entries = []
+        for p in paths:
+            record_count, file_size, lower, upper, nulls = stats[p]
+            if record_count == 0:
+                os.remove(p)  # empty task output: not a data file
+                continue
+            part = _partition_from_path(os.path.relpath(p, stage), pcols)
+            entries.append(
+                {
+                    "content": "data",
+                    "file_path": p,
+                    "file_size": file_size,
+                    "record_count": record_count,
+                    "partition": json.dumps(part),
+                    "lower": json.dumps(lower),
+                    "upper": json.dumps(upper),
+                    "nulls": json.dumps(nulls),
+                    "bbox": json.dumps(bboxes.get(p, {})),
+                }
+            )
+        return entries
+
+    def append(self, df: DataFrame) -> MD.Snapshot:
+        new = self._write_files(df)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit(
+            "append", build, {"added-files": len(new)}
+        )
+
+    def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
+        """Full-table overwrite, or overwrite-by-filter (rows matching
+        ``where`` are replaced by ``df``; reference SparkWrite.java:165-175
+        asOverwriteByFilter)."""
+        if where is None:
+            new = self._write_files(df)
+
+            def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+                return M.entries_dataframe(
+                    [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
+                )
+
+            return self._commit("overwrite", build, {"replaced": "all"})
+        # overwrite-by-filter = CoW delete of matching rows + append
+        delete_plan = self._plan_cow(where)
+        rewritten = self._rewrite_files(delete_plan["partial"], where.negate())
+        new = self._write_files(df)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            drop = set(delete_plan["full"]) | set(delete_plan["partial"])
+            kept = current[~current.file_path.isin(drop)]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + new]
+            )
+            return pd.concat([kept, add], ignore_index=True)
+
+        return self._commit("overwrite", build)
+
+    def dynamic_partition_overwrite(self, df: DataFrame) -> MD.Snapshot:
+        """Replace exactly the partitions present in df (reference
+        SparkWrite.java asDynamicOverwrite)."""
+        if not self.partition_fields:
+            raise ValueError("dynamic_partition_overwrite requires a partitioned table")
+        new = self._write_files(df)
+        incoming = {e["partition"] for e in new}
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            kept = current[~current.partition.isin(incoming)]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
+            )
+            return pd.concat([kept, add], ignore_index=True)
+
+        return self._commit("overwrite", build, {"replaced-partitions": len(incoming)})
+
+    # ------------------------------------------------------------------
+    # scan path
+    # ------------------------------------------------------------------
+    def scan(
+        self,
+        where: E.Expr | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
+        select: list[str] | None = None,
+    ) -> "TableScan":
+        if ref is not None:
+            snapshot_id = self.meta.refs[ref]["snapshot-id"]
+        if as_of_ms is not None:
+            snapshot_id = self.meta.snapshot_as_of(as_of_ms).snapshot_id
+        snap = (
+            self.meta.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        return TableScan(self, snap, where, select)
+
+    def to_df(self, **scan_kwargs) -> DataFrame:
+        return self.scan(**scan_kwargs).to_df()
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.meta.schema_ddl)
+
+    # ------------------------------------------------------------------
+    # row-level operations
+    # ------------------------------------------------------------------
+    def _plan_cow(self, where: E.Expr) -> dict:
+        """Split current data files into full-match / partial-match sets
+        (strict vs inclusive metrics evaluators; reference decides
+        metadata-only deletes the same way, SparkTable.java:87-91 +
+        StrictMetricsEvaluator)."""
+        entries = self._entries()
+        full, partial = [], []
+        for row in entries.itertuples():
+            if row.content != "data":
+                continue
+            stats = M.file_stats_of(row)
+            if not where.might_match_file(stats):
+                continue
+            if where.all_rows_match_file(stats) and not self._has_deletes(entries, row.file_path):
+                full.append(row.file_path)
+            else:
+                partial.append(row.file_path)
+        return {"full": full, "partial": partial}
+
+    @staticmethod
+    def _has_deletes(entries: pd.DataFrame, file_path: str) -> bool:
+        return bool((entries.content == "posdel").any())
+
+    def _rewrite_files(self, paths: list[str], keep: E.Expr) -> list[dict]:
+        """Read files, keep rows matching ``keep``, write replacements."""
+        if not paths:
+            return []
+        df = self._read_files(paths, with_deletes=True)
+        kept = df.filter(keep.to_spark_column())
+        return self._write_files(kept)
+
+    def delete(self, where: E.Expr, mode: str = "copy-on-write") -> MD.Snapshot:
+        if mode == "merge-on-read":
+            return self._delete_mor(where)
+        plan = self._plan_cow(where)
+        rewritten = self._rewrite_files(plan["partial"], where.negate())
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            drop = set(plan["full"]) | set(plan["partial"])
+            kept = current[~current.file_path.isin(drop)]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
+            )
+            return pd.concat([kept, add], ignore_index=True)
+
+        summary = {
+            "deleted-files": len(plan["full"]),
+            "rewritten-files": len(plan["partial"]),
+            "mode": "metadata+cow" if plan["full"] and not plan["partial"] else "cow",
+        }
+        return self._commit("delete", build, summary)
+
+    def _delete_mor(self, where: E.Expr) -> MD.Snapshot:
+        """Merge-on-read delete: emit a position-delete file
+        (file_path, pos) for matching rows (reference
+        SparkPositionDeltaWrite.java; applied at read like
+        DeleteFilter.java:160-233)."""
+        plan = self._plan_cow(where)
+        paths = plan["full"] + plan["partial"]
+        if not paths:
+            return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
+        df = self._read_files(paths, with_deletes=True, with_pos=True)
+        matches = df.filter(where.to_spark_column()).select(
+            F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        matches.coalesce(1).write.parquet(stage)
+        dpaths = _list_parquet(stage)
+        entries = []
+        for p in dpaths:
+            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+            if record_count == 0:
+                continue
+            entries.append(
+                {
+                    "content": "posdel",
+                    "file_path": p,
+                    "file_size": file_size,
+                    "record_count": record_count,
+                    "partition": json.dumps({}),
+                    "lower": json.dumps(lower),
+                    "upper": json.dumps(upper),
+                    "nulls": json.dumps(nulls),
+                    "bbox": json.dumps({}),
+                }
+            )
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit("delete", build, {"delete-files": len(entries)})
+
+    def update(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
+        """Copy-on-write UPDATE: rewrite only files that might contain
+        matches, applying SET via when(cond, new).otherwise(old)."""
+        plan = self._plan_cow(where)
+        paths = plan["full"] + plan["partial"]
+        if not paths:
+            return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
+        df = self._read_files(paths, with_deletes=True)
+        cond = where.to_spark_column()
+        for col, newv in set_exprs.items():
+            newc = newv if hasattr(newv, "_jc") or str(type(newv)).find("Column") >= 0 else F.lit(newv)
+            df = df.withColumn(col, F.when(cond, newc).otherwise(F.col(col)))
+        rewritten = self._write_files(df)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            kept = current[~current.file_path.isin(set(paths))]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
+            )
+            return pd.concat([kept, add], ignore_index=True)
+
+        return self._commit("overwrite", build, {"rewritten-files": len(paths)})
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, object] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> MD.Snapshot:
+        """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
+        SURVEY §2.4 documents the API form).  Copy-on-write: only files
+        whose key ranges overlap the source's key ranges are rewritten;
+        duplicate source keys raise (the reference's MERGE cardinality
+        check, TestMerge.java)."""
+        if when_matched_update and when_matched_delete:
+            raise ValueError("choose one of update/delete for matched rows")
+        dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError("MERGE cardinality violation: duplicate keys in source")
+
+        # prune candidate files by source key min/max (broadcast-collected)
+        bounds = source.agg(
+            *[F.min(k).alias(f"min_{k}") for k in on],
+            *[F.max(k).alias(f"max_{k}") for k in on],
+        ).collect()[0]
+        key_pred: E.Expr = E.AlwaysTrue()
+        for k in on:
+            lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+            if lo is not None:
+                key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+        plan = self._plan_cow(key_pred)
+        candidates = plan["full"] + plan["partial"]
+
+        target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+        src = source.select(*[c for c in source.columns if c in target_cols or c in on])
+
+        rewritten: list[dict] = []
+        if candidates:
+            tgt = self._read_files(candidates, with_deletes=True)
+            marked = tgt.alias("t").join(
+                src.alias("s"), on=on, how="left"
+            )
+            s_probe = [c for c in src.columns if c not in on][0] if len(src.columns) > len(on) else on[0]
+            matched = F.col(f"s.{s_probe}").isNotNull() if len(src.columns) > len(on) else F.lit(True)
+            out_cols = []
+            for c in target_cols:
+                tc = F.col(f"t.{c}")
+                if when_matched_update and c in when_matched_update:
+                    nv = when_matched_update[c]
+                    nv = nv if "Column" in str(type(nv)) else F.lit(nv)
+                    out_cols.append(F.when(matched, nv).otherwise(tc).alias(c))
+                elif c in on:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+                else:
+                    out_cols.append(tc.alias(c))
+            result = marked.select(*out_cols, matched.alias("__matched"))
+            if when_matched_delete:
+                result = result.filter(~F.col("__matched"))
+            result = result.drop("__matched")
+            rewritten = self._write_files(result)
+
+        inserted: list[dict] = []
+        if when_not_matched_insert:
+            existing_keys = self.to_df(select=on).select(*on).distinct()
+            new_rows = src.join(existing_keys, on=on, how="left_anti")
+            missing = [c for c in target_cols if c not in src.columns]
+            for c in missing:
+                new_rows = new_rows.withColumn(c, F.lit(None))
+            new_rows = new_rows.select(*target_cols)
+            if new_rows.limit(1).count():
+                inserted = self._write_files(new_rows)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            kept = current[~current.file_path.isin(set(candidates))]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + inserted]
+            )
+            return pd.concat([kept, add], ignore_index=True)
+
+        return self._commit(
+            "overwrite",
+            build,
+            {"merged-files": len(candidates), "inserted-files": len(inserted)},
+        )
+
+    # ------------------------------------------------------------------
+    # reading helpers
+    # ------------------------------------------------------------------
+    def _read_files(
+        self,
+        paths: list[str],
+        with_deletes: bool = False,
+        with_pos: bool = False,
+        entries: pd.DataFrame | None = None,
+    ) -> DataFrame:
+        if not paths:
+            return self._empty_df()
+        reader = self.spark.read.schema(self.meta.schema_ddl)
+        df = reader.parquet(*paths)
+        for c in df.columns:
+            if c.startswith("__p_"):
+                df = df.drop(c)
+        need_pos = with_pos or with_deletes
+        if need_pos:
+            df = df.withColumn(
+                "__file_path",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+        if with_deletes:
+            ent = entries if entries is not None else self._entries()
+            dpaths = ent[ent.content == "posdel"].file_path.tolist()
+            if dpaths:
+                deletes = self.spark.read.parquet(*dpaths).select(
+                    F.col("file_path").alias("__file_path"),
+                    F.col("pos").alias("__pos"),
+                )
+                df = df.join(
+                    F.broadcast(deletes), on=["__file_path", "__pos"], how="left_anti"
+                )
+        if need_pos and not with_pos:
+            df = df.drop("__file_path", "__pos")
+        return df
+
+
+def _plain(v):
+    """Convert a Spark-collected value to a stats-comparable literal."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return v
+
+
+class TableScan:
+    """Planned scan: pruned file list + residual filter.
+
+    The (files-scanned, rows-returned) pair is the golden signature the
+    reference asserts (TestGeometryReadersAndWriters.java validateScan
+    :318-337); ``files()`` exposes it for tests."""
+
+    def __init__(
+        self,
+        table: Table,
+        snapshot: MD.Snapshot | None,
+        where: E.Expr | None,
+        select: list[str] | None = None,
+    ):
+        self.table = table
+        self.snapshot = snapshot
+        self.where = where
+        self.select = select
+        self._planned: list[str] | None = None
+        self._entries_cache: pd.DataFrame | None = None
+
+    def _snapshot_entries(self) -> pd.DataFrame:
+        if self._entries_cache is None:
+            self._entries_cache = self.table._entries(self.snapshot)
+        return self._entries_cache
+
+    def files(self) -> list[str]:
+        """Pruned data-file list (manifest + inclusive metrics eval)."""
+        if self._planned is None:
+            entries = self._snapshot_entries()
+            keep = []
+            for row in entries.itertuples():
+                if row.content != "data":
+                    continue
+                if self.where is not None:
+                    if not self.where.might_match_file(M.file_stats_of(row)):
+                        continue
+                keep.append(row.file_path)
+            self._planned = keep
+        return self._planned
+
+    def total_data_files(self) -> int:
+        entries = self._snapshot_entries()
+        return int((entries.content == "data").sum())
+
+    def to_df(self) -> DataFrame:
+        files = self.files()
+        if not files:
+            df = self.table._empty_df()
+        else:
+            df = self.table._read_files(
+                files, with_deletes=True, entries=self._snapshot_entries()
+            )
+            if self.where is not None:
+                # inclusive pruning => full predicate re-applied as residual
+                df = df.filter(self.where.to_spark_column())
+        if self.select:
+            df = df.select(*self.select)
+        return df
+
+
+def _list_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith("_") and not n.startswith("."):
+                out.append(os.path.join(dirpath, n))
+    return sorted(out)
+
+
+def _partition_from_path(relpath: str, pcols: list[tuple[str, PartitionField]]) -> dict:
+    by_dirname = {cname: pf for cname, pf in pcols}
+    out: dict = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k in by_dirname:
+            pf = by_dirname[k]
+            out[pf.name] = pf.transform.parse_path_value(unquote(v))
+    return out
+
+
+def _ddl_fields(ddl: str) -> list[str]:
+    """Split 'a BIGINT, b STRING' into field defs (no nested commas
+    support needed for our flat test schemas; nested types pass through
+    Spark's own parser at read time)."""
+    fields, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur).strip())
+    return fields
