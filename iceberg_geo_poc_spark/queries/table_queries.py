@@ -1,0 +1,334 @@
+"""Table-format operations exposed as oracle-checked queries.
+
+Each query loads driver testdata into a managed engine table (cached
+per process), performs a table-format operation (CoW/MoR delete,
+update, merge, time travel, incremental read, changelog, compaction,
+stats fast path), and returns rows whose expected value is expressible
+as plain SQL over the original parquet — so the DuckDB oracle verifies
+the table layer's row-level semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_geo_poc_spark.registry import query
+from iceberg_geo_poc_spark.session import load_table
+from iceberg_geo_poc_spark.table import Catalog, E
+from iceberg_geo_poc_spark.table.table import Table
+
+_CATALOGS: dict[str, Catalog] = {}
+_TABLES: dict[tuple[str, str], Table] = {}
+
+
+def _catalog(spark: SparkSession) -> Catalog:
+    key = "default"
+    if key not in _CATALOGS:
+        _CATALOGS[key] = Catalog(tempfile.mkdtemp(prefix="igps_wh_"), spark)
+    return _CATALOGS[key]
+
+
+def _managed(spark: SparkSession, sf_dir: str, name: str, build) -> Table:
+    """Build-once-per-process managed table for (sf_dir, recipe)."""
+    key = (sf_dir, name)
+    if key not in _TABLES:
+        cat = _catalog(spark)
+        tname = f"{name}_{abs(hash(sf_dir)) % 10**8}"
+        if cat.table_exists(tname):
+            cat.drop_table(tname)
+        _TABLES[key] = build(cat, tname)
+    return _TABLES[key]
+
+
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "managed_cow_delete",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events WHERE NOT (event_type = 'error')
+    """,
+)
+def managed_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        # two appends split by user_id so the delete rewrites some files
+        # and metadata-drops none (partial matches everywhere)
+        t.append(df.filter("user_id % 2 = 0").repartition(2))
+        t.append(df.filter("user_id % 2 = 1").repartition(2))
+        t.delete(E.eq("event_type", "error"))
+        return t
+
+    t = _managed(spark, sf_dir, "cow_del", build)
+    return t.to_df().select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "managed_mor_delete",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 6) AS value
+    FROM events WHERE NOT (value < 50.0)
+    """,
+)
+def managed_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(4))
+        t.delete(E.lt("value", 50.0), mode="merge-on-read")
+        return t
+
+    t = _managed(spark, sf_dir, "mor_del", build)
+    return t.to_df().select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+@query(
+    "managed_cow_update",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END, 6)
+             AS value
+    FROM events
+    """,
+)
+def managed_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(4))
+        t.update({"value": F.col("value") * 2}, where=E.eq("event_type", "click"))
+        return t
+
+    t = _managed(spark, sf_dir, "cow_upd", build)
+    return t.to_df().select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "managed_merge",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           ROUND(CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END, 2) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 900000001, 1.0
+    UNION ALL
+    SELECT 900000002, 2.0
+    """,
+)
+def managed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: zero out every 10th customer's balance, insert two new."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "custkey BIGINT, acctbal DOUBLE")
+        c = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        t.append(c.repartition(2))
+        src = (
+            c.filter("custkey % 10 = 0").withColumn("acctbal", F.lit(0.0))
+        ).unionByName(
+            spark.createDataFrame(
+                [(900000001, 1.0), (900000002, 2.0)], "custkey BIGINT, acctbal DOUBLE"
+            )
+        )
+        t.merge(src, on=["custkey"], when_matched_update={"acctbal": F.lit(0.0)})
+        return t
+
+    t = _managed(spark, sf_dir, "merge", build)
+    return t.to_df().select("custkey", F.round("acctbal", 2).alias("acctbal"))
+
+
+@query(
+    "managed_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def managed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(cat, tname):
+        t = cat.create_table(tname, "o_orderkey BIGINT, o_custkey BIGINT")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        t.append(o.filter("o_orderkey % 3 = 0").repartition(2))
+        t._tt_snapshot = t.current_snapshot().snapshot_id
+        t.append(o.filter("o_orderkey % 3 != 0").repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "tt", build)
+    return t.scan(snapshot_id=t._tt_snapshot).to_df()
+
+
+@query(
+    "managed_incremental_read",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_id % 3 != 0
+    """,
+)
+def managed_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append in 3 batches; incremental read from batch-1 snapshot must
+    return exactly batches 2+3 (exactly-once union, FIXTURES F4)."""
+    from iceberg_geo_poc_spark.streaming.incremental import incremental_read
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "event_id BIGINT, event_type STRING")
+        e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        t.append(e.filter("event_id % 3 = 0").repartition(2))
+        t._inc_from = t.current_snapshot().snapshot_id
+        t.append(e.filter("event_id % 3 = 1").repartition(2))
+        t.append(e.filter("event_id % 3 = 2").repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "inc", build)
+    return incremental_read(t, from_snapshot_id=t._inc_from)
+
+
+@query(
+    "managed_changelog",
+    oracle="""
+    SELECT event_id, 'insert' AS _change_type
+    FROM events WHERE event_id % 4 = 1
+    """,
+)
+def managed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_geo_poc_spark.streaming.incremental import changelog
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "event_id BIGINT")
+        e = load_table(spark, sf_dir, "events").select("event_id")
+        t.append(e.filter("event_id % 4 = 0").repartition(2))
+        t._cdc_from = t.current_snapshot().snapshot_id
+        t.append(e.filter("event_id % 4 = 1").repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "cdc", build)
+    return changelog(t, from_snapshot_id=t._cdc_from).select(
+        "event_id", "_change_type"
+    )
+
+
+@query(
+    "managed_compaction_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def managed_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction must preserve every row bit-for-bit."""
+    from iceberg_geo_poc_spark.table.maintenance import rewrite_data_files
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for m in range(4):
+            t.append(e.filter(f"event_id % 4 = {m}").repartition(2))
+        rewrite_data_files(t, target_file_size=1 << 30)
+        assert t.scan().total_data_files() == 1
+        return t
+
+    t = _managed(spark, sf_dir, "compact", build)
+    return t.to_df().select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "stats_fastpath_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def stats_fastpath_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from manifest stats only — no data files
+    read (reference aggregate pushdown, SparkScanBuilder.java:202-274).
+    The oracle equivalence IS the hash-match proof that the stats path
+    equals full execution."""
+    from iceberg_geo_poc_spark.table.stats_agg import try_stats_aggregate
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "l_orderkey BIGINT, l_quantity DOUBLE"
+        )
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        t.append(l.repartition(8))
+        return t
+
+    t = _managed(spark, sf_dir, "stats", build)
+    vals = try_stats_aggregate(
+        t, ["count(*)", "min(l_quantity)", "max(l_quantity)", "min(l_orderkey)", "max(l_orderkey)"]
+    )
+    assert vals is not None, "stats fast path unexpectedly bailed"
+    row = [(int(vals[0]), float(vals[1]), float(vals[2]), int(vals[3]), int(vals[4]))]
+    return spark.createDataFrame(
+        row,
+        "n_rows BIGINT, min_qty DOUBLE, max_qty DOUBLE, min_key BIGINT, max_key BIGINT",
+    )
+
+
+@query(
+    "managed_geo_pruned_scan",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount) BETWEEN 20.0 AND 80.0
+      AND (CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax) BETWEEN -40.0 AND 40.0
+    """,
+)
+def managed_geo_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry table with hilbert-clustered appends; st_intersects scan
+    goes through bbox file pruning + residual kernel filter, and must
+    equal the coordinate-range oracle."""
+    from iceberg_geo_poc_spark.geo import box
+    from iceberg_geo_poc_spark.geo.functions import st_point
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_linenumber INT, geom BINARY",
+            geometry_columns={"geom": "wkb"},
+        )
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 360 - 180 + F.col("l_discount")).cast("double").alias("lon"),
+            (F.col("l_suppkey") % 180 - 90 + F.col("l_tax")).cast("double").alias("lat"),
+        )
+        pts = l.withColumn("geom", st_point("lon", "lat")).drop("lon", "lat")
+        # spatially clustered appends (hemispheres) -> prunable bboxes
+        from iceberg_geo_poc_spark.geo.functions import st_xmin_udf
+
+        west = pts.filter(st_xmin_udf(F.col("geom")) < 0)
+        east = pts.filter(st_xmin_udf(F.col("geom")) >= 0)
+        t.append(west.repartition(2))
+        t.append(east.repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "geo_scan", build)
+    scan = t.scan(where=E.st_intersects("geom", box(20.0, -40.0, 80.0, 40.0)))
+    assert len(scan.files()) < scan.total_data_files(), "bbox pruning had no effect"
+    return scan.to_df().select("l_orderkey", "l_linenumber")

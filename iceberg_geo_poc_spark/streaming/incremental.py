@@ -1,0 +1,153 @@
+"""Incremental and changelog reads over the snapshot log.
+
+The reference's streaming model is *incremental table consumption*:
+a micro-batch source over snapshot deltas with (snapshot, position)
+offsets (reference spark/.../source/SparkMicroBatchStream.java:68-117)
+and a changelog scan producing row-level insert/delete diffs
+(core/.../BaseIncrementalChangelogScan.java, ChangelogRowReader.java).
+
+Spark-first mapping (SURVEY §2.9): snapshot-diff planning yields the
+added files between two snapshots; reading them IS the micro-batch.
+``IncrementalStream`` is an availableNow-style consumer: each
+``next_batch()`` returns the rows appended since the last call, with
+admission control via max_files_per_batch — the same offsets-and-
+admission shape as SupportsAdmissionControl, minus the JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from iceberg_geo_poc_spark.table import manifest as M
+from iceberg_geo_poc_spark.table.table import Table
+
+
+def _ancestry(table: Table, to_id: int) -> list[int]:
+    """Snapshot ids from root to ``to_id`` along parent links."""
+    by_id = {s.snapshot_id: s for s in table.meta.snapshots}
+    chain = []
+    cur = by_id.get(to_id)
+    while cur is not None:
+        chain.append(cur.snapshot_id)
+        cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+    return list(reversed(chain))
+
+
+def added_files_between(
+    table: Table, from_snapshot_id: int | None, to_snapshot_id: int | None
+) -> list[str]:
+    """Data files in ``to`` but not in ``from`` (exclusive/inclusive),
+    the planning pre-pass of BaseIncrementalAppendScan."""
+    to_id = to_snapshot_id or table.meta.current_snapshot_id
+    if to_id is None:
+        return []
+    to_entries = M.read_manifest(
+        os.path.join(table.location, table.meta.snapshot_by_id(to_id).manifest)
+    )
+    to_files = set(to_entries[to_entries.content == "data"].file_path)
+    if from_snapshot_id is None:
+        return sorted(to_files)
+    from_entries = M.read_manifest(
+        os.path.join(
+            table.location, table.meta.snapshot_by_id(from_snapshot_id).manifest
+        )
+    )
+    from_files = set(from_entries[from_entries.content == "data"].file_path)
+    return sorted(to_files - from_files)
+
+
+def incremental_read(
+    table: Table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows appended after ``from`` up to ``to`` (append-only diff)."""
+    files = added_files_between(table, from_snapshot_id, to_snapshot_id)
+    if not files:
+        return table._empty_df()
+    return table._read_files(files, with_deletes=False)
+
+
+def changelog(
+    table: Table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level diff with _change_type ('insert' | 'delete') and
+    _commit_snapshot_id columns (reference ChangelogRowReader /
+    CreateChangelogViewProcedure shape)."""
+    to_id = to_snapshot_id or table.meta.current_snapshot_id
+    chain = _ancestry(table, to_id)
+    if from_snapshot_id is not None:
+        chain = chain[chain.index(from_snapshot_id) + 1:]
+    out: DataFrame | None = None
+    prev_files: set[str] | None = None
+    by_id = {s.snapshot_id: s for s in table.meta.snapshots}
+    for sid in chain:
+        entries = M.read_manifest(
+            os.path.join(table.location, by_id[sid].manifest)
+        )
+        files = set(entries[entries.content == "data"].file_path)
+        if prev_files is None and from_snapshot_id is not None:
+            prev = M.read_manifest(
+                os.path.join(
+                    table.location, by_id[from_snapshot_id].manifest
+                )
+            )
+            prev_files = set(prev[prev.content == "data"].file_path)
+        elif prev_files is None:
+            prev_files = set()
+        added = sorted(f for f in files - prev_files if os.path.exists(f))
+        removed = sorted(f for f in prev_files - files if os.path.exists(f))
+        for paths, kind in ((added, "insert"), (removed, "delete")):
+            if not paths:
+                continue
+            part = table._read_files(paths).withColumn(
+                "_change_type", F.lit(kind)
+            ).withColumn("_commit_snapshot_id", F.lit(sid))
+            out = part if out is None else out.unionByName(part)
+        prev_files = files
+    if out is None:
+        schema = table._empty_df().withColumn(
+            "_change_type", F.lit("insert")
+        ).withColumn("_commit_snapshot_id", F.lit(0).cast("long"))
+        return schema.limit(0)
+    return out
+
+
+class IncrementalStream:
+    """availableNow micro-batch consumer with admission control.
+
+    offsets = last consumed snapshot id (checkpointable as a string),
+    mirroring StreamingOffset; max_files_per_batch mirrors the
+    max-files-per-micro-batch read option (SparkMicroBatchStream)."""
+
+    def __init__(self, table: Table, max_files_per_batch: int | None = None):
+        self.table = table
+        self.max_files = max_files_per_batch
+        self.last_snapshot_id: int | None = None
+        self._pending: list[str] = []
+
+    def next_batch(self) -> DataFrame | None:
+        """DataFrame of newly appended rows, or None when caught up."""
+        self.table.refresh()
+        current = self.table.meta.current_snapshot_id
+        if not self._pending:
+            if current == self.last_snapshot_id or current is None:
+                return None
+            self._pending = added_files_between(
+                self.table, self.last_snapshot_id, current
+            )
+            self.last_snapshot_id = current
+            if not self._pending:
+                return None
+        take = self._pending if self.max_files is None else self._pending[: self.max_files]
+        self._pending = self._pending[len(take):]
+        return self.table._read_files(take, with_deletes=False)
+
+    def offset(self) -> str:
+        return str(self.last_snapshot_id)

@@ -1,0 +1,166 @@
+"""Maintenance actions: compaction, snapshot expiry, orphan cleanup.
+
+Analogues of the reference's Spark actions (reference
+spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/actions/
+RewriteDataFilesSparkAction.java, ExpireSnapshotsSparkAction.java,
+DeleteOrphanFilesSparkAction.java) re-expressed as metadata operations
+plus plain DataFrame rewrites:
+
+- bin-pack: read small files -> coalesce to target size -> replace
+- sort: same + repartitionByRange/sortWithinPartitions (hilbert order
+  for geometry, replacing the reference's zorder strategy,
+  SparkZOrderDataRewriter.java)
+- expire: drop old snapshots, delete manifests + data files no longer
+  reachable from any retained snapshot
+- orphans: files on disk not referenced by any snapshot manifest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from iceberg_geo_poc_spark.table import manifest as M
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.table import Table, _list_parquet
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+
+
+@dataclass
+class RewriteResult:
+    rewritten_files: int
+    added_files: int
+
+
+def rewrite_data_files(
+    table: Table,
+    strategy: str = "binpack",
+    sort_by: list[str] | None = None,
+    hilbert_column: str | None = None,
+    hilbert_resolution: int = 12,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    min_input_files: int = 2,
+) -> RewriteResult:
+    """Compact data files (reference RewriteDataFilesProcedure).
+
+    strategy: 'binpack' | 'sort' (with sort_by) | 'hilbert' (with
+    hilbert_column).  Only groups of >= min_input_files under the target
+    size are rewritten; large files are left in place.
+    """
+    entries = table._entries()
+    data = entries[entries.content == "data"]
+    small = data[data.file_size < target_file_size]
+    if len(small) < min_input_files:
+        return RewriteResult(0, 0)
+    paths = small.file_path.tolist()
+    df = table._read_files(paths, with_deletes=True)
+    total_bytes = int(small.file_size.sum())
+    n_out = max(1, round(total_bytes / target_file_size))
+    if strategy == "binpack":
+        df = df.coalesce(n_out)
+    elif strategy == "sort":
+        if not sort_by:
+            raise ValueError("sort strategy requires sort_by")
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    elif strategy == "hilbert":
+        if not hilbert_column:
+            raise ValueError("hilbert strategy requires hilbert_column")
+        from iceberg_geo_poc_spark.geo.functions import st_hilbert
+
+        df = (
+            df.withColumn("__h", st_hilbert(hilbert_column, hilbert_resolution))
+            .repartitionByRange(n_out, "__h")
+            .sortWithinPartitions("__h")
+            .drop("__h")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    new_entries = table._write_files(df)
+
+    def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+        # MoR deletes were applied during the rewrite read, so compaction
+        # of ALL data files also retires the delete files; partial
+        # compaction must keep them (they may still target kept files).
+        kept = current[~current.file_path.isin(set(paths))]
+        if set(paths) >= set(data.file_path):
+            kept = kept[kept.content != "posdel"]
+        add = M.entries_dataframe(
+            [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
+        )
+        return pd.concat([kept, add], ignore_index=True)
+
+    table._commit(
+        "replace", build, {"rewritten": len(paths), "added": len(new_entries)}
+    )
+    return RewriteResult(len(paths), len(new_entries))
+
+
+def expire_snapshots(table: Table, keep_last: int = 1) -> dict:
+    """Drop all but the last ``keep_last`` snapshots; physically delete
+    manifests and data/delete files only reachable from expired ones."""
+    meta = table.meta
+    if len(meta.snapshots) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    keep = meta.snapshots[-keep_last:]
+    ref_ids = {r["snapshot-id"] for r in meta.refs.values()}
+    keep += [s for s in meta.snapshots if s.snapshot_id in ref_ids and s not in keep]
+    expired = [s for s in meta.snapshots if s not in keep]
+
+    live_files: set[str] = set()
+    for s in keep:
+        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        live_files |= set(m.file_path)
+    dead_files: set[str] = set()
+    for s in expired:
+        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        dead_files |= set(m.file_path) - live_files
+
+    for p in dead_files:
+        if os.path.exists(p):
+            os.remove(p)
+    for s in expired:
+        mp = os.path.join(table.location, s.manifest)
+        if os.path.exists(mp):
+            os.remove(mp)
+    meta.snapshots = [s for s in meta.snapshots if s in keep]
+    MD.write_new_metadata(meta, meta.version)
+    return {"expired": len(expired), "deleted_files": len(dead_files)}
+
+
+def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
+    """Delete files under the table location not referenced by any
+    snapshot (reference DeleteOrphanFilesSparkAction: listing vs
+    metadata anti-join)."""
+    referenced: set[str] = set()
+    for s in table.meta.snapshots:
+        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        referenced |= set(m.file_path)
+    on_disk = set(_list_parquet(os.path.join(table.location, "data"))) | set(
+        _list_parquet(os.path.join(table.location, "deletes"))
+    )
+    orphans = sorted(on_disk - referenced)
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+    return orphans
+
+
+def rewrite_manifests(table: Table) -> int:
+    """Rewrite the current manifest clustered by partition (reference
+    RewriteManifestsSparkAction; with single-file manifests this is a
+    re-sort for locality of partition-range queries)."""
+    entries = table._entries()
+    if entries.empty:
+        return 0
+    entries = entries.sort_values(["partition", "file_path"]).reset_index(drop=True)
+
+    def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+        return entries
+
+    table._commit("replace", build, {"manifests-rewritten": 1})
+    return 1

@@ -1,0 +1,170 @@
+"""Maintenance actions, metadata tables, stats fast path, incremental
+and changelog reads."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_geo_poc_spark.streaming.incremental import (
+    IncrementalStream,
+    changelog,
+    incremental_read,
+)
+from iceberg_geo_poc_spark.table import Catalog, E
+from iceberg_geo_poc_spark.table.maintenance import (
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_manifests,
+)
+from iceberg_geo_poc_spark.table.metadata_tables import inspect
+from iceberg_geo_poc_spark.table.stats_agg import try_stats_aggregate
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(str(tmp_path / "wh"), spark)
+
+
+def _mk(spark, catalog, name, n_appends=4, rows_per=10):
+    t = catalog.create_table(name, "a BIGINT, b STRING")
+    base = 0
+    for _ in range(n_appends):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(base, base + rows_per)],
+                "a BIGINT, b STRING",
+            ).coalesce(1)
+        )
+        base += rows_per
+    return t
+
+
+def test_compaction_binpack(spark, catalog):
+    t = _mk(spark, catalog, "cmp")
+    assert t.scan().total_data_files() == 4
+    res = rewrite_data_files(t, target_file_size=1 << 20)
+    assert res.rewritten_files == 4 and res.added_files == 1
+    assert t.scan().total_data_files() == 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(40))
+
+
+def test_compaction_sort(spark, catalog):
+    t = _mk(spark, catalog, "cmps")
+    rewrite_data_files(t, strategy="sort", sort_by=["a"], target_file_size=1 << 20)
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(40))
+
+
+def test_compaction_with_mor_deletes(spark, catalog):
+    t = _mk(spark, catalog, "cmpd")
+    t.delete(E.lt("a", 5), mode="merge-on-read")
+    rewrite_data_files(t, target_file_size=1 << 20)
+    got = sorted(r.a for r in t.to_df().collect())
+    assert got == list(range(5, 40))
+    entries = t._entries()
+    assert (entries.content == "posdel").sum() == 0  # retired by full compaction
+
+
+def test_expire_snapshots_and_orphans(spark, catalog, tmp_path):
+    t = _mk(spark, catalog, "exp")
+    n_snaps = len(t.snapshots())
+    assert n_snaps == 4
+    rewrite_data_files(t, target_file_size=1 << 20)
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["expired"] == 4
+    t = catalog.load_table("exp")
+    assert len(t.snapshots()) == 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(40))
+    # orphans: a stray file not referenced anywhere
+    import os
+
+    stray = os.path.join(t.location, "data", "stray.parquet")
+    spark.createDataFrame([(1, "x")], "a BIGINT, b STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(t.location, "data", "straydir"))
+    orphans = remove_orphan_files(t)
+    assert len(orphans) >= 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(40))
+
+
+def test_metadata_tables(spark, catalog):
+    t = _mk(spark, catalog, "meta", n_appends=2)
+    snaps = inspect(t, "snapshots")
+    assert snaps.count() == 2
+    assert set(snaps.columns) >= {"snapshot_id", "operation", "sequence_number"}
+    files = inspect(t, "files")
+    assert files.count() == 2
+    hist = inspect(t, "history")
+    assert hist.filter("is_current_ancestor").count() == 1
+    parts = inspect(t, "partitions")
+    assert parts.count() == 1  # unpartitioned: single empty partition tuple
+    rewrite_manifests(t)
+    assert inspect(t, "manifests").count() == 3
+
+
+def test_stats_fastpath(spark, catalog):
+    t = _mk(spark, catalog, "stats")
+    got = try_stats_aggregate(t, ["count(*)", "min(a)", "max(a)", "count(a)"])
+    assert got == [40, 0, 39, 40]
+    # bail on deletes
+    t.delete(E.lt("a", 3), mode="merge-on-read")
+    assert try_stats_aggregate(t, ["count(*)"]) is None
+    # unsupported agg form
+    t2 = _mk(spark, catalog, "stats2", n_appends=1)
+    assert try_stats_aggregate(t2, ["sum(a)"]) is None
+
+
+def test_incremental_read(spark, catalog):
+    t = _mk(spark, catalog, "inc", n_appends=3)
+    snaps = [s.snapshot_id for s in t.snapshots()]
+    all_rows = incremental_read(t)
+    assert all_rows.count() == 30
+    tail = incremental_read(t, from_snapshot_id=snaps[0])
+    assert sorted(r.a for r in tail.collect()) == list(range(10, 30))
+    mid = incremental_read(t, from_snapshot_id=snaps[0], to_snapshot_id=snaps[1])
+    assert sorted(r.a for r in mid.collect()) == list(range(10, 20))
+
+
+def test_incremental_stream_exactly_once(spark, catalog):
+    t = catalog.create_table("stream", "a BIGINT, b STRING")
+    stream = IncrementalStream(t)
+    assert stream.next_batch() is None
+    seen = []
+    for batch_no in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(batch_no * 10 + i, "x") for i in range(10)], "a BIGINT, b STRING"
+            ).coalesce(1)
+        )
+        df = stream.next_batch()
+        seen += [r.a for r in df.collect()]
+        assert stream.next_batch() is None  # caught up: exactly-once
+    assert sorted(seen) == sorted(r.a for r in t.to_df().collect())
+
+
+def test_incremental_stream_admission_control(spark, catalog):
+    t = catalog.create_table("stream2", "a BIGINT")
+    for k in range(3):
+        t.append(spark.createDataFrame([(k,)], "a BIGINT").coalesce(1))
+    stream = IncrementalStream(t, max_files_per_batch=1)
+    batches = []
+    while (df := stream.next_batch()) is not None:
+        batches.append([r.a for r in df.collect()])
+    assert len(batches) == 3
+    assert sorted(sum(batches, [])) == [0, 1, 2]
+
+
+def test_changelog(spark, catalog):
+    t = catalog.create_table("cdc", "a BIGINT")
+    t.append(spark.createDataFrame([(1,), (2,)], "a BIGINT").coalesce(1))
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(3,)], "a BIGINT").coalesce(1))
+    t.delete(E.eq("a", 1))  # rewrites file 1 -> delete + insert in changelog
+    log = changelog(t, from_snapshot_id=s1)
+    rows = [(r.a, r._change_type) for r in log.collect()]
+    inserts = sorted(a for a, k in rows if k == "insert")
+    deletes = sorted(a for a, k in rows if k == "delete")
+    assert 3 in inserts
+    # the rewritten file's surviving row reappears as insert; removed file rows as delete
+    assert deletes == [1, 2]
+    assert inserts == [2, 3]
