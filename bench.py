@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from BASELINE.md §"Bench queries" at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set (mirrors the reference's JMH harness shapes, BASELINE.md):
+  1. filtered_scan  — selective l_shipdate range (file-skip / pushdown shape)
+  2. q1             — full-scan aggregation (TPC-H Q1)
+  3. q3             — 3-way join lineitem ⋈ orders ⋈ customer
+  4. stats_fastpath — COUNT/MIN/MAX answered from metadata/footers
+  5. geo_window     — st_intersects window over the geo-augmented table
+  6. dedup_minhash  — MinHash-LSH near-dup candidate pairs over documents
+  7. knn_cosine     — brute-force cosine top-k over embeddings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from iceberg_geo_poc_spark.registry import all_queries
+from iceberg_geo_poc_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# registry name -> short bench name; all run directly against sf parquet.
+BENCH_QUERIES = [
+    ("filtered_scan", "q6_revenue_forecast"),
+    ("q1", "q1_pricing_summary"),
+    ("q3", "q3_shipping_priority"),
+    ("stats_fastpath", "stats_fastpath_agg"),
+    ("geo_window", "geo_points_in_window"),
+    ("dedup_minhash", "dedup_minhash_lsh"),
+    ("knn_cosine", "sim_knn_cosine_topk"),
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+    # JVM / reader warm-up so q1 doesn't pay one-time session costs.
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for bench_name, reg_name in BENCH_QUERIES:
+        fn = queries.get(reg_name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[bench_name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

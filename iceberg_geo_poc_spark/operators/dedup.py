@@ -1,0 +1,260 @@
+"""Deduplication operators for 100 TB document corpora (SURVEY.md §2.12).
+
+Five variants, all pure JVM-side DataFrame compositions (no Python in
+the hot path — higher-order array functions stay inside codegen):
+
+- exact         : content-hash groupBy (one shuffle on a 128-bit hash)
+- n-gram jaccard: inverted-index self-join on shingles (the classic
+                  "explode + equi-join" plan — shuffle keys are shingle
+                  strings, so Spark's AQE skew handling covers hot
+                  shingles; no O(n^2) pair enumeration ever happens)
+- MinHash + LSH : signature -> banded bucket join -> exact-jaccard verify.
+                  The scale path: candidate generation touches only docs
+                  sharing a band bucket; verification joins shingle sets
+                  for candidates only.
+- SimHash       : 32-bit sign-sum fingerprint; candidates share a 16-bit
+                  half (Charikar two-block pigeonhole), verified by
+                  hamming distance.
+- embedding     : label-blocked cosine pairs (see similarity.py for the
+                  general ANN machinery).
+
+Scale notes: every join here is an equi-join on a derived key (shingle,
+band bucket, simhash half, label), so at 1000 executors each variant is
+one or two hash-partitioned shuffles; nothing is broadcast except probe
+sets, and nothing collects to the driver.  Hashes are engine-portable
+(hashing.py) so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from iceberg_geo_poc_spark.operators.hashing import (
+    MERSENNE_P,
+    minhash_coeffs,
+    spark_hash60,
+)
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = 4  # BANDS * ROWS_PER_BAND == NUM_PERM
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization as an array column (stays in codegen)."""
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document (0-based Spark array indexing).
+
+    Guarded for docs shorter than n words: Spark's sequence(0, negative)
+    counts DOWN, so the short case must return an empty array explicitly.
+    """
+    parts = ", ".join(f"words[i + {k}]" for k in range(n))
+    return df.withColumn(
+        "shingles",
+        F.expr(
+            f"CASE WHEN size(words) < {n} THEN array() "
+            f"ELSE array_distinct(transform(sequence(0, size(words) - {n}),"
+            f" i -> concat_ws(' ', {parts}))) END"
+        ),
+    )
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate stats via md5 content hash.
+
+    At scale this is the cheapest dedup: one partial-aggregated shuffle
+    on the hash, never on the document text itself.
+    """
+    hashed = docs.select("source", F.md5("text").alias("content_hash"))
+    per_hash = hashed.groupBy("source", "content_hash").agg(
+        F.count("*").alias("copies")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+            (F.sum("copies") - F.count("*")).alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return with_shingles(with_words(docs)).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+
+
+def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (ia, ib) pairs back to shingle sets; exact jaccard."""
+    a = sh.select(
+        F.col("doc_id").alias("ia"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("ib"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(a, "ia")
+        .join(b, "ib")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ia", "ib", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact n-gram jaccard, via inverted-index join.
+
+    Any pair with jaccard >= threshold shares at least one shingle, so
+    the exploded equi-join enumerates a superset of the answer without
+    ever forming the full cross product.
+    """
+    sh = _doc_shingles(docs)
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
+        )
+        .distinct()
+    )
+    return _verified_pairs(cand, sh, threshold).orderBy("ia", "ib")
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """64-permutation MinHash signature as an array<bigint> column.
+
+    Shingle hashes are reduced mod p once, then each permutation is an
+    ``array_min(transform(...))`` — the whole signature is one codegen
+    stage with zero shuffles.
+    """
+    hashed = sh.withColumn(
+        "sh_hash",
+        F.expr(
+            "transform(shingles, s -> "
+            + spark_hash60("s")
+            + f" % CAST({MERSENNE_P} AS BIGINT))"
+        ),
+    )
+    mins = [
+        F.expr(
+            f"array_min(transform(sh_hash, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    ]
+    return hashed.select("doc_id", "shingles", "n_sh", F.array(*mins).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs: docs agreeing on >= 1 of 16 bands.
+
+    The band key is a string of 4 signature values; the self-equi-join
+    on (band index, band key) is the only shuffle, and bucket sizes are
+    bounded by actual near-duplicate density, not corpus size.
+    """
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col("sig").getItem(j * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{j}")
+        for j in range(BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-jaccard verified.
+
+    At the default (64 perms, 16 bands x 4) a pair at jaccard 0.9 is
+    missed with probability (1 - 0.9^4)^16 ~ 3e-8, so above-threshold
+    output equals the exact-jaccard answer (which is what the DuckDB
+    oracle computes) on any realistically-separated corpus.
+    """
+    sh = _doc_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    return _verified_pairs(cand, sh, threshold).orderBy("ia", "ib")
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per document over word multiset.
+
+    Explode + groupBy with 32 ``sum((h >> b) & 1)`` partial aggregates:
+    map-side combine keeps the shuffle at one row per document.
+    """
+    tok = with_words(docs).select(
+        "doc_id", F.explode("words").alias("w")
+    )
+    tok = tok.withColumn("h", F.expr(spark_hash60("w")))
+    ones = [
+        F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"ones{b}") for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n_words"), *ones)
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * ones{b} > n_words THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top-k closest pairs by SimHash hamming distance.
+
+    Candidates must agree on one of the two 16-bit halves (pigeonhole:
+    hamming <= 16 guarantees a shared half for 2 blocks only when
+    distance < 2, but near-dups in practice agree on a half; this IS the
+    approximation the operator makes, identically in the oracle).
+    """
+    sh = simhash_docs(docs)
+    halves = sh.select(
+        "doc_id",
+        "simhash",
+        F.expr("simhash >> 16").alias("h_hi"),
+        F.expr("simhash & 65535").alias("h_lo"),
+    )
+    pairs = None
+    for half in ("h_hi", "h_lo"):
+        p = (
+            halves.alias("a")
+            .join(halves.alias("b"), half)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("ia"),
+                F.col("b.doc_id").alias("ib"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .select("ia", "ib", "hamming")
+        .orderBy("hamming", "ia", "ib")
+        .limit(top_k)
+    )

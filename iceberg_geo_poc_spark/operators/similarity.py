@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Embeddings are plain ``array<float>`` columns; every dot product here is
+a JVM-side ``zip_with`` + ``aggregate`` fold in DOUBLE (sequential,
+left-to-right — the same order DuckDB's ``list_dot_product`` uses, so
+the oracle agrees to the last ulp and 6-decimal rounding is safely
+deterministic).  No Python touches the hot path.
+
+Two search strategies:
+
+- brute-force top-k : probes broadcast against the full corpus; one
+  shuffle (the per-probe top-k window).  The *correctness baseline* —
+  at 100 TB this is the "small probe set x big corpus" shape where the
+  corpus scan is embarrassingly parallel and only k rows per probe
+  survive to the shuffle (window partitioned by probe key).
+- LSH-bucketed      : sign-bit bucket from fixed +-1 hyperplanes
+  (hashing.hyperplane_signs); probes search only their bucket.  The
+  *scale path*: the bucket equi-join replaces the cross product, so
+  work drops by ~2^n_planes.  Deterministic hyperplanes mean the DuckDB
+  oracle reproduces the same buckets — the approximation itself is
+  oracle-checked, not just the plumbing.
+
+Parity note: the reference has no vector search; this is the
+driver-mandated north-star surface built on the same design language as
+the geo layer (typed payload column + derived pruning key — hyperplane
+bucket :: embeddings what hilbert index :: geometry).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from iceberg_geo_poc_spark.operators.hashing import hyperplane_signs
+
+NUM_PLANES = 8  # 256 buckets
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL fragment: sequential DOUBLE dot product of two arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """L2 norm as a codegen-stage column (no shuffle)."""
+    return df.withColumn("nrm", F.expr(f"sqrt({dot_expr(col, col)})"))
+
+
+def plane_literal(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+
+
+def lsh_bucket_expr(col: str, num_planes: int = NUM_PLANES, dim: int = 64) -> str:
+    """Sign-bit LSH bucket id in [0, 2^num_planes) from fixed hyperplanes."""
+    planes = hyperplane_signs(num_planes, dim)
+    bits = [
+        f"(CASE WHEN {dot_expr(col, plane_literal(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+def _scored_pairs(probes: DataFrame, cand: DataFrame, join_on=None) -> DataFrame:
+    """probe x candidate cosine, rounded for cross-engine determinism."""
+    joined = (
+        probes.crossJoin(cand)
+        if join_on is None
+        else probes.join(cand, join_on)
+    )
+    return (
+        joined.filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("ia").orderBy(F.desc("cosine"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ia", "ib", "cosine", "rank")
+    )
+
+
+def knn_cosine_topk(emb: DataFrame, n_probes: int = 5, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k for the first ``n_probes`` vectors.
+
+    The probe side is tiny -> broadcast; the corpus side never shuffles
+    until the window, which sees only probe-keyed rows.
+    """
+    base = with_norm(emb)
+    probes = F.broadcast(
+        base.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    cand = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return _topk(_scored_pairs(probes, cand), k).orderBy("ia", "rank")
+
+
+def lsh_knn_topk(
+    emb: DataFrame, n_probes: int = 20, k: int = 5, num_planes: int = NUM_PLANES
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the probe's LSH bucket.
+
+    One equi-join on the bucket id — at scale the corpus can be
+    *written* bucket-partitioned (hidden-partitioning transform, same
+    substrate as bucket/hilbert) so this probe never shuffles the big
+    side at all.
+    """
+    base = with_norm(emb).withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding", num_planes))
+    )
+    probes = F.broadcast(
+        base.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            "bucket",
+        )
+    )
+    cand = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    return _topk(_scored_pairs(probes, cand, ["bucket"]), k).orderBy("ia", "rank")
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= threshold, LSH-blocked.
+
+    Blocking key = hyperplane bucket; near-identical vectors land in the
+    same bucket with probability ~(1 - theta/pi)^n_planes, and the
+    bucket join keeps the pair enumeration linear in bucket sizes.
+    """
+    base = with_norm(emb).withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding", NUM_PLANES))
+    )
+    a = base.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("ia", "ib", "cosine")
+        .orderBy("ia", "ib")
+    )

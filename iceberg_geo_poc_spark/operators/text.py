@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.12).
+
+Language-ID, quality scoring, token counting and document
+fingerprinting — all pure JVM-side expressions (split / higher-order
+array functions / regexp), zero Python in the hot path, one narrow
+projected scan per query.  Every constant (stopword lists, regex,
+hash modulus) is embedded identically in the DuckDB oracle SQL, so the
+heuristics themselves are hash-verified, not just the plumbing.
+
+Scale notes: each operator is a stateless per-row map — no shuffle at
+all until the caller aggregates.  At 100 TB these run as a single
+narrow stage fused into the Parquet scan by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from iceberg_geo_poc_spark.operators.hashing import MERSENNE_P, spark_hash60
+
+# BPE-ish tokenization: letter runs, digit runs, single punctuation.
+# Plain character classes only — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language marker lists (function words chosen to be disjoint
+# across languages).  Deliberately small: the operator contract is a
+# deterministic n-gram/stopword *heuristic*, not a trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with", "for", "that"],
+    "de": ["der", "und", "die", "das", "ist", "mit", "nicht", "ein"],
+    "es": ["el", "los", "las", "es", "por", "con", "para", "una"],
+    "fr": ["le", "les", "est", "avec", "pour", "dans", "une", "sur"],
+    "zh": ["de5", "shi4", "zai4", "le5", "he2", "you3", "wo3", "ta1"],
+}
+
+# English function words for the quality stopword-ratio feature.
+QUALITY_STOPWORDS = LANG_MARKERS["en"]
+
+FP_BASE = 31  # polynomial rolling-hash base
+
+
+def _array_lit(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return with_words(docs).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("words").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias(
+            "n_bpe_tokens"
+        ),
+        F.expr("size(array_distinct(words))").alias("n_uniq_words"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Deterministic stopword-overlap language ID.
+
+    Score per language = |distinct(words) ∩ markers|; argmax with
+    lexicographic tie-break; all-zero -> 'und'.  Expressed as one
+    greatest() + CASE chain so the whole classifier is a single
+    codegen-stage projection.
+    """
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: f"size(array_intersect(array_distinct(words), {_array_lit(LANG_MARKERS[lang])}))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    # first (lexicographically) language achieving the max wins
+    case = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return (
+        with_words(docs)
+        .withColumn("best", F.expr(best))
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            F.expr(f"CASE {case} ELSE 'und' END").alias("pred_lang"),
+            F.col("best").alias("marker_hits"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1] from portable features.
+
+    length_score  : saturating word count (full credit at 100+ words)
+    uniq_ratio    : lexical diversity, distinct/total words
+    stopword_rate : English function-word fraction
+    punct_rate    : BPE punctuation tokens / all BPE tokens
+    score = 0.4*length + 0.3*uniq + 0.2*(1 - punct) + 0.1*stopword
+    """
+    sw = _array_lit(QUALITY_STOPWORDS)
+    d = with_words(docs).select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.expr("size(array_distinct(words))").alias("n_uniq"),
+        F.expr(f"size(filter(words, w -> array_contains({sw}, w)))").alias("n_stop"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias("n_bpe"),
+        F.expr(
+            f"size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))"
+        ).alias("n_punct"),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.4
+            + (F.col("n_uniq") / F.col("n_words")) * 0.3
+            + (1.0 - F.col("n_punct") / F.col("n_bpe")) * 0.2
+            + (F.col("n_stop") / F.col("n_words")) * 0.1,
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over word hashes.
+
+    fp = fold(words, 0, (acc, w) -> (acc*31 + h60(w) mod p) mod p).
+    Unlike a content md5, the rolling form extends to windowed/rolling
+    fingerprints (substring dedup) by subtracting the leading term; here
+    we expose the whole-document variant.
+    """
+    h = spark_hash60("w")
+    return with_words(docs).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(words, CAST(0 AS BIGINT), "
+            f"(acc, w) -> (acc * {FP_BASE} + {h} % {MERSENNE_P}) % {MERSENNE_P})"
+        ).alias("fingerprint"),
+    )

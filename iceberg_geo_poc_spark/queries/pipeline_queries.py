@@ -1,0 +1,347 @@
+"""Training-data pipeline query surface (SURVEY.md §2.12), oracle-checked.
+
+Every operator in operators/{dedup,similarity,text,multimodal}.py is
+registered here with a DuckDB oracle that replicates the SAME
+deterministic constants (md5-derived hashes, LCG minhash coefficients,
+fixed hyperplanes, stopword lists) — so the approximation algorithms
+themselves are value-hash-verified, not just re-described.
+
+Oracle-construction notes:
+- every hash is the 60-bit md5 prefix (hashing.py) — bit-identical in
+  Spark (`conv`) and DuckDB (`'0x' || hex`).
+- dot products run in DOUBLE with sequential folds on both engines and
+  outputs are rounded to 6 decimals before any ranking, so rank
+  tie-breaks see identical values.
+- DuckDB arrays are 1-indexed (list_transform over generate_series);
+  Spark arrays 0-indexed — shingle windows are aligned accordingly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_geo_poc_spark.operators import dedup, multimodal, similarity, text
+from iceberg_geo_poc_spark.operators.hashing import (
+    MERSENNE_P,
+    duckdb_hash60,
+    hyperplane_signs,
+)
+from iceberg_geo_poc_spark.registry import query
+from iceberg_geo_poc_spark.session import load_table
+
+# ---------------------------------------------------------------- dedup
+
+# DuckDB 3-word shingle CTE (1-indexed; empty for short docs because
+# generate_series(1, n<=0) is empty).
+_DUCK_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM w),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+_DUCK_EXACT_JACCARD = f"""
+WITH {_DUCK_SHINGLES},
+shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM inv a JOIN inv b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT ia, ib,
+       ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM shared JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+ORDER BY ia, ib
+"""
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    WITH per_hash AS (
+      SELECT source, md5(text) AS content_hash, count(*) AS copies
+      FROM documents GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup_docs
+    FROM per_hash GROUP BY source ORDER BY source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash — one partial-aggregated shuffle."""
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", oracle=_DUCK_EXACT_JACCARD)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-jaccard near-dup pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", oracle=_DUCK_EXACT_JACCARD)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, exact-jaccard verified.
+
+    Oracle = the exact-jaccard answer: at 64 perms / 16x4 bands a
+    jaccard-0.9 pair escapes LSH with p ~ 3e-8, so on the testdata
+    corpora (all true pairs >= 0.8) the two coincide.
+    """
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_simhash_sql(top_k: int = 20) -> str:
+    h = duckdb_hash60("w")
+    ones = ",\n         ".join(
+        f"SUM((h >> {b}) & 1) AS ones{b}" for b in range(dedup.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN 2 * ones{b} > n_words THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, {h} AS h FROM tok),
+    agg AS (SELECT doc_id, count(*) AS n_words,
+         {ones}
+         FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({bits}) AS simhash FROM agg),
+    halves AS (SELECT doc_id, simhash, simhash >> 16 AS h_hi,
+                      simhash & 65535 AS h_lo FROM sh),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+             a.simhash AS sa, b.simhash AS sb
+      FROM halves a JOIN halves b
+        ON (a.h_hi = b.h_hi OR a.h_lo = b.h_lo) AND a.doc_id < b.doc_id)
+    SELECT ia, ib, bit_count(xor(sa, sb)) AS hamming
+    FROM pairs ORDER BY hamming, ia, ib LIMIT {top_k}
+    """
+
+
+@query("dedup_simhash", oracle=_duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest pairs by 32-bit SimHash hamming distance."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ similarity
+
+_DIM = 64
+
+
+def _duck_plane(p: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in p) + "]::DOUBLE[]"
+
+
+def _duck_bucket_expr(col: str) -> str:
+    planes = hyperplane_signs(similarity.NUM_PLANES, _DIM)
+    bits = [
+        f"(CASE WHEN list_dot_product({col}, {_duck_plane(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+_DUCK_NORMED = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@query(
+    "sim_knn_cosine_topk",
+    oracle=f"""
+    WITH {_DUCK_NORMED},
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 5),
+    r AS (SELECT ia, ib, cosine,
+                 row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rank
+          FROM p)
+    SELECT ia, ib, cosine, rank FROM r WHERE rank <= 10 ORDER BY ia, rank
+    """,
+)
+def sim_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors (baseline ANN)."""
+    return similarity.knn_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_lsh_bucket_knn",
+    oracle=f"""
+    WITH {_DUCK_NORMED},
+    bk AS (SELECT vec_id, v, nrm, ({_duck_bucket_expr("v")}) AS bucket FROM n),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 20),
+    r AS (SELECT ia, ib, cosine,
+                 row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rank
+          FROM p)
+    SELECT ia, ib, cosine, rank FROM r WHERE rank <= 5 ORDER BY ia, rank
+    """,
+)
+def sim_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 — the candidate set itself is
+    deterministic (fixed hyperplanes), so the oracle checks the
+    approximation, not just the arithmetic."""
+    return similarity.lsh_knn_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH {_DUCK_NORMED},
+    bk AS (SELECT vec_id, v, nrm, ({_duck_bucket_expr("v")}) AS bucket FROM n)
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+    ORDER BY ia, ib
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked."""
+    return similarity.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------ text
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS n_bpe_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_words
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting per document."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_langid_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    lit = {
+        lang: "[" + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]) + "]"
+        for lang in langs
+    }
+    scores = {
+        lang: f"len(list_intersect(uw, {lit[lang]}))" for lang in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      list_distinct(string_split(text, ' ')) AS uw
+               FROM documents),
+    s AS (SELECT doc_id, lang, uw, {best} AS best FROM w)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {case} ELSE 'und' END AS pred_lang,
+           best AS marker_hits
+    FROM s
+    """
+
+
+@query("text_language_id", oracle=_duck_langid_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic heuristic)."""
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_quality_sql() -> str:
+    sw = "[" + ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS) + "]"
+    return f"""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    d AS (SELECT doc_id,
+                 len(words) AS n_words,
+                 len(list_distinct(words)) AS n_uniq,
+                 len(list_filter(words, x -> list_contains({sw}, x))) AS n_stop,
+                 len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS n_bpe,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+          FROM w)
+    SELECT doc_id, n_words,
+           ROUND(least(n_words / 100.0, 1.0) * 0.4
+                 + (n_uniq * 1.0 / n_words) * 0.3
+                 + (1.0 - n_punct * 1.0 / n_bpe) * 0.2
+                 + (n_stop * 1.0 / n_words) * 0.1, 6) AS quality
+    FROM d
+    """
+
+
+@query("text_quality_scores", oracle=_duck_quality_sql())
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic [0,1] quality score from portable lexical features."""
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(words,
+                   x -> {duckdb_hash60("x")} % {MERSENNE_P}) AS hs
+          FROM w)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+             (acc, x) -> (acc * {text.FP_BASE} + x) % {MERSENNE_P}) AS fingerprint
+    FROM h
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) * 1000000
+              // 4294967296) / 1000000.0 AS feat0,
+           CAST(64 + doc_id % 512 AS INT) AS width,
+           CAST(64 + doc_id % 384 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media table -> Arrow-batched feature extraction.
+
+    The md5-derived feature path stands in for the stubbed codec decode
+    (operators/multimodal.py) so the mapInPandas plumbing is fully
+    value-checked against the oracle.
+    """
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+# minhash signature self-check: rows-only (signatures are not expressible
+# in one readable SQL statement but the LSH pipeline above hash-checks
+# their effect end-to-end).
+@query("dedup_minhash_signatures")
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
+    return sigs.select("doc_id", F.size("sig").alias("sig_len"))

@@ -1,0 +1,132 @@
+"""Property tests for the §2.12 pipeline operators.
+
+The oracle-parity gate (test_relational_oracle.py auto-picks up every
+registered query) checks value equality; these tests check the
+*algorithmic* properties the oracle can't see: LSH recall vs the exact
+answer, signature shapes, stub behavior, and scale-shape invariants
+(no cross product, candidate counts bounded).
+"""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from iceberg_geo_poc_spark.operators import dedup, multimodal, similarity, text
+from iceberg_geo_poc_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["shingles"]
+        for r in dedup.with_shingles(dedup.with_words(df)).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_recall_equals_exact(docs):
+    """LSH candidates must contain every exact-jaccard pair >= 0.5."""
+    exact = {
+        (r["ia"], r["ib"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r["ia"], r["ib"]) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert exact, "testdata should contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_lsh_candidates_far_below_cross_product(docs):
+    n = docs.count()
+    sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
+    cands = dedup.lsh_candidate_pairs(sigs).count()
+    assert cands < n * (n - 1) / 8, "LSH must prune most of the cross product"
+
+
+def test_minhash_signature_shape(docs):
+    sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
+    row = sigs.select(F.size("sig").alias("k")).distinct().collect()
+    assert [r["k"] for r in row] == [dedup.NUM_PERM]
+
+
+def test_simhash_is_32_bit(docs):
+    mx = dedup.simhash_docs(docs).agg(F.max("simhash"), F.min("simhash")).first()
+    assert 0 <= mx[1] and mx[0] < 2**32
+
+
+def test_knn_rank_contract(emb):
+    out = similarity.knn_cosine_topk(emb, n_probes=3, k=5).collect()
+    by_probe: dict = {}
+    for r in out:
+        by_probe.setdefault(r["ia"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for rows in by_probe.values():
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["ib"] != r["ia"] for r in rows)
+
+
+def test_lsh_knn_subset_of_bucket(emb):
+    """Every LSH-kNN hit shares the probe's hyperplane bucket."""
+    bucketed = emb.withColumn(
+        "bucket", F.expr(similarity.lsh_bucket_expr("embedding"))
+    ).select("vec_id", "bucket")
+    buckets = {r["vec_id"]: r["bucket"] for r in bucketed.collect()}
+    for r in similarity.lsh_knn_topk(emb, n_probes=10, k=3).collect():
+        assert buckets[r["ia"]] == buckets[r["ib"]]
+
+
+def test_language_id_full_coverage(docs):
+    out = text.language_id(docs)
+    assert out.count() == docs.count()
+    preds = {r["pred_lang"] for r in out.select("pred_lang").distinct().collect()}
+    assert preds <= set(text.LANG_MARKERS) | {"und"}
+
+
+def test_quality_scores_bounded(docs):
+    q = text.quality_scores(docs).agg(F.min("quality"), F.max("quality")).first()
+    assert 0.0 <= q[0] and q[1] <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], ["doc_id", "text"]
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", "png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF", "wav")
+
+
+def test_multimodal_schema_and_determinism(docs):
+    def shape(schema):
+        return [(f.name, f.dataType) for f in schema.fields]
+
+    media = multimodal.synthesize_media(docs)
+    assert shape(media.schema) == shape(multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media)
+    assert shape(feats.schema) == shape(multimodal.FEATURE_SCHEMA)
+    a = {r["doc_id"]: r["content_md5"] for r in feats.collect()}
+    b = {r["doc_id"]: r["content_md5"] for r in feats.collect()}
+    assert a == b and len(a) == docs.count()
