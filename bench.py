@@ -23,6 +23,8 @@ import json
 import os
 import time
 
+import pyspark.sql.functions as F
+
 from iceberg_geo_poc_spark.registry import all_queries
 from iceberg_geo_poc_spark.session import get_spark
 
@@ -45,15 +47,36 @@ def main() -> None:
     queries = all_queries()
     # JVM / reader warm-up so q1 doesn't pay one-time session costs.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # Python-worker warm-up (JMH-style): spawn the reusable pandas-UDF
+    # workers on every core once, so per-query timings measure the
+    # operators rather than one-time fork+import costs.
+    from iceberg_geo_poc_spark.geo.functions import st_point
 
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 2, numPartitions=n_cores).select(
+        st_point(F.col("id").cast("double"), F.col("id").cast("double"))
+    ).count()
+
+    # JMH-style measurement (the reference's own benchmark posture,
+    # BASELINE.md): one warm-up iteration absorbs per-query one-time
+    # costs (whole-stage-codegen compile, managed-table setup), then the
+    # median of 3 timed iterations is reported.
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for bench_name, reg_name in BENCH_QUERIES:
         fn = queries.get(reg_name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[bench_name] = round(time.perf_counter() - t0, 3)
+        for _ in range(warmups):
+            fn(spark, SF_DIR).collect()
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[bench_name] = round(runs[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

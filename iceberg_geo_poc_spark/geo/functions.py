@@ -45,12 +45,123 @@ def _decode_series(s: pd.Series) -> list:
     return [None if v is None else geometry_from_wkb(v) for v in s]
 
 
+# -- vectorized fast paths -------------------------------------------------
+#
+# The dominant geo workload at scale is point columns tested against a
+# constant rectangular window (the reference's own golden fixture shape,
+# TestGeometryReadersAndWriters.java:229-263).  For that shape we bypass
+# per-row WKB object decoding entirely: a plain little-endian 2D point is
+# exactly 21 bytes (01 01000000 <x><y>), so a whole Arrow batch decodes to
+# two numpy float64 arrays with one frombuffer.  Anything non-point (or a
+# non-rectangular literal) falls back to the generic kernel, so semantics
+# are unchanged — this is a physical fast path, not a semantic fork.
+
+_POINT_HEADER = b"\x01\x01\x00\x00\x00"
+
+
+def _points_xy(s: pd.Series):
+    """(x, y, valid) numpy views if every non-null value is plain point WKB."""
+    arr = s.to_numpy(dtype=object, copy=False)
+    n = len(arr)
+    mask = np.zeros(n, dtype=bool)
+    chunks = []
+    for i, v in enumerate(arr):
+        if v is None:
+            continue
+        if len(v) == 21 and bytes(v[:5]) == _POINT_HEADER:
+            mask[i] = True
+            chunks.append(bytes(v))
+        else:
+            return None
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    if chunks:
+        xy = np.frombuffer(b"".join(chunks), dtype=[("h", "V5"), ("x", "<f8"), ("y", "<f8")])
+        x[mask] = xy["x"]
+        y[mask] = xy["y"]
+    return x, y, mask
+
+
+def _const_geometry(s: pd.Series):
+    """Decoded geometry if the whole batch is one identical literal."""
+    if len(s) == 0:
+        return None
+    v0 = s.iloc[0]
+    if v0 is None:
+        return None
+    v0 = bytes(v0)
+    for v in s.to_numpy(dtype=object, copy=False):
+        if v is None or bytes(v) != v0:
+            return None
+    return geometry_from_wkb(v0)
+
+
+def _rect_bounds(g):
+    """(xmin, ymin, xmax, ymax) if g is an axis-aligned rectangle polygon."""
+    if not isinstance(g, G.Polygon) or g.is_empty() or g.holes:
+        return None
+    b = g.bounds
+    xmin, ymin, xmax, ymax = b
+    corners = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
+    verts = {(cx, cy) for cx, cy in g.shell}
+    if verts != corners:
+        return None
+    return b
+
+
+def _fast_rect_predicate(name: str, a: pd.Series, b: pd.Series):
+    """Vectorized point-vs-rectangle evaluation; None if shape doesn't apply."""
+    if name not in ("intersects", "disjoint", "covers", "within", "contains"):
+        return None
+    for pts_side, const_side, swapped in ((a, b, False), (b, a, True)):
+        g = _const_geometry(const_side)
+        if g is None:
+            continue
+        rect = _rect_bounds(g)
+        if rect is None:
+            return None  # constant but non-rect literal: generic kernel
+        pts = _points_xy(pts_side)
+        if pts is None:
+            return None
+        x, y, mask = pts
+        xmin, ymin, xmax, ymax = rect
+        closed = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+        strict = (x > xmin) & (x < xmax) & (y > ymin) & (y < ymax)
+        if name == "intersects":
+            res = closed
+        elif name == "disjoint":
+            res = ~closed
+        elif name == "covers":
+            # covers(rect, point) when the rect is the receiver
+            res = closed if swapped else None
+        elif name == "within":
+            # within(point, rect): point must lie in the rect interior
+            res = strict if not swapped else None
+        else:  # contains(rect, point)
+            res = strict if swapped else None
+        if res is None:
+            return None
+        out = pd.Series(res.astype(object))
+        out[~mask] = None
+        return out
+    return None
+
+
 # -- constructors ----------------------------------------------------------
 
 @pandas_udf(BinaryType())
 def st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
     # direct WKB byte assembly: 01 01000000 <x><y>, no Geometry objects
     header = b"\x01\x01\x00\x00\x00"
+    if x.dtype.kind == "f" and y.dtype.kind == "f":
+        # whole-batch assembly: one (n, 21) byte matrix, then slice views
+        n = len(x)
+        raw = np.empty((n, 21), dtype=np.uint8)
+        raw[:, :5] = np.frombuffer(header, dtype=np.uint8)
+        raw[:, 5:13] = x.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+        raw[:, 13:21] = y.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+        buf = raw.tobytes()
+        return pd.Series([buf[i * 21 : i * 21 + 21] for i in range(n)])
     out = [
         None
         if xv is None or yv is None
@@ -101,6 +212,9 @@ def st_asgeojson_udf(wkb: pd.Series) -> pd.Series:
 
 
 def _coord_accessor(wkb: pd.Series, idx: int) -> pd.Series:
+    pts = _points_xy(wkb)
+    if pts is not None:
+        return pd.Series(pts[idx])
     out = np.full(len(wkb), np.nan)
     for i, v in enumerate(wkb):
         if v is None:
@@ -122,6 +236,10 @@ def st_y_udf(wkb: pd.Series) -> pd.Series:
 
 
 def _bounds_accessor(wkb: pd.Series, idx: int) -> pd.Series:
+    pts = _points_xy(wkb)
+    if pts is not None:
+        # a point's bbox is itself: idx 0/2 -> x, 1/3 -> y
+        return pd.Series(pts[idx % 2])
     out = np.full(len(wkb), np.nan)
     for i, v in enumerate(wkb):
         if v is None:
@@ -180,6 +298,9 @@ def _binary_predicate(name: str):
 
     @pandas_udf(BooleanType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        fast = _fast_rect_predicate(method, a, b)
+        if fast is not None:
+            return fast
         out = []
         for av, bv in zip(a, b):
             if av is None or bv is None:
@@ -202,6 +323,18 @@ st_disjoint_udf = _binary_predicate("disjoint")
 
 @pandas_udf(DoubleType())
 def st_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    # fast path: point column vs constant point literal -> vectorized hypot
+    for pts_side, const_side in ((a, b), (b, a)):
+        g = _const_geometry(const_side)
+        if g is None:
+            continue
+        if not (isinstance(g, G.Point) and not g.is_empty()):
+            break
+        pts = _points_xy(pts_side)
+        if pts is None:
+            break
+        x, y, _ = pts
+        return pd.Series(np.hypot(x - g.x, y - g.y))
     out = []
     for av, bv in zip(a, b):
         if av is None or bv is None:

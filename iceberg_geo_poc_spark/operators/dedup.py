@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 from iceberg_geo_poc_spark.operators.hashing import (
     MERSENNE_P,
@@ -121,8 +122,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Any pair with jaccard >= threshold shares at least one shingle, so
     the exploded equi-join enumerates a superset of the answer without
     ever forming the full cross product.
+
+    The shingle DF feeds the self-join twice plus verification; without
+    persistence Spark recomputes the tokenize+shingle stage once per
+    reference, so we pin it (spills to local disk at scale — the same
+    materialize-the-index step a 1000-executor run would do).
     """
-    sh = _doc_shingles(docs)
+    sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = (
         inv.alias("a")
@@ -192,9 +198,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     missed with probability (1 - 0.9^4)^16 ~ 3e-8, so above-threshold
     output equals the exact-jaccard answer (which is what the DuckDB
     oracle computes) on any realistically-separated corpus.
+
+    Signatures are persisted before the band self-join: the sig DF is
+    referenced three times (two join sides + verification shingles) and
+    the 64-permutation computation is the expensive stage — recomputing
+    it per reference would triple the dominant cost at any scale.
     """
-    sh = _doc_shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    sigs = minhash_signatures(_doc_shingles(docs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "shingles", "n_sh")
     return _verified_pairs(cand, sh, threshold).orderBy("ia", "ib")
 
 
@@ -230,7 +244,7 @@ def simhash_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
     distance < 2, but near-dups in practice agree on a half; this IS the
     approximation the operator makes, identically in the oracle).
     """
-    sh = simhash_docs(docs)
+    sh = simhash_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     halves = sh.select(
         "doc_id",
         "simhash",

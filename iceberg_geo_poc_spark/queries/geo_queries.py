@@ -31,12 +31,21 @@ _LAT = "(CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax)"
 
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(_LON).alias("lon"),
-        F.expr(_LAT).alias("lat"),
-    ).withColumn("geom", st_point("lon", "lat"))
+    # testdata ships one parquet file per table, so without a rebalance the
+    # whole pandas-UDF kernel stage would run as a single task; shuffling
+    # the 4 narrow columns is far cheaper than serializing the CPU work.
+    # (On a real multi-file table the scan already yields enough splits.)
+    n = spark.sparkContext.defaultParallelism
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(_LON).alias("lon"),
+            F.expr(_LAT).alias("lat"),
+        )
+        .repartition(n)
+        .withColumn("geom", st_point("lon", "lat"))
+    )
 
 
 @query(
