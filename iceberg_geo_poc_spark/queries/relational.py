@@ -777,3 +777,327 @@ def cte_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins: as-of and range (SURVEY.md §2.11 "range/interval joins as
+# theta-joins; as-of join via window").  Both are written as the SCALABLE
+# plan — one equi-shuffle — rather than the naive theta-join the oracle
+# uses, so the hash-match also proves the rewrite is semantics-preserving.
+# --------------------------------------------------------------------------
+
+@query(
+    "join_asof_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order date of that user.
+
+    Spark-first plan: tag + union both streams, one shuffle on the key,
+    then ``last(value, ignorenulls)`` over an ordered window — the
+    classic sort-merge as-of that scales linearly, vs the oracle's
+    O(n*m) inequality join.  Orders sort before events at equal
+    timestamps (side 0 < 1) to honor the <= bound.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    e = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.col("event_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.unionByName(e)
+        .withColumn("last_order_date", F.last("odate", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", F.col("k").alias("user_id"), "last_order_date")
+    )
+
+
+@query(
+    "join_range_event_bursts",
+    oracle="""
+    SELECT a.event_id, COUNT(*) AS n_follow
+    FROM events a
+    JOIN events f ON f.ts > a.ts AND f.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+)
+def join_range_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: events in the hour after each error event.
+
+    Spark-first plan: both sides bucketed to the hour; each 1-hour query
+    window spans at most 2 buckets, so the anchor side explodes to
+    {b, b+1} and the join is a plain equi-join on the bucket key with
+    the exact time predicate as a post-filter.  One hash shuffle instead
+    of the oracle's quadratic inequality join; bucket width = window
+    width keeps the blow-up factor at exactly 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    anchors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id"), F.col("ts").alias("a_ts"))
+        .withColumn("b0", bucket(F.col("a_ts")))
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    followers = ev.select(F.col("ts").alias("f_ts")).withColumn(
+        "bucket", bucket(F.col("f_ts"))
+    )
+    return (
+        anchors.join(followers, "bucket")
+        .filter(
+            (F.col("f_ts") > F.col("a_ts"))
+            & (F.col("f_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H-shaped queries (adapted to the testdata's columns)
+# --------------------------------------------------------------------------
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > l.l_tax)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS correlated subquery -> left-semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > F.col("l_tax")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: 3-way join + agg + deterministic top-k; the dimension
+    (customer) side stays broadcastable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional aggregation."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: broadcast dim join + conditional ratio aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_big_quantity_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey
+    HAVING SUM(l.l_quantity) > 120
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: join + group-having + deterministic top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .filter(F.col("_qty") > 120)
+        .select(
+            "c_custkey", "o_orderkey", F.round(F.col("_qty"), 2).alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicates spanning both join sides."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query("agg_approx_distinct_users", oracle=None)  # HLL sketch: impl-specific values
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — declared
+    rows-only: sketch estimates are engine-specific so there is no exact
+    cross-engine oracle (same posture as the reference's own JMH-only
+    perf surface).  The companion exact count is checked by
+    agg_distinct_customers_per_status."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

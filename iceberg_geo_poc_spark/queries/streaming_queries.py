@@ -1,0 +1,82 @@
+"""Structured Streaming queries, run to completion and oracle-checked.
+
+Each query is a REAL ``readStream`` pipeline (file-source micro-batches,
+watermark, event-time windows, foreachBatch table sink) executed with an
+``availableNow`` trigger, so the final answer is deterministic and the
+DuckDB oracle can verify it like any batch query — the strongest
+correctness posture available for streaming operators (the reference
+itself only tests its storage stream; SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_geo_poc_spark.registry import query
+from iceberg_geo_poc_spark.streaming import structured as S
+
+
+@query(
+    "stream_hourly_event_counts",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window + watermark over a file-source stream."""
+    return S.hourly_event_counts(spark, sf_dir)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30-min gap): a new session starts when
+    the gap to the previous event is >= the gap duration — the oracle
+    states the same contract as a gaps-and-islands SQL."""
+    return S.session_window_counts(spark, sf_dir)
+
+
+@query(
+    "stream_table_sink",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events
+    """,
+)
+def stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming append into a managed engine table: one
+    snapshot per epoch (reference SparkWrite.java:181-186
+    asStreamingAppend), then a normal snapshot scan reads it back."""
+    from iceberg_geo_poc_spark.queries.table_queries import _managed
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        )
+        S.stream_append_to_table(spark, sf_dir, t)
+        return t.refresh()
+
+    t = _managed(spark, sf_dir, "stream_sink", build)
+    return t.to_df().select("event_id", "event_type", "user_id")

@@ -76,4 +76,8 @@ def _load_all() -> None:
         from iceberg_geo_poc_spark.queries import table_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from iceberg_geo_poc_spark.queries import streaming_queries  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
