@@ -58,6 +58,18 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running counts over 4 micro-batches; the
+    final per-user state must equal the batch GROUP BY count."""
+    return S.stateful_user_counts(spark, sf_dir)
+
+
+@query(
     "stream_table_sink",
     oracle="""
     SELECT event_id, event_type, user_id FROM events

@@ -106,6 +106,62 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg)
 
 
+_MULTIFILE_DIRS: dict[str, str] = {}
+
+
+def _multifile_stream_dir(spark: SparkSession, sf_dir: str, name: str, n: int = 4) -> str:
+    """Stage one testdata table as n parquet files so maxFilesPerTrigger=1
+    yields a genuine multi-micro-batch stream (state must survive batches)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if path not in _MULTIFILE_DIRS:
+        d = tempfile.mkdtemp(prefix="igps_mstream_")
+        spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(d)
+        _MULTIFILE_DIRS[path] = d
+    return _MULTIFILE_DIRS[path]
+
+
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user event counts via
+    applyInPandasWithState (SURVEY §2.9 "custom stateful operators").
+
+    The stream is staged as 4 files consumed one per micro-batch, so the
+    per-user GroupState genuinely carries across batches; update mode
+    emits the running total each time, and the caller takes the max
+    (monotone) per user as the final answer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = _multifile_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(d).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    def count_events(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    updates = (
+        ev.select("user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            "user_id bigint, n_events bigint",
+            "n_events bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_to_completion(updates, output_mode="update")
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def stream_append_to_table(spark: SparkSession, sf_dir: str, table) -> None:
     """Streaming sink: one engine-table snapshot per micro-batch epoch
     (foreachBatch; the reference's asStreamingAppend equivalence)."""
