@@ -98,6 +98,38 @@ def managed_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_eq_delete",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events WHERE event_type <> 'error'
+    UNION ALL
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events WHERE event_type = 'error' AND value >= 90.0
+    """,
+)
+def managed_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read EQUALITY delete with sequence visibility: all
+    'error' events are key-deleted, then the high-value errors are
+    re-appended AFTER the delete — the re-appended rows must survive
+    (higher sequence number than the delete file)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        t.append(df.repartition(4))
+        t.delete_by_keys(
+            df.filter("event_type = 'error'").select("event_id"), key_cols=["event_id"]
+        )
+        t.append(df.filter("event_type = 'error' AND value >= 90.0"))
+        return t
+
+    t = _managed(spark, sf_dir, "eq_del", build)
+    return t.to_df().select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "managed_cow_update",
     oracle="""
     SELECT event_id, event_type,

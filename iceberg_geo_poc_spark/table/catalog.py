@@ -159,6 +159,84 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    def ancestors_of(self, name: str, snapshot_id: int | None = None) -> list[MD.Snapshot]:
+        """Snapshot lineage walk, newest first (reference
+        AncestorsOfProcedure.java)."""
+        t = self.load_table(name)
+        sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
+        out: list[MD.Snapshot] = []
+        while sid is not None:
+            snap = t.meta.snapshot_by_id(sid)
+            out.append(snap)
+            sid = snap.parent_id
+        return out
+
+    def cherrypick_snapshot(self, name: str, snapshot_id: int) -> Table:
+        """Apply a (possibly staged) snapshot on top of the current one
+        (reference CherrypickSnapshotProcedure.java).  Fast-forwards when
+        the snapshot's parent IS current; otherwise re-applies its added
+        files as a fresh append commit (append-only cherrypicks, the
+        same restriction the reference enforces for non-WAP picks)."""
+        t = self.load_table(name)
+        snap = t.meta.snapshot_by_id(snapshot_id)
+        if snap.parent_id == t.meta.current_snapshot_id:
+            t.meta.current_snapshot_id = snapshot_id
+            MD.write_new_metadata(t.meta, t.meta.version)
+            t.meta = MD.read_metadata(t.location)
+            return t
+        if snap.operation != "append":
+            raise ValueError(
+                f"cannot cherry-pick non-append snapshot {snapshot_id} "
+                f"({snap.operation}): it does not apply cleanly to a diverged base"
+            )
+        import pandas as pd
+
+        picked = t._entries(snap)
+        parent_paths = (
+            set(t._entries(t.meta.snapshot_by_id(snap.parent_id)).file_path)
+            if snap.parent_id is not None
+            else set()
+        )
+        added = picked[~picked.file_path.isin(parent_paths)]
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = added.assign(sequence_number=seq, snapshot_id=0)
+            return pd.concat([current, add], ignore_index=True)
+
+        t._commit("append", build, {"cherry-picked-from": snapshot_id})
+        return t
+
+    def publish_changes(self, name: str, wap_id: str) -> Table:
+        """Publish a staged write-audit-publish snapshot by wap id
+        (reference PublishChangesProcedure.java)."""
+        t = self.load_table(name)
+        matches = [
+            s for s in t.meta.snapshots if s.summary.get("wap.id") == wap_id
+        ]
+        if not matches:
+            raise KeyError(f"no staged snapshot with wap.id={wap_id!r}")
+        return self.cherrypick_snapshot(name, matches[-1].snapshot_id)
+
+    def fast_forward(self, name: str, branch: str, to_snapshot_id: int) -> Table:
+        """Move a branch ref forward to a descendant snapshot (reference
+        FastForwardBranchProcedure.java); refuses non-fast-forward moves."""
+        t = self.load_table(name)
+        ref = t.meta.refs.get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise KeyError(f"branch {branch!r} not found")
+        ancestry = []
+        sid = to_snapshot_id
+        while sid is not None:
+            ancestry.append(sid)
+            sid = t.meta.snapshot_by_id(sid).parent_id
+        if ref["snapshot-id"] is not None and ref["snapshot-id"] not in ancestry:
+            raise ValueError(
+                f"cannot fast-forward {branch}: {to_snapshot_id} is not a descendant"
+            )
+        t.meta.refs[branch] = {"snapshot-id": to_snapshot_id, "type": "branch"}
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
 
 def _validate_geometry_columns(schema_ddl: str, geometry_columns: dict[str, str]) -> None:
     types = {}

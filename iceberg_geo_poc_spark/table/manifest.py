@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 from iceberg_geo_poc_spark.table.expressions import FileStats
 
 MANIFEST_COLUMNS = [
-    "content",  # "data" | "posdel"
+    "content",  # "data" | "posdel" | "eqdel"
     "file_path",
     "file_size",
     "record_count",
@@ -44,6 +44,7 @@ MANIFEST_COLUMNS = [
     "upper",  # JSON {col: max}
     "nulls",  # JSON {col: null_count}
     "bbox",  # JSON {geo_col: [xmin, ymin, xmax, ymax]}
+    "eq_cols",  # JSON [col, ...] — equality-delete key columns (eqdel only)
 ]
 
 

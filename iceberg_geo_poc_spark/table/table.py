@@ -116,16 +116,26 @@ class Table:
         )
         return snap
 
-    def _commit(self, operation: str, build_entries, summary: dict | None = None):
+    def _commit(
+        self,
+        operation: str,
+        build_entries,
+        summary: dict | None = None,
+        stage_only: bool = False,
+    ):
         """Optimistic commit loop: build_entries(current_entries) -> new
-        full entry set; retried against fresh metadata on conflict."""
+        full entry set; retried against fresh metadata on conflict.
+        ``stage_only`` records the snapshot in the log WITHOUT advancing
+        the current pointer (write-audit-publish staging; published
+        later via Catalog.cherrypick_snapshot / publish_changes)."""
         for _attempt in range(_MAX_COMMIT_RETRIES):
             base = MD.read_metadata(self.location) if _attempt else self.meta
             current = self._entries(base.current_snapshot()) if base.current_snapshot_id else M.entries_dataframe([])
             new_entries = build_entries(current, base.last_sequence_number + 1)
             snap = self._write_snapshot(operation, new_entries, base, summary)
             base.snapshots.append(snap)
-            base.current_snapshot_id = snap.snapshot_id
+            if not stage_only:
+                base.current_snapshot_id = snap.snapshot_id
             base.last_sequence_number = snap.sequence_number
             try:
                 MD.write_new_metadata(base, base.version)
@@ -180,7 +190,11 @@ class Table:
             )
         return entries
 
-    def append(self, df: DataFrame) -> MD.Snapshot:
+    def append(self, df: DataFrame, wap_id: str | None = None) -> MD.Snapshot:
+        """Append; with ``wap_id`` the snapshot is STAGED (logged but not
+        current) for write-audit-publish — publish with
+        Catalog.publish_changes(name, wap_id) after auditing
+        (reference spark.wap.id + PublishChangesProcedure.java)."""
         new = self._write_files(df)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -189,9 +203,10 @@ class Table:
             )
             return pd.concat([current, add], ignore_index=True)
 
-        return self._commit(
-            "append", build, {"added-files": len(new)}
-        )
+        summary = {"added-files": len(new)}
+        if wap_id is not None:
+            summary["wap.id"] = wap_id
+        return self._commit("append", build, summary, stage_only=wap_id is not None)
 
     def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
         """Full-table overwrite, or overwrite-by-filter (rows matching
@@ -290,7 +305,7 @@ class Table:
 
     @staticmethod
     def _has_deletes(entries: pd.DataFrame, file_path: str) -> bool:
-        return bool((entries.content == "posdel").any())
+        return bool(entries.content.isin(["posdel", "eqdel"]).any())
 
     def _rewrite_files(self, paths: list[str], keep: E.Expr) -> list[dict]:
         """Read files, keep rows matching ``keep``, write replacements."""
@@ -363,6 +378,46 @@ class Table:
             return pd.concat([current, add], ignore_index=True)
 
         return self._commit("delete", build, {"delete-files": len(entries)})
+
+    def delete_by_keys(self, keys: DataFrame, key_cols: list[str] | None = None) -> MD.Snapshot:
+        """Merge-on-read equality delete: persist the key tuples as an
+        equality-delete file (reference DeleteFile equality_ids,
+        api/.../DeleteFile.java).  Visibility follows Iceberg's sequence
+        rule (DeleteFileIndex.java:122-130): the delete suppresses
+        matching rows only in data files with a strictly LOWER sequence
+        number, so rows appended after the delete keep the key.
+        """
+        key_cols = key_cols or list(keys.columns)
+        stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage)
+        dpaths = _list_parquet(stage)
+        entries = []
+        for p in dpaths:
+            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+            if record_count == 0:
+                continue
+            entries.append(
+                {
+                    "content": "eqdel",
+                    "file_path": p,
+                    "file_size": file_size,
+                    "record_count": record_count,
+                    "partition": json.dumps({}),
+                    "lower": json.dumps(lower),
+                    "upper": json.dumps(upper),
+                    "nulls": json.dumps(nulls),
+                    "bbox": json.dumps({}),
+                    "eq_cols": json.dumps(key_cols),
+                }
+            )
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit("delete", build, {"equality-delete-files": len(entries)})
 
     def update(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
         """Copy-on-write UPDATE: rewrite only files that might contain
@@ -505,9 +560,52 @@ class Table:
                 df = df.join(
                     F.broadcast(deletes), on=["__file_path", "__pos"], how="left_anti"
                 )
+            df = self._apply_equality_deletes(df, ent)
         if need_pos and not with_pos:
             df = df.drop("__file_path", "__pos")
         return df
+
+    def _apply_equality_deletes(self, df: DataFrame, ent: pd.DataFrame) -> DataFrame:
+        """Suppress rows matched by equality-delete files, honoring the
+        sequence rule: a delete at sequence S removes matching rows only
+        from data files with sequence < S.  Delete key sets are
+        broadcast (the reference likewise materializes equality deletes
+        in memory per task, DeleteFilter.java:160-233); compact large
+        delete sets into data rewrites via maintenance."""
+        if "eq_cols" not in ent.columns:
+            return df
+        eq = ent[ent.content == "eqdel"]
+        if not len(eq):
+            return df
+        data_ent = ent[ent.content == "data"][["file_path", "sequence_number"]]
+        seq_df = self.spark.createDataFrame(
+            [(r.file_path, int(r.sequence_number)) for r in data_ent.itertuples()],
+            "__file_path string, __data_seq long",
+        )
+        df = df.join(F.broadcast(seq_df), on="__file_path", how="left")
+        groups: dict[str, list[tuple[str, int]]] = {}
+        for row in eq.itertuples():
+            groups.setdefault(row.eq_cols, []).append(
+                (row.file_path, int(row.sequence_number))
+            )
+        for eq_cols_json, files in groups.items():
+            cols = json.loads(eq_cols_json)
+            dels = None
+            for p, s in files:
+                d = self.spark.read.parquet(p).select(*cols).withColumn(
+                    "__del_seq", F.lit(s)
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            newest = dels.groupBy(*cols).agg(F.max("__del_seq").alias("__del_seq"))
+            df = (
+                df.join(F.broadcast(newest), on=cols, how="left")
+                .filter(
+                    F.col("__del_seq").isNull()
+                    | (F.col("__del_seq") <= F.col("__data_seq"))
+                )
+                .drop("__del_seq")
+            )
+        return df.drop("__data_seq")
 
 
 def _plain(v):

@@ -297,3 +297,89 @@ def test_concurrent_commit_conflict(spark, catalog):
     tb.append(spark.createDataFrame([(3,)], "a BIGINT"))
     final = catalog.load_table("cc")
     assert sorted(r.a for r in final.to_df().collect()) == [1, 2, 3]
+
+
+def test_equality_delete_sequence_visibility(spark, catalog):
+    """Equality deletes suppress keys only in data files with a LOWER
+    sequence number; later appends of the same key stay visible
+    (reference DeleteFileIndex.java:122-130 sequence rule)."""
+    t = catalog.create_table("eqd", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame([(i, f"old{i}") for i in range(10)], "k BIGINT, v STRING")
+    )
+    t.delete_by_keys(spark.createDataFrame([(2,), (3,), (7,)], "k BIGINT"))
+    got = sorted(r.k for r in t.to_df().collect())
+    assert got == [0, 1, 4, 5, 6, 8, 9]
+    # data files untouched (merge-on-read), delete file recorded
+    entries = t._entries()
+    assert (entries.content == "eqdel").sum() == 1
+    assert (entries.content == "data").sum() >= 1
+    # re-append a deleted key AFTER the delete: visible (higher seq)
+    t.append(spark.createDataFrame([(3, "new3")], "k BIGINT, v STRING"))
+    rows = {r.k: r.v for r in t.to_df().collect()}
+    assert rows[3] == "new3"
+    assert 2 not in rows and 7 not in rows
+    # stacking a second delete removes the re-appended key too
+    t.delete_by_keys(spark.createDataFrame([(3,)], "k BIGINT"))
+    assert 3 not in {r.k for r in t.to_df().collect()}
+
+
+def test_equality_delete_multi_column_key(spark, catalog):
+    t = catalog.create_table("eqd2", "a BIGINT, b STRING, v DOUBLE")
+    t.append(
+        spark.createDataFrame(
+            [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0)], "a BIGINT, b STRING, v DOUBLE"
+        )
+    )
+    t.delete_by_keys(
+        spark.createDataFrame([(1, "x")], "a BIGINT, b STRING"), key_cols=["a", "b"]
+    )
+    got = sorted((r.a, r.b) for r in t.to_df().collect())
+    assert got == [(1, "y"), (2, "x")]
+
+
+def test_wap_stage_and_publish(spark, catalog):
+    """Write-audit-publish: a wap_id append is invisible until published."""
+    t = catalog.create_table("wap", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    staged = t.append(spark.createDataFrame([(2,), (3,)], "a BIGINT"), wap_id="audit-1")
+    # staged snapshot is logged but NOT current
+    t = catalog.load_table("wap")
+    assert sorted(r.a for r in t.to_df().collect()) == [1]
+    # audit the staged snapshot directly, then publish
+    assert t.scan(snapshot_id=staged.snapshot_id).to_df().count() == 3
+    catalog.publish_changes("wap", "audit-1")
+    t = catalog.load_table("wap")
+    assert sorted(r.a for r in t.to_df().collect()) == [1, 2, 3]
+
+
+def test_wap_cherrypick_after_divergence(spark, catalog):
+    """A staged append still publishes cleanly after main advances:
+    cherry-pick re-applies its added files on the new base."""
+    t = catalog.create_table("wap2", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    t.append(spark.createDataFrame([(2,)], "a BIGINT"), wap_id="w")
+    t = catalog.load_table("wap2")
+    t.append(spark.createDataFrame([(10,)], "a BIGINT"))  # main diverges
+    catalog.publish_changes("wap2", "w")
+    t = catalog.load_table("wap2")
+    assert sorted(r.a for r in t.to_df().collect()) == [1, 2, 10]
+
+
+def test_fast_forward_and_ancestors(spark, catalog):
+    t = catalog.create_table("ffwd", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    s1 = t.current_snapshot().snapshot_id
+    catalog.create_branch("ffwd", "audit", s1)
+    t = catalog.load_table("ffwd")
+    t.append(spark.createDataFrame([(2,)], "a BIGINT"))
+    s2 = t.current_snapshot().snapshot_id
+    catalog.fast_forward("ffwd", "audit", s2)
+    t = catalog.load_table("ffwd")
+    assert t.meta.refs["audit"]["snapshot-id"] == s2
+    # ancestors: newest first, s2 -> s1
+    chain = [s.snapshot_id for s in catalog.ancestors_of("ffwd")]
+    assert chain == [s2, s1]
+    # non-descendant move refused
+    with pytest.raises(ValueError):
+        catalog.fast_forward("ffwd", "audit", s1)
