@@ -116,30 +116,91 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
+def _pairs_from_buckets(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(ia, ib) with ia < ib for every pair of doc_ids sharing a bucket.
+
+    One hash-partitioned shuffle (the groupBy); pair enumeration happens
+    inside codegen via array transforms — versus a self-equi-join this
+    removes a second shuffle of the full index plus the join build side.
+    Bucket width is bounded by near-duplicate density, not corpus size
+    (identical to the self-join's output-size behavior); a genuinely hot
+    bucket (e.g. a degenerate empty-text key) should be filtered
+    upstream, exactly as with the join formulation.
+    """
+    buckets = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ia", "p.ib")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by exact n-gram jaccard, via inverted-index join.
+    """Near-dup pairs by exact n-gram jaccard, via inverted index.
 
     Any pair with jaccard >= threshold shares at least one shingle, so
-    the exploded equi-join enumerates a superset of the answer without
+    bucketing by shingle enumerates a superset of the answer without
     ever forming the full cross product.
 
-    The shingle DF feeds the self-join twice plus verification; without
+    The shingle DF feeds candidate generation plus verification; without
     persistence Spark recomputes the tokenize+shingle stage once per
     reference, so we pin it (spills to local disk at scale — the same
     materialize-the-index step a 1000-executor run would do).
     """
-    sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
-        )
-        .distinct()
+    sh = _doc_shingles(docs)
+    # Bucket on a 64-bit shingle hash (8-byte shuffle key instead of the
+    # shingle text).  |A ∩ B| = the number of buckets a pair co-occurs
+    # in, because shingles are distinct within a doc — so jaccard comes
+    # from ONE pair-count aggregation plus two broadcast joins for the
+    # set sizes, never materializing or intersecting shingle arrays per
+    # candidate pair (the verify join dominated this operator before).
+    inv = sh.select(
+        "doc_id", F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("shingle_h")
     )
-    return _verified_pairs(cand, sh, threshold).orderBy("ia", "ib")
+    buckets = (
+        inv.groupBy("shingle_h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
+    )
+    shared = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.ia", "p.ib")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.select("doc_id", "n_sh")
+    return (
+        shared.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "ia", "n_sh": "na"})), "ia")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "ib", "n_sh": "nb"})), "ib")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ia", "ib", "jaccard")
+        .orderBy("ia", "ib")
+    )
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -169,8 +230,8 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on >= 1 of 16 bands.
 
-    The band key is a string of 4 signature values; the self-equi-join
-    on (band index, band key) is the only shuffle, and bucket sizes are
+    The band key is a string of 4 signature values; the groupBy on
+    (band index, band key) is the only shuffle, and bucket sizes are
     bounded by actual near-duplicate density, not corpus size.
     """
     band_cols = [
@@ -182,13 +243,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
-        .distinct()
-    )
+    return _pairs_from_buckets(bands, ["band_idx", "band_key"])
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -244,30 +299,36 @@ def simhash_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
     distance < 2, but near-dups in practice agree on a half; this IS the
     approximation the operator makes, identically in the oracle).
     """
-    sh = simhash_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    halves = sh.select(
+    sh = simhash_docs(docs)
+    halved = sh.select(
         "doc_id",
         "simhash",
-        F.expr("simhash >> 16").alias("h_hi"),
-        F.expr("simhash & 65535").alias("h_lo"),
+        F.posexplode(
+            F.array(F.expr("simhash >> 16"), F.expr("simhash & 65535"))
+        ).alias("half_idx", "half_key"),
     )
-    pairs = None
-    for half in ("h_hi", "h_lo"):
-        p = (
-            halves.alias("a")
-            .join(halves.alias("b"), half)
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("ia"),
-                F.col("b.doc_id").alias("ib"),
-                F.col("a.simhash").alias("sa"),
-                F.col("b.simhash").alias("sb"),
-            )
+    buckets = (
+        halved.groupBy("half_idx", "half_key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x.doc_id AS ia, y.doc_id AS ib, "
+                    "x.simhash AS sa, y.simhash AS sb))))"
+                )
+            ).alias("p")
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .select("p.*")
+        .distinct()
+    )
     return (
-        pairs.distinct()
-        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        pairs.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
         .select("ia", "ib", "hamming")
         .orderBy("hamming", "ia", "ib")
         .limit(top_k)
