@@ -88,7 +88,7 @@ def rewrite_data_files(
         # compaction must keep them (they may still target kept files).
         kept = current[~current.file_path.isin(set(paths))]
         if set(paths) >= set(data.file_path):
-            kept = kept[kept.content != "posdel"]
+            kept = kept[~kept.content.isin(["posdel", "eqdel"])]
         add = M.entries_dataframe(
             [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
         )
@@ -98,6 +98,63 @@ def rewrite_data_files(
         "replace", build, {"rewritten": len(paths), "added": len(new_entries)}
     )
     return RewriteResult(len(paths), len(new_entries))
+
+
+def rewrite_position_delete_files(
+    table: Table, min_input_files: int = 2
+) -> RewriteResult:
+    """Compact position-delete files and drop dangling deletes
+    (reference RewritePositionDeleteFilesSparkAction.java): entries
+    pointing at data files no longer live are filtered out, and the
+    remaining (file_path, pos) tuples are rewritten as one delete file.
+    """
+    import uuid
+
+    entries = table._entries()
+    dels = entries[entries.content == "posdel"]
+    if len(dels) < min_input_files:
+        return RewriteResult(0, 0)
+    live = table.spark.createDataFrame(
+        [(p,) for p in entries[entries.content == "data"].file_path], "file_path string"
+    )
+    tuples = table.spark.read.parquet(*dels.file_path.tolist())
+    kept_tuples = tuples.join(F.broadcast(live), "file_path", "left_semi")
+    stage = os.path.join(table.location, "deletes", uuid.uuid4().hex[:12])
+    kept_tuples.coalesce(1).write.parquet(stage)
+    new_entries = []
+    for p in _list_parquet(stage):
+        record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+        if record_count == 0:
+            continue
+        new_entries.append(
+            {
+                "content": "posdel",
+                "file_path": p,
+                "file_size": file_size,
+                "record_count": record_count,
+                "partition": json.dumps({}),
+                "lower": json.dumps(lower),
+                "upper": json.dumps(upper),
+                "nulls": json.dumps(nulls),
+                "bbox": json.dumps({}),
+            }
+        )
+
+    old_paths = set(dels.file_path)
+
+    def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+        kept = current[~current.file_path.isin(old_paths)]
+        add = M.entries_dataframe(
+            [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
+        )
+        return pd.concat([kept, add], ignore_index=True)
+
+    table._commit(
+        "replace",
+        build,
+        {"delete-files-rewritten": len(old_paths), "added": len(new_entries)},
+    )
+    return RewriteResult(len(old_paths), len(new_entries))
 
 
 def expire_snapshots(table: Table, keep_last: int = 1) -> dict:

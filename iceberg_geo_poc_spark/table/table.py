@@ -645,6 +645,18 @@ class TableScan:
             self._entries_cache = self.table._entries(self.snapshot)
         return self._entries_cache
 
+    def with_runtime_filter(self, column: str, values) -> "TableScan":
+        """Runtime re-pruning with an IN set discovered mid-query — the
+        analogue of the reference scan accepting runtime V2 filters for
+        DPP (SparkBatchQueryScan.java:134-171 SupportsRuntimeV2Filtering).
+        Typical use: collect the distinct join keys of a small dimension
+        side, then re-plan the fact scan so only stats-matching files
+        are read.  Returns a NEW scan; residual filtering still applies
+        the full predicate."""
+        pred = E.in_(column, list(values))
+        combined = pred if self.where is None else (self.where & pred)
+        return TableScan(self.table, self.snapshot, combined, self.select)
+
     def files(self) -> list[str]:
         """Pruned data-file list (manifest + inclusive metrics eval)."""
         if self._planned is None:

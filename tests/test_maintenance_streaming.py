@@ -168,3 +168,78 @@ def test_changelog(spark, catalog):
     # the rewritten file's surviving row reappears as insert; removed file rows as delete
     assert deletes == [1, 2]
     assert inserts == [2, 3]
+
+
+def test_rewrite_position_delete_files(spark, catalog):
+    from iceberg_geo_poc_spark.table.maintenance import (
+        rewrite_position_delete_files,
+    )
+
+    t = _mk(spark, catalog, "rpd", n_appends=2, rows_per=10)
+    t.delete(E.lt("a", 3), mode="merge-on-read")
+    t.delete(E.ge("a", 17), mode="merge-on-read")
+    ent = t._entries()
+    assert (ent.content == "posdel").sum() == 2
+    before = sorted(r.a for r in t.to_df().collect())
+    res = rewrite_position_delete_files(t, min_input_files=2)
+    assert res.rewritten_files == 2 and res.added_files == 1
+    t = catalog.load_table("rpd")
+    ent = t._entries()
+    assert (ent.content == "posdel").sum() == 1
+    assert sorted(r.a for r in t.to_df().collect()) == before == list(range(3, 17))
+
+
+def test_rewrite_position_deletes_drops_dangling(spark, catalog):
+    """After the referenced data files are compacted away, delete tuples
+    pointing at them are dangling and must be dropped."""
+    from iceberg_geo_poc_spark.table.maintenance import (
+        rewrite_data_files,
+        rewrite_position_delete_files,
+    )
+
+    t = _mk(spark, catalog, "rpd2", n_appends=3, rows_per=10)
+    t.delete(E.lt("a", 5), mode="merge-on-read")
+    t.delete(E.ge("a", 25), mode="merge-on-read")
+    # full compaction applies + retires deletes; stage fresh MoR deletes
+    rewrite_data_files(t, target_file_size=10**9)
+    t = catalog.load_table("rpd2")
+    assert (t._entries().content == "posdel").sum() == 0
+    t.delete(E.eq("a", 10), mode="merge-on-read")
+    t.delete(E.eq("a", 11), mode="merge-on-read")
+    res = rewrite_position_delete_files(t)
+    assert res.rewritten_files == 2
+    t = catalog.load_table("rpd2")
+    got = sorted(r.a for r in t.to_df().collect())
+    assert got == [a for a in range(5, 25) if a not in (10, 11)]
+
+
+def test_full_compaction_retires_equality_deletes(spark, catalog):
+    from iceberg_geo_poc_spark.table.maintenance import rewrite_data_files
+
+    t = _mk(spark, catalog, "ceq", n_appends=2, rows_per=10)
+    t.delete_by_keys(spark.createDataFrame([(0,), (19,)], "a BIGINT"))
+    assert (t._entries().content == "eqdel").sum() == 1
+    rewrite_data_files(t, target_file_size=10**9)
+    t = catalog.load_table("ceq")
+    ent = t._entries()
+    assert (ent.content == "eqdel").sum() == 0
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(1, 19))
+
+
+def test_runtime_filter_reprunes_files(spark, catalog):
+    """DPP analogue: an IN set collected at runtime re-prunes the
+    planned file list (reference SupportsRuntimeV2Filtering)."""
+    t = catalog.create_table("dpp", "a BIGINT, b STRING")
+    # 4 files with disjoint ranges of a
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo+i}") for i in range(10)], "a BIGINT, b STRING"
+            ).coalesce(1)
+        )
+    scan = t.scan()
+    assert len(scan.files()) == 4
+    filtered = scan.with_runtime_filter("a", [5, 105])
+    assert len(filtered.files()) == 2  # only files covering 0-9 and 100-109
+    got = sorted(r.a for r in filtered.to_df().collect())
+    assert got == [5, 105]
