@@ -1101,3 +1101,33 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_spj_bucketed_revenue",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 6) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_spj_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join: orders ⋈ lineitem with both sides
+    co-bucketed on the order key, so the join itself is a sort-merge
+    over aligned buckets with ZERO shuffle of either fact table
+    (reference SparkPartitioningAwareScan.java parity; see
+    table/bucketing.py and test_spj_plan_has_no_join_shuffle)."""
+    from iceberg_geo_poc_spark.table.bucketing import storage_partitioned_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    j = storage_partitioned_join(
+        spark, orders, items, ["o_orderkey"], num_buckets=16, cache_key=sf_dir
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+    )
