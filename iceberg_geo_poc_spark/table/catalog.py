@@ -38,14 +38,25 @@ class Catalog:
         partition_by: list[tuple[str, str]] | None = None,
         geometry_columns: dict[str, str] | None = None,
         properties: dict[str, str] | None = None,
+        file_format: str = "parquet",
     ) -> Table:
         """partition_by: [(source_col, transform_spec)], e.g.
-        [("part", "identity"), ("geom", "hilbert[10]")]."""
+        [("part", "identity"), ("geom", "hilbert[10]")].
+        file_format: 'parquet' (default) or 'orc'; geometry columns
+        require parquet (the reference's geometry writers are
+        Parquet-only, SURVEY §1.2)."""
         location = self._table_location(name)
         if os.path.exists(MD.metadata_dir(location)):
             raise ValueError(f"table {name} already exists")
+        if file_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported file format {file_format!r}")
         geometry_columns = geometry_columns or {}
+        if geometry_columns and file_format != "parquet":
+            raise ValueError("geometry columns are supported only with parquet")
         _validate_geometry_columns(schema_ddl, geometry_columns)
+        properties = dict(properties or {})
+        if file_format != "parquet":
+            properties["write.format.default"] = file_format
         spec = [
             PartitionField(src, parse_transform(t)).to_json()
             for src, t in (partition_by or [])
@@ -56,7 +67,7 @@ class Catalog:
             schema_ddl=schema_ddl,
             partition_spec=spec,
             geo_fields=dict(geometry_columns),
-            properties=dict(properties or {}),
+            properties=properties,
             current_snapshot_id=None,
             snapshots=[],
             last_sequence_number=0,

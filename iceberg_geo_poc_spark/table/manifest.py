@@ -105,6 +105,51 @@ def harvest_stats(paths: list[str], max_workers: int = 16) -> dict[str, tuple]:
     return dict(zip(paths, results))
 
 
+def harvest_stats_spark(
+    spark, paths: list[str], fmt: str, schema_ddl: str
+) -> dict[str, tuple]:
+    """Per-file (record_count, file_size, lower, upper, nulls) via ONE
+    distributed aggregation grouped by _metadata.file_path — the stats
+    source for formats without a cheap footer API (ORC).  Matches the
+    footer harvest exactly for top-level primitive columns."""
+    import pyspark.sql.functions as F
+
+    reader = spark.read.schema(schema_ddl)
+    df = reader.format(fmt).load(paths)
+    prim_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        not in ("binary", "array", "map", "struct")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for c in prim_cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+        ]
+    rows = df.groupBy(F.col("_metadata.file_path").alias("__file")).agg(*aggs).collect()
+    out: dict[str, tuple] = {}
+    for row in rows:
+        d = row.asDict()
+        path = _strip_scheme(d["__file"])
+        lower, upper, nulls = {}, {}, {}
+        for c in prim_cols:
+            lo, hi = _enc_stat(d[f"__min_{c}"]), _enc_stat(d[f"__max_{c}"])
+            if lo is not None:
+                lower[c] = lo
+            if hi is not None:
+                upper[c] = hi
+            nulls[c] = int(d[f"__nulls_{c}"] or 0)
+        out[path] = (int(d["__rc"]), os.path.getsize(path), lower, upper, nulls)
+    # files that produced zero rows never appear in the groupBy output
+    for p in paths:
+        if p not in out:
+            out[p] = (0, os.path.getsize(p), {}, {}, {})
+    return out
+
+
 def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str]):
     """Per-file geometry bboxes via one distributed aggregation.
 

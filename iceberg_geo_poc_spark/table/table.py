@@ -62,6 +62,14 @@ class Table:
     def geo_fields(self) -> dict[str, str]:
         return dict(self.meta.geo_fields)
 
+    @property
+    def file_format(self) -> str:
+        """Data file format: 'parquet' (default) or 'orc' — the
+        reference's write.format.default table property.  Geometry
+        columns require parquet, exactly as in the reference (geometry
+        writers exist only under parquet/.../havasu/, SURVEY §1.2)."""
+        return self.meta.properties.get("write.format.default", "parquet")
+
     def schema_ddl(self) -> str:
         return self.meta.schema_ddl
 
@@ -152,8 +160,9 @@ class Table:
         return [(f"__p_{pf.name}", pf) for pf in self.partition_fields]
 
     def _write_files(self, df: DataFrame) -> list[dict]:
-        """Write df as parquet files; return entry dicts (no seq/snap)."""
+        """Write df as data files; return entry dicts (no seq/snap)."""
         stage = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        fmt = self.file_format
         pcols = self._partition_columns()
         out = df
         for cname, pf in pcols:
@@ -162,11 +171,16 @@ class Table:
             # hash-distribute by partition tuple so each partition's rows
             # co-locate (SparkWriteConf DistributionMode.HASH analogue)
             out = out.repartition(*[F.col(c) for c, _ in pcols])
-            out.write.partitionBy([c for c, _ in pcols]).parquet(stage)
+            out.write.format(fmt).partitionBy([c for c, _ in pcols]).save(stage)
         else:
-            out.write.parquet(stage)
+            out.write.format(fmt).save(stage)
         paths = _list_parquet(stage)
-        stats = M.harvest_stats(paths)
+        if fmt == "parquet":
+            stats = M.harvest_stats(paths)
+        else:
+            # no cheap footer API for ORC under pyarrow: one distributed
+            # per-file aggregation supplies the same manifest stats
+            stats = M.harvest_stats_spark(self.spark, paths, fmt, self.meta.schema_ddl)
         bboxes = M.compute_bboxes(self.spark, paths, self.geo_fields)
         entries = []
         for p in paths:
@@ -538,17 +552,25 @@ class Table:
     ) -> DataFrame:
         if not paths:
             return self._empty_df()
+        fmt = self.file_format
         reader = self.spark.read.schema(self.meta.schema_ddl)
-        df = reader.parquet(*paths)
+        df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
         for c in df.columns:
             if c.startswith("__p_"):
                 df = df.drop(c)
         need_pos = with_pos or with_deletes
         if need_pos:
+            if with_pos and fmt != "parquet":
+                raise NotImplementedError(
+                    "position deletes require parquet (_metadata.row_index); "
+                    "use copy-on-write or equality deletes for ORC tables"
+                )
             df = df.withColumn(
                 "__file_path",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
-            ).withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            if fmt == "parquet":
+                df = df.withColumn("__pos", F.col("_metadata.row_index"))
         if with_deletes:
             ent = entries if entries is not None else self._entries()
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
@@ -693,10 +715,15 @@ class TableScan:
 
 
 def _list_parquet(root: str) -> list[str]:
+    """Data files under root (parquet or orc; names vary by writer)."""
     out = []
     for dirpath, _dirs, names in os.walk(root):
         for n in names:
-            if n.endswith(".parquet") and not n.startswith("_") and not n.startswith("."):
+            if (
+                (n.endswith(".parquet") or n.endswith(".orc"))
+                and not n.startswith("_")
+                and not n.startswith(".")
+            ):
                 out.append(os.path.join(dirpath, n))
     return sorted(out)
 

@@ -383,3 +383,38 @@ def test_fast_forward_and_ancestors(spark, catalog):
     # non-descendant move refused
     with pytest.raises(ValueError):
         catalog.fast_forward("ffwd", "audit", s1)
+
+
+def test_orc_table_roundtrip_and_pruning(spark, catalog):
+    """ORC-format managed table: write, stats-pruned scan, CoW ops
+    (reference §2.1 'ORC read-write, same surface minus geometry')."""
+    t = catalog.create_table("orct", "a BIGINT, b STRING", file_format="orc")
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(10)], "a BIGINT, b STRING"
+            ).coalesce(1)
+        )
+    assert all(p.endswith(".orc") for p in t.scan().files())
+    # stats pruning works off the spark-aggregated manifest stats
+    scan = t.scan(where=E.ge("a", 100))
+    assert len(scan.files()) == 1
+    assert sorted(r.a for r in scan.to_df().collect()) == list(range(100, 110))
+    # CoW delete + update + equality delete all work on ORC
+    t.delete(E.eq("a", 105))
+    t.update({"b": "z"}, where=E.eq("a", 3))
+    t.delete_by_keys(spark.createDataFrame([(0,)], "a BIGINT"))
+    rows = {r.a: r.b for r in t.to_df().collect()}
+    assert 105 not in rows and 0 not in rows and rows[3] == "z"
+    # position deletes are parquet-only (row_index), like vectorized
+    # geometry reads in the reference: clear error, not silent corruption
+    with pytest.raises(NotImplementedError):
+        t.delete(E.eq("a", 1), mode="merge-on-read")
+
+
+def test_orc_rejects_geometry(spark, catalog):
+    with pytest.raises(ValueError):
+        catalog.create_table(
+            "orcg", "id BIGINT, geom BINARY",
+            geometry_columns={"geom": "ewkb"}, file_format="orc",
+        )
