@@ -33,6 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # registry name -> short bench name; all run directly against sf parquet.
 BENCH_QUERIES = [
     ("filtered_scan", "q6_revenue_forecast"),
+    ("filtered_scan_managed", "managed_date_pruned_scan"),
     ("q1", "q1_pricing_summary"),
     ("q3", "q3_shipping_priority"),
     ("stats_fastpath", "stats_fastpath_agg"),

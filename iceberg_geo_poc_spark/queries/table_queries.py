@@ -364,3 +364,44 @@ def managed_geo_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = t.scan(where=E.st_intersects("geom", box(20.0, -40.0, 80.0, 40.0)))
     assert len(scan.files()) < scan.total_data_files(), "bbox pruning had no effect"
     return scan.to_df().select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "managed_date_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def managed_date_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective date-range scan over a months(l_shipdate)-partitioned
+    managed table: hidden partitioning keeps each month's rows in
+    month-homogeneous files, so the manifest min/max prune skips every
+    out-of-range file before Spark reads a byte (the FlatParquetData
+    filter-benchmark shape from BASELINE.md, clustered on the filter
+    column)."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_shipdate TIMESTAMP, l_extendedprice DOUBLE",
+            partition_by=[("l_shipdate", "month")],
+        )
+        t.append(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_shipdate", "l_extendedprice"
+            )
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "date_scan", build)
+    scan = t.scan(
+        where=E.ge("l_shipdate", "1996-01-01 00:00:00.000000")
+        & E.lt("l_shipdate", "1996-04-01 00:00:00.000000")
+    )
+    return scan.to_df().agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
