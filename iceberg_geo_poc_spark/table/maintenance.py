@@ -26,7 +26,11 @@ import pyspark.sql.functions as F
 
 from iceberg_geo_poc_spark.table import manifest as M
 from iceberg_geo_poc_spark.table import metadata as MD
-from iceberg_geo_poc_spark.table.table import Table, _list_parquet
+from iceberg_geo_poc_spark.table.table import (
+    Table,
+    _list_parquet,
+    _validate_files_still_live,
+)
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
@@ -86,6 +90,7 @@ def rewrite_data_files(
         # MoR deletes were applied during the rewrite read, so compaction
         # of ALL data files also retires the delete files; partial
         # compaction must keep them (they may still target kept files).
+        _validate_files_still_live(current, paths)
         kept = current[~current.file_path.isin(set(paths))]
         if set(paths) >= set(data.file_path):
             kept = kept[~kept.content.isin(["posdel", "eqdel"])]

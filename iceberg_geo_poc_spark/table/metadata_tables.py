@@ -20,11 +20,13 @@ from iceberg_geo_poc_spark.table.table import Table
 METADATA_TABLES = (
     "snapshots",
     "history",
+    "entries",
     "files",
     "delete_files",
     "manifests",
     "partitions",
     "refs",
+    "metadata_log_entries",
 )
 
 
@@ -58,10 +60,14 @@ def inspect(table: Table, name: str) -> DataFrame:
             "made_current_at_ms LONG, snapshot_id LONG, parent_id LONG, "
             "is_current_ancestor BOOLEAN",
         )
-    if name in ("files", "delete_files"):
+    if name in ("entries", "files", "delete_files"):
         entries = table._entries()
-        want = "data" if name == "files" else "posdel"
-        sub = entries[entries.content == want]
+        if name == "files":
+            sub = entries[entries.content == "data"]
+        elif name == "delete_files":
+            sub = entries[entries.content.isin(["posdel", "eqdel"])]
+        else:
+            sub = entries
         if sub.empty:
             return spark.createDataFrame(
                 [],
@@ -107,4 +113,16 @@ def inspect(table: Table, name: str) -> DataFrame:
             (rname, r["type"], r["snapshot-id"]) for rname, r in table.meta.refs.items()
         ]
         return spark.createDataFrame(rows, "name STRING, type STRING, snapshot_id LONG")
+    if name == "metadata_log_entries":
+        mdir = os.path.join(table.location, "metadata")
+        rows = []
+        for fname in sorted(os.listdir(mdir)):
+            if fname.endswith(".metadata.json"):
+                p = os.path.join(mdir, fname)
+                rows.append(
+                    (fname, int(os.path.getmtime(p) * 1000), os.path.getsize(p))
+                )
+        return spark.createDataFrame(
+            rows, "file STRING, modified_at_ms LONG, length LONG"
+        )
     raise ValueError(f"unknown metadata table {name!r}; one of {METADATA_TABLES}")

@@ -42,6 +42,25 @@ from iceberg_geo_poc_spark.table.transforms import PartitionField
 _MAX_COMMIT_RETRIES = 5
 
 
+class ValidationException(Exception):
+    """Commit revalidation failure: the snapshot this operation planned
+    against changed in a way that invalidates the plan (the minimal
+    analogue of the reference's MergingSnapshotProducer validation
+    matrix, e.g. validateNoNewDeletesForDataFiles)."""
+
+
+def _validate_files_still_live(current: pd.DataFrame, paths) -> None:
+    """Row-level ops plan a set of files to rewrite/drop; if a concurrent
+    commit (compaction, another rewrite) removed any of them, applying
+    the stale plan would resurrect or lose rows — fail the commit."""
+    missing = set(paths) - set(current.file_path)
+    if missing:
+        raise ValidationException(
+            f"{len(missing)} file(s) this operation planned against were "
+            f"removed by a concurrent commit; re-run the operation"
+        )
+
+
 class Table:
     def __init__(self, meta: MD.TableMetadata, spark: SparkSession):
         self.meta = meta
@@ -337,6 +356,7 @@ class Table:
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             drop = set(plan["full"]) | set(plan["partial"])
+            _validate_files_still_live(current, drop)
             kept = current[~current.file_path.isin(drop)]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
@@ -448,6 +468,7 @@ class Table:
         rewritten = self._write_files(df)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            _validate_files_still_live(current, paths)
             kept = current[~current.file_path.isin(set(paths))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
@@ -528,6 +549,7 @@ class Table:
                 inserted = self._write_files(new_rows)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            _validate_files_still_live(current, candidates)
             kept = current[~current.file_path.isin(set(candidates))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + inserted]

@@ -418,3 +418,42 @@ def test_orc_rejects_geometry(spark, catalog):
             "orcg", "id BIGINT, geom BINARY",
             geometry_columns={"geom": "ewkb"}, file_format="orc",
         )
+
+
+def test_concurrent_rewrite_conflict_detected(spark, catalog):
+    """A row-level op planned against files that a concurrent commit
+    removed must FAIL validation, not silently resurrect/lose rows
+    (minimal MergingSnapshotProducer revalidation)."""
+    from iceberg_geo_poc_spark.table.maintenance import rewrite_data_files
+    from iceberg_geo_poc_spark.table.table import ValidationException
+
+    t1 = catalog.create_table("vconf", "a BIGINT, b STRING")
+    for lo in (0, 10):
+        t1.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo+i}") for i in range(10)], "a BIGINT, b STRING"
+            ).coalesce(1)
+        )
+    # handle B plans against the pre-compaction file set
+    tb = catalog.load_table("vconf")
+    # concurrent compaction replaces every file
+    rewrite_data_files(t1, target_file_size=10**9)
+    with pytest.raises(ValidationException):
+        tb.delete(E.lt("a", 5))
+    # table contents undamaged
+    assert sorted(r.a for r in catalog.load_table("vconf").to_df().collect()) == list(
+        range(20)
+    )
+
+
+def test_metadata_tables_entries_and_log(spark, catalog):
+    from iceberg_geo_poc_spark.table.metadata_tables import inspect
+
+    t = catalog.create_table("mtab2", "a BIGINT")
+    t.append(spark.createDataFrame([(1,), (2,)], "a BIGINT"))
+    t.delete_by_keys(spark.createDataFrame([(1,)], "a BIGINT"))
+    assert inspect(t, "delete_files").count() == 1  # eqdel visible
+    ent = inspect(t, "entries")
+    assert ent.filter("content = 'data'").count() >= 1
+    log = inspect(t, "metadata_log_entries")
+    assert log.count() == 3  # create + append + delete
