@@ -255,6 +255,40 @@ def managed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_changelog_updates",
+    oracle="""
+    SELECT event_id, 'update_preimage' AS _change_type, ROUND(value, 6) AS value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'update_postimage' AS _change_type, ROUND(value * 2, 6) AS value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def managed_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with update detection: a CoW update rewrites whole files, but
+    compute_updates(identifier_columns) nets out carryover rows and
+    pairs changed rows as update_preimage/update_postimage (reference
+    CreateChangelogViewProcedure with identifier columns)."""
+    from iceberg_geo_poc_spark.streaming.incremental import (
+        changelog,
+        compute_updates,
+    )
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(4))
+        t._cdc_from = t.current_snapshot().snapshot_id
+        t.update({"value": F.col("value") * 2}, where=E.eq("event_type", "click"))
+        return t
+
+    t = _managed(spark, sf_dir, "cdc_upd", build)
+    diff = changelog(t, from_snapshot_id=t._cdc_from)
+    return compute_updates(diff, identifier_columns=["event_id"]).select(
+        "event_id", "_change_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "managed_compaction_roundtrip",
     oracle="""
     SELECT event_id, user_id, event_type, ROUND(value, 6) AS value

@@ -119,6 +119,72 @@ def changelog(
     return out
 
 
+def compute_updates(diff: DataFrame, identifier_columns: list[str]) -> DataFrame:
+    """Refine a file-granular changelog into row-level net changes
+    (reference CreateChangelogViewProcedure with identifier columns):
+
+    - carryover rows (same values deleted+inserted in one commit, i.e.
+      rows merely copied by a CoW rewrite) are removed;
+    - delete+insert pairs sharing identifier columns become
+      update_preimage / update_postimage;
+    - everything else stays insert / delete.
+
+    All set-arithmetic happens as aggregations keyed on row values /
+    identifiers — two shuffles, no driver-side state, any scale.
+    """
+    value_cols = [
+        c for c in diff.columns if c not in ("_change_type", "_commit_snapshot_id")
+    ]
+    # 1. cancel carryovers: net count per (row values, commit)
+    net = (
+        diff.groupBy(*value_cols, "_commit_snapshot_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("__net")
+        )
+        .filter(F.col("__net") != 0)
+        .withColumn(
+            "_change_type", F.when(F.col("__net") > 0, "insert").otherwise("delete")
+        )
+        .withColumn("__n", F.abs(F.col("__net")))
+        .withColumn("__dup", F.explode(F.expr("sequence(1, __n)")))
+        .drop("__net", "__n", "__dup")
+    )
+    # 2. pair surviving deletes/inserts on identifiers within a commit
+    dels = net.filter("_change_type = 'delete'").drop("_change_type")
+    ins = net.filter("_change_type = 'insert'").drop("_change_type")
+    join_keys = identifier_columns + ["_commit_snapshot_id"]
+    # presence flags: row markers built before the join, not probes of
+    # nullable value columns (values may be legitimately null)
+    dels_m = dels.withColumn("__d", F.lit(1))
+    ins_m = ins.withColumn("__i", F.lit(1))
+    paired = dels_m.alias("d").join(ins_m.alias("i"), join_keys, "full_outer")
+
+    both = paired.filter(F.col("__d").isNotNull() & F.col("__i").isNotNull())
+    pre = both.select(
+        *[F.col(f"d.{c}").alias(c) for c in value_cols],
+        F.lit("update_preimage").alias("_change_type"),
+        F.col("_commit_snapshot_id"),
+    )
+    post = both.select(
+        *[F.col(f"i.{c}").alias(c) for c in value_cols],
+        F.lit("update_postimage").alias("_change_type"),
+        F.col("_commit_snapshot_id"),
+    )
+    only_del = paired.filter(F.col("__i").isNull()).select(
+        *[F.col(f"d.{c}").alias(c) for c in value_cols],
+        F.lit("delete").alias("_change_type"),
+        F.col("_commit_snapshot_id"),
+    )
+    only_ins = paired.filter(F.col("__d").isNull()).select(
+        *[F.col(f"i.{c}").alias(c) for c in value_cols],
+        F.lit("insert").alias("_change_type"),
+        F.col("_commit_snapshot_id"),
+    )
+    return pre.unionByName(post).unionByName(only_del).unionByName(only_ins)
+
+
 class IncrementalStream:
     """availableNow micro-batch consumer with admission control.
 

@@ -243,3 +243,40 @@ def test_runtime_filter_reprunes_files(spark, catalog):
     assert len(filtered.files()) == 2  # only files covering 0-9 and 100-109
     got = sorted(r.a for r in filtered.to_df().collect())
     assert got == [5, 105]
+
+
+def test_changelog_compute_updates(spark, catalog):
+    """compute_updates refines the file-granular changelog into net
+    row changes: carryover rows vanish, changed rows become
+    update_preimage/update_postimage pairs."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.streaming.incremental import (
+        changelog,
+        compute_updates,
+    )
+
+    t = catalog.create_table("cdcup", "a BIGINT, v DOUBLE")
+    t.append(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "a BIGINT, v DOUBLE")
+        .coalesce(1)
+    )
+    base = t.current_snapshot().snapshot_id
+    t.update({"v": F.col("v") * 10}, where=E.ge("a", 8))
+    diff = changelog(t, from_snapshot_id=base)
+    # file-granular: the whole rewritten file appears as delete+insert
+    assert diff.count() == 20
+    net = compute_updates(diff, identifier_columns=["a"])
+    rows = {(r.a, r._change_type): r.v for r in net.collect()}
+    assert len(rows) == 4  # 2 updated rows x pre+post
+    assert rows[(8, "update_preimage")] == 8.0
+    assert rows[(8, "update_postimage")] == 80.0
+    assert rows[(9, "update_postimage")] == 90.0
+    # pure inserts stay inserts
+    t2_base = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(100, 1.0)], "a BIGINT, v DOUBLE"))
+    net2 = compute_updates(
+        changelog(t, from_snapshot_id=t2_base), identifier_columns=["a"]
+    )
+    got = [(r.a, r._change_type) for r in net2.collect()]
+    assert got == [(100, "insert")]
