@@ -170,6 +170,92 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    # ------------------------------------------------------------------
+    # views (reference spark-extensions view surface, TestViews.java):
+    # versioned SQL text over engine tables
+    # ------------------------------------------------------------------
+    def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
+        """Store a named SQL view (text + version log).  The SQL runs
+        against engine tables registered as temp views at read time."""
+        path = os.path.join(self.warehouse, "_views", f"{name}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        versions = []
+        if os.path.exists(path):
+            if not replace:
+                raise ValueError(f"view {name} already exists")
+            import json as _json
+
+            with open(path) as f:
+                versions = _json.load(f)["versions"]
+        import json as _json
+
+        versions.append({"sql": sql_text, "at": MD.now_ms()})
+        with open(path, "w") as f:
+            _json.dump({"name": name, "versions": versions}, f, indent=1)
+
+    def load_view(self, name: str, version: int | None = None):
+        """DataFrame for the view's SQL; engine tables in the warehouse
+        are registered as temp views first so the SQL can reference
+        them by name."""
+        import json as _json
+
+        path = os.path.join(self.warehouse, "_views", f"{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"view {name} not found")
+        with open(path) as f:
+            doc = _json.load(f)
+        v = doc["versions"][-1 if version is None else version]
+        for tname in self.list_tables():
+            self.load_table(tname).to_df().createOrReplaceTempView(tname)
+        return self.spark.sql(v["sql"])
+
+    def list_views(self) -> list[str]:
+        vdir = os.path.join(self.warehouse, "_views")
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(f[:-5] for f in os.listdir(vdir) if f.endswith(".json"))
+
+    def add_files(self, name: str, parquet_paths: list[str]) -> Table:
+        """Register existing parquet files into a table WITHOUT copying
+        (reference AddFilesProcedure / SnapshotTable: manifests built
+        from existing footers).  Files must match the table schema."""
+        t = self.load_table(name)
+        from iceberg_geo_poc_spark.table import manifest as M
+
+        stats = M.harvest_stats(parquet_paths)
+        bboxes = M.compute_bboxes(self.spark, parquet_paths, t.geo_fields)
+        import json as _json
+
+        import pandas as pd
+
+        entries = []
+        for p in parquet_paths:
+            record_count, file_size, lower, upper, nulls = stats[p]
+            if record_count == 0:
+                continue
+            entries.append(
+                {
+                    "content": "data",
+                    "file_path": p,
+                    "file_size": file_size,
+                    "record_count": record_count,
+                    "partition": _json.dumps({}),
+                    "lower": _json.dumps(lower),
+                    "upper": _json.dumps(upper),
+                    "nulls": _json.dumps(nulls),
+                    "bbox": _json.dumps(bboxes.get(p, {})),
+                }
+            )
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        t._commit("append", build, {"added-files": len(entries), "imported": True})
+        return t
+
     def ancestors_of(self, name: str, snapshot_id: int | None = None) -> list[MD.Snapshot]:
         """Snapshot lineage walk, newest first (reference
         AncestorsOfProcedure.java)."""

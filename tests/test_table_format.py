@@ -457,3 +457,49 @@ def test_metadata_tables_entries_and_log(spark, catalog):
     assert ent.filter("content = 'data'").count() >= 1
     log = inspect(t, "metadata_log_entries")
     assert log.count() == 3  # create + append + delete
+
+
+def test_add_files_registers_without_copy(spark, catalog, tmp_path):
+    """add_files imports existing parquet by reference: no data copy,
+    footer stats power pruning immediately."""
+    ext = str(tmp_path / "external")
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(20)], "a BIGINT, b STRING"
+    ).coalesce(1).write.parquet(ext)
+    import glob
+
+    files = sorted(glob.glob(f"{ext}/*.parquet"))
+    t = catalog.create_table("imp", "a BIGINT, b STRING")
+    catalog.add_files("imp", files)
+    t = catalog.load_table("imp")
+    assert t.to_df().count() == 20
+    # registered in place — scan reads the external path directly
+    assert t.scan().files() == files
+    # stats-based pruning works off harvested footers
+    assert len(t.scan(where=E.ge("a", 100)).files()) == 0
+
+
+def test_views_create_load_replace(spark, catalog):
+    t = catalog.create_table("vsrc", "a BIGINT, grp STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "a BIGINT, grp STRING"
+        )
+    )
+    catalog.create_view(
+        "v_sums", "SELECT grp, SUM(a) AS total FROM vsrc GROUP BY grp"
+    )
+    got = {r.grp: r.total for r in catalog.load_view("v_sums").collect()}
+    assert got == {"x": 3, "y": 3}
+    with pytest.raises(ValueError):
+        catalog.create_view("v_sums", "SELECT 1")
+    catalog.create_view(
+        "v_sums", "SELECT grp, COUNT(*) AS total FROM vsrc GROUP BY grp",
+        replace=True,
+    )
+    got = {r.grp: r.total for r in catalog.load_view("v_sums").collect()}
+    assert got == {"x": 2, "y": 1}
+    # version log retains the original definition
+    got0 = {r.grp: r.total for r in catalog.load_view("v_sums", version=0).collect()}
+    assert got0 == {"x": 3, "y": 3}
+    assert catalog.list_views() == ["v_sums"]
