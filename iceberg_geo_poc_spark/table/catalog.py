@@ -315,22 +315,31 @@ class Catalog:
         return self.cherrypick_snapshot(name, matches[-1].snapshot_id)
 
     def fast_forward(self, name: str, branch: str, to_snapshot_id: int) -> Table:
-        """Move a branch ref forward to a descendant snapshot (reference
-        FastForwardBranchProcedure.java); refuses non-fast-forward moves."""
+        """Move a branch ref (or ``"main"``) forward to a descendant
+        snapshot (reference FastForwardBranchProcedure.java); refuses
+        non-fast-forward moves.  fast_forward(name, "main", branch_head)
+        is how audited branch writes land on the main line."""
         t = self.load_table(name)
-        ref = t.meta.refs.get(branch)
-        if ref is None or ref.get("type") != "branch":
-            raise KeyError(f"branch {branch!r} not found")
+        if branch == "main":
+            cur = t.meta.current_snapshot_id
+        else:
+            ref = t.meta.refs.get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise KeyError(f"branch {branch!r} not found")
+            cur = ref["snapshot-id"]
         ancestry = []
         sid = to_snapshot_id
         while sid is not None:
             ancestry.append(sid)
             sid = t.meta.snapshot_by_id(sid).parent_id
-        if ref["snapshot-id"] is not None and ref["snapshot-id"] not in ancestry:
+        if cur is not None and cur not in ancestry:
             raise ValueError(
                 f"cannot fast-forward {branch}: {to_snapshot_id} is not a descendant"
             )
-        t.meta.refs[branch] = {"snapshot-id": to_snapshot_id, "type": "branch"}
+        if branch == "main":
+            t.meta.current_snapshot_id = to_snapshot_id
+        else:
+            t.meta.refs[branch] = {"snapshot-id": to_snapshot_id, "type": "branch"}
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 

@@ -124,6 +124,7 @@ class Table:
         entries: pd.DataFrame,
         base: MD.TableMetadata,
         summary: dict | None = None,
+        parent: int | None = None,
     ) -> MD.Snapshot:
         snapshot_id = MD.new_snapshot_id()
         seq = base.last_sequence_number + 1
@@ -131,7 +132,8 @@ class Table:
             "metadata", "manifests", f"snap-{snapshot_id}.parquet"
         )
         M.write_manifest(entries, os.path.join(self.location, rel_manifest))
-        parent = base.current_snapshot_id
+        if parent is None:
+            parent = base.current_snapshot_id
         snap = MD.Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -149,19 +151,37 @@ class Table:
         build_entries,
         summary: dict | None = None,
         stage_only: bool = False,
+        to_branch: str | None = None,
     ):
         """Optimistic commit loop: build_entries(current_entries) -> new
         full entry set; retried against fresh metadata on conflict.
         ``stage_only`` records the snapshot in the log WITHOUT advancing
         the current pointer (write-audit-publish staging; published
-        later via Catalog.cherrypick_snapshot / publish_changes)."""
+        later via Catalog.cherrypick_snapshot / publish_changes).
+        ``to_branch`` commits on top of a branch ref and advances that
+        ref instead of main (reference branch writes, toBranch)."""
         for _attempt in range(_MAX_COMMIT_RETRIES):
             base = MD.read_metadata(self.location) if _attempt else self.meta
-            current = self._entries(base.current_snapshot()) if base.current_snapshot_id else M.entries_dataframe([])
+            if to_branch is not None:
+                ref = base.refs.get(to_branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise KeyError(f"branch {to_branch!r} not found")
+                head_id = ref["snapshot-id"]
+            else:
+                head_id = base.current_snapshot_id
+            head = base.snapshot_by_id(head_id) if head_id is not None else None
+            current = self._entries(head) if head else M.entries_dataframe([])
             new_entries = build_entries(current, base.last_sequence_number + 1)
-            snap = self._write_snapshot(operation, new_entries, base, summary)
+            snap = self._write_snapshot(
+                operation, new_entries, base, summary, parent=head_id
+            )
             base.snapshots.append(snap)
-            if not stage_only:
+            if to_branch is not None:
+                base.refs[to_branch] = {
+                    "snapshot-id": snap.snapshot_id,
+                    "type": "branch",
+                }
+            elif not stage_only:
                 base.current_snapshot_id = snap.snapshot_id
             base.last_sequence_number = snap.sequence_number
             try:
@@ -223,11 +243,18 @@ class Table:
             )
         return entries
 
-    def append(self, df: DataFrame, wap_id: str | None = None) -> MD.Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        wap_id: str | None = None,
+        to_branch: str | None = None,
+    ) -> MD.Snapshot:
         """Append; with ``wap_id`` the snapshot is STAGED (logged but not
         current) for write-audit-publish — publish with
         Catalog.publish_changes(name, wap_id) after auditing
-        (reference spark.wap.id + PublishChangesProcedure.java)."""
+        (reference spark.wap.id + PublishChangesProcedure.java).
+        With ``to_branch`` the commit lands on that branch ref instead
+        of main (audit there, then Catalog.fast_forward main)."""
         new = self._write_files(df)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -239,7 +266,13 @@ class Table:
         summary = {"added-files": len(new)}
         if wap_id is not None:
             summary["wap.id"] = wap_id
-        return self._commit("append", build, summary, stage_only=wap_id is not None)
+        return self._commit(
+            "append",
+            build,
+            summary,
+            stage_only=wap_id is not None,
+            to_branch=to_branch,
+        )
 
     def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
         """Full-table overwrite, or overwrite-by-filter (rows matching

@@ -503,3 +503,25 @@ def test_views_create_load_replace(spark, catalog):
     got0 = {r.grp: r.total for r in catalog.load_view("v_sums", version=0).collect()}
     assert got0 == {"x": 3, "y": 3}
     assert catalog.list_views() == ["v_sums"]
+
+
+def test_branch_writes_and_fast_forward_main(spark, catalog):
+    """Write to an audit branch without touching main, then fast-forward
+    main to the audited head (reference branch writes + fast_forward)."""
+    t = catalog.create_table("brw", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    catalog.create_branch("brw", "audit")
+    t = catalog.load_table("brw")
+    t.append(spark.createDataFrame([(2,)], "a BIGINT"), to_branch="audit")
+    t.append(spark.createDataFrame([(3,)], "a BIGINT"), to_branch="audit")
+    t = catalog.load_table("brw")
+    # main unchanged; branch sees both commits
+    assert sorted(r.a for r in t.to_df().collect()) == [1]
+    assert sorted(r.a for r in t.scan(ref="audit").to_df().collect()) == [1, 2, 3]
+    head = t.meta.refs["audit"]["snapshot-id"]
+    catalog.fast_forward("brw", "main", head)
+    t = catalog.load_table("brw")
+    assert sorted(r.a for r in t.to_df().collect()) == [1, 2, 3]
+    # unknown branch refused
+    with pytest.raises(KeyError):
+        t.append(spark.createDataFrame([(4,)], "a BIGINT"), to_branch="nope")
