@@ -192,11 +192,24 @@ class IncrementalStream:
     mirroring StreamingOffset; max_files_per_batch mirrors the
     max-files-per-micro-batch read option (SparkMicroBatchStream)."""
 
-    def __init__(self, table: Table, max_files_per_batch: int | None = None):
+    def __init__(
+        self,
+        table: Table,
+        max_files_per_batch: int | None = None,
+        max_records_per_batch: int | None = None,
+    ):
         self.table = table
         self.max_files = max_files_per_batch
+        self.max_records = max_records_per_batch
         self.last_snapshot_id: int | None = None
         self._pending: list[str] = []
+
+    def _record_counts(self) -> dict[str, int]:
+        entries = self.table._entries()
+        return {
+            r.file_path: int(r.record_count)
+            for r in entries[entries.content == "data"].itertuples()
+        }
 
     def next_batch(self) -> DataFrame | None:
         """DataFrame of newly appended rows, or None when caught up."""
@@ -211,7 +224,21 @@ class IncrementalStream:
             self.last_snapshot_id = current
             if not self._pending:
                 return None
-        take = self._pending if self.max_files is None else self._pending[: self.max_files]
+        if self.max_files is not None:
+            take = self._pending[: self.max_files]
+        elif self.max_records is not None:
+            # admit whole files until the record budget is spent (always
+            # at least one file — the reference's max-records-per-micro-
+            # batch admits by file granularity the same way)
+            counts = self._record_counts()
+            take, total = [], 0
+            for p in self._pending:
+                if take and total + counts.get(p, 0) > self.max_records:
+                    break
+                take.append(p)
+                total += counts.get(p, 0)
+        else:
+            take = self._pending
         self._pending = self._pending[len(take):]
         return self.table._read_files(take, with_deletes=False)
 

@@ -280,3 +280,15 @@ def test_changelog_compute_updates(spark, catalog):
     )
     got = [(r.a, r._change_type) for r in net2.collect()]
     assert got == [(100, "insert")]
+
+
+def test_incremental_stream_record_admission(spark, catalog):
+    """max_records_per_batch admits whole files until the record budget
+    is spent (SupportsAdmissionControl max-records parity)."""
+    t = _mk(spark, catalog, "admrec", n_appends=4, rows_per=10)
+    s = IncrementalStream(t, max_records_per_batch=25)
+    sizes = []
+    while (b := s.next_batch()) is not None:
+        sizes.append(b.count())
+    assert sum(sizes) == 40
+    assert sizes == [20, 20]  # 2 files of 10 fit in each 25-record budget
