@@ -188,6 +188,82 @@ def managed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_mor_update",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN event_type = 'view' THEN value + 1000.0 ELSE value END, 6)
+             AS value
+    FROM events
+    """,
+)
+def managed_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE: matched rows become position deletes plus a
+    new data file with the updated values; original files untouched
+    (reference TestMergeOnReadUpdate)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(4))
+        n_before = int((t._entries().content == "data").sum())
+        t.update(
+            {"value": F.col("value") + 1000.0},
+            where=E.eq("event_type", "view"),
+            mode="merge-on-read",
+        )
+        ent = t._entries()
+        assert (ent.content == "posdel").sum() >= 1
+        # the original data files were not rewritten, only added to
+        assert int((ent.content == "data").sum()) > n_before
+        return t
+
+    t = _managed(spark, sf_dir, "mor_upd", build)
+    return t.to_df().select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "managed_mor_merge",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           ROUND(CASE WHEN c_custkey % 7 = 0 THEN -1.0 ELSE c_acctbal END, 2) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 900000009, 9.0
+    """,
+)
+def managed_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE: matched rows position-deleted and re-added
+    updated; unmatched source rows appended (TestMergeOnReadMerge)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "custkey BIGINT, acctbal DOUBLE")
+        c = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        t.append(c.repartition(2))
+        src = (
+            c.filter("custkey % 7 = 0").withColumn("acctbal", F.lit(-1.0))
+        ).unionByName(
+            spark.createDataFrame(
+                [(900000009, 9.0)], "custkey BIGINT, acctbal DOUBLE"
+            )
+        )
+        t.merge(
+            src,
+            on=["custkey"],
+            when_matched_update={"acctbal": F.lit(-1.0)},
+            mode="merge-on-read",
+        )
+        assert (t._entries().content == "posdel").sum() >= 1
+        return t
+
+    t = _managed(spark, sf_dir, "mor_merge", build)
+    return t.to_df().select("custkey", F.round("acctbal", 2).alias("acctbal"))
+
+
+@query(
     "managed_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0

@@ -413,14 +413,28 @@ class Table:
         if not paths:
             return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
         df = self._read_files(paths, with_deletes=True, with_pos=True)
-        matches = df.filter(where.to_spark_column()).select(
+        matches = df.filter(where.to_spark_column())
+        entries = self._posdel_entries(matches)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit("delete", build, {"delete-files": len(entries)})
+
+    def _posdel_entries(self, matches: DataFrame) -> list[dict]:
+        """Persist ``(file_path, pos)`` tuples of ``matches`` (which must
+        carry ``__file_path``/``__pos``) as a position-delete parquet and
+        return its manifest entries (reference SparkPositionDeltaWrite)."""
+        posdel = matches.select(
             F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
         )
         stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
-        matches.coalesce(1).write.parquet(stage)
-        dpaths = _list_parquet(stage)
+        posdel.coalesce(1).write.parquet(stage)
         entries = []
-        for p in dpaths:
+        for p in _list_parquet(stage):
             record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
             if record_count == 0:
                 continue
@@ -437,14 +451,7 @@ class Table:
                     "bbox": json.dumps({}),
                 }
             )
-
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            add = M.entries_dataframe(
-                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
-            )
-            return pd.concat([current, add], ignore_index=True)
-
-        return self._commit("delete", build, {"delete-files": len(entries)})
+        return entries
 
     def delete_by_keys(self, keys: DataFrame, key_cols: list[str] | None = None) -> MD.Snapshot:
         """Merge-on-read equality delete: persist the key tuples as an
@@ -486,9 +493,19 @@ class Table:
 
         return self._commit("delete", build, {"equality-delete-files": len(entries)})
 
-    def update(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
-        """Copy-on-write UPDATE: rewrite only files that might contain
-        matches, applying SET via when(cond, new).otherwise(old)."""
+    def update(
+        self,
+        set_exprs: dict[str, object],
+        where: E.Expr,
+        mode: str = "copy-on-write",
+    ) -> MD.Snapshot:
+        """UPDATE. Copy-on-write rewrites only files that might contain
+        matches, applying SET via when(cond, new).otherwise(old);
+        merge-on-read emits a position delete for each matched row plus
+        a new data file with the updated rows (reference
+        SparkPositionDeltaOperation / TestMergeOnReadUpdate)."""
+        if mode == "merge-on-read":
+            return self._update_mor(set_exprs, where)
         plan = self._plan_cow(where)
         paths = plan["full"] + plan["partial"]
         if not paths:
@@ -510,6 +527,43 @@ class Table:
 
         return self._commit("overwrite", build, {"rewritten-files": len(paths)})
 
+    def _update_mor(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
+        plan = self._plan_cow(where)
+        paths = plan["full"] + plan["partial"]
+        if not paths:
+            return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
+        df = self._read_files(paths, with_deletes=True, with_pos=True)
+        matches = df.filter(where.to_spark_column()).persist()
+        try:
+            del_entries = self._posdel_entries(matches)
+            if not del_entries:
+                return self._commit(
+                    "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
+                )
+            upd = matches.drop("__file_path", "__pos")
+            for col, newv in set_exprs.items():
+                newc = newv if "Column" in str(type(newv)) else F.lit(newv)
+                upd = upd.withColumn(col, newc)
+            target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+            data_entries = self._write_files(upd.select(*target_cols))
+        finally:
+            matches.unpersist()
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [
+                    dict(e, sequence_number=seq, snapshot_id=0)
+                    for e in del_entries + data_entries
+                ]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit(
+            "overwrite",
+            build,
+            {"delete-files": len(del_entries), "added-data-files": len(data_entries)},
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -517,17 +571,25 @@ class Table:
         when_matched_update: dict[str, object] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
+        mode: str = "copy-on-write",
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
         whose key ranges overlap the source's key ranges are rewritten;
-        duplicate source keys raise (the reference's MERGE cardinality
-        check, TestMerge.java)."""
+        merge-on-read: matched rows become position deletes (+ a new
+        data file when updating) and no data file is rewritten
+        (reference TestMergeOnReadMerge).  Duplicate source keys raise
+        (the reference's MERGE cardinality check, TestMerge.java)."""
         if when_matched_update and when_matched_delete:
             raise ValueError("choose one of update/delete for matched rows")
         dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
         if dup:
             raise ValueError("MERGE cardinality violation: duplicate keys in source")
+        if mode == "merge-on-read":
+            return self._merge_mor(
+                source, on, when_matched_update, when_matched_delete,
+                when_not_matched_insert,
+            )
 
         # prune candidate files by source key min/max (broadcast-collected)
         bounds = source.agg(
@@ -593,6 +655,80 @@ class Table:
             "overwrite",
             build,
             {"merged-files": len(candidates), "inserted-files": len(inserted)},
+        )
+
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, object] | None,
+        when_matched_delete: bool,
+        when_not_matched_insert: bool,
+    ) -> MD.Snapshot:
+        bounds = source.agg(
+            *[F.min(k).alias(f"min_{k}") for k in on],
+            *[F.max(k).alias(f"max_{k}") for k in on],
+        ).collect()[0]
+        key_pred: E.Expr = E.AlwaysTrue()
+        for k in on:
+            lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+            if lo is not None:
+                key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+        plan = self._plan_cow(key_pred)
+        candidates = plan["full"] + plan["partial"]
+
+        target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+        src = source.select(*[c for c in source.columns if c in target_cols or c in on])
+
+        del_entries: list[dict] = []
+        data_entries: list[dict] = []
+        if candidates and (when_matched_update or when_matched_delete):
+            tgt = self._read_files(candidates, with_deletes=True, with_pos=True)
+            matched_rows = (
+                tgt.alias("t").join(src.alias("s"), on=on, how="inner").persist()
+            )
+            try:
+                del_entries = self._posdel_entries(matched_rows)
+                if del_entries and when_matched_update:
+                    out_cols = []
+                    for c in target_cols:
+                        if c in when_matched_update:
+                            nv = when_matched_update[c]
+                            nv = nv if "Column" in str(type(nv)) else F.lit(nv)
+                            out_cols.append(nv.alias(c))
+                        else:
+                            out_cols.append(F.col(f"t.{c}").alias(c))
+                    data_entries = self._write_files(matched_rows.select(*out_cols))
+            finally:
+                matched_rows.unpersist()
+
+        inserted: list[dict] = []
+        if when_not_matched_insert:
+            existing_keys = self.to_df(select=on).select(*on).distinct()
+            new_rows = src.join(existing_keys, on=on, how="left_anti")
+            missing = [c for c in target_cols if c not in src.columns]
+            for c in missing:
+                new_rows = new_rows.withColumn(c, F.lit(None))
+            new_rows = new_rows.select(*target_cols)
+            if new_rows.limit(1).count():
+                inserted = self._write_files(new_rows)
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [
+                    dict(e, sequence_number=seq, snapshot_id=0)
+                    for e in del_entries + data_entries + inserted
+                ]
+            )
+            return pd.concat([current, add], ignore_index=True)
+
+        return self._commit(
+            "overwrite",
+            build,
+            {
+                "delete-files": len(del_entries),
+                "added-data-files": len(data_entries) + len(inserted),
+            },
         )
 
     # ------------------------------------------------------------------

@@ -239,6 +239,49 @@ def test_merge(spark, catalog):
         t.merge(bad, on=["k"])
 
 
+def test_mor_update(spark, catalog):
+    t = catalog.create_table("morupd", "a BIGINT, status STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, "open") for i in range(10)], "a BIGINT, status STRING"
+        ).coalesce(1)
+    )
+    t.update({"status": "closed"}, where=E.ge("a", 7), mode="merge-on-read")
+    rows = {r.a: r.status for r in t.to_df().collect()}
+    assert rows == {i: ("closed" if i >= 7 else "open") for i in range(10)}
+    ent = t._entries()
+    # original file kept, one posdel + one new data file added
+    assert (ent.content == "posdel").sum() == 1
+    assert (ent.content == "data").sum() == 2
+    # stacking: MoR delete after MoR update sees the updated rows
+    t.delete(E.eq("status", "closed"), mode="merge-on-read")
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(7))
+
+
+def test_mor_merge(spark, catalog):
+    t = catalog.create_table("mormrg", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k BIGINT, v STRING")
+    t.merge(src, on=["k"], when_matched_update={"v": F.col("s.v")}, mode="merge-on-read")
+    rows = dict((r.k, r.v) for r in t.to_df().collect())
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "D"}
+    ent = t._entries()
+    assert (ent.content == "posdel").sum() == 1
+    # matched-delete variant, no inserts
+    t.merge(
+        spark.createDataFrame([(1, "x")], "k BIGINT, v STRING"),
+        on=["k"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+        mode="merge-on-read",
+    )
+    assert sorted(r.k for r in t.to_df().collect()) == [2, 3, 4]
+
+
 def test_merge_delete(spark, catalog):
     t = catalog.create_table("mrgd", "k BIGINT, v STRING")
     t.append(
