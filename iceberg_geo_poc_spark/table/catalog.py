@@ -10,6 +10,7 @@ and ``add_columns`` / schema evolution land in the metadata schema log.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -125,6 +126,119 @@ class Catalog:
         t.meta.schema_log.append({"add-columns": ddl, "at": MD.now_ms()})
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
+
+    def rename_column(self, name: str, old: str, new: str) -> Table:
+        """Rename a column WITHOUT rewriting any data file — the Python
+        analogue of Iceberg's rename-by-field-id (Schema.java:51: schema
+        evolution by ID, not name).  The physical name (as written in
+        parquet) is remembered in metadata; reads alias physical ->
+        logical, writes alias back, and manifest-stats pruning remaps
+        stat keys so predicates on the new name still skip files."""
+        t = self.load_table(name)
+        logical_to_phys = {
+            t.meta.renames.get(p, p): p
+            for p in (f.split()[0] for f in _ddl_fields(t.meta.schema_ddl))
+        }
+        if old not in logical_to_phys:
+            raise KeyError(f"column {old!r} not found")
+        if new in logical_to_phys and logical_to_phys.get(new) != logical_to_phys[old]:
+            raise ValueError(f"column {new!r} already exists")
+        phys = logical_to_phys[old]
+        if new == phys:
+            t.meta.renames.pop(phys, None)
+        else:
+            t.meta.renames[phys] = new
+        t.meta.schema_log.append(
+            {"rename-column": {"from": old, "to": new}, "at": MD.now_ms()}
+        )
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def drop_column(self, name: str, column: str) -> Table:
+        """Drop a column metadata-only: data files keep the bytes, the
+        read schema simply stops projecting them (reference DeleteColumn
+        update). Refuses when a partition transform or geometry field
+        still references the column."""
+        t = self.load_table(name)
+        phys = self._physical_name(t, column)
+        for pf in t.partition_fields:
+            if pf.source == phys:
+                raise ValueError(
+                    f"cannot drop {column!r}: referenced by partition spec"
+                )
+        if phys in t.meta.geo_fields:
+            raise ValueError(f"cannot drop {column!r}: geometry field")
+        fields = [
+            f for f in _ddl_fields(t.meta.schema_ddl) if f.split()[0] != phys
+        ]
+        if len(fields) == len(_ddl_fields(t.meta.schema_ddl)):
+            raise KeyError(f"column {column!r} not found")
+        t.meta.schema_ddl = ", ".join(fields)
+        t.meta.renames.pop(phys, None)
+        t.meta.schema_log.append({"drop-column": column, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    _PROMOTIONS = {("int", "bigint"), ("float", "double")}
+
+    def promote_column_type(self, name: str, column: str, new_type: str) -> Table:
+        """Widen a column type metadata-only (INT->BIGINT, FLOAT->DOUBLE,
+        DECIMAL(p,s)->DECIMAL(p'>p,s)) — the legal primitive promotions
+        of Types.java; Spark 4's parquet reader widens on scan."""
+        t = self.load_table(name)
+        phys = self._physical_name(t, column)
+        new_fields = []
+        for f in _ddl_fields(t.meta.schema_ddl):
+            fname, ftype = f.split(None, 1)
+            if fname != phys:
+                new_fields.append(f)
+                continue
+            old_t, new_t = ftype.strip().lower(), new_type.strip().lower()
+            ok = (old_t, new_t) in self._PROMOTIONS
+            if old_t.startswith("decimal(") and new_t.startswith("decimal("):
+                op, os_ = _decimal_params(old_t)
+                np, ns = _decimal_params(new_t)
+                ok = np >= op and ns == os_
+            if not ok:
+                raise ValueError(f"illegal promotion {ftype.strip()} -> {new_type}")
+            new_fields.append(f"{fname} {new_type}")
+        if len(new_fields) == len(_ddl_fields(t.meta.schema_ddl)) and phys not in [
+            f.split()[0] for f in new_fields
+        ]:
+            raise KeyError(f"column {column!r} not found")
+        t.meta.schema_ddl = ", ".join(new_fields)
+        t.meta.schema_log.append(
+            {"promote-column": {"column": column, "to": new_type}, "at": MD.now_ms()}
+        )
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def set_identifier_fields(self, name: str, columns: list[str]) -> Table:
+        """Row-identity columns (ALTER TABLE ... SET IDENTIFIER FIELDS);
+        used as the default equality-delete / changelog-update key."""
+        t = self.load_table(name)
+        cols = t.columns()
+        for c in columns:
+            if c not in cols:
+                raise KeyError(f"column {c!r} not found")
+        t.meta.properties["identifier-fields"] = json.dumps(columns)
+        t.meta.schema_log.append({"set-identifier-fields": columns, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    def drop_identifier_fields(self, name: str) -> Table:
+        t = self.load_table(name)
+        t.meta.properties.pop("identifier-fields", None)
+        t.meta.schema_log.append({"drop-identifier-fields": True, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
+    @staticmethod
+    def _physical_name(t: Table, logical: str) -> str:
+        for p in (f.split()[0] for f in _ddl_fields(t.meta.schema_ddl)):
+            if t.meta.renames.get(p, p) == logical:
+                return p
+        return logical
 
     def alter_partition_spec(self, name: str, partition_by: list[tuple[str, str]]) -> Table:
         """Replace the partition spec; existing files keep their layout
@@ -342,6 +456,12 @@ class Catalog:
             t.meta.refs[branch] = {"snapshot-id": to_snapshot_id, "type": "branch"}
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
+
+
+def _decimal_params(t: str) -> tuple[int, int]:
+    inner = t[t.index("(") + 1 : t.index(")")]
+    p, s = inner.split(",")
+    return int(p), int(s)
 
 
 def _validate_geometry_columns(schema_ddl: str, geometry_columns: dict[str, str]) -> None:

@@ -47,14 +47,17 @@ def rewrite_data_files(
     sort_by: list[str] | None = None,
     hilbert_column: str | None = None,
     hilbert_resolution: int = 12,
+    zorder_by: list[str] | None = None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     min_input_files: int = 2,
 ) -> RewriteResult:
     """Compact data files (reference RewriteDataFilesProcedure).
 
     strategy: 'binpack' | 'sort' (with sort_by) | 'hilbert' (with
-    hilbert_column).  Only groups of >= min_input_files under the target
-    size are rewritten; large files are left in place.
+    hilbert_column) | 'zorder' (with zorder_by — the reference
+    SparkZOrderDataRewriter/SparkZOrderUDF for non-geo columns; geo
+    tables should prefer 'hilbert').  Only groups of >= min_input_files
+    under the target size are rewritten; large files are left in place.
     """
     entries = table._entries()
     data = entries[entries.content == "data"]
@@ -82,6 +85,15 @@ def rewrite_data_files(
             .sortWithinPartitions("__h")
             .drop("__h")
         )
+    elif strategy == "zorder":
+        if not zorder_by or len(zorder_by) < 2:
+            raise ValueError("zorder strategy requires >= 2 zorder_by columns")
+        df = (
+            df.withColumn("__z", _zvalue_column(df, zorder_by))
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     new_entries = table._write_files(df)
@@ -103,6 +115,61 @@ def rewrite_data_files(
         "replace", build, {"rewritten": len(paths), "added": len(new_entries)}
     )
     return RewriteResult(len(paths), len(new_entries))
+
+
+def _zvalue_column(df, cols: list[str], bits: int = 16):
+    """Interleaved-bit z-value as a pure JVM expression tree (no UDF —
+    unlike the reference's SparkZOrderUDF byte-array interleave, this
+    stays inside whole-stage codegen).  Numeric/date/timestamp columns
+    are min-max scaled to ``bits`` bits (one small driver-side agg);
+    strings fall back to a hash (bucket-like: clusters equal values,
+    no lexicographic locality)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    n = len(cols)
+    bits = min(bits, 62 // n)  # keep the interleave inside a signed long
+    mask = (1 << bits) - 1
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    exprs: dict[str, object] = {}
+    numeric_cols = []
+    for c in cols:
+        dt = schema[c]
+        if isinstance(dt, DateType):
+            exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            numeric_cols.append(c)
+        elif isinstance(dt, TimestampType):
+            exprs[c] = F.col(c).cast("double")
+            numeric_cols.append(c)
+        elif isinstance(dt, NumericType):
+            exprs[c] = F.col(c).cast("double")
+            numeric_cols.append(c)
+        else:
+            exprs[c] = F.pmod(F.xxhash64(F.col(c)), F.lit(mask + 1)).cast("long")
+    if numeric_cols:
+        row = df.agg(
+            *[F.min(exprs[c]).alias(f"mn_{c}") for c in numeric_cols],
+            *[F.max(exprs[c]).alias(f"mx_{c}") for c in numeric_cols],
+        ).collect()[0]
+    ints = []
+    for c in cols:
+        e = exprs[c]
+        if c in numeric_cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None or mx == mn:
+                e = F.lit(0).cast("long")
+            else:
+                e = F.floor(
+                    (e - F.lit(float(mn))) / F.lit(float(mx - mn)) * mask
+                ).cast("long")
+                e = F.least(F.lit(mask).cast("long"), F.greatest(F.lit(0).cast("long"), e))
+        ints.append(F.coalesce(e, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, e in enumerate(ints):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(e, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
 
 
 def rewrite_position_delete_files(

@@ -77,6 +77,10 @@ class TableMetadata:
     refs: dict[str, dict] = field(default_factory=dict)  # branches/tags
     version: int = 0
     schema_log: list[dict] = field(default_factory=list)
+    # physical column name (as written in data files) -> current logical
+    # name; the Python analogue of Iceberg's rename-by-field-id (schema
+    # evolution never rewrites data files, Schema.java:51)
+    renames: dict[str, str] = field(default_factory=dict)
 
     # ---- serialization -------------------------------------------------
     def to_json(self) -> dict:
@@ -93,6 +97,7 @@ class TableMetadata:
             "last-sequence-number": self.last_sequence_number,
             "refs": self.refs,
             "schema-log": self.schema_log,
+            "renames": self.renames,
         }
 
     @staticmethod
@@ -110,6 +115,7 @@ class TableMetadata:
             refs=o.get("refs", {}),
             version=version,
             schema_log=o.get("schema-log", []),
+            renames=o.get("renames", {}),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:

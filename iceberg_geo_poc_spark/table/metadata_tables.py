@@ -22,11 +22,28 @@ METADATA_TABLES = (
     "history",
     "entries",
     "files",
+    "data_files",
     "delete_files",
     "manifests",
+    "all_manifests",
+    "all_entries",
+    "all_files",
+    "all_data_files",
+    "all_delete_files",
+    "position_deletes",
     "partitions",
     "refs",
     "metadata_log_entries",
+)
+
+_ENTRY_COLS = [
+    "content", "file_path", "file_size", "record_count",
+    "sequence_number", "partition", "lower", "upper", "nulls", "bbox",
+]
+_ENTRY_DDL = (
+    "content STRING, file_path STRING, file_size LONG, record_count LONG, "
+    "sequence_number LONG, partition STRING, lower STRING, upper STRING, "
+    "nulls STRING, bbox STRING"
 )
 
 
@@ -60,29 +77,61 @@ def inspect(table: Table, name: str) -> DataFrame:
             "made_current_at_ms LONG, snapshot_id LONG, parent_id LONG, "
             "is_current_ancestor BOOLEAN",
         )
-    if name in ("entries", "files", "delete_files"):
-        entries = table._entries()
-        if name == "files":
+    if name in (
+        "entries", "files", "data_files", "delete_files",
+        "all_entries", "all_files", "all_data_files", "all_delete_files",
+    ):
+        if name.startswith("all_"):
+            # union across every valid snapshot, deduped by path — the
+            # reference's ALL_* metadata tables (MetadataTableType.java)
+            import pandas as pd
+
+            parts = [table._entries(s) for s in table.meta.snapshots]
+            entries = (
+                pd.concat(parts, ignore_index=True).drop_duplicates(
+                    subset=["file_path"]
+                )
+                if parts
+                else table._entries()
+            )
+            kind = name[4:]
+        else:
+            entries = table._entries()
+            kind = name
+        if kind in ("files", "data_files"):
             sub = entries[entries.content == "data"]
-        elif name == "delete_files":
+        elif kind == "delete_files":
             sub = entries[entries.content.isin(["posdel", "eqdel"])]
         else:
             sub = entries
         if sub.empty:
+            return spark.createDataFrame([], _ENTRY_DDL)
+        return spark.createDataFrame(sub[_ENTRY_COLS])
+    if name == "position_deletes":
+        # row-level content of the position-delete files (reference
+        # PositionDeletesTable): one row per deleted (file_path, pos)
+        entries = table._entries()
+        dpaths = entries[entries.content == "posdel"].file_path.tolist()
+        if not dpaths:
             return spark.createDataFrame(
-                [],
-                "content STRING, file_path STRING, file_size LONG, record_count LONG, "
-                "sequence_number LONG, partition STRING, lower STRING, upper STRING, "
-                "nulls STRING, bbox STRING",
+                [], "file_path STRING, pos LONG, delete_file STRING"
             )
-        cols = [
-            "content", "file_path", "file_size", "record_count",
-            "sequence_number", "partition", "lower", "upper", "nulls", "bbox",
-        ]
-        return spark.createDataFrame(sub[cols])
-    if name == "manifests":
+        return (
+            spark.read.parquet(*dpaths)
+            .withColumn(
+                "delete_file",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .select("file_path", "pos", "delete_file")
+        )
+    if name in ("manifests", "all_manifests"):
+        snaps = (
+            table.meta.snapshots
+            if name == "all_manifests"
+            else ([table.current_snapshot()] if table.current_snapshot() else [])
+        )
         rows = []
-        for s in table.meta.snapshots:
+        for s in snaps:
             p = os.path.join(table.location, s.manifest)
             rows.append(
                 (s.manifest, os.path.getsize(p) if os.path.exists(p) else None,

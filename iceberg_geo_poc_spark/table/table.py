@@ -90,7 +90,50 @@ class Table:
         return self.meta.properties.get("write.format.default", "parquet")
 
     def schema_ddl(self) -> str:
-        return self.meta.schema_ddl
+        """LOGICAL schema DDL (post-rename names, user-facing)."""
+        ren = self.meta.renames
+        if not ren:
+            return self.meta.schema_ddl
+        parts = []
+        for f in _ddl_fields(self.meta.schema_ddl):
+            name, rest = f.split(None, 1)
+            parts.append(f"{ren.get(name, name)} {rest}")
+        return ", ".join(parts)
+
+    def columns(self) -> list[str]:
+        """Logical column names in schema order."""
+        ren = self.meta.renames
+        return [
+            ren.get(f.split()[0], f.split()[0])
+            for f in _ddl_fields(self.meta.schema_ddl)
+        ]
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        for phys, log in self.meta.renames.items():
+            if log != phys and phys in df.columns:
+                df = df.withColumnRenamed(phys, log)
+        return df
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        for phys, log in self.meta.renames.items():
+            if log != phys and log in df.columns:
+                df = df.withColumnRenamed(log, phys)
+        return df
+
+    def _file_stats(self, row) -> "M.FileStats":
+        """Manifest-entry stats with keys remapped physical -> logical so
+        predicates over renamed columns still prune (rename never
+        rewrites files or manifests; the map bridges old stats keys)."""
+        stats = M.file_stats_of(row)
+        ren = self.meta.renames
+        if not ren:
+            return stats
+        remap = lambda d: {ren.get(k, k): v for k, v in d.items()}  # noqa: E731
+        stats.lower = remap(stats.lower)
+        stats.upper = remap(stats.upper)
+        stats.nulls = remap(stats.nulls)
+        stats.bbox = remap(stats.bbox)
+        return stats
 
     def refresh(self) -> "Table":
         self.meta = MD.read_metadata(self.meta.location)
@@ -200,6 +243,7 @@ class Table:
 
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Write df as data files; return entry dicts (no seq/snap)."""
+        df = self._to_physical(df)
         stage = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
         fmt = self.file_format
         pcols = self._partition_columns()
@@ -345,7 +389,7 @@ class Table:
         return self.scan(**scan_kwargs).to_df()
 
     def _empty_df(self) -> DataFrame:
-        return self.spark.createDataFrame([], self.meta.schema_ddl)
+        return self.spark.createDataFrame([], self.schema_ddl())
 
     # ------------------------------------------------------------------
     # row-level operations
@@ -360,7 +404,7 @@ class Table:
         for row in entries.itertuples():
             if row.content != "data":
                 continue
-            stats = M.file_stats_of(row)
+            stats = self._file_stats(row)
             if not where.might_match_file(stats):
                 continue
             if where.all_rows_match_file(stats) and not self._has_deletes(entries, row.file_path):
@@ -461,7 +505,9 @@ class Table:
         matching rows only in data files with a strictly LOWER sequence
         number, so rows appended after the delete keep the key.
         """
-        key_cols = key_cols or list(keys.columns)
+        if key_cols is None:
+            idf = self.meta.properties.get("identifier-fields")
+            key_cols = json.loads(idf) if idf else list(keys.columns)
         stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
         keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage)
         dpaths = _list_parquet(stage)
@@ -544,7 +590,7 @@ class Table:
             for col, newv in set_exprs.items():
                 newc = newv if "Column" in str(type(newv)) else F.lit(newv)
                 upd = upd.withColumn(col, newc)
-            target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+            target_cols = self.columns()
             data_entries = self._write_files(upd.select(*target_cols))
         finally:
             matches.unpersist()
@@ -604,7 +650,7 @@ class Table:
         plan = self._plan_cow(key_pred)
         candidates = plan["full"] + plan["partial"]
 
-        target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+        target_cols = self.columns()
         src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         rewritten: list[dict] = []
@@ -677,7 +723,7 @@ class Table:
         plan = self._plan_cow(key_pred)
         candidates = plan["full"] + plan["partial"]
 
-        target_cols = [f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)]
+        target_cols = self.columns()
         src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         del_entries: list[dict] = []
@@ -749,6 +795,7 @@ class Table:
         for c in df.columns:
             if c.startswith("__p_"):
                 df = df.drop(c)
+        df = self._to_logical(df)
         need_pos = with_pos or with_deletes
         if need_pos:
             if with_pos and fmt != "parquet":
@@ -879,7 +926,7 @@ class TableScan:
                 if row.content != "data":
                     continue
                 if self.where is not None:
-                    if not self.where.might_match_file(M.file_stats_of(row)):
+                    if not self.where.might_match_file(self.table._file_stats(row)):
                         continue
                 keep.append(row.file_path)
             self._planned = keep

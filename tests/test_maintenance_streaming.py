@@ -55,6 +55,51 @@ def test_compaction_sort(spark, catalog):
     assert sorted(r.a for r in t.to_df().collect()) == list(range(40))
 
 
+def test_compaction_zorder(spark, catalog):
+    t = catalog.create_table("cmpz", "x BIGINT, y BIGINT")
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 37 % 100, i * 61 % 100) for i in range(k * 20, k * 20 + 20)],
+                "x BIGINT, y BIGINT",
+            ).coalesce(1)
+        )
+    before = {(r.x, r.y) for r in t.to_df().collect()}
+    with pytest.raises(ValueError, match="zorder_by"):
+        rewrite_data_files(t, strategy="zorder", zorder_by=["x"])
+    res = rewrite_data_files(
+        t, strategy="zorder", zorder_by=["x", "y"], target_file_size=1 << 20
+    )
+    assert res.rewritten_files == 3
+    assert {(r.x, r.y) for r in t.to_df().collect()} == before
+
+
+def test_zvalue_interleave_properties(spark):
+    """z-value is monotone along the diagonal and interleaves within
+    the long range (SparkZOrderUDF contract, property-form)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table.maintenance import _zvalue_column
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "x BIGINT, y BIGINT")
+    vals = [
+        r.z
+        for r in df.select(F.col("x"), _zvalue_column(df, ["x", "y"]).alias("z"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert vals == sorted(vals)
+    assert all(0 <= v < (1 << 62) for v in vals)
+    # string columns fall back to hash bucketing: equal values equal z
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "s STRING, n BIGINT"
+    )
+    zs = [
+        r.z for r in df2.select(_zvalue_column(df2, ["s", "n"]).alias("z")).collect()
+    ]
+    assert zs[0] == zs[1]
+
+
 def test_compaction_with_mor_deletes(spark, catalog):
     t = _mk(spark, catalog, "cmpd")
     t.delete(E.lt("a", 5), mode="merge-on-read")
@@ -99,7 +144,21 @@ def test_metadata_tables(spark, catalog):
     parts = inspect(t, "partitions")
     assert parts.count() == 1  # unpartitioned: single empty partition tuple
     rewrite_manifests(t)
-    assert inspect(t, "manifests").count() == 3
+    # manifests = current snapshot's manifest; all_manifests = every snapshot's
+    assert inspect(t, "manifests").count() == 1
+    assert inspect(t, "all_manifests").count() == 3
+    # data_files aliases files; all_data_files spans snapshots (deduped)
+    assert inspect(t, "data_files").count() == 2
+    assert inspect(t, "all_data_files").count() == 2
+
+
+def test_position_deletes_metadata_table(spark, catalog):
+    t = _mk(spark, catalog, "posdelmeta", n_appends=1, rows_per=10)
+    t.delete(E.lt("a", 3), mode="merge-on-read")
+    pd_tbl = inspect(t, "position_deletes")
+    assert pd_tbl.count() == 3
+    assert set(pd_tbl.columns) == {"file_path", "pos", "delete_file"}
+    assert sorted(r.pos for r in pd_tbl.collect()) == [0, 1, 2]
 
 
 def test_stats_fastpath(spark, catalog):

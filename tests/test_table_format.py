@@ -292,6 +292,69 @@ def test_merge_delete(spark, catalog):
     assert sorted(r.k for r in t.to_df().collect()) == [1, 3]
 
 
+def test_rename_column_no_rewrite(spark, catalog):
+    """Rename never rewrites data files (Iceberg evolution-by-id
+    posture, Schema.java:51): reads alias physical->logical, stats
+    pruning bridges old manifest keys, writes alias back."""
+    t = catalog.create_table("ren", "a BIGINT, b STRING")
+    t.append(
+        spark.createDataFrame([(1, "x"), (2, "y")], "a BIGINT, b STRING").coalesce(1)
+    )
+    files_before = set(t._entries().file_path)
+    catalog.rename_column("ren", "b", "label")
+    t = catalog.load_table("ren")
+    assert t.columns() == ["a", "label"]
+    assert {(r.a, r.label) for r in t.to_df().collect()} == {(1, "x"), (2, "y")}
+    assert set(t._entries().file_path) == files_before
+    # predicate on the NEW name prunes via the OLD stats keys
+    scan = t.scan(where=E.eq("label", "x"))
+    assert [r.a for r in scan.to_df().collect()] == [1]
+    # writes after rename land under the physical name and read back
+    t.append(spark.createDataFrame([(3, "z")], "a BIGINT, label STRING"))
+    assert {(r.a, r.label) for r in t.to_df().collect()} == {
+        (1, "x"), (2, "y"), (3, "z"),
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.rename_column("ren", "label", "a")
+    # renaming back to the physical name clears the mapping
+    catalog.rename_column("ren", "label", "b")
+    assert catalog.load_table("ren").meta.renames == {}
+
+
+def test_drop_and_promote_column(spark, catalog):
+    t = catalog.create_table("evo2", "a INT, b FLOAT, c STRING")
+    t.append(spark.createDataFrame([(1, 1.5, "x")], "a INT, b FLOAT, c STRING"))
+    catalog.drop_column("evo2", "c")
+    t = catalog.load_table("evo2")
+    assert t.columns() == ["a", "b"]
+    assert t.to_df().columns == ["a", "b"]
+    # legal widenings are metadata-only; Spark's parquet reader widens
+    catalog.promote_column_type("evo2", "a", "BIGINT")
+    catalog.promote_column_type("evo2", "b", "DOUBLE")
+    t = catalog.load_table("evo2")
+    assert {f.name: f.dataType.simpleString() for f in t.to_df().schema.fields} == {
+        "a": "bigint", "b": "double",
+    }
+    row = t.to_df().collect()[0]
+    assert row.a == 1 and abs(row.b - 1.5) < 1e-9
+    with pytest.raises(ValueError, match="illegal promotion"):
+        catalog.promote_column_type("evo2", "a", "INT")
+
+
+def test_identifier_fields_default_eq_delete_key(spark, catalog):
+    t = catalog.create_table("idf", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING"))
+    catalog.set_identifier_fields("idf", ["k"])
+    t = catalog.load_table("idf")
+    # delete_by_keys with no key_cols defaults to the identifier fields
+    t.delete_by_keys(spark.createDataFrame([(1, "zz")], "k BIGINT, v STRING"))
+    assert [r.k for r in t.to_df().collect()] == [2]
+    with pytest.raises(KeyError):
+        catalog.set_identifier_fields("idf", ["nope"])
+    catalog.drop_identifier_fields("idf")
+    assert "identifier-fields" not in catalog.load_table("idf").meta.properties
+
+
 def test_schema_evolution_and_geo_ddl(spark, catalog):
     t = catalog.create_table("evo", "id INT, data STRING, geomtext STRING, raw BINARY")
     t.append(
