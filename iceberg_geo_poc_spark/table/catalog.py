@@ -92,7 +92,11 @@ class Catalog:
         return out
 
     def drop_table(self, name: str) -> None:
-        shutil.rmtree(self._table_location(name))
+        loc = self._table_location(name)
+        if os.path.islink(loc):
+            os.unlink(loc)  # registered table: unregister, leave data in place
+        else:
+            shutil.rmtree(loc)
 
     # ------------------------------------------------------------------
     # DDL
@@ -369,6 +373,52 @@ class Catalog:
 
         t._commit("append", build, {"added-files": len(entries), "imported": True})
         return t
+
+    def snapshot_table(self, source: str, dest: str) -> Table:
+        """Zero-copy testing clone (reference SnapshotTableProcedure):
+        the new table's metadata references the SOURCE's data files by
+        absolute path; new writes land under the clone's own location,
+        so dropping the clone never touches source data."""
+        src_loc = self._table_location(source)
+        dest_loc = self._table_location(dest)
+        if os.path.exists(dest_loc):
+            raise ValueError(f"table {dest!r} already exists")
+        self.load_table(source)  # validate source
+        os.makedirs(dest_loc)
+        shutil.copytree(
+            MD.metadata_dir(src_loc), MD.metadata_dir(dest_loc), dirs_exist_ok=True
+        )
+        meta = MD.read_metadata(dest_loc)
+        meta.location = dest_loc
+        meta.properties = dict(meta.properties, **{"snapshot-source": source})
+        MD.write_new_metadata(meta, meta.version)
+        return self.load_table(dest)
+
+    def register_table(self, name: str, metadata_location: str) -> Table:
+        """Register an existing table directory (with its metadata/ log)
+        under a new name in this catalog without moving anything
+        (reference RegisterTableProcedure)."""
+        dest = self._table_location(name)
+        if os.path.exists(dest):
+            raise ValueError(f"table {name!r} already exists")
+        MD.read_metadata(metadata_location)  # validate before linking
+        os.symlink(metadata_location, dest, target_is_directory=True)
+        return self.load_table(name)
+
+    def migrate_parquet(self, name: str, directory: str, schema_ddl: str) -> Table:
+        """Adopt a plain parquet directory as a managed table in place —
+        no data copied, manifests built from the existing footers
+        (reference MigrateTableProcedure over a Spark parquet table)."""
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(directory)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if not paths:
+            raise ValueError(f"no parquet files under {directory}")
+        self.create_table(name, schema_ddl)
+        return self.add_files(name, paths)
 
     def ancestors_of(self, name: str, snapshot_id: int | None = None) -> list[MD.Snapshot]:
         """Snapshot lineage walk, newest first (reference

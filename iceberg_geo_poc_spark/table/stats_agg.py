@@ -36,7 +36,7 @@ def try_stats_aggregate(table: Table, aggs: list[str]) -> list | None:
         parsed.append((m.group(1).lower(), m.group(2)))
 
     entries = table._entries()
-    if (entries.content == "posdel").any():
+    if entries.content.isin(["posdel", "eqdel"]).any():
         return None  # deleted rows make stats counts wrong -> full scan
     data = entries[entries.content == "data"]
 
@@ -47,7 +47,7 @@ def try_stats_aggregate(table: Table, aggs: list[str]) -> list | None:
             continue
         lows, highs, nulls, rows = [], [], 0, 0
         for row in data.itertuples():
-            stats = M.file_stats_of(row)
+            stats = table._file_stats(row)
             rows += stats.record_count
             if col in stats.nulls:
                 nulls += stats.nulls[col]

@@ -152,6 +152,17 @@ def test_metadata_tables(spark, catalog):
     assert inspect(t, "all_data_files").count() == 2
 
 
+def test_stats_fastpath_bails_on_equality_deletes(spark, catalog):
+    t = _mk(spark, catalog, "sfeq", n_appends=1, rows_per=10)
+    assert try_stats_aggregate(t, ["count(*)"]) == [10]
+    t.delete_by_keys(
+        spark.createDataFrame([(1,)], "a BIGINT"), key_cols=["a"]
+    )
+    # equality deletes make manifest counts wrong -> must bail
+    assert try_stats_aggregate(t, ["count(*)"]) is None
+    assert t.to_df().count() == 9
+
+
 def test_position_deletes_metadata_table(spark, catalog):
     t = _mk(spark, catalog, "posdelmeta", n_appends=1, rows_per=10)
     t.delete(E.lt("a", 3), mode="merge-on-read")

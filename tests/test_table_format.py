@@ -585,6 +585,43 @@ def test_add_files_registers_without_copy(spark, catalog, tmp_path):
     assert len(t.scan(where=E.ge("a", 100)).files()) == 0
 
 
+def test_snapshot_table_zero_copy_clone(spark, catalog):
+    t = catalog.create_table("snapsrc", "a BIGINT")
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "a BIGINT"))
+    clone = catalog.snapshot_table("snapsrc", "snapdst")
+    assert sorted(r.a for r in clone.to_df().collect()) == list(range(10))
+    # clone references the source's data files (zero copy)
+    assert set(clone.scan().files()) == set(catalog.load_table("snapsrc").scan().files())
+    # writes to the clone don't touch the source
+    clone.append(spark.createDataFrame([(100,)], "a BIGINT"))
+    assert catalog.load_table("snapsrc").to_df().count() == 10
+    assert clone.to_df().count() == 11
+    # dropping the clone leaves the source intact
+    catalog.drop_table("snapdst")
+    assert catalog.load_table("snapsrc").to_df().count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.snapshot_table("snapsrc", "snapsrc")
+
+
+def test_register_and_migrate(spark, catalog, tmp_path):
+    # register: adopt another catalog's table dir under a new name
+    other = Catalog(str(tmp_path / "otherwh"), spark)
+    src = other.create_table("ext", "a BIGINT")
+    src.append(spark.createDataFrame([(1,), (2,)], "a BIGINT"))
+    reg = catalog.register_table("adopted", src.location)
+    assert sorted(r.a for r in reg.to_df().collect()) == [1, 2]
+    catalog.drop_table("adopted")  # unregisters only
+    assert other.load_table("ext").to_df().count() == 2
+    # migrate: adopt a bare parquet directory in place
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k BIGINT, v DOUBLE"
+    ).repartition(3).write.parquet(raw)
+    t = catalog.migrate_parquet("migrated", raw, "k BIGINT, v DOUBLE")
+    assert t.to_df().count() == 30
+    assert all(p.startswith(raw) for p in t.scan().files())
+
+
 def test_views_create_load_replace(spark, catalog):
     t = catalog.create_table("vsrc", "a BIGINT, grp STRING")
     t.append(
