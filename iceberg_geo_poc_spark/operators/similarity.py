@@ -140,6 +140,69 @@ def lsh_knn_topk(
     return _topk(_scored_pairs(probes, cand, ["bucket"]), k).orderBy("ia", "rank")
 
 
+def ivf_knn_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_probes: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` clusters, then each probe searches only its
+    ``nprobe`` nearest clusters.
+
+    The coarse quantizer is deterministic — centroids are the first
+    ``n_centroids`` corpus vectors (sampled-centroid IVF) — so the
+    candidate set, and therefore the whole result, is oracle-checkable.
+
+    Scale shape: the centroid table is tiny and broadcast, so cluster
+    assignment is a map-side cross join + partial-aggregable
+    max(struct(cos, cid)) — no shuffle of the corpus until the final
+    per-probe top-k window, which sees only candidate-cluster rows.  At
+    100 TB the assignment would be *persisted* as a hidden partition
+    column (cluster :: embedding what bucket :: key), making the probe
+    join a partition-pruned read instead of a recompute.
+    """
+    base = with_norm(emb)
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = base.crossJoin(cents).withColumn(
+        "ccos",
+        F.round(F.expr(dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")), 6),
+    )
+    # nearest centroid per vector: partial-aggregable, ties -> max cid
+    assign = (
+        scored.groupBy("vec_id", "embedding", "nrm")
+        .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+        .select(
+            F.col("vec_id").alias("ib"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+            F.col("m.cid").alias("cluster"),
+        )
+    )
+    pw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.desc("cid"))
+    probe_clusters = F.broadcast(
+        scored.filter(F.col("vec_id") < n_probes)
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= nprobe)
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    return _topk(_scored_pairs(probe_clusters, assign, ["cluster"]), k).orderBy(
+        "ia", "rank"
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= threshold, LSH-blocked.
 

@@ -199,6 +199,41 @@ def sim_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_knn",
+    oracle=f"""
+    WITH {_DUCK_NORMED},
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+    scored AS (
+      SELECT n.vec_id, n.v, n.nrm, c.cid,
+             ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS ccos
+      FROM n CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id AS ib, v AS vb, nrm AS nb, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    pc AS (
+      SELECT vec_id AS ia, v AS va, nrm AS na, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cid DESC) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+    p AS (
+      SELECT pc.ia, a.ib,
+             ROUND(list_dot_product(pc.va, a.vb) / (pc.na * a.nb), 6) AS cosine
+      FROM pc JOIN assign a USING (cluster) WHERE pc.ia != a.ib),
+    r AS (SELECT ia, ib, cosine,
+                 row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib) AS rank
+          FROM p)
+    SELECT ia, ib, cosine, rank FROM r WHERE rank <= 5 ORDER BY ia, rank
+    """,
+)
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (sampled-centroid) approximate top-5, nprobe=2 — the scale
+    path where cluster id becomes a hidden partition column."""
+    return similarity.ivf_knn_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "sim_embedding_neardup",
     oracle=f"""
     WITH {_DUCK_NORMED},

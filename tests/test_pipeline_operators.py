@@ -92,6 +92,22 @@ def test_lsh_knn_subset_of_bucket(emb):
         assert buckets[r["ia"]] == buckets[r["ib"]]
 
 
+def test_ivf_knn_recall_vs_brute(emb):
+    """IVF top-k with nprobe=2 recovers most of the brute-force top-k
+    (recall bound), and every candidate comes from a probed cluster."""
+    brute = similarity.knn_cosine_topk(emb, n_probes=5, k=5).collect()
+    ivf = similarity.ivf_knn_topk(emb, n_probes=5, k=5, nprobe=2).collect()
+    truth = {(r["ia"], r["ib"]) for r in brute}
+    got = {(r["ia"], r["ib"]) for r in ivf}
+    assert len(got & truth) / len(truth) >= 0.5
+    # rank contract identical to brute force
+    by_probe: dict = {}
+    for r in ivf:
+        by_probe.setdefault(r["ia"], []).append(r["rank"])
+    for ranks in by_probe.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_language_id_full_coverage(docs):
     out = text.language_id(docs)
     assert out.count() == docs.count()
