@@ -131,6 +131,31 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    def set_write_order(
+        self, name: str, order_by: list[str], distribution_mode: str = "range"
+    ) -> Table:
+        """ALTER TABLE ... WRITE [DISTRIBUTED BY PARTITION] LOCALLY
+        ORDERED BY (reference SparkWriteConf DistributionMode +
+        SetWriteDistributionAndOrdering): future writes range- or
+        hash-distribute and locally sort, so per-file min/max ranges
+        tighten and stats pruning gets selective."""
+        if distribution_mode not in ("none", "hash", "range"):
+            raise ValueError(f"unknown distribution mode {distribution_mode!r}")
+        t = self.load_table(name)
+        phys = [self._physical_name(t, c) for c in order_by]
+        cols = [f.split()[0] for f in _ddl_fields(t.meta.schema_ddl)]
+        for c in phys:
+            if c not in cols:
+                raise KeyError(f"column {c!r} not found")
+        t.meta.properties["write.sort-order"] = json.dumps(phys)
+        t.meta.properties["write.distribution-mode"] = distribution_mode
+        t.meta.schema_log.append(
+            {"set-write-order": {"order": order_by, "mode": distribution_mode},
+             "at": MD.now_ms()}
+        )
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
     def rename_column(self, name: str, old: str, new: str) -> Table:
         """Rename a column WITHOUT rewriting any data file — the Python
         analogue of Iceberg's rename-by-field-id (Schema.java:51: schema

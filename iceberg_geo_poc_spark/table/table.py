@@ -250,10 +250,24 @@ class Table:
         out = df
         for cname, pf in pcols:
             out = out.withColumn(cname, pf.transform.spark_column(pf.source))
-        if pcols:
+        # write distribution & ordering (reference SparkWriteConf
+        # DistributionMode NONE/HASH/RANGE + local sort, SURVEY 4.9)
+        order = json.loads(self.meta.properties.get("write.sort-order", "[]"))
+        mode = self.meta.properties.get(
+            "write.distribution-mode", "hash" if pcols else "none"
+        )
+        part_exprs = [F.col(c) for c, _ in pcols]
+        if mode == "range" and (part_exprs or order):
+            out = out.repartitionByRange(
+                *part_exprs, *[F.col(c) for c in order]
+            )
+        elif mode == "hash" and part_exprs:
             # hash-distribute by partition tuple so each partition's rows
             # co-locate (SparkWriteConf DistributionMode.HASH analogue)
-            out = out.repartition(*[F.col(c) for c, _ in pcols])
+            out = out.repartition(*part_exprs)
+        if order:
+            out = out.sortWithinPartitions(*[c for c, _ in pcols], *order)
+        if pcols:
             out.write.format(fmt).partitionBy([c for c, _ in pcols]).save(stage)
         else:
             out.write.format(fmt).save(stage)

@@ -585,6 +585,42 @@ def test_add_files_registers_without_copy(spark, catalog, tmp_path):
     assert len(t.scan(where=E.ge("a", 100)).files()) == 0
 
 
+def test_write_order_tightens_pruning(spark, catalog):
+    """WRITE ORDERED BY + range distribution => disjoint per-file
+    min/max => selective stats pruning (SetWriteDistributionAndOrdering
+    behavior contract)."""
+    t = catalog.create_table("worder", "a BIGINT, b STRING")
+    catalog.set_write_order("worder", ["a"], distribution_mode="range")
+    t = catalog.load_table("worder")
+    import random
+
+    rng = random.Random(7)
+    vals = list(range(400))
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v, f"r{v}") for v in vals], "a BIGINT, b STRING")
+    # AQE would coalesce this tiny shuffle to one partition; pin it off
+    # so the range distribution is observable in file counts
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t.append(df.repartition(4))  # input arrives unsorted and hash-scattered
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    n_files = t.scan().total_data_files()
+    assert n_files > 1
+    # a narrow range must hit exactly one file after range distribution
+    scan = t.scan(where=E.ge("a", 10) & E.le("a", 12))
+    assert len(scan.files()) == 1
+    assert sorted(r.a for r in scan.to_df().collect()) == [10, 11, 12]
+    # rows are locally sorted inside each file
+    for p in t.scan().files():
+        vals_in_file = [r.a for r in spark.read.parquet(p).collect()]
+        assert vals_in_file == sorted(vals_in_file)
+    with pytest.raises(ValueError, match="distribution mode"):
+        catalog.set_write_order("worder", ["a"], distribution_mode="zigzag")
+
+
 def test_snapshot_table_zero_copy_clone(spark, catalog):
     t = catalog.create_table("snapsrc", "a BIGINT")
     t.append(spark.createDataFrame([(i,) for i in range(10)], "a BIGINT"))
