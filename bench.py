@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     ("geo_window", "geo_points_in_window"),
     ("dedup_minhash", "dedup_minhash_lsh"),
     ("knn_cosine", "sim_knn_cosine_topk"),
+    # MoR read overhead: scan with position-delete anti-join applied
+    # (reference IcebergSourceParquetPosDeleteBenchmark shape)
+    ("mor_read", "managed_mor_delete"),
 ]
 
 

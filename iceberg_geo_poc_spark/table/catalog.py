@@ -142,11 +142,20 @@ class Catalog:
         if distribution_mode not in ("none", "hash", "range"):
             raise ValueError(f"unknown distribution mode {distribution_mode!r}")
         t = self.load_table(name)
-        phys = [self._physical_name(t, c) for c in order_by]
         cols = [f.split()[0] for f in _ddl_fields(t.meta.schema_ddl)]
-        for c in phys:
-            if c not in cols:
+        phys = []
+        for c in order_by:
+            if c.startswith("hilbert(") and c.endswith(")"):
+                # WRITE ORDERED BY hilbert(geom): spatial clustering order
+                inner = self._physical_name(t, c[8:-1].strip())
+                if inner not in t.meta.geo_fields:
+                    raise ValueError(f"hilbert order needs a geometry field, got {inner!r}")
+                phys.append(f"hilbert({inner})")
+                continue
+            pc = self._physical_name(t, c)
+            if pc not in cols:
                 raise KeyError(f"column {c!r} not found")
+            phys.append(pc)
         t.meta.properties["write.sort-order"] = json.dumps(phys)
         t.meta.properties["write.distribution-mode"] = distribution_mode
         t.meta.schema_log.append(

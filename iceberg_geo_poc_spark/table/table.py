@@ -256,17 +256,30 @@ class Table:
         mode = self.meta.properties.get(
             "write.distribution-mode", "hash" if pcols else "none"
         )
+        order_exprs, tmp_order_cols = [], []
+        for i, o in enumerate(order):
+            if o.startswith("hilbert(") and o.endswith(")"):
+                from iceberg_geo_poc_spark.geo.functions import st_hilbert
+
+                c = f"__ord_{i}"
+                out = out.withColumn(c, st_hilbert(o[8:-1], 12))
+                tmp_order_cols.append(c)
+                order_exprs.append(F.col(c))
+            else:
+                order_exprs.append(F.col(o))
         part_exprs = [F.col(c) for c, _ in pcols]
-        if mode == "range" and (part_exprs or order):
-            out = out.repartitionByRange(
-                *part_exprs, *[F.col(c) for c in order]
-            )
+        if mode == "range" and (part_exprs or order_exprs):
+            out = out.repartitionByRange(*part_exprs, *order_exprs)
         elif mode == "hash" and part_exprs:
             # hash-distribute by partition tuple so each partition's rows
             # co-locate (SparkWriteConf DistributionMode.HASH analogue)
             out = out.repartition(*part_exprs)
-        if order:
-            out = out.sortWithinPartitions(*[c for c, _ in pcols], *order)
+        if order_exprs:
+            out = out.sortWithinPartitions(
+                *[F.col(c) for c, _ in pcols], *order_exprs
+            )
+        for c in tmp_order_cols:
+            out = out.drop(c)
         if pcols:
             out.write.format(fmt).partitionBy([c for c, _ in pcols]).save(stage)
         else:

@@ -621,6 +621,43 @@ def test_write_order_tightens_pruning(spark, catalog):
         catalog.set_write_order("worder", ["a"], distribution_mode="zigzag")
 
 
+def test_hilbert_write_order_clusters_spatially(spark, catalog):
+    """WRITE ORDERED BY hilbert(geom): one shuffled append lands
+    spatially clustered, so a quadrant window prunes files."""
+    t = catalog.create_table(
+        "whilb", "id BIGINT, geom BINARY", geometry_columns={"geom": "wkb"}
+    )
+    catalog.set_write_order("whilb", ["hilbert(geom)"], distribution_mode="range")
+    t = catalog.load_table("whilb")
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        q = i % 4
+        sx, sy = (1, -1, -1, 1)[q], (1, 1, -1, -1)[q]
+        rows.append(
+            (i, bytearray(geometry_to_wkb(Point(sx * rng.uniform(1, 9),
+                                                sy * rng.uniform(1, 9)))))
+        )
+    rng.shuffle(rows)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        t.append(spark.createDataFrame(rows, "id BIGINT, geom BINARY").repartition(4))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    n_files = t.scan().total_data_files()
+    assert n_files >= 4
+    # a one-quadrant window must NOT touch every file
+    scan = t.scan(where=E.st_intersects("geom", box(0.5, 0.5, 9.5, 9.5)))
+    assert len(scan.files()) < n_files
+    assert scan.to_df().count() == 100
+    with pytest.raises(ValueError, match="geometry field"):
+        catalog.set_write_order("whilb", ["hilbert(id)"])
+
+
 def test_snapshot_table_zero_copy_clone(spark, catalog):
     t = catalog.create_table("snapsrc", "a BIGINT")
     t.append(spark.createDataFrame([(i,) for i in range(10)], "a BIGINT"))
