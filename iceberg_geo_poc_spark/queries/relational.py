@@ -1131,3 +1131,171 @@ def join_spj_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 6).alias("total_qty"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, l.l_suppkey, ROUND(l.l_extendedprice, 2) AS best_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 10
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey, l.l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated scalar-min subquery (argmin per group).
+    Spark plan: per-part min aggregated once, then an equi-join back —
+    the decorrelated form Catalyst produces for the SQL variant."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    best = li.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            best,
+            (part.p_partkey == F.col("bk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            part.p_partkey,
+            "l_suppkey",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+        .orderBy("p_partkey", "l_suppkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) >
+           (SELECT SUM(l_extendedprice * l_quantity) * 0.0005 FROM lineitem)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: HAVING against a scalar subquery over the same fact —
+    one full-table scalar agg broadcast into the group filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    total = li.agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))).collect()[0][0]
+    return (
+        li.select("l_partkey", val)
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("raw"))
+        .filter(F.col("raw") > total * 0.0005)
+        .select("l_partkey", F.round("raw", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregated CTE reused twice (join input + scalar max)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    mx = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            revenue.filter(F.col("total_revenue") == mx),
+            sup.s_suppkey == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated AVG subquery -> per-part avg join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-avg filter + NOT EXISTS anti join + group."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal")
+    ).collect()[0][0]
+    return (
+        cust.filter(F.col("c_acctbal") > avg_pos)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
