@@ -333,3 +333,57 @@ def simhash_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy("hamming", "ia", "ib")
         .limit(top_k)
     )
+
+
+def duplicate_cluster_representatives(pairs: DataFrame) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS: for every doc that has at
+    least one duplicate partner, emit the cluster representative (the
+    smallest doc_id reachable through the duplicate graph) — the "keep
+    one copy per cluster" step of a dedup pipeline.
+
+    Smallest-label propagation: each round every node adopts
+    min(own label, neighbors' labels); converges in O(cluster diameter)
+    rounds.  Near-dup clusters are shallow (pairs come from a similarity
+    threshold), so 2-4 rounds suffice at any corpus size; each round is
+    one edge-join + one min-aggregate, both partial-aggregable, and the
+    working set is |docs in pairs|, not corpus size.  Label state is
+    localCheckpoint()ed per round to keep lineage flat (the standard
+    Spark iterative-algorithm posture).
+    """
+    edges = pairs.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
+    ).localCheckpoint()
+    while True:
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("rep").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_min"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "rep").orderBy("doc_id")

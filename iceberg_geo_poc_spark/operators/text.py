@@ -141,3 +141,27 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             f"(acc, w) -> (acc * {FP_BASE} + {h} % {MERSENNE_P}) % {MERSENNE_P})"
         ).alias("fingerprint"),
     )
+
+
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_PATTERN = "[0-9]{6,}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails and long digit
+    runs with placeholder tokens and collapse runs of whitespace.
+
+    Pure `regexp_replace`/`regexp_count` expressions — whole-stage
+    codegen, zero shuffles, trivially parallel at any corpus size.  The
+    patterns are deliberately RE2-compatible so the DuckDB oracle runs
+    the identical regexes.
+    """
+    clean = F.regexp_replace(F.col("text"), EMAIL_PATTERN, "<EMAIL>")
+    clean = F.regexp_replace(clean, LONGNUM_PATTERN, "<NUM>")
+    clean = F.trim(F.regexp_replace(clean, "[ \\t\\n]+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(LONGNUM_PATTERN)).alias("n_longnums"),
+    )

@@ -130,6 +130,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    shared AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      FROM inv a JOIN inv b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia, ib FROM shared
+      JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib AS a, ia AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> CLUSTER representatives (min doc_id reachable in
+    the duplicate graph) via smallest-label propagation; the oracle
+    computes the same transitive closure with a recursive CTE."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicate_cluster_representatives(pairs)
+
+
 # ------------------------------------------------------------ similarity
 
 _DIM = 64
@@ -343,6 +374,28 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '{text.LONGNUM_PATTERN}', '<NUM>', 'g'),
+             '[ \\t\\n]+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.LONGNUM_PATTERN}')) AS INT)
+             AS n_longnums
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / long digit runs / whitespace collapse) —
+    identical RE2-compatible regexes run on both engines."""
+    return text.redact_pii(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------ multimodal

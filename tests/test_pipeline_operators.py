@@ -146,3 +146,33 @@ def test_multimodal_schema_and_determinism(docs):
     a = {r["doc_id"]: r["content_md5"] for r in feats.collect()}
     b = {r["doc_id"]: r["content_md5"] for r in feats.collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_cluster_representatives_chain(spark):
+    """Label propagation converges across multi-hop chains: 20-21-22-23
+    needs >1 round to agree on rep=20."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "ia BIGINT, ib BIGINT",
+    )
+    out = {
+        (r.doc_id, r.rep)
+        for r in dedup.duplicate_cluster_representatives(pairs).collect()
+    }
+    assert out == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_redact_pii_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com  or\tcall 12345678 x"), (2, "clean")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert rows[1].clean_text == "mail <EMAIL> or call <NUM> x"
+    assert rows[1].n_emails == 1 and rows[1].n_longnums == 1
+    assert rows[2].clean_text == "clean"
+    assert rows[2].n_emails == 0 and rows[2].n_longnums == 0
