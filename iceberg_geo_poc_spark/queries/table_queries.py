@@ -188,6 +188,38 @@ def managed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_changelog_apply",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN event_type = 'click' THEN value + 5.0
+                      ELSE value END, 6) AS value
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def managed_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a mirror maintained purely from the source's changelog
+    (delete + CoW-update commits) converges to the source state."""
+    from iceberg_geo_poc_spark.streaming.incremental import apply_changelog
+
+    def build(cat, tname):
+        src = cat.create_table(tname, _EVENTS_DDL)
+        mirror = cat.create_table(tname + "_mirror", _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        src.append(df.repartition(2))
+        mirror.append(df.repartition(2))
+        s1 = src.current_snapshot().snapshot_id
+        src.delete(E.eq("event_type", "error"))
+        src.update({"value": F.col("value") + 5.0}, where=E.eq("event_type", "click"))
+        apply_changelog(src, mirror, ["event_id"], from_snapshot_id=s1)
+        return mirror
+
+    t = _managed(spark, sf_dir, "cdc_apply", build)
+    return t.to_df().select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "managed_mor_update",
     oracle="""
     SELECT event_id, event_type,

@@ -185,6 +185,68 @@ def compute_updates(diff: DataFrame, identifier_columns: list[str]) -> DataFrame
     return pre.unionByName(post).unionByName(only_del).unionByName(only_ins)
 
 
+def apply_changelog(
+    source: Table,
+    target: Table,
+    identifier_columns: list[str],
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> dict:
+    """Apply the source table's net row changes to a downstream mirror —
+    incremental materialized-view maintenance driven by the changelog
+    (the reference's CreateChangelogViewProcedure consumption pattern).
+
+    Deletes and update preimages become one equality-delete file on the
+    target; inserts and update postimages append after it, so the
+    sequence-number visibility rule replays the change order exactly
+    (an inserted key survives the delete that precedes it).  Cost
+    tracks the CHANGE volume, never the size of either table.
+    """
+    from pyspark.sql import Window
+
+    diff = changelog(source, from_snapshot_id, to_snapshot_id)
+    net = compute_updates(diff, identifier_columns)
+    # last-writer-wins per key across the window: snapshot ids are not
+    # ordered, sequence numbers are — join the (tiny) id->seq map in
+    seq_rows = [
+        (s.snapshot_id, s.sequence_number) for s in source.meta.snapshots
+    ]
+    seq_df = source.spark.createDataFrame(
+        seq_rows, "_commit_snapshot_id LONG, __seq LONG"
+    )
+    w = Window.partitionBy(*identifier_columns).orderBy(
+        F.desc("__seq"),
+        # within one commit a pre/post pair shares the key: post wins
+        F.desc(
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), 1
+            ).otherwise(0)
+        ),
+    )
+    last = (
+        net.join(F.broadcast(seq_df), "_commit_snapshot_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .persist()
+    )
+    try:
+        dels = last.select(*identifier_columns).distinct()
+        ins = last.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_snapshot_id", "__seq", "__rn")
+        # delete every changed key first, then append final states: the
+        # equality-delete sequence rule replays the order correctly
+        n_del = dels.count()
+        if n_del:
+            target.delete_by_keys(dels, identifier_columns)
+        n_ins = ins.count()
+        if n_ins:
+            target.append(ins)
+    finally:
+        last.unpersist()
+    return {"deleted-keys": n_del, "inserted-rows": n_ins}
+
+
 class IncrementalStream:
     """availableNow micro-batch consumer with admission control.
 

@@ -7,6 +7,7 @@ import pytest
 
 from iceberg_geo_poc_spark.streaming.incremental import (
     IncrementalStream,
+    apply_changelog,
     changelog,
     incremental_read,
 )
@@ -362,3 +363,31 @@ def test_incremental_stream_record_admission(spark, catalog):
         sizes.append(b.count())
     assert sum(sizes) == 40
     assert sizes == [20, 20]  # 2 files of 10 fit in each 25-record budget
+
+
+def test_apply_changelog_mirrors_source(spark, catalog):
+    """CDC apply: after a delete + two successive updates of the same
+    key across separate commits, the mirror equals the source
+    (last-writer-wins across the window, replayed via eq-delete+append)."""
+    src = catalog.create_table("cdc_src", "k BIGINT, v STRING")
+    mirror = catalog.create_table("cdc_dst", "k BIGINT, v STRING")
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k BIGINT, v STRING"
+    )
+    src.append(df0.coalesce(1))
+    mirror.append(df0.coalesce(1))
+    s1 = src.current_snapshot().snapshot_id
+    src.delete(E.lt("k", 2))
+    src.update({"v": "first"}, where=E.eq("k", 5))
+    src.update({"v": "second"}, where=E.eq("k", 5))
+    src.append(spark.createDataFrame([(100, "new")], "k BIGINT, v STRING"))
+    stats = apply_changelog(src, mirror, ["k"], from_snapshot_id=s1)
+    assert stats["deleted-keys"] >= 3
+    want = sorted((r.k, r.v) for r in src.to_df().collect())
+    got = sorted((r.k, r.v) for r in mirror.to_df().collect())
+    assert got == want
+    assert dict(want)[5] == "second"
+    # idempotent-per-window follow-up: a fresh window with no changes
+    s2 = src.current_snapshot().snapshot_id
+    stats2 = apply_changelog(src, mirror, ["k"], from_snapshot_id=s2)
+    assert stats2 == {"deleted-keys": 0, "inserted-rows": 0}

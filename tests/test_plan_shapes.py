@@ -44,3 +44,35 @@ def test_q1_stays_in_wholestage_codegen(spark, sf_dir):
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(1)" in plan and "*(2)" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_q22_anti_join_and_broadcast(spark, sf_dir):
+    df = R.q22_idle_rich_customers(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # NOT EXISTS compiles to a broadcast anti join (orders side filtered
+    # to urgent first, so the build side stays small)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_argmin_join_no_cartesian(spark, sf_dir):
+    df = R.q2_min_cost_supplier(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # part dimension broadcast into the fact scan side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_stays_in_codegen(spark, sf_dir):
+    """The z-value expression is pure bit arithmetic — it must not fall
+    out of whole-stage codegen into Python."""
+    from iceberg_geo_poc_spark.table.maintenance import _zvalue_column
+
+    df = spark.range(1000).selectExpr("id AS x", "id * 7 % 100 AS y")
+    z = df.select(_zvalue_column(df, ["x", "y"]).alias("z"))
+    z.collect()
+    plan = _plan(z)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
