@@ -365,6 +365,21 @@ def st_envelope_udf(wkb: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_makeenvelope_udf(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    from iceberg_geo_poc_spark.geo.geometry import box as _box
+
+    out = []
+    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
+        if a is None or b is None or c is None or d is None:
+            out.append(None)
+        else:
+            out.append(geometry_to_wkb(_box(float(a), float(b), float(c), float(d))))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
 def st_centroid_udf(wkb: pd.Series) -> pd.Series:
     return pd.Series(
         [None if v is None else geometry_to_wkb(geometry_from_wkb(v).centroid()) for v in wkb]
@@ -430,6 +445,10 @@ def st_contains(a, b) -> Column:
 
 def st_distance(a, b) -> Column:
     return st_distance_udf(_c(a), _c(b))
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    return st_makeenvelope_udf(_c(xmin), _c(ymin), _c(xmax), _c(ymax))
 
 
 def st_hilbert(

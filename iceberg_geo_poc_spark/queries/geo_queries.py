@@ -151,3 +151,50 @@ def geo_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("h") / 256).cast("long").alias("h_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "geo_spatial_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    rects AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 170.0 AS x0,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 80.0 AS y0
+      FROM supplier)
+    SELECT r.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pts
+    FROM rects r JOIN pts p
+      ON p.lon BETWEEN r.x0 AND r.x0 + 8.0
+     AND p.lat BETWEEN r.y0 AND r.y0 + 8.0
+    GROUP BY r.s_suppkey
+    ORDER BY r.s_suppkey
+    """,
+)
+def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial join (grid-blocked PBSM, geo/spatial_join.py):
+    lineitem points x supplier rectangles, verified against a plain
+    coordinate range join in the oracle."""
+    from iceberg_geo_poc_spark.geo.functions import st_makeenvelope
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "geom")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("x0"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("y0"),
+    )
+    rects = sup.withColumn(
+        "rgeom",
+        st_makeenvelope(
+            "x0", "y0", F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0)
+        ),
+    ).select("s_suppkey", "rgeom")
+    j = grid_spatial_join(
+        pts, rects, left_geom="geom", right_geom="rgeom", cell_size=20.0
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .orderBy("s_suppkey")
+    )

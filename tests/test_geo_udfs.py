@@ -81,3 +81,81 @@ def test_distance_and_covers_sql(spark, geo_df):
     ).collect()[0]
     assert row.d == pytest.approx(5.0)
     assert row.c is True
+
+
+def test_grid_spatial_join_matches_brute_force(spark):
+    """Grid-blocked spatial join == brute-force cross join + predicate,
+    including rectangles spanning multiple cells (duplicate-avoidance
+    reference-point rule) and disjoint pairs."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_intersects,
+        st_makeenvelope,
+        st_point,
+    )
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(-50, 50), rng.uniform(-50, 50)) for i in range(300)],
+        "pid BIGINT, px DOUBLE, py DOUBLE",
+    ).withColumn("geom", st_point("px", "py"))
+    rects = spark.createDataFrame(
+        [
+            (
+                j,
+                rng.uniform(-55, 35),
+                rng.uniform(-55, 35),
+                rng.uniform(0.5, 25.0),  # some rects span several 10° cells
+                rng.uniform(0.5, 25.0),
+            )
+            for j in range(40)
+        ],
+        "rid BIGINT, x0 DOUBLE, y0 DOUBLE, w DOUBLE, h DOUBLE",
+    ).withColumn(
+        "geom",
+        st_makeenvelope(
+            "x0", "y0", F.col("x0") + F.col("w"), F.col("y0") + F.col("h")
+        ),
+    )
+    got = {
+        (r.pid, r.rid)
+        for r in grid_spatial_join(
+            pts.select("pid", "geom"), rects.select("rid", "geom"), cell_size=10.0
+        ).collect()
+    }
+    brute = {
+        (r.pid, r.rid)
+        for r in pts.select("pid", "px", "py")
+        .crossJoin(rects.select("rid", "x0", "y0", "w", "h"))
+        .filter(
+            (F.col("px") >= F.col("x0"))
+            & (F.col("px") <= F.col("x0") + F.col("w"))
+            & (F.col("py") >= F.col("y0"))
+            & (F.col("py") <= F.col("y0") + F.col("h"))
+        )
+        .collect()
+    }
+    assert got == brute and len(brute) > 50
+    # rect-rect join too (both sides multi-cell)
+    got2 = {
+        (r.rid, r.rid_2)
+        for r in grid_spatial_join(
+            rects.select("rid", "geom"),
+            rects.select(F.col("rid").alias("rid_2"), "geom"),
+            cell_size=10.0,
+        ).collect()
+    }
+    brute2 = set()
+    rows = rects.select("rid", "x0", "y0", "w", "h").collect()
+    for a in rows:
+        for b in rows:
+            if (
+                a.x0 <= b.x0 + b.w and a.x0 + a.w >= b.x0
+                and a.y0 <= b.y0 + b.h and a.y0 + a.h >= b.y0
+            ):
+                brute2.add((a.rid, b.rid))
+    assert got2 == brute2
