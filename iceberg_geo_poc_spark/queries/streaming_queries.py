@@ -92,3 +92,54 @@ def stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _managed(spark, sf_dir, "stream_sink", build)
     return t.to_df().select("event_id", "event_type", "user_id")
+
+
+@query(
+    "stream_datasource_read",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value FROM events
+    """,
+)
+def stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A managed table consumed through the registered Python DataSource
+    as a REAL Structured Streaming source (snapshot offsets, availableNow)
+    into a memory sink — SparkMicroBatchStream parity end-to-end."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.queries.table_queries import _managed
+    from iceberg_geo_poc_spark.session import load_table
+    from iceberg_geo_poc_spark.streaming.datasource import TableDataSource
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        )
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        # two appends -> two snapshots -> two offsets in one availableNow run
+        t.append(df.filter("event_id % 2 = 0").repartition(2))
+        t.append(df.filter("event_id % 2 = 1").repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "ds_read", build)
+    spark.dataSource.register(TableDataSource)
+    view = f"ds_read_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        spark.readStream.format("iceberg_geo_poc")
+        .option("location", t.location)
+        .load()
+        .writeStream.format("memory")
+        .queryName(view)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="igps_ds_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(view).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
