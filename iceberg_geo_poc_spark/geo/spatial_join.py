@@ -58,14 +58,19 @@ def grid_spatial_join(
     left_geom: str = "geom",
     right_geom: str = "geom",
     cell_size: float = 10.0,
+    distance: float | None = None,
 ) -> DataFrame:
-    """Pairs of (left row, right row) whose geometries intersect.
+    """Pairs of (left row, right row) whose geometries intersect — or,
+    with ``distance=d``, lie within distance d (st_dwithin semantics:
+    the right side's envelopes and cells are dilated by d, the exact
+    predicate becomes ``st_distance <= d``).
 
     Column names of the two inputs must be disjoint apart from the
     geometry columns (standard join hygiene).  Returns all left + right
     columns; geometry columns keep their original names (the right one
     is suffixed with `_r` when both sides use the same name).
     """
+    d = float(distance) if distance is not None else 0.0
     rg = right_geom
     if right_geom == left_geom:
         rg = f"{right_geom}_r"
@@ -78,10 +83,10 @@ def grid_spatial_join(
         .withColumn("__cell", F.explode(_cells_expr("__l", cell_size)))
     )
     R = (
-        right.withColumn("__rxmin", st_xmin_udf(F.col(rg)))
-        .withColumn("__rymin", st_ymin_udf(F.col(rg)))
-        .withColumn("__rxmax", st_xmax_udf(F.col(rg)))
-        .withColumn("__rymax", st_ymax_udf(F.col(rg)))
+        right.withColumn("__rxmin", st_xmin_udf(F.col(rg)) - F.lit(d))
+        .withColumn("__rymin", st_ymin_udf(F.col(rg)) - F.lit(d))
+        .withColumn("__rxmax", st_xmax_udf(F.col(rg)) + F.lit(d))
+        .withColumn("__rymax", st_ymax_udf(F.col(rg)) + F.lit(d))
         .withColumn("__cell", F.explode(_cells_expr("__r", cell_size)))
     )
     joined = L.join(R, "__cell")
@@ -100,7 +105,12 @@ def grid_spatial_join(
         (F.floor(refx / cell_size).cast("int") == F.col("__cell.cx"))
         & (F.floor(refy / cell_size).cast("int") == F.col("__cell.cy"))
     )
-    out = joined.filter(st_intersects(F.col(left_geom), F.col(rg)))
+    if distance is None:
+        out = joined.filter(st_intersects(F.col(left_geom), F.col(rg)))
+    else:
+        from iceberg_geo_poc_spark.geo.functions import st_distance
+
+        out = joined.filter(st_distance(F.col(left_geom), F.col(rg)) <= distance)
     drop = [
         "__cell",
         "__lxmin", "__lymin", "__lxmax", "__lymax",

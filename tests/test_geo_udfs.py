@@ -159,3 +159,44 @@ def test_grid_spatial_join_matches_brute_force(spark):
             ):
                 brute2.add((a.rid, b.rid))
     assert got2 == brute2
+
+
+def test_grid_spatial_join_distance_variant(spark):
+    """distance=d variant == brute-force st_dwithin, across cell
+    boundaries (right-side envelope dilation)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import st_point
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    rng = random.Random(5)
+    a = spark.createDataFrame(
+        [(i, rng.uniform(-30, 30), rng.uniform(-30, 30)) for i in range(150)],
+        "aid BIGINT, ax DOUBLE, ay DOUBLE",
+    ).withColumn("geom", st_point("ax", "ay"))
+    b = spark.createDataFrame(
+        [(j, rng.uniform(-30, 30), rng.uniform(-30, 30)) for j in range(150)],
+        "bid BIGINT, bx DOUBLE, by DOUBLE",
+    ).withColumn("geom", st_point("bx", "by"))
+    got = {
+        (r.aid, r.bid)
+        for r in grid_spatial_join(
+            a.select("aid", "geom"), b.select("bid", "geom"),
+            cell_size=10.0, distance=3.0,
+        ).collect()
+    }
+    brute = {
+        (r.aid, r.bid)
+        for r in a.select("aid", "ax", "ay")
+        .crossJoin(b.select("bid", "bx", "by"))
+        .filter(
+            F.sqrt(
+                (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+            )
+            <= 3.0
+        )
+        .collect()
+    }
+    assert got == brute and len(brute) > 20
