@@ -131,6 +131,23 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    def alter_table_properties(
+        self, name: str, set_props: dict[str, str] | None = None,
+        unset: list[str] | None = None,
+    ) -> Table:
+        """SET/UNSET TBLPROPERTIES (reference UpdateProperties)."""
+        t = self.load_table(name)
+        for k, v in (set_props or {}).items():
+            t.meta.properties[k] = str(v)
+        for k in unset or []:
+            t.meta.properties.pop(k, None)
+        t.meta.schema_log.append(
+            {"set-properties": set_props or {}, "unset": unset or [],
+             "at": MD.now_ms()}
+        )
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
     def set_write_order(
         self, name: str, order_by: list[str], distribution_mode: str = "range"
     ) -> Table:

@@ -229,14 +229,26 @@ def rewrite_position_delete_files(
     return RewriteResult(len(old_paths), len(new_entries))
 
 
-def expire_snapshots(table: Table, keep_last: int = 1) -> dict:
-    """Drop all but the last ``keep_last`` snapshots; physically delete
-    manifests and data/delete files only reachable from expired ones."""
+def expire_snapshots(
+    table: Table, keep_last: int = 1, older_than_ms: int | None = None
+) -> dict:
+    """Drop old snapshots; physically delete manifests and data/delete
+    files only reachable from expired ones (reference
+    ExpireSnapshotsSparkAction: retain-last + older-than compose, and
+    branch/tag heads are always retained)."""
     meta = table.meta
     if len(meta.snapshots) <= keep_last:
         return {"expired": 0, "deleted_files": 0}
     keep = meta.snapshots[-keep_last:]
+    if older_than_ms is not None:
+        keep += [
+            s
+            for s in meta.snapshots
+            if s.timestamp_ms >= older_than_ms and s not in keep
+        ]
     ref_ids = {r["snapshot-id"] for r in meta.refs.values()}
+    if meta.current_snapshot_id is not None:
+        ref_ids.add(meta.current_snapshot_id)  # rollback target stays live
     keep += [s for s in meta.snapshots if s.snapshot_id in ref_ids and s not in keep]
     expired = [s for s in meta.snapshots if s not in keep]
 

@@ -443,3 +443,24 @@ def test_python_datasource_batch_and_stream(spark, catalog, tmp_path):
     # no new data -> restart appends nothing (exactly-once)
     run_once()
     assert spark.read.parquet(out).count() == 15
+
+
+def test_expire_snapshots_older_than_keeps_recent(spark, catalog):
+    t = _mk(spark, catalog, "expold", n_appends=3)
+    cutoff = t.snapshots()[1].timestamp_ms  # keep snapshots 2,3
+    stats = expire_snapshots(t, keep_last=1, older_than_ms=cutoff)
+    assert stats["expired"] == 1
+    t = catalog.load_table("expold")
+    assert len(t.snapshots()) == 2
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(30))
+
+
+def test_alter_table_properties(spark, catalog):
+    t = _mk(spark, catalog, "props", n_appends=1)
+    catalog.alter_table_properties(
+        "props", set_props={"commit.retry.num-retries": "3", "custom": "x"}
+    )
+    t = catalog.load_table("props")
+    assert t.meta.properties["custom"] == "x"
+    catalog.alter_table_properties("props", unset=["custom"])
+    assert "custom" not in catalog.load_table("props").meta.properties
