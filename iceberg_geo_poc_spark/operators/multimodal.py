@@ -123,3 +123,74 @@ def extract_features(media: DataFrame) -> DataFrame:
     batch fits comfortably in a python worker.
     """
     return media.mapInPandas(_extract_batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing over mapInPandas: batch shape, schema, and the
+    per-batch vectorization are real; the pixel work is a deterministic
+    fake (md5 of payload + target dims) because no codec library ships
+    in this container — swap the inner lambda for a PIL resize in prod.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": width,
+                    "new_height": height,
+                    "resized_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b) + tag).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling plumbing: each payload is treated as a container
+    with ``len(payload) // 1000 + 1`` frames; every ``every_n``-th frame
+    row is emitted (row explosion happens INSIDE the Arrow batch — the
+    output/input row ratio is the operator's fan-out, not a join).
+    Frame decode is the deterministic fake md5(payload + "-" + idx).
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // 1000 + 1
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(b + f"-{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s}
+            )
+
+    return media.mapInPandas(_batches, FRAME_SCHEMA)

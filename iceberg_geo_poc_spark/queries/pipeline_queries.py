@@ -425,6 +425,44 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + doc_id % 512 AS INT) AS width,
+           CAST(64 + doc_id % 384 AS INT) AS height,
+           CAST(64 AS INT) AS new_width,
+           CAST(64 AS INT) AS new_height,
+           md5(text || '64x64') AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (decode stubbed, batch shape real): the
+    deterministic fake output is byte-reproducible by the oracle."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, 64, 64)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, text, UNNEST(generate_series(0, length(text) // 1000, 4))
+             AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(text || '-' || frame_idx) AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: in-batch row explosion, every 4th
+    frame of len//1000+1 synthetic frames per payload."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(media, every_n=4)
+
+
 # minhash signature self-check: rows-only (signatures are not expressible
 # in one readable SQL statement but the LSH pipeline above hash-checks
 # their effect end-to-end).

@@ -176,3 +176,17 @@ def test_redact_pii_tokens(spark):
     assert rows[1].n_emails == 1 and rows[1].n_longnums == 1
     assert rows[2].clean_text == "clean"
     assert rows[2].n_emails == 0 and rows[2].n_longnums == 0
+
+
+def test_frame_sample_fanout(spark):
+    """One 9500-byte payload -> 10 frames -> sampled 0,4,8 (in-batch
+    row explosion, deterministic frame ids)."""
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 9500), "u", "png", 8, 8)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_video_frames(media, every_n=4).collect()
+    assert [r.frame_idx for r in rows] == [0, 4, 8]
+    assert len({r.frame_md5 for r in rows}) == 3
+    resized = multimodal.resize_images(media, 32, 16).collect()[0]
+    assert (resized.new_width, resized.new_height) == (32, 16)
