@@ -221,8 +221,26 @@ def write_manifest(df: pd.DataFrame, path: str) -> None:
     df.to_parquet(path, index=False)
 
 
+_MANIFEST_CACHE: "dict[str, pd.DataFrame]" = {}
+_MANIFEST_CACHE_MAX = 64
+
+
 def read_manifest(path: str) -> pd.DataFrame:
-    return pd.read_parquet(path)
+    """Manifest read with a small driver-side cache.
+
+    Manifest files are immutable once written (one `snap-<id>.parquet`
+    per snapshot, never rewritten in place), so caching by path alone is
+    safe; this removes repeated parquet decode from the planning hot
+    path (the reference caches manifests in its ManifestFiles cache the
+    same way)."""
+    hit = _MANIFEST_CACHE.get(path)
+    if hit is not None:
+        return hit
+    df = pd.read_parquet(path)
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[path] = df
+    return df
 
 
 def file_stats_of(row) -> FileStats:

@@ -203,7 +203,10 @@ class Table:
         later via Catalog.cherrypick_snapshot / publish_changes).
         ``to_branch`` commits on top of a branch ref and advances that
         ref instead of main (reference branch writes, toBranch)."""
-        for _attempt in range(_MAX_COMMIT_RETRIES):
+        retries = int(
+            self.meta.properties.get("commit.retry.num-retries", _MAX_COMMIT_RETRIES)
+        )
+        for _attempt in range(retries):
             base = MD.read_metadata(self.location) if _attempt else self.meta
             if to_branch is not None:
                 ref = base.refs.get(to_branch)
@@ -233,7 +236,7 @@ class Table:
                 return snap
             except MD.CommitConflict:
                 continue
-        raise MD.CommitConflict(f"commit failed after {_MAX_COMMIT_RETRIES} retries")
+        raise MD.CommitConflict(f"commit failed after {retries} retries")
 
     # ------------------------------------------------------------------
     # write path
