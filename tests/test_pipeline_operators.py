@@ -190,3 +190,30 @@ def test_frame_sample_fanout(spark):
     assert len({r.frame_md5 for r in rows}) == 3
     resized = multimodal.resize_images(media, 32, 16).collect()[0]
     assert (resized.new_width, resized.new_height) == (32, 16)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join output == plain join, on a skewed key distribution
+    (90% of big-side rows share one key)."""
+    from iceberg_geo_poc_spark.operators.skew import salted_join, two_phase_count
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(2000)], "k BIGINT, v BIGINT"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 2000, 7)] + [(1, "hot")],
+        "k BIGINT, name STRING",
+    )
+    got = salted_join(big, small, ["k"], salt=8).groupBy("k").count()
+    want = big.join(small, ["k"]).groupBy("k").count()
+    assert {(r.k, r["count"]) for r in got.collect()} == {
+        (r.k, r["count"]) for r in want.collect()
+    }
+    # left join keeps unmatched big rows exactly once
+    got_l = salted_join(big, small, ["k"], salt=8, how="left").count()
+    assert got_l == big.join(small, ["k"], "left").count()
+    counts = {r.k: r.n for r in two_phase_count(big, "k", salt=8).collect()}
+    assert counts[1] == 1800  # the hot key: every i with i % 10 != 0
+    assert counts == {
+        r.k: r["count"] for r in big.groupBy("k").count().collect()
+    }
