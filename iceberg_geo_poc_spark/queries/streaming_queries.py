@@ -143,3 +143,18 @@ def stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(view).select(
         "event_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (click -> purchase within 1h)."""
+    return S.click_purchase_join(spark, sf_dir)

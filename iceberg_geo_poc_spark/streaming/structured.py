@@ -179,3 +179,46 @@ def stream_append_to_table(spark: SparkSession, sf_dir: str, table) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each click joined
+    to the same user's purchases within the following hour.
+
+    Both sides carry watermarks, so at steady state the join buffers
+    only ~watermark-window of rows per side (state is bounded by the
+    time-interval condition — the canonical Structured Streaming
+    stream-stream join posture; without the bounds Spark would refuse
+    to clean state)."""
+    clicks = (
+        load_stream(spark, sf_dir, "events")
+        .filter("event_type = 'click'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        load_stream(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    return run_to_completion(
+        j.select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        ),
+        output_mode="append",
+    )
