@@ -44,7 +44,7 @@ class Expr:
     def negate(self) -> "Expr":
         return Not(self)
 
-    def to_spark_column(self) -> Column:
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
         raise NotImplementedError
 
     def might_match_file(self, stats: "FileStats") -> bool:
@@ -75,7 +75,7 @@ class FileStats:
 
 @dataclass(frozen=True)
 class AlwaysTrue(Expr):
-    def to_spark_column(self) -> Column:
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
         return F.lit(True)
 
     def might_match_file(self, stats: FileStats) -> bool:
@@ -93,7 +93,7 @@ class AlwaysTrue(Expr):
 
 @dataclass(frozen=True)
 class AlwaysFalse(Expr):
-    def to_spark_column(self) -> Column:
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
         return F.lit(False)
 
     def might_match_file(self, stats: FileStats) -> bool:
@@ -114,8 +114,8 @@ class And(Expr):
     left: Expr
     right: Expr
 
-    def to_spark_column(self) -> Column:
-        return self.left.to_spark_column() & self.right.to_spark_column()
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
+        return self.left.to_spark_column(geo_encodings) & self.right.to_spark_column(geo_encodings)
 
     def might_match_file(self, stats: FileStats) -> bool:
         return self.left.might_match_file(stats) and self.right.might_match_file(stats)
@@ -135,8 +135,8 @@ class Or(Expr):
     left: Expr
     right: Expr
 
-    def to_spark_column(self) -> Column:
-        return self.left.to_spark_column() | self.right.to_spark_column()
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
+        return self.left.to_spark_column(geo_encodings) | self.right.to_spark_column(geo_encodings)
 
     def might_match_file(self, stats: FileStats) -> bool:
         return self.left.might_match_file(stats) or self.right.might_match_file(stats)
@@ -155,8 +155,8 @@ class Or(Expr):
 class Not(Expr):
     child: Expr
 
-    def to_spark_column(self) -> Column:
-        return ~self.child.to_spark_column()
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
+        return ~self.child.to_spark_column(geo_encodings)
 
     def might_match_file(self, stats: FileStats) -> bool:
         # inclusive NOT: cannot prune unless the child strictly matches
@@ -196,7 +196,7 @@ class Predicate(Expr):
         return Not(self)
 
     # -- row-level (residual) -------------------------------------------
-    def to_spark_column(self) -> Column:
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
         c = F.col(self.column)
         op, v = self.op, self.value
         if op == "eq":
@@ -339,7 +339,7 @@ class SpatialPredicate(Expr):
     def references(self) -> set[str]:
         return {self.column}
 
-    def to_spark_column(self) -> Column:
+    def to_spark_column(self, geo_encodings: "dict | None" = None) -> Column:
         from iceberg_geo_poc_spark.geo.functions import (
             geo_literal,
             st_covers_udf,
@@ -347,10 +347,19 @@ class SpatialPredicate(Expr):
         )
 
         lit = geo_literal(self.value)
+        col = F.col(self.column)
+        enc = (geo_encodings or {}).get(self.column)
+        if enc and enc not in ("wkb", "ewkb"):
+            # wkt/geojson columns are STRING physically: decode to WKB
+            # first (reference readers decode by declared encoding the
+            # same way, ParquetGeometryValueReaders)
+            from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
+
+            col = convert_encoding_udf(enc, "wkb")(col)
         if self.op == "st_intersects":
-            cond = st_intersects_udf(F.col(self.column), lit)
+            cond = st_intersects_udf(col, lit)
         elif self.op == "st_covers":
-            cond = st_covers_udf(F.col(self.column), lit)
+            cond = st_covers_udf(col, lit)
         else:
             raise ValueError(f"unknown spatial op {self.op}")
         # three-valued semantics: NULL geometry rows do not match

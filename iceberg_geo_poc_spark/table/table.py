@@ -452,7 +452,7 @@ class Table:
         if not paths:
             return []
         df = self._read_files(paths, with_deletes=True)
-        kept = df.filter(keep.to_spark_column())
+        kept = df.filter(keep.to_spark_column(self.geo_fields))
         return self._write_files(kept)
 
     def delete(self, where: E.Expr, mode: str = "copy-on-write") -> MD.Snapshot:
@@ -487,7 +487,7 @@ class Table:
         if not paths:
             return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
         df = self._read_files(paths, with_deletes=True, with_pos=True)
-        matches = df.filter(where.to_spark_column())
+        matches = df.filter(where.to_spark_column(self.geo_fields))
         entries = self._posdel_entries(matches)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -587,7 +587,7 @@ class Table:
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
         df = self._read_files(paths, with_deletes=True)
-        cond = where.to_spark_column()
+        cond = where.to_spark_column(self.geo_fields)
         for col, newv in set_exprs.items():
             newc = newv if hasattr(newv, "_jc") or str(type(newv)).find("Column") >= 0 else F.lit(newv)
             df = df.withColumn(col, F.when(cond, newc).otherwise(F.col(col)))
@@ -609,7 +609,7 @@ class Table:
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
         df = self._read_files(paths, with_deletes=True, with_pos=True)
-        matches = df.filter(where.to_spark_column()).persist()
+        matches = df.filter(where.to_spark_column(self.geo_fields)).persist()
         try:
             del_entries = self._posdel_entries(matches)
             if not del_entries:
@@ -976,7 +976,7 @@ class TableScan:
             )
             if self.where is not None:
                 # inclusive pruning => full predicate re-applied as residual
-                df = df.filter(self.where.to_spark_column())
+                df = df.filter(self.where.to_spark_column(self.table.geo_fields))
         if self.select:
             df = df.select(*self.select)
         return df

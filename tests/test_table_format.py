@@ -741,3 +741,32 @@ def test_branch_writes_and_fast_forward_main(spark, catalog):
     # unknown branch refused
     with pytest.raises(KeyError):
         t.append(spark.createDataFrame([(4,)], "a BIGINT"), to_branch="nope")
+
+
+@pytest.mark.parametrize("enc", ["ewkb", "wkb", "wkt", "geojson"])
+def test_quadrant_scan_all_encodings(spark, catalog, enc):
+    """Write->prune->residual across all 4 geometry encodings
+    (reference TestGeometryReadersAndWriters parameterization :75-78);
+    wkt/geojson are STRING physically and decode inside the predicate."""
+    from iceberg_geo_poc_spark.geo.encoding import encode
+
+    phys = "STRING" if enc in ("wkt", "geojson") else "BINARY"
+    t = catalog.create_table(
+        f"genc_{enc}", f"id BIGINT, geom {phys}", geometry_columns={"geom": enc}
+    )
+    next_id = 0
+    for quadrant in range(4):
+        rows = []
+        for k in range(1, 11):
+            sx = (1, -1, -1, 1)[quadrant]
+            sy = (1, 1, -1, -1)[quadrant]
+            v = encode(Point(float(sx * k), float(sy * k)), enc)
+            rows.append((next_id, bytearray(v) if phys == "BINARY" else v))
+            next_id += 1
+        t.append(
+            spark.createDataFrame(rows, f"id BIGINT, geom {phys}").coalesce(1)
+        )
+    scan = t.scan(where=E.st_intersects("geom", box(0.5, 0.5, 10.5, 10.5)))
+    assert scan.total_data_files() == 4
+    assert len(scan.files()) == 1  # bbox pruning works off encoded stats
+    assert scan.to_df().count() == 10  # residual decodes the encoding
