@@ -79,8 +79,14 @@ def rewrite_data_files(
             raise ValueError("hilbert strategy requires hilbert_column")
         from iceberg_geo_poc_spark.geo.functions import st_hilbert
 
+        hsrc = F.col(hilbert_column)
+        enc = table.geo_fields.get(hilbert_column)
+        if enc and enc not in ("wkb", "ewkb"):
+            from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
+
+            hsrc = convert_encoding_udf(enc, "wkb")(hsrc)
         df = (
-            df.withColumn("__h", st_hilbert(hilbert_column, hilbert_resolution))
+            df.withColumn("__h", st_hilbert(hsrc, hilbert_resolution))
             .repartitionByRange(n_out, "__h")
             .sortWithinPartitions("__h")
             .drop("__h")

@@ -264,8 +264,15 @@ class Table:
             if o.startswith("hilbert(") and o.endswith(")"):
                 from iceberg_geo_poc_spark.geo.functions import st_hilbert
 
+                gcol = o[8:-1]
+                src = F.col(gcol)
+                enc = self.geo_fields.get(gcol)
+                if enc and enc not in ("wkb", "ewkb"):
+                    from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
+
+                    src = convert_encoding_udf(enc, "wkb")(src)
                 c = f"__ord_{i}"
-                out = out.withColumn(c, st_hilbert(o[8:-1], 12))
+                out = out.withColumn(c, st_hilbert(src, 12))
                 tmp_order_cols.append(c)
                 order_exprs.append(F.col(c))
             else:

@@ -770,3 +770,21 @@ def test_quadrant_scan_all_encodings(spark, catalog, enc):
     assert scan.total_data_files() == 4
     assert len(scan.files()) == 1  # bbox pruning works off encoded stats
     assert scan.to_df().count() == 10  # residual decodes the encoding
+
+
+def test_hilbert_write_order_wkt_encoding(spark, catalog):
+    """hilbert(geom) write order on a WKT-encoded (STRING) geometry
+    column: encoding conversion happens before the curve UDF."""
+    from iceberg_geo_poc_spark.geo.encoding import encode
+
+    t = catalog.create_table(
+        "whilbwkt", "id BIGINT, geom STRING", geometry_columns={"geom": "wkt"}
+    )
+    catalog.set_write_order("whilbwkt", ["hilbert(geom)"], distribution_mode="range")
+    t = catalog.load_table("whilbwkt")
+    rows = [
+        (i, encode(Point(float(i % 20 - 10), float(i % 14 - 7)), "wkt"))
+        for i in range(100)
+    ]
+    t.append(spark.createDataFrame(rows, "id BIGINT, geom STRING"))
+    assert t.to_df().count() == 100
