@@ -252,7 +252,13 @@ class Table:
         pcols = self._partition_columns()
         out = df
         for cname, pf in pcols:
-            out = out.withColumn(cname, pf.transform.spark_column(pf.source))
+            src = pf.source
+            enc = self.geo_fields.get(src)
+            if pf.transform.name == "hilbert" and enc and enc not in ("wkb", "ewkb"):
+                from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
+
+                src = convert_encoding_udf(enc, "wkb")(F.col(src))
+            out = out.withColumn(cname, pf.transform.spark_column(src))
         # write distribution & ordering (reference SparkWriteConf
         # DistributionMode NONE/HASH/RANGE + local sort, SURVEY 4.9)
         order = json.loads(self.meta.properties.get("write.sort-order", "[]"))

@@ -164,10 +164,11 @@ class Hilbert(Transform):
     shift: int = 12  # partitions = 4^res >> shift
     name: str = "hilbert"
 
-    def spark_column(self, col: str) -> Column:
+    def spark_column(self, col) -> Column:
         from iceberg_geo_poc_spark.geo.functions import st_hilbert
 
-        idx = st_hilbert(F.col(col), self.resolution, self.bounds)
+        src = F.col(col) if isinstance(col, str) else col
+        idx = st_hilbert(src, self.resolution, self.bounds)
         return F.shiftright(idx, self.shift)
 
     def parse_path_value(self, raw: str):

@@ -788,3 +788,27 @@ def test_hilbert_write_order_wkt_encoding(spark, catalog):
     ]
     t.append(spark.createDataFrame(rows, "id BIGINT, geom STRING"))
     assert t.to_df().count() == 100
+
+
+def test_hilbert_partition_transform_wkt(spark, catalog):
+    """hilbert[...] hidden partitioning over a WKT-encoded column."""
+    from iceberg_geo_poc_spark.geo.encoding import encode
+
+    t = catalog.create_table(
+        "hpwkt",
+        "id BIGINT, geom STRING",
+        partition_by=[("geom", "hilbert[10,-180,-90,180,90]")],
+        geometry_columns={"geom": "wkt"},
+    )
+    rows = [
+        (i, encode(Point(float(i % 30 * 12 - 179), float(i % 20 * 9 - 89)), "wkt"))
+        for i in range(60)
+    ]
+    t.append(spark.createDataFrame(rows, "id BIGINT, geom STRING"))
+    assert t.to_df().count() == 60
+    # multiple hilbert partitions materialized
+    import json as _json
+
+    parts = {p for p in t._entries().partition}
+    assert len(parts) > 1
+    assert all("geom_hilbert_10" in _json.loads(p) for p in parts)
