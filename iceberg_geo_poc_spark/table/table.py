@@ -942,6 +942,7 @@ class TableScan:
         self.select = select
         self._planned: list[str] | None = None
         self._entries_cache: pd.DataFrame | None = None
+        self._residual_noop: bool = False
 
     def _snapshot_entries(self) -> pd.DataFrame:
         if self._entries_cache is None:
@@ -961,18 +962,29 @@ class TableScan:
         return TableScan(self.table, self.snapshot, combined, self.select)
 
     def files(self) -> list[str]:
-        """Pruned data-file list (manifest + inclusive metrics eval)."""
+        """Pruned data-file list (manifest + inclusive metrics eval).
+
+        Also runs the STRICT evaluator per kept file: when every kept
+        file fully matches the predicate, the residual row filter is
+        provably a no-op and ``to_df`` elides it (the reference's
+        ResidualEvaluator returning alwaysTrue per file — SURVEY §2.2 —
+        collapsed to the whole-scan case)."""
         if self._planned is None:
             entries = self._snapshot_entries()
             keep = []
+            all_match = True
             for row in entries.itertuples():
                 if row.content != "data":
                     continue
                 if self.where is not None:
-                    if not self.where.might_match_file(self.table._file_stats(row)):
+                    stats = self.table._file_stats(row)
+                    if not self.where.might_match_file(stats):
                         continue
+                    if all_match and not self.where.all_rows_match_file(stats):
+                        all_match = False
                 keep.append(row.file_path)
             self._planned = keep
+            self._residual_noop = all_match
         return self._planned
 
     def total_data_files(self) -> int:
@@ -987,7 +999,7 @@ class TableScan:
             df = self.table._read_files(
                 files, with_deletes=True, entries=self._snapshot_entries()
             )
-            if self.where is not None:
+            if self.where is not None and not self._residual_noop:
                 # inclusive pruning => full predicate re-applied as residual
                 df = df.filter(self.where.to_spark_column(self.table.geo_fields))
         if self.select:

@@ -812,3 +812,25 @@ def test_hilbert_partition_transform_wkt(spark, catalog):
     parts = {p for p in t._entries().partition}
     assert len(parts) > 1
     assert all("geom_hilbert_10" in _json.loads(p) for p in parts)
+
+
+def test_residual_elision_when_strictly_selected(spark, catalog):
+    """When strict metrics prove every scanned file fully matches, the
+    residual filter is elided from the plan; partial matches keep it."""
+    t = catalog.create_table("resel", "a BIGINT")
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "a BIGINT").coalesce(1))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(100, 110)], "a BIGINT").coalesce(1)
+    )
+    # fully-selecting predicate: file 2 strictly matches -> no Filter
+    scan = t.scan(where=E.ge("a", 100))
+    df = scan.to_df()
+    assert scan._residual_noop is True
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" not in plan.split("Scan")[0]
+    assert sorted(r.a for r in df.collect()) == list(range(100, 110))
+    # partially-selecting predicate keeps the residual and stays correct
+    scan2 = t.scan(where=E.ge("a", 105))
+    df2 = scan2.to_df()
+    assert scan2._residual_noop is False
+    assert sorted(r.a for r in df2.collect()) == list(range(105, 110))
