@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     DoubleType,
     LongType,
     StringType,
+    StructField,
+    StructType,
 )
 
 from iceberg_geo_poc_spark.geo import geometry as G
@@ -268,6 +270,37 @@ def st_xmax_udf(wkb: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def st_ymax_udf(wkb: pd.Series) -> pd.Series:
     return _bounds_accessor(wkb, 3)
+
+
+_BOUNDS_TYPE = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_BOUNDS_TYPE)
+def st_bounds_udf(wkb: pd.Series) -> pd.DataFrame:
+    """All four envelope bounds in ONE Arrow pass (points hit the
+    vectorized numpy path; other shapes decode once, not four times) —
+    used by the spatial join, where four separate accessor UDFs would
+    quadruple the Python transfer cost."""
+    pts = _points_xy(wkb)
+    if pts is not None:
+        x, y, _mask = pts
+        return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
+    n = len(wkb)
+    cols = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
+    for i, v in enumerate(wkb):
+        if v is None:
+            continue
+        b = geometry_from_wkb(v).bounds
+        if b is not None:
+            cols["xmin"][i], cols["ymin"][i], cols["xmax"][i], cols["ymax"][i] = b
+    return pd.DataFrame(cols)
 
 
 @pandas_udf(DoubleType())

@@ -31,13 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from iceberg_geo_poc_spark.geo.functions import (
-    st_intersects,
-    st_xmax_udf,
-    st_xmin_udf,
-    st_ymax_udf,
-    st_ymin_udf,
-)
+from iceberg_geo_poc_spark.geo.functions import st_bounds_udf, st_intersects
 
 
 def _cells_expr(pre: str, cell_size: float):
@@ -75,18 +69,24 @@ def grid_spatial_join(
     if right_geom == left_geom:
         rg = f"{right_geom}_r"
         right = right.withColumnRenamed(right_geom, rg)
+    # ONE Arrow pass per side for all four bounds (st_bounds_udf), then
+    # free struct-field projections
     L = (
-        left.withColumn("__lxmin", st_xmin_udf(F.col(left_geom)))
-        .withColumn("__lymin", st_ymin_udf(F.col(left_geom)))
-        .withColumn("__lxmax", st_xmax_udf(F.col(left_geom)))
-        .withColumn("__lymax", st_ymax_udf(F.col(left_geom)))
+        left.withColumn("__lb", st_bounds_udf(F.col(left_geom)))
+        .withColumn("__lxmin", F.col("__lb.xmin"))
+        .withColumn("__lymin", F.col("__lb.ymin"))
+        .withColumn("__lxmax", F.col("__lb.xmax"))
+        .withColumn("__lymax", F.col("__lb.ymax"))
+        .drop("__lb")
         .withColumn("__cell", F.explode(_cells_expr("__l", cell_size)))
     )
     R = (
-        right.withColumn("__rxmin", st_xmin_udf(F.col(rg)) - F.lit(d))
-        .withColumn("__rymin", st_ymin_udf(F.col(rg)) - F.lit(d))
-        .withColumn("__rxmax", st_xmax_udf(F.col(rg)) + F.lit(d))
-        .withColumn("__rymax", st_ymax_udf(F.col(rg)) + F.lit(d))
+        right.withColumn("__rb", st_bounds_udf(F.col(rg)))
+        .withColumn("__rxmin", F.col("__rb.xmin") - F.lit(d))
+        .withColumn("__rymin", F.col("__rb.ymin") - F.lit(d))
+        .withColumn("__rxmax", F.col("__rb.xmax") + F.lit(d))
+        .withColumn("__rymax", F.col("__rb.ymax") + F.lit(d))
+        .drop("__rb")
         .withColumn("__cell", F.explode(_cells_expr("__r", cell_size)))
     )
     joined = L.join(R, "__cell")
