@@ -165,3 +165,49 @@ def redact_pii(docs: DataFrame) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(LONGNUM_PATTERN)).alias("n_longnums"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Dataset profiling: count / nulls / min / max / mean / stddev /
+    exact median per numeric column — the pre-training sanity sweep.
+    One aggregation pass; every stat is partial-aggregable except the
+    exact percentile, which Spark computes with a single sort-based
+    aggregate (swap for approx_percentile at the 100 TB tier when a
+    1e-4 error is acceptable)."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.round(F.min(c).cast("double"), 6).alias("min_v"),
+                F.round(F.max(c).cast("double"), 6).alias("max_v"),
+                F.round(F.avg(c), 6).alias("mean_v"),
+                F.round(F.stddev_samp(c), 6).alias("stddev_v"),
+                F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median_v"),
+            ).alias(c)
+        )
+    wide = df.agg(*rows)
+    stacked = wide.select(
+        F.explode(F.array(*[F.col(c) for c in cols])).alias("s")
+    )
+    return stacked.select("s.*").orderBy("column")
+
+
+def iqr_outlier_filter(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
+    """Keep rows inside [Q1 - k*IQR, Q3 + k*IQR] — the standard
+    outlier scrub before training-statistics jobs.  Quantiles come from
+    one tiny agg (broadcast to the filter); the filter itself is
+    codegen."""
+    import pyspark.sql.functions as F
+
+    q = df.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("q3"),
+    ).collect()[0]
+    iqr = q.q3 - q.q1
+    lo, hi = q.q1 - k * iqr, q.q3 + k * iqr
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))

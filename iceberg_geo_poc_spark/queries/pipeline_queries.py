@@ -426,6 +426,56 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_event_columns",
+    oracle="""
+    SELECT 'value' AS "column", COUNT(value) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,
+           ROUND(AVG(value), 6) AS mean_v,
+           ROUND(STDDEV_SAMP(value), 6) AS stddev_v,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) AS median_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(user_id),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(MIN(user_id) * 1.0, 6), ROUND(MAX(user_id) * 1.0, 6),
+           ROUND(AVG(user_id), 6), ROUND(STDDEV_SAMP(user_id), 6),
+           ROUND(QUANTILE_CONT(user_id, 0.5), 6)
+    FROM events
+    ORDER BY "column"
+    """,
+)
+def profile_event_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling sweep (count/nulls/min/max/mean/stddev/exact
+    median) over numeric event columns."""
+    from iceberg_geo_poc_spark.operators.text import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "events"), ["user_id", "value"]
+    )
+
+
+@query(
+    "outlier_filter_event_values",
+    oracle="""
+    WITH q AS (SELECT QUANTILE_CONT(value, 0.25) AS q1,
+                      QUANTILE_CONT(value, 0.75) AS q3 FROM events)
+    SELECT e.event_id, ROUND(e.value, 6) AS value
+    FROM events e, q
+    WHERE e.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+      AND e.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def outlier_filter_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier scrub on the event value column."""
+    from iceberg_geo_poc_spark.operators.text import iqr_outlier_filter
+
+    return iqr_outlier_filter(
+        load_table(spark, sf_dir, "events"), "value"
+    ).select("event_id", F.round("value", 6).alias("value"))
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id,
