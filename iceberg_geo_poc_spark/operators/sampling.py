@@ -1,0 +1,96 @@
+"""Deterministic sampling and sequence packing for training pipelines.
+
+`df.sample()` is seed-dependent per partitioning and `sampleBy` is
+approximate — neither is reproducible across engines or cluster
+layouts. Training-data curation needs REPRODUCIBLE subsets (the same
+doc keeps/drops on every rerun and in every audit query), so sampling
+here is hash-gated: keep iff h(key) mod 10^4 < rate.  The same md5-
+derived 60-bit hash exists in DuckDB (hashing.py), so samples are
+oracle-checkable.
+
+`pack_sequences` is the batch-packing step of an LLM data pipeline:
+assign documents to training batches of ~`budget` tokens, preserving a
+deterministic document order.  The exclusive running token sum is
+computed scalably: partition-local window sums inside coarse chunks +
+a tiny driver-side chunk-offset table (never a single global sort
+partition).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from iceberg_geo_poc_spark.operators.hashing import spark_hash60
+
+RATE_DENOM = 10_000
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows, gated on a hash of
+    ``key`` (+ optional salt for independent resamples)."""
+    gate = int(fraction * RATE_DENOM)
+    h = spark_hash60(f"concat(CAST({key} AS STRING), '{salt}')")
+    return df.filter(F.expr(f"pmod({h}, {RATE_DENOM})") < gate)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic rates (exact-rate analogue of
+    ``sampleBy``); strata absent from ``fractions`` are dropped."""
+    h = F.expr(f"pmod({spark_hash60(f'CAST({key} AS STRING)')}, {RATE_DENOM})")
+    gate = None
+    for stratum, frac in fractions.items():
+        g = int(frac * RATE_DENOM)
+        cond = (F.col(strata_col) == stratum) & (h < g)
+        gate = cond if gate is None else (gate | cond)
+    return df.filter(gate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    order_col: str,
+    token_col,
+    budget: int,
+    chunk: int = 100_000,
+) -> DataFrame:
+    """Assign each document a ``batch_id`` so consecutive documents (in
+    ``order_col`` order) fill ~``budget``-token training batches:
+    batch_id = floor(exclusive_running_token_sum / budget).
+
+    Scale shape: the running sum never funnels through one partition —
+    rows window-sum inside ``chunk``-sized ranges of ``order_col``
+    (parallel), and chunk offsets (one row per chunk) prefix-sum on the
+    driver and broadcast-join back.
+    """
+    tok = token_col if not isinstance(token_col, str) else F.col(token_col)
+    df = docs.withColumn("__tok", tok.cast("long")).withColumn(
+        "__chunk", F.floor(F.col(order_col) / chunk).cast("long")
+    )
+    w = Window.partitionBy("__chunk").orderBy(order_col)
+    df = df.withColumn("__local_incl", F.sum("__tok").over(w))
+    totals = {
+        r["__chunk"]: r["total"]
+        for r in df.groupBy("__chunk").agg(F.sum("__tok").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for c in sorted(totals):
+        offsets.append((c, acc))
+        acc += totals[c]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__chunk LONG, __offset LONG"
+    )
+    return (
+        df.join(F.broadcast(off_df), "__chunk")
+        .withColumn(
+            "batch_id",
+            F.floor(
+                (F.col("__offset") + F.col("__local_incl") - F.col("__tok"))
+                / budget
+            ),
+        )
+        .drop("__tok", "__chunk", "__local_incl", "__offset")
+    )

@@ -521,3 +521,75 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
     return sigs.select("doc_id", F.size("sig").alias("sig_len"))
+
+
+@query(
+    "sample_deterministic_docs",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({duckdb_hash60("CAST(doc_id AS VARCHAR) || 's1'")}) % 10000 < 2500
+    ORDER BY doc_id
+    """,
+)
+def sample_deterministic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% hash-gated sample (identical keep-set in DuckDB)."""
+    from iceberg_geo_poc_spark.operators.sampling import deterministic_sample
+
+    return (
+        deterministic_sample(
+            load_table(spark, sf_dir, "documents"), "doc_id", 0.25, salt="s1"
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND ({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000 < 5000)
+       OR (lang = 'de' AND ({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000 < 1000)
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rates (50% en, 10% de, drop rest)."""
+    from iceberg_geo_poc_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "lang",
+            {"en": 0.5, "de": 0.1},
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pack_document_batches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+    SELECT doc_id,
+           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / 2000.0) AS BIGINT)
+             AS batch_id
+    FROM toks ORDER BY doc_id
+    """,
+)
+def pack_document_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents into ~2000-token training batches in
+    doc_id order (scalable chunked running sum; a small chunk size here
+    forces the multi-chunk offset path)."""
+    from iceberg_geo_poc_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", budget=2000, chunk=100).select(
+        "doc_id", "batch_id"
+    ).orderBy("doc_id")
