@@ -434,15 +434,22 @@ class Table:
     def _empty_df(self) -> DataFrame:
         return self.spark.createDataFrame([], self.schema_ddl())
 
+    def new_transaction(self) -> "Transaction":
+        """Batch several operations into ONE atomic commit (reference
+        Transaction / TestTransaction.java: operations stage against the
+        transaction's working state; nothing is visible until commit)."""
+        return Transaction(self)
+
     # ------------------------------------------------------------------
     # row-level operations
     # ------------------------------------------------------------------
-    def _plan_cow(self, where: E.Expr) -> dict:
+    def _plan_cow(self, where: E.Expr, entries: pd.DataFrame | None = None) -> dict:
         """Split current data files into full-match / partial-match sets
         (strict vs inclusive metrics evaluators; reference decides
         metadata-only deletes the same way, SparkTable.java:87-91 +
         StrictMetricsEvaluator)."""
-        entries = self._entries()
+        if entries is None:
+            entries = self._entries()
         full, partial = [], []
         for row in entries.itertuples():
             if row.content != "data":
@@ -920,6 +927,78 @@ def _plain(v):
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
     return v
+
+
+class Transaction:
+    """Multiple operations, one atomic commit (reference Transaction).
+
+    Data files for appends are written EAGERLY (exactly like Iceberg —
+    only the metadata commit is deferred); deletes are planned lazily
+    inside the commit's build function so they see both the retried
+    base state and this transaction's own pending appends.  On abort,
+    already-written files are unreferenced and `remove_orphan_files`
+    reclaims them (the reference leans on the same GC posture).
+    """
+
+    def __init__(self, table: Table):
+        self.table = table
+        self._ops: list = []
+        self._done = False
+
+    def append(self, df: DataFrame) -> "Transaction":
+        entries = self.table._write_files(df)
+
+        def apply(cur: pd.DataFrame, seq: int) -> pd.DataFrame:
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
+            )
+            return pd.concat([cur, add], ignore_index=True)
+
+        self._ops.append(apply)
+        return self
+
+    def delete(self, where: E.Expr) -> "Transaction":
+        def apply(cur: pd.DataFrame, seq: int) -> pd.DataFrame:
+            plan = self.table._plan_cow(where, entries=cur)
+            rewritten = []
+            if plan["partial"]:
+                df = self.table._read_files(plan["partial"], with_deletes=True)
+                kept = df.filter(where.negate().to_spark_column(self.table.geo_fields))
+                rewritten = self.table._write_files(kept)
+            drop = set(plan["full"]) | set(plan["partial"])
+            out = cur[~cur.file_path.isin(drop)]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
+            )
+            return pd.concat([out, add], ignore_index=True)
+
+        self._ops.append(apply)
+        return self
+
+    def commit(self) -> MD.Snapshot:
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        self._done = True
+
+        def build(cur: pd.DataFrame, seq: int) -> pd.DataFrame:
+            for op in self._ops:
+                cur = op(cur, seq)
+            return cur
+
+        return self.table._commit(
+            "transaction", build, {"operations": len(self._ops)}
+        )
+
+    # context-manager form: commit on clean exit, abort on exception
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        else:
+            self._done = True  # abort: pending files stay orphaned
+        return False
 
 
 class TableScan:

@@ -834,3 +834,41 @@ def test_residual_elision_when_strictly_selected(spark, catalog):
     df2 = scan2.to_df()
     assert scan2._residual_noop is False
     assert sorted(r.a for r in df2.collect()) == list(range(105, 110))
+
+
+def test_transaction_atomic_multi_op(spark, catalog):
+    """append + append + delete in ONE commit; nothing visible before;
+    the delete sees the transaction's own pending appends
+    (TestTransaction.java posture)."""
+    t = catalog.create_table("txn", "a BIGINT")
+    t.append(spark.createDataFrame([(0,)], "a BIGINT"))
+    n_snaps = len(t.snapshots())
+    with t.new_transaction() as tx:
+        tx.append(spark.createDataFrame([(1,), (2,)], "a BIGINT"))
+        tx.append(spark.createDataFrame([(100,), (101,)], "a BIGINT"))
+        tx.delete(E.ge("a", 100))  # deletes rows appended IN this txn
+        # not yet visible from a fresh load
+        assert catalog.load_table("txn").to_df().count() == 1
+    t.refresh()
+    assert len(t.snapshots()) == n_snaps + 1
+    assert t.current_snapshot().operation == "transaction"
+    assert sorted(r.a for r in t.to_df().collect()) == [0, 1, 2]
+
+
+def test_transaction_abort_leaves_table_untouched(spark, catalog):
+    from iceberg_geo_poc_spark.table.maintenance import remove_orphan_files
+
+    t = catalog.create_table("txab", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    with pytest.raises(RuntimeError, match="boom"):
+        with t.new_transaction() as tx:
+            tx.append(spark.createDataFrame([(2,)], "a BIGINT"))
+            raise RuntimeError("boom")
+    t.refresh()
+    assert [r.a for r in t.to_df().collect()] == [1]
+    # the aborted append's files are orphans and get reclaimed
+    orphans = remove_orphan_files(t)
+    assert len(orphans) >= 1
+    assert [r.a for r in t.to_df().collect()] == [1]
+    with pytest.raises(RuntimeError, match="already"):
+        tx.commit()
