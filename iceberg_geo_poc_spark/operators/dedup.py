@@ -387,3 +387,36 @@ def duplicate_cluster_representatives(pairs: DataFrame) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "rep").orderBy("doc_id")
+
+
+def contamination_check(
+    docs: DataFrame, benchmark: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-word
+    shingles overlap a benchmark set above ``threshold``.
+
+    The benchmark side is small by construction (an eval set), so its
+    distinct shingle vocabulary broadcasts; the corpus side explodes
+    shingles once and left-joins the broadcast — per-doc hit ratios
+    fall out of one partial-aggregated groupBy.  Corpus cost is linear,
+    no self-join anywhere.
+    """
+    bench_sh = (
+        _doc_shingles(benchmark)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = _doc_shingles(docs).filter(F.col("n_sh") > 0)
+    exploded = corpus.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    ratios = (
+        exploded.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"))
+        .withColumn("contamination", F.round(F.col("hits") / F.col("n_sh"), 6))
+    )
+    return (
+        ratios.filter(F.col("contamination") >= threshold)
+        .select("doc_id", "contamination")
+        .orderBy("doc_id")
+    )

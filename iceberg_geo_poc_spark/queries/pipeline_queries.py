@@ -593,3 +593,30 @@ def pack_document_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tok", budget=2000, chunk=100).select(
         "doc_id", "batch_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_contamination_check",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20),
+    corpus AS (
+      SELECT doc_id, n FROM sz WHERE n > 0),
+    hits AS (
+      SELECT i.doc_id, count(b.s) AS hits
+      FROM inv i JOIN corpus c USING (doc_id)
+      LEFT JOIN bench b USING (s)
+      GROUP BY i.doc_id)
+    SELECT h.doc_id, ROUND(h.hits * 1.0 / c.n, 6) AS contamination
+    FROM hits h JOIN corpus c USING (doc_id)
+    WHERE h.hits * 1.0 / c.n >= 0.8
+    ORDER BY h.doc_id
+    """,
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: docs whose shingle overlap with the
+    benchmark set (docs 0-19) is >= 0.8 — catches the benchmark docs
+    themselves plus their near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination_check(docs, docs.filter("doc_id < 20"), 0.8)
