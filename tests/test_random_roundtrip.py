@@ -53,3 +53,66 @@ def test_append_scan_roundtrip_random(spark, tmp_path_factory, rows):
     assert sorted(r.k for r in scan.to_df().collect()) == sorted(
         k for k in ks if k >= mid
     )
+
+
+# random predicate trees over (k, v): pruning + strict-elision must be
+# invisible — scan(where) always equals filter-on-full-scan
+def _leaf(draw):
+    op = draw(st.sampled_from(["ge", "le", "eq", "in", "is_null", "not_null"]))
+    col = draw(st.sampled_from(["k", "v"]))
+    if op == "is_null":
+        return E.is_null(col)
+    if op == "not_null":
+        return E.not_null(col)
+    if op == "in":
+        vals = draw(st.lists(st.integers(-5, 15), min_size=1, max_size=4))
+        return E.in_(col, [float(x) if col == "v" else x for x in vals])
+    v = draw(st.integers(-5, 15))
+    v = float(v) if col == "v" else v
+    return {"ge": E.ge, "le": E.le, "eq": E.eq}[op](col, v)
+
+
+@st.composite
+def _pred(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        return _leaf(draw)
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        return ~draw(_pred(depth=depth - 1))
+    l = draw(_pred(depth=depth - 1))
+    r = draw(_pred(depth=depth - 1))
+    return (l & r) if kind == "and" else (l | r)
+
+
+ROWS2 = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=20)),
+        st.one_of(st.none(), st.integers(min_value=-10, max_value=20)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS2, pred=_pred())
+def test_pruning_never_changes_results(spark, tmp_path_factory, rows, pred):
+    cat = Catalog(str(tmp_path_factory.mktemp("wh")), spark)
+    t = cat.create_table("pp", "k BIGINT, v DOUBLE")
+    typed = [(k, float(v) if v is not None else None) for k, v in rows]
+    third = max(1, len(typed) // 3)
+    for i in range(0, len(typed), third):
+        t.append(
+            spark.createDataFrame(typed[i : i + third], "k BIGINT, v DOUBLE").coalesce(1)
+        )
+    full = spark.createDataFrame(typed, "k BIGINT, v DOUBLE")
+    want = sorted(
+        ((r.k, r.v) for r in full.filter(pred.to_spark_column()).collect()),
+        key=str,
+    )
+    got = sorted(((r.k, r.v) for r in t.scan(where=pred).to_df().collect()), key=str)
+    assert got == want
