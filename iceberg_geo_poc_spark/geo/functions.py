@@ -377,6 +377,19 @@ def st_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(BooleanType())
+def st_dwithin_udf(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for av, bv, dv in zip(a, b, dist):
+        if av is None or bv is None or dv is None:
+            out.append(None)
+        else:
+            out.append(
+                geometry_from_wkb(av).distance(geometry_from_wkb(bv)) <= float(dv)
+            )
+    return pd.Series(out)
+
+
 # -- transforms ------------------------------------------------------------
 
 @pandas_udf(BinaryType())
@@ -480,6 +493,10 @@ def st_distance(a, b) -> Column:
     return st_distance_udf(_c(a), _c(b))
 
 
+def st_dwithin(a, b, dist) -> Column:
+    return st_dwithin_udf(_c(a), _c(b), F.lit(dist) if not hasattr(dist, "cast") else dist)
+
+
 def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
     return st_makeenvelope_udf(_c(xmin), _c(ymin), _c(xmax), _c(ymax))
 
@@ -527,6 +544,7 @@ _SQL_FUNCTIONS = {
     "st_contains": st_contains_udf,
     "st_disjoint": st_disjoint_udf,
     "st_distance": st_distance_udf,
+    "st_dwithin": st_dwithin_udf,
     "st_buffer": st_buffer_udf,
     "st_envelope": st_envelope_udf,
     "st_centroid": st_centroid_udf,

@@ -200,3 +200,20 @@ def test_grid_spatial_join_distance_variant(spark):
         .collect()
     }
     assert got == brute and len(brute) > 20
+
+
+def test_st_dwithin(spark):
+    from iceberg_geo_poc_spark.geo.functions import register_geo_functions
+
+    register_geo_functions(spark)
+    row = spark.sql(
+        """
+        SELECT st_dwithin(st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                          st_point(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+                          CAST(5.0 AS DOUBLE)) AS a,
+               st_dwithin(st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                          st_point(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+                          CAST(4.9 AS DOUBLE)) AS b
+        """
+    ).collect()[0]
+    assert row.a is True and row.b is False
