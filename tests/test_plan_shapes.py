@@ -76,3 +76,15 @@ def test_zorder_stays_in_codegen(spark, sf_dir):
     z.collect()
     plan = _plan(z)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spatial_join_is_equi_join_not_cartesian(spark, sf_dir):
+    """The grid spatial join must compile to a cell-keyed equi-join —
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    from iceberg_geo_poc_spark.queries import geo_queries as G
+
+    df = G.geo_spatial_join_counts(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
