@@ -56,28 +56,45 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Names hoisted to the front of the registry (after family reordering) so a
+# correctness driver that verifies queries in registration order and caps or
+# times out reaches the least-verified entries first.  The relational suite
+# earned green driver rows in round 1; these five were red only because the
+# driver session couldn't read events.parquet (fixed in session.load_table),
+# so they come first to prove the fix.
+_PRIORITY_FIRST = (
+    "agg_grouping_sets_events",
+    "scalar_json_extract",
+    "join_asof_last_order",
+    "join_range_event_bursts",
+    "agg_approx_distinct_users",
+)
+
 
 def _load_all() -> None:
-    """Import every module that contributes registered queries."""
+    """Import every module that contributes registered queries.
+
+    Imports are intentionally NOT wrapped in ``except ImportError: pass``:
+    a missing dependency in the driver environment must fail loudly rather
+    than silently erasing half the correctness surface.
+    """
     global _LOADED
     if _LOADED:
         return
+    # Import order = registration order = driver verification order.
+    # Families with the fewest driver-green rows go first.
+    from iceberg_geo_poc_spark.queries import table_queries  # noqa: F401
+    from iceberg_geo_poc_spark.queries import geo_queries  # noqa: F401
+    from iceberg_geo_poc_spark.queries import streaming_queries  # noqa: F401
+    from iceberg_geo_poc_spark.queries import pipeline_queries  # noqa: F401
     from iceberg_geo_poc_spark.queries import relational  # noqa: F401
 
-    try:
-        from iceberg_geo_poc_spark.queries import geo_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from iceberg_geo_poc_spark.queries import pipeline_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from iceberg_geo_poc_spark.queries import table_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from iceberg_geo_poc_spark.queries import streaming_queries  # noqa: F401
-    except ImportError:
-        pass
+    for name in reversed(_PRIORITY_FIRST):
+        rq = _REGISTRY.pop(name, None)
+        if rq is None:
+            raise RuntimeError(f"priority query {name!r} missing from registry")
+        rest = dict(_REGISTRY)
+        _REGISTRY.clear()
+        _REGISTRY[name] = rq
+        _REGISTRY.update(rest)
     _LOADED = True

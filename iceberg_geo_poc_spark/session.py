@@ -71,6 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     integer division, no Python boundary, stays in codegen.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # The conf below is normally set by get_spark(), but the correctness
+    # driver passes its own SparkSession; the conf is runtime-settable, so
+    # set it here too — otherwise TIMESTAMP(NANOS) columns (events.ts)
+    # fail the read outright with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))"))
