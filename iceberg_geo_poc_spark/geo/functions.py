@@ -137,8 +137,10 @@ def _fast_rect_predicate(name: str, a: pd.Series, b: pd.Series):
             # covers(rect, point) when the rect is the receiver
             res = closed if swapped else None
         elif name == "within":
-            # within(point, rect): point must lie in the rect interior
-            res = strict if not swapped else None
+            # within(point, rect) = covers(rect, point): boundary-INCLUSIVE,
+            # matching the generic kernel (Geometry.within delegates to
+            # covers) — only contains() excludes the boundary.
+            res = closed if not swapped else None
         else:  # contains(rect, point)
             res = strict if swapped else None
         if res is None:

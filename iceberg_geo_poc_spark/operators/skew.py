@@ -38,7 +38,16 @@ def salted_join(
     only balances work, it never affects results); small is exploded
     ``salt``× so every (key, shard) pair finds its match.  Output
     equals a plain join (shard columns dropped).
+
+    Only ``inner`` and ``left`` (outer on the big side) are supported:
+    for right/full joins the exploded small side would emit every
+    unmatched small-side row ``salt`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows salt times"
+        )
     b = big.withColumn("__shard", (F.rand(seed=42) * salt).cast("int"))
     s = small.withColumn(
         "__shard", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -205,9 +205,17 @@ def iqr_outlier_filter(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     import pyspark.sql.functions as F
 
     q = df.agg(
-        F.expr(f"percentile({col}, 0.25)").alias("q1"),
-        F.expr(f"percentile({col}, 0.75)").alias("q3"),
-    ).collect()[0]
-    iqr = q.q3 - q.q1
-    lo, hi = q.q1 - k * iqr, q.q3 + k * iqr
-    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        F.expr(f"percentile({col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("__q3"),
+    )
+    # one-plan form: broadcast the 1-row quantile agg into the filter —
+    # stays lazy, one job, no driver round-trip
+    iqr = F.col("__q3") - F.col("__q1")
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(col) >= F.col("__q1") - k * iqr)
+            & (F.col(col) <= F.col("__q3") + k * iqr)
+        )
+        .drop("__q1", "__q3")
+    )

@@ -1185,12 +1185,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full-table scalar agg broadcast into the group filter."""
     li = load_table(spark, sf_dir, "lineitem")
     val = (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
-    total = li.agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))).collect()[0][0]
+    # one-plan scalar subquery: broadcast the 1-row aggregate into the
+    # HAVING filter instead of collecting it to the driver (single lazy
+    # job; the grouped side and the scalar side share the lineitem scan
+    # via exchange reuse)
+    threshold = li.agg(
+        (F.sum(F.col("l_extendedprice") * F.col("l_quantity")) * 0.0005).alias(
+            "__threshold"
+        )
+    )
     return (
         li.select("l_partkey", val)
         .groupBy("l_partkey")
         .agg(F.sum("v").alias("raw"))
-        .filter(F.col("raw") > total * 0.0005)
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("raw") > F.col("__threshold"))
         .select("l_partkey", F.round("raw", 2).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
@@ -1218,20 +1227,28 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    # the explicit NOT NULL on the join key keeps the two uses of
+    # `revenue` (join input + scalar MAX) canonically identical, so
+    # Spark's exchange reuse materializes the shuffle once — without it
+    # the join branch alone gets isnotnull() pushed down and the two
+    # subplans stop matching
     revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "total_revenue"
             )
         )
-        .cache()
     )
-    mx = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    # one-plan scalar subquery: no cache(), no second job
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     sup = load_table(spark, sf_dir, "supplier")
     return (
         sup.join(
-            revenue.filter(F.col("total_revenue") == mx),
+            revenue.crossJoin(F.broadcast(mx)).filter(
+                F.col("total_revenue") == F.col("__max_rev")
+            ),
             sup.s_suppkey == F.col("supplier_no"),
         )
         .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
@@ -1285,11 +1302,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    # one-plan scalar subquery (see q11): broadcast the 1-row average
     avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal")
-    ).collect()[0][0]
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
     return (
-        cust.filter(F.col("c_acctbal") > avg_pos)
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")

@@ -126,8 +126,9 @@ def _conform(table, cols: list[tuple[str, str]]):
 
 
 class _StreamReader(DataSourceStreamReader):
-    def __init__(self, location: str):
+    def __init__(self, location: str, skip_non_append: bool = False):
         self.location = location
+        self.skip_non_append = skip_non_append
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": None}
@@ -149,9 +150,25 @@ class _StreamReader(DataSourceStreamReader):
             base = set(_manifest_data_files(self.location, meta, start_id))
         else:
             base = set()
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
         files: list[str] = []
         for sid in chain:
             cur = set(_manifest_data_files(self.location, meta, sid))
+            op = by_id[sid].get("operation", "append")
+            if op != "append":
+                # Overwrite/compaction/MoR snapshots re-list rewritten files
+                # as "new" and may carry delete files this reader cannot
+                # apply — streaming them would duplicate or resurrect rows.
+                # The reference SparkMicroBatchStream throws here unless
+                # skip-overwrite/skip-delete is configured; mirror that.
+                if self.skip_non_append:
+                    base = cur
+                    continue
+                raise ValueError(
+                    f"streaming read hit a non-append snapshot {sid} "
+                    f"(operation={op!r}); set option "
+                    f"skip-non-append-snapshots=true to skip it"
+                )
             files.extend(sorted(cur - base))
             base = cur
         return [_FilePartition(p, pairs) for p in files if os.path.exists(p)]
@@ -218,4 +235,7 @@ class TableDataSource(DataSource):
         return _BatchReader(self.options["location"])
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _StreamReader(self.options["location"])
+        skip = str(
+            self.options.get("skip-non-append-snapshots", "false")
+        ).lower() == "true"
+        return _StreamReader(self.options["location"], skip_non_append=skip)

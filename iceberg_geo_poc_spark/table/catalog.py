@@ -423,7 +423,11 @@ class Catalog:
             return pd.concat([current, add], ignore_index=True)
 
         t._commit("append", build, {"added-files": len(entries), "imported": True})
-        return t
+        # The imported files live outside this table's location and are not
+        # owned by it: forbid physical GC (reference sets gc.enabled=false on
+        # imported/snapshot tables for exactly this reason — expire_snapshots
+        # must never delete another table's data files).
+        return self.alter_table_properties(name, {"gc.enabled": "false"})
 
     def snapshot_table(self, source: str, dest: str) -> Table:
         """Zero-copy testing clone (reference SnapshotTableProcedure):
@@ -441,7 +445,11 @@ class Catalog:
         )
         meta = MD.read_metadata(dest_loc)
         meta.location = dest_loc
-        meta.properties = dict(meta.properties, **{"snapshot-source": source})
+        # gc.enabled=false: the clone's manifests point at the SOURCE's data
+        # files by absolute path; physical GC on the clone would delete them.
+        meta.properties = dict(
+            meta.properties, **{"snapshot-source": source, "gc.enabled": "false"}
+        )
         MD.write_new_metadata(meta, meta.version)
         return self.load_table(dest)
 

@@ -35,6 +35,22 @@ from iceberg_geo_poc_spark.table.table import (
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
 
+def _check_gc_enabled(table: Table, action: str) -> None:
+    """Imported / snapshot-cloned tables reference data files they do not
+    own; physical GC on them would silently delete the source table's data
+    (reference forbids this via the gc.enabled table property)."""
+    if table.meta.properties.get("gc.enabled", "true").lower() == "false":
+        raise ValueError(
+            f"cannot {action}: gc.enabled=false on table {table.location!r} "
+            "(it references data files it does not own)"
+        )
+
+
+def _owns_path(table: Table, path: str) -> bool:
+    loc = os.path.abspath(table.location) + os.sep
+    return os.path.abspath(path).startswith(loc)
+
+
 @dataclass
 class RewriteResult:
     rewritten_files: int
@@ -242,6 +258,7 @@ def expire_snapshots(
     files only reachable from expired ones (reference
     ExpireSnapshotsSparkAction: retain-last + older-than compose, and
     branch/tag heads are always retained)."""
+    _check_gc_enabled(table, "expire_snapshots")
     meta = table.meta
     if len(meta.snapshots) <= keep_last:
         return {"expired": 0, "deleted_files": 0}
@@ -268,7 +285,10 @@ def expire_snapshots(
         dead_files |= set(m.file_path) - live_files
 
     for p in dead_files:
-        if os.path.exists(p):
+        # Belt and braces on top of the gc.enabled check: never physically
+        # delete a file outside this table's own location (imported /
+        # snapshot-cloned entries reference files the table does not own).
+        if _owns_path(table, p) and os.path.exists(p):
             os.remove(p)
     for s in expired:
         mp = os.path.join(table.location, s.manifest)
@@ -283,6 +303,7 @@ def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
     """Delete files under the table location not referenced by any
     snapshot (reference DeleteOrphanFilesSparkAction: listing vs
     metadata anti-join)."""
+    _check_gc_enabled(table, "remove_orphan_files")
     referenced: set[str] = set()
     for s in table.meta.snapshots:
         m = M.read_manifest(os.path.join(table.location, s.manifest))

@@ -206,7 +206,7 @@ def _strip_scheme(p: str) -> str:
 
 def entries_dataframe(entries: list[dict]) -> pd.DataFrame:
     df = pd.DataFrame(entries, columns=MANIFEST_COLUMNS)
-    return df.astype(
+    df = df.astype(
         {
             "file_size": "int64",
             "record_count": "int64",
@@ -214,6 +214,89 @@ def entries_dataframe(entries: list[dict]) -> pd.DataFrame:
             "snapshot_id": "int64",
         }
     )
+    return ensure_flat_stats(df)
+
+
+# -- flattened stats columns ------------------------------------------------
+#
+# Planning at 10^6-file scale must not JSON-parse per entry (SURVEY §4.3:
+# pruning = columnar filter over the manifest).  The JSON stats maps stay
+# (back-compat + metadata tables), but each referenced column also gets
+# native parquet columns the vectorized evaluators read directly:
+#   lo__<col> / hi__<col>  — min/max (numbers, strings, bools)
+#   nu__<col>              — null count (float64; NaN = unknown)
+#   bb__<col>__{x0,y0,x1,y1} — geometry bbox corners (float64; NaN = none)
+# Old manifests are upgraded transparently on read (once, cached).
+
+_FLAT_MARKER = "__flat"
+
+
+def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
+    if _FLAT_MARKER in df.columns or df.empty:
+        if df.empty and _FLAT_MARKER not in df.columns:
+            df = df.copy()
+            df[_FLAT_MARKER] = pd.Series([], dtype=bool)
+        return df
+    lowers = [json.loads(s) if s else {} for s in df["lower"]]
+    uppers = [json.loads(s) if s else {} for s in df["upper"]]
+    nullss = [json.loads(s) if s else {} for s in df["nulls"]]
+    bboxes = [json.loads(s) if s else {} for s in df["bbox"]]
+    cols: set[str] = set()
+    for d in lowers:
+        cols.update(d)
+    for d in uppers:
+        cols.update(d)
+    for d in nullss:
+        cols.update(d)
+    geo_cols: set[str] = set()
+    for d in bboxes:
+        geo_cols.update(d)
+    flat: dict[str, object] = {}
+    for c in sorted(cols):
+        flat[f"lo__{c}"] = [d.get(c) for d in lowers]
+        flat[f"hi__{c}"] = [d.get(c) for d in uppers]
+        flat[f"nu__{c}"] = pd.array(
+            [d.get(c) for d in nullss], dtype="float64"
+        )
+    for c in sorted(geo_cols):
+        vals = [d.get(c) for d in bboxes]
+        for i, corner in enumerate(("x0", "y0", "x1", "y1")):
+            flat[f"bb__{c}__{corner}"] = pd.array(
+                [None if v is None else v[i] for v in vals], dtype="float64"
+            )
+    out = df.copy()
+    for k, v in flat.items():
+        out[k] = v
+    out[_FLAT_MARKER] = True
+    return out
+
+
+def manifest_bounds(df: pd.DataFrame) -> dict:
+    """Whole-manifest column bounds — the analogue of the reference's
+    manifest-list partition summaries (core/.../ManifestGroup.java:251-264):
+    stored on the snapshot so a scan can skip reading the manifest
+    entirely when the predicate cannot match its overall range."""
+    data = df[df.content == "data"]
+    if data.empty:
+        return {}
+    out: dict = {}
+    for c in data.columns:
+        if c.startswith("lo__"):
+            col = c[4:]
+            lo = data[c].dropna()
+            hi = data[f"hi__{col}"].dropna() if f"hi__{col}" in data else lo
+            # bounds are only usable when every file contributed stats —
+            # a file with missing stats could hold anything
+            if len(lo) == len(data) and len(hi) == len(data):
+                try:
+                    mn, mx = lo.min(), hi.max()
+                except TypeError:
+                    continue
+                # JSON-safe plain Python scalars (numpy types don't dump)
+                mn = mn.item() if hasattr(mn, "item") else mn
+                mx = mx.item() if hasattr(mx, "item") else mx
+                out[col] = [mn, mx]
+    return out
 
 
 def write_manifest(df: pd.DataFrame, path: str) -> None:
@@ -236,7 +319,7 @@ def read_manifest(path: str) -> pd.DataFrame:
     hit = _MANIFEST_CACHE.get(path)
     if hit is not None:
         return hit
-    df = pd.read_parquet(path)
+    df = ensure_flat_stats(pd.read_parquet(path))
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
     _MANIFEST_CACHE[path] = df

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iceberg_geo_poc_spark.table import expressions as E
 from iceberg_geo_poc_spark.table import manifest as M
 from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table import vector_eval as V
 from iceberg_geo_poc_spark.table.transforms import PartitionField
 
 _MAX_COMMIT_RETRIES = 5
@@ -177,6 +178,13 @@ class Table:
         M.write_manifest(entries, os.path.join(self.location, rel_manifest))
         if parent is None:
             parent = base.current_snapshot_id
+        # whole-manifest column bounds: the manifest-list partition-summary
+        # analogue (ManifestGroup.java:251-264) — lets scans skip reading
+        # the manifest when the predicate cannot match its overall range
+        summary = dict(summary or {})
+        bounds = M.manifest_bounds(entries)
+        if bounds:
+            summary["bounds"] = bounds
         snap = MD.Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -184,7 +192,7 @@ class Table:
             timestamp_ms=MD.now_ms(),
             operation=operation,
             manifest=rel_manifest,
-            summary=summary or {},
+            summary=summary,
         )
         return snap
 
@@ -447,25 +455,61 @@ class Table:
         """Split current data files into full-match / partial-match sets
         (strict vs inclusive metrics evaluators; reference decides
         metadata-only deletes the same way, SparkTable.java:87-91 +
-        StrictMetricsEvaluator)."""
+        StrictMetricsEvaluator).  Vectorized: one columnar pass over the
+        manifest, no per-file Python loop (SURVEY §4.3)."""
         if entries is None:
             entries = self._entries()
-        full, partial = [], []
-        for row in entries.itertuples():
-            if row.content != "data":
-                continue
-            stats = self._file_stats(row)
-            if not where.might_match_file(stats):
-                continue
-            if where.all_rows_match_file(stats) and not self._has_deletes(entries, row.file_path):
-                full.append(row.file_path)
-            else:
-                partial.append(row.file_path)
-        return {"full": full, "partial": partial}
+        data = entries[entries.content == "data"]
+        if data.empty:
+            return {"full": [], "partial": []}
+        sv = V.StatsView(data, self.meta.renames)
+        might = V.might_match(where, sv)
+        strict = V.all_match(where, sv)
+        has_del = self._files_with_deletes(entries, data)
+        paths = data.file_path.to_numpy()
+        full_mask = might & strict & ~has_del
+        return {
+            "full": list(paths[full_mask]),
+            "partial": list(paths[might & ~full_mask]),
+        }
 
     @staticmethod
-    def _has_deletes(entries: pd.DataFrame, file_path: str) -> bool:
-        return bool(entries.content.isin(["posdel", "eqdel"]).any())
+    def _files_with_deletes(entries: pd.DataFrame, data: pd.DataFrame):
+        """Boolean mask over ``data`` rows: which data files can any
+        delete file apply to?  Per-file granularity (not "any delete
+        anywhere", which would suppress the metadata-only delete fast
+        path table-wide).  Mirrors the reference's DeleteFileIndex
+        matching (core/.../DeleteFileIndex.java:122-130): sequence-number
+        visibility plus, for position deletes, the referenced-path range
+        from the delete file's own file_path column bounds.  Loops only
+        over delete files (few); data files are evaluated vectorized."""
+        import numpy as np
+
+        out = np.zeros(len(data), dtype=bool)
+        dels = entries[entries.content.isin(["posdel", "eqdel"])]
+        if dels.empty:
+            return out
+        data_seq = data.sequence_number.to_numpy(dtype="int64")
+        paths = data.file_path.to_numpy()
+        for row in dels.itertuples():
+            del_seq = int(row.sequence_number)
+            if row.content == "eqdel":
+                # equality deletes hit data files with strictly LOWER seq
+                out |= data_seq < del_seq
+                continue
+            # position deletes hit data files with seq <= delete seq, and
+            # only paths inside the delete file's file_path min/max range
+            # (parquet string stats are bounds, truncation only widens)
+            m = data_seq <= del_seq
+            try:
+                lo = json.loads(row.lower).get("file_path")
+                hi = json.loads(row.upper).get("file_path")
+            except (TypeError, ValueError):
+                lo = hi = None
+            if lo is not None and hi is not None:
+                m = m & (paths >= lo) & (paths <= hi)
+            out |= m
+        return out
 
     def _rewrite_files(self, paths: list[str], keep: E.Expr) -> list[dict]:
         """Read files, keep rows matching ``keep``, write replacements."""
@@ -511,6 +555,9 @@ class Table:
         entries = self._posdel_entries(matches)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            # Position deletes are only valid against the exact files they
+            # were computed from (see _update_mor).
+            _validate_files_still_live(current, paths)
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
             )
@@ -646,6 +693,11 @@ class Table:
             matches.unpersist()
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            # The position deletes reference (file_path, pos) of the planned
+            # files; if a concurrent compaction rewrote any of them the
+            # deletes would point at dead paths while the compacted copy
+            # kept the old rows — fail and let the caller retry.
+            _validate_files_still_live(current, paths)
             add = M.entries_dataframe(
                 [
                     dict(e, sequence_number=seq, snapshot_id=0)
@@ -810,6 +862,11 @@ class Table:
                 inserted = self._write_files(new_rows)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            if del_entries:
+                # Same revalidation as the CoW path: the emitted position
+                # deletes target the planned candidate files and must not
+                # commit if a concurrent rewrite replaced any of them.
+                _validate_files_still_live(current, candidates)
             add = M.entries_dataframe(
                 [
                     dict(e, sequence_number=seq, snapshot_id=0)
@@ -1049,21 +1106,30 @@ class TableScan:
         ResidualEvaluator returning alwaysTrue per file — SURVEY §2.2 —
         collapsed to the whole-scan case)."""
         if self._planned is None:
+            renames = self.table.meta.renames
+            # manifest-level pruning (reference ManifestGroup.java:251-264
+            # manifest-list summaries): the snapshot carries whole-manifest
+            # column bounds, so a non-matching scan skips reading the
+            # manifest parquet entirely
+            if self.where is not None and self.snapshot is not None:
+                bounds = (self.snapshot.summary or {}).get("bounds")
+                if bounds and not V.manifest_might_match(
+                    self.where, bounds, renames
+                ):
+                    self._planned = []
+                    self._residual_noop = True
+                    return self._planned
             entries = self._snapshot_entries()
-            keep = []
-            all_match = True
-            for row in entries.itertuples():
-                if row.content != "data":
-                    continue
-                if self.where is not None:
-                    stats = self.table._file_stats(row)
-                    if not self.where.might_match_file(stats):
-                        continue
-                    if all_match and not self.where.all_rows_match_file(stats):
-                        all_match = False
-                keep.append(row.file_path)
-            self._planned = keep
-            self._residual_noop = all_match
+            data = entries[entries.content == "data"]
+            if self.where is None:
+                self._planned = list(data.file_path)
+                self._residual_noop = True
+            else:
+                sv = V.StatsView(data, renames)
+                keep = V.might_match(self.where, sv)
+                strict = V.all_match(self.where, sv)
+                self._planned = list(data.file_path.to_numpy()[keep])
+                self._residual_noop = bool(strict[keep].all())
         return self._planned
 
     def total_data_files(self) -> int:

@@ -88,3 +88,26 @@ def test_spatial_join_is_equi_join_not_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_single_scan_one_job(spark, sf_dir):
+    """The scalar MAX(total_revenue) must come from the same plan as the
+    revenue CTE (crossJoin(broadcast(agg)) form): lineitem is scanned by
+    exactly one physical scan node reused via exchange reuse — never a
+    second job collected to the driver."""
+    df = R.q15_top_supplier(spark, sf_dir)
+    df.collect()
+    final_plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_plan or "ReusedQueryStage" in final_plan, final_plan
+    n_lineitem_scans = sum(
+        "lineitem.parquet" in line for line in final_plan.splitlines()
+    )
+    assert n_lineitem_scans <= 1, final_plan
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark, sf_dir):
+    """q11's HAVING threshold joins in as a broadcast 1-row relation —
+    the whole query is one lazy plan."""
+    df = R.q11_important_parts(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
