@@ -43,7 +43,56 @@ BENCH_QUERIES = [
     # MoR read overhead: scan with position-delete anti-join applied
     # (reference IcebergSourceParquetPosDeleteBenchmark shape)
     ("mor_read", "managed_mor_delete"),
+    # polygon x polygon spatial join: the non-point kernel workload
+    ("geo_poly_join", "geo_polygon_join_counts"),
 ]
+
+
+def _stats_fastpath_ratio(spark) -> dict:
+    """Meta-only aggregation vs forced full scan of the SAME managed
+    table (BASELINE.md targets >=100x; measuring the fast path against a
+    full query like q1 hides the gap behind fixed session overhead)."""
+    from iceberg_geo_poc_spark.queries.table_queries import _TABLES
+    from iceberg_geo_poc_spark.table.stats_agg import try_stats_aggregate
+
+    t = _TABLES.get((SF_DIR, "stats"))
+    if t is None:
+        return {}
+    aggs = [
+        "count(*)", "min(l_quantity)", "max(l_quantity)",
+        "min(l_orderkey)", "max(l_orderkey)",
+    ]
+    metas = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        vals = try_stats_aggregate(t, aggs)
+        metas.append(time.perf_counter() - t0)
+    assert vals is not None
+    full_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        full = (
+            t.to_df()
+            .agg(
+                F.count(F.lit(1)),
+                F.min("l_quantity"), F.max("l_quantity"),
+                F.min("l_orderkey"), F.max("l_orderkey"),
+            )
+            .collect()[0]
+        )
+        full_runs.append(time.perf_counter() - t0)
+    assert list(full) == [
+        vals[0], vals[1], vals[2], vals[3], vals[4]
+    ], f"stats fast path diverged from full scan: {vals} vs {list(full)}"
+    metas.sort()
+    full_runs.sort()
+    meta = metas[len(metas) // 2]
+    fullscan = full_runs[len(full_runs) // 2]
+    return {
+        "meta_sec": round(meta, 6),
+        "fullscan_sec": round(fullscan, 4),
+        "speedup": round(fullscan / meta, 1),
+    }
 
 
 def main() -> None:
@@ -90,6 +139,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # stats-only agg vs forced full scan of the same managed table — the
+    # >=100x evidence BASELINE.md asks for (extra key; not in the total)
+    ratio = _stats_fastpath_ratio(spark)
+    if ratio:
+        out["stats_fastpath_vs_fullscan"] = ratio
     print(json.dumps(out))
     spark.stop()
 

@@ -294,6 +294,10 @@ def st_bounds_udf(wkb: pd.Series) -> pd.DataFrame:
     if pts is not None:
         x, y, _mask = pts
         return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
+    rects = _rects_bounds(wkb)
+    if rects is not None:
+        x0, y0, x1, y1, _mask = rects
+        return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
     n = len(wkb)
     cols = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
     for i, v in enumerate(wkb):
@@ -328,22 +332,215 @@ def st_isempty_udf(wkb: pd.Series) -> pd.Series:
 
 # -- predicates ------------------------------------------------------------
 
+_VEPS = G._EPS
+
+
+def _ring_locate_vec(ring, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized _ring_contains: 0 outside, 1 inside, 2 boundary, for
+    every point at once (edges x points broadcast)."""
+    r = np.asarray(ring, dtype="float64")
+    ax, ay = r[:-1, 0][:, None], r[:-1, 1][:, None]
+    bx, by = r[1:, 0][:, None], r[1:, 1][:, None]
+    px2, py2 = px[None, :], py[None, :]
+    orient = (bx - ax) * (py2 - ay) - (by - ay) * (px2 - ax)
+    scale = np.maximum.reduce(
+        [
+            np.ones_like(orient),
+            np.abs(ax) + 0 * px2, np.abs(ay) + 0 * px2,
+            np.abs(bx) + 0 * px2, np.abs(by) + 0 * px2,
+            np.abs(px2) + 0 * ax, np.abs(py2) + 0 * ax,
+        ]
+    )
+    on_seg = (
+        (np.abs(orient) <= _VEPS * scale)
+        & (px2 >= np.minimum(ax, bx) - _VEPS)
+        & (px2 <= np.maximum(ax, bx) + _VEPS)
+        & (py2 >= np.minimum(ay, by) - _VEPS)
+        & (py2 <= np.maximum(ay, by) + _VEPS)
+    )
+    boundary = on_seg.any(axis=0)
+    cond = (ay > py2) != (by > py2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = ax + (py2 - ay) * (bx - ax) / (by - ay)
+    crossings = (cond & (x_at > px2)).sum(axis=0)
+    inside = crossings % 2 == 1
+    return np.where(boundary, 2, np.where(inside, 1, 0))
+
+
+def _poly_locate_vec(poly, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized _poly_locate over a constant polygon/multipolygon."""
+    if isinstance(poly, G.MultiPolygon):
+        out = np.zeros(len(px), dtype="int64")
+        for p in poly.polygons:
+            loc = _poly_locate_vec(p, px, py)
+            out = np.where(out == 2, 2, np.maximum(out, loc))
+        return out
+    shell = _ring_locate_vec(poly.shell, px, py)
+    out = shell.copy()
+    interior = shell == 1
+    for hole in poly.holes:
+        h = _ring_locate_vec(hole, px, py)
+        out = np.where(interior & (h == 2), 2, out)
+        out = np.where(interior & (h == 1), 0, out)
+    return out
+
+
+_RECT_WKB_HEADER = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+
+
+def _rects_bounds(s: pd.Series):
+    """(x0, y0, x1, y1, valid) numpy arrays if every non-null value is a
+    single-ring 5-point polygon WKB forming an axis-aligned rectangle —
+    the st_makeenvelope / envelope() output shape.  93 fixed bytes per
+    value, so a whole batch decodes with one frombuffer like points."""
+    arr = s.to_numpy(dtype=object, copy=False)
+    n = len(arr)
+    mask = np.zeros(n, dtype=bool)
+    chunks = []
+    for i, v in enumerate(arr):
+        if v is None:
+            continue
+        if len(v) == 93 and bytes(v[:13]) == _RECT_WKB_HEADER:
+            mask[i] = True
+            chunks.append(bytes(v))
+        else:
+            return None
+    x0 = np.full(n, np.nan)
+    y0 = np.full(n, np.nan)
+    x1 = np.full(n, np.nan)
+    y1 = np.full(n, np.nan)
+    if chunks:
+        raw = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(-1, 93)
+        pts = raw[:, 13:].copy().view("<f8").reshape(-1, 5, 2)
+        xs, ys = pts[:, :, 0], pts[:, :, 1]
+        xmin, xmax = xs.min(axis=1), xs.max(axis=1)
+        ymin, ymax = ys.min(axis=1), ys.max(axis=1)
+        # every vertex on a corner, all four corners present, ring closed
+        is_rect = (
+            ((xs == xmin[:, None]) | (xs == xmax[:, None])).all(axis=1)
+            & ((ys == ymin[:, None]) | (ys == ymax[:, None])).all(axis=1)
+            & (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
+            & ((xs == xmin[:, None]) & (ys == ymin[:, None])).any(axis=1)
+            & ((xs == xmax[:, None]) & (ys == ymin[:, None])).any(axis=1)
+            & ((xs == xmin[:, None]) & (ys == ymax[:, None])).any(axis=1)
+            & ((xs == xmax[:, None]) & (ys == ymax[:, None])).any(axis=1)
+        )
+        if not is_rect.all():
+            return None
+        x0[mask], y0[mask], x1[mask], y1[mask] = xmin, ymin, xmax, ymax
+    return x0, y0, x1, y1, mask
+
+
+def _fast_rect_rect_predicate(name: str, a: pd.Series, b: pd.Series):
+    """Vectorized rectangle-vs-rectangle evaluation (both sides columns,
+    no constant needed) — the envelope-join workload.  For axis-aligned
+    rectangles the kernel's semantics reduce to closed-interval bbox
+    arithmetic: intersects' bbox prefilter rejects any strict separation
+    and boundary contact intersects; covers/contains of a rectangle by a
+    rectangle is bbox containment."""
+    if name not in ("intersects", "disjoint", "covers", "within", "contains"):
+        return None
+    ra = _rects_bounds(a)
+    if ra is None:
+        return None
+    rb = _rects_bounds(b)
+    if rb is None:
+        return None
+    ax0, ay0, ax1, ay1, ma = ra
+    bx0, by0, bx1, by1, mb = rb
+    overlap = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    a_covers_b = (ax0 <= bx0) & (ay0 <= by0) & (ax1 >= bx1) & (ay1 >= by1)
+    if name == "intersects":
+        res = overlap
+    elif name == "disjoint":
+        res = ~overlap
+    elif name in ("covers", "contains"):
+        # kernel contains(poly, poly) == covers (interior check applies
+        # to point arguments only)
+        res = a_covers_b
+    else:  # within
+        res = (bx0 <= ax0) & (by0 <= ay0) & (bx1 >= ax1) & (by1 >= ay1)
+    out = pd.Series(res.astype(object))
+    out[~(ma & mb)] = None
+    return out
+
+
+def _fast_poly_predicate(name: str, a: pd.Series, b: pd.Series):
+    """Vectorized point-column vs constant (multi)polygon evaluation;
+    None when the batch shape doesn't apply.  Covers the polygon-window
+    workloads the rect fast path can't (concave shells, holes), with
+    locate semantics identical to the scalar kernel's _poly_locate."""
+    if name not in ("intersects", "disjoint", "covers", "within", "contains"):
+        return None
+    for pts_side, const_side, swapped in ((a, b, False), (b, a, True)):
+        g = _const_geometry(const_side)
+        if g is None:
+            continue
+        if not isinstance(g, (G.Polygon, G.MultiPolygon)):
+            return None
+        pts = _points_xy(pts_side)
+        if pts is None:
+            return None
+        x, y, mask = pts
+        n = len(x)
+        if g.is_empty():
+            # kernel: anything vs empty -> False; disjoint -> True
+            res = np.full(n, name == "disjoint")
+        else:
+            # locate only the valid points (NaN point = empty, loc 0)
+            valid = mask & ~(np.isnan(x) | np.isnan(y))
+            loc = np.zeros(n, dtype="int64")
+            if valid.any():
+                loc[valid] = _poly_locate_vec(g, x[valid], y[valid])
+            if name == "intersects":
+                res = (loc != 0) & valid
+            elif name == "disjoint":
+                res = loc == 0  # empty point is disjoint, like the kernel
+            elif name == "covers":
+                # covers(poly, point) only when the poly is the receiver
+                res = ((loc != 0) & valid) if swapped else None
+            elif name == "within":
+                # within(point, poly) = covers(poly, point)
+                res = ((loc != 0) & valid) if not swapped else None
+            else:  # contains(poly, point): interior only
+                res = ((loc == 1) & valid) if swapped else None
+            if res is None:
+                return None
+        out = pd.Series(res.astype(object))
+        out[~mask] = None
+        return out
+    return None
+
+
 def _binary_predicate(name: str):
     method = name
 
     @pandas_udf(BooleanType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
         fast = _fast_rect_predicate(method, a, b)
+        if fast is None:
+            fast = _fast_rect_rect_predicate(method, a, b)
+        if fast is None:
+            fast = _fast_poly_predicate(method, a, b)
         if fast is not None:
             return fast
+        # generic fallback: per-pair kernel calls, with a per-batch decode
+        # cache so constant literals / low-cardinality columns decode once
+        cache: dict = {}
+
+        def dec(v):
+            k = bytes(v)
+            g = cache.get(k)
+            if g is None:
+                g = cache[k] = geometry_from_wkb(k)
+            return g
+
         out = []
         for av, bv in zip(a, b):
             if av is None or bv is None:
                 out.append(None)
             else:
-                ga = geometry_from_wkb(av)
-                gb = geometry_from_wkb(bv)
-                out.append(getattr(ga, method)(gb))
+                out.append(getattr(dec(av), method)(dec(bv)))
         return pd.Series(out)
 
     return _udf
@@ -416,6 +613,26 @@ def st_envelope_udf(wkb: pd.Series) -> pd.Series:
 def st_makeenvelope_udf(
     xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
 ) -> pd.Series:
+    # whole-batch WKB assembly (the 93-byte single-ring rectangle layout
+    # _rects_bounds decodes): one (n, 93) byte matrix, no per-row objects
+    if all(s.dtype.kind == "f" and not s.isna().any() for s in (xmin, ymin, xmax, ymax)):
+        n = len(xmin)
+        x0 = xmin.to_numpy(dtype="<f8")
+        y0 = ymin.to_numpy(dtype="<f8")
+        x1 = xmax.to_numpy(dtype="<f8")
+        y1 = ymax.to_numpy(dtype="<f8")
+        raw = np.empty((n, 93), dtype=np.uint8)
+        raw[:, :13] = np.frombuffer(_RECT_WKB_HEADER, dtype=np.uint8)
+        ring = np.empty((n, 5, 2), dtype="<f8")
+        # box() ring order: (x0,y0),(x1,y0),(x1,y1),(x0,y1),(x0,y0)
+        ring[:, 0, 0] = x0; ring[:, 0, 1] = y0
+        ring[:, 1, 0] = x1; ring[:, 1, 1] = y0
+        ring[:, 2, 0] = x1; ring[:, 2, 1] = y1
+        ring[:, 3, 0] = x0; ring[:, 3, 1] = y1
+        ring[:, 4, 0] = x0; ring[:, 4, 1] = y0
+        raw[:, 13:] = ring.reshape(n, 10).view(np.uint8)
+        buf = raw.tobytes()
+        return pd.Series([buf[i * 93 : i * 93 + 93] for i in range(n)])
     from iceberg_geo_poc_spark.geo.geometry import box as _box
 
     out = []

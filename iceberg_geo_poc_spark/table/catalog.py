@@ -76,6 +76,14 @@ class Catalog:
         MD.write_new_metadata(meta, base_version=-1)
         return Table(meta, self.spark)
 
+    def sql(self, text: str):
+        """Textual entry point for CALL system.* procedures, ALTER TABLE
+        extensions, and MERGE INTO (reference IcebergSqlExtensions.g4
+        :68-83); routes to the corresponding Python API call."""
+        from iceberg_geo_poc_spark.table.sql import dispatch_sql
+
+        return dispatch_sql(self, text)
+
     def load_table(self, name: str) -> Table:
         return Table(MD.read_metadata(self._table_location(name)), self.spark)
 

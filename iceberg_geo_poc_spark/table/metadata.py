@@ -163,20 +163,41 @@ def read_metadata(location: str) -> TableMetadata:
 
 
 def write_new_metadata(meta: TableMetadata, base_version: int) -> int:
-    """Put-if-absent commit of v{base+1}; raises CommitConflict if lost."""
+    """Put-if-absent commit of v{base+1}; raises CommitConflict if lost.
+
+    Cross-PROCESS safe, not just cross-thread: the full document is
+    written and fsynced to a private temp file first, then hard-linked to
+    the final name.  ``os.link`` fails atomically when the target exists
+    (the filesystem analogue of a conditional PUT / If-None-Match), and a
+    reader can never observe a torn ``v{N}.metadata.json`` — the name
+    only ever appears with complete contents.  A writer crashing mid-
+    commit leaves only a ``.tmp`` that no reader or committer considers.
+    (Reference parity: SnapshotProducer.java:369-409 retry loop over the
+    catalog's atomic swap.)
+    """
     version = base_version + 1
     path = _metadata_path(meta.location, version)
     os.makedirs(metadata_dir(meta.location), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta.to_json(), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        with open(path, "x") as f:
-            json.dump(meta.to_json(), f, indent=1)
+        os.link(tmp, path)
     except FileExistsError as e:
         raise CommitConflict(
             f"metadata version {version} already committed by a concurrent writer"
         ) from e
-    with open(_hint_path(meta.location) + ".tmp", "w") as f:
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    hint_tmp = f"{_hint_path(meta.location)}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(hint_tmp, "w") as f:
         f.write(str(version))
-    os.replace(_hint_path(meta.location) + ".tmp", _hint_path(meta.location))
+    os.replace(hint_tmp, _hint_path(meta.location))
     meta.version = version
     return version
 

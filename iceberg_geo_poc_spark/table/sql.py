@@ -1,0 +1,433 @@
+"""Textual SQL entry points for table management: CALL procedures,
+ALTER TABLE extensions, and MERGE INTO.
+
+The reference exposes these through an ANTLR grammar injected into
+Spark's parser (reference spark/v3.5/spark-extensions/src/main/antlr/
+org.apache.spark.sql.catalyst.parser.extensions/IcebergSqlExtensions.g4
+:68-83 for the statement list, HavasuIcebergSqlParser.scala:30-44 for
+the fork's `geometry` DDL type and SET GEOMETRY FIELDS).  A pure-Python
+engine cannot register a DSv2 catalog/parser extension, so this module
+is a thin dispatcher: it parses the same statement shapes and routes to
+the existing Python API — `engine.sql("CALL system.rewrite_data_files
+('t')")` produces exactly the call `rewrite_data_files(t)` would.
+
+Statements outside this surface raise SqlError with a pointer to the
+API form; plain queries should go through spark.sql over registered
+views instead.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pyspark.sql.functions as F
+
+
+class SqlError(ValueError):
+    pass
+
+
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:[A-Za-z_][\w]*\.)?system\.(?P<proc>[A-Za-z_][\w]*)\s*"
+    r"\((?P<args>.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*)\s+(?P<rest>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
+    r"\s+USING\s+(?P<source>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_literal(tok: str) -> Any:
+    tok = tok.strip()
+    if (tok.startswith("'") and tok.endswith("'")) or (
+        tok.startswith('"') and tok.endswith('"')
+    ):
+        return tok[1:-1]
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if low == "null":
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok  # bare identifier (e.g. a table name)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split on top-level commas (respects quotes and parens)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in argstr:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_call_args(argstr: str) -> tuple[list, dict]:
+    pos, named = [], {}
+    for part in _split_args(argstr):
+        m = re.match(r"^([A-Za-z_]\w*)\s*=>\s*(.+)$", part, re.S)
+        if m:
+            named[m.group(1).lower()] = _parse_literal(m.group(2))
+        else:
+            pos.append(_parse_literal(part))
+    return pos, named
+
+
+_TERM_RE = re.compile(r"^([A-Za-z_]\w*)\s*(?:\(\s*(.*?)\s*\))?$", re.S)
+
+
+def _partition_term(term: str) -> tuple[str, str]:
+    """'bucket(16, c)' -> ('c', 'bucket[16]'); 'c' -> ('c', 'identity');
+    'days(ts)' -> ('ts', 'day'); 'hilbert(geom, 12)' -> ('geom',
+    'hilbert[12]') — the SQL spellings of reference Expressions.java
+    :77-121 transform terms."""
+    m = _TERM_RE.match(term.strip())
+    if not m:
+        raise SqlError(f"cannot parse partition term {term!r}")
+    fn, args = m.group(1).lower(), m.group(2)
+    if args is None:
+        return m.group(1), "identity"
+    parts = [a.strip() for a in args.split(",") if a.strip()]
+    if fn in ("bucket", "truncate"):
+        if len(parts) != 2:
+            raise SqlError(f"{fn} needs (n, column): {term!r}")
+        n, col = parts
+        return col, f"{fn}[{int(n)}]"
+    if fn in ("year", "years", "month", "months", "day", "days", "hour", "hours"):
+        return parts[0], fn.rstrip("s")
+    if fn == "hilbert":
+        col = parts[0]
+        res = int(parts[1]) if len(parts) > 1 else 10
+        if len(parts) == 6:
+            bounds = ",".join(parts[1:5])
+            return col, f"hilbert[{parts[5]},{bounds}]"
+        return col, f"hilbert[{res}]"
+    if fn == "void":
+        return parts[0], "void"
+    raise SqlError(f"unknown partition transform {fn!r}")
+
+
+def dispatch_sql(catalog, text: str):
+    """Route one SQL statement to the Python API.  Returns whatever the
+    routed call returns (Table, DataFrame, procedure result)."""
+    m = _CALL_RE.match(text)
+    if m:
+        return _call(catalog, m.group("proc").lower(), m.group("args"))
+    m = _MERGE_RE.match(text)
+    if m:
+        return _merge(catalog, m)
+    m = _ALTER_RE.match(text)
+    if m:
+        return _alter(catalog, m.group("table"), m.group("rest"))
+    raise SqlError(
+        "unsupported statement (this dispatcher covers CALL system.*, "
+        "ALTER TABLE extensions, and MERGE INTO; run queries through "
+        "spark.sql over registered views)"
+    )
+
+
+# -- CALL procedures --------------------------------------------------------
+
+def _call(catalog, proc: str, argstr: str):
+    from iceberg_geo_poc_spark.table import maintenance as X
+
+    pos, kw = _parse_call_args(argstr)
+
+    def arg(name: str, idx: int, default=...):
+        if name in kw:
+            return kw[name]
+        if idx < len(pos):
+            return pos[idx]
+        if default is ...:
+            raise SqlError(f"procedure {proc} needs argument {name!r}")
+        return default
+
+    if proc == "rewrite_data_files":
+        t = catalog.load_table(arg("table", 0))
+        strategy = arg("strategy", 1, "binpack")
+        sort_order = arg("sort_order", 2, None)
+        kwargs: dict = {}
+        if sort_order:
+            zm = re.match(r"^\s*zorder\s*\((.*)\)\s*$", sort_order, re.I)
+            hm = re.match(r"^\s*hilbert\s*\(\s*([\w]+)\s*\)\s*$", sort_order, re.I)
+            if zm:
+                strategy = "zorder"
+                kwargs["zorder_by"] = [c.strip() for c in zm.group(1).split(",")]
+            elif hm:
+                strategy = "hilbert"
+                kwargs["hilbert_column"] = hm.group(1)
+            else:
+                strategy = "sort"
+                kwargs["sort_by"] = [
+                    c.split()[0] for c in _split_args(sort_order)
+                ]
+        if "target_file_size" in kw:
+            kwargs["target_file_size"] = int(kw["target_file_size"])
+        return X.rewrite_data_files(t, strategy=strategy, **kwargs)
+    if proc == "rewrite_manifests":
+        return X.rewrite_manifests(catalog.load_table(arg("table", 0)))
+    if proc == "rewrite_position_delete_files":
+        return X.rewrite_position_delete_files(catalog.load_table(arg("table", 0)))
+    if proc == "expire_snapshots":
+        older = kw.get("older_than")
+        if isinstance(older, str):
+            import datetime as _dt
+
+            fmt = "%Y-%m-%d %H:%M:%S" if ":" in older else "%Y-%m-%d"
+            older = int(
+                _dt.datetime.strptime(older, fmt)
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+                * 1000
+            )
+        return X.expire_snapshots(
+            catalog.load_table(arg("table", 0)),
+            keep_last=int(arg("retain_last", 2, 1)),
+            older_than_ms=older,
+        )
+    if proc == "remove_orphan_files":
+        return X.remove_orphan_files(
+            catalog.load_table(arg("table", 0)), dry_run=bool(arg("dry_run", 1, False))
+        )
+    if proc == "rollback_to_snapshot":
+        return catalog.rollback_to_snapshot(arg("table", 0), int(arg("snapshot_id", 1)))
+    if proc == "rollback_to_timestamp":
+        return catalog.rollback_to_timestamp(arg("table", 0), int(arg("timestamp", 1)))
+    if proc == "set_current_snapshot":
+        return catalog.rollback_to_snapshot(arg("table", 0), int(arg("snapshot_id", 1)))
+    if proc == "cherrypick_snapshot":
+        return catalog.cherrypick_snapshot(arg("table", 0), int(arg("snapshot_id", 1)))
+    if proc == "publish_changes":
+        return catalog.publish_changes(arg("table", 0), str(arg("wap_id", 1)))
+    if proc == "fast_forward":
+        return catalog.fast_forward(
+            arg("table", 0), arg("branch", 1), int(arg("to", 2))
+        )
+    if proc == "ancestors_of":
+        return catalog.ancestors_of(arg("table", 0))
+    if proc == "snapshot":
+        return catalog.snapshot_table(arg("source_table", 0), arg("table", 1))
+    if proc == "register_table":
+        return catalog.register_table(arg("table", 0), arg("metadata_file", 1))
+    if proc == "add_files":
+        import glob as _glob
+        import os as _os
+
+        src = arg("source_table", 1)
+        if _os.path.isdir(src):
+            paths = sorted(
+                _os.path.join(r, f)
+                for r, _d, fs in _os.walk(src)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            paths = sorted(_glob.glob(src))
+        return catalog.add_files(arg("table", 0), paths)
+    if proc == "migrate":
+        return catalog.migrate_parquet(
+            arg("table", 0), arg("directory", 1), arg("schema", 2)
+        )
+    raise SqlError(f"unknown procedure system.{proc}")
+
+
+# -- ALTER TABLE extensions -------------------------------------------------
+
+def _alter(catalog, table: str, rest: str):
+    r = rest.strip()
+    ru = re.sub(r"\s+", " ", r)
+
+    m = re.match(r"^ADD PARTITION FIELD (.+)$", ru, re.I)
+    if m:
+        t = catalog.load_table(table)
+        spec = [(f["source"], f["transform"]) for f in t.meta.partition_spec]
+        spec.append(_partition_term(m.group(1)))
+        return catalog.alter_partition_spec(table, spec)
+    m = re.match(r"^DROP PARTITION FIELD (.+)$", ru, re.I)
+    if m:
+        t = catalog.load_table(table)
+        src, tr = _partition_term(m.group(1))
+        spec = [
+            (f["source"], f["transform"])
+            for f in t.meta.partition_spec
+            if not (f["source"] == src and f["transform"] == tr)
+        ]
+        return catalog.alter_partition_spec(table, spec)
+    m = re.match(
+        r"^WRITE(?P<dist> DISTRIBUTED BY PARTITION)?(?P<loc> LOCALLY)? ORDERED BY (?P<cols>.+)$",
+        ru,
+        re.I,
+    )
+    if m:
+        mode = "hash" if m.group("dist") else ("none" if m.group("loc") else "range")
+        cols = [c.split()[0] for c in _split_args(m.group("cols"))]
+        return catalog.set_write_order(table, cols, distribution_mode=mode)
+    m = re.match(r"^SET IDENTIFIER FIELDS (.+)$", ru, re.I)
+    if m:
+        return catalog.set_identifier_fields(
+            table, [c.strip() for c in m.group(1).split(",")]
+        )
+    if re.match(r"^DROP IDENTIFIER FIELDS$", ru, re.I):
+        return catalog.drop_identifier_fields(table)
+    m = re.match(r"^SET GEOMETRY FIELDS (.+)$", ru, re.I)
+    if m:
+        fields = {}
+        for part in _split_args(m.group(1)):
+            fm = re.match(r"^([\w]+)\s+AS\s+'([\w]+)'$", part.strip(), re.I)
+            if not fm:
+                raise SqlError(f"SET GEOMETRY FIELDS expects col AS 'enc': {part!r}")
+            fields[fm.group(1)] = fm.group(2)
+        return catalog.set_geometry_fields(table, fields)
+    m = re.match(r"^DROP GEOMETRY FIELDS (.+)$", ru, re.I)
+    if m:
+        return catalog.drop_geometry_fields(
+            table, [c.strip() for c in m.group(1).split(",")]
+        )
+    m = re.match(r"^CREATE BRANCH (\w+)(?: AS OF VERSION (\d+))?$", ru, re.I)
+    if m:
+        sid = int(m.group(2)) if m.group(2) else None
+        return catalog.create_branch(table, m.group(1), sid)
+    m = re.match(r"^CREATE TAG (\w+)(?: AS OF VERSION (\d+))?$", ru, re.I)
+    if m:
+        sid = int(m.group(2)) if m.group(2) else None
+        return catalog.create_tag(table, m.group(1), sid)
+    m = re.match(r"^SET TBLPROPERTIES \((.+)\)$", ru, re.I)
+    if m:
+        props = {}
+        for part in _split_args(m.group(1)):
+            km = re.match(r"^'([^']+)'\s*=\s*'([^']*)'$", part.strip())
+            if not km:
+                raise SqlError(f"SET TBLPROPERTIES expects 'k'='v': {part!r}")
+            props[km.group(1)] = km.group(2)
+        return catalog.alter_table_properties(table, set_props=props)
+    m = re.match(r"^UNSET TBLPROPERTIES \((.+)\)$", ru, re.I)
+    if m:
+        keys = [p.strip().strip("'") for p in _split_args(m.group(1))]
+        return catalog.alter_table_properties(table, unset=keys)
+    m = re.match(r"^ADD COLUMNS? \(?(.+?)\)?$", ru, re.I)
+    if m:
+        return catalog.add_columns(table, m.group(1))
+    m = re.match(r"^RENAME COLUMN (\w+) TO (\w+)$", ru, re.I)
+    if m:
+        return catalog.rename_column(table, m.group(1), m.group(2))
+    m = re.match(r"^DROP COLUMN (\w+)$", ru, re.I)
+    if m:
+        return catalog.drop_column(table, m.group(1))
+    m = re.match(r"^ALTER COLUMN (\w+) TYPE (\w+)$", ru, re.I)
+    if m:
+        return catalog.promote_column_type(table, m.group(1), m.group(2))
+    raise SqlError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+
+# -- MERGE INTO -------------------------------------------------------------
+
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
+    r"(?=\s+WHEN\s|\s*$)",
+    re.I | re.S,
+)
+
+
+def _merge(catalog, m: re.Match):
+    target = m.group("target")
+    talias = m.group("talias") or target
+    source = m.group("source")
+    salias = m.group("salias") or source
+    t = catalog.load_table(target)
+    src_df = catalog.spark.table(source)
+
+    def canon(expr: str) -> str:
+        # rewrite user aliases to the join aliases the API uses
+        expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
+        expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+        return expr.strip()
+
+    # ON: conjunction of same-name equi predicates -> key column list
+    on_cols = []
+    for conj in re.split(r"\s+AND\s+", m.group("on"), flags=re.I):
+        em = re.match(
+            r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj.strip()
+        )
+        if not em:
+            raise SqlError(
+                f"MERGE ON must be AND-ed equi conditions alias.col = alias.col: {conj!r}"
+            )
+        a_alias, a_col, b_alias, b_col = em.groups()
+        cols = {canon(f"{a_alias}.{a_col}"), canon(f"{b_alias}.{b_col}")}
+        if {c.split(".")[0] for c in cols} != {"t", "s"} or a_col != b_col:
+            raise SqlError(
+                f"MERGE ON needs target.col = source.col with matching names: {conj!r}"
+            )
+        on_cols.append(a_col)
+
+    update: dict | None = None
+    delete = False
+    insert = False
+    for wm in _WHEN_RE.finditer(m.group("clauses")):
+        action = re.sub(r"\s+", " ", wm.group("action")).strip()
+        if wm.group("not"):
+            if action.upper() != "INSERT *":
+                raise SqlError("WHEN NOT MATCHED supports only INSERT *")
+            insert = True
+            continue
+        if action.upper() == "DELETE":
+            delete = True
+            continue
+        sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
+        if not sm:
+            raise SqlError(f"unsupported MATCHED action: {action!r}")
+        update = {}
+        for assign in _split_args(sm.group(1)):
+            am = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.+)$", assign.strip(), re.S)
+            if not am:
+                raise SqlError(f"cannot parse SET assignment {assign!r}")
+            col_alias, col, valexpr = am.groups()
+            if col_alias and canon(f"{col_alias}.x").split(".")[0] != "t":
+                raise SqlError(f"SET must assign target columns: {assign!r}")
+            update[col] = F.expr(canon(valexpr))
+    if not (update or delete or insert):
+        raise SqlError("MERGE needs at least one WHEN clause")
+    return t.merge(
+        src_df,
+        on=on_cols,
+        when_matched_update=update,
+        when_matched_delete=delete,
+        when_not_matched_insert=insert,
+    )

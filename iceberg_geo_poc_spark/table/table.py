@@ -758,11 +758,13 @@ class Table:
         rewritten: list[dict] = []
         if candidates:
             tgt = self._read_files(candidates, with_deletes=True)
+            # explicit never-null probe: a key-only source has no non-key
+            # column to test, and join keys are ambiguous after the join
+            src_probed = src.withColumn("__s_exists", F.lit(True))
             marked = tgt.alias("t").join(
-                src.alias("s"), on=on, how="left"
+                src_probed.alias("s"), on=on, how="left"
             )
-            s_probe = [c for c in src.columns if c not in on][0] if len(src.columns) > len(on) else on[0]
-            matched = F.col(f"s.{s_probe}").isNotNull() if len(src.columns) > len(on) else F.lit(True)
+            matched = F.col("s.__s_exists").isNotNull()
             out_cols = []
             for c in target_cols:
                 tc = F.col(f"t.{c}")

@@ -244,3 +244,114 @@ def test_hilbert_adjacent_cells_adjacent_indexes():
     cx, cy = xs.ravel()[order], ys.ravel()[order]
     steps = np.abs(np.diff(cx)) + np.abs(np.diff(cy))
     assert (steps == 1).all()
+
+
+def test_fast_poly_predicate_matches_kernel():
+    """The vectorized point-vs-polygon path must agree with the scalar
+    kernel on every predicate, including boundary points, holes, concave
+    shells, NaN (empty) points, and nulls."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.wkb import geometry_to_wkb
+    from iceberg_geo_poc_spark.geo.wkt import geometry_from_wkt
+
+    # concave polygon with a hole
+    poly = geometry_from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0),"
+        " (2 2, 4 2, 4 4, 2 4, 2 2))"
+    )
+    multi = geometry_from_wkt(
+        "MULTIPOLYGON (((0 0, 3 0, 3 3, 0 3, 0 0)), ((6 6, 9 6, 9 9, 6 9, 6 6)))"
+    )
+    rng = random.Random(13)
+    pts = [(rng.uniform(-2, 12), rng.uniform(-2, 12)) for _ in range(300)]
+    # deliberate edge cases: boundary corners/edges, hole boundary, NaN
+    pts += [
+        (0.0, 0.0), (10.0, 0.0), (5.0, 0.0), (0.0, 5.0), (5.0, 5.0),
+        (2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.5, 2.5),  # hole pts
+        (float("nan"), 1.0),
+    ]
+    from iceberg_geo_poc_spark.geo.geometry import Point
+
+    wkbs = [geometry_to_wkb(Point(x, y)) for x, y in pts] + [None]
+    for g in (poly, multi):
+        glit = geometry_to_wkb(g)
+        a = pd.Series(wkbs, dtype=object)
+        b = pd.Series([glit] * len(wkbs), dtype=object)
+        for name, col_receiver in (
+            ("intersects", True), ("disjoint", True), ("within", True),
+            ("covers", False), ("contains", False),
+        ):
+            if col_receiver:
+                got = GF._fast_poly_predicate(name, a, b)
+            else:
+                got = GF._fast_poly_predicate(name, b, a)
+            assert got is not None, f"fast path refused {name}"
+            for i, w in enumerate(wkbs):
+                if w is None:
+                    assert got[i] is None
+                    continue
+                from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb
+
+                p = geometry_from_wkb(w)
+                want = (
+                    getattr(p, name)(g) if col_receiver else getattr(g, name)(p)
+                )
+                assert bool(got[i]) == want, (
+                    f"{name} receiver={'pt' if col_receiver else 'poly'} "
+                    f"pt={pts[i]}: fast={got[i]} kernel={want}"
+                )
+
+
+def test_fast_rect_rect_predicate_matches_kernel():
+    """Vectorized rectangle-vs-rectangle (both sides columns) must agree
+    with the scalar kernel: overlapping, touching, contained, disjoint,
+    and identical rectangles."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.geometry import box
+    from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb, geometry_to_wkb
+
+    rng = random.Random(29)
+
+    def rand_rect():
+        x0 = rng.uniform(-50, 50)
+        y0 = rng.uniform(-50, 50)
+        return box(x0, y0, x0 + rng.uniform(0.1, 30), y0 + rng.uniform(0.1, 30))
+
+    pairs = [(rand_rect(), rand_rect()) for _ in range(200)]
+    # constructed cases: touching edges/corners, nested, equal
+    r = box(0, 0, 10, 10)
+    pairs += [
+        (r, box(10, 0, 20, 10)),   # shared edge
+        (r, box(10, 10, 20, 20)),  # shared corner
+        (r, box(2, 2, 8, 8)),      # nested
+        (r, box(0, 0, 10, 10)),    # identical
+        (r, box(11, 0, 20, 10)),   # disjoint
+        (box(2, 2, 8, 8), r),      # nested, reversed
+    ]
+    a = pd.Series([geometry_to_wkb(p[0]) for p in pairs] + [None], dtype=object)
+    b = pd.Series([geometry_to_wkb(p[1]) for p in pairs] + [geometry_to_wkb(r)], dtype=object)
+    for name in ("intersects", "disjoint", "covers", "within", "contains"):
+        got = GF._fast_rect_rect_predicate(name, a, b)
+        assert got is not None
+        assert got.iloc[len(pairs)] is None  # null row stays null
+        for i, (ga, gb) in enumerate(pairs):
+            want = getattr(ga, name)(gb)
+            assert bool(got.iloc[i]) == want, (
+                f"{name} pair {i}: {ga.bounds} vs {gb.bounds}: "
+                f"fast={got.iloc[i]} kernel={want}"
+            )
+    # non-rect polygon on either side must refuse (falls to generic path)
+    from iceberg_geo_poc_spark.geo.wkt import geometry_from_wkt
+
+    tri = geometry_to_wkb(geometry_from_wkt("POLYGON ((0 0, 5 0, 3 4, 0 0))"))
+    mixed = pd.Series([geometry_to_wkb(r), tri], dtype=object)
+    rects = pd.Series([geometry_to_wkb(r)] * 2, dtype=object)
+    assert GF._fast_rect_rect_predicate("intersects", mixed, rects) is None

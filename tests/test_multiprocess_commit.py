@@ -1,0 +1,111 @@
+"""Cross-process commit safety: two OS processes committing concurrently
+must serialize through the put-if-absent metadata protocol with no lost
+updates and no torn metadata files (reference SnapshotProducer.java
+:369-409 optimistic retry over the catalog's atomic swap)."""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+
+from iceberg_geo_poc_spark.table import metadata as MD
+
+N_COMMITS = 20
+
+
+def _make_table(location: str) -> None:
+    meta = MD.TableMetadata(
+        table_uuid="t-0",
+        location=location,
+        schema_ddl="a BIGINT",
+        partition_spec=[],
+        geo_fields={},
+        properties={},
+        current_snapshot_id=None,
+        snapshots=[],
+        last_sequence_number=0,
+    )
+    MD.write_new_metadata(meta, meta.version)
+
+
+def _committer(location: str, worker: int, n: int) -> None:
+    """Append n snapshots with full optimistic retry."""
+    for i in range(n):
+        while True:
+            meta = MD.read_metadata(location)
+            seq = meta.last_sequence_number + 1
+            snap = MD.Snapshot(
+                snapshot_id=worker * 1_000_000 + i,
+                parent_id=meta.current_snapshot_id,
+                sequence_number=seq,
+                timestamp_ms=MD.now_ms(),
+                operation="append",
+                manifest=f"metadata/manifests/snap-{worker}-{i}.parquet",
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = snap.snapshot_id
+            meta.last_sequence_number = seq
+            try:
+                MD.write_new_metadata(meta, meta.version)
+                break
+            except MD.CommitConflict:
+                continue
+
+
+def test_two_processes_never_lose_a_commit(tmp_path):
+    loc = str(tmp_path / "table")
+    _make_table(loc)
+    ctx = mp.get_context("spawn")
+    ps = [
+        ctx.Process(target=_committer, args=(loc, w, N_COMMITS)) for w in (1, 2)
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(120)
+        assert p.exitcode == 0
+    meta = MD.read_metadata(loc)
+    # every commit from both processes landed exactly once
+    ids = [s.snapshot_id for s in meta.snapshots]
+    assert len(ids) == 2 * N_COMMITS
+    assert len(set(ids)) == 2 * N_COMMITS
+    # sequence numbers are a gap-free serialization
+    seqs = sorted(s.sequence_number for s in meta.snapshots)
+    assert seqs == list(range(1, 2 * N_COMMITS + 1))
+    # the version chain is contiguous and every file parses (no torn JSON)
+    mdir = MD.metadata_dir(loc)
+    versions = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(mdir)
+        if f.endswith(".metadata.json")
+    )
+    assert versions == list(range(1, 2 * N_COMMITS + 2))
+    for v in versions:
+        with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+            json.load(f)
+    # no leftover temp files from lost races
+    assert not [f for f in os.listdir(mdir) if f.endswith(".tmp")]
+
+
+def test_snapshot_chain_is_a_single_lineage(tmp_path):
+    """Parent pointers observed at commit time always reference the
+    base's head — the winning chain is linear."""
+    loc = str(tmp_path / "table2")
+    _make_table(loc)
+    ctx = mp.get_context("spawn")
+    ps = [ctx.Process(target=_committer, args=(loc, w, 10)) for w in (1, 2, 3)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(120)
+        assert p.exitcode == 0
+    meta = MD.read_metadata(loc)
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    # walk from head to root: must visit every snapshot exactly once
+    seen = []
+    cur = meta.current_snapshot_id
+    while cur is not None:
+        seen.append(cur)
+        cur = by_id[cur].parent_id
+    assert len(seen) == 30

@@ -1,0 +1,180 @@
+"""engine.sql(): CALL / ALTER TABLE / MERGE INTO text forms must produce
+the same state changes as the equivalent Python API calls (reference
+grammar IcebergSqlExtensions.g4:68-83)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_geo_poc_spark.table import Catalog, E
+from iceberg_geo_poc_spark.table.sql import SqlError
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(str(tmp_path / "wh"), spark)
+
+
+def _mk(spark, catalog, name, n_appends=3, rows_per=10):
+    t = catalog.create_table(name, "a BIGINT, b STRING")
+    base = 0
+    for _ in range(n_appends):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(base, base + rows_per)],
+                "a BIGINT, b STRING",
+            ).coalesce(1)
+        )
+        base += rows_per
+    return t
+
+
+def test_call_rewrite_data_files(spark, catalog):
+    t = _mk(spark, catalog, "c1")
+    res = catalog.sql(
+        "CALL system.rewrite_data_files(table => 'c1', target_file_size => 1048576)"
+    )
+    assert res.rewritten_files == 3 and res.added_files == 1
+    assert catalog.load_table("c1").scan().total_data_files() == 1
+
+
+def test_call_rewrite_with_sort_order(spark, catalog):
+    _mk(spark, catalog, "c2")
+    res = catalog.sql("CALL system.rewrite_data_files('c2', 'sort', 'a ASC')")
+    assert res.rewritten_files == 3
+    got = sorted(r.a for r in catalog.load_table("c2").to_df().collect())
+    assert got == list(range(30))
+
+
+def test_call_expire_and_rollback(spark, catalog):
+    t = _mk(spark, catalog, "c3")
+    snaps = t.snapshots()
+    catalog.sql(f"CALL system.rollback_to_snapshot('c3', {snaps[0].snapshot_id})")
+    assert catalog.load_table("c3").to_df().count() == 10
+    catalog.sql(f"CALL system.set_current_snapshot('c3', {snaps[-1].snapshot_id})")
+    assert catalog.load_table("c3").to_df().count() == 30
+    stats = catalog.sql("CALL system.expire_snapshots('c3', retain_last => 1)")
+    assert stats["expired"] == 2
+
+
+def test_call_ancestors_and_snapshot_clone(spark, catalog):
+    _mk(spark, catalog, "c4")
+    anc = catalog.sql("CALL system.ancestors_of('c4')")
+    assert len(anc) == 3
+    clone = catalog.sql("CALL system.snapshot(source_table => 'c4', table => 'c4c')")
+    assert clone.meta.properties.get("gc.enabled") == "false"
+    assert clone.to_df().count() == 30
+
+
+def test_alter_partition_field_roundtrip(spark, catalog):
+    _mk(spark, catalog, "a1")
+    catalog.sql("ALTER TABLE a1 ADD PARTITION FIELD bucket(4, a)")
+    t = catalog.load_table("a1")
+    assert t.meta.partition_spec == [{"source": "a", "transform": "bucket[4]"}]
+    catalog.sql("ALTER TABLE a1 ADD PARTITION FIELD b")
+    t = catalog.load_table("a1")
+    assert len(t.meta.partition_spec) == 2
+    catalog.sql("ALTER TABLE a1 DROP PARTITION FIELD bucket(4, a)")
+    t = catalog.load_table("a1")
+    assert t.meta.partition_spec == [{"source": "b", "transform": "identity"}]
+
+
+def test_alter_write_order_and_identifier_fields(spark, catalog):
+    _mk(spark, catalog, "a2")
+    catalog.sql("ALTER TABLE a2 WRITE DISTRIBUTED BY PARTITION ORDERED BY a")
+    t = catalog.load_table("a2")
+    assert t.meta.properties["write.distribution-mode"] == "hash"
+    catalog.sql("ALTER TABLE a2 SET IDENTIFIER FIELDS a")
+    t = catalog.load_table("a2")
+    assert "identifier-fields" in t.meta.properties
+    catalog.sql("ALTER TABLE a2 DROP IDENTIFIER FIELDS")
+    assert "identifier-fields" not in catalog.load_table("a2").meta.properties
+
+
+def test_alter_geometry_fields_and_tblproperties(spark, catalog):
+    catalog.create_table("a3", "id BIGINT, geom BINARY")
+    catalog.sql("ALTER TABLE a3 SET GEOMETRY FIELDS geom AS 'ewkb'")
+    t = catalog.load_table("a3")
+    assert t.meta.geo_fields == {"geom": "ewkb"}
+    catalog.sql("ALTER TABLE a3 SET TBLPROPERTIES ('k1'='v1', 'k2'='v2')")
+    t = catalog.load_table("a3")
+    assert t.meta.properties["k1"] == "v1" and t.meta.properties["k2"] == "v2"
+    catalog.sql("ALTER TABLE a3 UNSET TBLPROPERTIES ('k1')")
+    assert "k1" not in catalog.load_table("a3").meta.properties
+
+
+def test_alter_branch_tag(spark, catalog):
+    t = _mk(spark, catalog, "a4")
+    first = t.snapshots()[0].snapshot_id
+    catalog.sql(f"ALTER TABLE a4 CREATE TAG v1 AS OF VERSION {first}")
+    catalog.sql("ALTER TABLE a4 CREATE BRANCH dev")
+    t = catalog.load_table("a4")
+    assert t.meta.refs["v1"] == {"snapshot-id": first, "type": "tag"}
+    assert t.meta.refs["dev"]["type"] == "branch"
+    assert t.to_df(ref="v1").count() == 10
+
+
+def test_merge_into_matches_api(spark, catalog):
+    """Text MERGE produces the same table state as the API call."""
+    for name in ("m_sql", "m_api"):
+        t = catalog.create_table(name, "k BIGINT, v STRING")
+        t.append(
+            spark.createDataFrame(
+                [(i, f"old{i}") for i in range(5)], "k BIGINT, v STRING"
+            ).coalesce(1)
+        )
+    src = spark.createDataFrame(
+        [(3, "new3"), (4, "new4"), (7, "new7")], "k BIGINT, v STRING"
+    )
+    src.createOrReplaceTempView("m_src")
+
+    catalog.sql(
+        "MERGE INTO m_sql t USING m_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    import pyspark.sql.functions as F
+
+    catalog.load_table("m_api").merge(
+        src, on=["k"], when_matched_update={"v": F.expr("s.v")}
+    )
+    got_sql = sorted(
+        (r.k, r.v) for r in catalog.load_table("m_sql").to_df().collect()
+    )
+    got_api = sorted(
+        (r.k, r.v) for r in catalog.load_table("m_api").to_df().collect()
+    )
+    assert got_sql == got_api
+    assert got_sql == [
+        (0, "old0"), (1, "old1"), (2, "old2"), (3, "new3"), (4, "new4"),
+        (7, "new7"),
+    ]
+
+
+def test_merge_into_delete_clause(spark, catalog):
+    t = catalog.create_table("m_del", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(5)], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    spark.createDataFrame([(1,), (3,)], "k BIGINT").createOrReplaceTempView(
+        "m_del_src"
+    )
+    catalog.sql(
+        "MERGE INTO m_del t USING m_del_src s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sorted(r.k for r in catalog.load_table("m_del").to_df().collect()) == [
+        0, 2, 4,
+    ]
+
+
+def test_unsupported_statements_raise(spark, catalog):
+    _mk(spark, catalog, "u1", n_appends=1)
+    with pytest.raises(SqlError, match="unsupported statement"):
+        catalog.sql("SELECT * FROM u1")
+    with pytest.raises(SqlError, match="unknown procedure"):
+        catalog.sql("CALL system.nope('u1')")
+    with pytest.raises(SqlError, match="unsupported ALTER"):
+        catalog.sql("ALTER TABLE u1 FROBNICATE")
