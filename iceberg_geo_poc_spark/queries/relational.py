@@ -1085,19 +1085,45 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users", oracle=None)  # HLL sketch: impl-specific values
+@query(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event type — declared
-    rows-only: sketch estimates are engine-specific so there is no exact
-    cross-engine oracle (same posture as the reference's own JMH-only
-    perf surface).  The companion exact count is checked by
-    agg_distinct_customers_per_status."""
+    """approx_count_distinct (HyperLogLog++) per event type.
+
+    HLL sketch estimates are engine-specific, so the raw approximation is
+    not directly comparable across engines.  Instead of a rows-only check,
+    the query emits the *accuracy contract* as data: ``approx_within_5pct``
+    asserts ``abs(approx - exact)/exact <= 0.05`` (Spark's default rsd is
+    0.05).  The oracle computes the exact distinct count and asserts the
+    boolean TRUE — so the driver hash-check verifies BOTH the exact counts
+    and that Spark's HLL honors its error bound on this data."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )

@@ -58,15 +58,20 @@ _LOADED = False
 
 # Names hoisted to the front of the registry (after family reordering) so a
 # correctness driver that verifies queries in registration order and caps or
-# times out reaches the least-verified entries first.  The relational suite
-# earned green driver rows in round 1; these five were red only because the
-# driver session couldn't read events.parquet (fixed in session.load_table),
-# so they come first to prove the fix.
+# times out reaches the least-verified entries first.  Rounds 1+2 earned
+# green driver rows for 92 of 101 registered queries; the seven below are the
+# only ones that never received a driver row (they sat at positions 95-101),
+# so they come first.  ``agg_approx_distinct_users`` gained a real oracle
+# this round (bounded-relative-error boolean) and is re-hoisted to convert
+# its rows-only row into a full hash-checked row; new round-3 queries follow.
 _PRIORITY_FIRST = (
-    "agg_grouping_sets_events",
-    "scalar_json_extract",
-    "join_asof_last_order",
-    "join_range_event_bursts",
+    "dedup_contamination_check",
+    "dedup_minhash_signatures",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pack_document_batches",
+    "sample_deterministic_docs",
+    "sample_stratified_by_lang",
     "agg_approx_distinct_users",
 )
 
