@@ -512,6 +512,340 @@ def _fast_poly_predicate(name: str, a: pd.Series, b: pd.Series):
     return None
 
 
+# -- irregular polygon × polygon, fully vectorized --------------------------
+#
+# The rect/const fast paths above cover axis-aligned windows; joins between
+# two columns of arbitrary simple polygons (rotated cells, buffered shapes,
+# concave footprints) previously dropped to the per-pair Python kernel —
+# interpreter-bound at scale.  This path packs each batch's polygons into
+# flat coordinate arrays and evaluates the SAME decision procedure as
+# geometry._simple_intersects (shell-vertex containment both ways, then
+# closed-segment crossing over all ring edges) with numpy over ragged
+# row-aligned pair sets.  Semantics parity is property-tested against the
+# scalar kernel (tests/test_geo_kernel.py); rows that are not single
+# simple polygons fall back per-batch to the generic kernel unchanged.
+
+
+def _parse_wkb_polygon(b: bytes):
+    """rings as float64 (n,2) arrays for little-endian WKB Polygon, else None."""
+    if len(b) < 9 or b[0] != 1 or int.from_bytes(b[1:5], "little") != 3:
+        return None
+    nr = int.from_bytes(b[5:9], "little")
+    off = 9
+    rings = []
+    for _ in range(nr):
+        if off + 4 > len(b):
+            return None
+        npts = int.from_bytes(b[off : off + 4], "little")
+        off += 4
+        end = off + npts * 16
+        if end > len(b):
+            return None
+        rings.append(
+            np.frombuffer(b, dtype="<f8", count=npts * 2, offset=off).reshape(-1, 2)
+        )
+        off = end
+    if off != len(b):
+        return None
+    return rings
+
+
+class _PackedPolys:
+    """One batch of single-Polygon rows as flat numpy arrays."""
+
+    __slots__ = ("n", "ok", "empty", "vx", "vy", "vrow", "v_start", "v_cnt",
+                 "ex0", "ey0", "ex1", "ey1", "e_start", "e_cnt",
+                 "bx0", "by0", "bx1", "by1")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.ok = np.zeros(n, dtype=bool)
+        self.empty = np.zeros(n, dtype=bool)
+        self.v_cnt = np.zeros(n, dtype=np.int64)
+        self.e_cnt = np.zeros(n, dtype=np.int64)
+        self.bx0 = np.full(n, np.nan)
+        self.by0 = np.full(n, np.nan)
+        self.bx1 = np.full(n, np.nan)
+        self.by1 = np.full(n, np.nan)
+
+
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat index array [s0..s0+c0) ++ [s1..s1+c1) ++ … (ragged arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    block_starts = ends - counts
+    ordinal = np.arange(total, dtype=np.int64) - np.repeat(block_starts, counts)
+    return np.repeat(starts, counts) + ordinal
+
+
+_POLY_TYPE_BYTES = b"\x03\x00\x00\x00"
+
+
+def _polys_packed(s: pd.Series) -> _PackedPolys | None:
+    """Pack a WKB series; None unless every non-null row is a (closed,
+    little-endian, ≥4-points-per-ring) Polygon.
+
+    The only per-row Python work is header walking (a few int.from_bytes
+    per ring); every coordinate lands in ONE frombuffer over the joined
+    ring payloads, and bboxes / edge tables / shell-vertex tables are
+    derived with flat vector ops (reduceat over row blocks) — no per-row
+    numpy calls, which would dominate at small polygons per row."""
+    arr = s.to_numpy(dtype=object, copy=False)
+    n = len(arr)
+    pk = _PackedPolys(n)
+    bufs: list = []
+    ring_row: list[int] = []
+    ring_npts: list[int] = []
+    for i, v in enumerate(arr):
+        if v is None:
+            continue
+        b = bytes(v)
+        if len(b) < 9 or b[0] != 1 or b[1:5] != _POLY_TYPE_BYTES:
+            return None
+        nr = int.from_bytes(b[5:9], "little")
+        if nr == 0:
+            if len(b) != 9:
+                return None
+            pk.ok[i] = True
+            pk.empty[i] = True
+            continue
+        mv = memoryview(b)
+        off = 9
+        for r in range(nr):
+            if off + 4 > len(b):
+                return None
+            npts = int.from_bytes(b[off : off + 4], "little")
+            off += 4
+            end = off + npts * 16
+            if npts < 4 or end > len(b):
+                return None
+            bufs.append(mv[off:end])
+            ring_row.append(i)
+            ring_npts.append(npts)
+            off = end
+        if off != len(b):
+            return None
+        pk.ok[i] = True
+    zero = np.zeros(0, dtype=np.int64)
+    if not bufs:
+        pk.vx = pk.vy = pk.ex0 = pk.ey0 = pk.ex1 = pk.ey1 = np.zeros(0)
+        pk.v_start = pk.e_start = pk.vrow = zero
+        return pk
+    coords = np.frombuffer(b"".join(bufs), dtype="<f8").reshape(-1, 2)
+    rr = np.asarray(ring_row, dtype=np.int64)
+    rn = np.asarray(ring_npts, dtype=np.int64)
+    ring_end = np.cumsum(rn)
+    ring_start = ring_end - rn
+    # rings must be closed (our writers always close; exotic WKB falls back)
+    if not (coords[ring_start] == coords[ring_end - 1]).all():
+        return None
+    x = np.ascontiguousarray(coords[:, 0])
+    y = np.ascontiguousarray(coords[:, 1])
+    # per-row bbox: rings of a row are adjacent in scan order, so each
+    # nonempty row is one contiguous block — a single reduceat per stat
+    row_pt_cnt = np.bincount(rr, weights=rn, minlength=n).astype(np.int64)
+    rows_ne = np.nonzero(row_pt_cnt)[0]
+    starts_ne = (np.cumsum(row_pt_cnt) - row_pt_cnt)[rows_ne]
+    pk.bx0[rows_ne] = np.minimum.reduceat(x, starts_ne)
+    pk.by0[rows_ne] = np.minimum.reduceat(y, starts_ne)
+    pk.bx1[rows_ne] = np.maximum.reduceat(x, starts_ne)
+    pk.by1[rows_ne] = np.maximum.reduceat(y, starts_ne)
+    # edges: every flat point except each ring's closing point starts one
+    is_last = np.zeros(len(coords), dtype=bool)
+    is_last[ring_end - 1] = True
+    e_i = np.nonzero(~is_last)[0]
+    pk.ex0, pk.ey0 = x[e_i], y[e_i]
+    pk.ex1, pk.ey1 = x[e_i + 1], y[e_i + 1]
+    pk.e_cnt = np.bincount(np.repeat(rr, rn - 1), minlength=n).astype(np.int64)
+    pk.e_start = np.concatenate([[0], np.cumsum(pk.e_cnt)[:-1]]).astype(np.int64)
+    # shell vertices: first ring of each row, closing duplicate dropped
+    first_ring = np.concatenate([[True], rr[1:] != rr[:-1]])
+    v_idx = _ranges(ring_start[first_ring], rn[first_ring] - 1)
+    pk.vx, pk.vy = x[v_idx], y[v_idx]
+    pk.v_cnt[rr[first_ring]] = rn[first_ring] - 1
+    pk.v_start = np.concatenate([[0], np.cumsum(pk.v_cnt)[:-1]]).astype(np.int64)
+    pk.vrow = np.repeat(np.arange(n), pk.v_cnt)
+    return pk
+
+
+def _ragged_cross(left_cnt: np.ndarray, left_start: np.ndarray,
+                  right_cnt: np.ndarray, right_start: np.ndarray,
+                  rows: np.ndarray):
+    """(li, ri, prow): index pairs for the per-row cross product
+    left[row] × right[row] over the given rows, as flat int arrays."""
+    pair_cnt = left_cnt[rows] * right_cnt[rows]
+    total = int(pair_cnt.sum())
+    if total == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty, empty
+    prow = np.repeat(rows, pair_cnt)
+    # pair ordinal within its row block
+    ends = np.cumsum(pair_cnt)
+    starts = ends - pair_cnt
+    ordinal = np.arange(total, dtype=np.int64) - np.repeat(starts, pair_cnt)
+    rc = np.repeat(right_cnt[rows], pair_cnt)
+    li = np.repeat(left_start[rows], pair_cnt) + ordinal // rc
+    ri = np.repeat(right_start[rows], pair_cnt) + ordinal % rc
+    return li, ri, prow
+
+
+def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
+                          rows: np.ndarray) -> np.ndarray:
+    """Per-row: does ANY shell vertex of A locate inside-or-on B?
+    Even-odd ray cast over all of B's ring edges (shell + holes), the
+    vectorized image of geometry._poly_locate for valid polygons, with
+    the same boundary epsilon as _ring_locate_vec."""
+    out = np.zeros(pa.n, dtype=bool)
+    vi, ei, prow = _ragged_cross(pa.v_cnt, pa.v_start, pb.e_cnt, pb.e_start, rows)
+    if len(vi) == 0:
+        return out
+    px, py = pa.vx[vi], pa.vy[vi]
+    ax, ay = pb.ex0[ei], pb.ey0[ei]
+    bx, by = pb.ex1[ei], pb.ey1[ei]
+    orient = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    scale = np.maximum.reduce(
+        [np.ones_like(orient), np.abs(ax), np.abs(ay), np.abs(bx), np.abs(by),
+         np.abs(px), np.abs(py)]
+    )
+    on_seg = (
+        (np.abs(orient) <= _VEPS * scale)
+        & (px >= np.minimum(ax, bx) - _VEPS)
+        & (px <= np.maximum(ax, bx) + _VEPS)
+        & (py >= np.minimum(ay, by) - _VEPS)
+        & (py <= np.maximum(ay, by) + _VEPS)
+    )
+    cond = (ay > py) != (by > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = ax + (py - ay) * (bx - ax) / (by - ay)
+    cross = cond & (x_at > px)
+    # aggregate pair results per A-vertex, then per row
+    nv = len(pa.vx)
+    cross_cnt = np.bincount(vi, weights=cross, minlength=nv)
+    on_any = np.bincount(vi, weights=on_seg, minlength=nv) > 0
+    v_in = (cross_cnt.astype(np.int64) % 2 == 1) | on_any
+    hit_rows = np.unique(pa.vrow[np.nonzero(v_in)[0]])
+    out[hit_rows] = True
+    return out
+
+
+def _edges_intersect_any(pa: _PackedPolys, pb: _PackedPolys,
+                         rows: np.ndarray) -> np.ndarray:
+    """Per-row: does ANY edge of A share a point with ANY edge of B?
+    Vectorized geometry._segments_intersect (proper crossing by sign, or
+    any endpoint on the other closed segment)."""
+    out = np.zeros(pa.n, dtype=bool)
+    ai, bi, prow = _ragged_cross(pa.e_cnt, pa.e_start, pb.e_cnt, pb.e_start, rows)
+    if len(ai) == 0:
+        return out
+    ax, ay = pa.ex0[ai], pa.ey0[ai]
+    bx, by = pa.ex1[ai], pa.ey1[ai]
+    cx, cy = pb.ex0[bi], pb.ey0[bi]
+    dx, dy = pb.ex1[bi], pb.ey1[bi]
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(cx, cy, dx, dy, ax, ay)
+    d2 = orient(cx, cy, dx, dy, bx, by)
+    d3 = orient(ax, ay, bx, by, cx, cy)
+    d4 = orient(ax, ay, bx, by, dx, dy)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(px_, py_, sx0, sy0, sx1, sy1, o):
+        scale = np.maximum.reduce(
+            [np.ones_like(o), np.abs(sx0), np.abs(sy0), np.abs(sx1),
+             np.abs(sy1), np.abs(px_), np.abs(py_)]
+        )
+        return (
+            (np.abs(o) <= _VEPS * scale)
+            & (px_ >= np.minimum(sx0, sx1) - _VEPS)
+            & (px_ <= np.maximum(sx0, sx1) + _VEPS)
+            & (py_ >= np.minimum(sy0, sy1) - _VEPS)
+            & (py_ <= np.maximum(sy0, sy1) + _VEPS)
+        )
+
+    touch = (
+        on_seg(ax, ay, cx, cy, dx, dy, d1)
+        | on_seg(bx, by, cx, cy, dx, dy, d2)
+        | on_seg(cx, cy, ax, ay, bx, by, d3)
+        | on_seg(dx, dy, ax, ay, bx, by, d4)
+    )
+    hit = proper | touch
+    hit_rows = np.unique(prow[hit])
+    out[hit_rows] = True
+    return out
+
+
+# pair-count budget per vectorized block: bounds transient memory to
+# ~tens of MB while keeping numpy call overhead amortized
+_POLY_PAIR_BUDGET = 2_000_000
+
+
+def _blocked_rows(rows: np.ndarray, cost: np.ndarray):
+    """Split rows into blocks whose summed pair cost stays in budget
+    (vectorized: cut points via searchsorted over the cost prefix sum)."""
+    c = np.maximum(cost[rows], 1)
+    prefix = np.cumsum(c)
+    total = int(prefix[-1]) if len(prefix) else 0
+    if total <= _POLY_PAIR_BUDGET:
+        return [rows] if len(rows) else []
+    n_blocks = -(-total // _POLY_PAIR_BUDGET)
+    cuts = np.searchsorted(prefix, np.arange(1, n_blocks) * _POLY_PAIR_BUDGET, "left") + 1
+    return [b for b in np.split(rows, cuts) if len(b)]
+
+
+def _fast_polypoly_predicate(name: str, a: pd.Series, b: pd.Series):
+    """Vectorized polygon-column × polygon-column intersects/disjoint.
+    None when the batch isn't all single Polygons on both sides."""
+    if name not in ("intersects", "disjoint"):
+        return None
+    pa = _polys_packed(a)
+    if pa is None:
+        return None
+    pb = _polys_packed(b)
+    if pb is None:
+        return None
+    n = pa.n
+    inter = np.zeros(n, dtype=bool)
+    both = pa.ok & pb.ok
+    live = both & ~pa.empty & ~pb.empty
+    # bbox gate, widened by the kernel's boundary epsilon so touch-within-
+    # tolerance pairs are never pruned before the exact stages
+    with np.errstate(invalid="ignore"):
+        slack = _VEPS * np.maximum.reduce(
+            [np.ones(n), np.abs(pa.bx0), np.abs(pa.bx1), np.abs(pa.by0),
+             np.abs(pa.by1), np.abs(pb.bx0), np.abs(pb.bx1), np.abs(pb.by0),
+             np.abs(pb.by1)]
+        )
+        bbox_ok = live & ~(
+            (pa.bx1 < pb.bx0 - slack) | (pb.bx1 < pa.bx0 - slack)
+            | (pa.by1 < pb.by0 - slack) | (pb.by1 < pa.by0 - slack)
+        )
+    cand = np.nonzero(bbox_ok)[0]
+    if len(cand):
+        # stage 1: shell-vertex containment, both directions (cheap)
+        cost_v = pa.v_cnt * pb.e_cnt + pb.v_cnt * pa.e_cnt
+        for blk in _blocked_rows(cand, cost_v):
+            inter |= _shell_verts_in_other(pa, pb, blk)
+            todo = blk[~inter[blk]]
+            if len(todo):
+                inter |= _shell_verts_in_other(pb, pa, todo)
+        # stage 2: edge × edge, only rows still unresolved
+        rest = cand[~inter[cand]]
+        if len(rest):
+            cost_e = pa.e_cnt * pb.e_cnt
+            for blk in _blocked_rows(rest, cost_e):
+                inter |= _edges_intersect_any(pa, pb, blk)
+    res = inter if name == "intersects" else ~inter
+    out = pd.Series(res.astype(object))
+    out[~both] = None
+    return out
+
+
 def _binary_predicate(name: str):
     method = name
 
@@ -522,6 +856,8 @@ def _binary_predicate(name: str):
             fast = _fast_rect_rect_predicate(method, a, b)
         if fast is None:
             fast = _fast_poly_predicate(method, a, b)
+        if fast is None:
+            fast = _fast_polypoly_predicate(method, a, b)
         if fast is not None:
             return fast
         # generic fallback: per-pair kernel calls, with a per-batch decode
@@ -642,6 +978,43 @@ def st_makeenvelope_udf(
         else:
             out.append(geometry_to_wkb(_box(float(a), float(b), float(c), float(d))))
     return pd.Series(out)
+
+
+def st_diamond_builder(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
+    """Rotated-square (L1-ball) polygon WKB around each center —
+    vectorized batch assembly: the output is a fixed 93-byte single-ring
+    5-point polygon per row, so the whole batch is one uint8 matrix
+    with a float64 view for the coordinates (no per-row WKB writer)."""
+    n = len(cx)
+    out = np.zeros((n, 93), dtype=np.uint8)
+    out[:, :13] = np.frombuffer(_RECT_WKB_HEADER, dtype=np.uint8)
+    coords = out[:, 13:].view("<f8").reshape(n, 5, 2)
+    cxa = cx.to_numpy(dtype="float64", na_value=np.nan)
+    cya = cy.to_numpy(dtype="float64", na_value=np.nan)
+    ra = r.to_numpy(dtype="float64", na_value=np.nan)
+    coords[:, 0, 0] = cxa + ra
+    coords[:, 0, 1] = cya
+    coords[:, 1, 0] = cxa
+    coords[:, 1, 1] = cya + ra
+    coords[:, 2, 0] = cxa - ra
+    coords[:, 2, 1] = cya
+    coords[:, 3, 0] = cxa
+    coords[:, 3, 1] = cya - ra
+    coords[:, 4] = coords[:, 0]
+    valid = ~(np.isnan(cxa) | np.isnan(cya) | np.isnan(ra))
+    raw = out.tobytes()
+    return pd.Series(
+        [raw[i * 93 : (i + 1) * 93] if valid[i] else None for i in range(n)],
+        dtype=object,
+    )
+
+
+st_diamond_udf = pandas_udf(st_diamond_builder, BinaryType())
+
+
+def st_diamond(cx, cy, r) -> Column:
+    """Column expr: diamond (rotated square) polygon of L1-radius r."""
+    return st_diamond_udf(_c(cx), _c(cy), _c(r))
 
 
 @pandas_udf(BinaryType())

@@ -259,3 +259,56 @@ def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_polys"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "geo_diamond_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    cells AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 166.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 76.0 AS cy
+      FROM supplier)
+    SELECT c.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_diamonds
+    FROM cells c JOIN pts p
+      ON ABS(p.lon - c.cx) + ABS(p.lat - c.cy) <= 4.705
+    GROUP BY c.s_suppkey
+    ORDER BY c.s_suppkey
+    """,
+)
+def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-axis-aligned POLYGON × POLYGON spatial join: rotated squares
+    (L1 diamonds) around lineitem points joined to larger supplier
+    diamonds via st_intersects.  Neither side is an axis-aligned
+    rectangle, so the exact predicate exercises the vectorized irregular
+    polygon×polygon kernel (geo/functions.py _fast_polypoly_predicate).
+    Oracle: two L1 balls intersect iff the L1 distance of their centers
+    is at most the radius sum (diamonds are closed under Minkowski sum);
+    the radius sum 0.3 + 4.405 = 4.705 sits between the data's 0.01
+    coordinate grid steps, so no pair lands on the boundary-epsilon.
+    """
+    from iceberg_geo_poc_spark.geo.functions import st_diamond
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    pdiamonds = pts.select(
+        "l_orderkey", st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom")
+    )
+    cells = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
+    )
+    cdiamonds = cells.select(
+        "s_suppkey", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
+    )
+    j = grid_spatial_join(
+        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_diamonds"))
+        .orderBy("s_suppkey")
+    )

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "iceberg-geo-poc-spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "128MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.x turns ANSI mode on by default, adding overflow checks
+        # to every arithmetic expression (q1-style agg chains measured
+        # +74% wall clock).  This engine's semantics were validated under
+        # Spark 3.5 defaults (ANSI off) and its DuckDB oracles use
+        # non-failing arithmetic, so pin the 3.5 behavior explicitly.
+        .config("spark.sql.ansi.enabled", "false")
         # testdata events.ts is TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and rescale in load_table (one footer inspection).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +69,25 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return _NANOS_COLS_CACHE[path]
 
 
+def normalize_timestamps(df):
+    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Spark 4.x infers parquet timestamps written without UTC adjustment
+    as TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ.enabled is on
+    by default), and NTZ is rejected by ``withWatermark`` / event-time
+    windows ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).  With the session
+    timezone pinned to UTC (get_spark), the cast re-interprets the naive
+    values as UTC instants — byte-identical results to the Spark 3.5
+    reads this engine was validated against.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated testdata table (TESTDATA.md).
 
@@ -79,4 +104,4 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))"))
-    return df
+    return normalize_timestamps(df)

@@ -23,7 +23,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_geo_poc_spark.session import _nanos_timestamp_cols
+from iceberg_geo_poc_spark.session import _nanos_timestamp_cols, normalize_timestamps
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -49,7 +49,7 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.readStream.schema(schema).parquet(_stream_dir(path))
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))"))
-    return df
+    return normalize_timestamps(df)
 
 
 def run_to_completion(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

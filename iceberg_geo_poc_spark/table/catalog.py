@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 from iceberg_geo_poc_spark.geo.encoding import ENCODINGS, spark_physical_type
+from iceberg_geo_poc_spark.table import manifest as M
 from iceberg_geo_poc_spark.table import metadata as MD
 from iceberg_geo_poc_spark.table.table import Table, _ddl_fields
 from iceberg_geo_poc_spark.table.transforms import PartitionField, parse_transform
@@ -428,7 +429,7 @@ class Catalog:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         t._commit("append", build, {"added-files": len(entries), "imported": True})
         # The imported files live outside this table's location and are not
@@ -529,7 +530,7 @@ class Catalog:
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             add = added.assign(sequence_number=seq, snapshot_id=0)
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         t._commit("append", build, {"cherry-picked-from": snapshot_id})
         return t

@@ -131,7 +131,7 @@ def rewrite_data_files(
         add = M.entries_dataframe(
             [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
         )
-        return pd.concat([kept, add], ignore_index=True)
+        return M.concat_entries([kept, add])
 
     table._commit(
         "replace", build, {"rewritten": len(paths), "added": len(new_entries)}
@@ -241,7 +241,7 @@ def rewrite_position_delete_files(
         add = M.entries_dataframe(
             [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
         )
-        return pd.concat([kept, add], ignore_index=True)
+        return M.concat_entries([kept, add])
 
     table._commit(
         "replace",

@@ -231,6 +231,73 @@ def entries_dataframe(entries: list[dict]) -> pd.DataFrame:
 _FLAT_MARKER = "__flat"
 
 
+def _stat_array(vals: list):
+    """Column for a flattened min/max stat list.
+
+    BIGINT stats MUST stay integral end-to-end: a float64 column rounds
+    any |v| > 2^53, and the pruning evaluators then compare the rounded
+    bound exactly against the un-rounded predicate literal — a file
+    whose true max is 48831927308626283 gets hi=...280.0, fails
+    ``hi >= 48831927308626283``, and its rows silently vanish from the
+    scan.  The reference round-trips bounds through typed buffers and
+    never a double (api/.../types/Conversions.java:123-126); the pandas
+    analogue is the nullable Int64 dtype, which `pd.Series([int, None])`
+    does NOT infer (it promotes to float64).
+    """
+    nn = [v for v in vals if v is not None]
+    if nn and all(isinstance(v, int) and not isinstance(v, bool) for v in nn):
+        return pd.array(vals, dtype="Int64")
+    return pd.Series(vals, dtype="object" if any(isinstance(v, str) for v in nn) else None)
+
+
+def concat_entries(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Precision-preserving replacement for ``pd.concat`` on manifest
+    entry frames.
+
+    Plain ``pd.concat`` finds a common dtype per column; when one frame
+    lacks a stat column (typical: the empty prior-entries frame on first
+    append) the fill is float64 NaN and an Int64 stats column gets
+    promoted to Float64 — the exact 2^53 rounding this module exists to
+    prevent.  Here integer stat columns are re-anchored to Int64 before
+    the concat so the union stays exact.
+    """
+    frames = [f for f in frames if f is not None]
+    nonempty = [f for f in frames if len(f)]
+    if not nonempty:
+        return frames[0] if frames else entries_dataframe([])
+    if len(nonempty) == 1:
+        return nonempty[0].reset_index(drop=True)
+    all_cols: list[str] = []
+    for f in nonempty:
+        for c in f.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    data: dict[str, pd.Series] = {}
+    for c in all_cols:
+        parts = []
+        any_int = False
+        all_int_or_missing = True
+        for f in nonempty:
+            if c in f.columns:
+                s = f[c]
+                dt = str(s.dtype)
+                if dt in ("Int64", "int64"):
+                    any_int = True
+                elif not _is_all_na(s):
+                    all_int_or_missing = False
+                parts.append(s)
+            else:
+                parts.append(pd.Series([None] * len(f), dtype="object"))
+        if any_int and all_int_or_missing:
+            parts = [p.astype("Int64") for p in parts]
+        data[c] = pd.concat(parts, ignore_index=True)
+    return pd.DataFrame(data)
+
+
+def _is_all_na(s: pd.Series) -> bool:
+    return bool(s.isna().all())
+
+
 def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
     if _FLAT_MARKER in df.columns or df.empty:
         if df.empty and _FLAT_MARKER not in df.columns:
@@ -253,8 +320,8 @@ def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
         geo_cols.update(d)
     flat: dict[str, object] = {}
     for c in sorted(cols):
-        flat[f"lo__{c}"] = [d.get(c) for d in lowers]
-        flat[f"hi__{c}"] = [d.get(c) for d in uppers]
+        flat[f"lo__{c}"] = _stat_array([d.get(c) for d in lowers])
+        flat[f"hi__{c}"] = _stat_array([d.get(c) for d in uppers])
         flat[f"nu__{c}"] = pd.array(
             [d.get(c) for d in nullss], dtype="float64"
         )
@@ -304,6 +371,23 @@ def write_manifest(df: pd.DataFrame, path: str) -> None:
     df.to_parquet(path, index=False)
 
 
+def _read_manifest_parquet(path: str) -> pd.DataFrame:
+    """Parquet → pandas preserving integer stat columns exactly.
+
+    Default ``pd.read_parquet`` converts an int64 column containing
+    nulls to float64 — re-introducing the 2^53 rounding that
+    ``_stat_array`` prevents at write time.  Map every integer parquet
+    column to pandas nullable Int64 instead (the manifest schema's int
+    columns — file_size/record_count/sequence_number/snapshot_id and
+    the lo__/hi__ stats of integer table columns — all stay exact)."""
+    import pyarrow as pa
+
+    tbl = pq.read_table(path)
+    return tbl.to_pandas(
+        types_mapper=lambda t: pd.Int64Dtype() if pa.types.is_integer(t) else None
+    )
+
+
 _MANIFEST_CACHE: "dict[str, pd.DataFrame]" = {}
 _MANIFEST_CACHE_MAX = 64
 
@@ -319,7 +403,7 @@ def read_manifest(path: str) -> pd.DataFrame:
     hit = _MANIFEST_CACHE.get(path)
     if hit is not None:
         return hit
-    df = ensure_flat_stats(pd.read_parquet(path))
+    df = ensure_flat_stats(_read_manifest_parquet(path))
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
     _MANIFEST_CACHE[path] = df

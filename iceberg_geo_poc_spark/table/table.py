@@ -356,7 +356,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         summary = {"added-files": len(new)}
         if wap_id is not None:
@@ -393,7 +393,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + new]
             )
-            return pd.concat([kept, add], ignore_index=True)
+            return M.concat_entries([kept, add])
 
         return self._commit("overwrite", build)
 
@@ -410,7 +410,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
             )
-            return pd.concat([kept, add], ignore_index=True)
+            return M.concat_entries([kept, add])
 
         return self._commit("overwrite", build, {"replaced-partitions": len(incoming)})
 
@@ -532,7 +532,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
-            return pd.concat([kept, add], ignore_index=True)
+            return M.concat_entries([kept, add])
 
         summary = {
             "deleted-files": len(plan["full"]),
@@ -561,7 +561,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         return self._commit("delete", build, {"delete-files": len(entries)})
 
@@ -632,7 +632,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         return self._commit("delete", build, {"equality-delete-files": len(entries)})
 
@@ -666,7 +666,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
-            return pd.concat([kept, add], ignore_index=True)
+            return M.concat_entries([kept, add])
 
         return self._commit("overwrite", build, {"rewritten-files": len(paths)})
 
@@ -704,7 +704,7 @@ class Table:
                     for e in del_entries + data_entries
                 ]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         return self._commit(
             "overwrite",
@@ -799,7 +799,7 @@ class Table:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + inserted]
             )
-            return pd.concat([kept, add], ignore_index=True)
+            return M.concat_entries([kept, add])
 
         return self._commit(
             "overwrite",
@@ -875,7 +875,7 @@ class Table:
                     for e in del_entries + data_entries + inserted
                 ]
             )
-            return pd.concat([current, add], ignore_index=True)
+            return M.concat_entries([current, add])
 
         return self._commit(
             "overwrite",
@@ -1011,7 +1011,7 @@ class Transaction:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
             )
-            return pd.concat([cur, add], ignore_index=True)
+            return M.concat_entries([cur, add])
 
         self._ops.append(apply)
         return self
@@ -1029,7 +1029,7 @@ class Transaction:
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
-            return pd.concat([out, add], ignore_index=True)
+            return M.concat_entries([out, add])
 
         self._ops.append(apply)
         return self

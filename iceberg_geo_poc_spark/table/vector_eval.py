@@ -67,6 +67,17 @@ class StatsView:
         return out
 
 
+import operator
+
+_PY_OPS = {
+    np.less: operator.lt,
+    np.less_equal: operator.le,
+    np.greater: operator.gt,
+    np.greater_equal: operator.ge,
+    np.equal: operator.eq,
+}
+
+
 def _false(n: int) -> np.ndarray:
     return np.zeros(n, dtype=bool)
 
@@ -80,16 +91,24 @@ def _cmp(ser: pd.Series, v, fn) -> tuple[np.ndarray, np.ndarray]:
 
     Rows whose stat is missing or type-incomparable come back
     known=False — the caller substitutes the conservative answer.
+
+    Integer stats vs an integer literal compare in pure int64 — NEVER
+    through float64, which rounds |v| > 2^53 and (because float-vs-int
+    comparison in numpy/Python is then exact on the *rounded* value)
+    silently prunes live files.  Mirrors the reference's typed-buffer
+    bound contract (api/.../types/Conversions.java:123-126).
     """
     notna = ser.notna().to_numpy()
     if isinstance(v, bool):
-        num = pd.to_numeric(ser.map(lambda x: int(x) if isinstance(x, bool) else x), errors="coerce")
-        res = fn(num.to_numpy(dtype="float64"), int(v))
+        num = pd.to_numeric(
+            ser.map(lambda x: int(x) if isinstance(x, bool) else x), errors="coerce"
+        )
+        res = _num_cmp(num, int(v), fn)
         known = notna & num.notna().to_numpy()
         return res, known
     if isinstance(v, (int, float)):
         num = pd.to_numeric(ser, errors="coerce")
-        res = fn(num.to_numpy(dtype="float64"), float(v))
+        res = _num_cmp(num, v, fn)
         known = notna & num.notna().to_numpy()
         return res, known
     if isinstance(v, str):
@@ -102,10 +121,39 @@ def _cmp(ser: pd.Series, v, fn) -> tuple[np.ndarray, np.ndarray]:
     return _false(len(ser)), _false(len(ser))
 
 
+def _num_cmp(num: pd.Series, v, fn) -> np.ndarray:
+    """fn(stats, v) with int64-exact semantics when both sides are ints.
+
+    ``num`` is the output of pd.to_numeric: int64 / Int64 when every
+    value is integral, float64 / Float64 otherwise.  Int-stats × int-
+    literal runs in int64 (exact for the full BIGINT range); any float
+    on either side falls back to float64 like before (doubles are
+    already exact images of the underlying float data)."""
+    dt = str(num.dtype)
+    if dt in ("int64", "Int64", "int32", "Int32") and isinstance(v, int) and not isinstance(v, bool):
+        if not (-(2**63) <= v < 2**63):
+            # literal outside int64: every representable stat compares
+            # identically, so evaluate once with exact Python ints
+            py_op = _PY_OPS.get(fn)
+            if py_op is not None:
+                return np.full(len(num), bool(py_op(0, v)), dtype=bool)
+        else:
+            if dt in ("Int64", "Int32"):
+                arr = num.fillna(0).to_numpy(dtype="int64")
+            else:
+                arr = num.to_numpy(dtype="int64")
+            return np.asarray(fn(arr, np.int64(v)), dtype=bool)
+    try:
+        arr = num.to_numpy(dtype="float64", na_value=np.nan)
+    except TypeError:
+        arr = num.to_numpy(dtype="float64")
+    return np.asarray(fn(arr, float(v)), dtype=bool)
+
+
 def _slice_cmp(ser: pd.Series, p: str, fn) -> tuple[np.ndarray, np.ndarray]:
     """fn(str(x)[:len(p)], p) for starts_with-family ops (the scalar
     evaluator str()-coerces non-string stats the same way)."""
-    vals = ser.map(lambda x: str(x)[: len(p)] if x is not None else None)
+    vals = ser.map(lambda x: None if pd.isna(x) else str(x)[: len(p)])
     known = vals.notna().to_numpy()
     filled = vals.where(vals.notna(), other=p)
     return np.asarray(fn(filled.to_numpy(), p), dtype=bool), known
@@ -221,8 +269,8 @@ def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         known = k1 & k2
     elif op == "not_starts_with":
         p = str(v)
-        lo_sw = lo.map(lambda x: x is not None and str(x).startswith(p))
-        hi_sw = hi.map(lambda x: x is not None and str(x).startswith(p))
+        lo_sw = lo.map(lambda x: (not pd.isna(x)) and str(x).startswith(p))
+        hi_sw = hi.map(lambda x: (not pd.isna(x)) and str(x).startswith(p))
         res = ~(
             lo_sw.to_numpy(dtype=bool)
             & hi_sw.to_numpy(dtype=bool)
@@ -239,7 +287,9 @@ def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
 def _lo_eq_hi(lo: pd.Series, hi: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     known = lo.notna().to_numpy() & hi.notna().to_numpy()
     # element-wise equality across object values is type-safe
-    eq_series = lo.combine(hi, lambda a, b: a == b if a is not None and b is not None else False)
+    eq_series = lo.combine(
+        hi, lambda a, b: bool(a == b) if not (pd.isna(a) or pd.isna(b)) else False
+    )
     return eq_series.to_numpy(dtype=bool), known
 
 
@@ -298,8 +348,8 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         res = no_nulls & res
     elif op == "starts_with":
         p = str(v)
-        lo_sw = lo.map(lambda x: x is not None and str(x).startswith(p)).to_numpy(dtype=bool)
-        hi_sw = hi.map(lambda x: x is not None and str(x).startswith(p)).to_numpy(dtype=bool)
+        lo_sw = lo.map(lambda x: (not pd.isna(x)) and str(x).startswith(p)).to_numpy(dtype=bool)
+        hi_sw = hi.map(lambda x: (not pd.isna(x)) and str(x).startswith(p)).to_numpy(dtype=bool)
         res = no_nulls & lo_sw & hi_sw
         known = _true(n)
     elif op == "not_starts_with":

@@ -355,3 +355,103 @@ def test_fast_rect_rect_predicate_matches_kernel():
     mixed = pd.Series([geometry_to_wkb(r), tri], dtype=object)
     rects = pd.Series([geometry_to_wkb(r)] * 2, dtype=object)
     assert GF._fast_rect_rect_predicate("intersects", mixed, rects) is None
+
+
+def _star_poly(rng, cx, cy, rmin, rmax, nv=None, hole=False):
+    """Random simple (star-shaped) polygon around (cx, cy); optionally
+    with one small hole. Always valid: shell simple, hole strictly inside."""
+    import math as m
+
+    from iceberg_geo_poc_spark.geo.geometry import Polygon
+
+    nv = nv or rng.randint(3, 9)
+    angles = sorted(rng.uniform(0, 2 * m.pi) for _ in range(nv))
+    # de-dup near-equal angles to keep the ring simple
+    angles = [a for i, a in enumerate(angles) if i == 0 or a - angles[i - 1] > 1e-3]
+    if len(angles) < 3:
+        angles = [0.0, 2.1, 4.2]
+    shell = [
+        (cx + rng.uniform(rmin, rmax) * m.cos(a), cy + rng.uniform(rmin, rmax) * m.sin(a))
+        for a in angles
+    ]
+    shell.append(shell[0])
+    holes = []
+    if hole:
+        hr = rmin * 0.3
+        holes.append(
+            [
+                (cx + hr, cy), (cx, cy + hr), (cx - hr, cy), (cx, cy - hr),
+                (cx + hr, cy),
+            ]
+        )
+    return Polygon(shell, holes)
+
+
+def test_fast_polypoly_predicate_matches_kernel():
+    """The vectorized polygon×polygon path must agree with the scalar
+    kernel pair-by-pair: overlapping, touching, nested, hole-nested,
+    rotated, concave, and far-apart polygons, plus nulls."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.geometry import Polygon
+    from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb, geometry_to_wkb
+
+    rng = random.Random(29)
+    pairs = []
+    for _ in range(250):
+        ax, ay = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        bx = ax + rng.uniform(-3, 3)
+        by = ay + rng.uniform(-3, 3)
+        pa = _star_poly(rng, ax, ay, 0.5, 2.0, hole=rng.random() < 0.3)
+        pb = _star_poly(rng, bx, by, 0.3, 1.5, hole=rng.random() < 0.3)
+        pairs.append((pa, pb))
+    # deterministic edge cases
+    sq = Polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+    inner = Polygon([(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)])
+    touch_edge = Polygon([(4, 1), (6, 1), (6, 3), (4, 3), (4, 1)])
+    touch_corner = Polygon([(4, 4), (5, 4), (5, 5), (4, 5), (4, 4)])
+    far = Polygon([(100, 100), (101, 100), (101, 101), (100, 101), (100, 100)])
+    donut = Polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        [[(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)]],
+    )
+    in_hole = Polygon([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)])
+    spans_hole = Polygon([(1, 4), (9, 4), (9, 6), (1, 6), (1, 4)])
+    pairs += [
+        (sq, inner), (inner, sq), (sq, touch_edge), (sq, touch_corner),
+        (sq, far), (donut, in_hole), (in_hole, donut), (donut, spans_hole),
+        (sq, sq),
+    ]
+    a = pd.Series([geometry_to_wkb(p) for p, _ in pairs] + [None], dtype=object)
+    b = pd.Series([geometry_to_wkb(q) for _, q in pairs] + [geometry_to_wkb(sq)],
+                  dtype=object)
+    for name in ("intersects", "disjoint"):
+        got = GF._fast_polypoly_predicate(name, a, b)
+        assert got is not None, "polypoly fast path refused the batch"
+        assert got[len(pairs)] is None  # null in -> null out
+        for i, (p, q) in enumerate(pairs):
+            want = getattr(p, name)(q)
+            assert bool(got[i]) == want, (
+                f"{name} pair {i}: fast={got[i]} kernel={want} "
+                f"a={p.shell[:3]}... b={q.shell[:3]}..."
+            )
+
+
+def test_fast_polypoly_refuses_mixed_batches():
+    """Non-polygon rows must push the whole batch to the generic kernel."""
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.geometry import Point, Polygon
+    from iceberg_geo_poc_spark.geo.wkb import geometry_to_wkb
+
+    sq = geometry_to_wkb(Polygon([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]))
+    pt = geometry_to_wkb(Point(0.5, 0.5))
+    a = pd.Series([sq, pt], dtype=object)
+    b = pd.Series([sq, sq], dtype=object)
+    assert GF._fast_polypoly_predicate("intersects", a, b) is None
+    # and unsupported predicates are refused outright
+    assert GF._fast_polypoly_predicate("covers", b, b) is None
