@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     ("mor_read", "managed_mor_delete"),
     # polygon x polygon spatial join: the non-point kernel workload
     ("geo_poly_join", "geo_polygon_join_counts"),
+    # NON-axis-aligned polygon x polygon join: exercises the vectorized
+    # irregular-polygon kernel (_fast_polypoly_predicate)
+    ("geo_diamond_join", "geo_diamond_join_counts"),
 ]
 
 

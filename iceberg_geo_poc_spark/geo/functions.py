@@ -244,6 +244,9 @@ def _bounds_accessor(wkb: pd.Series, idx: int) -> pd.Series:
     if pts is not None:
         # a point's bbox is itself: idx 0/2 -> x, 1/3 -> y
         return pd.Series(pts[idx % 2])
+    pk = _polys_packed(wkb)
+    if pk is not None:
+        return pd.Series((pk.bx0, pk.by0, pk.bx1, pk.by1)[idx])
     out = np.full(len(wkb), np.nan)
     for i, v in enumerate(wkb):
         if v is None:
@@ -298,6 +301,12 @@ def st_bounds_udf(wkb: pd.Series) -> pd.DataFrame:
     if rects is not None:
         x0, y0, x1, y1, _mask = rects
         return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
+    pk = _polys_packed(wkb)
+    if pk is not None:
+        # any-polygon batch: bboxes fall out of the packed decode
+        return pd.DataFrame(
+            {"xmin": pk.bx0, "ymin": pk.by0, "xmax": pk.bx1, "ymax": pk.by1}
+        )
     n = len(wkb)
     cols = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
     for i, v in enumerate(wkb):

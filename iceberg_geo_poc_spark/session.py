@@ -46,6 +46,10 @@ def get_spark(app_name: str = "iceberg-geo-poc-spark") -> SparkSession:
         # testdata events.ts is TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and rescale in load_table (one footer inspection).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps carry no parquet min/max statistics, which
+        # blinds manifest pruning on timestamp columns; micros are int64
+        # with full stats (and the modern parquet representation)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

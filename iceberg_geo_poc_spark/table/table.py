@@ -254,6 +254,13 @@ class Table:
 
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Write df as data files; return entry dicts (no seq/snap)."""
+        # INT96 (the legacy default) writes no parquet min/max stats —
+        # timestamp columns would be invisible to manifest pruning.  The
+        # conf is runtime-settable; force it even under a caller-provided
+        # SparkSession (the driver passes its own).
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         df = self._to_physical(df)
         stage = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
         fmt = self.file_format
