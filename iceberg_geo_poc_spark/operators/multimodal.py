@@ -8,19 +8,25 @@ object-store *pointer* + byte range rather than inline bytes; the
 schema below carries both forms (``payload`` nullable, ``uri`` for the
 pointer case).
 
-The decode step (image resize / audio resample / video frame-sample)
-needs codec libraries this container does not ship, so ``decode_*`` are
-clearly-marked stubs raising NotImplementedError.  The Spark-side
-plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
-partition behavior — is real and oracle-tested via a deterministic
-md5-based feature path that any engine can reproduce.
+Decode is REAL for the dependency-free formats: P6 PPM and 24-bit BMP
+images (numpy parse → (h, w, 3) uint8) and 16-bit PCM WAV audio (RIFF
+chunk walk → int16 samples).  Compressed formats (png/jpeg/mp3/...)
+still raise NotImplementedError with the library to plug in — the
+container ships no codecs.  Resize is genuine pixel work
+(nearest-neighbor index mapping over the decoded array) and frame
+sampling slices real decoded samples; both stay byte-reproducible by
+the DuckDB oracle because the synthesized test media is constant-color
+/ constant-amplitude (decode handles arbitrary content — unit tests
+cover gradients and round-trips).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -59,17 +65,126 @@ FEATURE_SCHEMA = StructType(
 _FORMATS = ["png", "jpeg", "webp"]
 
 
-def decode_image(payload: bytes, fmt: str) -> "object":
-    """STUB — real image decode needs PIL/libvips (not in container)."""
+# -- real dependency-free codecs --------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) uint8 (comments + whitespace per spec)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxv = vals
+    if maxv != 255:
+        raise ValueError("only maxval 255 supported")
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (bottom-up, BGR)."""
+    h, w, _ = arr.shape
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP core header not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    body = np.frombuffer(b, np.uint8, count=row * h, offset=data_off).reshape(h, row)
+    px = body[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px[::-1] if flip else px
+
+
+def decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """(h, w, 3) uint8 for the dependency-free formats; clear error for
+    compressed formats that need a codec library."""
+    if fmt == "ppm":
+        return _decode_ppm(bytes(payload))
+    if fmt == "bmp":
+        return _decode_bmp(bytes(payload))
     raise NotImplementedError(
-        "image decode requires a codec library; container ships none. "
-        "Swap this stub for PIL.Image.open(io.BytesIO(payload)) in prod."
+        f"{fmt} decode requires a codec library (PIL/libvips); container "
+        "ships none. ppm/bmp decode natively."
     )
 
 
-def decode_audio(payload: bytes, fmt: str) -> "object":
-    """STUB — real audio decode needs soundfile/ffmpeg (not in container)."""
-    raise NotImplementedError("audio decode requires ffmpeg/soundfile")
+def resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via floor index mapping (pure numpy)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[yi][:, xi]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono int16 PCM -> RIFF WAV."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """(int16 sample array, sample_rate) for PCM WAV; NotImplementedError
+    for compressed audio (needs ffmpeg/soundfile)."""
+    if fmt != "wav":
+        raise NotImplementedError(f"{fmt} decode requires ffmpeg/soundfile")
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, pos
+            )
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError("only mono 16-bit PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos)
+        pos += size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -125,6 +240,69 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract_batches, FEATURE_SCHEMA)
 
 
+def synthesize_image_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image table: constant-color PPM/BMP payloads
+    whose dims and RGB derive from doc_id (so the DuckDB oracle can
+    reproduce any md5 of a re-encoded image with repeat(chr(..))), while
+    decode/resize run the same code they would on arbitrary pixels."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts, ws, hs = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 8, 6 + did % 6
+                rgb = (32 + did % 95, 32 + (did * 7) % 95, 32 + (did * 13) % 95)
+                arr = np.full((h, w, 3), rgb, dtype=np.uint8)
+                fmt = "ppm" if did % 2 == 0 else "bmp"
+                payloads.append(encode_ppm(arr) if fmt == "ppm" else encode_bmp(arr))
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/img-{d}" for d in pdf["doc_id"]],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def synthesize_audio_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL audio table: mono 16-bit PCM WAV payloads with
+    constant sample value per doc (both bytes ASCII-range, so frame md5s
+    are oracle-reproducible); 512*(1 + doc_id % 4) samples."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lo, hi = 32 + did % 95, 32 + (did * 11) % 95
+                val = lo | (hi << 8)
+                n = 512 * (1 + did % 4)
+                payloads.append(
+                    encode_wav(np.full(n, val, dtype=np.int16), rate=16000)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/wav-{d}" for d in pdf["doc_id"]],
+                    "format": "wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -146,49 +324,61 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing over mapInPandas: batch shape, schema, and the
-    per-batch vectorization are real; the pixel work is a deterministic
-    fake (md5 of payload + target dims) because no codec library ships
-    in this container — swap the inner lambda for a PIL resize in prod.
-    """
+    """REAL image resize over mapInPandas: decode each payload (PPM or
+    BMP) to a pixel array, nearest-neighbor resize in numpy, re-encode
+    canonically as PPM, report its md5.  The emitted width/height come
+    from the DECODED array shape — not the metadata columns — so a green
+    oracle row proves the decode actually ran.  Narrow per-partition
+    map, Arrow both ways, no shuffle."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tag = f"{width}x{height}".encode()
         for pdf in batches:
+            ws, hs, md5s = [], [], []
+            for payload, fmt in zip(pdf["payload"], pdf["format"]):
+                arr = decode_image(payload, fmt)
+                out = resize_nn(arr, width, height)
+                h, w = arr.shape[:2]
+                ws.append(w)
+                hs.append(h)
+                md5s.append(hashlib.md5(encode_ppm(out)).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "new_width": width,
-                    "new_height": height,
-                    "resized_md5": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b) + tag).hexdigest()
-                    ),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "new_width": pd.array([width] * len(pdf), dtype="int32"),
+                    "new_height": pd.array([height] * len(pdf), dtype="int32"),
+                    "resized_md5": md5s,
                 }
             )
 
     return media.mapInPandas(_batches, RESIZE_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Frame sampling plumbing: each payload is treated as a container
-    with ``len(payload) // 1000 + 1`` frames; every ``every_n``-th frame
-    row is emitted (row explosion happens INSIDE the Arrow batch — the
-    output/input row ratio is the operator's fan-out, not a join).
-    Frame decode is the deterministic fake md5(payload + "-" + idx).
-    """
+def sample_media_frames(
+    media: DataFrame, frame_size: int = 256, every_n: int = 4
+) -> DataFrame:
+    """REAL frame sampling: decode the WAV payload, slice the int16
+    sample stream into frames of ``frame_size`` samples, emit every
+    ``every_n``-th frame's raw-byte md5.  Row explosion happens INSIDE
+    the Arrow batch (the output/input row ratio is the operator's
+    fan-out, not a join)."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, md5s = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = len(b) // 1000 + 1
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                samples, _rate = decode_audio(payload, fmt)
+                n_frames = len(samples) // frame_size
                 for i in range(0, n_frames, every_n):
+                    frame = samples[i * frame_size : (i + 1) * frame_size]
                     ids.append(doc_id)
                     idxs.append(i)
-                    md5s.append(hashlib.md5(b + f"-{i}".encode()).hexdigest())
+                    md5s.append(
+                        hashlib.md5(np.asarray(frame, "<i2").tobytes()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s}
             )

@@ -479,38 +479,50 @@ def outlier_filter_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle="""
     SELECT doc_id,
-           CAST(64 + doc_id % 512 AS INT) AS width,
-           CAST(64 + doc_id % 384 AS INT) AS height,
-           CAST(64 AS INT) AS new_width,
-           CAST(64 AS INT) AS new_height,
-           md5(text || '64x64') AS resized_md5
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(6 + doc_id % 6 AS INT) AS height,
+           CAST(16 AS INT) AS new_width,
+           CAST(12 AS INT) AS new_height,
+           md5('P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10) ||
+               repeat(chr(CAST(32 + doc_id % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 7) % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 13) % 95 AS INT)), 192)) AS resized_md5
     FROM documents
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (decode stubbed, batch shape real): the
-    deterministic fake output is byte-reproducible by the oracle."""
-    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.resize_images(media, 64, 64)
+    """REAL image resize: PPM/BMP payloads are decoded to pixel arrays,
+    nearest-neighbor-resized to 16x12 in numpy, re-encoded as canonical
+    PPM, and md5'd.  The test images are constant-color (dims + RGB
+    derived from doc_id), so the oracle reproduces the resized PPM bytes
+    with repeat(chr(..)); width/height in the output come from the
+    decoded array shape, proving the decode ran."""
+    media = multimodal.synthesize_image_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, 16, 12)
 
 
 @query(
     "multimodal_frame_sample",
     oracle="""
     WITH frames AS (
-      SELECT doc_id, text, UNNEST(generate_series(0, length(text) // 1000, 4))
-             AS frame_idx
+      SELECT doc_id,
+             UNNEST(generate_series(0, 2 * (1 + doc_id % 4) - 1, 4)) AS frame_idx
       FROM documents)
     SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-           md5(text || '-' || frame_idx) AS frame_md5
+           md5(repeat(chr(CAST(32 + doc_id % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 11) % 95 AS INT)), 256))
+             AS frame_md5
     FROM frames
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: in-batch row explosion, every 4th
-    frame of len//1000+1 synthetic frames per payload."""
-    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.sample_video_frames(media, every_n=4)
+    """REAL audio frame sampling: WAV payloads are RIFF-parsed to int16
+    sample arrays, sliced into 256-sample frames, every 4th frame's raw
+    bytes md5'd.  Constant-amplitude synth audio (sample value's two LE
+    bytes are ASCII, derived from doc_id) keeps the md5 reproducible in
+    SQL while the decoder handles arbitrary PCM."""
+    media = multimodal.synthesize_audio_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_media_frames(media, frame_size=256, every_n=4)
 
 
 # minhash signature self-check: rows-only (signatures are not expressible

@@ -128,11 +128,57 @@ def test_fingerprint_order_sensitive(spark):
     assert fps[1] != fps[2]
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_compressed_formats_stubbed():
+    """Compressed formats still need a codec library; the dependency-free
+    formats decode for real (tests below)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG", "png")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF", "wav")
+        multimodal.decode_audio(b"ID3", "mp3")
+
+
+def test_ppm_bmp_roundtrip_and_gradient_resize():
+    """Real pixels: encode->decode round-trips exactly for PPM and BMP
+    (including BMP row padding), and NN resize picks the expected source
+    pixels on a non-constant gradient image."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for w, h in ((7, 5), (8, 6), (1, 1), (13, 2)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal._decode_ppm(multimodal.encode_ppm(arr)) == arr).all()
+        assert (multimodal._decode_bmp(multimodal.encode_bmp(arr)) == arr).all()
+    # PPM comments + whitespace per spec
+    arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    ppm = b"P6\n# a comment\n2 2\n255\n" + arr.tobytes()
+    assert (multimodal._decode_ppm(ppm) == arr).all()
+    # gradient NN resize: exact floor-index mapping
+    grad = np.zeros((4, 4, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(4)[:, None] * 10
+    grad[:, :, 1] = np.arange(4)[None, :] * 10
+    out = multimodal.resize_nn(grad, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert (out[:, :, 0] == [[0, 0], [20, 20]]).all()
+    assert (out[:, :, 1] == [[0, 20], [0, 20]]).all()
+    # identity resize is a no-op
+    assert (multimodal.resize_nn(grad, 4, 4) == grad).all()
+
+
+def test_wav_roundtrip_and_frame_slices():
+    """Real samples: WAV encode->decode round-trips int16 PCM exactly
+    (arbitrary waveform, not just constant), and frame sampling hashes
+    the true sample slices."""
+    import hashlib
+
+    import numpy as np
+
+    sig = (np.sin(np.arange(1000) / 7.0) * 20000).astype(np.int16)
+    samples, rate = multimodal.decode_audio(multimodal.encode_wav(sig, 8000), "wav")
+    assert rate == 8000 and (samples == sig).all()
+    # frame 0's md5 equals the hash of the true first 256 samples
+    want0 = hashlib.md5(sig[:256].astype("<i2").tobytes()).hexdigest()
+    frame0 = samples[:256]
+    assert hashlib.md5(np.asarray(frame0, "<i2").tobytes()).hexdigest() == want0
 
 
 def test_multimodal_schema_and_determinism(docs):
@@ -179,17 +225,38 @@ def test_redact_pii_tokens(spark):
 
 
 def test_frame_sample_fanout(spark):
-    """One 9500-byte payload -> 10 frames -> sampled 0,4,8 (in-batch
-    row explosion, deterministic frame ids)."""
+    """2304-sample WAV -> 9 frames of 256 -> sampled 0,4,8 (in-batch row
+    explosion), hashes matching the real sample slices; and a real
+    gradient image resizes through the Spark operator."""
+    import hashlib
+
+    import numpy as np
+
+    sig = (np.cos(np.arange(2304) / 11.0) * 12345).astype(np.int16)
     media = spark.createDataFrame(
-        [(1, bytearray(b"x" * 9500), "u", "png", 8, 8)],
+        [(1, bytearray(multimodal.encode_wav(sig)), "u", "wav", None, None)],
         multimodal.MEDIA_SCHEMA,
     )
-    rows = multimodal.sample_video_frames(media, every_n=4).collect()
+    rows = multimodal.sample_media_frames(media, frame_size=256, every_n=4).collect()
     assert [r.frame_idx for r in rows] == [0, 4, 8]
-    assert len({r.frame_md5 for r in rows}) == 3
-    resized = multimodal.resize_images(media, 32, 16).collect()[0]
-    assert (resized.new_width, resized.new_height) == (32, 16)
+    want = [
+        hashlib.md5(sig[i * 256 : (i + 1) * 256].astype("<i2").tobytes()).hexdigest()
+        for i in (0, 4, 8)
+    ]
+    assert [r.frame_md5 for r in rows] == want
+    grad = np.zeros((8, 8, 3), dtype=np.uint8)
+    grad[:, :, 2] = np.arange(8)[None, :] * 30
+    img = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(grad)), "u", "bmp", 8, 8)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    resized = multimodal.resize_images(img, 4, 2).collect()[0]
+    assert (resized.new_width, resized.new_height) == (4, 2)
+    assert (resized.width, resized.height) == (8, 8)
+    want_md5 = hashlib.md5(
+        multimodal.encode_ppm(multimodal.resize_nn(grad, 4, 2))
+    ).hexdigest()
+    assert resized.resized_md5 == want_md5
 
 
 def test_salted_join_equals_plain_join(spark):
