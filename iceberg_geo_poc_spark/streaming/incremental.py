@@ -234,12 +234,23 @@ def apply_changelog(
         ins = last.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type", "_commit_snapshot_id", "__seq", "__rn")
+        # ONE aggregation job over the persisted change set sizes both
+        # sides (previously two separate .count() jobs): every changed
+        # key is deleted, and rows whose final state is insert/post-image
+        # are re-appended
+        sizes = last.agg(
+            F.count_distinct(*[F.col(c) for c in identifier_columns]).alias("k"),
+            F.count(
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"), 1
+                )
+            ).alias("i"),
+        ).first()
+        n_del, n_ins = int(sizes["k"]), int(sizes["i"])
         # delete every changed key first, then append final states: the
-        # equality-delete sequence rule replays the order correctly
-        n_del = dels.count()
+        # equality-delete sequence rule replays the change order correctly
         if n_del:
             target.delete_by_keys(dels, identifier_columns)
-        n_ins = ins.count()
         if n_ins:
             target.append(ins)
     finally:

@@ -137,6 +137,135 @@ class TableMetadata:
         return max(eligible, key=lambda s: s.timestamp_ms)
 
 
+# -- commit backends ---------------------------------------------------------
+#
+# The reference arbitrates every commit through a pluggable
+# TableOperations (SnapshotProducer.java:369-409 retries over the
+# catalog's atomic swap; HiveTableOperations / S3 conditional writes are
+# impls).  The analogue here: all metadata-document IO goes through a
+# CommitBackend whose one hard requirement is an atomic PUT-IF-ABSENT.
+# Data/manifest payload IO stays on the shared filesystem — the backend
+# seam covers commit *arbitration*, which is the part an object store
+# implements differently (S3 If-None-Match, DynamoDB conditional put,
+# Hive lock).
+
+
+class CommitBackend:
+    """Atomic put-if-absent + read for metadata documents."""
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """True if this writer created ``path``; False if it already
+        existed (a concurrent committer won).  MUST be atomic: a reader
+        can never observe a torn document under ``path``."""
+        raise NotImplementedError
+
+    def put(self, path: str, payload: bytes) -> None:
+        """Last-writer-wins overwrite (used only for the version hint,
+        which is advisory and rolled forward on read)."""
+        raise NotImplementedError
+
+
+class PosixLinkBackend(CommitBackend):
+    """Filesystem impl: fsynced private temp file + ``os.link``.
+
+    ``os.link`` fails atomically when the target exists — the
+    filesystem analogue of a conditional PUT / If-None-Match — and the
+    final name only ever appears with complete contents.  A writer
+    crashing mid-commit leaves only a ``.tmp`` no reader considers.
+    Cross-PROCESS safe (kernel-arbitrated), not just cross-thread.
+    """
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def put(self, path: str, payload: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+
+class InMemoryConditionalPutBackend(CommitBackend):
+    """Object-store-shaped impl: a key→bytes map with a compare-free
+    conditional PUT under a lock (the S3 ``If-None-Match: *`` /
+    DynamoDB attribute_not_exists contract).  Cross-thread safe;
+    useful for tests and as the template for a real object-store
+    backend."""
+
+    def __init__(self):
+        import threading
+
+        self._store: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def read(self, path: str) -> bytes:
+        try:
+            return self._store[path]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def exists(self, path: str) -> bool:
+        return path in self._store
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        with self._lock:
+            if path in self._store:
+                return False
+            self._store[path] = bytes(payload)
+            return True
+
+    def put(self, path: str, payload: bytes) -> None:
+        with self._lock:
+            self._store[path] = bytes(payload)
+
+
+_DEFAULT_BACKEND = PosixLinkBackend()
+_BACKENDS: list[tuple[str, CommitBackend]] = []
+
+
+def register_commit_backend(location_prefix: str, backend: CommitBackend) -> None:
+    """Route metadata commits for locations under ``location_prefix``
+    through ``backend`` (longest prefix wins; default POSIX)."""
+    _BACKENDS.insert(0, (location_prefix, backend))
+    _BACKENDS.sort(key=lambda kv: -len(kv[0]))
+
+
+def backend_for(location: str) -> CommitBackend:
+    for prefix, b in _BACKENDS:
+        if location.startswith(prefix):
+            return b
+    return _DEFAULT_BACKEND
+
+
 # -- metadata IO with optimistic commit ------------------------------------
 
 def metadata_dir(location: str) -> str:
@@ -152,52 +281,33 @@ def _hint_path(location: str) -> str:
 
 
 def read_metadata(location: str) -> TableMetadata:
-    hint = _hint_path(location)
-    with open(hint) as f:
-        version = int(f.read().strip())
+    be = backend_for(location)
+    version = int(be.read(_hint_path(location)).decode().strip())
     # the hint may lag a just-committed version; roll forward
-    while os.path.exists(_metadata_path(location, version + 1)):
+    while be.exists(_metadata_path(location, version + 1)):
         version += 1
-    with open(_metadata_path(location, version)) as f:
-        return TableMetadata.from_json(json.load(f), version)
+    doc = json.loads(be.read(_metadata_path(location, version)))
+    return TableMetadata.from_json(doc, version)
 
 
 def write_new_metadata(meta: TableMetadata, base_version: int) -> int:
     """Put-if-absent commit of v{base+1}; raises CommitConflict if lost.
 
-    Cross-PROCESS safe, not just cross-thread: the full document is
-    written and fsynced to a private temp file first, then hard-linked to
-    the final name.  ``os.link`` fails atomically when the target exists
-    (the filesystem analogue of a conditional PUT / If-None-Match), and a
-    reader can never observe a torn ``v{N}.metadata.json`` — the name
-    only ever appears with complete contents.  A writer crashing mid-
-    commit leaves only a ``.tmp`` that no reader or committer considers.
-    (Reference parity: SnapshotProducer.java:369-409 retry loop over the
-    catalog's atomic swap.)
+    The atomic arbitration is delegated to the location's CommitBackend
+    (POSIX hard-link by default; conditional-PUT for object-store
+    shapes) — the retry-over-atomic-swap protocol itself is backend-
+    independent.  (Reference parity: SnapshotProducer.java:369-409 retry
+    loop over the catalog's atomic swap.)
     """
+    be = backend_for(meta.location)
     version = base_version + 1
     path = _metadata_path(meta.location, version)
-    os.makedirs(metadata_dir(meta.location), exist_ok=True)
-    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta.to_json(), f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    except FileExistsError as e:
+    payload = json.dumps(meta.to_json(), indent=1).encode()
+    if not be.put_if_absent(path, payload):
         raise CommitConflict(
             f"metadata version {version} already committed by a concurrent writer"
-        ) from e
-    finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
-    hint_tmp = f"{_hint_path(meta.location)}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(hint_tmp, "w") as f:
-        f.write(str(version))
-    os.replace(hint_tmp, _hint_path(meta.location))
+        )
+    be.put(_hint_path(meta.location), str(version).encode())
     meta.version = version
     return version
 

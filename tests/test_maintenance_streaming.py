@@ -365,6 +365,27 @@ def test_incremental_stream_record_admission(spark, catalog):
     assert sizes == [20, 20]  # 2 files of 10 fit in each 25-record budget
 
 
+def test_record_admission_runs_zero_spark_jobs(spark, catalog):
+    """Batch sizing is metadata-driven: admitting files against the
+    record budget reads manifest record_counts only — planning a batch
+    must launch ZERO Spark jobs (jobs run when the caller acts on the
+    returned DataFrame, never during admission)."""
+    t = _mk(spark, catalog, "admzero", n_appends=4, rows_per=10)
+    s = IncrementalStream(t, max_records_per_batch=25)
+    sc = spark.sparkContext
+    sc.setJobGroup("admission-probe", "admission sizing must be job-free")
+    try:
+        batches = []
+        while (b := s.next_batch()) is not None:  # plan only — no actions
+            batches.append(b)
+        job_ids = sc.statusTracker().getJobIdsForGroup("admission-probe")
+        assert list(job_ids) == [], f"admission launched Spark jobs: {job_ids}"
+    finally:
+        sc.setJobGroup(None, None)
+    # the planned batches are intact: acting on them now yields the rows
+    assert sum(b.count() for b in batches) == 40
+
+
 def test_apply_changelog_mirrors_source(spark, catalog):
     """CDC apply: after a delete + two successive updates of the same
     key across separate commits, the mirror equals the source

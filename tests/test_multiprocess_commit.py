@@ -88,6 +88,61 @@ def test_two_processes_never_lose_a_commit(tmp_path):
     assert not [f for f in os.listdir(mdir) if f.endswith(".tmp")]
 
 
+def test_inmemory_conditional_put_backend_races(tmp_path):
+    """The object-store-shaped backend (conditional PUT) serializes the
+    SAME committer protocol across threads: no lost updates, gap-free
+    sequence numbers, contiguous version chain.  Threads (not processes)
+    because an in-memory store is per-process by nature — a real object
+    store supplies the cross-process arbitration this impl simulates."""
+    import threading
+
+    loc = "mem://wh/table"
+    be = MD.InMemoryConditionalPutBackend()
+    MD.register_commit_backend("mem://", be)
+    try:
+        _make_table(loc)
+        ts = [
+            threading.Thread(target=_committer, args=(loc, w, N_COMMITS))
+            for w in (1, 2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(120)
+            assert not t.is_alive()
+        meta = MD.read_metadata(loc)
+        ids = [s.snapshot_id for s in meta.snapshots]
+        assert len(ids) == 2 * N_COMMITS and len(set(ids)) == 2 * N_COMMITS
+        seqs = sorted(s.sequence_number for s in meta.snapshots)
+        assert seqs == list(range(1, 2 * N_COMMITS + 1))
+        versions = sorted(
+            int(p.rsplit("/v", 1)[1].split(".")[0])
+            for p in be._store
+            if p.endswith(".metadata.json")
+        )
+        assert versions == list(range(1, 2 * N_COMMITS + 2))
+        # single linear lineage from head to root
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        seen, cur = [], meta.current_snapshot_id
+        while cur is not None:
+            seen.append(cur)
+            cur = by_id[cur].parent_id
+        assert len(seen) == 2 * N_COMMITS
+    finally:
+        MD._BACKENDS.remove(("mem://", be))
+
+
+def test_posix_backend_put_if_absent_contract(tmp_path):
+    """Direct backend contract check: second writer loses, contents are
+    the winner's, no temp files remain."""
+    be = MD.PosixLinkBackend()
+    p = str(tmp_path / "meta" / "v1.metadata.json")
+    assert be.put_if_absent(p, b"winner")
+    assert not be.put_if_absent(p, b"loser")
+    assert be.read(p) == b"winner"
+    assert not [f for f in os.listdir(tmp_path / "meta") if f.endswith(".tmp")]
+
+
 def test_snapshot_chain_is_a_single_lineage(tmp_path):
     """Parent pointers observed at commit time always reference the
     base's head — the winning chain is linear."""
