@@ -139,17 +139,46 @@ def geo_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("geo_hilbert_clustering", oracle=None)  # curve values are impl-specific
+@query(
+    "geo_hilbert_clustering",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS locality_holds,
+           TRUE AS buckets_spread
+    FROM supplier
+    """,
+)
 def geo_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert index distribution over lineitem points (SURVEY §2.7
-    hilbert system function; locality contract tested in unit tests —
-    physical values intentionally not oracle-checked, matching the
-    reference's own property-only test posture TestHilbert.java:60-83)."""
-    pts = _lineitem_points(spark, sf_dir)
-    return (
-        pts.withColumn("h", st_hilbert("geom", 8))
-        .groupBy((F.col("h") / 256).cast("long").alias("h_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    """Hilbert locality CONTRACT, oracle-checked as booleans (the curve's
+    physical values are impl-specific — the reference's own tests are
+    property-only, TestHilbert.java:60-83, so the checkable surface is
+    the property itself): for every supplier point, a 0.5-degree
+    neighbor must usually be closer in index space than the antipodal
+    point (>=90% of rows — boundary cells legitimately break locality
+    for a few), and the index range must actually spread across buckets
+    (clustering usefulness, not a constant)."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("px"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("py"),
+    )
+    hp = st_hilbert(st_point("px", "py"), 8)
+    hnear = st_hilbert(
+        st_point(F.col("px") + F.lit(0.5), F.col("py") + F.lit(0.5)), 8
+    )
+    hfar = st_hilbert(st_point(-F.col("px"), -F.col("py")), 8)
+    scored = sup.select(
+        (F.abs(hp - hnear) < F.abs(hp - hfar)).cast("int").alias("near_wins"),
+        (hp / 256).cast("long").alias("h_bucket"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.avg("near_wins") >= F.lit(0.90)).alias("locality_holds"),
+        # spread scales with corpus size: tiny SFs have few points
+        (
+            F.countDistinct("h_bucket")
+            >= F.least(F.lit(16), F.count(F.lit(1)) / F.lit(2))
+        ).alias("buckets_spread"),
     )
 
 

@@ -525,14 +525,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_media_frames(media, frame_size=256, every_n=4)
 
 
-# minhash signature self-check: rows-only (signatures are not expressible
-# in one readable SQL statement but the LSH pipeline above hash-checks
-# their effect end-to-end).
-@query("dedup_minhash_signatures")
+# minhash signature CONTRACT, oracle-checked as booleans: the signature
+# values themselves are impl-specific, but (a) every signature has
+# exactly NUM_PERMS components and (b) the matching-component fraction
+# of a true near-dup pair estimates its exact jaccard within the
+# statistical tolerance (64 perms -> sigma ~= sqrt(J(1-J)/64) <= 0.063;
+# 0.30 is ~5 sigma).  The oracle recomputes the exact-jaccard pair set
+# and asserts both booleans TRUE.
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    shared AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      FROM inv a JOIN inv b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia, ib, TRUE AS sig_ok, TRUE AS within_tol
+    FROM shared JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+    WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+    ORDER BY ia, ib
+    """,
+)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
-    return sigs.select("doc_id", F.size("sig").alias("sig_len"))
+    exact = dedup.ngram_jaccard_pairs(docs)  # (ia, ib, jaccard >= 0.5)
+    a = sigs.select(F.col("doc_id").alias("ia"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("ib"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    return (
+        exact.join(a, "ia")
+        .join(b, "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                (F.size("sig_a") == dedup.NUM_PERM)
+                & (F.size("sig_b") == dedup.NUM_PERM)
+            ).alias("sig_ok"),
+            (F.abs(est - F.col("jaccard")) <= F.lit(0.30)).alias("within_tol"),
+        )
+        .orderBy("ia", "ib")
+    )
 
 
 @query(
@@ -632,3 +674,55 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves plus their near-duplicates."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.contamination_check(docs, docs.filter("doc_id < 20"), 0.8)
+
+
+@query(
+    "sim_ivf_kmeans_recall",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_probes,
+           TRUE AS recall_ok,
+           TRUE AS cells_balanced
+    FROM (SELECT 1)
+    """,
+)
+def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF quality CONTRACT, oracle-checked as booleans:
+    recall@5 vs brute force must hold a 0.6 floor at nprobe=2/16 (the
+    measured value on sf0.01 is 0.80), and the refined quantizer's
+    largest cell must stay within 2.5x uniform (measured 0.076 vs the
+    0.156 bound) — the balance guarantee that bounds per-probe scan
+    cost at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_cosine_topk(emb, n_probes=10, k=5)
+    approx = similarity.ivf_kmeans_topk(
+        emb, n_centroids=16, n_probes=10, k=5, nprobe=2, iters=3
+    )
+    a = approx.groupBy("ia").agg(F.collect_set("ib").alias("got"))
+    e = exact.groupBy("ia").agg(F.collect_set("ib").alias("want"))
+    rec = (
+        a.join(e, "ia")
+        .select(
+            (
+                F.size(F.array_intersect("got", "want")) / F.size("want")
+            ).alias("r")
+        )
+        .agg(F.avg("r").alias("recall"), F.count(F.lit(1)).alias("n_probes"))
+    )
+    cents = similarity.kmeans_centroids(emb, 16, 3)
+    base = similarity.with_norm(emb).crossJoin(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.expr(similarity.dot_expr("embedding", "cemb"))
+        / (F.col("nrm") * F.col("cnrm")),
+    )
+    balance = (
+        base.groupBy("vec_id")
+        .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+        .groupBy(F.col("m.cid"))
+        .count()
+        .agg((F.max("count") / F.sum("count")).alias("max_frac"))
+    )
+    return rec.crossJoin(balance).select(
+        "n_probes",
+        (F.col("recall") >= F.lit(0.6)).alias("recall_ok"),
+        (F.col("max_frac") <= F.lit(2.5 / 16.0)).alias("cells_balanced"),
+    )

@@ -1128,6 +1128,38 @@ class TableScan:
                     self._planned = []
                     self._residual_noop = True
                     return self._planned
+            # distributed planning fallback: above ~10^5 entries the
+            # manifest itself is big data — prune it as a Spark filter
+            # over the manifest parquet instead of driver pandas (the
+            # reference's distributed planning mode).  Same inclusive
+            # semantics (parity-tested); strict residual elision is
+            # skipped (conservative: residual filter stays on).
+            if self.where is not None and self._entries_cache is None:
+                snap = self.snapshot or self.table.current_snapshot()
+                if snap is not None:
+                    from iceberg_geo_poc_spark.table import spark_planning as SP
+
+                    mpath = os.path.join(self.table.location, snap.manifest)
+                    threshold = int(
+                        self.table.meta.properties.get(
+                            "planning.spark-fallback-threshold",
+                            SP.SPARK_PLAN_THRESHOLD,
+                        )
+                    )
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        n_entries = _pq.read_metadata(mpath).num_rows
+                    except OSError:
+                        n_entries = 0
+                    if n_entries > threshold:
+                        planned = SP.plan_files_spark(
+                            self.table.spark, mpath, self.where, renames
+                        )
+                        if planned is not None:
+                            self._planned = planned
+                            self._residual_noop = False
+                            return self._planned
             entries = self._snapshot_entries()
             data = entries[entries.content == "data"]
             if self.where is None:
