@@ -53,11 +53,23 @@ def grid_spatial_join(
     right_geom: str = "geom",
     cell_size: float = 10.0,
     distance: float | None = None,
+    left_bounds: tuple | None = None,
+    right_bounds: tuple | None = None,
 ) -> DataFrame:
     """Pairs of (left row, right row) whose geometries intersect — or,
     with ``distance=d``, lie within distance d (st_dwithin semantics:
     the right side's envelopes and cells are dilated by d, the exact
     predicate becomes ``st_distance <= d``).
+
+    ``left_bounds`` / ``right_bounds`` optionally supply the envelope as
+    four Columns/expressions ``(xmin, ymin, xmax, ymax)``.  When the
+    geometry is CONSTRUCTED (envelope around a point, fixed-radius
+    diamond/buffer, cell polygon), its bounds are plain arithmetic the
+    caller already knows — passing them keeps the entire
+    explode+join+prefilter pipeline in whole-stage codegen and skips an
+    Arrow round-trip of the full geometry column per side.  Unsupplied
+    sides fall back to one st_bounds_udf pass (still a single Arrow
+    transfer for all four corners).
 
     Column names of the two inputs must be disjoint apart from the
     geometry columns (standard join hygiene).  Returns all left + right
@@ -69,26 +81,27 @@ def grid_spatial_join(
     if right_geom == left_geom:
         rg = f"{right_geom}_r"
         right = right.withColumnRenamed(right_geom, rg)
-    # ONE Arrow pass per side for all four bounds (st_bounds_udf), then
-    # free struct-field projections
-    L = (
-        left.withColumn("__lb", st_bounds_udf(F.col(left_geom)))
-        .withColumn("__lxmin", F.col("__lb.xmin"))
-        .withColumn("__lymin", F.col("__lb.ymin"))
-        .withColumn("__lxmax", F.col("__lb.xmax"))
-        .withColumn("__lymax", F.col("__lb.ymax"))
-        .drop("__lb")
-        .withColumn("__cell", F.explode(_cells_expr("__l", cell_size)))
-    )
-    R = (
-        right.withColumn("__rb", st_bounds_udf(F.col(rg)))
-        .withColumn("__rxmin", F.col("__rb.xmin") - F.lit(d))
-        .withColumn("__rymin", F.col("__rb.ymin") - F.lit(d))
-        .withColumn("__rxmax", F.col("__rb.xmax") + F.lit(d))
-        .withColumn("__rymax", F.col("__rb.ymax") + F.lit(d))
-        .drop("__rb")
-        .withColumn("__cell", F.explode(_cells_expr("__r", cell_size)))
-    )
+
+    def _with_bounds(df, geom_col, prefix, bounds, dilate):
+        if bounds is not None:
+            x0, y0, x1, y1 = (F.expr(b) if isinstance(b, str) else b for b in bounds)
+        else:
+            bcol = f"__{prefix}b"
+            df = df.withColumn(bcol, st_bounds_udf(F.col(geom_col)))
+            x0, y0 = F.col(f"{bcol}.xmin"), F.col(f"{bcol}.ymin")
+            x1, y1 = F.col(f"{bcol}.xmax"), F.col(f"{bcol}.ymax")
+        df = (
+            df.withColumn(f"__{prefix}xmin", x0 - F.lit(dilate))
+            .withColumn(f"__{prefix}ymin", y0 - F.lit(dilate))
+            .withColumn(f"__{prefix}xmax", x1 + F.lit(dilate))
+            .withColumn(f"__{prefix}ymax", y1 + F.lit(dilate))
+        )
+        if bounds is None:
+            df = df.drop(f"__{prefix}b")
+        return df.withColumn("__cell", F.explode(_cells_expr(f"__{prefix}", cell_size)))
+
+    L = _with_bounds(left, left_geom, "l", left_bounds, 0.0)
+    R = _with_bounds(right, rg, "r", right_bounds, d)
     joined = L.join(R, "__cell")
     # envelope prefilter: pure codegen, kills most pairs pre-UDF
     joined = joined.filter(

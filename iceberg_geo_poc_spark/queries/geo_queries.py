@@ -207,7 +207,7 @@ def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_geo_poc_spark.geo.functions import st_makeenvelope
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "geom")
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat", "geom")
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("x0"),
@@ -218,9 +218,16 @@ def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_makeenvelope(
             "x0", "y0", F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0)
         ),
-    ).select("s_suppkey", "rgeom")
+    ).select("s_suppkey", "x0", "y0", "rgeom")
+    # constructed geometries -> bounds are plain arithmetic: the whole
+    # blocking pipeline stays in codegen (no bounds UDF pass)
     j = grid_spatial_join(
-        pts, rects, left_geom="geom", right_geom="rgeom", cell_size=20.0
+        pts, rects, left_geom="geom", right_geom="rgeom", cell_size=20.0,
+        left_bounds=("lon", "lat", "lon", "lat"),
+        right_bounds=(
+            F.col("x0"), F.col("y0"),
+            F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
+        ),
     )
     return (
         j.groupBy("s_suppkey")
@@ -262,6 +269,8 @@ def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _lineitem_points(spark, sf_dir)
     polys = pts.select(
         "l_orderkey",
+        "lon",
+        "lat",
         st_makeenvelope(
             F.col("lon") - 0.5, F.col("lat") - 0.5,
             F.col("lon") + 0.5, F.col("lat") + 0.5,
@@ -277,11 +286,20 @@ def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_makeenvelope(
             "x0", "y0", F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0)
         ),
-    ).select("s_suppkey", "rgeom")
+    ).select("s_suppkey", "x0", "y0", "rgeom")
     # cell ~ rect size: measured sweet spot at sf0.1 (20.0 doubles the
-    # candidate pairs per cell; below 4.0 the rect-side explode dominates)
+    # candidate pairs per cell; below 4.0 the rect-side explode dominates);
+    # constructed-geometry bounds keep the blocking pipeline in codegen
     j = grid_spatial_join(
-        polys, rects, left_geom="pgeom", right_geom="rgeom", cell_size=6.0
+        polys, rects, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        left_bounds=(
+            F.col("lon") - F.lit(0.5), F.col("lat") - F.lit(0.5),
+            F.col("lon") + F.lit(0.5), F.col("lat") + F.lit(0.5),
+        ),
+        right_bounds=(
+            F.col("x0"), F.col("y0"),
+            F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
+        ),
     )
     return (
         j.groupBy("s_suppkey")
@@ -323,7 +341,8 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _lineitem_points(spark, sf_dir)
     pdiamonds = pts.select(
-        "l_orderkey", st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom")
+        "l_orderkey", "lon", "lat",
+        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
     )
     cells = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
@@ -331,10 +350,19 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
     )
     cdiamonds = cells.select(
-        "s_suppkey", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
+        "s_suppkey", "cx", "cy", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
     )
+    # fixed-radius diamonds: bounds = center +- r, pure codegen blocking
     j = grid_spatial_join(
-        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0
+        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        left_bounds=(
+            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
+            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
+        ),
+        right_bounds=(
+            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
+            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+        ),
     )
     return (
         j.groupBy("s_suppkey")
