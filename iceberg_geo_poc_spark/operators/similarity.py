@@ -351,3 +351,43 @@ def ivf_kmeans_topk(
     return _topk(_scored_pairs(probe_clusters, assign, ["cluster"]), k).orderBy(
         "ia", "rank"
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage-reduction step before ANN at scale (4x smaller vectors, and
+    int8 dot products vectorize on any backend).
+
+    Per vector: scale = max|x| / 127 (rounded to 6 decimals so both
+    engines agree bit-for-bit), q[i] = floor(x[i]/scale + 0.5) — the
+    same half-up rule in Spark and DuckDB, unlike round() whose
+    half-even/half-up behavior differs between engines.  Shuffle-free
+    linear pass, all codegen.  cos_ok certifies reconstruction quality:
+    cosine(dequantized, original) >= 0.999.
+    """
+    scale_raw = F.array_max(F.transform("embedding", lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+    d = emb.withColumn(
+        "scale", F.round(F.greatest(scale_raw, F.lit(1e-12)), 6)
+    ).withColumn(
+        "qvec",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    )
+    deq = F.expr("transform(qvec, q -> q * scale)")
+    d = d.withColumn("dq", deq)
+    cos = F.expr(
+        "aggregate(zip_with(dq, embedding, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(dq, x -> x * x), 0D, (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(embedding, x -> x * x), 0D, (acc, v) -> acc + v)))"
+    )
+    return d.select(
+        "vec_id",
+        "scale",
+        F.element_at("qvec", 1).alias("q0"),
+        F.element_at("qvec", 2).alias("q1"),
+        (cos >= F.lit(0.999)).alias("cos_ok"),
+    )

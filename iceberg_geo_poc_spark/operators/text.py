@@ -219,3 +219,88 @@ def iqr_outlier_filter(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
         )
         .drop("__q1", "__q3")
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, shuffle-free.
+
+    Per document: word count, most-frequent-unigram fraction, duplicate
+    2-gram fraction, and the keep decision (top-unigram <= 0.20 AND
+    dup-2gram <= 0.30 — the Gopher repetition-filter thresholds).  All
+    per-row array expressions in whole-stage codegen: no explode, no
+    shuffle — a linear pass that scales with bytes read, which is what
+    a 100 TB quality-filter sweep needs.  (Docs here are ~100 words, so
+    the O(distinct x words) per-row count is bounded; for book-length
+    docs swap in the explode+groupBy formulation.)
+    """
+    words = F.split(F.col("text"), " ")
+    d = docs.withColumn("w", words).withColumn("n_words", F.size("w"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda u: F.size(F.filter(F.col("w"), lambda x: x == u)),
+        )
+    )
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"
+    )
+    d = d.withColumn("g", grams)
+    dup2 = F.when(
+        F.size("g") > 0,
+        F.round(
+            (F.size("g") - F.size(F.array_distinct("g")))
+            / F.size("g").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.round(top_cnt / F.col("n_words").cast("double"), 6)
+    return d.select(
+        "doc_id",
+        "n_words",
+        top_frac.alias("top_unigram_frac"),
+        dup2.alias("dup_2gram_frac"),
+        ((top_frac <= 0.20) & (dup2 <= 0.30)).alias("keep"),
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Documents per (lang, power-of-two length bucket) — the corpus
+    length profile a pipeline inspects before choosing packing/window
+    sizes.  One partial-aggregated shuffle on (lang, bucket)."""
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+    ).cast("long")
+    return (
+        docs.groupBy(F.col("lang"), bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Global top-k vocabulary with counts and corpus coverage — the
+    tokenizer-vocab-building primitive.  explode -> partial-aggregated
+    count shuffle -> single top-k (rank window over the k-bounded
+    aggregate); coverage = term count / total tokens.  At 100 TB the
+    groupBy('term') shuffle is the cost and is partial-aggregated
+    map-side; the window sees only the aggregated vocabulary."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.count()
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "term",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("coverage"),
+        )
+        .orderBy("rank")
+    )

@@ -726,3 +726,109 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") >= F.lit(0.6)).alias("recall_ok"),
         (F.col("max_frac") <= F.lit(2.5 / 16.0)).alias("cells_balanced"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (
+      SELECT doc_id, words, len(words) AS n_words,
+             list_transform(generate_series(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i+1]) AS grams
+      FROM w),
+    m AS (
+      SELECT doc_id, n_words,
+             ROUND(list_max(list_transform(list_distinct(words),
+                   u -> len(list_filter(words, x -> x = u))))
+                   / CAST(n_words AS DOUBLE), 6) AS top_unigram_frac,
+             CASE WHEN len(grams) > 0
+                  THEN ROUND((len(grams) - len(list_distinct(grams)))
+                             / CAST(len(grams) AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_2gram_frac
+      FROM g)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, top_unigram_frac,
+           dup_2gram_frac,
+           (top_unigram_frac <= 0.20 AND dup_2gram_frac <= 0.30) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (shuffle-free codegen)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(POWER(2, FLOOR(LOG2(GREATEST(n_chars, 1)))) AS BIGINT)
+             AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2 ORDER BY lang, len_bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per (lang, power-of-two bucket)."""
+    return text.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_vocab_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    total AS (SELECT COUNT(*) AS t FROM toks),
+    ranked AS (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+      FROM counts)
+    SELECT CAST(rank AS INT) AS rank, term, n,
+           ROUND(n / CAST((SELECT t FROM total) AS DOUBLE), 6) AS coverage
+    FROM ranked WHERE rank <= 50 ORDER BY rank
+    """,
+)
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary with corpus coverage (tokenizer-vocab shape)."""
+    return text.vocab_top_terms(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             ROUND(GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            1e-12), 6) AS scale
+      FROM e),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS qvec
+      FROM s),
+    d AS (
+      SELECT vec_id, scale, qvec[1] AS q0, qvec[2] AS q1,
+             list_transform(qvec, x -> x * scale) AS dq, v
+      FROM q)
+    SELECT vec_id, scale, q0, q1,
+           (list_dot_product(dq, v)
+            / (sqrt(list_dot_product(dq, dq)) * sqrt(list_dot_product(v, v)))
+            >= 0.999) AS cos_ok
+    FROM d ORDER BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, value-checked: scale and
+    the first two quantized components match DuckDB exactly (shared
+    half-up rounding rule), and reconstruction cosine >= 0.999 holds
+    for every vector."""
+    return similarity.quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).orderBy("vec_id")
