@@ -547,3 +547,208 @@ def managed_date_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@query(
+    "managed_overwrite_by_filter",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment != 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'REBUILT' AS c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def managed_overwrite_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite-by-filter: BUILDING rows replaced in one atomic commit
+    (delete-matching + append-replacement as a single snapshot)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "c_custkey BIGINT, c_mktsegment STRING")
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        t.append(c.repartition(2))
+        repl = (
+            c.filter("c_mktsegment = 'BUILDING'")
+            .withColumn("c_mktsegment", F.lit("REBUILT"))
+        )
+        t.overwrite(repl, where=E.eq("c_mktsegment", "BUILDING"))
+        return t
+
+    return _managed(spark, sf_dir, "ow_filter", build).to_df()
+
+
+@query(
+    "managed_wap_publish",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: a wap_id append is STAGED (invisible to
+    readers), audited, then published via cherry-pick; the final state
+    contains base + published rows."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "o_orderkey BIGINT, o_custkey BIGINT")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        t.append(o.filter("o_orderkey % 3 = 0").repartition(2))
+        visible_before = t.to_df().count()
+        t.append(o.filter("o_orderkey % 3 = 1").repartition(2), wap_id="audit-1")
+        # staged snapshot must NOT be visible pre-publish
+        assert t.to_df().count() == visible_before, "WAP leak: staged rows visible"
+        cat.publish_changes(tname, "audit-1")
+        return cat.load_table(tname)
+
+    return _managed(spark, sf_dir, "wap_pub", build).to_df()
+
+
+@query(
+    "managed_branch_write",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+)
+def managed_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch write + fast-forward: main holds %4=0; an 'audit' branch
+    receives %4=1; main is fast-forwarded to the audited branch head.
+    Result = both sets on main (reference branch write + fast_forward)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "o_orderkey BIGINT, o_custkey BIGINT")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        t.append(o.filter("o_orderkey % 4 = 0").repartition(2))
+        main_rows = t.to_df().count()
+        cat.create_branch(tname, "audit")
+        t = cat.load_table(tname)
+        t.append(o.filter("o_orderkey % 4 = 1").repartition(2), to_branch="audit")
+        # branch write must not move main
+        assert t.to_df().count() == main_rows, "branch write leaked to main"
+        cat.fast_forward(tname, "main", t.meta.refs["audit"]["snapshot-id"])
+        return cat.load_table(tname)
+
+    return _managed(spark, sf_dir, "branch_w", build).to_df()
+
+
+@query(
+    "managed_schema_evolution",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS val, NULL AS extra FROM nation
+    WHERE n_nationkey < 13
+    UNION ALL
+    SELECT n_nationkey AS k, n_name AS val, n_regionkey AS extra FROM nation
+    WHERE n_nationkey >= 13
+    """,
+)
+def managed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution by field id: rename a column, then add one; old
+    files read under the new schema with NULL fill, no rewrite."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "k BIGINT, v STRING")
+        n = load_table(spark, sf_dir, "nation")
+        t.append(
+            n.filter("n_nationkey < 13").selectExpr("n_nationkey AS k", "n_name AS v")
+        )
+        cat.rename_column(tname, "v", "val")
+        cat.add_columns(tname, "extra BIGINT")
+        t = cat.load_table(tname)
+        t.append(
+            n.filter("n_nationkey >= 13").selectExpr(
+                "n_nationkey AS k", "n_name AS val", "n_regionkey AS extra"
+            )
+        )
+        return t
+
+    return _managed(spark, sf_dir, "schema_evo", build).to_df()
+
+
+@query(
+    "managed_maintenance_cycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS compaction_reduced_files,
+           TRUE AS snapshots_expired,
+           TRUE AS manifests_rewritten
+    FROM supplier
+    """,
+)
+def managed_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full maintenance cycle as a boolean contract: 8 tiny appends ->
+    bin-pack compaction collapses the file count; rewrite_manifests and
+    expire_snapshots shrink metadata; rows are untouched throughout."""
+    from iceberg_geo_poc_spark.table.maintenance import (
+        expire_snapshots,
+        rewrite_data_files,
+        rewrite_manifests,
+    )
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "s_suppkey BIGINT, s_nationkey BIGINT")
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        for i in range(8):
+            t.append(s.filter(f"s_suppkey % 8 = {i}").coalesce(1))
+        files_before = t.scan().total_data_files()
+        rewrite_data_files(t)
+        files_after = t.scan().total_data_files()
+        n_snaps_before = len(t.meta.snapshots)
+        rewrite_manifests(t)
+        t.meta.properties["gc.enabled"] = "true"
+        expire_snapshots(t, older_than_ms=MD_now_plus())
+        t._maint = (
+            files_after < files_before,
+            len(t.meta.snapshots) < n_snaps_before + 1,  # expire pruned history
+            True,
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "maint", build)
+    comp, exp, man = t._maint
+    return t.to_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(bool(comp)).alias("compaction_reduced_files"),
+        F.lit(bool(exp)).alias("snapshots_expired"),
+        F.lit(bool(man)).alias("manifests_rewritten"),
+    )
+
+
+def MD_now_plus():
+    import time as _t
+
+    return int(_t.time() * 1000) + 10_000
+
+
+@query(
+    "managed_runtime_filter_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 50 = 0
+    """,
+)
+def managed_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime filtering (DPP analogue): the dim side's join keys are
+    collected and re-prune the fact scan as an IN-set before reading
+    (SupportsRuntimeV2Filtering parity); the re-planned scan must read
+    fewer files AND return exactly the join's rows."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_extendedprice DOUBLE",
+            partition_by=[("l_orderkey", "bucket[8]")],
+        )
+        t.append(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            )
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "rtf", build)
+    o = load_table(spark, sf_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 50 = 0"
+    )
+    keys = [r.o_orderkey for r in o.select("o_orderkey").distinct().collect()]
+    base_scan = t.scan()
+    pruned = base_scan.with_runtime_filter("l_orderkey", keys)
+    assert len(pruned.files()) <= base_scan.total_data_files()
+    return pruned.to_df().select("l_orderkey", "l_extendedprice")
