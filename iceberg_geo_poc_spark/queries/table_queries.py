@@ -752,3 +752,179 @@ def managed_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = base_scan.with_runtime_filter("l_orderkey", keys)
     assert len(pruned.files()) <= base_scan.total_data_files()
     return pruned.to_df().select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "managed_add_files",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def managed_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files import: existing parquet registered into a table
+    without copying (manifests built from footers); scan returns the
+    imported rows and footer-derived stats still prune."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tmp
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "r_regionkey BIGINT, r_name STRING")
+        ext = _tmp.mkdtemp(prefix="igps_addfiles_")
+        load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        ).coalesce(1).write.mode("overwrite").parquet(ext)
+        paths = sorted(_glob.glob(_os.path.join(ext, "*.parquet")))
+        cat.add_files(tname, paths)
+        t = cat.load_table(tname)
+        assert t.meta.properties.get("gc.enabled") == "false"  # imported files not owned
+        return t
+
+    return _managed(spark, sf_dir, "addf", build).to_df()
+
+
+@query(
+    "managed_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+    """,
+)
+def managed_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC-format managed table: append + stats-pruned scan round-trip
+    (stats harvested via one distributed aggregation — ORC has no cheap
+    footer API)."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+            file_format="orc",
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        for rk in range(5):
+            t.append(n.filter(f"n_regionkey = {rk}").coalesce(1))
+        return t
+
+    t = _managed(spark, sf_dir, "orc_rt", build)
+    scan = t.scan(where=E.lt("n_regionkey", 3))
+    assert len(scan.files()) < scan.total_data_files(), "ORC stats pruning inactive"
+    return scan.to_df()
+
+
+@query(
+    "managed_geometry_promotion",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE {{lon}} BETWEEN 30.0 AND 70.0 AND {{lat}} BETWEEN -10.0 AND 40.0
+    """.format(
+        lon="(CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount)",
+        lat="(CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax)",
+    ),
+)
+def managed_geometry_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET GEOMETRY FIELDS promotion: a plain binary column written
+    BEFORE promotion becomes a geometry column afterwards — spatial
+    predicates evaluate over old files, and post-promotion appends
+    carry bbox stats for pruning."""
+    from iceberg_geo_poc_spark.geo import box
+    from iceberg_geo_poc_spark.geo.functions import st_point
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "l_orderkey BIGINT, l_linenumber INT, g BINARY")
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 360 - 180 + F.col("l_discount"))
+            .cast("double").alias("lon"),
+            (F.col("l_suppkey") % 180 - 90 + F.col("l_tax"))
+            .cast("double").alias("lat"),
+        )
+        t.append(
+            l.withColumn("g", st_point("lon", "lat")).drop("lon", "lat").repartition(2)
+        )
+        cat.set_geometry_fields(tname, {"g": "wkb"})
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "geo_promo", build)
+    return t.scan(
+        where=E.st_intersects("g", box(30.0, -10.0, 70.0, 40.0))
+    ).to_df().select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "managed_write_ordered",
+    oracle="""
+    SELECT l_orderkey, l_quantity FROM lineitem
+    WHERE l_quantity >= 48.0
+    """,
+)
+def managed_write_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE DISTRIBUTED/ORDERED BY: after set_write_order(l_quantity),
+    appended files are range-clustered on the order key, so a selective
+    quantity predicate prunes most files (the clustering benefit the
+    reference's SetWriteDistributionAndOrdering exists for)."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "l_orderkey BIGINT, l_quantity DOUBLE")
+        cat.set_write_order(tname, ["l_quantity"], distribution_mode="range")
+        cat.alter_table_properties(tname, {"write.range-partitions": "8"})
+        t = cat.load_table(tname)
+        t.append(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "worder", build)
+    scan = t.scan(where=E.ge("l_quantity", 48.0))
+    assert len(scan.files()) < scan.total_data_files(), (
+        "write-order clustering produced no pruning"
+    )
+    return scan.to_df()
+
+
+@query(
+    "managed_metadata_tables_summary",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM part) AS BIGINT) AS total_records,
+           CAST(3 AS BIGINT) AS n_snapshots,
+           TRUE AS files_have_stats,
+           TRUE AS partitions_consistent
+    FROM (SELECT 1)
+    """,
+)
+def managed_metadata_tables_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables as queryable DataFrames: record counts from the
+    FILES table, snapshot count from SNAPSHOTS, per-file stats presence,
+    and PARTITIONS totals agreeing with FILES — aggregated to a
+    deterministic contract row."""
+    from iceberg_geo_poc_spark.table.metadata_tables import inspect
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "p_partkey BIGINT, p_size BIGINT",
+            partition_by=[("p_partkey", "bucket[4]")],
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+        t.append(p.filter("p_partkey % 3 = 0"))
+        t.append(p.filter("p_partkey % 3 = 1"))
+        t.append(p.filter("p_partkey % 3 != 0 AND p_partkey % 3 != 1"))
+        return t
+
+    t = _managed(spark, sf_dir, "meta_tbls", build)
+    files = inspect(t, "files")
+    snaps = inspect(t, "snapshots")
+    parts = inspect(t, "partitions")
+    total = files.agg(F.sum("record_count")).first()[0]
+    n_snaps = snaps.count()
+    has_stats = files.filter(
+        F.col("lower").isNull() | F.col("upper").isNull()
+    ).count() == 0
+    part_total = parts.agg(F.sum("record_count")).first()[0]
+    return spark.createDataFrame(
+        [(int(total), int(n_snaps), bool(has_stats), int(part_total) == int(total))],
+        "total_records BIGINT, n_snapshots BIGINT, files_have_stats BOOLEAN, "
+        "partitions_consistent BOOLEAN",
+    )

@@ -300,7 +300,15 @@ class Table:
                 order_exprs.append(F.col(o))
         part_exprs = [F.col(c) for c, _ in pcols]
         if mode == "range" and (part_exprs or order_exprs):
-            out = out.repartitionByRange(*part_exprs, *order_exprs)
+            # optional explicit range-split count: pins the number of
+            # clustered output files regardless of AQE coalescing (the
+            # knob that makes range clustering produce prunable files
+            # even on small appends; unset -> Spark decides)
+            nparts = self.meta.properties.get("write.range-partitions")
+            if nparts:
+                out = out.repartitionByRange(int(nparts), *part_exprs, *order_exprs)
+            else:
+                out = out.repartitionByRange(*part_exprs, *order_exprs)
         elif mode == "hash" and part_exprs:
             # hash-distribute by partition tuple so each partition's rows
             # co-locate (SparkWriteConf DistributionMode.HASH analogue)
