@@ -222,3 +222,11 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the arbitrary-state
+# successor to applyInPandasWithState) is NOT exposed here: its driver
+# worker requires google.protobuf, which this container does not ship
+# (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
+# google.protobuf.descriptor).  stateful_user_counts above covers the
+# custom-stateful surface on the stable applyInPandasWithState API.

@@ -352,6 +352,21 @@ class Catalog:
     # views (reference spark-extensions view surface, TestViews.java):
     # versioned SQL text over engine tables
     # ------------------------------------------------------------------
+    def drop_ref(self, name: str, ref: str, kind: str = "branch") -> Table:
+        """DROP BRANCH / DROP TAG (reference branch-tag DDL): removes
+        the named ref; the snapshots it pointed at stay in the log until
+        expire_snapshots reaps unreachable ones."""
+        if kind == "branch" and ref == "main":
+            raise ValueError("cannot drop the main branch")
+        t = self.load_table(name)
+        entry = t.meta.refs.get(ref)
+        if entry is None or entry.get("type") != kind:
+            raise KeyError(f"{kind} {ref!r} not found")
+        del t.meta.refs[ref]
+        t.meta.schema_log.append({f"drop-{kind}": ref, "at": MD.now_ms()})
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
     def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
         """Store a named SQL view (text + version log).  The SQL runs
         against engine tables registered as temp views at read time."""

@@ -290,6 +290,28 @@ def _alter(catalog, table: str, rest: str):
             if not (f["source"] == src and f["transform"] == tr)
         ]
         return catalog.alter_partition_spec(table, spec)
+    m = re.match(r"^REPLACE PARTITION FIELD (.+?) WITH (.+)$", ru, re.I)
+    if m:
+        t = catalog.load_table(table)
+        old_src, old_tr = _partition_term(m.group(1))
+        new_term = _partition_term(m.group(2))
+        spec = [
+            new_term
+            if (f["source"] == old_src and f["transform"] == old_tr)
+            else (f["source"], f["transform"])
+            for f in t.meta.partition_spec
+        ]
+        if (old_src, old_tr) not in [
+            (f["source"], f["transform"]) for f in t.meta.partition_spec
+        ]:
+            raise KeyError(f"partition field {m.group(1)!r} not found")
+        return catalog.alter_partition_spec(table, spec)
+    m = re.match(r"^DROP BRANCH (\w+)$", ru, re.I)
+    if m:
+        return catalog.drop_ref(table, m.group(1), kind="branch")
+    m = re.match(r"^DROP TAG (\w+)$", ru, re.I)
+    if m:
+        return catalog.drop_ref(table, m.group(1), kind="tag")
     m = re.match(
         r"^WRITE(?P<dist> DISTRIBUTED BY PARTITION)?(?P<loc> LOCALLY)? ORDERED BY (?P<cols>.+)$",
         ru,

@@ -178,3 +178,29 @@ def test_unsupported_statements_raise(spark, catalog):
         catalog.sql("CALL system.nope('u1')")
     with pytest.raises(SqlError, match="unsupported ALTER"):
         catalog.sql("ALTER TABLE u1 FROBNICATE")
+
+
+def test_replace_partition_field(spark, catalog):
+    catalog.create_table("rpf", "k BIGINT, ts TIMESTAMP")
+    catalog.sql("ALTER TABLE rpf ADD PARTITION FIELD days(ts)")
+    catalog.sql("ALTER TABLE rpf REPLACE PARTITION FIELD days(ts) WITH months(ts)")
+    spec = catalog.load_table("rpf").meta.partition_spec
+    assert [(f["source"], f["transform"]) for f in spec] == [("ts", "month")]
+    with pytest.raises(KeyError):
+        catalog.sql("ALTER TABLE rpf REPLACE PARTITION FIELD days(ts) WITH years(ts)")
+
+
+def test_drop_branch_and_tag(spark, catalog):
+    t = _mk(spark, catalog, "dbr", n_appends=1)
+    catalog.sql("ALTER TABLE dbr CREATE BRANCH audit")
+    catalog.sql("ALTER TABLE dbr CREATE TAG v1")
+    meta = catalog.load_table("dbr").meta
+    assert "audit" in meta.refs and "v1" in meta.refs
+    catalog.sql("ALTER TABLE dbr DROP BRANCH audit")
+    catalog.sql("ALTER TABLE dbr DROP TAG v1")
+    meta = catalog.load_table("dbr").meta
+    assert "audit" not in meta.refs and "v1" not in meta.refs
+    with pytest.raises(KeyError):
+        catalog.sql("ALTER TABLE dbr DROP BRANCH audit")
+    with pytest.raises(ValueError):
+        catalog.drop_ref("dbr", "main", kind="branch")
