@@ -111,3 +111,64 @@ def test_q11_threshold_is_broadcast_not_collected(spark, sf_dir):
     df = R.q11_important_parts(spark, sf_dir)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_diamond_join_codegen_blocking(spark, sf_dir):
+    """The irregular-polygon join: cell equi-join (no cartesian), and the
+    blocking stage (bounds -> explode -> prefilter) is pure codegen —
+    the ONLY Python crossing is the exact-predicate ArrowEval after the
+    join (constructed-geometry bounds are plain arithmetic)."""
+    from iceberg_geo_poc_spark.queries import geo_queries as G
+
+    df = G.geo_diamond_join_counts(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # geometry construction (st_diamond, one per side) + exact predicate:
+    # bounds themselves must NOT add ArrowEval stages
+    n_arrow = plan.count("ArrowEvalPython")
+    assert n_arrow <= 3, f"bounds UDF leaked back into the plan ({n_arrow} ArrowEval)"
+
+
+def test_spark_planning_filters_manifest_scan(spark, tmp_path):
+    """Distributed planning pushes the pruning predicate into the
+    manifest parquet scan (PushedFilters on the stats columns)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table import E
+    from iceberg_geo_poc_spark.table import spark_planning as SP
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.table import manifest as M
+
+    df = pd.DataFrame(
+        {
+            "content": ["data"] * 10,
+            "file_path": [f"/f{i}" for i in range(10)],
+            "file_size": 1,
+            "record_count": 5,
+            "sequence_number": 1,
+            "snapshot_id": 1,
+            "partition": "{}",
+            "lower": "",
+            "upper": "",
+            "nulls": "",
+            "bbox": "",
+            "eq_cols": None,
+            "lo__k": pd.array(range(10), dtype="Int64"),
+            "hi__k": pd.array(range(1, 11), dtype="Int64"),
+            "nu__k": 0.0,
+            M._FLAT_MARKER: True,
+        }
+    )
+    mpath = str(tmp_path / "m.parquet")
+    M.write_manifest(df, mpath)
+    pred = SP.might_match_column(E.ge("k", 7), set(df.columns), None)
+    mdf = spark.read.parquet(mpath).filter(F.col("content") == "data").filter(pred)
+    plan = mdf._sc is not None and mdf._jdf.queryExecution().executedPlan().toString()
+    # the hi__k range condition must reach the scan as a pushed filter
+    assert "PushedFilters" in plan
+    got = SP.plan_files_spark(spark, mpath, E.ge("k", 7), None)
+    assert sorted(got) == [f"/f{i}" for i in range(6, 10)]
