@@ -912,6 +912,15 @@ def st_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             break
         x, y, _ = pts
         return pd.Series(np.hypot(x - g.x, y - g.y))
+    # fast path: point column vs point column -> one vectorized hypot
+    pa = _points_xy(a)
+    if pa is not None:
+        pb = _points_xy(b)
+        if pb is not None:
+            ax, ay, ma = pa
+            bx, by, mb = pb
+            d = np.hypot(ax - bx, ay - by)
+            return pd.Series(np.where(ma & mb, d, np.nan))
     out = []
     for av, bv in zip(a, b):
         if av is None or bv is None:

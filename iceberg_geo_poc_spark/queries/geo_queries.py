@@ -369,3 +369,49 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_diamonds"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "geo_dwithin_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    centers AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 170.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 80.0 AS cy
+      FROM supplier)
+    SELECT c.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_near
+    FROM centers c JOIN pts p
+      ON (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy)
+         <= 3.105 * 3.105
+    GROUP BY c.s_suppkey
+    ORDER BY c.s_suppkey
+    """,
+)
+def geo_dwithin_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join (st_dwithin semantics) through the grid spatial
+    join's distance variant: lineitem points within 3.105 degrees of
+    supplier centers.  The exact predicate runs the vectorized
+    point×point hypot path; the radius 3.105 sits between the data's
+    0.01 coordinate grid steps so no pair lands on the boundary.
+    Oracle: the equivalent squared-euclidean range join."""
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat", "geom")
+    centers = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("cy"),
+    ).withColumn("cgeom", st_point("cx", "cy"))
+    j = grid_spatial_join(
+        pts, centers, left_geom="geom", right_geom="cgeom",
+        cell_size=6.0, distance=3.105,
+        left_bounds=("lon", "lat", "lon", "lat"),
+        right_bounds=(F.col("cx"), F.col("cy"), F.col("cx"), F.col("cy")),
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+        .orderBy("s_suppkey")
+    )
