@@ -98,6 +98,72 @@ def _stats_fastpath_ratio(spark) -> dict:
     }
 
 
+def _planning_latency(spark) -> dict:
+    """Scan-planning latency on a synthetic 100k-entry manifest — the
+    reference PlanningBenchmark / DeleteFileIndexBenchmark shape.
+    Reports driver-side pandas planning and the distributed Spark
+    planning fallback on the SAME manifest + predicate."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.table import E
+    from iceberg_geo_poc_spark.table import manifest as M
+    from iceberg_geo_poc_spark.table import spark_planning as SP
+    from iceberg_geo_poc_spark.table import vector_eval as V
+
+    n = 100_000
+    rng = np.random.default_rng(5)
+    lo = rng.integers(0, 2**60, size=n)
+    df = pd.DataFrame(
+        {
+            "content": "data",
+            "file_path": [f"/data/f{i}.parquet" for i in range(n)],
+            "file_size": 1000,
+            "record_count": 10_000,
+            "sequence_number": 1,
+            "snapshot_id": 1,
+            "partition": "{}",
+            "lower": "", "upper": "", "nulls": "", "bbox": "", "eq_cols": None,
+            "lo__k": pd.array(lo, dtype="Int64"),
+            "hi__k": pd.array(lo + 10_000, dtype="Int64"),
+            "nu__k": 0.0,
+            M._FLAT_MARKER: True,
+        }
+    )
+    mpath = tempfile.mktemp(suffix=".parquet", prefix="igps_planbench_")
+    M.write_manifest(df, mpath)
+    pred = E.ge("k", 2**59) & E.le("k", 2**59 + 2**55)
+    entries = M.read_manifest(mpath)
+    data = entries[entries.content == "data"]
+    # pandas planning (median of 5)
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sv = V.StatsView(data)
+        keep = V.might_match(pred, sv)
+        n_kept = int(keep.sum())
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    pandas_ms = runs[2] * 1000
+    # distributed planning (median of 3, warm)
+    SP.plan_files_spark(spark, mpath, pred, None)
+    sruns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = SP.plan_files_spark(spark, mpath, pred, None)
+        sruns.append(time.perf_counter() - t0)
+    sruns.sort()
+    assert len(got) == n_kept
+    return {
+        "n_entries": n,
+        "files_kept": n_kept,
+        "pandas_ms": round(pandas_ms, 2),
+        "spark_ms": round(sruns[1] * 1000, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -147,6 +213,8 @@ def main() -> None:
     ratio = _stats_fastpath_ratio(spark)
     if ratio:
         out["stats_fastpath_vs_fullscan"] = ratio
+    # scan-planning latency (reference PlanningBenchmark shape)
+    out["planning_100k_files"] = _planning_latency(spark)
     print(json.dumps(out))
     spark.stop()
 
