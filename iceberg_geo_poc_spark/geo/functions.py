@@ -535,30 +535,6 @@ def _fast_poly_predicate(name: str, a: pd.Series, b: pd.Series):
 # simple polygons fall back per-batch to the generic kernel unchanged.
 
 
-def _parse_wkb_polygon(b: bytes):
-    """rings as float64 (n,2) arrays for little-endian WKB Polygon, else None."""
-    if len(b) < 9 or b[0] != 1 or int.from_bytes(b[1:5], "little") != 3:
-        return None
-    nr = int.from_bytes(b[5:9], "little")
-    off = 9
-    rings = []
-    for _ in range(nr):
-        if off + 4 > len(b):
-            return None
-        npts = int.from_bytes(b[off : off + 4], "little")
-        off += 4
-        end = off + npts * 16
-        if end > len(b):
-            return None
-        rings.append(
-            np.frombuffer(b, dtype="<f8", count=npts * 2, offset=off).reshape(-1, 2)
-        )
-        off = end
-    if off != len(b):
-        return None
-    return rings
-
-
 class _PackedPolys:
     """One batch of single-Polygon rows as flat numpy arrays."""
 

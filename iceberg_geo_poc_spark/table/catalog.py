@@ -334,17 +334,46 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
-    def create_tag(self, name: str, tag: str, snapshot_id: int | None = None) -> Table:
+    def create_tag(
+        self,
+        name: str,
+        tag: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> Table:
         t = self.load_table(name)
         sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
-        t.meta.refs[tag] = {"snapshot-id": sid, "type": "tag"}
+        ref = {"snapshot-id": sid, "type": "tag", "created-at-ms": MD.now_ms()}
+        if max_ref_age_ms is not None:
+            ref["max-ref-age-ms"] = int(max_ref_age_ms)
+        t.meta.refs[tag] = ref
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
-    def create_branch(self, name: str, branch: str, snapshot_id: int | None = None) -> Table:
+    def create_branch(
+        self,
+        name: str,
+        branch: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+    ) -> Table:
+        """Branch ref with the reference's retention surface (grammar:
+        CREATE BRANCH b RETAIN n DAYS WITH SNAPSHOT RETENTION k
+        SNAPSHOTS m DAYS): max-ref-age expires the REF itself;
+        min-snapshots / max-snapshot-age protect the branch's ancestor
+        history from expire_snapshots."""
         t = self.load_table(name)
         sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
-        t.meta.refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        ref = {"snapshot-id": sid, "type": "branch", "created-at-ms": MD.now_ms()}
+        if max_ref_age_ms is not None:
+            ref["max-ref-age-ms"] = int(max_ref_age_ms)
+        if min_snapshots_to_keep is not None:
+            ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+        t.meta.refs[branch] = ref
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 

@@ -262,6 +262,17 @@ def expire_snapshots(
     meta = table.meta
     if len(meta.snapshots) <= keep_last:
         return {"expired": 0, "deleted_files": 0}
+    now = MD.now_ms()
+    # per-ref retention first (reference SnapshotRef max-ref-age): an
+    # aged-out ref disappears and stops protecting its snapshots
+    expired_refs = [
+        rname
+        for rname, r in meta.refs.items()
+        if r.get("max-ref-age-ms") is not None
+        and now - r.get("created-at-ms", now) > r["max-ref-age-ms"]
+    ]
+    for rname in expired_refs:
+        del meta.refs[rname]
     keep = meta.snapshots[-keep_last:]
     if older_than_ms is not None:
         keep += [
@@ -273,6 +284,26 @@ def expire_snapshots(
     if meta.current_snapshot_id is not None:
         ref_ids.add(meta.current_snapshot_id)  # rollback target stays live
     keep += [s for s in meta.snapshots if s.snapshot_id in ref_ids and s not in keep]
+    # branch snapshot retention: protect each surviving branch's ancestor
+    # chain per its min-snapshots-to-keep / max-snapshot-age-ms
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    for r in meta.refs.values():
+        if r.get("type") != "branch":
+            continue
+        min_keep = r.get("min-snapshots-to-keep")
+        max_age = r.get("max-snapshot-age-ms")
+        if min_keep is None and max_age is None:
+            continue
+        cur, i = r["snapshot-id"], 0
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            protected = (min_keep is not None and i < min_keep) or (
+                max_age is not None and now - s.timestamp_ms <= max_age
+            )
+            if protected and s not in keep:
+                keep.append(s)
+            i += 1
+            cur = s.parent_id
     expired = [s for s in meta.snapshots if s not in keep]
 
     live_files: set[str] = set()

@@ -342,14 +342,37 @@ def _alter(catalog, table: str, rest: str):
         return catalog.drop_geometry_fields(
             table, [c.strip() for c in m.group(1).split(",")]
         )
-    m = re.match(r"^CREATE BRANCH (\w+)(?: AS OF VERSION (\d+))?$", ru, re.I)
+    m = re.match(
+        r"^CREATE BRANCH (\w+)(?: AS OF VERSION (\d+))?"
+        r"(?: RETAIN (\d+) DAYS?)?"
+        r"(?: WITH SNAPSHOT RETENTION (?:(\d+) SNAPSHOTS?)?\s*(?:(\d+) DAYS?)?)?$",
+        ru,
+        re.I,
+    )
+    if m:
+        day_ms = 24 * 3600 * 1000
+        sid = int(m.group(2)) if m.group(2) else None
+        return catalog.create_branch(
+            table,
+            m.group(1),
+            sid,
+            max_ref_age_ms=int(m.group(3)) * day_ms if m.group(3) else None,
+            min_snapshots_to_keep=int(m.group(4)) if m.group(4) else None,
+            max_snapshot_age_ms=int(m.group(5)) * day_ms if m.group(5) else None,
+        )
+    m = re.match(
+        r"^CREATE TAG (\w+)(?: AS OF VERSION (\d+))?(?: RETAIN (\d+) DAYS?)?$",
+        ru,
+        re.I,
+    )
     if m:
         sid = int(m.group(2)) if m.group(2) else None
-        return catalog.create_branch(table, m.group(1), sid)
-    m = re.match(r"^CREATE TAG (\w+)(?: AS OF VERSION (\d+))?$", ru, re.I)
-    if m:
-        sid = int(m.group(2)) if m.group(2) else None
-        return catalog.create_tag(table, m.group(1), sid)
+        return catalog.create_tag(
+            table,
+            m.group(1),
+            sid,
+            max_ref_age_ms=int(m.group(3)) * 24 * 3600 * 1000 if m.group(3) else None,
+        )
     m = re.match(r"^SET TBLPROPERTIES \((.+)\)$", ru, re.I)
     if m:
         props = {}

@@ -485,3 +485,43 @@ def test_alter_table_properties(spark, catalog):
     assert t.meta.properties["custom"] == "x"
     catalog.alter_table_properties("props", unset=["custom"])
     assert "custom" not in catalog.load_table("props").meta.properties
+
+
+def test_branch_retention_options(spark, catalog):
+    """CREATE BRANCH/TAG retention grammar -> ref fields; expire honors
+    max-ref-age (aged ref disappears, its snapshots become expirable)
+    and min-snapshots-to-keep (branch ancestors survive expire)."""
+    t = _mk(spark, catalog, "reten", n_appends=4, rows_per=5)
+    name = "reten"
+    catalog.sql(
+        f"ALTER TABLE {name} CREATE BRANCH hist RETAIN 30 DAYS "
+        "WITH SNAPSHOT RETENTION 3 SNAPSHOTS 7 DAYS"
+    )
+    catalog.sql(f"ALTER TABLE {name} CREATE TAG old RETAIN 1 DAY")
+    t = catalog.load_table(name)
+    hist = t.meta.refs["hist"]
+    assert hist["max-ref-age-ms"] == 30 * 24 * 3600 * 1000
+    assert hist["min-snapshots-to-keep"] == 3
+    assert hist["max-snapshot-age-ms"] == 7 * 24 * 3600 * 1000
+    # age the tag artificially: created long ago
+    t.meta.refs["old"]["created-at-ms"] -= 2 * 24 * 3600 * 1000
+    from iceberg_geo_poc_spark.table import metadata as MD
+    from iceberg_geo_poc_spark.table.maintenance import expire_snapshots
+
+    MD.write_new_metadata(t.meta, t.meta.version)
+    t = catalog.load_table(name)
+    t.meta.properties["gc.enabled"] = "true"
+    stats = expire_snapshots(t, keep_last=1, older_than_ms=MD.now_ms() + 1000)
+    t = catalog.load_table(name)
+    # the aged tag is gone; the branch survives with >= 3 protected
+    # ancestors of its head
+    assert "old" not in t.meta.refs
+    assert "hist" in t.meta.refs
+    ids = {s.snapshot_id for s in t.meta.snapshots}
+    cur = t.meta.refs["hist"]["snapshot-id"]
+    chain = 0
+    by_id = {s.snapshot_id: s for s in t.meta.snapshots}
+    while cur in by_id and chain < 3:
+        chain += 1
+        cur = by_id[cur].parent_id
+    assert chain == 3, f"branch ancestors not protected ({chain} kept, ids={ids})"

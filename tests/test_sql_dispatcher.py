@@ -109,7 +109,9 @@ def test_alter_branch_tag(spark, catalog):
     catalog.sql(f"ALTER TABLE a4 CREATE TAG v1 AS OF VERSION {first}")
     catalog.sql("ALTER TABLE a4 CREATE BRANCH dev")
     t = catalog.load_table("a4")
-    assert t.meta.refs["v1"] == {"snapshot-id": first, "type": "tag"}
+    v1 = t.meta.refs["v1"]
+    assert v1["snapshot-id"] == first and v1["type"] == "tag"
+    assert "created-at-ms" in v1
     assert t.meta.refs["dev"]["type"] == "branch"
     assert t.to_df(ref="v1").count() == 10
 
