@@ -540,6 +540,7 @@ class _PackedPolys:
 
     __slots__ = ("n", "ok", "empty", "vx", "vy", "vrow", "v_start", "v_cnt",
                  "ex0", "ey0", "ex1", "ey1", "e_start", "e_cnt",
+                 "hvx", "hvy", "hvrow", "hv_start", "hv_cnt",
                  "bx0", "by0", "bx1", "by1")
 
     def __init__(self, n: int):
@@ -548,6 +549,7 @@ class _PackedPolys:
         self.empty = np.zeros(n, dtype=bool)
         self.v_cnt = np.zeros(n, dtype=np.int64)
         self.e_cnt = np.zeros(n, dtype=np.int64)
+        self.hv_cnt = np.zeros(n, dtype=np.int64)
         self.bx0 = np.full(n, np.nan)
         self.by0 = np.full(n, np.nan)
         self.bx1 = np.full(n, np.nan)
@@ -616,7 +618,9 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     zero = np.zeros(0, dtype=np.int64)
     if not bufs:
         pk.vx = pk.vy = pk.ex0 = pk.ey0 = pk.ex1 = pk.ey1 = np.zeros(0)
+        pk.hvx = pk.hvy = np.zeros(0)
         pk.v_start = pk.e_start = pk.vrow = zero
+        pk.hv_start = pk.hvrow = zero
         return pk
     coords = np.frombuffer(b"".join(bufs), dtype="<f8").reshape(-1, 2)
     rr = np.asarray(ring_row, dtype=np.int64)
@@ -652,6 +656,14 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     pk.v_cnt[rr[first_ring]] = rn[first_ring] - 1
     pk.v_start = np.concatenate([[0], np.cumsum(pk.v_cnt)[:-1]]).astype(np.int64)
     pk.vrow = np.repeat(np.arange(n), pk.v_cnt)
+    # hole vertices: all non-first rings (adjacent per row in scan order),
+    # needed by the covers path (a hole may not bite into the covered poly)
+    hole_ring = ~first_ring
+    hv_idx = _ranges(ring_start[hole_ring], rn[hole_ring] - 1)
+    pk.hvx, pk.hvy = x[hv_idx], y[hv_idx]
+    np.add.at(pk.hv_cnt, rr[hole_ring], rn[hole_ring] - 1)
+    pk.hv_start = np.concatenate([[0], np.cumsum(pk.hv_cnt)[:-1]]).astype(np.int64)
+    pk.hvrow = np.repeat(np.arange(n), pk.hv_cnt)
     return pk
 
 
@@ -676,17 +688,20 @@ def _ragged_cross(left_cnt: np.ndarray, left_start: np.ndarray,
     return li, ri, prow
 
 
-def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
-                          rows: np.ndarray) -> np.ndarray:
-    """Per-row: does ANY shell vertex of A locate inside-or-on B?
-    Even-odd ray cast over all of B's ring edges (shell + holes), the
-    vectorized image of geometry._poly_locate for valid polygons, with
-    the same boundary epsilon as _ring_locate_vec."""
-    out = np.zeros(pa.n, dtype=bool)
-    vi, ei, prow = _ragged_cross(pa.v_cnt, pa.v_start, pb.e_cnt, pb.e_start, rows)
+def _locate_verts(vx: np.ndarray, vy: np.ndarray, v_start: np.ndarray,
+                  v_cnt: np.ndarray, pb: _PackedPolys, rows: np.ndarray):
+    """(on_boundary, odd_crossings) per GLOBAL vertex index for the given
+    rows' vertices located against pb's ring edges — the vectorized
+    image of geometry._poly_locate for valid polygons, with the same
+    boundary epsilon as _ring_locate_vec.  inside-or-on = on | odd;
+    strict interior = odd & ~on."""
+    nv = len(vx)
+    on = np.zeros(nv, dtype=bool)
+    odd = np.zeros(nv, dtype=bool)
+    vi, ei, _prow = _ragged_cross(v_cnt, v_start, pb.e_cnt, pb.e_start, rows)
     if len(vi) == 0:
-        return out
-    px, py = pa.vx[vi], pa.vy[vi]
+        return on, odd
+    px, py = vx[vi], vy[vi]
     ax, ay = pb.ex0[ei], pb.ey0[ei]
     bx, by = pb.ex1[ei], pb.ey1[ei]
     orient = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
@@ -705,11 +720,18 @@ def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
     with np.errstate(divide="ignore", invalid="ignore"):
         x_at = ax + (py - ay) * (bx - ax) / (by - ay)
     cross = cond & (x_at > px)
-    # aggregate pair results per A-vertex, then per row
-    nv = len(pa.vx)
     cross_cnt = np.bincount(vi, weights=cross, minlength=nv)
-    on_any = np.bincount(vi, weights=on_seg, minlength=nv) > 0
-    v_in = (cross_cnt.astype(np.int64) % 2 == 1) | on_any
+    on = np.bincount(vi, weights=on_seg, minlength=nv) > 0
+    odd = cross_cnt.astype(np.int64) % 2 == 1
+    return on, odd
+
+
+def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
+                          rows: np.ndarray) -> np.ndarray:
+    """Per-row: does ANY shell vertex of A locate inside-or-on B?"""
+    out = np.zeros(pa.n, dtype=bool)
+    on, odd = _locate_verts(pa.vx, pa.vy, pa.v_start, pa.v_cnt, pb, rows)
+    v_in = on | odd
     hit_rows = np.unique(pa.vrow[np.nonzero(v_in)[0]])
     out[hit_rows] = True
     return out
@@ -765,6 +787,56 @@ def _edges_intersect_any(pa: _PackedPolys, pb: _PackedPolys,
     return out
 
 
+def _edges_cross_properly_any(pa: _PackedPolys, pb: _PackedPolys,
+                              rows: np.ndarray) -> np.ndarray:
+    """Per-row: does ANY edge of A cross ANY edge of B PROPERLY
+    (intersection interior to both segments)?  Vectorized
+    geometry._segments_cross_properly, same plain-epsilon thresholds."""
+    out = np.zeros(pa.n, dtype=bool)
+    ai, bi, prow = _ragged_cross(pa.e_cnt, pa.e_start, pb.e_cnt, pb.e_start, rows)
+    if len(ai) == 0:
+        return out
+    ax, ay = pa.ex0[ai], pa.ey0[ai]
+    bx, by = pa.ex1[ai], pa.ey1[ai]
+    cx, cy = pb.ex0[bi], pb.ey0[bi]
+    dx, dy = pb.ex1[bi], pb.ey1[bi]
+    d1 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+    d2 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+    d3 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d4 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+    e = _VEPS
+    proper = (((d1 > e) & (d2 < -e)) | ((d1 < -e) & (d2 > e))) & (
+        ((d3 > e) & (d4 < -e)) | ((d3 < -e) & (d4 > e))
+    )
+    out[np.unique(prow[proper])] = True
+    return out
+
+
+def _polypoly_covers_rows(pa: _PackedPolys, pb: _PackedPolys,
+                          rows: np.ndarray) -> np.ndarray:
+    """Per-row: does polygon A cover polygon B?  The vectorized image of
+    geometry._simple_covers for the polygon-polygon case: (1) every B
+    shell vertex locates inside-or-on A, (2) no PROPER boundary
+    crossing, (3) no A-hole vertex strictly inside B."""
+    out = np.zeros(pa.n, dtype=bool)
+    if not len(rows):
+        return out
+    on, odd = _locate_verts(pb.vx, pb.vy, pb.v_start, pb.v_cnt, pa, rows)
+    outside = ~(on | odd)
+    bad = np.unique(pb.vrow[np.nonzero(outside)[0]])
+    ok = rows[~np.isin(rows, bad)]
+    if len(ok):
+        proper = _edges_cross_properly_any(pb, pa, ok)
+        ok = ok[~proper[ok]]
+    if len(ok) and len(pa.hvx):
+        hon, hodd = _locate_verts(pa.hvx, pa.hvy, pa.hv_start, pa.hv_cnt, pb, ok)
+        strict = hodd & ~hon
+        bitten = np.unique(pa.hvrow[np.nonzero(strict)[0]])
+        ok = ok[~np.isin(ok, bitten)]
+    out[ok] = True
+    return out
+
+
 # pair-count budget per vectorized block: bounds transient memory to
 # ~tens of MB while keeping numpy call overhead amortized
 _POLY_PAIR_BUDGET = 2_000_000
@@ -784,9 +856,10 @@ def _blocked_rows(rows: np.ndarray, cost: np.ndarray):
 
 
 def _fast_polypoly_predicate(name: str, a: pd.Series, b: pd.Series):
-    """Vectorized polygon-column × polygon-column intersects/disjoint.
-    None when the batch isn't all single Polygons on both sides."""
-    if name not in ("intersects", "disjoint"):
+    """Vectorized polygon-column × polygon-column predicates
+    (intersects / disjoint / covers / within / contains).  None when the
+    batch isn't all single Polygons on both sides."""
+    if name not in ("intersects", "disjoint", "covers", "within", "contains"):
         return None
     pa = _polys_packed(a)
     if pa is None:
@@ -794,6 +867,28 @@ def _fast_polypoly_predicate(name: str, a: pd.Series, b: pd.Series):
     pb = _polys_packed(b)
     if pb is None:
         return None
+    if name in ("covers", "contains", "within"):
+        # kernel contains(poly, poly) == covers; within = covers flipped
+        if name == "within":
+            pa, pb = pb, pa
+        both = pa.ok & pb.ok
+        live = both & ~pa.empty & ~pb.empty
+        n = pa.n
+        # covers bbox precondition with the kernel's epsilon slack
+        with np.errstate(invalid="ignore"):
+            bbox_ok = live & (
+                (pa.bx0 <= pb.bx0 + _VEPS) & (pa.by0 <= pb.by0 + _VEPS)
+                & (pa.bx1 >= pb.bx1 - _VEPS) & (pa.by1 >= pb.by1 - _VEPS)
+            )
+        cand = np.nonzero(bbox_ok)[0]
+        res = np.zeros(n, dtype=bool)
+        if len(cand):
+            cost = pb.v_cnt * pa.e_cnt + pa.e_cnt * pb.e_cnt + pa.hv_cnt * pb.e_cnt
+            for blk in _blocked_rows(cand, cost):
+                res |= _polypoly_covers_rows(pa, pb, blk)
+        out = pd.Series(res.astype(object))
+        out[~both] = None
+        return out
     n = pa.n
     inter = np.zeros(n, dtype=bool)
     both = pa.ok & pb.ok

@@ -428,9 +428,9 @@ def test_fast_polypoly_predicate_matches_kernel():
     a = pd.Series([geometry_to_wkb(p) for p, _ in pairs] + [None], dtype=object)
     b = pd.Series([geometry_to_wkb(q) for _, q in pairs] + [geometry_to_wkb(sq)],
                   dtype=object)
-    for name in ("intersects", "disjoint"):
+    for name in ("intersects", "disjoint", "covers", "within", "contains"):
         got = GF._fast_polypoly_predicate(name, a, b)
-        assert got is not None, "polypoly fast path refused the batch"
+        assert got is not None, f"polypoly fast path refused {name}"
         assert got[len(pairs)] is None  # null in -> null out
         for i, (p, q) in enumerate(pairs):
             want = getattr(p, name)(q)
@@ -453,5 +453,5 @@ def test_fast_polypoly_refuses_mixed_batches():
     a = pd.Series([sq, pt], dtype=object)
     b = pd.Series([sq, sq], dtype=object)
     assert GF._fast_polypoly_predicate("intersects", a, b) is None
-    # and unsupported predicates are refused outright
-    assert GF._fast_polypoly_predicate("covers", b, b) is None
+    # and unknown predicates are refused outright
+    assert GF._fast_polypoly_predicate("touches", b, b) is None
