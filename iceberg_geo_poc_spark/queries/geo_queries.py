@@ -415,3 +415,63 @@ def geo_dwithin_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_near"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "geo_covers_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    cells AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 166.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 76.0 AS cy
+      FROM supplier)
+    SELECT c.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_covered
+    FROM cells c JOIN pts p
+      ON ABS(p.lon - c.cx) + ABS(p.lat - c.cy) <= 4.105
+    GROUP BY c.s_suppkey
+    ORDER BY c.s_suppkey
+    """,
+)
+def geo_covers_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON-covers-POLYGON spatial join through the vectorized
+    covers kernel: supplier diamonds (L1 radius 4.405) covering lineitem
+    diamonds (radius 0.3).  An L1 ball covers another iff the center L1
+    distance is at most R - r = 4.105 (Minkowski difference of L1
+    balls); 4.105 sits between the 0.01 coordinate grid steps so no
+    pair lands on the boundary epsilon.  The grid join blocks on
+    intersecting envelopes; the covers predicate then filters pairs."""
+    from iceberg_geo_poc_spark.geo.functions import st_covers, st_diamond
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    pdiamonds = pts.select(
+        "l_orderkey", "lon", "lat",
+        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
+    )
+    cells = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
+    )
+    cdiamonds = cells.select(
+        "s_suppkey", "cx", "cy", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
+    )
+    j = grid_spatial_join(
+        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        left_bounds=(
+            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
+            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
+        ),
+        right_bounds=(
+            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
+            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+        ),
+    )
+    covered = j.filter(st_covers(F.col("rgeom"), F.col("pgeom")))
+    return (
+        covered.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+        .orderBy("s_suppkey")
+    )
