@@ -55,6 +55,7 @@ def grid_spatial_join(
     distance: float | None = None,
     left_bounds: tuple | None = None,
     right_bounds: tuple | None = None,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Pairs of (left row, right row) whose geometries intersect — or,
     with ``distance=d``, lie within distance d (st_dwithin semantics:
@@ -70,6 +71,15 @@ def grid_spatial_join(
     Arrow round-trip of the full geometry column per side.  Unsupplied
     sides fall back to one st_bounds_udf pass (still a single Arrow
     transfer for all four corners).
+
+    ``rect_exact=True`` asserts both geometries ARE axis-aligned
+    rectangles equal to their envelopes (e.g. both built with
+    st_makeenvelope).  For rectangles the envelope-overlap prefilter is
+    *exactly* st_intersects, so the Python kernel pass is elided and the
+    whole join — explode, equi-join, prefilter, reference-point dedup —
+    stays in whole-stage codegen.  This is the standard envelope-join
+    optimization; a wrong assertion silently widens results, so it is
+    opt-in and ignored for ``distance`` joins.
 
     Column names of the two inputs must be disjoint apart from the
     geometry columns (standard join hygiene).  Returns all left + right
@@ -118,7 +128,9 @@ def grid_spatial_join(
         (F.floor(refx / cell_size).cast("int") == F.col("__cell.cx"))
         & (F.floor(refy / cell_size).cast("int") == F.col("__cell.cy"))
     )
-    if distance is None:
+    if distance is None and rect_exact:
+        out = joined  # rect x rect: bbox overlap == st_intersects
+    elif distance is None:
         out = joined.filter(st_intersects(F.col(left_geom), F.col(rg)))
     else:
         from iceberg_geo_poc_spark.geo.functions import st_distance

@@ -259,9 +259,11 @@ def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYGON x POLYGON distributed spatial join: 1x1-degree envelopes
     around lineitem points joined against 8x8 supplier rectangles.  Both
-    sides are polygon WKB, so the exact predicate runs the generic
-    kernel path (not the point fast paths) — the bench entry for the
-    non-point geometry workload; the oracle is the equivalent closed
+    sides are axis-aligned envelopes, so the join runs the rect_exact
+    envelope-join fast path — blocking, equi-join, bbox test, and
+    reference-point dedup all in whole-stage codegen, no Python kernel
+    (the irregular-polygon kernel workload is geo_diamond_join_counts /
+    geo_covers_join_counts); the oracle is the equivalent closed
     box-overlap range join."""
     from iceberg_geo_poc_spark.geo.functions import st_makeenvelope
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
@@ -300,6 +302,9 @@ def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x0"), F.col("y0"),
             F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
         ),
+        # both sides are axis-aligned envelopes: bbox-overlap IS
+        # st_intersects, so the join never leaves whole-stage codegen
+        rect_exact=True,
     )
     return (
         j.groupBy("s_suppkey")

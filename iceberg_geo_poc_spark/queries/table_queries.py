@@ -928,3 +928,110 @@ def managed_metadata_tables_summary(spark: SparkSession, sf_dir: str) -> DataFra
         "total_records BIGINT, n_snapshots BIGINT, files_have_stats BOOLEAN, "
         "partitions_consistent BOOLEAN",
     )
+
+
+# -- SELECT through the SQL dispatcher --------------------------------------
+#
+# The reference reaches SELECT (+ time travel, metadata tables) through
+# its DSv2 catalog (spark/v3.5/spark/src/main/java/org/apache/iceberg/
+# spark/SparkCatalog.java); the engine's dispatcher resolves the table
+# references itself (table/sql.py _select) and hands the relational plan
+# to spark.sql.  These queries drive that full text->prune->execute path.
+
+
+def _tname(t: Table) -> str:
+    import os
+
+    return os.path.basename(t.location)
+
+
+@query(
+    "sql_select_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def sql_select_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual SELECT over the months(l_shipdate)-partitioned managed
+    table: the dispatcher extracts the WHERE conjuncts, prunes files via
+    the manifest (same plan as managed_date_pruned_scan), and delegates
+    the aggregate to spark.sql."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_shipdate TIMESTAMP, l_extendedprice DOUBLE",
+            partition_by=[("l_shipdate", "month")],
+        )
+        t.append(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_shipdate", "l_extendedprice"
+            )
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "date_scan", build)
+    return _catalog(spark).sql(
+        f"SELECT COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total "
+        f"FROM {_tname(t)} "
+        f"WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        f"AND l_shipdate < TIMESTAMP '1996-04-01'"
+    )
+
+
+@query(
+    "sql_select_time_travel",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+    FROM events WHERE value < 50.0
+    """,
+)
+def sql_select_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT ... VERSION AS OF through the dispatcher: the first
+    snapshot holds only the value<50 events; the second append must be
+    invisible to the pinned query."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        t.append(df.filter("value < 50.0").repartition(2))
+        t.append(df.filter("value >= 50.0").repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "sql_tt", build)
+    first = t.snapshots()[0].snapshot_id
+    return _catalog(spark).sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total "
+        f"FROM {_tname(t)} VERSION AS OF {first}"
+    )
+
+
+@query(
+    "sql_select_metadata_table",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS total_records FROM part",
+)
+def sql_select_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT over a metadata table reference (t.files) through the
+    dispatcher: summing per-file record counts must equal the source
+    row count (reference MetadataTableType FILES surface)."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "p_partkey BIGINT, p_name STRING, p_retailprice DOUBLE"
+        )
+        p = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_retailprice"
+        )
+        t.append(p.filter("p_partkey % 3 = 0"))
+        t.append(p.filter("p_partkey % 3 = 1"))
+        t.append(p.filter("p_partkey % 3 != 0 AND p_partkey % 3 != 1"))
+        return t
+
+    t = _managed(spark, sf_dir, "meta_tbls", build)
+    return _catalog(spark).sql(
+        f"SELECT CAST(SUM(record_count) AS BIGINT) AS total_records "
+        f"FROM {_tname(t)}.files"
+    )

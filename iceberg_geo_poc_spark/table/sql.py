@@ -156,11 +156,252 @@ def dispatch_sql(catalog, text: str):
     m = _ALTER_RE.match(text)
     if m:
         return _alter(catalog, m.group("table"), m.group("rest"))
+    if _SELECT_RE.match(text):
+        return _select(catalog, text)
     raise SqlError(
-        "unsupported statement (this dispatcher covers CALL system.*, "
-        "ALTER TABLE extensions, and MERGE INTO; run queries through "
-        "spark.sql over registered views)"
+        "unsupported statement (this dispatcher covers SELECT/WITH "
+        "queries over engine tables, CALL system.*, ALTER TABLE "
+        "extensions, and MERGE INTO)"
     )
+
+
+# -- SELECT over engine tables ---------------------------------------------
+#
+# The reference gets SELECT (with time travel and metadata tables) for
+# free through its DSv2 catalog (SparkCatalog.java, SparkTable.java); a
+# pure-Python engine cannot register one, so the dispatcher provides the
+# same *entry point* by resolving engine-table references itself:
+#
+#   SELECT ... FROM t [VERSION AS OF <id|'ref'>] [TIMESTAMP AS OF ts]
+#   SELECT ... FROM t.snapshots | t.files | ... (metadata tables)
+#
+# Each engine-table reference is planned (time-travel pin + manifest
+# file pruning from the WHERE clause), registered as a temp view, the
+# identifier rewritten, and the rest of the statement delegated to
+# spark.sql — Catalyst executes the relational plan, the engine supplies
+# the pruned scan.  Inclusive pruning semantics make this safe: the
+# extracted conjuncts only *shrink the file list*; the full WHERE still
+# runs inside Spark.
+
+_SELECT_RE = re.compile(r"^\s*(?:SELECT|WITH)\b", re.I)
+
+_TRAVEL_RE = (
+    r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(?:'[^']*'|\S+)"
+    r"|\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(?:'[^']*'|\S+))?"
+)
+_TABLE_REF_RE = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+(?P<ident>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(?P<travel>" + _TRAVEL_RE + ")",
+    re.I,
+)
+
+
+def _travel_kwargs(travel: str) -> dict:
+    """'VERSION AS OF 3' -> {'snapshot_id': 3}; quoted version -> branch/
+    tag ref; 'TIMESTAMP AS OF ...' -> {'as_of_ms': ...}."""
+    travel = (travel or "").strip()
+    if not travel:
+        return {}
+    m = re.match(
+        r"(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(.+)$", travel, re.I
+    )
+    if m:
+        v = m.group(1).strip()
+        if v[0] in "'\"":
+            return {"ref": v[1:-1]}
+        return {"snapshot_id": int(v)}
+    m = re.match(
+        r"(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(.+)$", travel, re.I
+    )
+    if m:
+        v = m.group(1).strip()
+        if v[0] in "'\"":
+            import datetime as _dt
+
+            s = v[1:-1]
+            fmt = "%Y-%m-%d %H:%M:%S" if ":" in s else "%Y-%m-%d"
+            ts = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
+            return {"as_of_ms": int(ts.timestamp() * 1000)}
+        return {"as_of_ms": int(float(v))}
+    raise SqlError(f"cannot parse time-travel clause {travel!r}")
+
+
+def _split_top_and(cond: str) -> list[str] | None:
+    """Split on top-level ANDs; None if a top-level OR is present (the
+    whole conjunction is then unusable for pruning)."""
+    parts, depth, cur, quote = [], 0, [], None
+    tokens = re.split(r"(\bAND\b|\bOR\b|[()'\"])", cond, flags=re.I)
+    for tok in tokens:
+        if quote:
+            cur.append(tok)
+            if tok == quote:
+                quote = None
+            continue
+        if tok in ("'", '"'):
+            quote = tok
+            cur.append(tok)
+        elif tok == "(":
+            depth += 1
+            cur.append(tok)
+        elif tok == ")":
+            depth -= 1
+            cur.append(tok)
+        elif depth == 0 and re.fullmatch(r"AND", tok, re.I):
+            parts.append("".join(cur))
+            cur = []
+        elif depth == 0 and re.fullmatch(r"OR", tok, re.I):
+            return None
+        else:
+            cur.append(tok)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_SQL_CMP = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt", "<=": "le",
+            ">": "gt", ">=": "ge"}
+_SQL_CMP_FLIP = {"=": "eq", "<>": "ne", "!=": "ne", "<": "gt", "<=": "ge",
+                 ">": "lt", ">=": "le"}
+
+
+def _prune_literal(tok: str):
+    """Literal usable for stats pruning, or None if not a literal."""
+    tok = re.sub(r"^(?:DATE|TIMESTAMP)\s+", "", tok.strip(), flags=re.I)
+    if re.fullmatch(r"'[^']*'", tok):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def _conjunct_to_expr(conj: str, columns: set[str]):
+    """One WHERE conjunct -> pruning Expr, or None when not convertible
+    (inclusive semantics: dropping a conjunct only weakens pruning)."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    def col_of(al, col):
+        return col if col in columns else None
+
+    m = re.match(
+        r"^(?:(\w+)\.)?(\w+)\s+IS\s+(NOT\s+)?NULL$", conj, re.I
+    )
+    if m:
+        c = col_of(m.group(1), m.group(2))
+        if c is None:
+            return None
+        return E.not_null(c) if m.group(3) else E.is_null(c)
+    m = re.match(r"^(?:(\w+)\.)?(\w+)\s+IN\s*\((.+)\)$", conj, re.I | re.S)
+    if m:
+        c = col_of(m.group(1), m.group(2))
+        if c is None:
+            return None
+        vals = [_prune_literal(v) for v in _split_args(m.group(3))]
+        if any(v is None for v in vals):
+            return None
+        return E.in_(c, vals)
+    m = re.match(r"^(?:(\w+)\.)?(\w+)\s+LIKE\s+'([^'%_]*)%'$", conj, re.I)
+    if m:
+        c = col_of(m.group(1), m.group(2))
+        return E.starts_with(c, m.group(3)) if c else None
+    m = re.match(
+        r"^(?:(\w+)\.)?(\w+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$", conj, re.S
+    )
+    if m:
+        c = col_of(m.group(1), m.group(2))
+        v = _prune_literal(m.group(4))
+        if c is not None and v is not None:
+            return getattr(E, _SQL_CMP[m.group(3)])(c, v)
+    m = re.match(
+        r"^(.+?)\s*(<=|>=|<>|!=|=|<|>)\s*(?:(\w+)\.)?(\w+)$", conj, re.S
+    )
+    if m:
+        c = col_of(m.group(3), m.group(4))
+        v = _prune_literal(m.group(1))
+        if c is not None and v is not None:
+            return getattr(E, _SQL_CMP_FLIP[m.group(2)])(c, v)
+    return None
+
+
+def _extract_prune_expr(table, text: str):
+    """Best-effort conversion of the statement's WHERE conjuncts into a
+    pruning expression against *table* (single-table statements only).
+    BETWEEN is rewritten to two comparisons first so the AND split
+    cannot bisect it."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    if len(re.findall(r"\bSELECT\b", text, re.I)) != 1:
+        return None  # subqueries: don't attribute the WHERE to one table
+    m = re.search(
+        r"\bWHERE\b(?P<cond>.*?)(?=\b(?:GROUP|HAVING|ORDER|LIMIT|WINDOW|"
+        r"UNION|INTERSECT|EXCEPT)\b|;|$)",
+        text,
+        re.I | re.S,
+    )
+    if not m:
+        return None
+    cond = re.sub(
+        r"(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
+        lambda b: f"{b.group(2)} >= {b.group(3)} AND {b.group(2)} <= {b.group(4)}",
+        m.group("cond"),
+        flags=re.I,
+    )
+    conjuncts = _split_top_and(cond)
+    if conjuncts is None:
+        return None
+    columns = set(table.columns())
+    exprs = [
+        e
+        for c in conjuncts
+        if (e := _conjunct_to_expr(c.strip().strip("()").strip(), columns))
+        is not None
+    ]
+    if not exprs:
+        return None
+    return E.and_(*exprs) if len(exprs) > 1 else exprs[0]
+
+
+def _select(catalog, text: str):
+    """Resolve engine-table references, register pruned/pinned temp
+    views, rewrite identifiers, and run the statement via spark.sql."""
+    from iceberg_geo_poc_spark.table import metadata_tables as MT
+
+    text = text.rstrip().rstrip(";")
+    refs = []
+    for m in _TABLE_REF_RE.finditer(text):
+        base, _, suffix = m.group("ident").partition(".")
+        if not catalog.table_exists(base):
+            continue
+        if suffix and suffix.lower() not in MT.METADATA_TABLES:
+            raise SqlError(
+                f"unknown metadata table {suffix!r} for engine table "
+                f"{base!r}; one of {MT.METADATA_TABLES}"
+            )
+        refs.append((m, base, suffix.lower() or None))
+
+    # WHERE-clause pruning only for the unambiguous single-table case
+    prune = None
+    if len(refs) == 1 and refs[0][2] is None:
+        prune = _extract_prune_expr(catalog.load_table(refs[0][1]), text)
+
+    out = text
+    for i in range(len(refs) - 1, -1, -1):
+        m, base, suffix = refs[i]
+        t = catalog.load_table(base)
+        kw = _travel_kwargs(m.group("travel"))
+        if suffix:
+            if kw:
+                raise SqlError("time travel is not supported on metadata tables")
+            df = MT.inspect(t, suffix)
+        else:
+            df = t.scan(where=prune, **kw).to_df()
+        view = f"__ice_sql_{i}"
+        df.createOrReplaceTempView(view)
+        out = out[: m.start()] + f"{m.group('kw')} {view}" + out[m.end():]
+    return catalog.spark.sql(out)
 
 
 # -- CALL procedures --------------------------------------------------------

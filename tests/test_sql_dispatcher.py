@@ -175,7 +175,7 @@ def test_merge_into_delete_clause(spark, catalog):
 def test_unsupported_statements_raise(spark, catalog):
     _mk(spark, catalog, "u1", n_appends=1)
     with pytest.raises(SqlError, match="unsupported statement"):
-        catalog.sql("SELECT * FROM u1")
+        catalog.sql("DROP ROLE admin")
     with pytest.raises(SqlError, match="unknown procedure"):
         catalog.sql("CALL system.nope('u1')")
     with pytest.raises(SqlError, match="unsupported ALTER"):
@@ -206,3 +206,105 @@ def test_drop_branch_and_tag(spark, catalog):
         catalog.sql("ALTER TABLE dbr DROP BRANCH audit")
     with pytest.raises(ValueError):
         catalog.drop_ref("dbr", "main", kind="branch")
+
+
+# -- SELECT over engine tables ----------------------------------------------
+#
+# The reference gets SELECT + time travel + metadata tables through its
+# DSv2 catalog (SparkCatalog.java / SparkTable.java); the dispatcher
+# resolves engine-table references itself and delegates the relational
+# plan to spark.sql.
+
+
+def test_select_basic_and_aggregate(spark, catalog):
+    _mk(spark, catalog, "s1")
+    rows = catalog.sql("SELECT count(*) AS n FROM s1").collect()
+    assert rows[0].n == 30
+    rows = catalog.sql(
+        "SELECT a, b FROM s1 WHERE a >= 28 ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(28, "r28"), (29, "r29")]
+
+
+def test_select_where_prunes_files(spark, catalog):
+    t = _mk(spark, catalog, "s2")  # 3 files of 10 rows: a in [0,30)
+    # the dispatcher's conjunct extraction must reach the manifest:
+    # a >= 25 selects exactly the third file
+    from iceberg_geo_poc_spark.table.sql import _extract_prune_expr
+
+    pruned = _extract_prune_expr(t, "SELECT b FROM s2 WHERE a >= 25 AND b LIKE 'r%'")
+    assert pruned is not None
+    assert len(t.scan(where=pruned).files()) == 1
+    rows = catalog.sql("SELECT count(*) AS n FROM s2 WHERE a >= 25").collect()
+    assert rows[0].n == 5
+    # OR at the top level disables pruning but never correctness
+    rows = catalog.sql(
+        "SELECT count(*) AS n FROM s2 WHERE a >= 25 OR a < 3"
+    ).collect()
+    assert rows[0].n == 8
+    # BETWEEN survives the AND split via pre-rewrite
+    pruned = _extract_prune_expr(t, "SELECT b FROM s2 WHERE a BETWEEN 12 AND 14")
+    assert pruned is not None and len(t.scan(where=pruned).files()) == 1
+
+
+def test_select_time_travel_version_and_ref(spark, catalog):
+    t = _mk(spark, catalog, "s3")
+    first = t.snapshots()[0].snapshot_id
+    assert (
+        catalog.sql(f"SELECT count(*) AS n FROM s3 VERSION AS OF {first}")
+        .collect()[0].n == 10
+    )
+    assert (
+        catalog.sql(
+            f"SELECT count(*) AS n FROM s3 FOR SYSTEM_VERSION AS OF {first}"
+        ).collect()[0].n == 10
+    )
+    catalog.create_branch("s3", "audit", first)
+    assert (
+        catalog.sql("SELECT count(*) AS n FROM s3 VERSION AS OF 'audit'")
+        .collect()[0].n == 10
+    )
+    ts_ms = t.snapshots()[0].timestamp_ms
+    assert (
+        catalog.sql(f"SELECT count(*) AS n FROM s3 TIMESTAMP AS OF {ts_ms}")
+        .collect()[0].n == 10
+    )
+
+
+def test_select_metadata_tables(spark, catalog):
+    t = _mk(spark, catalog, "s4")
+    assert (
+        catalog.sql("SELECT count(*) AS n FROM s4.snapshots").collect()[0].n == 3
+    )
+    rows = catalog.sql(
+        "SELECT sum(record_count) AS rc FROM s4.data_files"
+    ).collect()
+    assert rows[0].rc == 30
+    with pytest.raises(SqlError, match="unknown metadata table"):
+        catalog.sql("SELECT * FROM s4.bogus")
+    with pytest.raises(SqlError, match="time travel"):
+        catalog.sql("SELECT * FROM s4.snapshots VERSION AS OF 1")
+
+
+def test_select_join_and_cte(spark, catalog):
+    _mk(spark, catalog, "s5")
+    d = catalog.create_table("s5dim", "b STRING, lbl STRING")
+    d.append(
+        spark.createDataFrame([("r1", "one"), ("r2", "two")], "b STRING, lbl STRING")
+    )
+    rows = catalog.sql(
+        "SELECT d.lbl, count(*) AS n FROM s5 e JOIN s5dim d ON e.b = d.b "
+        "GROUP BY d.lbl ORDER BY d.lbl"
+    ).collect()
+    assert [(r.lbl, r.n) for r in rows] == [("one", 1), ("two", 1)]
+    rows = catalog.sql(
+        "WITH hi AS (SELECT * FROM s5 WHERE a >= 20) "
+        "SELECT count(*) AS n FROM hi"
+    ).collect()
+    assert rows[0].n == 10
+
+
+def test_select_respects_row_level_deletes(spark, catalog):
+    t = _mk(spark, catalog, "s6", n_appends=1)
+    t.delete(E.lt("a", 5), mode="merge-on-read")
+    assert catalog.sql("SELECT count(*) AS n FROM s6").collect()[0].n == 5
