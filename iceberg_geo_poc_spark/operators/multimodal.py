@@ -9,10 +9,11 @@ schema below carries both forms (``payload`` nullable, ``uri`` for the
 pointer case).
 
 Decode is REAL for the dependency-free formats: P6 PPM and 24-bit BMP
-images (numpy parse → (h, w, 3) uint8) and 16-bit PCM WAV audio (RIFF
-chunk walk → int16 samples).  Compressed formats (png/jpeg/mp3/...)
-still raise NotImplementedError with the library to plug in — the
-container ships no codecs.  Resize is genuine pixel work
+images (numpy parse → (h, w, 3) uint8), 8-bit RGB/RGBA PNG (stdlib
+zlib inflate + full filter-type 0-4 unfiltering), and 16-bit PCM WAV
+audio (RIFF chunk walk → int16 samples).  Codec-bound formats
+(jpeg/webp/mp3/...) still raise NotImplementedError with the library
+to plug in — the container ships none.  Resize is genuine pixel work
 (nearest-neighbor index mapping over the decoded array) and frame
 sampling slices real decoded samples; both stay byte-reproducible by
 the DuckDB oracle because the synthesized test media is constant-color
@@ -24,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -129,6 +131,104 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> non-interlaced 8-bit PNG (filter 0 rows,
+    stdlib zlib — no codec library needed)."""
+    h, w, _ = arr.shape
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(arr[y], np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG row filters (types 0-4) -> (h, w, ch) uint8.
+
+    Row layout: 1 filter byte + w*ch sample bytes.  None/Up vectorize
+    whole-row; Sub is a per-channel cumsum; Average/Paeth depend on the
+    left-neighbor output so they run per-pixel (correctness path — our
+    own encoder emits filter 0 only)."""
+    stride = w * ch
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, row = rows[y, 0], rows[y, 1:]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = row + prev
+        elif ftype == 1:  # Sub: prefix sum per channel position
+            out[y] = np.cumsum(
+                row.reshape(w, ch).astype(np.uint32), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    cur[x] = (int(row[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out.reshape(h, w, ch)
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit RGB/RGBA PNG -> (h, w, 3) uint8 (alpha
+    dropped), pure stdlib zlib + numpy."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(b):
+        size, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced RGB/RGBA PNG supported"
+                )
+            ch = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    px = _png_unfilter(raw, h, w, ch)
+    return px[:, :, :3]
+
+
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """(h, w, 3) uint8 for the dependency-free formats; clear error for
     compressed formats that need a codec library."""
@@ -136,9 +236,11 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _decode_ppm(bytes(payload))
     if fmt == "bmp":
         return _decode_bmp(bytes(payload))
+    if fmt == "png":
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
         f"{fmt} decode requires a codec library (PIL/libvips); container "
-        "ships none. ppm/bmp decode natively."
+        "ships none. ppm/bmp/png decode natively."
     )
 
 
@@ -241,10 +343,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_image_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL image table: constant-color PPM/BMP payloads
-    whose dims and RGB derive from doc_id (so the DuckDB oracle can
-    reproduce any md5 of a re-encoded image with repeat(chr(..))), while
-    decode/resize run the same code they would on arbitrary pixels."""
+    """Deterministic REAL image table: constant-color PPM/BMP/PNG
+    payloads whose dims and RGB derive from doc_id (so the DuckDB oracle
+    can reproduce any md5 of a re-encoded image with repeat(chr(..))),
+    while decode/resize run the same code they would on arbitrary
+    pixels (PNG goes through a real zlib inflate + unfilter)."""
+
+    _ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,8 +359,8 @@ def synthesize_image_media(docs: DataFrame) -> DataFrame:
                 w, h = 8 + did % 8, 6 + did % 6
                 rgb = (32 + did % 95, 32 + (did * 7) % 95, 32 + (did * 13) % 95)
                 arr = np.full((h, w, 3), rgb, dtype=np.uint8)
-                fmt = "ppm" if did % 2 == 0 else "bmp"
-                payloads.append(encode_ppm(arr) if fmt == "ppm" else encode_bmp(arr))
+                fmt = ("ppm", "bmp", "png")[did % 3]
+                payloads.append(_ENCODERS[fmt](arr))
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)

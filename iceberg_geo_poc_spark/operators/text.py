@@ -304,3 +304,77 @@ def vocab_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int, overlap: int = 0
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preparation
+    step of an LLM pipeline: each document's token stream splits into
+    chunks of ``size`` tokens advancing by ``size - overlap``.
+
+    Entirely whole-stage-codegen: split -> sequence/explode for the
+    chunk index fan-out -> slice/array_join per chunk.  The output/input
+    row ratio is the fan-out; no shuffle, no Python.  The chunk count is
+    exact integer arithmetic (no float ceil) so engines can't disagree:
+    n_chunks = 1 if n <= size else (n - size + stride - 1) div stride + 1.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    w = with_words(docs)
+    n = F.size("words")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"(size(words) - {size} + {stride - 1}) DIV {stride}") + 1
+    ).cast("long")
+    slice_expr = f"slice(words, chunk_id * {stride} + 1, {size})"
+    return (
+        w.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(f"array_join({slice_expr}, ' ')").alias("chunk_text"),
+            F.expr(f"size({slice_expr})").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/feature extraction
+    primitive.  tf = term count in doc; idf = ln(N / df) with df = #docs
+    containing the term; ties broken by term for determinism.
+
+    Shape: explode -> (doc, term) partial-agg count -> term-keyed
+    df-count join -> per-doc top-k window.  Two aggregation shuffles +
+    one join shuffle, all partial-aggregated; the window sees one row
+    per (doc, term), never raw tokens.  At 100 TB the (doc_id, term)
+    aggregate dominates and is the canonical map-side-combine case.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        with_words(docs)
+        .select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count_distinct(F.col("doc_id")).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )

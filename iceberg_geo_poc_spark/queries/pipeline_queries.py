@@ -832,3 +832,66 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(
         load_table(spark, sf_dir, "embeddings")
     ).orderBy("vec_id")
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    x AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) <= 64 THEN 1
+                  ELSE (len(words) - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM w),
+    f AS (
+      SELECT doc_id, words,
+             unnest(range(n_chunks)) AS chunk_id
+      FROM x)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(words, chunk_id * 48 + 1,
+                                      chunk_id * 48 + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(words, chunk_id * 48 + 1,
+                               chunk_id * 48 + 64)) AS INT) AS n_chunk_tokens
+    FROM f
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token context windows advancing by
+    48 tokens (16-token overlap) over every document — pure codegen
+    fan-out (operators/text.py chunk_documents)."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=64, overlap=16
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * LN(n.n_docs / CAST(dfreq.df AS DOUBLE)), 4)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/text.py
+    tfidf_top_terms); deterministic term tie-break so both engines rank
+    identically."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)

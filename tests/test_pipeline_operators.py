@@ -129,12 +129,116 @@ def test_fingerprint_order_sensitive(spark):
 
 
 def test_multimodal_decode_compressed_formats_stubbed():
-    """Compressed formats still need a codec library; the dependency-free
-    formats decode for real (tests below)."""
+    """Codec-bound formats still need a library; the dependency-free
+    formats (ppm/bmp/png/wav) decode for real (tests below)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG", "png")
+        multimodal.decode_image(b"\xff\xd8\xff", "jpeg")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"ID3", "mp3")
+    with pytest.raises(ValueError):  # PNG is real now: bad sig is data error
+        multimodal.decode_image(b"\x89PNG", "png")
+
+
+def test_png_roundtrip_filters_and_rgba():
+    """Real PNG: encode->decode round-trips arbitrary pixels; the
+    unfilter path handles all five filter types; RGBA drops alpha."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in ((7, 5), (1, 1), (16, 3)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal._decode_png(multimodal.encode_png(arr)) == arr).all()
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", _zlib.crc32(t + d)
+        )
+
+    # hand-encode one row per filter type (Sub/Up/Average/Paeth)
+    h, w, ch = 4, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = img.reshape(h, w * ch).astype(int)
+    rows, prev = [], np.zeros(w * ch, int)
+    for y, ft in enumerate([1, 2, 3, 4]):
+        cur, enc = flat[y], np.zeros(w * ch, int)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    png = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (multimodal._decode_png(png) == img).all()
+    # RGBA (color type 6): alpha channel dropped
+    arr4 = rng.integers(0, 256, size=(6, 7, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + arr4[y].tobytes() for y in range(6))
+    png4 = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (multimodal._decode_png(png4) == arr4[:, :, :3]).all()
+
+
+def test_chunk_documents_fanout_and_overlap(spark):
+    """Chunking: exact window starts/sizes, overlap stitching, and the
+    n<=size single-chunk case."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (2, " ".join(f"w{i}" for i in range(4))),  # short doc
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = text.chunk_documents(df, size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 3 -> starts 0,3,6 -> [0:4],[3:7],[6:10]: 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert all(r.n_chunk_tokens == 4 for r in c1)
+    assert [r.chunk_text for r in by_doc[2]] == ["w0 w1 w2 w3"]
+    assert [r.chunk_text for r in by_doc[3]] == ["solo"]
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, size=4, overlap=4)
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    """TF-IDF ranks a document's distinctive term above corpus-wide
+    stopwords; a term in every doc scores ln(1) = 0."""
+    rows = [
+        (1, "the the the apple apple banana"),
+        (2, "the banana banana cherry"),
+        (3, "the cherry date date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = text.tfidf_top_terms(df, k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rnk == 1}
+    assert top == {1: "apple", 2: "banana", 3: "date"}
+    the_rows = [r for r in out if r.term == "the"]
+    assert all(r.tfidf == 0.0 for r in the_rows)
 
 
 def test_ppm_bmp_roundtrip_and_gradient_resize():
