@@ -164,6 +164,16 @@ class Not(Expr):
         return not self.child.all_rows_match_file(stats)
 
     def all_rows_match_file(self, stats: FileStats) -> bool:
+        # NOT(child) is an exact complement only for 2-valued children
+        # (spatial/null-test predicates, which evaluate NULL input to a
+        # definite boolean).  For 3-valued children a NULL row matches
+        # neither child nor NOT(child), so "no row matches child" does
+        # not imply "every row matches NOT(child)" unless the referenced
+        # columns are null-free.
+        if not _null_safe_complement(self.child):
+            for col in self.child.references():
+                if stats.nulls.get(col) != 0:
+                    return False
         return not self.child.might_match_file(stats)
 
     def negate(self) -> Expr:
@@ -293,7 +303,14 @@ class Predicate(Expr):
             if op == "eq":
                 return no_nulls and lo == hi == v
             if op == "ne":
-                return all_null or (no_nulls and (v < lo or v > hi))
+                # NOTE: diverges from the reference's StrictMetricsEvaluator,
+                # which lets an all-null file strictly match notEq (Iceberg's
+                # Java Evaluator treats NULL != v as true).  This engine's
+                # row semantics are Spark SQL's 3-valued logic, where
+                # NULL != v is NULL (not matched) — an all-null file must
+                # NOT claim a strict match or a metadata-only DELETE drops
+                # rows SQL would keep.
+                return no_nulls and (v < lo or v > hi)
             if op == "lt":
                 return no_nulls and hi < v
             if op == "le":
@@ -385,6 +402,23 @@ class SpatialPredicate(Expr):
 
     def all_rows_match_file(self, s: FileStats) -> bool:
         return False  # spatial strict eval: conservatively never
+
+
+def _null_safe_complement(e: Expr) -> bool:
+    """True when ``NOT(e)`` is an exact row-set complement even on NULL
+    input — i.e. ``e`` is 2-valued: it evaluates NULL input to a definite
+    boolean.  Spatial predicates qualify because ``to_spark_column``
+    wraps them as ``cond.isNotNull() & cond``; null-test predicates are
+    2-valued by definition."""
+    if isinstance(e, (AlwaysTrue, AlwaysFalse, SpatialPredicate)):
+        return True
+    if isinstance(e, Predicate):
+        return e.op in ("is_null", "not_null", "is_nan", "not_nan")
+    if isinstance(e, (And, Or)):
+        return _null_safe_complement(e.left) and _null_safe_complement(e.right)
+    if isinstance(e, Not):
+        return _null_safe_complement(e.child)
+    return False
 
 
 # -- factory API -----------------------------------------------------------

@@ -399,7 +399,7 @@ class Table:
             return self._commit("overwrite", build, {"replaced": "all"})
         # overwrite-by-filter = CoW delete of matching rows + append
         delete_plan = self._plan_cow(where)
-        rewritten = self._rewrite_files(delete_plan["partial"], where.negate())
+        rewritten = self._rewrite_files(delete_plan["partial"], where)
         new = self._write_files(df)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -526,19 +526,31 @@ class Table:
             out |= m
         return out
 
-    def _rewrite_files(self, paths: list[str], keep: E.Expr) -> list[dict]:
-        """Read files, keep rows matching ``keep``, write replacements."""
+    def _rewrite_files(self, paths: list[str], drop: E.Expr) -> list[dict]:
+        """Read files, drop rows matching ``drop``, write replacements.
+
+        The survivor filter is ``NOT coalesce(drop, false)`` — NOT the
+        expression-tree negation: in SQL three-valued logic ``NOT p``
+        excludes rows where ``p`` is NULL, but a row whose DELETE
+        predicate evaluates to NULL does *not* match the delete and must
+        SURVIVE the rewrite.  ``negate()`` is a set complement only for
+        2-valued predicates; using it here silently dropped NULL rows
+        from ``DELETE WHERE v != 10`` on files mixing NULLs and matches
+        (reference semantics: SparkTable/Spark's ReplaceData keeps rows
+        via the same null-safe inversion of the delete condition).
+        """
         if not paths:
             return []
         df = self._read_files(paths, with_deletes=True)
-        kept = df.filter(keep.to_spark_column(self.geo_fields))
+        cond = drop.to_spark_column(self.geo_fields)
+        kept = df.filter(~F.coalesce(cond, F.lit(False)))
         return self._write_files(kept)
 
     def delete(self, where: E.Expr, mode: str = "copy-on-write") -> MD.Snapshot:
         if mode == "merge-on-read":
             return self._delete_mor(where)
         plan = self._plan_cow(where)
-        rewritten = self._rewrite_files(plan["partial"], where.negate())
+        rewritten = self._rewrite_files(plan["partial"], where)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             drop = set(plan["full"]) | set(plan["partial"])
@@ -1037,7 +1049,11 @@ class Transaction:
             rewritten = []
             if plan["partial"]:
                 df = self.table._read_files(plan["partial"], with_deletes=True)
-                kept = df.filter(where.negate().to_spark_column(self.table.geo_fields))
+                # null-safe survivor filter: rows whose predicate is NULL
+                # do not match the delete and must survive (see
+                # Table._rewrite_files)
+                cond = where.to_spark_column(self.table.geo_fields)
+                kept = df.filter(~F.coalesce(cond, F.lit(False)))
                 rewritten = self.table._write_files(kept)
             drop = set(plan["full"]) | set(plan["partial"])
             out = cur[~cur.file_path.isin(drop)]

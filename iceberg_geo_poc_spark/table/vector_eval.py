@@ -190,7 +190,17 @@ def all_match(expr: E.Expr, sv: StatsView) -> np.ndarray:
     if isinstance(expr, E.Or):
         return all_match(expr.left, sv) | all_match(expr.right, sv)
     if isinstance(expr, E.Not):
-        return ~might_match(expr.child, sv)
+        out = ~might_match(expr.child, sv)
+        if not E._null_safe_complement(expr.child):
+            # 3-valued child: a NULL row matches neither child nor
+            # NOT(child) — strict NOT also needs null-free columns
+            # (mirrors Expressions.Not.all_rows_match_file)
+            for col in expr.child.references():
+                nu = sv.nulls(col)
+                if nu is None:
+                    return _false(n)
+                out &= ~np.isnan(nu) & (nu == 0)
+        return out
     if isinstance(expr, E.SpatialPredicate):
         return _false(n)  # spatial strict eval: conservatively never
     if isinstance(expr, E.Predicate):
@@ -312,9 +322,12 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         res = no_nulls & same & eq_v
         known = ks & ke
     elif op == "ne":
+        # no all_null term: NULL != v is NULL under Spark SQL 3-valued
+        # logic, so an all-null file never strictly matches ne (see the
+        # divergence note in expressions.Predicate.all_rows_match_file)
         lt_lo, k1 = _cmp(lo, v, np.greater)  # v < lo
         gt_hi, k2 = _cmp(hi, v, np.less)  # v > hi
-        res = all_null | (no_nulls & (lt_lo | gt_hi))
+        res = no_nulls & (lt_lo | gt_hi)
         known = k1 & k2
     elif op == "lt":
         res, known = _cmp(hi, v, np.less)
