@@ -1035,3 +1035,58 @@ def sql_select_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT CAST(SUM(record_count) AS BIGINT) AS total_records "
         f"FROM {_tname(t)}.files"
     )
+
+
+@query(
+    "managed_nan_pruned_scan",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 'NaN'::DOUBLE ELSE value END AS x
+      FROM events)
+    SELECT event_id, isnan(x) AS x_is_nan
+    FROM src
+    WHERE isnan(x) OR x > 99.0
+    ORDER BY event_id
+    """,
+)
+def managed_nan_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS_NAN/NOT_NAN predicate surface + nan_value_counts pruning
+    (reference Expressions.java:139-151 isNaN/notNaN,
+    InclusiveMetricsEvaluator.java:186-211): 'error' events get a NaN
+    measure; errors and non-errors land in separate files so the scan
+    can skip NaN-free files via the harvested nan counts.  The filter
+    mixes is_nan with a gt comparison — under Spark's (and DuckDB's)
+    NaN ordering NaN > 99.0 is also true, so pruning must keep NaN
+    files for the gt disjunct too."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "event_id BIGINT, x DOUBLE")
+        df = _events_df(spark, sf_dir).select(
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit(float("nan")))
+            .otherwise(F.col("value"))
+            .alias("x"),
+            "event_type",
+        )
+        # NaN rows isolated in their own files; two clean files
+        t.append(df.filter("event_type = 'error'").select("event_id", "x").coalesce(1))
+        t.append(
+            df.filter("event_type != 'error' AND event_id % 2 = 0")
+            .select("event_id", "x")
+            .coalesce(1)
+        )
+        t.append(
+            df.filter("event_type != 'error' AND event_id % 2 = 1")
+            .select("event_id", "x")
+            .coalesce(1)
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "nan_scan", build)
+    scan = t.scan(where=E.or_(E.is_nan("x"), E.gt("x", 99.0)))
+    return (
+        scan.to_df()
+        .select("event_id", F.isnan("x").alias("x_is_nan"))
+        .orderBy("event_id")
+    )

@@ -446,13 +446,25 @@ class Catalog:
 
         stats = M.harvest_stats(parquet_paths)
         bboxes = M.compute_bboxes(self.spark, parquet_paths, t.geo_fields)
+        # imported files come from unknown writers: pyarrow strips NaN
+        # from bounds without any footer signal, so NaN counts must be
+        # computed unconditionally (unlike Table._write_files, which
+        # trusts parquet-mr's max=NaN hint for its own output)
+        from pyspark.sql.types import StructType
+
+        float_cols = [
+            f.name
+            for f in StructType.fromDDL(t.meta.schema_ddl).fields
+            if f.dataType.typeName() in ("float", "double")
+        ]
+        nan_counts = M.compute_nan_counts(self.spark, parquet_paths, float_cols)
         import json as _json
 
         import pandas as pd
 
         entries = []
         for p in parquet_paths:
-            record_count, file_size, lower, upper, nulls = stats[p]
+            record_count, file_size, lower, upper, nulls = stats[p][:5]
             if record_count == 0:
                 continue
             entries.append(
@@ -465,6 +477,9 @@ class Catalog:
                     "lower": _json.dumps(lower),
                     "upper": _json.dumps(upper),
                     "nulls": _json.dumps(nulls),
+                    "nans": _json.dumps(
+                        nan_counts.get(p, {c: 0 for c in float_cols})
+                    ),
                     "bbox": _json.dumps(bboxes.get(p, {})),
                 }
             )

@@ -22,7 +22,8 @@ DataFrame filter (SURVEY §4.1).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -63,7 +64,8 @@ class FileStats:
 
     ``lower``/``upper`` map column -> min/max (None when absent),
     ``nulls`` maps column -> null count, ``bbox`` maps geometry column
-    -> (xmin, ymin, xmax, ymax) or None.
+    -> (xmin, ymin, xmax, ymax) or None, ``nans`` maps float/double
+    column -> NaN count (absent = unknown, e.g. legacy manifests).
     """
 
     record_count: int
@@ -71,6 +73,7 @@ class FileStats:
     upper: dict[str, Any]
     nulls: dict[str, int]
     bbox: dict[str, tuple[float, float, float, float] | None]
+    nans: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -186,6 +189,7 @@ class Not(Expr):
 _NEGATIONS = {
     "eq": "ne", "ne": "eq", "lt": "ge", "ge": "lt", "gt": "le", "le": "gt",
     "is_null": "not_null", "not_null": "is_null",
+    "is_nan": "not_nan", "not_nan": "is_nan",
     "in": "not_in", "not_in": "in",
     "starts_with": "not_starts_with", "not_starts_with": "starts_with",
 }
@@ -225,6 +229,12 @@ class Predicate(Expr):
             return c.isNull()
         if op == "not_null":
             return c.isNotNull()
+        if op == "is_nan":
+            # 2-valued: NULL input is "not NaN" (reference NaNUtil.isNaN
+            # on a null eval returns false; Evaluator.java isNaN)
+            return c.isNotNull() & F.isnan(c)
+        if op == "not_nan":
+            return c.isNull() | ~F.isnan(c)
         if op == "in":
             return c.isin(list(v))
         if op == "not_in":
@@ -236,26 +246,51 @@ class Predicate(Expr):
         raise ValueError(f"unknown predicate op {op}")
 
     # -- inclusive metrics eval (file pruning) --------------------------
+    #
+    # NaN semantics follow this engine's row engine — Spark SQL (and the
+    # DuckDB oracle, verified identical): NaN sorts GREATER than every
+    # other value and NaN = NaN is true.  This differs from the
+    # reference's Java semantics (NaN matches no literal predicate);
+    # pruning must agree with the residual filter, so Spark's rules win:
+    # NaN rows match gt/ge/ne of a finite literal and never match
+    # lt/le/eq/in.  Bounds never contain NaN (manifest._enc_stat drops
+    # them), and a missing nan count (legacy manifest) is treated as
+    # zero NaNs — the reference's posture for early-writer files
+    # (StrictMetricsEvaluator.canContainNaNs).
     def might_match_file(self, s: FileStats) -> bool:
         op, col, v = self.op, self.column, self.value
         lo = s.lower.get(col)
         hi = s.upper.get(col)
         nulls = s.nulls.get(col)
         all_null = nulls is not None and s.record_count is not None and nulls >= s.record_count
+        nans = s.nans.get(col)
+        nans_only = (
+            nans is not None and s.record_count is not None and nans >= s.record_count
+        )
+        can_nan = nans is not None and nans > 0
 
         if op == "is_null":
             return nulls is None or nulls > 0
         if op == "not_null":
             return not all_null
+        if op == "is_nan":
+            # no NaNs recorded, or only nulls: cannot match
+            return not (nans == 0 or all_null)
+        if op == "not_nan":
+            return not nans_only
         if all_null:
             return False  # value predicates never match null
+        if nans_only and op in ("lt", "le", "eq", "in", "starts_with"):
+            return False  # every row NaN: never below/equal to a finite literal
+        if op in ("gt", "ge") and can_nan:
+            return True  # NaN rows match any gt/ge finite literal
         if lo is None or hi is None:
             return True  # missing stats: cannot prune
         try:
             if op == "eq":
                 return lo <= v <= hi
             if op == "ne":
-                return not (lo == hi == v and (nulls or 0) == 0)
+                return not (lo == hi == v and (nulls or 0) == 0 and not can_nan)
             if op == "lt":
                 return lo < v
             if op == "le":
@@ -267,7 +302,7 @@ class Predicate(Expr):
             if op == "in":
                 return any(lo <= x <= hi for x in v)
             if op == "not_in":
-                return not (lo == hi and lo in v and (nulls or 0) == 0)
+                return not (lo == hi and lo in v and (nulls or 0) == 0 and not can_nan)
             if op == "starts_with":
                 p = str(v)
                 return str(lo)[: len(p)] <= p <= str(hi)[: len(p)]
@@ -292,16 +327,32 @@ class Predicate(Expr):
         all_null = (
             nulls is not None and record_count is not None and nulls >= record_count
         )
+        nans = s.nans.get(col)
+        nans_only = (
+            nans is not None and record_count is not None and nans >= record_count
+        )
+        can_nan = nans is not None and nans > 0
 
         if op == "is_null":
             return all_null
         if op == "not_null":
             return nulls == 0
+        if op == "is_nan":
+            return nans_only
+        if op == "not_nan":
+            # a NULL value is "not NaN" (see to_spark_column), so an
+            # all-null file strictly matches too
+            return nans == 0 or all_null
+        if nans_only and op in ("gt", "ge", "ne", "not_in"):
+            # every row NaN: NaN sorts greatest, so all rows exceed /
+            # differ from any finite literal (finite because NaN
+            # literals are normalized away by the factories)
+            return True
         if lo is None or hi is None or nulls is None:
             return False
         try:
             if op == "eq":
-                return no_nulls and lo == hi == v
+                return no_nulls and lo == hi == v and not can_nan
             if op == "ne":
                 # NOTE: diverges from the reference's StrictMetricsEvaluator,
                 # which lets an all-null file strictly match notEq (Iceberg's
@@ -312,15 +363,18 @@ class Predicate(Expr):
                 # rows SQL would keep.
                 return no_nulls and (v < lo or v > hi)
             if op == "lt":
-                return no_nulls and hi < v
+                # NaN rows never match lt/le of a finite literal
+                return no_nulls and hi < v and not can_nan
             if op == "le":
-                return no_nulls and hi <= v
+                return no_nulls and hi <= v and not can_nan
             if op == "gt":
+                # NaN rows DO match gt/ge (NaN sorts greatest), so a
+                # nonzero nan count does not break the strict claim
                 return no_nulls and lo > v
             if op == "ge":
                 return no_nulls and lo >= v
             if op == "in":
-                return no_nulls and lo == hi and lo in v
+                return no_nulls and lo == hi and lo in v and not can_nan
             if op == "not_in":
                 return no_nulls and all(v_ < lo or v_ > hi for v_ in v)
             if op == "starts_with":
@@ -427,27 +481,50 @@ def ref(column: str) -> str:
     return column
 
 
+def _is_nan_literal(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+# NaN literals are normalized into null-test-style predicates at
+# construction time so the evaluators only ever see finite literals.
+# Under Spark/DuckDB total ordering (NaN greatest, NaN = NaN true):
+#   x =  NaN  <=> is_nan(x)          x != NaN  <=> not_nan(x)
+#   x >  NaN  <=> false              x >= NaN  <=> is_nan(x)
+#   x <  NaN  <=> not_null & not_nan x <= NaN  <=> not_null(x)
+
 def eq(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return Predicate("is_nan", column)
     return Predicate("eq", column, value)
 
 
 def ne(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return Predicate("not_nan", column)
     return Predicate("ne", column, value)
 
 
 def lt(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return And(Predicate("not_null", column), Predicate("not_nan", column))
     return Predicate("lt", column, value)
 
 
 def le(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return Predicate("not_null", column)
     return Predicate("le", column, value)
 
 
 def gt(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return AlwaysFalse()
     return Predicate("gt", column, value)
 
 
 def ge(column: str, value) -> Expr:
+    if _is_nan_literal(value):
+        return Predicate("is_nan", column)
     return Predicate("ge", column, value)
 
 
@@ -459,12 +536,36 @@ def not_null(column: str) -> Expr:
     return Predicate("not_null", column)
 
 
+def is_nan(column: str) -> Expr:
+    return Predicate("is_nan", column)
+
+
+def not_nan(column: str) -> Expr:
+    return Predicate("not_nan", column)
+
+
 def in_(column: str, values) -> Expr:
-    return Predicate("in", column, tuple(values))
+    vals = tuple(values)
+    rest = tuple(v for v in vals if not _is_nan_literal(v))
+    if len(rest) < len(vals):
+        nan_side = Predicate("is_nan", column)
+        return Or(nan_side, Predicate("in", column, rest)) if rest else nan_side
+    return Predicate("in", column, vals)
 
 
 def not_in(column: str, values) -> Expr:
-    return Predicate("not_in", column, tuple(values))
+    vals = tuple(values)
+    rest = tuple(v for v in vals if not _is_nan_literal(v))
+    if len(rest) < len(vals):
+        nan_side = Predicate("not_nan", column)
+        # not_in(rest) is NULL (excluded) for NULL rows, preserving
+        # 3-valued semantics of the composite
+        return (
+            And(Predicate("not_in", column, rest), nan_side)
+            if rest
+            else And(Predicate("not_null", column), nan_side)
+        )
+    return Predicate("not_in", column, vals)
 
 
 def starts_with(column: str, prefix: str) -> Expr:

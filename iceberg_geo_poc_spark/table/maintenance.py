@@ -217,7 +217,7 @@ def rewrite_position_delete_files(
     kept_tuples.coalesce(1).write.parquet(stage)
     new_entries = []
     for p in _list_parquet(stage):
-        record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+        record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
         if record_count == 0:
             continue
         new_entries.append(

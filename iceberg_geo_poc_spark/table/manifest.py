@@ -43,6 +43,7 @@ MANIFEST_COLUMNS = [
     "lower",  # JSON {col: min}
     "upper",  # JSON {col: max}
     "nulls",  # JSON {col: null_count}
+    "nans",  # JSON {col: nan_count} — float/double columns only
     "bbox",  # JSON {geo_col: [xmin, ymin, xmax, ymax]}
     "eq_cols",  # JSON [col, ...] — equality-delete key columns (eqdel only)
 ]
@@ -59,7 +60,16 @@ def _enc_stat(v):
         return v.strftime("%Y-%m-%d")
     if isinstance(v, bytes):
         return None  # binary stats not tracked
-    if isinstance(v, (int, float, str)):
+    if isinstance(v, float):
+        # parquet-mr orders doubles with Double.compareTo, so a file
+        # containing NaN gets max=NaN in its footer — that is "largest
+        # value unknown", not a usable bound.  Record it as missing
+        # (the reference's write path never emits NaN bounds either:
+        # MetricsUtil skips NaN when building lower/upper).
+        import math
+
+        return None if math.isnan(v) else v
+    if isinstance(v, (int, str)):
         return v
     try:
         return float(v)  # Decimal and friends
@@ -67,14 +77,28 @@ def _enc_stat(v):
         return None
 
 
-def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict]:
-    """(record_count, file_size, lower, upper, nulls) from one footer."""
+def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
+    """(record_count, file_size, lower, upper, nulls, nan_hint) from one
+    footer.
+
+    ``nan_hint`` maps each top-level FLOAT/DOUBLE column to a bool: may
+    this file contain NaN?  parquet-mr orders doubles by
+    ``Double.compareTo`` (NaN greatest), so a Spark-written file
+    containing any NaN has max=NaN in its footer — an exact presence
+    signal that lets the writer skip the distributed NaN-count job when
+    no file needs it.  Missing/truncated stats hint True (unknown ⇒
+    count).  NOTE: valid only for parquet-mr writers; imported files of
+    unknown origin (pyarrow strips NaN from bounds) must be counted
+    unconditionally (see Catalog.add_files).
+    """
+    import math
+
     f = pq.ParquetFile(path)
     meta = f.metadata
     lower: dict = {}
     upper: dict = {}
     nulls: dict = {}
-    schema = meta.schema
+    nan_hint: dict = {}
     # only top-level primitive columns: path without '.' nesting
     for rg_i in range(meta.num_row_groups):
         rg = meta.row_group(rg_i)
@@ -83,11 +107,19 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict]:
             name = col.path_in_schema
             if "." in name:
                 continue
+            is_float = col.physical_type in ("FLOAT", "DOUBLE")
             st = col.statistics
             if st is None:
+                if is_float:
+                    nan_hint[name] = True
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+            if is_float:
+                hinted = not st.has_min_max or any(
+                    isinstance(x, float) and math.isnan(x) for x in (st.min, st.max)
+                )
+                nan_hint[name] = nan_hint.get(name, False) or hinted
             if st.has_min_max:
                 lo = _enc_stat(st.min)
                 hi = _enc_stat(st.max)
@@ -95,7 +127,7 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict]:
                     lower[name] = lo if name not in lower else min(lower[name], lo)
                 if hi is not None:
                     upper[name] = hi if name not in upper else max(upper[name], hi)
-    return meta.num_rows, os.path.getsize(path), lower, upper, nulls
+    return meta.num_rows, os.path.getsize(path), lower, upper, nulls, nan_hint
 
 
 def harvest_stats(paths: list[str], max_workers: int = 16) -> dict[str, tuple]:
@@ -122,6 +154,11 @@ def harvest_stats_spark(
         if f.dataType.typeName()
         not in ("binary", "array", "map", "struct")
     ]
+    float_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("float", "double")
+    ]
     aggs = [F.count(F.lit(1)).alias("__rc")]
     for c in prim_cols:
         aggs += [
@@ -129,12 +166,14 @@ def harvest_stats_spark(
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
         ]
+    for c in float_cols:
+        aggs.append(F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nans_{c}"))
     rows = df.groupBy(F.col("_metadata.file_path").alias("__file")).agg(*aggs).collect()
     out: dict[str, tuple] = {}
     for row in rows:
         d = row.asDict()
         path = _strip_scheme(d["__file"])
-        lower, upper, nulls = {}, {}, {}
+        lower, upper, nulls, nans = {}, {}, {}, {}
         for c in prim_cols:
             lo, hi = _enc_stat(d[f"__min_{c}"]), _enc_stat(d[f"__max_{c}"])
             if lo is not None:
@@ -142,12 +181,58 @@ def harvest_stats_spark(
             if hi is not None:
                 upper[c] = hi
             nulls[c] = int(d[f"__nulls_{c}"] or 0)
-        out[path] = (int(d["__rc"]), os.path.getsize(path), lower, upper, nulls)
+        for c in float_cols:
+            nans[c] = int(d[f"__nans_{c}"] or 0)
+        out[path] = (int(d["__rc"]), os.path.getsize(path), lower, upper, nulls, nans)
     # files that produced zero rows never appear in the groupBy output
     for p in paths:
         if p not in out:
-            out[p] = (0, os.path.getsize(p), {}, {}, {})
+            out[p] = (0, os.path.getsize(p), {}, {}, {}, {})
     return out
+
+
+def compute_nan_counts(
+    spark,
+    paths: list[str],
+    float_cols: list[str],
+    fmt: str = "parquet",
+    schema_ddl: str | None = None,
+) -> dict[str, dict[str, int]]:
+    """Per-file NaN counts for float/double columns via ONE distributed
+    column-pruned aggregation — the analogue of the reference's
+    write-time nan_value_counts (api/.../Metrics.java nanValueCounts;
+    accumulated by FloatFieldMetrics.java).  Parquet footers cannot
+    supply these (parquet-mr orders NaN as largest, so NaN presence
+    poisons max instead of being counted), and the strict evaluator
+    needs an exact count to authorize metadata-only deletes on float
+    columns.  Returns {file_path: {col: nan_count}}."""
+    import pyspark.sql.functions as F
+
+    if not float_cols or not paths:
+        return {}
+    reader = spark.read.schema(schema_ddl) if schema_ddl else spark.read
+    df = reader.format(fmt).load(paths).select(
+        F.col("_metadata.file_path").alias("__file"), *float_cols
+    )
+    aggs = [
+        F.sum(F.isnan(F.col(c)).cast("long")).alias(f"__nan_{c}")
+        for c in float_cols
+    ]
+    rows = df.groupBy("__file").agg(*aggs).collect()
+    out: dict[str, dict[str, int]] = {}
+    for row in rows:
+        d = row.asDict()
+        out[_strip_scheme(d["__file"])] = {
+            c: int(d[f"__nan_{c}"] or 0) for c in float_cols
+        }
+    return out
+
+
+def float_columns(df) -> list[str]:
+    """Top-level float/double column names of a Spark DataFrame."""
+    return [
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("float", "double")
+    ]
 
 
 def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str]):
@@ -307,6 +392,13 @@ def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
     lowers = [json.loads(s) if s else {} for s in df["lower"]]
     uppers = [json.loads(s) if s else {} for s in df["upper"]]
     nullss = [json.loads(s) if s else {} for s in df["nulls"]]
+    nanss = (
+        # entries from writers without nan harvesting (posdel/eqdel,
+        # legacy) hold None/NaN here, not a JSON string
+        [json.loads(s) if isinstance(s, str) and s else {} for s in df["nans"]]
+        if "nans" in df.columns
+        else [{} for _ in lowers]
+    )
     bboxes = [json.loads(s) if s else {} for s in df["bbox"]]
     cols: set[str] = set()
     for d in lowers:
@@ -315,6 +407,9 @@ def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
         cols.update(d)
     for d in nullss:
         cols.update(d)
+    nan_cols: set[str] = set()
+    for d in nanss:
+        nan_cols.update(d)
     geo_cols: set[str] = set()
     for d in bboxes:
         geo_cols.update(d)
@@ -325,6 +420,10 @@ def ensure_flat_stats(df: pd.DataFrame) -> pd.DataFrame:
         flat[f"nu__{c}"] = pd.array(
             [d.get(c) for d in nullss], dtype="float64"
         )
+    for c in sorted(nan_cols):
+        # NaN-count stat (float64; NaN = unknown — e.g. legacy manifests
+        # written before nan harvesting)
+        flat[f"na__{c}"] = pd.array([d.get(c) for d in nanss], dtype="float64")
     for c in sorted(geo_cols):
         vals = [d.get(c) for d in bboxes]
         for i, corner in enumerate(("x0", "y0", "x1", "y1")):
@@ -413,10 +512,12 @@ def read_manifest(path: str) -> pd.DataFrame:
 def file_stats_of(row) -> FileStats:
     """FileStats view of one manifest entry (pandas row)."""
     bbox_raw = json.loads(row.bbox) if row.bbox else {}
+    nans_raw = getattr(row, "nans", None)
     return FileStats(
         record_count=int(row.record_count),
         lower=json.loads(row.lower) if row.lower else {},
         upper=json.loads(row.upper) if row.upper else {},
         nulls=json.loads(row.nulls) if row.nulls else {},
         bbox={k: tuple(v) if v else None for k, v in bbox_raw.items()},
+        nans=json.loads(nans_raw) if isinstance(nans_raw, str) and nans_raw else {},
     )

@@ -38,12 +38,12 @@ METADATA_TABLES = (
 
 _ENTRY_COLS = [
     "content", "file_path", "file_size", "record_count",
-    "sequence_number", "partition", "lower", "upper", "nulls", "bbox",
+    "sequence_number", "partition", "lower", "upper", "nulls", "nans", "bbox",
 ]
 _ENTRY_DDL = (
     "content STRING, file_path STRING, file_size LONG, record_count LONG, "
     "sequence_number LONG, partition STRING, lower STRING, upper STRING, "
-    "nulls STRING, bbox STRING"
+    "nulls STRING, nans STRING, bbox STRING"
 )
 
 
@@ -106,7 +106,12 @@ def inspect(table: Table, name: str) -> DataFrame:
             sub = entries
         if sub.empty:
             return spark.createDataFrame([], _ENTRY_DDL)
-        return spark.createDataFrame(sub[_ENTRY_COLS])
+        sub = sub.copy()
+        if "nans" not in sub.columns:
+            sub["nans"] = None  # legacy manifests predate nan counts
+        # delete-file entries carry no nan stats: normalize NaN -> None
+        sub["nans"] = sub["nans"].map(lambda s: s if isinstance(s, str) else None)
+        return spark.createDataFrame(sub[_ENTRY_COLS], _ENTRY_DDL)
     if name == "position_deletes":
         # row-level content of the position-delete files (reference
         # PositionDeletesTable): one row per deleted (file_path, pos)

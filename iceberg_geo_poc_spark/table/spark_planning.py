@@ -78,9 +78,23 @@ def might_match_column(
         no_nulls = nu.isNotNull() & (nu == 0)
         return all_null, no_nulls
 
+    def _nan_state(col: str):
+        """(nans_only, can_nan, no_nan_known) — same NaN-count semantics
+        as vector_eval._nan_state (Spark NaN ordering; unknown = none)."""
+        na = _stat("na", col)
+        if na is None:
+            return F.lit(False), F.lit(False), F.lit(False)
+        known = na.isNotNull()
+        return (
+            known & (na >= F.col("record_count")),
+            known & (na > 0),
+            known & (na == 0),
+        )
+
     def _pred(e: E.Predicate) -> Column | None:
         op, col, v = e.op, e.column, e.value
         all_null, _no_nulls = _null_state(col)
+        nans_only, can_nan, no_nan_known = _nan_state(col)
         nu = _stat("nu", col)
         if op == "is_null":
             if nu is None:
@@ -88,14 +102,23 @@ def might_match_column(
             return nu.isNull() | (nu > 0)
         if op == "not_null":
             return ~all_null
+        if op == "is_nan":
+            return ~(no_nan_known | all_null)
+        if op == "not_nan":
+            return ~nans_only
         lo, hi = _stat("lo", col), _stat("hi", col)
         if lo is None or hi is None:
-            return ~all_null  # no bounds at all: only all-null prunes
+            # no bounds at all: all-null prunes; all-NaN prunes the
+            # below/equality family (NaN sorts greatest)
+            out = ~all_null
+            if op in ("lt", "le", "eq", "in", "starts_with"):
+                out = out & ~nans_only
+            return out
         unknown = lo.isNull() | hi.isNull()
         if op == "eq":
             res = (lo <= _lit(v)) & (hi >= _lit(v))
         elif op == "ne":
-            res = ~((lo == _lit(v)) & (hi == _lit(v)) & (F.coalesce(nu == 0, F.lit(True)) if nu is not None else F.lit(True)))
+            res = ~((lo == _lit(v)) & (hi == _lit(v)) & ~can_nan & (F.coalesce(nu == 0, F.lit(True)) if nu is not None else F.lit(True)))
         elif op == "lt":
             res = lo < _lit(v)
         elif op == "le":
@@ -115,7 +138,7 @@ def might_match_column(
             no_null_term = (
                 F.coalesce(nu == 0, F.lit(True)) if nu is not None else F.lit(True)
             )
-            res = ~(same_and_in & no_null_term)
+            res = ~(same_and_in & no_null_term & ~can_nan)
         elif op == "starts_with":
             p = str(v)
             n = len(p)
@@ -132,6 +155,11 @@ def might_match_column(
         else:
             return None
         out = F.when(unknown, F.lit(True)).otherwise(F.coalesce(res, F.lit(True)))
+        if op in ("gt", "ge"):
+            # NaN rows match any gt/ge finite literal
+            out = F.when(can_nan, F.lit(True)).otherwise(out)
+        elif op in ("lt", "le", "eq", "in", "starts_with"):
+            out = F.when(nans_only, F.lit(False)).otherwise(out)
         return F.when(all_null, F.lit(False)).otherwise(out)
 
     def _spatial(e: E.SpatialPredicate) -> Column | None:

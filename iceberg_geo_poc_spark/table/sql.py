@@ -294,6 +294,14 @@ def _conjunct_to_expr(conj: str, columns: set[str]):
         if c is None:
             return None
         return E.not_null(c) if m.group(3) else E.is_null(c)
+    m = re.match(
+        r"^(NOT\s+)?ISNAN\s*\(\s*(?:(\w+)\.)?(\w+)\s*\)$", conj, re.I
+    )
+    if m:
+        c = col_of(m.group(2), m.group(3))
+        if c is None:
+            return None
+        return E.not_nan(c) if m.group(1) else E.is_nan(c)
     m = re.match(r"^(?:(\w+)\.)?(\w+)\s+IN\s*\((.+)\)$", conj, re.I | re.S)
     if m:
         c = col_of(m.group(1), m.group(2))

@@ -134,6 +134,7 @@ class Table:
         stats.upper = remap(stats.upper)
         stats.nulls = remap(stats.nulls)
         stats.bbox = remap(stats.bbox)
+        stats.nans = remap(stats.nans)
         return stats
 
     def refresh(self) -> "Table":
@@ -331,9 +332,29 @@ class Table:
             # per-file aggregation supplies the same manifest stats
             stats = M.harvest_stats_spark(self.spark, paths, fmt, self.meta.schema_ddl)
         bboxes = M.compute_bboxes(self.spark, paths, self.geo_fields)
+        # nan_value_counts for float/double columns (reference
+        # Metrics.java nanValueCounts / FloatFieldMetrics.java).  The
+        # parquet footer already *signals* NaN presence exactly
+        # (parquet-mr writes max=NaN), so the distributed column-pruned
+        # counting job runs only over files whose footers hint NaNs —
+        # zero extra Spark jobs on the common NaN-free append.
+        float_cols = M.float_columns(df)
+        nan_counts: dict[str, dict[str, int]] = {}
+        if float_cols:
+            if fmt == "parquet":
+                hinted = [p for p in paths if any(stats[p][5].values())]
+                counted = M.compute_nan_counts(
+                    self.spark, hinted, float_cols, fmt, self.meta.schema_ddl
+                )
+                for p in paths:
+                    nan_counts[p] = counted.get(p, {c: 0 for c in float_cols})
+            else:
+                # ORC stats came from a distributed agg that already
+                # counted NaNs exactly
+                nan_counts = {p: stats[p][5] for p in paths}
         entries = []
         for p in paths:
-            record_count, file_size, lower, upper, nulls = stats[p]
+            record_count, file_size, lower, upper, nulls = stats[p][:5]
             if record_count == 0:
                 os.remove(p)  # empty task output: not a data file
                 continue
@@ -348,6 +369,7 @@ class Table:
                     "lower": json.dumps(lower),
                     "upper": json.dumps(upper),
                     "nulls": json.dumps(nulls),
+                    "nans": json.dumps(nan_counts.get(p, {})),
                     "bbox": json.dumps(bboxes.get(p, {})),
                 }
             )
@@ -603,7 +625,7 @@ class Table:
         posdel.coalesce(1).write.parquet(stage)
         entries = []
         for p in _list_parquet(stage):
-            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
             if record_count == 0:
                 continue
             entries.append(
@@ -637,7 +659,7 @@ class Table:
         dpaths = _list_parquet(stage)
         entries = []
         for p in dpaths:
-            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)
+            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
             if record_count == 0:
                 continue
             entries.append(

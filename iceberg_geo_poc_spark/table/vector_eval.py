@@ -56,6 +56,11 @@ class StatsView:
         s = self._series("nu", col)
         return None if s is None else s.to_numpy(dtype="float64")
 
+    def nans(self, col: str) -> np.ndarray | None:
+        """NaN counts (float64; NaN = unknown, e.g. legacy manifests)."""
+        s = self._series("na", col)
+        return None if s is None else s.to_numpy(dtype="float64")
+
     def bbox(self, col: str):
         phys = self._phys.get(col, col)
         out = []
@@ -218,18 +223,43 @@ def _null_state(expr: E.Predicate, sv: StatsView):
     return nulls, known_nulls, all_null, no_nulls
 
 
+def _nan_state(expr: E.Predicate, sv: StatsView):
+    """(nans_only, can_nan, no_nan_known) masks — NaN-count semantics
+    identical to the scalar evaluators (see expressions.py: Spark's NaN
+    ordering, unknown count = assume none, the reference's
+    canContainNaNs posture for legacy writers)."""
+    nans = sv.nans(expr.column)
+    if nans is None:
+        nans = np.full(sv.n, np.nan)
+    known = ~np.isnan(nans)
+    nans_only = known & (nans >= sv.record_count)
+    can_nan = known & (nans > 0)
+    no_nan_known = known & (nans == 0)
+    return nans_only, can_nan, no_nan_known
+
+
 def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
     op, col, v = expr.op, expr.column, expr.value
     n = sv.n
     nulls, known_nulls, all_null, _ = _null_state(expr, sv)
+    nans_only, can_nan, no_nan_known = _nan_state(expr, sv)
     if op == "is_null":
         return ~known_nulls | (nulls > 0)
     if op == "not_null":
         return ~all_null
+    if op == "is_nan":
+        return ~(no_nan_known | all_null)
+    if op == "not_nan":
+        return ~nans_only
     lo = sv.lower(col)
     hi = sv.upper(col)
     if lo is None or hi is None:
-        return ~all_null  # no stats column at all: only all-null prunes
+        # no stats column at all: all-null prunes; an all-NaN file also
+        # prunes the below/equality family (NaN sorts greatest)
+        out = ~all_null
+        if op in ("lt", "le", "eq", "in", "starts_with"):
+            out = out & ~nans_only
+        return out
     lo_na = lo.isna().to_numpy()
     hi_na = hi.isna().to_numpy()
     unknown = lo_na | hi_na  # missing bounds: cannot prune
@@ -239,10 +269,11 @@ def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         res = ge_lo & le_hi
         known = k1 & k2
     elif op == "ne":
-        # prunable only when lo == hi == v and no nulls
+        # prunable only when lo == hi == v, no nulls, and no NaNs
+        # (NaN != v is true under Spark's ordering)
         lo_eq, k1 = _cmp(lo, v, np.equal)
         hi_eq, k2 = _cmp(hi, v, np.equal)
-        res = ~(lo_eq & hi_eq & np.where(known_nulls, nulls == 0, True))
+        res = ~(lo_eq & hi_eq & np.where(known_nulls, nulls == 0, True) & ~can_nan)
         known = k1 & k2
     elif op == "lt":
         res, known = _cmp(lo, v, np.less)
@@ -269,7 +300,7 @@ def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
             e1, k1 = _cmp(lo, x, np.equal)
             in_set |= e1
             known &= k1
-        res = ~(same & in_set & np.where(known_nulls, nulls == 0, True))
+        res = ~(same & in_set & np.where(known_nulls, nulls == 0, True) & ~can_nan)
         known &= ks
     elif op == "starts_with":
         p = str(v)
@@ -290,6 +321,11 @@ def _pred_might(expr: E.Predicate, sv: StatsView) -> np.ndarray:
     else:
         raise ValueError(f"unknown predicate op {op}")
     out = np.where(unknown | ~known, True, res)
+    if op in ("gt", "ge"):
+        # NaN rows match any gt/ge finite literal (NaN sorts greatest)
+        out = np.where(can_nan, True, out)
+    elif op in ("lt", "le", "eq", "in", "starts_with"):
+        out = np.where(nans_only, False, out)
     out = np.where(all_null, False, out)
     return out
 
@@ -307,19 +343,27 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
     op, col, v = expr.op, expr.column, expr.value
     n = sv.n
     nulls, known_nulls, all_null, no_nulls = _null_state(expr, sv)
+    nans_only, can_nan, no_nan_known = _nan_state(expr, sv)
     if op == "is_null":
         return all_null
     if op == "not_null":
         return no_nulls
+    if op == "is_nan":
+        return nans_only
+    if op == "not_nan":
+        # NULL is "not NaN" (2-valued residual), so all-null also matches
+        return no_nan_known | all_null
+    # all-NaN file: every row exceeds / differs from any finite literal
+    nan_must = nans_only if op in ("gt", "ge", "ne", "not_in") else _false(n)
     lo = sv.lower(col)
     hi = sv.upper(col)
     if lo is None or hi is None:
-        return _false(n)
+        return nan_must
     bounds_known = ~(lo.isna().to_numpy() | hi.isna().to_numpy()) & known_nulls
     if op == "eq":
         same, ks = _lo_eq_hi(lo, hi)
         eq_v, ke = _cmp(lo, v, np.equal)
-        res = no_nulls & same & eq_v
+        res = no_nulls & same & eq_v & ~can_nan
         known = ks & ke
     elif op == "ne":
         # no all_null term: NULL != v is NULL under Spark SQL 3-valued
@@ -330,12 +374,14 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         res = no_nulls & (lt_lo | gt_hi)
         known = k1 & k2
     elif op == "lt":
+        # NaN rows never match lt/le of a finite literal
         res, known = _cmp(hi, v, np.less)
-        res = no_nulls & res
+        res = no_nulls & res & ~can_nan
     elif op == "le":
         res, known = _cmp(hi, v, np.less_equal)
-        res = no_nulls & res
+        res = no_nulls & res & ~can_nan
     elif op == "gt":
+        # NaN rows DO match gt/ge (NaN sorts greatest)
         res, known = _cmp(lo, v, np.greater)
         res = no_nulls & res
     elif op == "ge":
@@ -349,7 +395,7 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
             e1, k1 = _cmp(lo, x, np.equal)
             in_set |= e1
             known &= k1
-        res = no_nulls & same & in_set
+        res = no_nulls & same & in_set & ~can_nan
     elif op == "not_in":
         res = _true(n)
         known = _true(n)
@@ -373,7 +419,7 @@ def _pred_all(expr: E.Predicate, sv: StatsView) -> np.ndarray:
         known = k1 & k2
     else:
         raise ValueError(f"unknown predicate op {op}")
-    return np.where(bounds_known & known, res, False)
+    return np.where(nan_must, True, np.where(bounds_known & known, res, False))
 
 
 def _spatial_might(expr: E.SpatialPredicate, sv: StatsView) -> np.ndarray:

@@ -74,6 +74,13 @@ def manifest_df():
             "hi__s": hi_s,
             "nu__k": nulls,
             "nu__v": np.zeros(N),
+            # nan counts for the double column: mostly 0, some partial,
+            # some all-NaN, some unknown (legacy manifests)
+            "na__v": np.select(
+                [rng.random(N) < 0.02, rng.random(N) < 0.03, rng.random(N) < 0.05],
+                [np.nan, rc.astype("float64"), np.ones(N)],
+                default=0.0,
+            ),
             "bb__g__x0": bx0,
             "bb__g__y0": by0,
             "bb__g__x1": bx0 + rng.uniform(0, 5, size=N),
@@ -96,6 +103,11 @@ PREDICATES = [
     E.not_null("k") & E.ge("k", 2**61),
     E.is_null("k"),
     E.ne("v", 3.14),
+    E.is_nan("v"),
+    E.not_nan("v"),
+    E.gt("v", 999.0),  # can_contain_nans keeps NaN files (NaN sorts greatest)
+    E.lt("v", -999.0),  # nans_only prunes
+    E.is_nan("v") | E.ge("v", 500.0),
     E.not_in("s", ["amsterdam"]),
     E.Predicate("not_starts_with", "s", "ber"),
     E.st_intersects("g", box(0.0, 0.0, 40.0, 40.0)),

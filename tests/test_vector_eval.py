@@ -39,6 +39,16 @@ def _random_entries(rng: random.Random, n: int) -> list[dict]:
             upper["s"] = hi
         if rng.random() < 0.9:
             nulls["s"] = rng.choice([0, 0, 2, rc])
+        # double column d with NaN counts (sometimes missing = legacy)
+        nans = {}
+        if rng.random() < 0.85:
+            lo = rng.uniform(-50, 50)
+            lower["d"] = lo
+            upper["d"] = lo + rng.uniform(0, 40)
+        if rng.random() < 0.9:
+            nulls["d"] = rng.choice([0, 0, 1, rc])
+        if rng.random() < 0.8:
+            nans["d"] = rng.choice([0, 0, 0, 1, rc])
         bbox = {}
         if rng.random() < 0.8:
             x0, y0 = rng.uniform(-10, 10), rng.uniform(-10, 10)
@@ -55,6 +65,7 @@ def _random_entries(rng: random.Random, n: int) -> list[dict]:
                 "lower": json.dumps(lower),
                 "upper": json.dumps(upper),
                 "nulls": json.dumps(nulls),
+                "nans": json.dumps(nans),
                 "bbox": json.dumps(bbox),
             }
         )
@@ -79,6 +90,12 @@ def _random_predicates(rng: random.Random) -> list[E.Expr]:
         E.starts_with("s", "ap"), E.Predicate("not_starts_with", "s", "ba"),
         E.in_("s", vals_s[:2]), E.not_in("s", vals_s[2:]),
         E.is_null("s"), E.not_null("s"),
+        # double column with NaN counts
+        E.is_nan("d"), E.not_nan("d"),
+        E.eq("d", 0.0), E.ne("d", 0.0), E.lt("d", 10.0), E.le("d", -5.0),
+        E.gt("d", 0.0), E.ge("d", 25.0),
+        E.in_("d", [0.0, 10.0]), E.not_in("d", [1.0, 2.0]),
+        E.is_nan("missing_col"), E.not_nan("missing_col"),
         E.eq("missing_col", 5), E.not_null("missing_col"),
         E.st_intersects("g", geometry_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
         E.st_covers("g", geometry_from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")),
