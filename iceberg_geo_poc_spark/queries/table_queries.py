@@ -1090,3 +1090,47 @@ def managed_nan_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.isnan("x").alias("x_is_nan"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "managed_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 10 < 4 AND NOT (o_totalprice < 50000.0)
+    ORDER BY o_orderkey
+    """,
+)
+def managed_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro-format managed table round-trip (reference
+    core/.../avro/Avro.java surface): appends through the pure-Python
+    OCF writer (one mapInArrow job; per-file stats computed in-task),
+    a stats-pruned scan through the igps_avro Python DataSource, and a
+    CoW delete — all on avro data files.  The codec is interop-tested
+    against the Apache Avro JVM library (tests/test_avro.py)."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+            file_format="avro",
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        for b in range(4):
+            t.append(o.filter(f"o_orderkey % 10 = {b}").coalesce(1))
+        t.delete(E.lt("o_totalprice", 50000.0))
+        return t
+
+    t = _managed(spark, sf_dir, "avro_rt", build)
+    scan = t.scan()
+    return (
+        scan.to_df()
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -44,17 +44,26 @@ class Catalog:
     ) -> Table:
         """partition_by: [(source_col, transform_spec)], e.g.
         [("part", "identity"), ("geom", "hilbert[10]")].
-        file_format: 'parquet' (default) or 'orc'; geometry columns
-        require parquet (the reference's geometry writers are
-        Parquet-only, SURVEY §1.2)."""
+        file_format: 'parquet' (default), 'orc', or 'avro'; geometry
+        columns require parquet (the reference's geometry writers are
+        Parquet-only, SURVEY §1.2); avro tables (pure-Python OCF codec +
+        Python DataSource, table/avro_format.py) are unpartitioned."""
         location = self._table_location(name)
         if os.path.exists(MD.metadata_dir(location)):
             raise ValueError(f"table {name} already exists")
-        if file_format not in ("parquet", "orc"):
+        fmt_prop = (properties or {}).get("write.format.default")
+        if fmt_prop:
+            file_format = fmt_prop
+        if file_format not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported file format {file_format!r}")
         geometry_columns = geometry_columns or {}
         if geometry_columns and file_format != "parquet":
             raise ValueError("geometry columns are supported only with parquet")
+        if file_format == "avro" and partition_by:
+            raise ValueError(
+                "avro tables are unpartitioned in this engine (partition "
+                "transforms need the parquet/orc directory writer)"
+            )
         _validate_geometry_columns(schema_ddl, geometry_columns)
         properties = dict(properties or {})
         if file_format != "parquet":

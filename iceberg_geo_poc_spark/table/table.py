@@ -320,6 +320,13 @@ class Table:
             )
         for c in tmp_order_cols:
             out = out.drop(c)
+        if fmt == "avro":
+            # distributed mapInArrow write: one container per task, the
+            # manifest stats computed in-task (write-time metrics, like
+            # the reference's Avro writers) — see table/avro_format.py
+            from iceberg_geo_poc_spark.table import avro_format as AV
+
+            return AV.write_avro_files(out, stage, self.meta.schema_ddl)
         if pcols:
             out.write.format(fmt).partitionBy([c for c, _ in pcols]).save(stage)
         else:
@@ -948,25 +955,36 @@ class Table:
         if not paths:
             return self._empty_df()
         fmt = self.file_format
-        reader = self.spark.read.schema(self.meta.schema_ddl)
-        df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
-        for c in df.columns:
-            if c.startswith("__p_"):
-                df = df.drop(c)
-        df = self._to_logical(df)
         need_pos = with_pos or with_deletes
-        if need_pos:
-            if with_pos and fmt != "parquet":
-                raise NotImplementedError(
-                    "position deletes require parquet (_metadata.row_index); "
-                    "use copy-on-write or equality deletes for ORC tables"
-                )
-            df = df.withColumn(
-                "__file_path",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        if fmt == "avro":
+            # Python DataSource reader; synthesizes __file_path/__pos
+            # during its sequential decode (so avro supports position
+            # deletes, which ORC cannot)
+            from iceberg_geo_poc_spark.table import avro_format as AV
+
+            df = AV.read_avro_df(
+                self.spark, paths, self.meta.schema_ddl, with_pos=need_pos
             )
-            if fmt == "parquet":
-                df = df.withColumn("__pos", F.col("_metadata.row_index"))
+            df = self._to_logical(df)
+        else:
+            reader = self.spark.read.schema(self.meta.schema_ddl)
+            df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
+            for c in df.columns:
+                if c.startswith("__p_"):
+                    df = df.drop(c)
+            df = self._to_logical(df)
+            if need_pos:
+                if with_pos and fmt != "parquet":
+                    raise NotImplementedError(
+                        "position deletes require parquet (_metadata.row_index); "
+                        "use copy-on-write or equality deletes for ORC tables"
+                    )
+                df = df.withColumn(
+                    "__file_path",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+                if fmt == "parquet":
+                    df = df.withColumn("__pos", F.col("_metadata.row_index"))
         if with_deletes:
             ent = entries if entries is not None else self._entries()
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
@@ -1240,12 +1258,12 @@ class TableScan:
 
 
 def _list_parquet(root: str) -> list[str]:
-    """Data files under root (parquet or orc; names vary by writer)."""
+    """Data files under root (parquet/orc/avro; names vary by writer)."""
     out = []
     for dirpath, _dirs, names in os.walk(root):
         for n in names:
             if (
-                (n.endswith(".parquet") or n.endswith(".orc"))
+                (n.endswith(".parquet") or n.endswith(".orc") or n.endswith(".avro"))
                 and not n.startswith("_")
                 and not n.startswith(".")
             ):
