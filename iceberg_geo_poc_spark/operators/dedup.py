@@ -148,6 +148,47 @@ def _pairs_from_buckets(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def duplicate_passages(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Exact-substring (passage-level) dedup: word ``k``-grams occurring
+    in at least ``min_docs`` DISTINCT documents — the passage analogue
+    of suffix-array training-data dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022), expressed as pure
+    codegen: window-slice the token array, explode, one partial-agg
+    groupBy.
+
+    Doc-level dedup (ngram_jaccard_pairs/minhash) misses boilerplate
+    passages shared by otherwise-distinct documents; this finds them.
+
+    Scale shape: the single shuffle is the groupBy on the gram; at
+    100 TB the gram key would be ``xxhash64(gram)`` (8 bytes instead of
+    the passage text) with the text recovered from one exemplar via a
+    first() aggregate — the string key here keeps the DuckDB oracle
+    byte-comparable.  Map-side partial aggregation bounds the shuffle by
+    the number of DISTINCT grams per partition, not token count.
+    """
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {k} THEN "
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> array_join(slice(w, i, {k}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy("gram")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs by exact n-gram jaccard, via inverted index.
 

@@ -895,3 +895,29 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_top_terms); deterministic term tie-break so both engines rank
     identically."""
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "dedup_duplicate_passages",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      FROM w, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8)
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY gram
+    """,
+)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-substring dedup (word 8-grams shared across
+    documents) — catches boilerplate passages that doc-level jaccard /
+    minhash never sees.  Pure codegen window-slice + one partial-agg
+    groupBy; see operators/dedup.py::duplicate_passages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_passages(docs, k=8, min_docs=2)
