@@ -183,7 +183,9 @@ def main() -> None:
     # BASELINE.md): one warm-up iteration absorbs per-query one-time
     # costs (whole-stage-codegen compile, managed-table setup), then the
     # median of 3 timed iterations is reported.
-    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    # two warm-ups: the Python-kernel joins (geo_diamond_join) need the
+    # 2nd iteration to reach steady state (worker reuse + JIT'd codegen)
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for bench_name, reg_name in BENCH_QUERIES:

