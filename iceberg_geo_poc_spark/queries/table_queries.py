@@ -1134,3 +1134,63 @@ def managed_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sql_select_join_pruned",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND c.c_acctbal > 0.0
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def sql_select_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual SELECT with a JOIN through the SQL dispatcher: each
+    engine-table reference resolves to a pruned scan (WHERE conjuncts
+    attributed per reference by alias qualifier), views keep the
+    query's aliases, and Catalyst executes the relational plan — the
+    entry-point parity surface for the reference's DSv2 catalog
+    (SparkCatalog.java) SELECT path."""
+
+    def build_orders(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        # date-range-split appends -> orderdate-prunable files
+        for flt in (
+            "o_orderdate < TIMESTAMP '1997-01-01'",
+            "o_orderdate >= TIMESTAMP '1997-01-01' AND "
+            "o_orderdate < TIMESTAMP '1999-01-01'",
+            "o_orderdate >= TIMESTAMP '1999-01-01'",
+        ):
+            t.append(o.filter(flt).coalesce(1))
+        return t
+
+    def build_cust(cat, tname):
+        t = cat.create_table(
+            tname, "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        t.append(c)
+        return t
+
+    to = _managed(spark, sf_dir, "sqlj_orders", build_orders)
+    tc = _managed(spark, sf_dir, "sqlj_cust", build_cust)
+    return _catalog(spark).sql(
+        f"SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        f"FROM {_tname(to)} o JOIN {_tname(tc)} c ON o.o_custkey = c.c_custkey "
+        f"WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND c.c_acctbal > 0.0 "
+        f"GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    )

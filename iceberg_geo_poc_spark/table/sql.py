@@ -189,9 +189,20 @@ _TRAVEL_RE = (
     r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(?:'[^']*'|\S+)"
     r"|\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(?:'[^']*'|\S+))?"
 )
+_SQL_RESERVED = frozenset(
+    "on where group order limit having union intersect except join inner "
+    "left right full cross outer semi anti using window as version "
+    "timestamp for".split()
+)
+
 _TABLE_REF_RE = re.compile(
     r"\b(?P<kw>FROM|JOIN)\s+(?P<ident>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
-    r"(?P<travel>" + _TRAVEL_RE + ")",
+    r"(?P<travel>" + _TRAVEL_RE + ")"
+    # alias capture must not swallow the next clause keyword, or the
+    # finditer scan skips past a following JOIN reference entirely
+    r"(?:\s+(?:AS\s+)?(?!(?:"
+    + "|".join(sorted(_SQL_RESERVED)).upper()
+    + r")\b)(?P<alias>[A-Za-z_]\w*))?",
     re.I,
 )
 
@@ -334,13 +345,10 @@ def _conjunct_to_expr(conj: str, columns: set[str]):
     return None
 
 
-def _extract_prune_expr(table, text: str):
-    """Best-effort conversion of the statement's WHERE conjuncts into a
-    pruning expression against *table* (single-table statements only).
-    BETWEEN is rewritten to two comparisons first so the AND split
-    cannot bisect it."""
-    from iceberg_geo_poc_spark.table import expressions as E
-
+def _where_conjuncts(text: str) -> list[str] | None:
+    """Top-level WHERE conjuncts of a single-SELECT statement (BETWEEN
+    rewritten to two comparisons first so the AND split cannot bisect
+    it); None when the statement has subqueries or a top-level OR."""
     if len(re.findall(r"\bSELECT\b", text, re.I)) != 1:
         return None  # subqueries: don't attribute the WHERE to one table
     m = re.search(
@@ -353,11 +361,24 @@ def _extract_prune_expr(table, text: str):
         return None
     cond = re.sub(
         r"(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
-        lambda b: f"{b.group(2)} >= {b.group(3)} AND {b.group(2)} <= {b.group(4)}",
+        lambda b: (
+            (f"{b.group(1)}." if b.group(1) else "")
+            + f"{b.group(2)} >= {b.group(3)} AND "
+            + (f"{b.group(1)}." if b.group(1) else "")
+            + f"{b.group(2)} <= {b.group(4)}"
+        ),
         m.group("cond"),
         flags=re.I,
     )
-    conjuncts = _split_top_and(cond)
+    return _split_top_and(cond)
+
+
+def _extract_prune_expr(table, text: str):
+    """Best-effort conversion of the statement's WHERE conjuncts into a
+    pruning expression against *table* (single-table statements)."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    conjuncts = _where_conjuncts(text)
     if conjuncts is None:
         return None
     columns = set(table.columns())
@@ -370,6 +391,49 @@ def _extract_prune_expr(table, text: str):
     if not exprs:
         return None
     return E.and_(*exprs) if len(exprs) > 1 else exprs[0]
+
+
+def _extract_prune_exprs_multi(tables: list[tuple], text: str) -> dict:
+    """Per-reference pruning for MULTI-table statements: a conjunct
+    prunes reference i only when it is unambiguously attributable —
+    qualified by that reference's alias/name, or naming a column that
+    exactly ONE referenced table has.  ``tables`` is
+    [(ref_index, table, alias_or_None, base_name)].  Inclusive
+    semantics keep this safe: attribution only shrinks that table's
+    file list; Catalyst still applies the full WHERE."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    conjuncts = _where_conjuncts(text)
+    if not conjuncts:
+        return {}
+    out: dict[int, list] = {}
+    colsets = {i: set(t.columns()) for i, t, _, _ in tables}
+    for raw in conjuncts:
+        conj = raw.strip().strip("()").strip()
+        qual = None
+        mq = re.match(
+            r"^(?:NOT\s+)?(?:ISNAN\s*\(\s*)?(\w+)\.(\w+)", conj, re.I
+        )
+        if mq:
+            qual = mq.group(1)
+        cands = []
+        for i, t, alias, base in tables:
+            cols = colsets[i]
+            if qual is not None:
+                if qual not in (alias, base):
+                    continue
+            e = _conjunct_to_expr(conj, cols)
+            if e is not None:
+                cands.append((i, e))
+        if qual is not None:
+            for i, e in cands:
+                out.setdefault(i, []).append(e)
+        elif len(cands) == 1:  # unqualified: unique-column attribution only
+            i, e = cands[0]
+            out.setdefault(i, []).append(e)
+    return {
+        i: (E.and_(*es) if len(es) > 1 else es[0]) for i, es in out.items()
+    }
 
 
 def _select(catalog, text: str):
@@ -388,16 +452,31 @@ def _select(catalog, text: str):
                 f"unknown metadata table {suffix!r} for engine table "
                 f"{base!r}; one of {MT.METADATA_TABLES}"
             )
-        refs.append((m, base, suffix.lower() or None))
+        alias = m.group("alias")
+        if alias and alias.lower() in _SQL_RESERVED:
+            alias = None
+        refs.append((m, base, suffix.lower() or None, alias))
 
-    # WHERE-clause pruning only for the unambiguous single-table case
-    prune = None
+    # WHERE-driven manifest pruning, attributed per reference: the
+    # single-table case uses the whole conjunction; joins attribute each
+    # conjunct by alias/table qualifier or unique column ownership
+    prunes: dict[int, object] = {}
     if len(refs) == 1 and refs[0][2] is None:
-        prune = _extract_prune_expr(catalog.load_table(refs[0][1]), text)
+        p = _extract_prune_expr(catalog.load_table(refs[0][1]), text)
+        if p is not None:
+            prunes[0] = p
+    elif len(refs) > 1 and all(s is None for _, _, s, _ in refs):
+        prunes = _extract_prune_exprs_multi(
+            [
+                (i, catalog.load_table(base), alias, base)
+                for i, (_, base, _, alias) in enumerate(refs)
+            ],
+            text,
+        )
 
     out = text
     for i in range(len(refs) - 1, -1, -1):
-        m, base, suffix = refs[i]
+        m, base, suffix, _alias = refs[i]
         t = catalog.load_table(base)
         kw = _travel_kwargs(m.group("travel"))
         if suffix:
@@ -405,10 +484,17 @@ def _select(catalog, text: str):
                 raise SqlError("time travel is not supported on metadata tables")
             df = MT.inspect(t, suffix)
         else:
-            df = t.scan(where=prune, **kw).to_df()
+            df = t.scan(where=prunes.get(i), **kw).to_df()
         view = f"__ice_sql_{i}"
         df.createOrReplaceTempView(view)
-        out = out[: m.start()] + f"{m.group('kw')} {view}" + out[m.end():]
+        # replace only ident+travel; a trailing alias stays in place so
+        # the view keeps the query's name for it.  Without an alias the
+        # base name becomes one, so qualified references (t1.a = t2.b)
+        # still resolve against the view.
+        repl = f"{m.group('kw')} {view}"
+        if _alias is None and suffix is None:
+            repl += f" {base}"
+        out = out[: m.start()] + repl + out[m.end("travel"):]
     return catalog.spark.sql(out)
 
 
