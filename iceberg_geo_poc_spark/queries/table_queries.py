@@ -1194,3 +1194,46 @@ def sql_select_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND c.c_acctbal > 0.0 "
         f"GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
     )
+
+
+@query(
+    "sql_dml_roundtrip",
+    oracle="""
+    WITH upd AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+      FROM events WHERE user_id % 4 = 1)
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM upd
+    WHERE NOT (value < 20.0 OR event_type = 'error')
+    ORDER BY event_id
+    """,
+)
+def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual DML surface end-to-end: CREATE TABLE, INSERT INTO …
+    SELECT, UPDATE … SET <expr> WHERE, DELETE FROM … WHERE (with OR),
+    then SELECT — every state change driven through catalog.sql, the
+    statement surface the reference gets from its DSv2 catalog +
+    Spark's AppendData/ReplaceData plans."""
+
+    def build(cat, tname):
+        cat.sql(
+            f"CREATE TABLE {tname} "
+            f"(event_id BIGINT, event_type STRING, value DOUBLE)"
+        )
+        # register a source view for the INSERT..SELECT (engine tables
+        # resolve through the dispatcher; parquet sources via temp view)
+        _events_df(spark, sf_dir).filter("user_id % 4 = 1").select(
+            "event_id", "event_type", "value"
+        ).createOrReplaceTempView("__dml_src")
+        cat.sql(f"INSERT INTO {tname} SELECT event_id, event_type, value FROM __dml_src")
+        cat.sql(f"UPDATE {tname} SET value = value * 2 WHERE event_type = 'click'")
+        cat.sql(f"DELETE FROM {tname} WHERE value < 20.0 OR event_type = 'error'")
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "dml_rt", build)
+    return (
+        _catalog(spark)
+        .sql(f"SELECT event_id, event_type, ROUND(value, 6) AS value FROM {_tname(t)}")
+        .orderBy("event_id")
+    )

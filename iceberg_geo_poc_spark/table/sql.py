@@ -158,10 +158,182 @@ def dispatch_sql(catalog, text: str):
         return _alter(catalog, m.group("table"), m.group("rest"))
     if _SELECT_RE.match(text):
         return _select(catalog, text)
+    m = _INSERT_RE.match(text)
+    if m:
+        return _insert(catalog, m)
+    m = _DELETE_RE.match(text)
+    if m:
+        return _delete(catalog, m)
+    m = _UPDATE_RE.match(text)
+    if m:
+        return _update(catalog, m)
+    m = _CREATE_RE.match(text)
+    if m:
+        return _create(catalog, m)
+    m = _DROP_RE.match(text)
+    if m:
+        t = m.group("table")
+        if not catalog.table_exists(t) and m.group("ifex"):
+            return None
+        return catalog.drop_table(t)
     raise SqlError(
-        "unsupported statement (this dispatcher covers SELECT/WITH "
-        "queries over engine tables, CALL system.*, ALTER TABLE "
-        "extensions, and MERGE INTO)"
+        "unsupported statement (this dispatcher covers SELECT/WITH, "
+        "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, CREATE/DROP TABLE, "
+        "CALL system.*, ALTER TABLE extensions, and MERGE INTO)"
+    )
+
+
+# -- DML / DDL statements ---------------------------------------------------
+#
+# The reference gets INSERT/DELETE/UPDATE/CREATE for free through its
+# DSv2 catalog (SparkCatalog.java resolves the table, Spark plans
+# AppendData / DeleteFromTable / ReplaceData); the dispatcher provides
+# the same statement surface over the engine API.  DELETE/UPDATE
+# predicates convert EXACTLY or the statement is rejected — unlike scan
+# pruning, dropping a conjunct here would change which rows are touched.
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<table>[A-Za-z_]\w*)\s*(?:\((?P<cols>[^)]*)\))?\s*"
+    r"(?P<body>VALUES\b.*|SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*"
+    r"\((?P<ddl>.*?)\)\s*(?:USING\s+\w+\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\)\s*)?;?\s*$",
+    re.I | re.S,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.I,
+)
+
+
+def _insert(catalog, m):
+    import pyspark.sql.functions as F
+
+    t = catalog.load_table(m.group("table"))
+    body = m.group("body").rstrip().rstrip(";")
+    if re.match(r"^VALUES\b", body, re.I):
+        df = catalog.spark.sql(f"SELECT * FROM ({body})")
+    else:
+        df = _select(catalog, body)
+    cols = m.group("cols")
+    target = t.columns()
+    schema_types = {
+        f.split()[0]: f.split(None, 1)[1]
+        for f in _ddl_fields_of(t.schema_ddl())
+    }
+    if cols:
+        names = [c.strip() for c in cols.split(",")]
+        if len(names) != len(df.columns):
+            raise SqlError("INSERT column list does not match query arity")
+        df = df.toDF(*names)
+        for c in target:  # unmentioned columns get NULL
+            if c not in names:
+                df = df.withColumn(c, F.lit(None).cast(schema_types[c]))
+    else:
+        if len(df.columns) != len(target):
+            raise SqlError(
+                f"INSERT arity mismatch: table has {len(target)} columns, "
+                f"query produced {len(df.columns)}"
+            )
+        df = df.toDF(*target)
+    df = df.select(
+        *[F.col(c).cast(schema_types[c]).alias(c) for c in target]
+    )
+    if m.group("mode").upper() == "OVERWRITE":
+        return t.overwrite(df)
+    return t.append(df)
+
+
+def _ddl_fields_of(ddl: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _delete(catalog, m):
+    t = catalog.load_table(m.group("table"))
+    where = m.group("where")
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    if where is None:
+        expr = E.AlwaysTrue()
+    else:
+        expr = _where_to_expr_strict(where, set(t.columns()))
+    mode = t.meta.properties.get("write.delete.mode", "copy-on-write")
+    return t.delete(expr, mode=mode)
+
+
+def _update(catalog, m):
+    import pyspark.sql.functions as F
+
+    t = catalog.load_table(m.group("table"))
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    sets = {}
+    cols = set(t.columns())
+    for part in _split_args(m.group("sets")):
+        sm = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", part.strip(), re.S)
+        if not sm or sm.group(1) not in cols:
+            raise SqlError(f"cannot parse SET assignment {part!r}")
+        # full Spark SQL expression power on the right-hand side
+        sets[sm.group(1)] = F.expr(sm.group(2))
+    where = m.group("where")
+    expr = (
+        E.AlwaysTrue()
+        if where is None
+        else _where_to_expr_strict(where, cols)
+    )
+    mode = t.meta.properties.get("write.update.mode", "copy-on-write")
+    return t.update(sets, expr, mode=mode)
+
+
+def _create(catalog, m):
+    parts = m.group("parts")
+    props = m.group("props")
+    partition_by = None
+    if parts:
+        partition_by = [_partition_term(p) for p in _split_args(parts)]
+    properties = {}
+    if props:
+        for kv in _split_args(props):
+            km = re.match(r"^'([^']*)'\s*=\s*'([^']*)'$", kv.strip())
+            if not km:
+                raise SqlError(f"cannot parse table property {kv!r}")
+            properties[km.group(1)] = km.group(2)
+    name = m.group("table")
+    if catalog.table_exists(name):
+        if re.search(r"IF\s+NOT\s+EXISTS", m.group(0), re.I):
+            return catalog.load_table(name)
+        raise SqlError(f"table {name} already exists")
+    return catalog.create_table(
+        name,
+        m.group("ddl").strip(),
+        partition_by=partition_by,
+        properties=properties or None,
     )
 
 
@@ -237,9 +409,8 @@ def _travel_kwargs(travel: str) -> dict:
     raise SqlError(f"cannot parse time-travel clause {travel!r}")
 
 
-def _split_top_and(cond: str) -> list[str] | None:
-    """Split on top-level ANDs; None if a top-level OR is present (the
-    whole conjunction is then unusable for pruning)."""
+def _split_top(cond: str, op: str) -> list[str]:
+    """Split on the top-level boolean ``op`` (quote/paren aware)."""
     parts, depth, cur, quote = [], 0, [], None
     tokens = re.split(r"(\bAND\b|\bOR\b|[()'\"])", cond, flags=re.I)
     for tok in tokens:
@@ -257,15 +428,69 @@ def _split_top_and(cond: str) -> list[str] | None:
         elif tok == ")":
             depth -= 1
             cur.append(tok)
-        elif depth == 0 and re.fullmatch(r"AND", tok, re.I):
+        elif depth == 0 and re.fullmatch(op, tok, re.I):
             parts.append("".join(cur))
             cur = []
-        elif depth == 0 and re.fullmatch(r"OR", tok, re.I):
-            return None
         else:
             cur.append(tok)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _split_top_and(cond: str) -> list[str] | None:
+    """Split on top-level ANDs; None if a top-level OR is present (the
+    whole conjunction is then unusable for pruning)."""
+    if len(_split_top(cond, "OR")) > 1:
+        return None
+    return _split_top(cond, "AND")
+
+
+def _where_to_expr_strict(cond: str, columns: set[str]):
+    """EXACT boolean Expr for a WHERE clause — unlike the pruning path,
+    DELETE/UPDATE must represent the predicate completely (dropping a
+    conjunct would touch extra rows), so any unconvertible atom raises.
+    Supports AND/OR/NOT, parentheses, and the dispatcher's atom set."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    # BETWEEN first: the AND split below would bisect it
+    cond = re.sub(
+        r"(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
+        lambda b: f"({b.group(2)} >= {b.group(3)} AND {b.group(2)} <= {b.group(4)})",
+        cond.strip(),
+        flags=re.I,
+    )
+    ors = _split_top(cond, "OR")
+    if len(ors) > 1:
+        return E.or_(*[_where_to_expr_strict(p, columns) for p in ors])
+    ands = _split_top(cond, "AND")
+    if len(ands) > 1:
+        return E.and_(*[_where_to_expr_strict(p, columns) for p in ands])
+    atom = ands[0] if ands else cond
+    # balanced outer parens
+    while atom.startswith("(") and atom.endswith(")"):
+        depth = 0
+        ok = True
+        for i, ch in enumerate(atom):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and i < len(atom) - 1:
+                ok = False
+                break
+        if not ok:
+            break
+        atom = atom[1:-1].strip()
+        return _where_to_expr_strict(atom, columns)
+    e = _conjunct_to_expr(atom, columns)
+    if e is not None:
+        return e
+    m = re.match(r"^NOT\s+(.+)$", atom, re.I | re.S)
+    if m:
+        return E.not_(_where_to_expr_strict(m.group(1), columns))
+    raise SqlError(
+        f"unsupported predicate for row-level SQL: {atom!r} (supported: "
+        "comparisons, IN, LIKE-prefix, IS [NOT] NULL, ISNAN, BETWEEN, "
+        "AND/OR/NOT)"
+    )
 
 
 _SQL_CMP = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt", "<=": "le",

@@ -368,3 +368,69 @@ def test_select_join_without_aliases_keeps_qualifiers(spark, catalog):
         "SELECT j3.a, j3dim.lbl FROM j3 JOIN j3dim ON j3.a = j3dim.k"
     ).collect()
     assert [(r.a, r.lbl) for r in rows] == [(3, "three")]
+
+
+# -- DML / DDL statements ----------------------------------------------------
+
+
+def test_create_insert_select_roundtrip(spark, catalog):
+    catalog.sql(
+        "CREATE TABLE dml1 (a BIGINT, b STRING, v DOUBLE) "
+        "TBLPROPERTIES ('write.delete.mode' = 'copy-on-write')"
+    )
+    catalog.sql("INSERT INTO dml1 VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+    catalog.sql("INSERT INTO dml1 (a, b) VALUES (3, 'z')")
+    rows = catalog.sql("SELECT a, b, v FROM dml1 ORDER BY a").collect()
+    assert [(r.a, r.b, r.v) for r in rows] == [
+        (1, "x", 1.5),
+        (2, "y", 2.5),
+        (3, "z", None),
+    ]
+
+
+def test_insert_select_from_engine_table(spark, catalog):
+    _mk(spark, catalog, "dml2", n_appends=1)
+    catalog.sql("CREATE TABLE dml2copy (a BIGINT, b STRING)")
+    catalog.sql("INSERT INTO dml2copy SELECT a, b FROM dml2 WHERE a >= 5")
+    assert catalog.sql("SELECT count(*) AS n FROM dml2copy").collect()[0].n == 5
+    catalog.sql("INSERT OVERWRITE dml2copy SELECT a, b FROM dml2 WHERE a < 2")
+    assert catalog.sql("SELECT count(*) AS n FROM dml2copy").collect()[0].n == 2
+
+
+def test_delete_statement_exact_predicate(spark, catalog):
+    _mk(spark, catalog, "dml3", n_appends=1)
+    catalog.sql("DELETE FROM dml3 WHERE a BETWEEN 2 AND 4 OR a = 8")
+    got = sorted(r.a for r in catalog.load_table("dml3").to_df().collect())
+    assert got == [0, 1, 5, 6, 7, 9]
+
+
+def test_delete_statement_rejects_unconvertible(spark, catalog):
+    _mk(spark, catalog, "dml4", n_appends=1)
+    with pytest.raises(SqlError, match="unsupported predicate"):
+        catalog.sql("DELETE FROM dml4 WHERE length(b) > 100")
+    # nothing deleted
+    assert catalog.load_table("dml4").to_df().count() == 10
+
+
+def test_update_statement_expression_rhs(spark, catalog):
+    _mk(spark, catalog, "dml5", n_appends=1)
+    catalog.sql("UPDATE dml5 SET b = concat(b, '!'), a = a * 10 WHERE a >= 8")
+    rows = {r.a: r.b for r in catalog.load_table("dml5").to_df().collect()}
+    assert rows[80] == "r8!" and rows[90] == "r9!" and rows[0] == "r0"
+
+
+def test_create_partitioned_and_drop(spark, catalog):
+    catalog.sql(
+        "CREATE TABLE dml6 (k BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(4, k))"
+    )
+    t = catalog.load_table("dml6")
+    assert [(f.source, f.transform.name) for f in t.partition_fields] == [("k", "bucket")]
+    catalog.sql("DROP TABLE dml6")
+    assert not catalog.table_exists("dml6")
+    catalog.sql("DROP TABLE IF EXISTS dml6")  # no error
+
+
+def test_delete_without_where_is_truncate(spark, catalog):
+    _mk(spark, catalog, "dml7", n_appends=1)
+    catalog.sql("DELETE FROM dml7")
+    assert catalog.load_table("dml7").to_df().count() == 0
