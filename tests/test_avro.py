@@ -221,3 +221,59 @@ def test_avro_compaction(avro_table):
     avro_table.refresh()
     assert avro_table.to_df().count() == 300
     assert len(avro_table._entries()) == 1
+
+
+# -- property-based codec roundtrip ----------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _VALUE_STRATEGIES = {
+        "bigint": st.one_of(
+            st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+        ),
+        "double": st.one_of(
+            st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)
+        ),
+        "string": st.one_of(st.none(), st.text(max_size=40)),
+        "boolean": st.one_of(st.none(), st.booleans()),
+        "binary": st.one_of(st.none(), st.binary(max_size=40)),
+        "date": st.one_of(
+            st.none(),
+            st.dates(
+                min_value=datetime.date(1, 1, 1),
+                max_value=datetime.date(9999, 12, 31),
+            ),
+        ),
+    }
+
+    @st.composite
+    def _avro_frame(draw):
+        types = draw(
+            st.lists(
+                st.sampled_from(sorted(_VALUE_STRATEGIES)), min_size=1, max_size=5
+            )
+        )
+        n = draw(st.integers(min_value=0, max_value=60))
+        fields = [(f"c{i}", t) for i, t in enumerate(types)]
+        cols = {
+            name: draw(
+                st.lists(_VALUE_STRATEGIES[t], min_size=n, max_size=n)
+            )
+            for name, t in fields
+        }
+        return fields, cols
+
+    @settings(max_examples=40, deadline=None)
+    @given(frame=_avro_frame(), codec=st.sampled_from(["null", "deflate"]))
+    def test_codec_roundtrip_property(tmp_path_factory, frame, codec):
+        fields, cols = frame
+        p = str(tmp_path_factory.mktemp("avro") / "prop.avro")
+        n = A.write_avro(p, cols, fields, codec=codec, block_rows=7)
+        kinds, back = A.read_avro(p)
+        assert n == (len(next(iter(cols.values()))) if cols else 0)
+        _assert_columns_equal(back, cols)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass

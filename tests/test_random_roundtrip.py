@@ -58,18 +58,30 @@ def test_append_scan_roundtrip_random(spark, tmp_path_factory, rows):
 # random predicate trees over (k, v): pruning + strict-elision must be
 # invisible — scan(where) always equals filter-on-full-scan
 def _leaf(draw):
-    op = draw(st.sampled_from(["ge", "le", "eq", "in", "is_null", "not_null"]))
+    op = draw(
+        st.sampled_from(
+            ["ge", "le", "gt", "lt", "eq", "in", "is_null", "not_null",
+             "is_nan", "not_nan"]
+        )
+    )
     col = draw(st.sampled_from(["k", "v"]))
     if op == "is_null":
         return E.is_null(col)
     if op == "not_null":
         return E.not_null(col)
+    if op in ("is_nan", "not_nan"):
+        # NaN tests bind only to the double column (like the reference,
+        # which rejects isNaN on non-floating columns)
+        return getattr(E, op)("v")
     if op == "in":
         vals = draw(st.lists(st.integers(-5, 15), min_size=1, max_size=4))
         return E.in_(col, [float(x) if col == "v" else x for x in vals])
-    v = draw(st.integers(-5, 15))
-    v = float(v) if col == "v" else v
-    return {"ge": E.ge, "le": E.le, "eq": E.eq}[op](col, v)
+    if col == "v" and draw(st.integers(0, 9)) == 0:
+        v = float("nan")  # NaN literal: factories normalize it
+    else:
+        v = draw(st.integers(-5, 15))
+        v = float(v) if col == "v" else v
+    return {"ge": E.ge, "le": E.le, "gt": E.gt, "lt": E.lt, "eq": E.eq}[op](col, v)
 
 
 @st.composite
@@ -87,7 +99,11 @@ def _pred(draw, depth=2):
 ROWS2 = st.lists(
     st.tuples(
         st.one_of(st.none(), st.integers(min_value=-10, max_value=20)),
-        st.one_of(st.none(), st.integers(min_value=-10, max_value=20)),
+        st.one_of(
+            st.none(),
+            st.just(float("nan")),  # NaN distinct from NULL end-to-end
+            st.integers(min_value=-10, max_value=20),
+        ),
     ),
     min_size=1,
     max_size=40,
@@ -111,8 +127,10 @@ def test_pruning_never_changes_results(spark, tmp_path_factory, rows, pred):
         )
     full = spark.createDataFrame(typed, "k BIGINT, v DOUBLE")
     want = sorted(
-        ((r.k, r.v) for r in full.filter(pred.to_spark_column()).collect()),
-        key=str,
+        (str((r.k, r.v)) for r in full.filter(pred.to_spark_column()).collect()),
     )
-    got = sorted(((r.k, r.v) for r in t.scan(where=pred).to_df().collect()), key=str)
+    # stringified: tuple equality would treat (1, nan) != (1, nan)
+    got = sorted(
+        str((r.k, r.v)) for r in t.scan(where=pred).to_df().collect()
+    )
     assert got == want
