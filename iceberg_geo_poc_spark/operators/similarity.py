@@ -391,3 +391,129 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
         F.element_at("qvec", 2).alias("q1"),
         (cos >= F.lit(0.999)).alias("cos_ok"),
     )
+
+
+def _l2_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 4, n_codes: int = 16, iters: int = 2
+) -> DataFrame:
+    """Product-quantization codebooks: the D-dim space splits into ``m``
+    subspaces and each learns ``n_codes`` L2 centroids by Lloyd rounds
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    PAMI 2011 — PAPERS.md).  Deterministic first-N init per subspace.
+
+    Returns (sub_id, code_id, codevec).  All m subspaces train in the
+    SAME two jobs per round (sub_id is just another grouping key), so
+    training cost does not grow with m.
+    """
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct(s AS sub_id, "
+                f"slice(embedding, s * (size(embedding) div {m}) + 1, "
+                f"size(embedding) div {m}) AS subvec))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.sub_id", "e.subvec")
+    codes = sub.filter(F.col("vec_id") < n_codes).select(
+        "sub_id", F.col("vec_id").alias("code_id"), F.col("subvec").alias("codevec")
+    )
+    for _ in range(iters):
+        prev = codes
+        assign = (
+            sub.join(F.broadcast(prev), "sub_id")
+            .withColumn("d2", F.expr(_l2_expr("subvec", "codevec")))
+            .groupBy("vec_id", "sub_id", "subvec")
+            .agg(F.min(F.struct("d2", "code_id")).alias("mn"))
+            .select("sub_id", F.col("mn.code_id").alias("code_id"), "subvec")
+        )
+        updated = (
+            assign.select("sub_id", "code_id", F.posexplode("subvec").alias("pos", "x"))
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub_id", "code_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select(
+                "sub_id", "code_id", F.expr("transform(pm, s -> s.mx)").alias("codevec")
+            )
+        )
+        codes = updated.unionByName(
+            prev.join(updated.select("sub_id", "code_id"), ["sub_id", "code_id"], "left_anti")
+        )
+    return codes
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+    n_probes: int = 5,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the corpus stores only
+    (sub_id, code_id) per subspace (m bytes a vector at n_codes<=256 —
+    the 100 TB memory story); each probe precomputes an m x n_codes
+    lookup table of partial dots against the codebooks and the score is
+    one LUT-join + sum, never a full-dimension corpus cross join.
+
+    Plan shape: corpus-side work is an equi-join on (sub_id, code_id)
+    against a BROADCAST LUT (n_probes * m * n_codes rows) followed by a
+    partial-agged groupBy(ia, ib) — shuffle volume is m rows of three
+    ints per corpus vector, independent of dimension.
+    """
+    base = with_norm(emb)
+    codes = F.broadcast(pq_codebooks(emb, m, n_codes, iters))
+    sub = base.select(
+        "vec_id",
+        "nrm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct(s AS sub_id, "
+                f"slice(embedding, s * (size(embedding) div {m}) + 1, "
+                f"size(embedding) div {m}) AS subvec))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "nrm", "e.sub_id", "e.subvec")
+    # encode: nearest code per (vector, subspace)
+    enc = (
+        sub.join(codes, "sub_id")
+        .withColumn("d2", F.expr(_l2_expr("subvec", "codevec")))
+        .groupBy("vec_id", "nrm", "sub_id")
+        .agg(F.min(F.struct("d2", "code_id")).alias("mn"))
+        .select(
+            F.col("vec_id").alias("ib"),
+            F.col("nrm").alias("nb"),
+            "sub_id",
+            F.col("mn.code_id").alias("code_id"),
+        )
+    )
+    # probe LUT: partial dot of each query subvector against every code
+    lut = F.broadcast(
+        sub.filter(F.col("vec_id") < n_probes)
+        .join(codes, "sub_id")
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("nrm").alias("na"),
+            "sub_id",
+            "code_id",
+            F.expr(dot_expr("subvec", "codevec")).alias("pdot"),
+        )
+    )
+    scored = (
+        enc.join(lut, ["sub_id", "code_id"])
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.sum("pdot").alias("adc_dot"))
+        .withColumn(
+            "cosine", F.round(F.col("adc_dot") / (F.col("na") * F.col("nb")), 6)
+        )
+    )
+    return _topk(scored, k).orderBy("ia", "rank")

