@@ -480,3 +480,75 @@ def geo_covers_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_covered"))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "geo_knn_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, {_LON} AS lon, {_LAT} AS lat
+      FROM lineitem),
+    centers AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 170.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 80.0 AS cy
+      FROM supplier),
+    ranked AS (
+      SELECT c.s_suppkey, p.l_orderkey, p.l_linenumber,
+             ROUND(sqrt((p.lon - c.cx) * (p.lon - c.cx)
+                      + (p.lat - c.cy) * (p.lat - c.cy)), 6) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.s_suppkey
+               ORDER BY ROUND(sqrt((p.lon - c.cx) * (p.lon - c.cx)
+                                 + (p.lat - c.cy) * (p.lat - c.cy)), 6),
+                        p.l_orderkey, p.l_linenumber) AS rnk
+      FROM centers c CROSS JOIN pts p)
+    SELECT s_suppkey, CAST(rnk AS BIGINT) AS rnk, l_orderkey, l_linenumber, dist
+    FROM ranked WHERE rnk <= 3
+    ORDER BY s_suppkey, rnk
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial K-nearest-neighbor join (Sedona ST_KNN analogue): the 3
+    nearest lineitem points for every supplier center, via the
+    expanding-radius grid protocol (geo/spatial_join.py::grid_knn_join)
+    — per round one PBSM distance join + windowed top-k, never a cross
+    join.  The DuckDB oracle IS the cross join (exact), so the protocol's
+    resolution rule (top-k within r is global top-k once >= k neighbors
+    are inside r) is value-checked end-to-end."""
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_knn_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    centers = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("cy"),
+    )
+    from iceberg_geo_poc_spark.geo.functions import st_point
+
+    cgeom = centers.withColumn("cgeom", st_point("cx", "cy"))
+    j = grid_knn_join(
+        cgeom,
+        pts,
+        k=3,
+        left_id=["s_suppkey"],
+        tie_break=["l_orderkey", "l_linenumber"],
+        # lat coverage is sparse above ~10 deg (l_suppkey%180 over 100
+        # suppliers), so far centers need radius ~70 to see 3 neighbors
+        initial_radius=4.0,
+        max_rounds=6,
+        left_geom="cgeom",
+        right_geom="geom",
+        left_bounds=(F.col("cx"), F.col("cy"), F.col("cx"), F.col("cy")),
+        right_bounds=(F.col("lon"), F.col("lat"), F.col("lon"), F.col("lat")),
+    )
+    return (
+        j.select(
+            "s_suppkey",
+            F.col("knn_rank").cast("long").alias("rnk"),
+            "l_orderkey",
+            "l_linenumber",
+            F.col("knn_dist").alias("dist"),
+        )
+        .orderBy("s_suppkey", "rnk")
+    )

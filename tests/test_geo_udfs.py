@@ -217,3 +217,50 @@ def test_st_dwithin(spark):
         """
     ).collect()[0]
     assert row.a is True and row.b is False
+
+
+def test_grid_knn_join_matches_brute_force(spark):
+    """Expanding-radius KNN join == exact window-over-cross-join, on a
+    corpus engineered so some probes resolve in round 1 and others need
+    multiple doublings."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import st_point
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_knn_join
+
+    pts = spark.range(0, 400).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 20).cast("double") * 0.5).alias("px"),
+        ((F.col("id") / 20).cast("double") * 0.5).alias("py"),
+    ).withColumn("pg", st_point("px", "py"))
+    probes = spark.range(0, 12).select(
+        F.col("id").alias("qid"),
+        (F.col("id").cast("double") * 3.0 - 5.0).alias("qx"),
+        (F.col("id").cast("double") * 2.0 - 3.0).alias("qy"),
+    ).withColumn("qg", st_point("qx", "qy"))
+    got = grid_knn_join(
+        probes, pts, k=4, left_id=["qid"], tie_break=["pid"],
+        initial_radius=0.6, max_rounds=7,
+        left_geom="qg", right_geom="pg",
+        left_bounds=(F.col("qx"), F.col("qy"), F.col("qx"), F.col("qy")),
+        right_bounds=(F.col("px"), F.col("py"), F.col("px"), F.col("py")),
+    ).select("qid", "knn_rank", "pid", "knn_dist")
+    from pyspark.sql import Window
+
+    dist = F.round(
+        F.sqrt(
+            (F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("pid"))
+    want = (
+        probes.crossJoin(pts)
+        .withColumn("d", dist)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 4)
+        .select("qid", F.col("r").alias("knn_rank"), "pid", F.col("d").alias("knn_dist"))
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, want.collect()))
+    assert g == e and len(g) == 48
