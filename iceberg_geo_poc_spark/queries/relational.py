@@ -1662,3 +1662,100 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "ts_gapfill_hourly_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events WHERE event_type = 'purchase'),
+    cal AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT c.hour_start, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM cal c LEFT JOIN actual a USING (hour_start)
+    ORDER BY c.hour_start
+    """,
+)
+def ts_gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly purchase counts with ZERO rows
+    for silent hours — the resample/densify primitive every monitoring
+    pipeline needs.  The dense calendar comes from one ``F.sequence``
+    over the min/max bounds (codegen, no driver loop) exploded and
+    left-joined against the actual per-hour aggregate; at scale the
+    calendar side is tiny (one row per hour) and broadcasts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cal = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+    )
+    return (
+        cal.join(actual, "hour_start", "left_outer")
+        .select(
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@query(
+    "agg_approx_percentile_contract",
+    oracle="""
+    WITH exact AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type)
+    SELECT event_type, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM exact ORDER BY event_type
+    """,
+)
+def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch — single pass,
+    mergeable partial aggregates, the percentile that scales) checked
+    as a bounded-error CONTRACT: the sketch answer at accuracy 10000
+    must land within 1%% of the exact continuous quantile that DuckDB
+    computes, per event_type, for p50 and p95."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("e50"),
+        F.expr("percentile(value, 0.95D)").alias("e95"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        (F.max("value") - F.min("value")).alias("spread")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .join(rng, "event_type")
+        .select(
+            "event_type",
+            (F.abs(F.col("a50") - F.col("e50")) <= F.col("spread") * 0.01).alias(
+                "p50_ok"
+            ),
+            (F.abs(F.col("a95") - F.col("e95")) <= F.col("spread") * 0.01).alias(
+                "p95_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
