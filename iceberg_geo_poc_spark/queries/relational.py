@@ -1759,3 +1759,68 @@ def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority FROM orders) d
+      ON o.o_orderpriority = d.o_orderpriority
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join correctness: orders join a 5-row dimension on
+    o_orderpriority — the classic one-hot-key-per-reducer shape.  The
+    salt spreads each hot key over 16 shards (explode on the dim side,
+    uniform shard on the fact side) and the result must equal the plain
+    join exactly (operators/skew.py::salted_join)."""
+    from iceberg_geo_poc_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    dim = o.select("o_orderpriority").distinct()
+    j = salted_join(o, dim, on=["o_orderpriority"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "window_ntile_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window-function family — ntile / percent_rank /
+    cume_dist over a global ordering (the remaining analytic functions
+    of SURVEY §2.11's window row)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
