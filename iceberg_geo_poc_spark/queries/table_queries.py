@@ -1237,3 +1237,50 @@ def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sql(f"SELECT event_id, event_type, ROUND(value, 6) AS value FROM {_tname(t)}")
         .orderBy("event_id")
     )
+
+
+@query(
+    "managed_partition_evolution",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def managed_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution mid-table (reference ALTER TABLE …
+    ADD/REPLACE PARTITION FIELD, PartitionSpec evolution): the first
+    half of the data lands under days(ts) partitioning, the spec then
+    gains bucket(4, user_id), and the second half lands under the new
+    layout.  A ts-range scan must prune and read correctly across BOTH
+    spec eras (hidden partitioning: old files keep their directories
+    forever)."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
+            partition_by=[("ts", "day")],
+        )
+        df = _events_df(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        cat.alter_partition_spec(
+            tname, [("ts", "day"), ("user_id", "bucket[4]")]
+        )
+        t = cat.load_table(tname)
+        t.append(df.filter("event_id % 2 = 1"))
+        return t
+
+    t = _managed(spark, sf_dir, "part_evo", build)
+    scan = t.scan(
+        where=E.and_(
+            E.ge("ts", "2024-01-10 00:00:00.000000"),
+            E.lt("ts", "2024-01-20 00:00:00.000000"),
+        )
+    )
+    assert len(scan.files()) < scan.total_data_files(), "date pruning inactive"
+    return scan.to_df().select("event_id", "user_id", "event_type").orderBy("event_id")
