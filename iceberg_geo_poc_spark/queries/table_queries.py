@@ -1284,3 +1284,102 @@ def managed_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert len(scan.files()) < scan.total_data_files(), "date pruning inactive"
     return scan.to_df().select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+# -- statistics files (Puffin analogue) --------------------------------------
+
+
+@query(
+    "managed_table_stats_ndv",
+    oracle="""
+    SELECT 'event_type' AS column_name,
+           COUNT(DISTINCT event_type) AS exact_ndv,
+           COUNT(*) AS n_rows, TRUE AS ndv_within_tol
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(DISTINCT user_id), COUNT(*), TRUE FROM events
+    ORDER BY column_name
+    """,
+)
+def managed_table_stats_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot statistics file with per-column NDV estimates (reference
+    GenericStatisticsFile + puffin theta-sketch blobs, StandardBlobTypes
+    .java:28; here Spark HLL++, table/statistics.py).  The persisted
+    estimate must honor the sketch's error contract against the exact
+    distinct count — the oracle pins exact NDV, row count, and the
+    contract boolean."""
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir))
+        ST.compute_table_stats(t, columns=["user_id", "event_type"])
+        return t
+
+    t = _managed(spark, sf_dir, "tbl_stats", build)
+    est = spark.createDataFrame(
+        [
+            ("event_type", int(ST.ndv(t, "event_type"))),
+            ("user_id", int(ST.ndv(t, "user_id"))),
+        ],
+        "column_name STRING, est BIGINT",
+    )
+    exact = t.to_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("x_user_id"),
+        F.count_distinct("event_type").alias("x_event_type"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "column_name",
+            F.when(F.col("column_name") == "user_id", F.col("x_user_id"))
+            .otherwise(F.col("x_event_type"))
+            .alias("exact_ndv"),
+            "n_rows",
+            (
+                F.abs(
+                    F.col("est")
+                    - F.when(
+                        F.col("column_name") == "user_id", F.col("x_user_id")
+                    ).otherwise(F.col("x_event_type"))
+                )
+                / F.when(
+                    F.col("column_name") == "user_id", F.col("x_user_id")
+                ).otherwise(F.col("x_event_type"))
+                <= F.lit(0.15)
+            ).alias("ndv_within_tol"),
+        )
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "managed_partition_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS record_count, TRUE AS files_positive
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition statistics file computed from the manifest alone — zero
+    data reads (reference GenericPartitionStatisticsFile registered via
+    SetPartitionStatistics; stats derive from metadata).  Per-partition
+    record counts must equal a group-by over the source rows."""
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, _EVENTS_DDL, partition_by=[("event_type", "identity")]
+        )
+        t.append(_events_df(spark, sf_dir))
+        ST.compute_partition_stats(t)
+        return t
+
+    t = _managed(spark, sf_dir, "part_stats", build)
+    ps = ST.read_partition_stats(t)
+    return ps.select(
+        F.get_json_object("partition", "$.event_type").alias("event_type"),
+        F.col("data_record_count").alias("record_count"),
+        (F.col("data_file_count") >= F.lit(1)).alias("files_positive"),
+    ).orderBy("event_type")

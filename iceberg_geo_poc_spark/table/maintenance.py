@@ -326,8 +326,31 @@ def expire_snapshots(
         if os.path.exists(mp):
             os.remove(mp)
     meta.snapshots = [s for s in meta.snapshots if s in keep]
+    # statistics files are snapshot-scoped: expiring the snapshot expires
+    # its stats file too (reference RemoveSnapshots drops StatisticsFile
+    # entries for removed snapshots)
+    live_ids = {s.snapshot_id for s in keep}
+    n_stats_dropped = 0
+    for attr, path_key in (
+        ("statistics_files", "statistics-path"),
+        ("partition_statistics_files", "statistics-path"),
+    ):
+        kept_stats = []
+        for sf in getattr(meta, attr):
+            if sf["snapshot-id"] in live_ids:
+                kept_stats.append(sf)
+                continue
+            n_stats_dropped += 1
+            p = sf[path_key]
+            if _owns_path(table, p) and os.path.exists(p):
+                os.remove(p)
+        setattr(meta, attr, kept_stats)
     MD.write_new_metadata(meta, meta.version)
-    return {"expired": len(expired), "deleted_files": len(dead_files)}
+    return {
+        "expired": len(expired),
+        "deleted_files": len(dead_files),
+        "expired_statistics_files": n_stats_dropped,
+    }
 
 
 def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:

@@ -81,6 +81,14 @@ class TableMetadata:
     # name; the Python analogue of Iceberg's rename-by-field-id (schema
     # evolution never rewrites data files, Schema.java:51)
     renames: dict[str, str] = field(default_factory=dict)
+    # snapshot-scoped statistics files (reference TableMetadata.java:539
+    # statisticsFiles() / GenericStatisticsFile.java): each entry is
+    # {"snapshot-id", "statistics-path", "file-size-in-bytes",
+    #  "blob-metadata": [...]}; at most one per snapshot (SetStatistics
+    # replaces).  Partition statistics analogous
+    # (GenericPartitionStatisticsFile.java).
+    statistics_files: list[dict] = field(default_factory=list)
+    partition_statistics_files: list[dict] = field(default_factory=list)
 
     # ---- serialization -------------------------------------------------
     def to_json(self) -> dict:
@@ -98,6 +106,8 @@ class TableMetadata:
             "refs": self.refs,
             "schema-log": self.schema_log,
             "renames": self.renames,
+            "statistics": self.statistics_files,
+            "partition-statistics": self.partition_statistics_files,
         }
 
     @staticmethod
@@ -116,6 +126,8 @@ class TableMetadata:
             version=version,
             schema_log=o.get("schema-log", []),
             renames=o.get("renames", {}),
+            statistics_files=o.get("statistics", []),
+            partition_statistics_files=o.get("partition-statistics", []),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
