@@ -1383,3 +1383,56 @@ def managed_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data_record_count").alias("record_count"),
         (F.col("data_file_count") >= F.lit(1)).alias("files_positive"),
     ).orderBy("event_type")
+
+
+@query(
+    "managed_scan_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS files_accounted, TRUE AS pruned,
+           TRUE AS commit_totals_match
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def managed_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + commit metrics reports (reference core/.../metrics/
+    ScanReport.java, CommitReport.java, MetricsReporter SPI;
+    table/reporting.py).  One append per event_type gives per-file
+    min==max string stats, so the ``event_type = 'click'`` scan must
+    prune to exactly the click file; the report's accounting
+    (result + skipped == total) and the commit reports' running record
+    totals are returned as oracle-pinned booleans alongside the actual
+    scanned row count."""
+    from iceberg_geo_poc_spark.table import reporting as RPT
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        types = [r[0] for r in df.select("event_type").distinct().orderBy("event_type").collect()]
+        for et in types:  # bounded: a handful of event types
+            t.append(df.filter(F.col("event_type") == et).coalesce(1))
+        return t
+
+    t = _managed(spark, sf_dir, "scan_rpt", build)
+    r = RPT.InMemoryMetricsReporter()
+    RPT.register_metrics_reporter(t.location, r)
+    try:
+        scan = t.scan(where=E.eq("event_type", "click"))
+        n_rows = scan.to_df().count()
+        sr = r.scan_reports()[0]
+    finally:
+        RPT.unregister_metrics_reporter(r)
+    files_accounted = (
+        sr.result_data_files + sr.skipped_data_files == sr.total_data_files
+    )
+    pruned = sr.result_data_files == 1 and sr.skipped_data_files > 0
+    # commit contract: the manifest's total records (what the last
+    # CommitReport.total_records reported at build time) equal the
+    # actual table count
+    totals = t.to_df().count()
+    ent = t._entries()
+    commit_totals_match = int(ent[ent.content == "data"].record_count.sum()) == totals
+    return spark.createDataFrame(
+        [(int(n_rows), bool(files_accounted), bool(pruned), bool(commit_totals_match))],
+        "n_rows BIGINT, files_accounted BOOLEAN, pruned BOOLEAN, "
+        "commit_totals_match BOOLEAN",
+    )

@@ -242,10 +242,56 @@ class Table:
             try:
                 MD.write_new_metadata(base, base.version)
                 self.meta = base
+                try:
+                    self._report_commit(
+                        operation, snap, current, new_entries, _attempt + 1
+                    )
+                except Exception:  # noqa: BLE001 — never fail a landed commit
+                    pass
                 return snap
             except MD.CommitConflict:
                 continue
         raise MD.CommitConflict(f"commit failed after {retries} retries")
+
+    def _report_commit(
+        self, operation, snap, current: pd.DataFrame, new_entries: pd.DataFrame,
+        attempts: int,
+    ) -> None:
+        """Emit a CommitReport (reference core/.../metrics/CommitReport.java):
+        added/removed file+record deltas by file-path set difference over
+        the planning frames already in hand — no extra IO."""
+        from iceberg_geo_poc_spark.table import reporting as RPT
+
+        cur_data = current[current.content == "data"] if len(current) else current
+        new_data = new_entries[new_entries.content == "data"]
+        cur_paths = set(cur_data.file_path) if len(cur_data) else set()
+        new_paths = set(new_data.file_path)
+        added = new_data[new_data.file_path.map(lambda p: p not in cur_paths)]
+        removed = (
+            cur_data[cur_data.file_path.map(lambda p: p not in new_paths)]
+            if len(cur_data)
+            else cur_data
+        )
+        cur_del = set(current[current.content != "data"].file_path) if len(current) else set()
+        new_del = new_entries[new_entries.content != "data"]
+        added_del = int(new_del.file_path.map(lambda p: p not in cur_del).sum()) if len(new_del) else 0
+        RPT.report(
+            self.location,
+            RPT.CommitReport(
+                table_location=self.location,
+                snapshot_id=snap.snapshot_id,
+                sequence_number=snap.sequence_number,
+                operation=operation,
+                added_data_files=int(len(added)),
+                removed_data_files=int(len(removed)),
+                added_records=int(added.record_count.sum()) if len(added) else 0,
+                removed_records=int(removed.record_count.sum()) if len(removed) else 0,
+                added_delete_files=added_del,
+                total_data_files=int(len(new_data)),
+                total_records=int(new_data.record_count.sum()) if len(new_data) else 0,
+                attempts=attempts,
+            ),
+        )
 
     # ------------------------------------------------------------------
     # write path
@@ -1179,6 +1225,26 @@ class TableScan:
         ResidualEvaluator returning alwaysTrue per file — SURVEY §2.2 —
         collapsed to the whole-scan case)."""
         if self._planned is None:
+            import time as _time
+
+            from iceberg_geo_poc_spark.table import reporting as RPT
+
+            _t0 = _time.monotonic()
+            _snap_id = self.snapshot.snapshot_id if self.snapshot else None
+            _filter_desc = repr(self.where) if self.where is not None else None
+
+            def _report(**kw):
+                RPT.report(
+                    self.table.location,
+                    RPT.ScanReport(
+                        table_location=self.table.location,
+                        snapshot_id=_snap_id,
+                        filter_desc=_filter_desc,
+                        planning_duration_ms=(_time.monotonic() - _t0) * 1e3,
+                        **kw,
+                    ),
+                )
+
             renames = self.table.meta.renames
             # manifest-level pruning (reference ManifestGroup.java:251-264
             # manifest-list summaries): the snapshot carries whole-manifest
@@ -1191,6 +1257,12 @@ class TableScan:
                 ):
                     self._planned = []
                     self._residual_noop = True
+                    _report(
+                        total_data_files=0,
+                        result_data_files=0,
+                        skipped_data_files=0,
+                        skipped_data_manifests=1,
+                    )
                     return self._planned
             # distributed planning fallback: above ~10^5 entries the
             # manifest itself is big data — prune it as a Spark filter
@@ -1223,18 +1295,35 @@ class TableScan:
                         if planned is not None:
                             self._planned = planned
                             self._residual_noop = False
+                            _report(
+                                total_data_files=n_entries,
+                                result_data_files=len(planned),
+                                skipped_data_files=n_entries - len(planned),
+                                scanned_data_manifests=1,
+                                distributed_planning=True,
+                            )
                             return self._planned
             entries = self._snapshot_entries()
             data = entries[entries.content == "data"]
             if self.where is None:
                 self._planned = list(data.file_path)
                 self._residual_noop = True
+                kept_size = int(data.file_size.sum()) if len(data) else 0
             else:
                 sv = V.StatsView(data, renames)
                 keep = V.might_match(self.where, sv)
                 strict = V.all_match(self.where, sv)
                 self._planned = list(data.file_path.to_numpy()[keep])
                 self._residual_noop = bool(strict[keep].all())
+                kept_size = int(data.file_size.to_numpy()[keep].sum()) if len(data) else 0
+            _report(
+                total_data_files=int(len(data)),
+                result_data_files=len(self._planned),
+                skipped_data_files=int(len(data)) - len(self._planned),
+                result_delete_files=int((entries.content != "data").sum()),
+                scanned_data_manifests=1,
+                result_file_size_bytes=kept_size,
+            )
         return self._planned
 
     def total_data_files(self) -> int:
