@@ -109,10 +109,21 @@ class Catalog:
                 out.append(d)
         return out
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """``purge=True`` walks EVERY metadata version and physically
+        deletes all reachable files first (reference
+        DeleteReachableFilesSparkAction — DROP TABLE PURGE), honoring
+        the gc.enabled ownership guard; plain drop removes the table
+        directory (or just unregisters a registered table)."""
         loc = self._table_location(name)
         if os.path.islink(loc):
             os.unlink(loc)  # registered table: unregister, leave data in place
+        elif purge:
+            from iceberg_geo_poc_spark.table.maintenance import (
+                delete_reachable_files,
+            )
+
+            delete_reachable_files(loc)
         else:
             shutil.rmtree(loc)
 

@@ -386,3 +386,77 @@ def rewrite_manifests(table: Table) -> int:
 
     table._commit("replace", build, {"manifests-rewritten": 1})
     return 1
+
+
+def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
+    """Delete every file reachable from ANY metadata version of the table
+    at ``location``: data/delete files, manifests, statistics sidecars,
+    and the metadata JSON log itself (reference
+    DeleteReachableFilesSparkAction — the purge path for dropping a
+    table with all of its history).
+
+    Files OUTSIDE the table location (imported via add_files /
+    snapshot-clone) are counted but never deleted — same ownership
+    posture as expire_snapshots.  Returns per-category counts.
+    """
+    mdir = MD.metadata_dir(location)
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no table metadata under {location}")
+    versions = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    data_files: set[str] = set()
+    manifests: set[str] = set()
+    stats_files: set[str] = set()
+    gc_enabled = True
+    for v in versions:
+        doc = json.loads(open(os.path.join(mdir, v), "rb").read())
+        gc_enabled = (
+            str(doc.get("properties", {}).get("gc.enabled", "true")).lower()
+            != "false"
+        )
+        for s in doc.get("snapshots", []):
+            mpath = os.path.join(location, s["manifest"])
+            manifests.add(mpath)
+            if os.path.exists(mpath):
+                m = M.read_manifest(mpath)
+                data_files |= set(m.file_path)
+        for sf in doc.get("statistics", []) + doc.get("partition-statistics", []):
+            stats_files.add(sf["statistics-path"])
+    if not gc_enabled:
+        raise ValueError(
+            "delete_reachable_files refused: gc.enabled=false (imported or "
+            "clone-referenced data; reference DeleteReachableFiles honors "
+            "the same guard)"
+        )
+
+    def _owned(p: str) -> bool:
+        return os.path.realpath(p).startswith(os.path.realpath(location) + os.sep)
+
+    counts = {
+        "data_files": 0,
+        "external_files_skipped": 0,
+        "manifests": 0,
+        "statistics_files": 0,
+        "metadata_versions": len(versions),
+    }
+    for p in data_files:
+        if not _owned(p):
+            counts["external_files_skipped"] += 1
+            continue
+        counts["data_files"] += 1
+        if not dry_run and os.path.exists(p):
+            os.remove(p)
+    for group, key in ((manifests, "manifests"), (stats_files, "statistics_files")):
+        for p in group:
+            if not _owned(p):
+                continue
+            counts[key] += 1
+            if not dry_run and os.path.exists(p):
+                os.remove(p)
+    if not dry_run:
+        import shutil
+
+        shutil.rmtree(location, ignore_errors=True)
+    return counts

@@ -122,3 +122,40 @@ def test_expire_snapshots_drops_stats_of_expired(spark, catalog):
     t = catalog.load_table("stats_expire")
     assert len(ST.statistics_files(t)) == 1
     assert not os.path.exists(old_path)
+
+
+def test_delete_reachable_files_purge(spark, catalog, tmp_path):
+    from iceberg_geo_poc_spark.table.maintenance import delete_reachable_files
+
+    t = _seed(spark, catalog, name="purge_t")
+    t.append(t.spark.range(3).select(
+        F.col("id"), F.lit(1).alias("grp"), F.lit("z").alias("s")))
+    ST.compute_table_stats(t, columns=["grp"])
+    loc = t.location
+    dry = delete_reachable_files(loc, dry_run=True)
+    assert dry["data_files"] >= 2  # two appends
+    assert dry["manifests"] >= 2
+    assert dry["statistics_files"] == 1
+    assert dry["metadata_versions"] >= 3
+    assert os.path.exists(loc)
+    res = delete_reachable_files(loc)
+    assert res["data_files"] == dry["data_files"]
+    assert not os.path.exists(loc)
+
+
+def test_delete_reachable_refuses_unowned(spark, catalog):
+    from iceberg_geo_poc_spark.table.maintenance import delete_reachable_files
+
+    t = _seed(spark, catalog, name="purge_guard")
+    t.meta.properties["gc.enabled"] = "false"
+    from iceberg_geo_poc_spark.table import metadata as MD
+    MD.write_new_metadata(t.meta, t.meta.version)
+    with pytest.raises(ValueError, match="gc.enabled"):
+        delete_reachable_files(t.location)
+
+
+def test_drop_table_purge(spark, catalog):
+    catalog_t = _seed(spark, catalog, name="purge_drop")
+    loc = catalog_t.location
+    catalog.drop_table("purge_drop", purge=True)
+    assert not os.path.exists(loc)
