@@ -1436,3 +1436,54 @@ def managed_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, files_accounted BOOLEAN, pruned BOOLEAN, "
         "commit_totals_match BOOLEAN",
     )
+
+
+@query(
+    "managed_stats_broadcast_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def managed_stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-aware join planning: the engine consults manifest
+    byte/record totals (the numbers the reference reports to Spark's
+    CBO via SparkScan.estimateStatistics) and broadcasts the small side
+    explicitly (table/join_planning.py).  The plan is asserted to be a
+    BroadcastHashJoin — no sort-merge shuffle of the fact side — and
+    the result must match the plain SQL join."""
+    from iceberg_geo_poc_spark.table.join_planning import stats_aware_join
+
+    def build_cust(cat, tname):
+        t = cat.create_table(tname, "c_custkey BIGINT, nationkey BIGINT, c_acctbal DOUBLE")
+        t.append(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+            )
+        )
+        return t
+
+    def build_nat(cat, tname):
+        t = cat.create_table(tname, "nationkey BIGINT, n_name STRING")
+        t.append(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nationkey"), "n_name"
+            )
+        )
+        return t
+
+    cust = _managed(spark, sf_dir, "sbj_cust", build_cust)
+    nat = _managed(spark, sf_dir, "sbj_nat", build_nat)
+    j = stats_aware_join(cust, nat, on="nationkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "stats-aware join did not broadcast"
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

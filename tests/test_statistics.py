@@ -159,3 +159,25 @@ def test_drop_table_purge(spark, catalog):
     loc = catalog_t.location
     catalog.drop_table("purge_drop", purge=True)
     assert not os.path.exists(loc)
+
+
+def test_stats_aware_join_broadcasts_small_side(spark, catalog):
+    from iceberg_geo_poc_spark.table.join_planning import (
+        estimate_row_count,
+        estimate_size_bytes,
+        stats_aware_join,
+    )
+
+    big = catalog.create_table("saj_big", "k BIGINT, v DOUBLE")
+    big.append(spark.range(20000).select(
+        (F.col("id") % 50).alias("k"), F.rand(7).alias("v")))
+    small = catalog.create_table("saj_small", "k BIGINT, name STRING")
+    small.append(spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")))
+    assert estimate_row_count(big) == 20000
+    assert estimate_row_count(small) == 50
+    assert estimate_size_bytes(small) < estimate_size_bytes(big)
+    j = stats_aware_join(big, small, on="k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert j.count() == 20000
