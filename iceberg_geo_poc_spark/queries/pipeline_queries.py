@@ -982,3 +982,57 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") >= F.lit(0.4)).alias("recall_ok"),
         F.lit(enc_complete == n_vecs).alias("encoding_complete"),
     )
+
+
+@query(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS c1
+      FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+    docbig AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM docbig GROUP BY w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(AVG(-LN((COALESCE(b.c2, 0) + 0.1)
+                              / (u.c1 + 0.1 * v.vocab))) * 100) AS BIGINT)
+             AS nll_c
+    FROM docbig d
+    JOIN uni u ON d.w1 = u.w1
+    LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+    CROSS JOIN v
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (operators/lm.py): the
+    corpus's own add-k bigram model scores every document by average
+    negative log-likelihood — two count groupBys for training, two
+    equi-joins + one per-doc aggregate for scoring, all codegen.  The
+    oracle recomputes the identical smoothed model in DuckDB; nll is
+    pinned at centinat granularity (FLOOR(nll*100)) so libm ulp
+    differences between JVM and DuckDB log() cannot flip the hash."""
+    from iceberg_geo_poc_spark.operators.lm import perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        perplexity_scores(docs)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.floor(F.col("nll") * 100).cast("long").alias("nll_c"),
+        )
+        .orderBy("doc_id")
+    )

@@ -471,3 +471,30 @@ def test_pq_adc_recall_and_codebook_shape(spark, sf_dir):
         .collect()[0][0]
     )
     assert rec >= 0.4
+
+
+def test_lm_perplexity_hand_computed_and_ordering(spark):
+    import math
+
+    from iceberg_geo_poc_spark.operators.lm import perplexity_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # only common bigrams
+            (2, "a b c"),         # one common, one rare bigram
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in perplexity_scores(docs, k=0.1).collect()}
+    # corpus counts: unigrams a:4 b:4 c:1 (V=3); bigrams ab:4 ba:2 bc:1
+    V, k = 3, 0.1
+    p_ab = (4 + k) / (4 + k * V)
+    p_ba = (2 + k) / (4 + k * V)
+    p_bc = (1 + k) / (4 + k * V)
+    exp1 = -(3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["nll"] - exp1) < 1e-12
+    assert abs(out[2]["nll"] - exp2) < 1e-12
+    # the common-phrase document is more "typical" than the rare one
+    assert out[1]["nll"] < out[2]["nll"]
