@@ -94,3 +94,35 @@ def pack_sequences(
         )
         .drop("__tok", "__chunk", "__local_incl", "__offset")
     )
+
+
+def mixture_sample(
+    df: DataFrame, key: str, domain_col: str, target_weights: dict[str, float]
+) -> DataFrame:
+    """Reshape the corpus to a target domain mixture WITHOUT upsampling
+    (the Pile/DoReMi-style mixture step): find the largest total T such
+    that every domain d can supply ``T * w_d`` documents, then keep each
+    domain at rate ``T * w_d / n_d`` via the deterministic hash gate.
+    Domains absent from ``target_weights`` are dropped.
+
+    One bounded groupBy (rows = #domains) feeds the rate computation on
+    the driver; the keep-pass is a single hash-gated filter — the same
+    linear shape as stratified_sample, reproducible across engines and
+    reruns.  (Upsampling variant — repeat small domains — is a training-
+    loader concern; the curation layer only downsamples.)
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[0] in target_weights
+    }
+    missing = set(target_weights) - set(counts)
+    if missing:
+        raise ValueError(f"domains absent from corpus: {sorted(missing)}")
+    total = min(counts[d] / w for d, w in target_weights.items())
+    fractions = {
+        d: min(1.0, total * w / counts[d]) for d, w in target_weights.items()
+    }
+    return stratified_sample(df, key, domain_col, fractions)

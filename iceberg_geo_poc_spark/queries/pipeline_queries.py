@@ -1036,3 +1036,40 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.2), ('de', 0.15), ('fr', 0.15)),
+    t AS (SELECT MIN(n / wt) AS total FROM counts JOIN w USING (lang)),
+    gates AS (
+      SELECT c.lang,
+             CAST(FLOOR(LEAST(1.0, t.total * w.wt / c.n) * 10000) AS BIGINT)
+               AS gate
+      FROM counts c JOIN w ON c.lang = w.lang CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN gates g ON d.lang = g.lang
+    WHERE ({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000 < g.gate
+    ORDER BY doc_id
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture downsampling (operators/sampling.py::mixture_sample,
+    the Pile/DoReMi mixture step): the largest total consistent with
+    weights en/zh/de/fr = .5/.2/.15/.15 is found from one bounded
+    group-count, per-domain keep rates follow, and the keep set is the
+    deterministic hash gate — the oracle recomputes the identical rate
+    arithmetic and hash, so the exact keep-set matches (unlisted 'es'
+    drops entirely)."""
+    from iceberg_geo_poc_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.15}
+    return (
+        mixture_sample(docs, "doc_id", "lang", weights)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

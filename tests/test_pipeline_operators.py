@@ -498,3 +498,24 @@ def test_lm_perplexity_hand_computed_and_ordering(spark):
     assert abs(out[2]["nll"] - exp2) < 1e-12
     # the common-phrase document is more "typical" than the rare one
     assert out[1]["nll"] < out[2]["nll"]
+
+
+def test_mixture_sample_rates_and_drop(spark):
+    from iceberg_geo_poc_spark.operators.sampling import mixture_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, "big")
+        .when(F.col("id") % 10 < 9, "mid")
+        .otherwise("tiny")
+        .alias("dom"),
+    )
+    out = mixture_sample(df, "doc_id", "dom", {"big": 0.5, "tiny": 0.5})
+    got = {r[0]: r[1] for r in out.groupBy("dom").count().collect()}
+    assert "mid" not in got                       # unlisted domain dropped
+    assert got["tiny"] == 100                     # limiting domain kept whole
+    # big downsampled toward parity with tiny (hash gate ~10% of 700)
+    assert abs(got["big"] - 100) <= 30
+    # deterministic: second run keeps the identical set
+    again = mixture_sample(df, "doc_id", "dom", {"big": 0.5, "tiny": 0.5})
+    assert out.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
