@@ -1301,3 +1301,32 @@ def convert_encoding_udf(src: str, dst: str):
         )
 
     return _conv
+
+
+def st_envelope_aggr(df, geom_col: str, group_cols: list[str] | None = None):
+    """Aggregate bounding envelope per group (the Sedona ST_Envelope_Aggr
+    the reference defers to via its GeospatialLibrary SPI,
+    spark/.../geo/spi/GeospatialLibrary.java).  ONE vectorized bounds
+    pass (the st_xmin..st_ymax pandas UDF, Arrow-batched) then plain
+    codegen min/max partial aggregation — the same shape the engine's
+    write path uses for manifest bbox metrics
+    (core/.../havasu/GeometryFieldMetrics.java:58-88).
+
+    Returns group_cols + xmin/ymin/xmax/ymax + ``envelope`` (WKB
+    polygon; point-degenerate envelopes stay valid boxes)."""
+    import pyspark.sql.functions as F
+
+    g = df.withColumn("__b", st_bounds_udf(F.col(geom_col)))
+    aggs = [
+        F.min("__b.xmin").alias("xmin"),
+        F.min("__b.ymin").alias("ymin"),
+        F.max("__b.xmax").alias("xmax"),
+        F.max("__b.ymax").alias("ymax"),
+    ]
+    out = g.groupBy(*(group_cols or [])).agg(*aggs)
+    return out.withColumn(
+        "envelope",
+        st_makeenvelope(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )

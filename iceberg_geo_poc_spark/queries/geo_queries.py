@@ -552,3 +552,49 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey", "rnk")
     )
+
+
+@query(
+    "geo_envelope_aggr",
+    oracle=f"""
+    SELECT CASE WHEN {_LON} >= 0 AND {_LAT} >= 0 THEN 0
+                WHEN {_LON} < 0 AND {_LAT} >= 0 THEN 1
+                WHEN {_LON} < 0 AND {_LAT} < 0 THEN 2
+                ELSE 3 END AS quadrant,
+           ROUND(MIN({_LON}), 6) AS xmin, ROUND(MIN({_LAT}), 6) AS ymin,
+           ROUND(MAX({_LON}), 6) AS xmax, ROUND(MAX({_LAT}), 6) AS ymax,
+           TRUE AS envelope_wkb_valid
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def geo_envelope_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate bounding envelope per quadrant (Sedona ST_Envelope_Aggr
+    analogue, geo/functions.py::st_envelope_aggr): one vectorized
+    bounds pass + codegen min/max.  The WKB envelope column is verified
+    structurally (its own bounds re-extract to the aggregated min/max)
+    and the coordinates are oracle-pinned."""
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_envelope_aggr,
+        st_xmin_udf,
+        st_ymax_udf,
+    )
+
+    pts = _lineitem_points(spark, sf_dir).withColumn(
+        "quadrant",
+        F.when((F.col("lon") >= 0) & (F.col("lat") >= 0), 0)
+        .when((F.col("lon") < 0) & (F.col("lat") >= 0), 1)
+        .when((F.col("lon") < 0) & (F.col("lat") < 0), 2)
+        .otherwise(3),
+    )
+    env = st_envelope_aggr(pts, "geom", ["quadrant"])
+    return env.select(
+        "quadrant",
+        F.round("xmin", 6).alias("xmin"),
+        F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("ymax", 6).alias("ymax"),
+        (
+            (st_xmin_udf(F.col("envelope")) == F.col("xmin"))
+            & (st_ymax_udf(F.col("envelope")) == F.col("ymax"))
+        ).alias("envelope_wkb_valid"),
+    ).orderBy("quadrant")
