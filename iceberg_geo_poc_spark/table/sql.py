@@ -825,6 +825,24 @@ def _call(catalog, proc: str, argstr: str):
         return catalog.migrate_parquet(
             arg("table", 0), arg("directory", 1), arg("schema", 2)
         )
+    if proc == "compute_table_stats":
+        from iceberg_geo_poc_spark.table import statistics as ST
+
+        cols = arg("columns", 1, None)
+        if isinstance(cols, str):
+            cols = [c.strip() for c in cols.split(",") if c.strip()]
+        return ST.compute_table_stats(
+            catalog.load_table(arg("table", 0)), columns=cols
+        )
+    if proc == "compute_partition_stats":
+        from iceberg_geo_poc_spark.table import statistics as ST
+
+        return ST.compute_partition_stats(catalog.load_table(arg("table", 0)))
+    if proc == "remove_reachable_files":
+        t = catalog.load_table(arg("table", 0))
+        return X.delete_reachable_files(
+            t.location, dry_run=bool(arg("dry_run", 1, False))
+        )
     raise SqlError(f"unknown procedure system.{proc}")
 
 

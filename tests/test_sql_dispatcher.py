@@ -434,3 +434,23 @@ def test_delete_without_where_is_truncate(spark, catalog):
     _mk(spark, catalog, "dml7", n_appends=1)
     catalog.sql("DELETE FROM dml7")
     assert catalog.load_table("dml7").to_df().count() == 0
+
+
+def test_call_compute_stats_procedures(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table import Catalog
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    t = cat.create_table("sqlstats", "id BIGINT, grp BIGINT")
+    t.append(spark.range(200).select(F.col("id"), (F.col("id") % 9).alias("grp")))
+    cat.sql("CALL system.compute_table_stats(table => 'sqlstats', columns => 'grp')")
+    t = cat.load_table("sqlstats")
+    est = ST.ndv(t, "grp")
+    assert est is not None and abs(est - 9) <= 2
+    cat.sql("CALL system.compute_partition_stats('sqlstats')")
+    t = cat.load_table("sqlstats")
+    assert len(t.meta.partition_statistics_files) == 1
+    dry = cat.sql("CALL system.remove_reachable_files('sqlstats', dry_run => true)")
+    assert dry["data_files"] >= 1 and dry["statistics_files"] >= 1
