@@ -1487,3 +1487,51 @@ def managed_stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h
+      FROM documents
+    )
+    SELECT b.doc_id AS new_doc_id, MIN(a.doc_id) AS first_dup
+    FROM fp b JOIN fp a ON b.h = a.h AND a.doc_id < b.doc_id
+    WHERE b.doc_id >= 250
+    GROUP BY b.doc_id ORDER BY new_doc_id
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: only the docs appended since the last indexed
+    snapshot are checked, via incremental scan (snapshot file diff) +
+    one fingerprint equi-join against the corpus (5-word-prefix hash — a stand-in for any content fingerprint: md5, simhash, minhash band).  The 100 TB shape:
+    per-batch work is |new docs| x hash-join probe, never a corpus
+    self-join — the composition pattern for keeping a growing corpus
+    deduplicated (reference incremental scans,
+    core/.../BaseIncrementalAppendScan.java, feeding the dedup
+    operator family)."""
+    from iceberg_geo_poc_spark.streaming.incremental import incremental_read
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "doc_id BIGINT, text STRING")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        t.append(docs.filter("doc_id < 250"))
+        t.append(docs.filter("doc_id >= 250"))
+        return t
+
+    t = _managed(spark, sf_dir, "inc_dedup", build)
+    first_snap = t.snapshots()[0].snapshot_id
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    new = incremental_read(t, from_snapshot_id=first_snap).select(
+        F.col("doc_id").alias("new_doc_id"), fp.alias("h")
+    )
+    corpus = t.to_df().select("doc_id", fp.alias("h"))
+    return (
+        new.join(corpus, "h")
+        .filter(F.col("doc_id") < F.col("new_doc_id"))
+        .groupBy("new_doc_id")
+        .agg(F.min("doc_id").alias("first_dup"))
+        .orderBy("new_doc_id")
+    )
