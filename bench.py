@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     # NON-axis-aligned polygon x polygon join: exercises the vectorized
     # irregular-polygon kernel (_fast_polypoly_predicate)
     ("geo_diamond_join", "geo_diamond_join_counts"),
+    # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
+    ("lm_perplexity", "text_lm_perplexity"),
 ]
 
 
