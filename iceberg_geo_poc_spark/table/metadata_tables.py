@@ -34,6 +34,8 @@ METADATA_TABLES = (
     "partitions",
     "refs",
     "metadata_log_entries",
+    "statistics",
+    "partition_stats",
 )
 
 _ENTRY_COLS = [
@@ -179,4 +181,29 @@ def inspect(table: Table, name: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "file STRING, modified_at_ms LONG, length LONG"
         )
+    if name == "statistics":
+        # reference exposes registered StatisticsFile entries on metadata
+        # (TableMetadata.statisticsFiles); one row per (file, column blob)
+        rows = []
+        for sf in table.meta.statistics_files:
+            for blob in sf.get("blob-metadata", []):
+                rows.append(
+                    (
+                        sf["snapshot-id"],
+                        sf["statistics-path"],
+                        sf["file-size-in-bytes"],
+                        blob.get("type"),
+                        ",".join(blob.get("columns", [])),
+                        int(blob.get("properties", {}).get("ndv", -1)),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id LONG, path STRING, file_size_in_bytes LONG, "
+            "blob_type STRING, columns STRING, ndv LONG",
+        )
+    if name == "partition_stats":
+        from iceberg_geo_poc_spark.table.statistics import read_partition_stats
+
+        return read_partition_stats(table)
     raise ValueError(f"unknown metadata table {name!r}; one of {METADATA_TABLES}")

@@ -181,3 +181,17 @@ def test_stats_aware_join_broadcasts_small_side(spark, catalog):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert j.count() == 20000
+
+
+def test_statistics_metadata_tables(spark, catalog):
+    from iceberg_geo_poc_spark.table.metadata_tables import inspect
+
+    t = _seed(spark, catalog, name="stats_meta")
+    ST.compute_table_stats(t, columns=["grp", "s"])
+    ST.compute_partition_stats(t)
+    t = catalog.load_table("stats_meta")
+    stats = inspect(t, "statistics").toPandas()
+    assert set(stats["columns"]) == {"grp", "s"}
+    assert (stats["ndv"] > 0).all()
+    ps = inspect(t, "partition_stats").toPandas()
+    assert int(ps["data_record_count"].sum()) == 500
