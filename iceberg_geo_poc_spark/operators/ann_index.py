@@ -1,0 +1,157 @@
+"""Persistent IVF index over a managed table: build once, search many.
+
+The inline IVF operators (operators/similarity.py) recompute cluster
+assignment on every query.  At 100 TB that is the wrong shape — the
+index IS the layout.  Here the assignment is PERSISTED as a managed
+engine table partitioned by ``cluster`` (identity transform), so:
+
+- each cluster's vectors live in their own files with ``cluster``
+  min==max stats → a probe's ``cluster IN (...)`` scan prunes to
+  exactly the nprobe partitions it needs (manifest file pruning, no
+  data read outside the probed cells);
+- centroids (tiny: n_centroids x dim doubles) ride in the table
+  properties, versioned with the table metadata — rebuilds are a new
+  snapshot, searches time-travel like any other read;
+- index maintenance inherits the table machinery: append new vectors
+  into their cluster partitions, compact with rewrite_data_files,
+  rebuild = overwrite.
+
+This is the vector-search analogue of the reference's hidden
+partitioning (bucket :: key, hilbert :: geometry — SURVEY §1.3): the
+physical layout encodes the query structure, and planning prunes by it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from iceberg_geo_poc_spark.operators.similarity import (
+    dot_expr,
+    kmeans_centroids,
+    with_norm,
+)
+from iceberg_geo_poc_spark.table import E
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.table import Table
+
+INDEX_DDL = (
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, cluster BIGINT"
+)
+
+
+def build_ivf_index(
+    catalog,
+    name: str,
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> Table:
+    """Cluster the corpus (Lloyd-refined deterministic centroids) and
+    persist assignments into a cluster-partitioned managed table."""
+    cents = kmeans_centroids(emb, n_centroids, iters)
+    base = with_norm(emb)
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.expr(dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .groupBy("vec_id", "embedding", "nrm")
+        .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "nrm",
+            F.col("m.cid").alias("cluster"),
+        )
+    )
+    t = catalog.create_table(
+        name, INDEX_DDL, partition_by=[("cluster", "identity")]
+    )
+    t.append(assign)
+    cent_rows = cents.orderBy("cid").collect()  # bounded: n_centroids rows
+    t.meta.properties["ivf.centroids"] = json.dumps(
+        [[float(x) for x in r["cemb"]] for r in cent_rows]
+    )
+    t.meta.properties["ivf.n-centroids"] = str(n_centroids)
+    MD.write_new_metadata(t.meta, t.meta.version)
+    return t
+
+
+def _centroids_df(index: Table):
+    cents = json.loads(index.meta.properties["ivf.centroids"])
+    rows = [
+        (cid, vec, float(sum(x * x for x in vec)) ** 0.5)
+        for cid, vec in enumerate(cents)
+    ]
+    return index.spark.createDataFrame(
+        rows, "cid BIGINT, cemb ARRAY<DOUBLE>, cnrm DOUBLE"
+    )
+
+
+def ivf_index_search(
+    index: Table, probes: DataFrame, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """Top-k cosine search reading ONLY the probed cluster partitions.
+
+    Probe -> nprobe nearest centroids (broadcast, bounded); the distinct
+    cluster set (<= n_probes * nprobe values) becomes a ``cluster IN``
+    scan predicate, which manifest pruning turns into a partition-pruned
+    file list.  Returns (ia, ib, cosine, rank); callers that need the
+    pruning ratio use ``plan_probe_scan`` directly.
+    """
+    scan, probe_clusters = plan_probe_scan(index, probes, nprobe)
+    cand = scan.to_df().select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    scored = (
+        probe_clusters.join(cand, "cluster")
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .select("ia", "ib", "cosine")
+        .distinct()  # a pair probed via two clusters counts once
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cosine"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("ia", "rank")
+    )
+
+
+def plan_probe_scan(index: Table, probes: DataFrame, nprobe: int = 2):
+    """(TableScan over probed clusters, probe->cluster DataFrame)."""
+    cents = F.broadcast(_centroids_df(index))
+    p = with_norm(probes)
+    pw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.desc("cid"))
+    probe_clusters = (
+        p.crossJoin(cents)
+        .withColumn(
+            "ccos",
+            F.expr(dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= nprobe)
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").cast("array<double>").alias("va"),
+            F.col("nrm").alias("na"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    cluster_ids = sorted(
+        r["cluster"] for r in probe_clusters.select("cluster").distinct().collect()
+    )  # bounded: <= n_probes * nprobe
+    scan = index.scan(where=E.in_("cluster", cluster_ids))
+    return scan, F.broadcast(probe_clusters)

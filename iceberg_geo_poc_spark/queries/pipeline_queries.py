@@ -1073,3 +1073,60 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+_IVF_INDEX_CACHE: dict = {}
+
+
+@query(
+    "sim_ivf_index_search",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_probes,
+           TRUE AS recall_ok,
+           TRUE AS partition_pruned,
+           TRUE AS deterministic
+    FROM (SELECT 1)
+    """,
+)
+def sim_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index (operators/ann_index.py): assignments live in
+    a cluster-partitioned managed table, centroids in table properties,
+    and a probe's ``cluster IN`` scan is partition-pruned by manifest
+    stats — build once, search many (the at-scale layout the inline IVF
+    docstring promises).  Contract booleans: recall@5 >= 0.5 vs brute
+    force at nprobe=2/8, the probe scan read strictly fewer files than
+    the table holds, and a re-search returns the identical result."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+        plan_probe_scan,
+    )
+    from iceberg_geo_poc_spark.operators.similarity import knn_cosine_topk
+    from iceberg_geo_poc_spark.table import Catalog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if sf_dir not in _IVF_INDEX_CACHE:
+        cat = Catalog(tempfile.mkdtemp(prefix="igps_ivf_"), spark)
+        _IVF_INDEX_CACHE[sf_dir] = build_ivf_index(
+            cat, "ivf_idx", emb, n_centroids=8, iters=2
+        )
+    idx = _IVF_INDEX_CACHE[sf_dir]
+    probes = emb.filter("vec_id < 5")
+    scan, _pc = plan_probe_scan(idx, probes, nprobe=2)
+    pruned = 0 < len(scan.files()) < scan.total_data_files()
+    res = ivf_index_search(idx, probes, k=5, nprobe=2)
+    rows = res.collect()  # bounded: n_probes * k rows
+    deterministic = rows == ivf_index_search(idx, probes, k=5, nprobe=2).collect()
+    got = {(r["ia"], r["ib"]) for r in rows}
+    want = {
+        (r["ia"], r["ib"])
+        for r in knn_cosine_topk(emb, n_probes=5, k=5).collect()
+    }
+    recall = len(got & want) / len(want)
+    return spark.createDataFrame(
+        [(len({r["ia"] for r in rows}), recall >= 0.5, bool(pruned), bool(deterministic))],
+        "n_probes BIGINT, recall_ok BOOLEAN, partition_pruned BOOLEAN, "
+        "deterministic BOOLEAN",
+    )

@@ -519,3 +519,34 @@ def test_mixture_sample_rates_and_drop(spark):
     # deterministic: second run keeps the identical set
     again = mixture_sample(df, "doc_id", "dom", {"big": 0.5, "tiny": 0.5})
     assert out.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
+
+
+def test_ivf_index_build_search_prunes_partitions(spark, sf_dir, tmp_path):
+    from iceberg_geo_poc_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+        plan_probe_scan,
+    )
+    from iceberg_geo_poc_spark.operators.similarity import knn_cosine_topk
+    from iceberg_geo_poc_spark.session import load_table
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_index(cat, "ivf_idx", emb, n_centroids=8, iters=2)
+    probes = emb.filter("vec_id < 5")
+    # partition pruning: the probe scan reads only the probed clusters
+    scan, _pc = plan_probe_scan(idx, probes, nprobe=2)
+    assert 0 < len(scan.files()) < scan.total_data_files()
+    res = ivf_index_search(idx, probes, k=5, nprobe=2)
+    rows = res.collect()
+    assert rows == ivf_index_search(idx, probes, k=5, nprobe=2).collect()
+    # recall floor vs brute force
+    exact = knn_cosine_topk(emb, n_probes=5, k=5)
+    got = {(r["ia"], r["ib"]) for r in rows}
+    want = {(r["ia"], r["ib"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+    # index survives reload (centroids in table metadata)
+    idx2 = cat.load_table("ivf_idx")
+    assert ivf_index_search(idx2, probes, k=5, nprobe=2).collect() == rows
