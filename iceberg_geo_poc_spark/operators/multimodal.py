@@ -489,3 +489,96 @@ def sample_media_frames(
             )
 
     return media.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+# -- perceptual hashing ------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),  # 64-bit aHash, hex
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synthesize_patterned_media(
+    docs: DataFrame, n_groups: int = 50, brightness_step: int = 3
+) -> DataFrame:
+    """Deterministic TEXTURED image table for perceptual-hash work:
+    every doc in visual group ``doc_id % n_groups`` carries the same
+    16x16 pseudo-random pattern, shifted by a per-doc uniform
+    brightness delta (bounded so no channel clips).  Near-duplicate
+    ground truth is exactly the group id."""
+
+    _ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % n_groups
+                # deterministic per-group texture (seeded PRNG — every
+                # executor reproduces the same pattern for the same g);
+                # values bounded to 198 so the brightness shift never clips
+                base = (
+                    np.random.RandomState(12345 + g)
+                    .randint(0, 199, (16, 16, 3))
+                    .astype(np.uint8)
+                )
+                b = (did // n_groups * brightness_step) % 57
+                arr = (base + np.uint8(b)).astype(np.uint8)
+                fmt = ("ppm", "bmp", "png")[did % 3]
+                payloads.append(_ENCODERS[fmt](arr))
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/tex-{d}" for d in pdf["doc_id"]],
+                    "format": fmts,
+                    "width": pd.array([16] * len(pdf), dtype="int32"),
+                    "height": pd.array([16] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def perceptual_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit average hash (aHash) over REAL decoded pixels: decode,
+    grayscale, nearest-downsample to hash_size x hash_size, threshold at
+    the mean.  Exactly invariant to uniform (non-clipping) brightness
+    shifts — the visual-dedup property the pipeline relies on.  Narrow
+    Arrow-batched map, no shuffle; the dedup groupBy on the hash is one
+    partial-agg shuffle of 8-byte keys."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, ws, hs = [], [], []
+            for payload, fmt in zip(pdf["payload"], pdf["format"]):
+                arr = decode_image(payload, fmt)
+                h, w = arr.shape[:2]
+                gray = arr[:, :, :3].astype(np.float64).mean(axis=2)
+                ys = (np.arange(hash_size) * h) // hash_size
+                xs = (np.arange(hash_size) * w) // hash_size
+                small = gray[np.ix_(ys, xs)]
+                bits = (small > small.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                hashes.append(f"{val:016x}")
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": hashes,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_batches, PHASH_SCHEMA)

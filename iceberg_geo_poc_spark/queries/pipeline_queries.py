@@ -1130,3 +1130,40 @@ def sim_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probes BIGINT, recall_ok BOOLEAN, partition_pruned BOOLEAN, "
         "deterministic BOOLEAN",
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    SELECT CAST(doc_id % 50 AS BIGINT) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup detection over REAL decoded pixels: each doc's
+    textured image (group pattern + per-doc brightness shift; PPM/BMP/
+    PNG rotate) is decoded, grayscaled, downsampled, and aHash-ed
+    (operators/multimodal.py::perceptual_hash).  aHash is exactly
+    invariant to non-clipping brightness shifts, so the hash groups must
+    be exactly the visual groups ``doc_id % 50`` — the oracle pins every
+    group's representative and size.  A collision between two different
+    patterns, a decode bug, or a broken downsample all break the hash
+    match."""
+    from iceberg_geo_poc_spark.operators.multimodal import (
+        perceptual_hash,
+        synthesize_patterned_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_patterned_media(docs)
+    ph = perceptual_hash(media)
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("rep_doc_id", "n_members")
+        .orderBy("rep_doc_id")
+    )

@@ -550,3 +550,34 @@ def test_ivf_index_build_search_prunes_partitions(spark, sf_dir, tmp_path):
     # index survives reload (centroids in table metadata)
     idx2 = cat.load_table("ivf_idx")
     assert ivf_index_search(idx2, probes, k=5, nprobe=2).collect() == rows
+
+
+def test_phash_brightness_invariance_and_sensitivity(spark):
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        perceptual_hash,
+    )
+    import pandas as pd
+
+    rs = np.random.RandomState(99)
+    base = rs.randint(0, 199, (16, 16, 3)).astype(np.uint8)
+    bright = (base + np.uint8(40)).astype(np.uint8)
+    other = rs.randint(0, 199, (16, 16, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [encode_ppm(a) for a in (base, bright, other)],
+                "uri": ["u1", "u2", "u3"],
+                "format": ["ppm"] * 3,
+                "width": pd.array([16] * 3, dtype="int32"),
+                "height": pd.array([16] * 3, dtype="int32"),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert out[1] == out[2]          # brightness-shift invariant
+    assert out[1] != out[3]          # different texture, different hash
