@@ -373,10 +373,31 @@ class Table:
             from iceberg_geo_poc_spark.table import avro_format as AV
 
             return AV.write_avro_files(out, stage, self.meta.schema_ddl)
+        writer = out.write.format(fmt)
+        if fmt == "parquet":
+            # bloom-filter passthrough (reference TableProperties
+            # PARQUET_BLOOM_FILTER_COLUMN_ENABLED_PREFIX, consumed by
+            # Parquet.java write builders): per-column enable + optional
+            # expected NDV reach parquet-mr via Spark writer options;
+            # Spark's scan then gets row-group bloom skipping for free
+            # (ParquetBloomRowGroupFilter parity, SURVEY §4.6).
+            _bloom_pref = "write.parquet.bloom-filter-enabled.column."
+            _ndv_pref = "write.parquet.bloom-filter-expected-ndv.column."
+            for k, v in self.meta.properties.items():
+                if k.startswith(_bloom_pref) and str(v).lower() == "true":
+                    col = k[len(_bloom_pref):]
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{col}", "true"
+                    )
+                elif k.startswith(_ndv_pref):
+                    col = k[len(_ndv_pref):]
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{col}", str(int(v))
+                    )
         if pcols:
-            out.write.format(fmt).partitionBy([c for c, _ in pcols]).save(stage)
+            writer.partitionBy([c for c, _ in pcols]).save(stage)
         else:
-            out.write.format(fmt).save(stage)
+            writer.save(stage)
         paths = _list_parquet(stage)
         if fmt == "parquet":
             stats = M.harvest_stats(paths)
