@@ -227,8 +227,25 @@ class Table:
             head = base.snapshot_by_id(head_id) if head_id is not None else None
             current = self._entries(head) if head else M.entries_dataframe([])
             new_entries = build_entries(current, base.last_sequence_number + 1)
+            # SnapshotSummary parity (core/.../SnapshotSummary.java): the
+            # standard counter properties ride in the snapshot summary so
+            # metadata-table consumers see commit deltas without diffing
+            # manifests themselves
+            deltas = self._commit_deltas(current, new_entries)
+            snap_summary = dict(summary or {})
+            snap_summary.update(
+                {
+                    "added-data-files": deltas["added_data_files"],
+                    "deleted-data-files": deltas["removed_data_files"],
+                    "added-records": deltas["added_records"],
+                    "deleted-records": deltas["removed_records"],
+                    "added-delete-files": deltas["added_delete_files"],
+                    "total-data-files": deltas["total_data_files"],
+                    "total-records": deltas["total_records"],
+                }
+            )
             snap = self._write_snapshot(
-                operation, new_entries, base, summary, parent=head_id
+                operation, new_entries, base, snap_summary, parent=head_id
             )
             base.snapshots.append(snap)
             if to_branch is not None:
@@ -243,9 +260,7 @@ class Table:
                 MD.write_new_metadata(base, base.version)
                 self.meta = base
                 try:
-                    self._report_commit(
-                        operation, snap, current, new_entries, _attempt + 1
-                    )
+                    self._report_commit(operation, snap, deltas, _attempt + 1)
                 except Exception:  # noqa: BLE001 — never fail a landed commit
                     pass
                 return snap
@@ -253,15 +268,12 @@ class Table:
                 continue
         raise MD.CommitConflict(f"commit failed after {retries} retries")
 
-    def _report_commit(
-        self, operation, snap, current: pd.DataFrame, new_entries: pd.DataFrame,
-        attempts: int,
-    ) -> None:
-        """Emit a CommitReport (reference core/.../metrics/CommitReport.java):
-        added/removed file+record deltas by file-path set difference over
-        the planning frames already in hand — no extra IO."""
-        from iceberg_geo_poc_spark.table import reporting as RPT
-
+    @staticmethod
+    def _commit_deltas(current: pd.DataFrame, new_entries: pd.DataFrame) -> dict:
+        """Added/removed file+record deltas by file-path set difference
+        over the planning frames already in hand — no extra IO.  Shared
+        by the snapshot summary (SnapshotSummary.java counters) and the
+        CommitReport."""
         cur_data = current[current.content == "data"] if len(current) else current
         new_data = new_entries[new_entries.content == "data"]
         cur_paths = set(cur_data.file_path) if len(cur_data) else set()
@@ -275,6 +287,20 @@ class Table:
         cur_del = set(current[current.content != "data"].file_path) if len(current) else set()
         new_del = new_entries[new_entries.content != "data"]
         added_del = int(new_del.file_path.map(lambda p: p not in cur_del).sum()) if len(new_del) else 0
+        return {
+            "added_data_files": int(len(added)),
+            "removed_data_files": int(len(removed)),
+            "added_records": int(added.record_count.sum()) if len(added) else 0,
+            "removed_records": int(removed.record_count.sum()) if len(removed) else 0,
+            "added_delete_files": added_del,
+            "total_data_files": int(len(new_data)),
+            "total_records": int(new_data.record_count.sum()) if len(new_data) else 0,
+        }
+
+    def _report_commit(self, operation, snap, d: dict, attempts: int) -> None:
+        """Emit a CommitReport (reference core/.../metrics/CommitReport.java)."""
+        from iceberg_geo_poc_spark.table import reporting as RPT
+
         RPT.report(
             self.location,
             RPT.CommitReport(
@@ -282,14 +308,8 @@ class Table:
                 snapshot_id=snap.snapshot_id,
                 sequence_number=snap.sequence_number,
                 operation=operation,
-                added_data_files=int(len(added)),
-                removed_data_files=int(len(removed)),
-                added_records=int(added.record_count.sum()) if len(added) else 0,
-                removed_records=int(removed.record_count.sum()) if len(removed) else 0,
-                added_delete_files=added_del,
-                total_data_files=int(len(new_data)),
-                total_records=int(new_data.record_count.sum()) if len(new_data) else 0,
                 attempts=attempts,
+                **d,
             ),
         )
 

@@ -102,3 +102,19 @@ def test_reporter_errors_never_fail_query(spark, catalog):
         assert t.scan(where=E.eq("id", 1)).to_df().count() == 1
     finally:
         RPT.unregister_metrics_reporter(b)
+
+
+def test_snapshot_summary_counters(spark, catalog):
+    """SnapshotSummary.java parity: standard counter properties ride in
+    each snapshot's summary."""
+    t = _seed(spark, catalog, name="rpt_summary")
+    s = t.current_snapshot().summary
+    assert s["added-data-files"] == 1
+    assert s["added-records"] == 100
+    assert s["total-records"] == 400
+    assert s["total-data-files"] == 4
+    t.delete(E.eq("grp", 1))  # metadata-only drop of one file
+    s2 = t.current_snapshot().summary
+    assert s2["deleted-data-files"] == 1
+    assert s2["deleted-records"] == 100
+    assert s2["total-records"] == 300
