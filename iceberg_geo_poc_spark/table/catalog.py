@@ -99,6 +99,26 @@ class Catalog:
 
     table = load_table
 
+    def load_static_table(self, metadata_file: str) -> Table:
+        """Read-only table pinned to ONE metadata document (reference
+        StaticTableOperations.java): no version-hint roll-forward, no
+        refresh, and every commit refuses.  The serializable-scan shape —
+        hand a worker a metadata file path and it sees a frozen view
+        regardless of concurrent commits."""
+        import json as _json
+        import re as _re
+
+        m = _re.search(r"v(\d+)\.metadata\.json$", metadata_file)
+        if not m:
+            raise ValueError(f"not a metadata file path: {metadata_file!r}")
+        doc = _json.loads(
+            MD.backend_for(metadata_file).read(metadata_file)
+        )
+        meta = MD.TableMetadata.from_json(doc, int(m.group(1)))
+        t = Table(meta, self.spark)
+        t._static = True
+        return t
+
     def table_exists(self, name: str) -> bool:
         return os.path.exists(MD.metadata_dir(self._table_location(name)))
 

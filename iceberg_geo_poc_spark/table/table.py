@@ -212,6 +212,11 @@ class Table:
         later via Catalog.cherrypick_snapshot / publish_changes).
         ``to_branch`` commits on top of a branch ref and advances that
         ref instead of main (reference branch writes, toBranch)."""
+        if getattr(self, "_static", False):
+            raise ValueError(
+                "static table is read-only (loaded from a pinned metadata "
+                "file; reference StaticTableOperations.java refuses commits)"
+            )
         retries = int(
             self.meta.properties.get("commit.retry.num-retries", _MAX_COMMIT_RETRIES)
         )

@@ -898,3 +898,26 @@ def test_parquet_bloom_filter_property_passthrough(spark, catalog):
 
     assert total_size(with_bloom) > total_size(plain)
     assert with_bloom.to_df().orderBy("k").collect() == plain.to_df().orderBy("k").collect()
+
+
+def test_static_table_pinned_and_read_only(spark, catalog):
+    """StaticTableOperations parity: a table loaded from one metadata
+    file is frozen at that version and refuses commits."""
+    import os
+
+    from iceberg_geo_poc_spark.table import E
+
+    t = catalog.create_table("static_src", "id BIGINT")
+    t.append(spark.range(10))
+    pinned_version = t.meta.version
+    pinned_path = os.path.join(
+        t.location, "metadata", f"v{pinned_version}.metadata.json"
+    )
+    t.append(spark.range(10, 30))  # advance past the pin
+    st = catalog.load_static_table(pinned_path)
+    assert st.to_df().count() == 10          # frozen view
+    assert catalog.load_table("static_src").to_df().count() == 30
+    with pytest.raises(ValueError, match="read-only"):
+        st.append(spark.range(5))
+    with pytest.raises(ValueError, match="read-only"):
+        st.delete(E.eq("id", 1))
