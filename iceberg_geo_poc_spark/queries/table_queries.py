@@ -1424,7 +1424,12 @@ def managed_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_accounted = (
         sr.result_data_files + sr.skipped_data_files == sr.total_data_files
     )
-    pruned = sr.result_data_files == 1 and sr.skipped_data_files > 0
+    # fast appends leave one delta manifest per event type, so pruning
+    # now happens at the MANIFEST level: the click scan reads one
+    # manifest, skips the rest unread
+    pruned = sr.result_data_files == 1 and (
+        sr.skipped_data_files + sr.skipped_data_manifests > 0
+    )
     # commit contract: the manifest's total records (what the last
     # CommitReport.total_records reported at build time) equal the
     # actual table count

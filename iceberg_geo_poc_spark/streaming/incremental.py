@@ -45,16 +45,14 @@ def added_files_between(
     to_id = to_snapshot_id or table.meta.current_snapshot_id
     if to_id is None:
         return []
-    to_entries = M.read_manifest(
-        os.path.join(table.location, table.meta.snapshot_by_id(to_id).manifest)
+    to_entries = M.read_snapshot_entries(
+        table.location, table.meta.snapshot_by_id(to_id)
     )
     to_files = set(to_entries[to_entries.content == "data"].file_path)
     if from_snapshot_id is None:
         return sorted(to_files)
-    from_entries = M.read_manifest(
-        os.path.join(
-            table.location, table.meta.snapshot_by_id(from_snapshot_id).manifest
-        )
+    from_entries = M.read_snapshot_entries(
+        table.location, table.meta.snapshot_by_id(from_snapshot_id)
     )
     from_files = set(from_entries[from_entries.content == "data"].file_path)
     return sorted(to_files - from_files)
@@ -88,15 +86,11 @@ def changelog(
     prev_files: set[str] | None = None
     by_id = {s.snapshot_id: s for s in table.meta.snapshots}
     for sid in chain:
-        entries = M.read_manifest(
-            os.path.join(table.location, by_id[sid].manifest)
-        )
+        entries = M.read_snapshot_entries(table.location, by_id[sid])
         files = set(entries[entries.content == "data"].file_path)
         if prev_files is None and from_snapshot_id is not None:
-            prev = M.read_manifest(
-                os.path.join(
-                    table.location, by_id[from_snapshot_id].manifest
-                )
+            prev = M.read_snapshot_entries(
+                table.location, by_id[from_snapshot_id]
             )
             prev_files = set(prev[prev.content == "data"].file_path)
         elif prev_files is None:

@@ -307,12 +307,18 @@ def expire_snapshots(
     expired = [s for s in meta.snapshots if s not in keep]
 
     live_files: set[str] = set()
+    live_manifests: set[str] = set()
     for s in keep:
-        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        live_manifests |= set(s.manifest_list())
+        m = M.read_snapshot_entries(table.location, s)
         live_files |= set(m.file_path)
     dead_files: set[str] = set()
+    dead_manifests: set[str] = set()
     for s in expired:
-        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        # fast appends SHARE manifests across snapshots — only delete
+        # manifests no kept snapshot still references
+        dead_manifests |= set(s.manifest_list()) - live_manifests
+        m = M.read_snapshot_entries(table.location, s)
         dead_files |= set(m.file_path) - live_files
 
     for p in dead_files:
@@ -321,8 +327,8 @@ def expire_snapshots(
         # snapshot-cloned entries reference files the table does not own).
         if _owns_path(table, p) and os.path.exists(p):
             os.remove(p)
-    for s in expired:
-        mp = os.path.join(table.location, s.manifest)
+    for rel in dead_manifests:
+        mp = os.path.join(table.location, rel)
         if os.path.exists(mp):
             os.remove(mp)
     meta.snapshots = [s for s in meta.snapshots if s in keep]
@@ -360,7 +366,7 @@ def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
     _check_gc_enabled(table, "remove_orphan_files")
     referenced: set[str] = set()
     for s in table.meta.snapshots:
-        m = M.read_manifest(os.path.join(table.location, s.manifest))
+        m = M.read_snapshot_entries(table.location, s)
         referenced |= set(m.file_path)
     on_disk = set(_list_parquet(os.path.join(table.location, "data"))) | set(
         _list_parquet(os.path.join(table.location, "deletes"))
@@ -373,9 +379,9 @@ def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
 
 
 def rewrite_manifests(table: Table) -> int:
-    """Rewrite the current manifest clustered by partition (reference
-    RewriteManifestsSparkAction; with single-file manifests this is a
-    re-sort for locality of partition-range queries)."""
+    """Consolidate the snapshot's manifest LIST (fast appends leave one
+    delta manifest per commit) into a single manifest clustered by
+    partition (reference RewriteManifestsSparkAction)."""
     entries = table._entries()
     if entries.empty:
         return 0
@@ -417,11 +423,12 @@ def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
             != "false"
         )
         for s in doc.get("snapshots", []):
-            mpath = os.path.join(location, s["manifest"])
-            manifests.add(mpath)
-            if os.path.exists(mpath):
-                m = M.read_manifest(mpath)
-                data_files |= set(m.file_path)
+            for rel in s.get("manifests") or [s["manifest"]]:
+                mpath = os.path.join(location, rel)
+                manifests.add(mpath)
+                if os.path.exists(mpath):
+                    m = M.read_manifest(mpath)
+                    data_files |= set(m.file_path)
         for sf in doc.get("statistics", []) + doc.get("partition-statistics", []):
             stats_files.add(sf["statistics-path"])
     if not gc_enabled:

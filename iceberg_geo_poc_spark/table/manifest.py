@@ -521,3 +521,36 @@ def file_stats_of(row) -> FileStats:
         bbox={k: tuple(v) if v else None for k, v in bbox_raw.items()},
         nans=json.loads(nans_raw) if isinstance(nans_raw, str) and nans_raw else {},
     )
+
+
+def read_snapshot_entries(location: str, snap) -> pd.DataFrame:
+    """Union of a snapshot's manifests (one or many) as one entries
+    frame — the single accessor every consumer goes through so the
+    manifest-list layout is invisible above this line."""
+    frames = [
+        read_manifest(os.path.join(location, rel))
+        for rel in snap.manifest_list()
+    ]
+    return frames[0] if len(frames) == 1 else concat_entries(frames)
+
+
+def merge_bounds(bounds_list: list[dict]) -> dict:
+    """Union of per-manifest column bounds.  A column missing from ANY
+    contributing bounds dict is dropped entirely — missing means "some
+    file lacked stats", and a partial union would claim a range the
+    data can escape."""
+    bounds_list = [b for b in bounds_list if b is not None]
+    if not bounds_list:
+        return {}
+    common = set(bounds_list[0])
+    for b in bounds_list[1:]:
+        common &= set(b)
+    out = {}
+    for col in common:
+        los = [b[col][0] for b in bounds_list]
+        his = [b[col][1] for b in bounds_list]
+        try:
+            out[col] = [min(los), max(his)]
+        except TypeError:
+            continue
+    return out

@@ -25,11 +25,20 @@ class Snapshot:
     sequence_number: int
     timestamp_ms: int
     operation: str  # append | overwrite | delete | replace
-    manifest: str  # manifest parquet path relative to table root
+    manifest: str  # first manifest path (kept for older readers)
     summary: dict = field(default_factory=dict)
+    # manifest LIST (reference: a snapshot points at a manifest list,
+    # not one manifest — Snapshot.allManifests).  Append commits add a
+    # delta manifest and REUSE the parent's manifests unchanged, making
+    # commit cost O(new files); row-level ops consolidate.  None means
+    # the legacy single-manifest form.
+    manifests: list[str] | None = None
+
+    def manifest_list(self) -> list[str]:
+        return list(self.manifests) if self.manifests else [self.manifest]
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "snapshot-id": self.snapshot_id,
             "parent-snapshot-id": self.parent_id,
             "sequence-number": self.sequence_number,
@@ -38,6 +47,9 @@ class Snapshot:
             "manifest": self.manifest,
             "summary": self.summary,
         }
+        if self.manifests is not None:
+            out["manifests"] = self.manifests
+        return out
 
     @staticmethod
     def from_json(o: dict) -> "Snapshot":
@@ -49,6 +61,7 @@ class Snapshot:
             o["operation"],
             o["manifest"],
             o.get("summary", {}),
+            o.get("manifests"),
         )
 
 

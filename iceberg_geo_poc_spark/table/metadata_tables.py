@@ -139,11 +139,12 @@ def inspect(table: Table, name: str) -> DataFrame:
         )
         rows = []
         for s in snaps:
-            p = os.path.join(table.location, s.manifest)
-            rows.append(
-                (s.manifest, os.path.getsize(p) if os.path.exists(p) else None,
-                 s.snapshot_id)
-            )
+            for rel in s.manifest_list():
+                p = os.path.join(table.location, rel)
+                rows.append(
+                    (rel, os.path.getsize(p) if os.path.exists(p) else None,
+                     s.snapshot_id)
+                )
         return spark.createDataFrame(
             rows, "path STRING, length LONG, added_snapshot_id LONG"
         )

@@ -187,12 +187,18 @@ def might_match_column(
 
 
 def plan_files_spark(
-    spark, manifest_path: str, where: E.Expr | None, renames: dict | None = None
+    spark,
+    manifest_path: str | list[str],
+    where: E.Expr | None,
+    renames: dict | None = None,
 ) -> list[str] | None:
-    """Distributed plan: filter the manifest parquet with the pruning
+    """Distributed plan: filter the manifest parquet(s) with the pruning
     Column and collect surviving data-file paths.  None = unsupported
     expression (caller falls back to pandas planning)."""
-    mdf: DataFrame = spark.read.parquet(manifest_path)
+    paths = (
+        [manifest_path] if isinstance(manifest_path, str) else list(manifest_path)
+    )
+    mdf: DataFrame = spark.read.parquet(*paths)
     data = mdf.filter(F.col("content") == "data")
     if where is None:
         return [r.file_path for r in data.select("file_path").collect()]

@@ -62,6 +62,19 @@ def _validate_files_still_live(current: pd.DataFrame, paths) -> None:
         )
 
 
+def _summary_counters(deltas: dict) -> dict:
+    """SnapshotSummary.java standard property names from a deltas dict."""
+    return {
+        "added-data-files": deltas["added_data_files"],
+        "deleted-data-files": deltas["removed_data_files"],
+        "added-records": deltas["added_records"],
+        "deleted-records": deltas["removed_records"],
+        "added-delete-files": deltas["added_delete_files"],
+        "total-data-files": deltas["total_data_files"],
+        "total-records": deltas["total_records"],
+    }
+
+
 class Table:
     def __init__(self, meta: MD.TableMetadata, spark: SparkSession):
         self.meta = meta
@@ -161,7 +174,7 @@ class Table:
         snap = snapshot or self.current_snapshot()
         if snap is None:
             return M.entries_dataframe([])
-        return M.read_manifest(os.path.join(self.location, snap.manifest))
+        return M.read_snapshot_entries(self.location, snap)
 
     def _write_snapshot(
         self,
@@ -186,6 +199,11 @@ class Table:
         bounds = M.manifest_bounds(entries)
         if bounds:
             summary["bounds"] = bounds
+            summary["manifest-bounds"] = {rel_manifest: bounds}
+        if bool((entries.content != "data").any()):
+            # delete entries must be visible to every read regardless of
+            # data-bounds pruning — record which manifests carry them
+            summary["manifest-deletes"] = [rel_manifest]
         snap = MD.Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -194,16 +212,18 @@ class Table:
             operation=operation,
             manifest=rel_manifest,
             summary=summary,
+            manifests=[rel_manifest],
         )
         return snap
 
     def _commit(
         self,
         operation: str,
-        build_entries,
+        build_entries=None,
         summary: dict | None = None,
         stage_only: bool = False,
         to_branch: str | None = None,
+        append_entries: list[dict] | None = None,
     ):
         """Optimistic commit loop: build_entries(current_entries) -> new
         full entry set; retried against fresh metadata on conflict.
@@ -211,7 +231,15 @@ class Table:
         the current pointer (write-audit-publish staging; published
         later via Catalog.cherrypick_snapshot / publish_changes).
         ``to_branch`` commits on top of a branch ref and advances that
-        ref instead of main (reference branch writes, toBranch)."""
+        ref instead of main (reference branch writes, toBranch).
+
+        ``append_entries`` takes the FAST APPEND path (reference
+        FastAppend.java): a delta manifest holding only the new entries
+        is written and the parent's manifests are REUSED unchanged — the
+        commit never reads existing manifests, so append cost is
+        O(new files) regardless of table size.  Row-level/maintenance
+        ops keep the consolidate-to-one-manifest path (which doubles as
+        manifest compaction)."""
         if getattr(self, "_static", False):
             raise ValueError(
                 "static table is read-only (loaded from a pinned metadata "
@@ -230,28 +258,23 @@ class Table:
             else:
                 head_id = base.current_snapshot_id
             head = base.snapshot_by_id(head_id) if head_id is not None else None
-            current = self._entries(head) if head else M.entries_dataframe([])
-            new_entries = build_entries(current, base.last_sequence_number + 1)
-            # SnapshotSummary parity (core/.../SnapshotSummary.java): the
-            # standard counter properties ride in the snapshot summary so
-            # metadata-table consumers see commit deltas without diffing
-            # manifests themselves
-            deltas = self._commit_deltas(current, new_entries)
-            snap_summary = dict(summary or {})
-            snap_summary.update(
-                {
-                    "added-data-files": deltas["added_data_files"],
-                    "deleted-data-files": deltas["removed_data_files"],
-                    "added-records": deltas["added_records"],
-                    "deleted-records": deltas["removed_records"],
-                    "added-delete-files": deltas["added_delete_files"],
-                    "total-data-files": deltas["total_data_files"],
-                    "total-records": deltas["total_records"],
-                }
-            )
-            snap = self._write_snapshot(
-                operation, new_entries, base, snap_summary, parent=head_id
-            )
+            if append_entries is not None:
+                snap, deltas = self._write_append_snapshot(
+                    operation, append_entries, base, dict(summary or {}), head
+                )
+            else:
+                current = self._entries(head) if head else M.entries_dataframe([])
+                new_entries = build_entries(current, base.last_sequence_number + 1)
+                # SnapshotSummary parity (core/.../SnapshotSummary.java):
+                # standard counter properties ride in the snapshot summary
+                # so metadata-table consumers see commit deltas without
+                # diffing manifests themselves
+                deltas = self._commit_deltas(current, new_entries)
+                snap_summary = dict(summary or {})
+                snap_summary.update(_summary_counters(deltas))
+                snap = self._write_snapshot(
+                    operation, new_entries, base, snap_summary, parent=head_id
+                )
             base.snapshots.append(snap)
             if to_branch is not None:
                 base.refs[to_branch] = {
@@ -272,6 +295,85 @@ class Table:
             except MD.CommitConflict:
                 continue
         raise MD.CommitConflict(f"commit failed after {retries} retries")
+
+    def _write_append_snapshot(
+        self,
+        operation: str,
+        append_entries: list[dict],
+        base: MD.TableMetadata,
+        summary: dict,
+        head: MD.Snapshot | None,
+    ) -> tuple[MD.Snapshot, dict]:
+        """Fast-append snapshot: delta manifest + parent manifest reuse
+        (reference FastAppend.java).  Totals roll forward from the
+        parent's summary counters — no manifest is read (legacy parents
+        without counters pay a one-time read)."""
+        snapshot_id = MD.new_snapshot_id()
+        seq = base.last_sequence_number + 1
+        rel = os.path.join("metadata", "manifests", f"snap-{snapshot_id}.parquet")
+        add = M.entries_dataframe(
+            [dict(e, sequence_number=seq, snapshot_id=0) for e in append_entries]
+        )
+        M.write_manifest(add, os.path.join(self.location, rel))
+        prior = head.manifest_list() if head else []
+        manifests = prior + [rel]
+        # carry per-manifest data bounds forward; legacy single-manifest
+        # parents contributed whole-snapshot bounds under "bounds"
+        mbounds: dict = {}
+        mdeletes: list[str] = []
+        if head is not None:
+            hsum = head.summary or {}
+            hb = hsum.get("manifest-bounds")
+            if hb is None and head.manifests is None and hsum.get("bounds"):
+                hb = {head.manifest: hsum["bounds"]}
+            mbounds.update(hb or {})
+            mdeletes = list(hsum.get("manifest-deletes", []))
+        nb = M.manifest_bounds(add)
+        if nb:
+            mbounds[rel] = nb
+        if bool((add.content != "data").any()):
+            mdeletes.append(rel)
+        if mbounds:
+            summary["manifest-bounds"] = mbounds
+        if mdeletes:
+            summary["manifest-deletes"] = mdeletes
+        if len(mbounds) == len(manifests):
+            merged = M.merge_bounds(list(mbounds.values()))
+            if merged:
+                summary["bounds"] = merged
+        add_data = add[add.content == "data"]
+        added_records = int(add_data.record_count.sum()) if len(add_data) else 0
+        psum = (head.summary or {}) if head else {}
+        if head is None:
+            p_files, p_records = 0, 0
+        elif "total-data-files" in psum:
+            p_files, p_records = psum["total-data-files"], psum["total-records"]
+        else:
+            cur = self._entries(head)
+            cd = cur[cur.content == "data"]
+            p_files = int(len(cd))
+            p_records = int(cd.record_count.sum()) if len(cd) else 0
+        deltas = {
+            "added_data_files": int(len(add_data)),
+            "removed_data_files": 0,
+            "added_records": added_records,
+            "removed_records": 0,
+            "added_delete_files": int(len(add)) - int(len(add_data)),
+            "total_data_files": int(p_files) + int(len(add_data)),
+            "total_records": int(p_records) + added_records,
+        }
+        summary.update(_summary_counters(deltas))
+        snap = MD.Snapshot(
+            snapshot_id=snapshot_id,
+            parent_id=head.snapshot_id if head else None,
+            sequence_number=seq,
+            timestamp_ms=MD.now_ms(),
+            operation=operation,
+            manifest=rel,
+            summary=summary,
+            manifests=manifests,
+        )
+        return snap, deltas
 
     @staticmethod
     def _commit_deltas(current: pd.DataFrame, new_entries: pd.DataFrame) -> dict:
@@ -487,22 +589,15 @@ class Table:
         With ``to_branch`` the commit lands on that branch ref instead
         of main (audit there, then Catalog.fast_forward main)."""
         new = self._write_files(df)
-
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            add = M.entries_dataframe(
-                [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
-            )
-            return M.concat_entries([current, add])
-
         summary = {"added-files": len(new)}
         if wap_id is not None:
             summary["wap.id"] = wap_id
         return self._commit(
             "append",
-            build,
-            summary,
+            summary=summary,
             stage_only=wap_id is not None,
             to_branch=to_branch,
+            append_entries=new,
         )
 
     def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
@@ -1244,11 +1339,7 @@ class TableScan:
         self._planned: list[str] | None = None
         self._entries_cache: pd.DataFrame | None = None
         self._residual_noop: bool = False
-
-    def _snapshot_entries(self) -> pd.DataFrame:
-        if self._entries_cache is None:
-            self._entries_cache = self.table._entries(self.snapshot)
-        return self._entries_cache
+        self._kept_manifests: list[str] | None = None
 
     def with_runtime_filter(self, column: str, values) -> "TableScan":
         """Runtime re-pruning with an IN set discovered mid-query — the
@@ -1292,64 +1383,83 @@ class TableScan:
                 )
 
             renames = self.table.meta.renames
-            # manifest-level pruning (reference ManifestGroup.java:251-264
-            # manifest-list summaries): the snapshot carries whole-manifest
-            # column bounds, so a non-matching scan skips reading the
-            # manifest parquet entirely
-            if self.where is not None and self.snapshot is not None:
-                bounds = (self.snapshot.summary or {}).get("bounds")
+            snap = self.snapshot or self.table.current_snapshot()
+            ssum = (snap.summary or {}) if snap else {}
+            mlist = snap.manifest_list() if snap else []
+            # whole-snapshot bounds skip (reference ManifestGroup.java:
+            # 251-264 manifest-list summaries): the merged column bounds
+            # on the snapshot let a non-matching scan skip every manifest
+            if self.where is not None and snap is not None:
+                bounds = ssum.get("bounds")
                 if bounds and not V.manifest_might_match(
                     self.where, bounds, renames
                 ):
                     self._planned = []
                     self._residual_noop = True
+                    self._kept_manifests = []
                     _report(
                         total_data_files=0,
                         result_data_files=0,
                         skipped_data_files=0,
-                        skipped_data_manifests=1,
+                        skipped_data_manifests=len(mlist) or 1,
                     )
                     return self._planned
-            # distributed planning fallback: above ~10^5 entries the
-            # manifest itself is big data — prune it as a Spark filter
-            # over the manifest parquet instead of driver pandas (the
-            # reference's distributed planning mode).  Same inclusive
-            # semantics (parity-tested); strict residual elision is
-            # skipped (conservative: residual filter stays on).
-            if self.where is not None and self._entries_cache is None:
-                snap = self.snapshot or self.table.current_snapshot()
-                if snap is not None:
-                    from iceberg_geo_poc_spark.table import spark_planning as SP
+            # per-MANIFEST pruning: fast appends leave a manifest list
+            # with per-manifest data bounds — manifests whose range the
+            # predicate cannot match are never read (data planning only;
+            # delete-bearing manifests still feed to_df's delete frame)
+            mb = ssum.get("manifest-bounds", {})
+            if self.where is not None and len(mlist) > 1:
+                kept_m = [
+                    m
+                    for m in mlist
+                    if m not in mb
+                    or V.manifest_might_match(self.where, mb[m], renames)
+                ]
+            else:
+                kept_m = list(mlist)
+            self._kept_manifests = kept_m
+            skipped_m = len(mlist) - len(kept_m)
+            # distributed planning fallback: above ~10^5 surviving
+            # entries the manifests themselves are big data — prune them
+            # as a Spark filter over the manifest parquet instead of
+            # driver pandas (the reference's distributed planning mode).
+            # Strict residual elision is skipped (conservative).
+            if self.where is not None and self._entries_cache is None and kept_m:
+                from iceberg_geo_poc_spark.table import spark_planning as SP
 
-                    mpath = os.path.join(self.table.location, snap.manifest)
-                    threshold = int(
-                        self.table.meta.properties.get(
-                            "planning.spark-fallback-threshold",
-                            SP.SPARK_PLAN_THRESHOLD,
-                        )
+                mpaths = [os.path.join(self.table.location, m) for m in kept_m]
+                threshold = int(
+                    self.table.meta.properties.get(
+                        "planning.spark-fallback-threshold",
+                        SP.SPARK_PLAN_THRESHOLD,
                     )
-                    try:
-                        import pyarrow.parquet as _pq
+                )
+                try:
+                    import pyarrow.parquet as _pq
 
-                        n_entries = _pq.read_metadata(mpath).num_rows
-                    except OSError:
-                        n_entries = 0
-                    if n_entries > threshold:
-                        planned = SP.plan_files_spark(
-                            self.table.spark, mpath, self.where, renames
+                    n_entries = sum(
+                        _pq.read_metadata(p).num_rows for p in mpaths
+                    )
+                except OSError:
+                    n_entries = 0
+                if n_entries > threshold:
+                    planned = SP.plan_files_spark(
+                        self.table.spark, mpaths, self.where, renames
+                    )
+                    if planned is not None:
+                        self._planned = planned
+                        self._residual_noop = False
+                        _report(
+                            total_data_files=n_entries,
+                            result_data_files=len(planned),
+                            skipped_data_files=n_entries - len(planned),
+                            scanned_data_manifests=len(kept_m),
+                            skipped_data_manifests=skipped_m,
+                            distributed_planning=True,
                         )
-                        if planned is not None:
-                            self._planned = planned
-                            self._residual_noop = False
-                            _report(
-                                total_data_files=n_entries,
-                                result_data_files=len(planned),
-                                skipped_data_files=n_entries - len(planned),
-                                scanned_data_manifests=1,
-                                distributed_planning=True,
-                            )
-                            return self._planned
-            entries = self._snapshot_entries()
+                        return self._planned
+            entries = self._kept_entries()
             data = entries[entries.content == "data"]
             if self.where is None:
                 self._planned = list(data.file_path)
@@ -1367,12 +1477,41 @@ class TableScan:
                 result_data_files=len(self._planned),
                 skipped_data_files=int(len(data)) - len(self._planned),
                 result_delete_files=int((entries.content != "data").sum()),
-                scanned_data_manifests=1,
+                scanned_data_manifests=len(kept_m) if mlist else 1,
+                skipped_data_manifests=skipped_m,
                 result_file_size_bytes=kept_size,
             )
         return self._planned
 
+    def _kept_entries(self) -> pd.DataFrame:
+        """Entries of the manifests surviving per-manifest pruning,
+        PLUS every delete-bearing manifest (deletes must be applied to
+        whatever data survives, wherever the delete entries live)."""
+        snap = self.snapshot or self.table.current_snapshot()
+        if snap is None:
+            return M.entries_dataframe([])
+        mlist = snap.manifest_list()
+        kept = self._kept_manifests if self._kept_manifests is not None else mlist
+        mdel = (snap.summary or {}).get("manifest-deletes", [])
+        want = list(dict.fromkeys(list(kept) + [m for m in mdel if m in mlist]))
+        if set(want) == set(mlist):
+            return self._snapshot_entries()
+        frames = [
+            M.read_manifest(os.path.join(self.table.location, m)) for m in want
+        ]
+        if not frames:
+            return M.entries_dataframe([])
+        return frames[0] if len(frames) == 1 else M.concat_entries(frames)
+
+    def _snapshot_entries(self) -> pd.DataFrame:
+        if self._entries_cache is None:
+            self._entries_cache = self.table._entries(self.snapshot)
+        return self._entries_cache
+
     def total_data_files(self) -> int:
+        snap = self.snapshot or self.table.current_snapshot()
+        if snap is not None and "total-data-files" in (snap.summary or {}):
+            return int(snap.summary["total-data-files"])
         entries = self._snapshot_entries()
         return int((entries.content == "data").sum())
 
@@ -1382,7 +1521,7 @@ class TableScan:
             df = self.table._empty_df()
         else:
             df = self.table._read_files(
-                files, with_deletes=True, entries=self._snapshot_entries()
+                files, with_deletes=True, entries=self._kept_entries()
             )
             if self.where is not None and not self._residual_noop:
                 # inclusive pruning => full predicate re-applied as residual

@@ -145,9 +145,11 @@ def test_metadata_tables(spark, catalog):
     parts = inspect(t, "partitions")
     assert parts.count() == 1  # unpartitioned: single empty partition tuple
     rewrite_manifests(t)
-    # manifests = current snapshot's manifest; all_manifests = every snapshot's
+    # manifests = current snapshot's manifest list; all_manifests = every
+    # snapshot's — fast appends SHARE manifests, so snapshot 2 lists its
+    # delta AND snapshot 1's reused manifest: 1 + 2 + 1 (consolidated) = 4
     assert inspect(t, "manifests").count() == 1
-    assert inspect(t, "all_manifests").count() == 3
+    assert inspect(t, "all_manifests").count() == 4
     # data_files aliases files; all_data_files spans snapshots (deduped)
     assert inspect(t, "data_files").count() == 2
     assert inspect(t, "all_data_files").count() == 2

@@ -53,9 +53,13 @@ def test_scan_report_counts_pruned_files(spark, catalog, reporter):
     srs = reporter.scan_reports()
     assert len(srs) == 1
     sr = srs[0]
-    assert sr.total_data_files == 4
+    # fast appends leave 4 delta manifests; per-manifest bounds prune 3
+    # of them before any file-level eval (manifest-list pruning), so the
+    # file accounting covers only the scanned manifest
+    assert sr.skipped_data_manifests == 3
+    assert sr.scanned_data_manifests == 1
+    assert sr.total_data_files == 1
     assert sr.result_data_files == len(files) == 1
-    assert sr.skipped_data_files == 3
     assert sr.result_data_files + sr.skipped_data_files == sr.total_data_files
     assert sr.planning_duration_ms >= 0
     assert sr.result_file_size_bytes > 0
@@ -70,7 +74,8 @@ def test_scan_report_manifest_skip(spark, catalog, reporter):
     t.scan(where=E.gt("id", 10**9)).files()
     srs = reporter.scan_reports()
     assert len(srs) == 1
-    assert srs[0].skipped_data_manifests == 1
+    # whole-snapshot bounds skip: all 4 delta manifests skipped unread
+    assert srs[0].skipped_data_manifests == 4
     assert srs[0].result_data_files == 0
 
 
