@@ -224,6 +224,7 @@ class Table:
         stage_only: bool = False,
         to_branch: str | None = None,
         append_entries: list[dict] | None = None,
+        validate_live_paths=None,
     ):
         """Optimistic commit loop: build_entries(current_entries) -> new
         full entry set; retried against fresh metadata on conflict.
@@ -259,6 +260,14 @@ class Table:
                 head_id = base.current_snapshot_id
             head = base.snapshot_by_id(head_id) if head_id is not None else None
             if append_entries is not None:
+                if validate_live_paths:
+                    # MoR row-delta commits must revalidate that the files
+                    # their position deletes reference still exist
+                    # (reference RowDelta validateDataFilesExist): the
+                    # validation READS manifests, but the commit still
+                    # writes only the delta manifest
+                    cur = self._entries(head) if head else M.entries_dataframe([])
+                    _validate_files_still_live(cur, validate_live_paths)
                 snap, deltas = self._write_append_snapshot(
                     operation, append_entries, base, dict(summary or {}), head
                 )
@@ -329,8 +338,13 @@ class Table:
             mbounds.update(hb or {})
             mdeletes = list(hsum.get("manifest-deletes", []))
         nb = M.manifest_bounds(add)
+        has_data = bool((add.content == "data").any())
         if nb:
             mbounds[rel] = nb
+        elif not has_data:
+            # delete-only delta: contributes no data range — explicit
+            # neutral entry so merged bounds stay available
+            mbounds[rel] = {}
         if bool((add.content != "data").any()):
             mdeletes.append(rel)
         if mbounds:
@@ -338,7 +352,8 @@ class Table:
         if mdeletes:
             summary["manifest-deletes"] = mdeletes
         if len(mbounds) == len(manifests):
-            merged = M.merge_bounds(list(mbounds.values()))
+            nonempty = [b for b in mbounds.values() if b]
+            merged = M.merge_bounds(nonempty) if nonempty else {}
             if merged:
                 summary["bounds"] = merged
         add_data = add[add.content == "data"]
@@ -796,17 +811,15 @@ class Table:
         df = self._read_files(paths, with_deletes=True, with_pos=True)
         matches = df.filter(where.to_spark_column(self.geo_fields))
         entries = self._posdel_entries(matches)
-
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            # Position deletes are only valid against the exact files they
-            # were computed from (see _update_mor).
-            _validate_files_still_live(current, paths)
-            add = M.entries_dataframe(
-                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
-            )
-            return M.concat_entries([current, add])
-
-        return self._commit("delete", build, {"delete-files": len(entries)})
+        # row-delta fast commit (reference RowDelta): delta manifest with
+        # only the delete entries; liveness of the targeted files is
+        # revalidated inside the commit loop
+        return self._commit(
+            "delete",
+            summary={"delete-files": len(entries)},
+            append_entries=entries,
+            validate_live_paths=paths,
+        )
 
     def _posdel_entries(self, matches: DataFrame) -> list[dict]:
         """Persist ``(file_path, pos)`` tuples of ``matches`` (which must
@@ -871,13 +884,13 @@ class Table:
                 }
             )
 
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            add = M.entries_dataframe(
-                [dict(e, sequence_number=seq, snapshot_id=0) for e in entries]
-            )
-            return M.concat_entries([current, add])
-
-        return self._commit("delete", build, {"equality-delete-files": len(entries)})
+        # equality deletes need no file-liveness validation: they apply
+        # by key to any lower-sequence data file, whatever compaction does
+        return self._commit(
+            "delete",
+            summary={"equality-delete-files": len(entries)},
+            append_entries=entries,
+        )
 
     def update(
         self,
@@ -935,24 +948,20 @@ class Table:
         finally:
             matches.unpersist()
 
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            # The position deletes reference (file_path, pos) of the planned
-            # files; if a concurrent compaction rewrote any of them the
-            # deletes would point at dead paths while the compacted copy
-            # kept the old rows — fail and let the caller retry.
-            _validate_files_still_live(current, paths)
-            add = M.entries_dataframe(
-                [
-                    dict(e, sequence_number=seq, snapshot_id=0)
-                    for e in del_entries + data_entries
-                ]
-            )
-            return M.concat_entries([current, add])
-
+        # row-delta fast commit: position deletes reference (file_path,
+        # pos) of the planned files — if a concurrent compaction rewrote
+        # any of them the deletes would point at dead paths while the
+        # compacted copy kept the old rows, so the commit loop revalidates
+        # liveness before every attempt (reference RowDelta
+        # validateDataFilesExist).
         return self._commit(
             "overwrite",
-            build,
-            {"delete-files": len(del_entries), "added-data-files": len(data_entries)},
+            summary={
+                "delete-files": len(del_entries),
+                "added-data-files": len(data_entries),
+            },
+            append_entries=del_entries + data_entries,
+            validate_live_paths=paths,
         )
 
     def merge(
@@ -1106,27 +1115,16 @@ class Table:
             if new_rows.limit(1).count():
                 inserted = self._write_files(new_rows)
 
-        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            if del_entries:
-                # Same revalidation as the CoW path: the emitted position
-                # deletes target the planned candidate files and must not
-                # commit if a concurrent rewrite replaced any of them.
-                _validate_files_still_live(current, candidates)
-            add = M.entries_dataframe(
-                [
-                    dict(e, sequence_number=seq, snapshot_id=0)
-                    for e in del_entries + data_entries + inserted
-                ]
-            )
-            return M.concat_entries([current, add])
-
+        # row-delta fast commit; position deletes require the candidate
+        # files to still be live at commit time (revalidated per attempt)
         return self._commit(
             "overwrite",
-            build,
-            {
+            summary={
                 "delete-files": len(del_entries),
                 "added-data-files": len(data_entries) + len(inserted),
             },
+            append_entries=del_entries + data_entries + inserted,
+            validate_live_paths=candidates if del_entries else None,
         )
 
     # ------------------------------------------------------------------
