@@ -259,6 +259,34 @@ class Table:
             else:
                 head_id = base.current_snapshot_id
             head = base.snapshot_by_id(head_id) if head_id is not None else None
+            if append_entries is not None and head is not None:
+                # bounded manifest-list growth (reference
+                # commit.manifest.min-count-to-merge, MergingSnapshotProducer
+                # manifest merging): once the list would exceed the
+                # threshold, this commit consolidates instead of appending
+                # another delta
+                merge_at = int(
+                    self.meta.properties.get(
+                        "commit.manifest.min-count-to-merge", 100
+                    )
+                )
+                if len(head.manifest_list()) + 1 > merge_at:
+                    adds = append_entries
+                    paths_to_check = validate_live_paths
+
+                    def build_entries(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+                        if paths_to_check:
+                            _validate_files_still_live(current, paths_to_check)
+                        add = M.entries_dataframe(
+                            [
+                                dict(e, sequence_number=seq, snapshot_id=0)
+                                for e in adds
+                            ]
+                        )
+                        return M.concat_entries([current, add])
+
+                    append_entries = None
+                    validate_live_paths = None
             if append_entries is not None:
                 if validate_live_paths:
                     # MoR row-delta commits must revalidate that the files

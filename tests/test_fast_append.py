@@ -127,3 +127,17 @@ def test_incremental_read_over_delta_manifests(spark, catalog):
     first = t.snapshots()[0].snapshot_id
     inc = incremental_read(t, from_snapshot_id=first)
     assert inc.count() == 300
+
+
+def test_manifest_list_growth_bounded_by_merge_threshold(spark, catalog):
+    t = catalog.create_table(
+        "fa_merge",
+        "id BIGINT",
+        properties={"commit.manifest.min-count-to-merge": "4"},
+    )
+    for i in range(10):
+        t.append(spark.range(i * 10, (i + 1) * 10).coalesce(1))
+        assert len(t.current_snapshot().manifest_list()) <= 4
+    assert t.to_df().count() == 100
+    # counts stay exact through the merge/delta alternation
+    assert t.current_snapshot().summary["total-records"] == 100
