@@ -1540,3 +1540,46 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_dup"))
         .orderBy("new_doc_id")
     )
+
+
+@query(
+    "managed_fast_append_pruning",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def managed_fast_append_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-append manifest lists under a time-range scan: daily appends
+    leave one delta manifest each (reference FastAppend.java); the
+    2-day scan must prune at the MANIFEST level — strictly fewer
+    manifests read than the snapshot holds — and still return exactly
+    the oracle's rows."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        days = [r[0] for r in df.selectExpr("CAST(ts AS DATE) d").distinct().orderBy("d").collect()]
+        for d in days[:14]:  # bounded: two weeks of dailies
+            t.append(df.filter(F.to_date("ts") == F.lit(d)).coalesce(1))
+        rest = df.filter(F.to_date("ts") > F.lit(days[13])) if len(days) > 14 else None
+        if rest is not None:
+            t.append(rest)
+        return t
+
+    t = _managed(spark, sf_dir, "fa_daily", build)
+    scan = t.scan(
+        where=E.and_(
+            E.ge("ts", "2024-01-10 00:00:00.000000"),
+            E.lt("ts", "2024-01-12 00:00:00.000000"),
+        )
+    )
+    scan.files()
+    n_manifests = len(t.current_snapshot().manifest_list())
+    kept = len(scan._kept_manifests or [])
+    assert n_manifests > 10 and 0 < kept < n_manifests, (
+        f"manifest-level pruning inactive: {kept}/{n_manifests}"
+    )
+    return scan.to_df().select("event_id", "user_id").orderBy("event_id")
