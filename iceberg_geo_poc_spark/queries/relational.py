@@ -1823,3 +1823,38 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "window_trailing_interval_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS trail30
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_trailing_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: trailing-30-day revenue per
+    customer.  Spark's rangeBetween needs a numeric ordering key, so the
+    timestamp is projected to epoch seconds and the frame is
+    [-30*86400, 0] — exactly DuckDB's ``RANGE BETWEEN INTERVAL 30 DAYS
+    PRECEDING`` (both frames are boundary- and peer-inclusive, so ties
+    in o_orderdate see identical frames and the sums agree exactly)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trail30"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
