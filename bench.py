@@ -100,6 +100,37 @@ def _stats_fastpath_ratio(spark) -> dict:
     }
 
 
+def _append_commit_latency(spark) -> dict:
+    """Fast-append commit latency: the early-vs-late medians over 40
+    consecutive single-file appends must stay flat (commit cost is
+    O(new files), not O(table) — delta manifests + parent reuse)."""
+    import statistics
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="igps_ab_"), spark)
+    t = cat.create_table("append_bench", "id BIGINT, v DOUBLE")
+    df = spark.range(1000).select(F.col("id"), F.rand(1).alias("v")).coalesce(1)
+    df.cache(); df.count()
+    times = []
+    for _ in range(40):
+        t0 = time.monotonic()
+        t.append(df)
+        times.append(time.monotonic() - t0)
+    df.unpersist()
+    early = statistics.median(times[1:6])
+    late = statistics.median(times[-5:])
+    return {
+        "early_ms": round(early * 1e3, 1),
+        "late_ms": round(late * 1e3, 1),
+        "flat": late <= early * 2.0,
+    }
+
+
 def _planning_latency(spark) -> dict:
     """Scan-planning latency on a synthetic 100k-entry manifest — the
     reference PlanningBenchmark / DeleteFileIndexBenchmark shape.
@@ -219,6 +250,8 @@ def main() -> None:
         out["stats_fastpath_vs_fullscan"] = ratio
     # scan-planning latency (reference PlanningBenchmark shape)
     out["planning_100k_files"] = _planning_latency(spark)
+    # fast-append commit scaling (O(new), not O(table))
+    out["append_commit_latency"] = _append_commit_latency(spark)
     print(json.dumps(out))
     spark.stop()
 
