@@ -462,6 +462,35 @@ def manifest_bounds(df: pd.DataFrame) -> dict:
                 mn = mn.item() if hasattr(mn, "item") else mn
                 mx = mx.item() if hasattr(mx, "item") else mx
                 out[col] = [mn, mx]
+    # merged geometry bbox per geo column (reference manifest-list
+    # partition summaries carry the geo field bounds the same way):
+    # usable only when EVERY data file recorded a bbox for the column
+    import json as _json
+
+    boxes: dict[str, list] = {}
+    complete: dict[str, bool] = {}
+    for s in data["bbox"]:
+        d = _json.loads(s) if isinstance(s, str) and s else {}
+        for col, bb in d.items():
+            if bb is None:
+                complete[col] = False
+                continue
+            complete.setdefault(col, True)
+            cur = boxes.get(col)
+            boxes[col] = (
+                list(bb)
+                if cur is None
+                else [
+                    min(cur[0], bb[0]), min(cur[1], bb[1]),
+                    max(cur[2], bb[2]), max(cur[3], bb[3]),
+                ]
+            )
+        for col in list(complete):
+            if col not in d:
+                complete[col] = False
+    for col, bb in boxes.items():
+        if complete.get(col):
+            out[f"__bbox__{col}"] = [float(v) for v in bb]
     return out
 
 
@@ -547,6 +576,13 @@ def merge_bounds(bounds_list: list[dict]) -> dict:
         common &= set(b)
     out = {}
     for col in common:
+        if col.startswith("__bbox__"):
+            bbs = [b[col] for b in bounds_list]
+            out[col] = [
+                min(bb[0] for bb in bbs), min(bb[1] for bb in bbs),
+                max(bb[2] for bb in bbs), max(bb[3] for bb in bbs),
+            ]
+            continue
         los = [b[col][0] for b in bounds_list]
         his = [b[col][1] for b in bounds_list]
         try:

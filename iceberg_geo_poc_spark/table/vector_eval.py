@@ -462,6 +462,26 @@ def manifest_might_match(expr: E.Expr, bounds: dict, renames: dict | None = None
             return walk(e.left) and walk(e.right)
         if isinstance(e, E.Or):
             return walk(e.left) or walk(e.right)
+        if isinstance(e, E.SpatialPredicate):
+            bb = bounds.get(f"__bbox__{phys.get(e.column, e.column)}")
+            q = e.value.bounds
+            if not bb:
+                return True
+            if q is None:
+                return False  # empty query geometry matches nothing
+            fxmin, fymin, fxmax, fymax = bb
+            qxmin, qymin, qxmax, qymax = q
+            if e.op == "st_intersects":
+                return not (
+                    fxmax < qxmin or qxmax < fxmin
+                    or fymax < qymin or qymax < fymin
+                )
+            if e.op == "st_covers":
+                return (
+                    fxmin <= qxmin and fymin <= qymin
+                    and fxmax >= qxmax and fymax >= qymax
+                )
+            return True
         if isinstance(e, E.Predicate) and e.op in ("eq", "lt", "le", "gt", "ge", "in"):
             b = bounds.get(phys.get(e.column, e.column))
             if not b:

@@ -141,3 +141,34 @@ def test_manifest_list_growth_bounded_by_merge_threshold(spark, catalog):
     assert t.to_df().count() == 100
     # counts stay exact through the merge/delta alternation
     assert t.current_snapshot().summary["total-records"] == 100
+
+
+def test_spatial_manifest_level_pruning(spark, catalog):
+    """Geometry bbox bounds ride in the snapshot's per-manifest bounds:
+    a quadrant-window spatial scan over quadrant-wise fast appends skips
+    the other quadrants' manifests unread."""
+    from iceberg_geo_poc_spark.geo import box
+    from iceberg_geo_poc_spark.geo.functions import st_point
+    from iceberg_geo_poc_spark.table import E as EE
+
+    t = catalog.create_table(
+        "fa_geo", "id BIGINT, geom BINARY", geometry_columns={"geom": "wkb"}
+    )
+    for qx, qy in [(1, 1), (-1, 1), (-1, -1), (1, -1)]:
+        df = spark.range(50).select(
+            F.col("id"),
+            st_point(
+                (F.col("id") % 10 + 1) * 0.1 * qx,
+                (F.col("id") % 7 + 1) * 0.1 * qy,
+            ).alias("geom"),
+        )
+        t.append(df.coalesce(1))
+    assert len(t.current_snapshot().manifest_list()) == 4
+    scan = t.scan(where=EE.st_intersects("geom", box(0.01, 0.01, 5.0, 5.0)))
+    files = scan.files()
+    assert len(files) == 1
+    assert len(scan._kept_manifests) == 1  # three manifests never read
+    assert scan.to_df().count() == 50
+    # disjoint window: whole-snapshot bbox skip, zero manifests read
+    scan2 = t.scan(where=EE.st_intersects("geom", box(50.0, 50.0, 60.0, 60.0)))
+    assert scan2.files() == []
