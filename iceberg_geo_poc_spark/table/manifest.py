@@ -467,6 +467,9 @@ def manifest_bounds(df: pd.DataFrame) -> dict:
     # usable only when EVERY data file recorded a bbox for the column
     import json as _json
 
+    # non-geo tables: every bbox cell is empty — skip the JSON pass
+    if not data["bbox"].map(lambda s: bool(s) and s != "{}").any():
+        return out
     boxes: dict[str, list] = {}
     complete: dict[str, bool] = {}
     for s in data["bbox"]:
