@@ -158,3 +158,20 @@ def stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (click -> purchase within 1h)."""
     return S.click_purchase_join(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: the event stream staged TWICE (every file
+    duplicated, consumed across separate micro-batches) through
+    ``dropDuplicatesWithinWatermark`` must emit each event exactly once.
+    Watermark-scoped state keeps the key store bounded by the
+    out-of-orderness window, not the stream length."""
+    from iceberg_geo_poc_spark.streaming.structured import dedup_within_watermark
+
+    return dedup_within_watermark(spark, sf_dir).orderBy("event_id")

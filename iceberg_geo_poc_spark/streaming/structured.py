@@ -230,3 +230,37 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
 # google.protobuf.descriptor).  stateful_user_counts above covers the
 # custom-stateful surface on the stable applyInPandasWithState API.
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: the event stream is staged
+    TWICE (two copies of every file, consumed across separate
+    micro-batches) and ``dropDuplicatesWithinWatermark`` on event_id
+    must emit each event exactly once — the state store retains keys
+    only within the watermark delay, so state size tracks the
+    out-of-orderness bound, not the stream length (the streaming-ingest
+    dedup shape of a training-data pipeline)."""
+    path = f"{sf_dir}/events.parquet"
+    key = f"{path}::dup2"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="igps_stream_dup_")
+        os.symlink(path, os.path.join(d, "a.parquet"))
+        os.symlink(path, os.path.join(d, "b.parquet"))
+        _STREAM_DIRS[key] = d
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    for c in _nanos_timestamp_cols(path):
+        ev = ev.withColumn(
+            c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))")
+        )
+    ev = normalize_timestamps(ev)
+    deduped = (
+        ev.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_completion(deduped, output_mode="append")
