@@ -1167,3 +1167,83 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_doc_id", "n_members")
         .orderBy("rep_doc_id")
     )
+
+
+def _duck_curate_sql() -> str:
+    langid = _duck_langid_sql()
+    quality = _duck_quality_sql()
+    return f"""
+    WITH lang_tbl AS ({langid}),
+    qual_tbl AS ({quality}),
+    rep AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents),
+    rep2 AS (
+      SELECT doc_id,
+             list_max(list_transform(list_distinct(words),
+               u -> len(list_filter(words, x -> x = u)))) * 1.0 / n_words
+               AS top_uni,
+             CASE WHEN n_words >= 2 THEN
+               ((n_words - 1) - len(list_distinct(
+                  list_transform(generate_series(1, n_words - 1),
+                                 i -> words[i] || ' ' || words[i+1]))))
+               * 1.0 / (n_words - 1)
+             ELSE 0.0 END AS dup_big
+      FROM rep),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h
+      FROM documents),
+    firsts AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM fp)
+    SELECT l.doc_id, q.quality, q.n_words
+    FROM lang_tbl l
+    JOIN qual_tbl q USING (doc_id)
+    JOIN rep2 r USING (doc_id)
+    JOIN firsts f ON f.doc_id = l.doc_id
+    WHERE l.pred_lang = 'en'
+      AND q.quality >= 0.5
+      AND r.top_uni <= 0.20 AND r.dup_big <= 0.30
+      AND f.doc_id = f.rep_id
+    ORDER BY l.doc_id
+    """
+
+
+@query("pipeline_curate_corpus", oracle=_duck_curate_sql())
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline composed from the operator library —
+    the query a reference user actually runs: language-ID gate (en),
+    heuristic quality floor (>= 0.5), Gopher repetition filter, and
+    keep-first exact-prefix dedup, all joined on doc_id.  Every stage is
+    the already-oracle-checked operator; the composition itself is
+    re-verified end-to-end against one combined DuckDB query."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = text.language_id(docs).select("doc_id", "pred_lang")
+    qual = text.quality_scores(docs)  # doc_id, n_words, quality
+    rep = text.repetition_stats(docs).select("doc_id", "keep")
+    from pyspark.sql import Window
+
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+        ).alias("h"),
+    )
+    firsts = fp.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(firsts, "doc_id")
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("keep")
+            & (F.col("doc_id") == F.col("rep_id"))
+        )
+        .select("doc_id", "quality", "n_words")
+        .orderBy("doc_id")
+    )
