@@ -155,3 +155,31 @@ def plan_probe_scan(index: Table, probes: DataFrame, nprobe: int = 2):
     )  # bounded: <= n_probes * nprobe
     scan = index.scan(where=E.in_("cluster", cluster_ids))
     return scan, F.broadcast(probe_clusters)
+
+
+def ivf_index_insert(index: Table, new_emb: DataFrame) -> None:
+    """Incremental ingest: assign NEW vectors with the index's FROZEN
+    centroids (from table properties) and fast-append them into their
+    cluster partitions — the index stays queryable throughout, the
+    commit is a delta manifest, and probes keep pruning because each new
+    file's ``cluster`` stats stay min==max.  Re-clustering (centroid
+    drift) is a rebuild: ``build_ivf_index`` over the union, an
+    overwrite snapshot."""
+    cents = F.broadcast(_centroids_df(index))
+    base = with_norm(new_emb)
+    assign = (
+        base.crossJoin(cents)
+        .withColumn(
+            "ccos",
+            F.expr(dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .groupBy("vec_id", "embedding", "nrm")
+        .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "nrm",
+            F.col("m.cid").alias("cluster"),
+        )
+    )
+    index.append(assign)

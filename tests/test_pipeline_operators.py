@@ -581,3 +581,31 @@ def test_phash_brightness_invariance_and_sensitivity(spark):
     out = {r["doc_id"]: r["phash"] for r in perceptual_hash(media).collect()}
     assert out[1] == out[2]          # brightness-shift invariant
     assert out[1] != out[3]          # different texture, different hash
+
+
+def test_ivf_index_incremental_insert(spark, sf_dir, tmp_path):
+    from iceberg_geo_poc_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_insert,
+        ivf_index_search,
+        plan_probe_scan,
+    )
+    from iceberg_geo_poc_spark.session import load_table
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.filter("vec_id < 400")
+    rest = emb.filter("vec_id >= 400")
+    idx = build_ivf_index(cat, "ivf_inc", first, n_centroids=8, iters=2)
+    n_manifests_before = len(idx.current_snapshot().manifest_list())
+    ivf_index_insert(idx, rest)
+    # fast append: one delta manifest added, index row count complete
+    assert len(idx.current_snapshot().manifest_list()) == n_manifests_before + 1
+    assert idx.to_df().count() == emb.count()
+    # probes still prune and can now retrieve inserted vectors
+    probes = emb.filter("vec_id < 3")
+    scan, _pc = plan_probe_scan(idx, probes, nprobe=2)
+    assert 0 < len(scan.files()) < scan.total_data_files()
+    res = ivf_index_search(idx, probes, k=50, nprobe=8)
+    assert any(r["ib"] >= 400 for r in res.collect())
