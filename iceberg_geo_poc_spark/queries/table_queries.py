@@ -1583,3 +1583,55 @@ def managed_fast_append_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"manifest-level pruning inactive: {kept}/{n_manifests}"
     )
     return scan.to_df().select("event_id", "user_id").orderBy("event_id")
+
+
+@query(
+    "managed_gdpr_erasure",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS no_trace_on_disk, TRUE AS history_expired
+    FROM events
+    WHERE user_id <> (SELECT MIN(user_id) FROM events)
+    """,
+)
+def managed_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard erasure end-to-end (the right-to-be-forgotten composition a
+    reference user runs): copy-on-write DELETE of one user's rows,
+    expire_snapshots to drop the pre-delete history, remove_orphan_files
+    to sweep stragglers — then PROVE erasure by re-reading every
+    surviving data file raw: zero rows for the erased key anywhere on
+    disk, and no snapshot left that could time-travel them back."""
+    from iceberg_geo_poc_spark.table.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        t.append(df.filter("event_id % 2 = 0").repartition(2))
+        t.append(df.filter("event_id % 2 = 1").repartition(2))
+        victim = df.agg(F.min("user_id")).collect()[0][0]
+        t.delete(E.eq("user_id", int(victim)))
+        expire_snapshots(t, keep_last=1)
+        remove_orphan_files(t)
+        t.meta.properties["__victim"] = str(int(victim))
+        return t
+
+    t = _managed(spark, sf_dir, "gdpr", build)
+    victim = int(t.meta.properties["__victim"])
+    n_rows = t.to_df().count()
+    # raw-disk proof: read every parquet under data/ directly (bypassing
+    # the table layer) and look for the erased key
+    import os as _os
+
+    raw_files = []
+    for root, _d, fs in _os.walk(_os.path.join(t.location, "data")):
+        raw_files += [_os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    raw = spark.read.schema(_EVENTS_DDL).parquet(*raw_files)
+    no_trace = raw.filter(F.col("user_id") == victim).count() == 0
+    history_expired = len(t.snapshots()) == 1
+    return spark.createDataFrame(
+        [(int(n_rows), bool(no_trace), bool(history_expired))],
+        "n_rows BIGINT, no_trace_on_disk BOOLEAN, history_expired BOOLEAN",
+    )
