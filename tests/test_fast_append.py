@@ -172,3 +172,29 @@ def test_spatial_manifest_level_pruning(spark, catalog):
     # disjoint window: whole-snapshot bbox skip, zero manifests read
     scan2 = t.scan(where=EE.st_intersects("geom", box(50.0, 50.0, 60.0, 60.0)))
     assert scan2.files() == []
+
+
+def test_distributed_planning_parity_over_manifest_list(spark, catalog):
+    """The Spark-side planning fallback prunes the SAME file set as the
+    pandas path when the snapshot holds multiple delta manifests."""
+    t = catalog.create_table(
+        "fa_spark_plan",
+        "id BIGINT, grp BIGINT",
+        properties={"planning.spark-fallback-threshold": "1"},
+    )
+    for g in range(4):
+        t.append(
+            spark.range(g * 100, (g + 1) * 100)
+            .select(F.col("id"), F.lit(g).alias("grp"))
+            .coalesce(1)
+        )
+    pred = E.and_(E.ge("id", 150), E.lt("id", 260))
+    scan = t.scan(where=pred)
+    files_spark = sorted(scan.files())
+    # same table, pandas path (raise the threshold back up)
+    t.meta.properties["planning.spark-fallback-threshold"] = "1000000"
+    scan2 = t.scan(where=pred)
+    files_pandas = sorted(scan2.files())
+    assert files_spark == files_pandas
+    assert 0 < len(files_pandas) < 4
+    assert scan2.to_df().count() == 110
