@@ -596,9 +596,27 @@ class Table:
                 # ORC stats came from a distributed agg that already
                 # counted NaNs exactly
                 nan_counts = {p: stats[p][5] for p in paths}
+        # wide-table metrics cap (reference TableProperties
+        # METRICS_MAX_INFERRED_COLUMN_DEFAULTS, default 100): min/max/null
+        # stats are kept only for the first N schema columns, bounding
+        # manifest width on 1000-column tables; later columns simply
+        # cannot prune (conservative, same as the reference)
+        max_cols = int(
+            self.meta.properties.get(
+                "write.metadata.metrics.max-inferred-column-defaults", 100
+            )
+        )
+        kept_cols = {
+            f.split()[0] for f in _ddl_fields(self.meta.schema_ddl)[:max_cols]
+        }
+
+        def _cap(d: dict) -> dict:
+            return {k: v for k, v in d.items() if k in kept_cols}
+
         entries = []
         for p in paths:
             record_count, file_size, lower, upper, nulls = stats[p][:5]
+            lower, upper, nulls = _cap(lower), _cap(upper), _cap(nulls)
             if record_count == 0:
                 os.remove(p)  # empty task output: not a data file
                 continue

@@ -953,3 +953,27 @@ def test_nested_schema_roundtrip_and_row_ops(spark, catalog):
     t.update({"s": F.struct(F.lit(0).alias("a"), F.lit("z").alias("b"))},
              where=E.eq("id", 5))
     assert t.to_df().filter("id = 5").select("s.b").collect()[0][0] == "z"
+
+
+def test_metrics_max_inferred_column_cap(spark, catalog):
+    """write.metadata.metrics.max-inferred-column-defaults bounds stats
+    to the first N schema columns (reference TableProperties
+    METRICS_MAX_INFERRED_COLUMN_DEFAULTS) — later columns carry no
+    min/max and therefore cannot prune (conservative)."""
+    import json as _json
+
+    from iceberg_geo_poc_spark.table import E
+
+    t = catalog.create_table(
+        "metrics_cap",
+        "a BIGINT, b BIGINT, c BIGINT",
+        properties={"write.metadata.metrics.max-inferred-column-defaults": "2"},
+    )
+    t.append(spark.range(100).selectExpr("id AS a", "id AS b", "id AS c").coalesce(1))
+    ent = t._entries()
+    low = _json.loads(ent.iloc[0]["lower"])
+    assert set(low) == {"a", "b"}  # c capped out
+    # pruning works on a, conservative (no skip) on c
+    assert len(t.scan(where=E.gt("a", 10**9)).files()) == 0
+    assert len(t.scan(where=E.gt("c", 10**9)).files()) == 1
+    assert t.scan(where=E.gt("c", 10**9)).to_df().count() == 0  # residual
