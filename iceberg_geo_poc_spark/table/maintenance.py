@@ -365,13 +365,30 @@ def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
     metadata anti-join)."""
     _check_gc_enabled(table, "remove_orphan_files")
     referenced: set[str] = set()
+    referenced_manifests: set[str] = set()
     for s in table.meta.snapshots:
         m = M.read_snapshot_entries(table.location, s)
         referenced |= set(m.file_path)
+        referenced_manifests |= {
+            os.path.join(table.location, rel) for rel in s.manifest_list()
+        }
     on_disk = set(_list_parquet(os.path.join(table.location, "data"))) | set(
         _list_parquet(os.path.join(table.location, "deletes"))
     )
-    orphans = sorted(on_disk - referenced)
+    # delta manifests written by commit attempts that lost the optimistic
+    # race are unreferenced by every snapshot — sweep them too
+    mdir = os.path.join(table.location, "metadata", "manifests")
+    manifest_orphans = (
+        {
+            os.path.join(mdir, f)
+            for f in os.listdir(mdir)
+            if f.endswith(".parquet")
+        }
+        - referenced_manifests
+        if os.path.isdir(mdir)
+        else set()
+    )
+    orphans = sorted((on_disk - referenced) | manifest_orphans)
     if not dry_run:
         for p in orphans:
             os.remove(p)

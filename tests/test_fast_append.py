@@ -198,3 +198,20 @@ def test_distributed_planning_parity_over_manifest_list(spark, catalog):
     assert files_spark == files_pandas
     assert 0 < len(files_pandas) < 4
     assert scan2.to_df().count() == 110
+
+
+def test_orphan_sweep_removes_lost_commit_manifests(spark, catalog):
+    from iceberg_geo_poc_spark.table.maintenance import remove_orphan_files
+
+    t = _seed(spark, catalog, name="fa_orphan_m", n_appends=2)
+    # simulate a lost commit attempt: stray manifest file nobody references
+    import iceberg_geo_poc_spark.table.manifest as M
+
+    stray = os.path.join(t.location, "metadata", "manifests", "snap-999.parquet")
+    M.write_manifest(t._entries().head(1), stray)
+    orphans = remove_orphan_files(t)
+    assert stray in orphans
+    assert not os.path.exists(stray)
+    # live delta manifests untouched
+    t = catalog.load_table("fa_orphan_m")
+    assert t.to_df().count() == 200
