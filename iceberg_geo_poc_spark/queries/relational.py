@@ -1858,3 +1858,44 @@ def window_trailing_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           ROUND(AVG(value) FILTER (event_type = 'click'), 6) AS click,
+           ROUND(AVG(value) FILTER (event_type = 'error'), 6) AS error,
+           ROUND(AVG(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+           ROUND(AVG(value) FILTER (event_type = 'signup'), 6) AS signup,
+           ROUND(AVG(value) FILTER (event_type = 'view'), 6) AS view,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type (explicit value list — the
+    deterministic form that avoids the extra distinct-scan job Spark
+    otherwise runs to discover pivot values; at scale the value list is
+    the difference between one shuffle and two).  Count rides along to
+    pin the group sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    n = None
+    for t in types:
+        c = F.coalesce(F.col(f"{t}_cnt"), F.lit(0))
+        n = c if n is None else (n + c)
+    return piv.select(
+        "user_bucket",
+        *[F.col(f"{t}_avg").alias(t) for t in types],
+        n.cast("long").alias("n"),
+    ).orderBy("user_bucket")
