@@ -126,3 +126,28 @@ def mixture_sample(
         d: min(1.0, total * w / counts[d]) for d, w in target_weights.items()
     }
     return stratified_sample(df, key, domain_col, fractions)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic 3-way split: adds a ``split`` column
+    ('train' | 'val' | 'test') gated on the content hash of ``key`` —
+    the same document lands in the same split on every rerun, on every
+    engine, and across corpus growth (new docs never move old ones,
+    unlike ``randomSplit``).  Contamination-safe by construction when
+    ``key`` is a dedup-stable id."""
+    g_val = int(val_frac * RATE_DENOM)
+    g_test = g_val + int(test_frac * RATE_DENOM)
+    keyed = f"concat(CAST({key} AS STRING), '{salt}')"
+    h = F.expr(f"pmod({spark_hash60(keyed)}, {RATE_DENOM})")
+    return df.withColumn(
+        "split",
+        F.when(h < g_val, "val")
+        .when(h < g_test, "test")
+        .otherwise("train"),
+    )

@@ -1247,3 +1247,38 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "n_words")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             ({duckdb_hash60("CAST(doc_id AS VARCHAR) || 'sp1'")}) % 10000 AS h
+      FROM documents)
+    SELECT CASE WHEN h < 1000 THEN 'val'
+                WHEN h < 2000 THEN 'test'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way split (operators/sampling.py::
+    train_val_test_split): hash-gated 80/10/10 assignment that never
+    moves a document between splits as the corpus grows — the oracle
+    recomputes the identical gate, so membership (not just counts) is
+    pinned via the per-split min doc_id."""
+    from iceberg_geo_poc_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, "doc_id", 0.1, 0.1, salt="sp1")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
