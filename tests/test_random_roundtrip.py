@@ -134,3 +134,46 @@ def test_pruning_never_changes_results(spark, tmp_path_factory, rows, pred):
         str((r.k, r.v)) for r in t.scan(where=pred).to_df().collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=ROWS2,
+    pred=_pred(),
+    del_keys=st.lists(st.integers(min_value=-10, max_value=20), max_size=3),
+    modes=st.lists(st.sampled_from(["copy-on-write", "merge-on-read"]), max_size=3),
+)
+def test_interleaved_appends_deletes_roundtrip(
+    spark, tmp_path_factory, rows, pred, del_keys, modes
+):
+    """Random interleaving of fast appends and CoW/MoR deletes (delta
+    manifests, row-delta commits, consolidations) must equal a plain
+    list model under both the full scan and a random pruned scan."""
+    from iceberg_geo_poc_spark.table import E as EE
+
+    cat = Catalog(str(tmp_path_factory.mktemp("wh")), spark)
+    t = cat.create_table("mix", "k BIGINT, v DOUBLE")
+    typed = [(k, float(v) if v is not None else None) for k, v in rows]
+    model: list = []
+    third = max(1, len(typed) // 3)
+    chunks = [typed[i : i + third] for i in range(0, len(typed), third)]
+    for i, chunk in enumerate(chunks):
+        t.append(spark.createDataFrame(chunk, "k BIGINT, v DOUBLE").coalesce(1))
+        model.extend(chunk)
+        if i < len(del_keys):
+            key = del_keys[i]
+            mode = modes[i] if i < len(modes) else "copy-on-write"
+            t.delete(EE.eq("k", key), mode=mode)
+            model = [r for r in model if r[0] != key]
+    full = spark.createDataFrame(model or [(None, None)], "k BIGINT, v DOUBLE")
+    if not model:
+        assert t.to_df().count() == 0
+        return
+    want = sorted(str((r.k, r.v)) for r in full.filter(pred.to_spark_column()).collect())
+    got = sorted(str((r.k, r.v)) for r in t.scan(where=pred).to_df().collect())
+    assert got == want
+    assert t.to_df().count() == len(model)
