@@ -517,3 +517,25 @@ def pq_adc_topk(
         )
     )
     return _topk(scored, k).orderBy("ia", "rank")
+
+
+def random_projection(
+    emb: DataFrame, out_dim: int = 4, col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with FIXED
+    deterministic sign planes: y_j = dot(x, h_j) / sqrt(out_dim).  Pure
+    codegen (one expression per output dim, no UDF, no shuffle) — the
+    cheap pre-step before ANN when the raw embedding dim is large; the
+    same literal planes embed in the DuckDB oracle, so projected values
+    are value-checkable."""
+    planes = hyperplane_signs(out_dim, dim)
+    scale = out_dim ** 0.5
+    proj = emb
+    for j, p in enumerate(planes):
+        proj = proj.withColumn(
+            f"p{j}",
+            F.round(
+                F.expr(dot_expr(col, plane_literal(p))) / F.lit(scale), 6
+            ),
+        )
+    return proj

@@ -1282,3 +1282,29 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _duck_projection_sql(out_dim: int = 4, dim: int = 64) -> str:
+    planes = hyperplane_signs(out_dim, dim)
+    scale = out_dim ** 0.5
+    cols = ", ".join(
+        f"ROUND(list_dot_product(v, [{', '.join(str(x) for x in p)}]) / {scale!r}, 6) AS p{j}"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, {cols} FROM e ORDER BY vec_id
+    """
+
+
+@query("sim_random_projection", oracle=_duck_projection_sql())
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection to 4 dims (operators/similarity.py::
+    random_projection): fixed deterministic sign planes, pure codegen,
+    exact value parity per projected coordinate."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        similarity.random_projection(emb, out_dim=4)
+        .select("vec_id", "p0", "p1", "p2", "p3")
+        .orderBy("vec_id")
+    )
