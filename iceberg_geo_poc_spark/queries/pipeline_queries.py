@@ -1308,3 +1308,82 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "p0", "p1", "p2", "p3")
         .orderBy("vec_id")
     )
+
+
+def _duck_hash_embed_sql(dim: int = 8, k: int = 5, n_queries: int = 3) -> str:
+    parts = []
+    for j in range(dim):
+        keyed = f"text || '{j}'"
+        parts.append(f"({duckdb_hash60(keyed)} % 1000) / 1000.0")
+    dims = ", ".join(parts)
+    return f"""
+    WITH e AS (SELECT doc_id, [{dims}] AS v FROM documents),
+    n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT a.doc_id AS query_doc, b.doc_id AS hit_doc,
+             ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.doc_id != b.doc_id
+      WHERE a.doc_id < {n_queries}),
+    r AS (SELECT query_doc, hit_doc, cosine,
+                 row_number() OVER (PARTITION BY query_doc
+                                    ORDER BY cosine DESC, hit_doc) AS rank
+          FROM p)
+    SELECT query_doc, hit_doc, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {k} ORDER BY query_doc, rank
+    """
+
+
+@query("text_hash_embedding_retrieval", oracle=_duck_hash_embed_sql())
+def text_hash_embedding_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval end-to-end with DETERMINISTIC text embeddings: each
+    document gets an 8-dim md5-derived vector (a stand-in with the same
+    plumbing as a model embedding — at scale this column comes from a
+    batch-inference job), queries 0-2 retrieve their top-5 neighbors by
+    cosine.  Everything (embedding, norm, dot, ranking) is codegen and
+    exactly replicated in the oracle — the RAG retrieval shape fully
+    value-checked."""
+    dim, k, n_queries = 8, 5, 3
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dims = [
+        F.expr(
+            f"(CAST(conv(substr(md5(concat(text, '{j}')), 1, 15), 16, 10) AS BIGINT)"
+            f" % 1000) / 1000.0"
+        )
+        for j in range(dim)
+    ]
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    base = similarity.with_norm(emb)
+    probes = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_doc"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("hit_doc"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(cand)
+        .filter(F.col("query_doc") != F.col("hit_doc"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(similarity.dot_expr("va", "vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(F.desc("cosine"), F.asc("hit_doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_doc", "hit_doc", "cosine", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_doc", "rank")
+    )
