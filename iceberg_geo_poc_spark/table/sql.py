@@ -176,6 +176,28 @@ def dispatch_sql(catalog, text: str):
         if not catalog.table_exists(t) and m.group("ifex"):
             return None
         return catalog.drop_table(t)
+    m = re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", text, re.I)
+    if m:
+        return catalog.spark.createDataFrame(
+            [(n,) for n in catalog.list_tables()], "tableName STRING"
+        )
+    m = re.match(
+        r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>[\w.]+)\s*;?\s*$", text, re.I
+    )
+    if m:
+        t = catalog.load_table(m.group("table"))
+        rows = []
+        for f in t.schema_ddl().split(","):
+            name, typ = f.strip().split(None, 1)
+            extra = "geometry(" + t.geo_fields[name] + ")" if name in t.geo_fields else ""
+            rows.append((name, typ, extra))
+        for pf in t.partition_fields:
+            rows.append(
+                (f"# partition: {pf.name}", pf.to_json()["transform"], "")
+            )
+        return catalog.spark.createDataFrame(
+            rows, "col_name STRING, data_type STRING, comment STRING"
+        )
     raise SqlError(
         "unsupported statement (this dispatcher covers SELECT/WITH, "
         "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, CREATE/DROP TABLE, "

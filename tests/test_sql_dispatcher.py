@@ -454,3 +454,22 @@ def test_call_compute_stats_procedures(spark, tmp_path):
     assert len(t.meta.partition_statistics_files) == 1
     dry = cat.sql("CALL system.remove_reachable_files('sqlstats', dry_run => true)")
     assert dry["data_files"] >= 1 and dry["statistics_files"] >= 1
+
+
+def test_show_tables_and_describe(spark, tmp_path):
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    cat.create_table(
+        "desc_t",
+        "id BIGINT, geom BINARY, ts TIMESTAMP",
+        partition_by=[("ts", "day"), ("id", "bucket[4]")],
+        geometry_columns={"geom": "wkb"},
+    )
+    names = [r[0] for r in cat.sql("SHOW TABLES").collect()]
+    assert "desc_t" in names
+    rows = {r["col_name"]: r for r in cat.sql("DESCRIBE TABLE desc_t").collect()}
+    assert rows["id"]["data_type"] == "BIGINT"
+    assert rows["geom"]["comment"] == "geometry(wkb)"
+    parts = [k for k in rows if k.startswith("# partition")]
+    assert len(parts) == 2
