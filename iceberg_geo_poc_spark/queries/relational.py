@@ -1899,3 +1899,24 @@ def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"{t}_avg").alias(t) for t in types],
         n.cast("long").alias("n"),
     ).orderBy("user_bucket")
+
+
+@query(
+    "agg_two_phase_skew",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for hot keys: count per event_type
+    via (key, shard) partials then a key-level combine
+    (operators/skew.py::two_phase_count) — the hot key's rows never
+    converge on one reducer with unbounded input, and the result equals
+    the plain GROUP BY exactly."""
+    from iceberg_geo_poc_spark.operators.skew import two_phase_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_phase_count(ev, "event_type").select(
+        "event_type", F.col("n").cast("long").alias("n")
+    ).orderBy("event_type")
