@@ -1635,3 +1635,69 @@ def managed_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_rows), bool(no_trace), bool(history_expired))],
         "n_rows BIGINT, no_trace_on_disk BOOLEAN, history_expired BOOLEAN",
     )
+
+
+@query(
+    "managed_manifest_consolidation",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def managed_manifest_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_manifests over a fast-append manifest LIST: five delta
+    manifests consolidate to one (reference RewriteManifestsSparkAction)
+    and the scan result is unchanged — asserted in-query, rows pinned by
+    the oracle."""
+    from iceberg_geo_poc_spark.table.maintenance import rewrite_manifests
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        for et in ["click", "error", "purchase", "signup", "view"]:
+            t.append(df.filter(F.col("event_type") == et).coalesce(1))
+        assert len(t.current_snapshot().manifest_list()) == 5
+        rewrite_manifests(t)
+        return t
+
+    t = _managed(spark, sf_dir, "manifest_consol", build)
+    assert len(t.current_snapshot().manifest_list()) == 1, "not consolidated"
+    return (
+        t.scan(where=E.eq("event_type", "purchase"))
+        .to_df()
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "managed_identifier_eq_delete",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    WHERE user_id NOT IN (SELECT user_id FROM events
+                          WHERE event_type = 'error' AND value >= 98)
+    ORDER BY event_id
+    """,
+)
+def managed_identifier_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET IDENTIFIER FIELDS drives the DEFAULT equality-delete key
+    (reference identifier-field-ids as the default equality delete
+    columns): deleting by a keys frame with extra columns uses only the
+    identifier column, removing every event of the matched users."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(2))
+        cat.set_identifier_fields(tname, ["user_id"])
+        t = cat.load_table(tname)
+        bad_users = (
+            _events_df(spark, sf_dir)
+            .filter("event_type = 'error' AND value >= 98")
+            .select("user_id", "event_id")  # extra column: identifiers win
+            .distinct()
+        )
+        t.delete_by_keys(bad_users.select("user_id"))
+        return t
+
+    t = _managed(spark, sf_dir, "ident_eqdel", build)
+    return t.to_df().select("event_id", "user_id").orderBy("event_id")
