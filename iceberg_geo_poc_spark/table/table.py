@@ -471,6 +471,22 @@ class Table:
 
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Write df as data files; return entry dicts (no seq/snap)."""
+        # write-schema validation (reference TypeUtil.validateWriteSchema
+        # via SparkWrite): the incoming frame must carry exactly the
+        # table's columns — a misnamed or missing column would otherwise
+        # be written as-is and silently read back as NULLs
+        expected = self.columns()
+        got = list(df.columns)
+        missing = [c for c in expected if c not in got]
+        extra = [c for c in got if c not in expected]
+        if missing or extra:
+            raise ValueError(
+                f"write schema mismatch for table {self.location!r}: "
+                f"missing columns {missing}, unexpected columns {extra}; "
+                f"table schema is ({self.schema_ddl()})"
+            )
+        if got != expected:
+            df = df.select(*expected)
         # INT96 (the legacy default) writes no parquet min/max stats —
         # timestamp columns would be invisible to manifest pruning.  The
         # conf is runtime-settable; force it even under a caller-provided

@@ -977,3 +977,18 @@ def test_metrics_max_inferred_column_cap(spark, catalog):
     assert len(t.scan(where=E.gt("a", 10**9)).files()) == 0
     assert len(t.scan(where=E.gt("c", 10**9)).files()) == 1
     assert t.scan(where=E.gt("c", 10**9)).to_df().count() == 0  # residual
+
+
+def test_write_schema_validation(spark, catalog):
+    """Appends with misnamed, missing, or extra columns are rejected
+    (reference validateWriteSchema) instead of silently writing data the
+    declared read schema would NULL out."""
+    t = catalog.create_table("wsv", "id BIGINT, v DOUBLE")
+    with pytest.raises(ValueError, match="unexpected columns.*wrong"):
+        t.append(spark.range(5).select(F.col("id"), F.lit(1.0).alias("wrong")))
+    with pytest.raises(ValueError, match="missing columns.*'v'"):
+        t.append(spark.range(5).select("id"))
+    # column order does not matter; the writer reorders
+    t.append(spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v", "id"))
+    assert t.to_df().count() == 5
+    assert t.to_df().filter("v = CAST(id AS DOUBLE)").count() == 5
