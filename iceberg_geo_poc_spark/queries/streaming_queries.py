@@ -175,3 +175,35 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     from iceberg_geo_poc_spark.streaming.structured import dedup_within_watermark
 
     return dedup_within_watermark(spark, sf_dir).orderBy("event_id")
+
+
+@query(
+    "stream_partitioned_table_sink",
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def stream_partitioned_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming append into a PARTITIONED managed table: each epoch's
+    snapshot lands rows in their identity partitions, so a post-stream
+    scan on the partition column is file-pruned (asserted in-query) —
+    streaming ingest feeding the same hidden-partitioning layout batch
+    writes get."""
+    from iceberg_geo_poc_spark.queries.table_queries import _managed
+    from iceberg_geo_poc_spark.table import E as EE
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+            partition_by=[("event_type", "identity")],
+        )
+        S.stream_append_to_table(spark, sf_dir, t)
+        return t.refresh()
+
+    t = _managed(spark, sf_dir, "stream_psink", build)
+    scan = t.scan(where=EE.eq("event_type", "click"))
+    assert 0 < len(scan.files()) < scan.total_data_files(), "partition pruning inactive"
+    return scan.to_df().select("event_id", "user_id").orderBy("event_id")
