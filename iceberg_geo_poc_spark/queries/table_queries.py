@@ -1701,3 +1701,46 @@ def managed_identifier_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _managed(spark, sf_dir, "ident_eqdel", build)
     return t.to_df().select("event_id", "user_id").orderBy("event_id")
+
+
+@query(
+    "stats_fastpath_filtered_agg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def stats_fastpath_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED aggregate answered from manifest stats alone: per-type
+    appends make ``event_type = 'click'`` resolve at file granularity
+    (every kept file strict-matches), so COUNT/MIN/MAX come from the
+    manifest without touching data (reference filter pushdown +
+    pushAggregation over the residual-free pruned scan).  Bails (and
+    would fail the in-query assert) if any file only partially
+    matched."""
+    from iceberg_geo_poc_spark.table.stats_agg import try_stats_aggregate
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        df = _events_df(spark, sf_dir)
+        types = [
+            r[0]
+            for r in df.select("event_type").distinct().orderBy("event_type").collect()
+        ]
+        for et in types:
+            t.append(df.filter(F.col("event_type") == et).coalesce(1))
+        return t
+
+    t = _managed(spark, sf_dir, "scan_rpt", build)  # shares the per-type recipe
+    vals = try_stats_aggregate(
+        t,
+        ["count(*)", "min(event_id)", "max(event_id)"],
+        where=E.eq("event_type", "click"),
+    )
+    assert vals is not None, "filtered stats fast path bailed"
+    return spark.createDataFrame(
+        [(int(vals[0]), int(vals[1]), int(vals[2]))],
+        "n_clicks BIGINT, min_id BIGINT, max_id BIGINT",
+    )

@@ -21,10 +21,16 @@ _AGG_RE = re.compile(
 )
 
 
-def try_stats_aggregate(table: Table, aggs: list[str]) -> list | None:
+def try_stats_aggregate(table: Table, aggs: list[str], where=None) -> list | None:
     """Evaluate e.g. ['count(*)', 'min(l_quantity)', 'max(l_shipdate)']
     from manifest stats.  Returns the value row, or None when the fast
     path must bail (deletes present / stats missing / unsupported agg).
+
+    With ``where``, the fast path answers FILTERED aggregates exactly
+    when the filter resolves at file granularity: files the inclusive
+    evaluator keeps must ALL strict-match (the reference shape — filter
+    pushdown eliminates the residual, then pushAggregation runs over
+    the pruned scan).  Any partially-matching file bails to a real scan.
     """
     parsed = []
     for a in aggs:
@@ -37,6 +43,15 @@ def try_stats_aggregate(table: Table, aggs: list[str]) -> list | None:
     if entries.content.isin(["posdel", "eqdel"]).any():
         return None  # deleted rows make stats counts wrong -> full scan
     data = entries[entries.content == "data"]
+    if where is not None and len(data):
+        from iceberg_geo_poc_spark.table import vector_eval as V
+
+        sv = V.StatsView(data, table.meta.renames)
+        keep = V.might_match(where, sv)
+        strict = V.all_match(where, sv)
+        if not bool(strict[keep].all()):
+            return None  # some kept file only partially matches: residual needed
+        data = data[keep]
 
     # columnar over the flattened stat columns — no per-file Python loop
     # (SURVEY §4.3; the itertuples form is minutes of driver CPU at 10^6

@@ -992,3 +992,28 @@ def test_write_schema_validation(spark, catalog):
     t.append(spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v", "id"))
     assert t.to_df().count() == 5
     assert t.to_df().filter("v = CAST(id AS DOUBLE)").count() == 5
+
+
+def test_filtered_stats_fastpath_bails_on_partial_match(spark, catalog):
+    """The filtered aggregate fast path answers only when every kept
+    file strict-matches; a range predicate crossing file boundaries
+    bails to None (residual needed)."""
+    from iceberg_geo_poc_spark.table import E
+    from iceberg_geo_poc_spark.table.stats_agg import try_stats_aggregate
+
+    t = catalog.create_table("fsfp", "id BIGINT, grp BIGINT")
+    for g in range(4):
+        t.append(
+            spark.range(g * 100, (g + 1) * 100)
+            .selectExpr("id", f"CAST({g} AS LONG) AS grp")
+            .coalesce(1)
+        )
+    # file-aligned: whole files match -> answered from stats
+    vals = try_stats_aggregate(
+        t, ["count(*)", "min(id)", "max(id)"], where=E.ge("id", 200)
+    )
+    assert vals == [200, 200, 399]
+    # crosses a file boundary: must bail
+    assert (
+        try_stats_aggregate(t, ["count(*)"], where=E.ge("id", 150)) is None
+    )
