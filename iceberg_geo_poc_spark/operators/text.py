@@ -378,3 +378,30 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+def novelty_scores(docs: DataFrame) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-word
+    shingles that occur in NO other document — the inverse of the
+    contamination/duplication signals, used to up-weight genuinely new
+    content in curation.  Shape: one partial-agg groupBy over the
+    inverted shingle index (doc count per shingle), one equi-join back,
+    one per-doc average — never an all-pairs comparison."""
+    from iceberg_geo_poc_spark.operators.dedup import with_shingles
+
+    sh = with_shingles(with_words(docs)).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg((F.col("n_docs") == 1).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1387,3 +1387,37 @@ def text_hash_embedding_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("query_doc", "hit_doc", "cosine", F.col("rank").cast("long").alias("rank"))
         .orderBy("query_doc", "rank")
     )
+
+
+@query(
+    "text_novelty_scores",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    df_counts AS (
+      SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM inv GROUP BY s),
+    scored AS (
+      SELECT i.doc_id,
+             COUNT(*) AS n_shingles,
+             ROUND(AVG(CASE WHEN d.n_docs = 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS novelty
+      FROM inv i JOIN df_counts d USING (s)
+      GROUP BY i.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, novelty
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty — fraction of distinct 3-gram shingles unique to
+    the document (operators/text.py::novelty_scores); inverted-index
+    shape, exact parity."""
+    from iceberg_geo_poc_spark.operators.text import novelty_scores
+
+    return (
+        novelty_scores(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "novelty",
+        )
+        .orderBy("doc_id")
+    )
