@@ -1283,6 +1283,7 @@ _SQL_FUNCTIONS = {
     "st_envelope": st_envelope_udf,
     "st_centroid": st_centroid_udf,
     "st_hilbert": st_hilbert_udf,
+    "st_makeenvelope": st_makeenvelope_udf,
 }
 
 

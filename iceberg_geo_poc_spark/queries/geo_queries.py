@@ -598,3 +598,35 @@ def geo_envelope_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (st_ymax_udf(F.col("envelope")) == F.col("ymax"))
         ).alias("envelope_wkb_valid"),
     ).orderBy("quadrant")
+
+
+@query(
+    "geo_sql_function_surface",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND({_LON}, 6) AS x, ROUND({_LAT}, 6) AS y
+    FROM lineitem
+    WHERE {_LON} >= -30.0 AND {_LON} <= 30.0
+      AND {_LAT} >= -15.0 AND {_LAT} <= 15.0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def geo_sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The st_* surface through SQL TEXT: register_geo_functions
+    exposes the UDFs to spark.sql (the entry point the reference's
+    Sedona SPI serves), and a pure-SQL query builds points, applies
+    st_covers against an st_makeenvelope window, and reads coordinates
+    back with st_x/st_y — oracle-pinned per row."""
+    from iceberg_geo_poc_spark.geo.functions import register_geo_functions
+
+    register_geo_functions(spark)
+    _lineitem_points(spark, sf_dir).createOrReplaceTempView("geo_pts_sql")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(st_x(geom), 6) AS x, ROUND(st_y(geom), 6) AS y
+        FROM geo_pts_sql
+        WHERE st_covers(st_makeenvelope(-30.0D, -15.0D, 30.0D, 15.0D), geom)
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )

@@ -1744,3 +1744,38 @@ def stats_fastpath_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(vals[0]), int(vals[1]), int(vals[2]))],
         "n_clicks BIGINT, min_id BIGINT, max_id BIGINT",
     )
+
+
+@query(
+    "managed_avro_mor_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 10 >= 7 AND NOT (o_orderstatus = 'F')
+    ORDER BY o_orderkey
+    """,
+)
+def managed_avro_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION deletes on an AVRO table: the igps_avro
+    reader synthesizes (__file_path, __pos) during its sequential
+    decode, so row-delta deletes work on avro data files (the reference
+    position-delete path is parquet-row-index based; the Python
+    DataSource generalizes it).  Oracle pins the surviving rows."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+            file_format="avro",
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).filter("o_orderkey % 10 >= 7")
+        t.append(o.coalesce(2))
+        t.delete(E.eq("o_orderstatus", "F"), mode="merge-on-read")
+        return t
+
+    t = _managed(spark, sf_dir, "avro_mor", build)
+    return t.to_df().select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    ).orderBy("o_orderkey")
