@@ -28,7 +28,10 @@ class Catalog:
     def __init__(self, warehouse: str, spark: SparkSession):
         self.warehouse = warehouse
         self.spark = spark
-        os.makedirs(warehouse, exist_ok=True)
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        if io_for(warehouse).is_posix:
+            os.makedirs(warehouse, exist_ok=True)
 
     def _table_location(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -49,7 +52,7 @@ class Catalog:
         Parquet-only, SURVEY §1.2); avro tables (pure-Python OCF codec +
         Python DataSource, table/avro_format.py) are unpartitioned."""
         location = self._table_location(name)
-        if os.path.exists(MD.metadata_dir(location)):
+        if MD.table_exists_at(location):
             raise ValueError(f"table {name} already exists")
         fmt_prop = (properties or {}).get("write.format.default")
         if fmt_prop:
@@ -120,14 +123,22 @@ class Catalog:
         return t
 
     def table_exists(self, name: str) -> bool:
-        return os.path.exists(MD.metadata_dir(self._table_location(name)))
+        return MD.table_exists_at(self._table_location(name))
 
     def list_tables(self) -> list[str]:
-        out = []
-        for d in sorted(os.listdir(self.warehouse)):
-            if os.path.exists(MD.metadata_dir(os.path.join(self.warehouse, d))):
-                out.append(d)
-        return out
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        fio = io_for(self.warehouse)
+        names = (
+            sorted(os.listdir(self.warehouse))
+            if fio.is_posix
+            else fio.listdir(self.warehouse)
+        )
+        return [
+            d
+            for d in names
+            if MD.table_exists_at(os.path.join(self.warehouse, d))
+        ]
 
     def drop_table(self, name: str, purge: bool = False) -> None:
         """``purge=True`` walks EVERY metadata version and physically
@@ -136,7 +147,10 @@ class Catalog:
         the gc.enabled ownership guard; plain drop removes the table
         directory (or just unregisters a registered table)."""
         loc = self._table_location(name)
-        if os.path.islink(loc):
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        fio = io_for(loc)
+        if fio.is_posix and os.path.islink(loc):
             os.unlink(loc)  # registered table: unregister, leave data in place
         elif purge:
             from iceberg_geo_poc_spark.table.maintenance import (
@@ -144,8 +158,11 @@ class Catalog:
             )
 
             delete_reachable_files(loc)
-        else:
+        elif fio.is_posix:
             shutil.rmtree(loc)
+        else:
+            for p in fio.list_files(loc):
+                fio.delete(p)
 
     # ------------------------------------------------------------------
     # DDL

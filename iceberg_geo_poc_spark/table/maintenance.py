@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -47,6 +48,8 @@ def _check_gc_enabled(table: Table, action: str) -> None:
 
 
 def _owns_path(table: Table, path: str) -> bool:
+    if "://" in table.location:  # object-store URI: plain prefix ownership
+        return path.startswith(table.location.rstrip("/") + "/")
     loc = os.path.abspath(table.location) + os.sep
     return os.path.abspath(path).startswith(loc)
 
@@ -211,9 +214,11 @@ def rewrite_position_delete_files(
     live = table.spark.createDataFrame(
         [(p,) for p in entries[entries.content == "data"].file_path], "file_path string"
     )
-    tuples = table.spark.read.parquet(*dels.file_path.tolist())
+    from iceberg_geo_poc_spark.table.table import _read_parquet_any
+
+    tuples = _read_parquet_any(table.spark, dels.file_path.tolist())
     kept_tuples = tuples.join(F.broadcast(live), "file_path", "left_semi")
-    stage = os.path.join(table.location, "deletes", uuid.uuid4().hex[:12])
+    stage, final_dir = table._stage_dir("deletes")
     kept_tuples.coalesce(1).write.parquet(stage)
     new_entries = []
     for p in _list_parquet(stage):
@@ -234,6 +239,7 @@ def rewrite_position_delete_files(
             }
         )
 
+    new_entries = table._finalize_staged(new_entries, stage, final_dir)
     old_paths = set(dels.file_path)
 
     def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -321,16 +327,19 @@ def expire_snapshots(
         m = M.read_snapshot_entries(table.location, s)
         dead_files |= set(m.file_path) - live_files
 
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    _fio = io_for(table.location)
     for p in dead_files:
         # Belt and braces on top of the gc.enabled check: never physically
         # delete a file outside this table's own location (imported /
         # snapshot-cloned entries reference files the table does not own).
-        if _owns_path(table, p) and os.path.exists(p):
-            os.remove(p)
+        if _owns_path(table, p) and _fio.exists(p):
+            _fio.delete(p)
     for rel in dead_manifests:
         mp = os.path.join(table.location, rel)
-        if os.path.exists(mp):
-            os.remove(mp)
+        if _fio.exists(mp):
+            _fio.delete(mp)
     meta.snapshots = [s for s in meta.snapshots if s in keep]
     # statistics files are snapshot-scoped: expiring the snapshot expires
     # its stats file too (reference RemoveSnapshots drops StatisticsFile
@@ -348,8 +357,8 @@ def expire_snapshots(
                 continue
             n_stats_dropped += 1
             p = sf[path_key]
-            if _owns_path(table, p) and os.path.exists(p):
-                os.remove(p)
+            if _owns_path(table, p) and _fio.exists(p):
+                _fio.delete(p)
         setattr(meta, attr, kept_stats)
     MD.write_new_metadata(meta, meta.version)
     return {
@@ -359,11 +368,37 @@ def expire_snapshots(
     }
 
 
-def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
+def remove_orphan_files(
+    table: Table, dry_run: bool = False, older_than_ms: int | None = None
+) -> list[str]:
     """Delete files under the table location not referenced by any
     snapshot (reference DeleteOrphanFilesSparkAction: listing vs
-    metadata anti-join)."""
+    metadata anti-join).
+
+    ``older_than_ms`` is an absolute epoch-millis cutoff: only files whose
+    mtime is strictly older are candidates.  A concurrent commit writes
+    its data files and delta manifest BEFORE winning the metadata swap, so
+    a sweep racing that commit would otherwise delete files the winning
+    snapshot is about to reference.  The reference defends with an
+    olderThan threshold defaulting to 3 days
+    (spark/.../DeleteOrphanFilesSparkAction.java); pass
+    ``now_ms - 3*86400*1000`` for the same posture.  ``None`` keeps the
+    historical sweep-everything behavior for single-writer tests."""
     _check_gc_enabled(table, "remove_orphan_files")
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    _fio = io_for(table.location)
+
+    def _young(p: str) -> bool:
+        if older_than_ms is None:
+            return False
+        try:
+            mt = _fio.mtime_ms(p)
+        except OSError:
+            return True  # vanished mid-sweep: a racing commit owns it
+        # stores without a usable mtime cannot prove age: treat as young
+        # (never delete) rather than risk racing a concurrent commit
+        return mt is None or mt >= older_than_ms
     referenced: set[str] = set()
     referenced_manifests: set[str] = set()
     for s in table.meta.snapshots:
@@ -378,20 +413,19 @@ def remove_orphan_files(table: Table, dry_run: bool = False) -> list[str]:
     # delta manifests written by commit attempts that lost the optimistic
     # race are unreferenced by every snapshot — sweep them too
     mdir = os.path.join(table.location, "metadata", "manifests")
-    manifest_orphans = (
-        {
-            os.path.join(mdir, f)
-            for f in os.listdir(mdir)
-            if f.endswith(".parquet")
-        }
-        - referenced_manifests
-        if os.path.isdir(mdir)
-        else set()
+    manifest_orphans = {
+        os.path.join(mdir, f)
+        for f in _fio.listdir(mdir)
+        if f.endswith(".parquet")
+    } - referenced_manifests
+    orphans = sorted(
+        p
+        for p in (on_disk - referenced) | manifest_orphans
+        if not _young(p)
     )
-    orphans = sorted((on_disk - referenced) | manifest_orphans)
     if not dry_run:
         for p in orphans:
-            os.remove(p)
+            _fio.delete(p)
     return orphans
 
 
@@ -422,28 +456,40 @@ def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
     snapshot-clone) are counted but never deleted — same ownership
     posture as expire_snapshots.  Returns per-category counts.
     """
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    _fio = io_for(location)
     mdir = MD.metadata_dir(location)
-    if not os.path.isdir(mdir):
+    if not _fio.listdir(mdir):
         raise FileNotFoundError(f"no table metadata under {location}")
+    # numeric version sort: lexicographic would put v10 before v2, so the
+    # gc.enabled guard would be read from whatever version happens to sort
+    # last instead of the actual latest metadata
     versions = sorted(
-        f for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".metadata.json")
+        (
+            f for f in _fio.listdir(mdir)
+            if re.match(r"v(\d+)\.metadata\.json$", f)
+        ),
+        key=lambda f: int(re.match(r"v(\d+)", f).group(1)),
     )
     data_files: set[str] = set()
     manifests: set[str] = set()
     stats_files: set[str] = set()
     gc_enabled = True
     for v in versions:
-        doc = json.loads(open(os.path.join(mdir, v), "rb").read())
-        gc_enabled = (
-            str(doc.get("properties", {}).get("gc.enabled", "true")).lower()
-            != "false"
-        )
+        doc = json.loads(_fio.read_bytes(os.path.join(mdir, v)))
+        # the guard reflects the LATEST version's properties only — a
+        # table that set gc.enabled=false later must stay protected
+        if v == versions[-1]:
+            gc_enabled = (
+                str(doc.get("properties", {}).get("gc.enabled", "true")).lower()
+                != "false"
+            )
         for s in doc.get("snapshots", []):
             for rel in s.get("manifests") or [s["manifest"]]:
                 mpath = os.path.join(location, rel)
                 manifests.add(mpath)
-                if os.path.exists(mpath):
+                if _fio.exists(mpath):
                     m = M.read_manifest(mpath)
                     data_files |= set(m.file_path)
         for sf in doc.get("statistics", []) + doc.get("partition-statistics", []):
@@ -456,6 +502,8 @@ def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
         )
 
     def _owned(p: str) -> bool:
+        if "://" in location:
+            return p.startswith(location.rstrip("/") + "/")
         return os.path.realpath(p).startswith(os.path.realpath(location) + os.sep)
 
     counts = {
@@ -470,17 +518,21 @@ def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
             counts["external_files_skipped"] += 1
             continue
         counts["data_files"] += 1
-        if not dry_run and os.path.exists(p):
-            os.remove(p)
+        if not dry_run and _fio.exists(p):
+            _fio.delete(p)
     for group, key in ((manifests, "manifests"), (stats_files, "statistics_files")):
         for p in group:
             if not _owned(p):
                 continue
             counts[key] += 1
-            if not dry_run and os.path.exists(p):
-                os.remove(p)
+            if not dry_run and _fio.exists(p):
+                _fio.delete(p)
     if not dry_run:
-        import shutil
+        if _fio.is_posix:
+            import shutil
 
-        shutil.rmtree(location, ignore_errors=True)
+            shutil.rmtree(location, ignore_errors=True)
+        else:
+            for p in _fio.list_files(location):
+                _fio.delete(p)
     return counts

@@ -93,7 +93,10 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
     """
     import math
 
-    f = pq.ParquetFile(path)
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    fio = io_for(path)
+    f = pq.ParquetFile(path if fio.is_posix else fio.open_input(path))
     meta = f.metadata
     lower: dict = {}
     upper: dict = {}
@@ -127,7 +130,7 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
                     lower[name] = lo if name not in lower else min(lower[name], lo)
                 if hi is not None:
                     upper[name] = hi if name not in upper else max(upper[name], hi)
-    return meta.num_rows, os.path.getsize(path), lower, upper, nulls, nan_hint
+    return meta.num_rows, fio.size(path), lower, upper, nulls, nan_hint
 
 
 def harvest_stats(paths: list[str], max_workers: int = 16) -> dict[str, tuple]:
@@ -470,15 +473,21 @@ def manifest_bounds(df: pd.DataFrame) -> dict:
     # non-geo tables: every bbox cell is empty — skip the JSON pass
     if not data["bbox"].map(lambda s: bool(s) and s != "{}").any():
         return out
+    # A column's merged bbox is emitted only when EVERY data file
+    # contributed a non-null bbox for it — tracked as a contribution
+    # count compared against len(data) at the end, which is
+    # order-independent: a file with an empty bbox ({} from a path
+    # mismatch or a non-harvested import) simply never increments the
+    # count, regardless of whether it appears before or after the first
+    # file that mentions the column.
     boxes: dict[str, list] = {}
-    complete: dict[str, bool] = {}
+    contributed: dict[str, int] = {}
     for s in data["bbox"]:
         d = _json.loads(s) if isinstance(s, str) and s else {}
         for col, bb in d.items():
             if bb is None:
-                complete[col] = False
                 continue
-            complete.setdefault(col, True)
+            contributed[col] = contributed.get(col, 0) + 1
             cur = boxes.get(col)
             boxes[col] = (
                 list(bb)
@@ -488,18 +497,26 @@ def manifest_bounds(df: pd.DataFrame) -> dict:
                     max(cur[2], bb[2]), max(cur[3], bb[3]),
                 ]
             )
-        for col in list(complete):
-            if col not in d:
-                complete[col] = False
+    n_files = len(data)
     for col, bb in boxes.items():
-        if complete.get(col):
+        if contributed.get(col, 0) == n_files:
             out[f"__bbox__{col}"] = [float(v) for v in bb]
     return out
 
 
 def write_manifest(df: pd.DataFrame, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    df.to_parquet(path, index=False)
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    fio = io_for(path)
+    if fio.is_posix:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df.to_parquet(path, index=False)
+        return
+    import io as _io
+
+    buf = _io.BytesIO()
+    df.to_parquet(buf, index=False)
+    fio.write_bytes(path, buf.getvalue())
 
 
 def _read_manifest_parquet(path: str) -> pd.DataFrame:
@@ -513,7 +530,16 @@ def _read_manifest_parquet(path: str) -> pd.DataFrame:
     the lo__/hi__ stats of integer table columns — all stay exact)."""
     import pyarrow as pa
 
-    tbl = pq.read_table(path)
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    fio = io_for(path)
+    if fio.is_posix:
+        tbl = pq.read_table(path)
+    else:
+        if not fio.exists(path):
+            raise FileNotFoundError(path)
+        with fio.open_input(path) as f:
+            tbl = pq.read_table(f)
     return tbl.to_pandas(
         types_mapper=lambda t: pd.Int64Dtype() if pa.types.is_integer(t) else None
     )

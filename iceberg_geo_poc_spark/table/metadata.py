@@ -273,6 +273,43 @@ class InMemoryConditionalPutBackend(CommitBackend):
             self._store[path] = bytes(payload)
 
 
+class FileIOBackend(CommitBackend):
+    """Commit backend over a ``fileio.FileIO`` (object-store shapes).
+
+    ``put_if_absent`` is exists-check + write under a process-wide
+    mutex.  That is the correct arbiter for every writer in this
+    process (local[32] is one driver); TRUE multi-host arbitration on
+    an object store needs the store's own conditional PUT
+    (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+    ``If-None-Match``) — subclass and override ``put_if_absent`` with
+    the conditional call, exactly as the reference layers
+    S3FileIO + the catalog's atomic swap
+    (core/src/main/java/org/apache/iceberg/SnapshotProducer.java:369-409).
+    """
+
+    def __init__(self, fio):
+        import threading
+
+        self.fio = fio
+        self._lock = threading.Lock()
+
+    def read(self, path: str) -> bytes:
+        return self.fio.read_bytes(path)
+
+    def exists(self, path: str) -> bool:
+        return self.fio.exists(path)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        with self._lock:
+            if self.fio.exists(path):
+                return False
+            self.fio.write_bytes(path, payload)
+            return True
+
+    def put(self, path: str, payload: bytes) -> None:
+        self.fio.write_bytes(path, payload)
+
+
 _DEFAULT_BACKEND = PosixLinkBackend()
 _BACKENDS: list[tuple[str, CommitBackend]] = []
 
@@ -303,6 +340,17 @@ def _metadata_path(location: str, version: int) -> str:
 
 def _hint_path(location: str) -> str:
     return os.path.join(metadata_dir(location), "version-hint.text")
+
+
+def table_exists_at(location: str) -> bool:
+    """Does a table live at ``location``?  POSIX keeps the historical
+    metadata-dir check; object stores have no directories, so presence
+    of the version hint is the marker (it is written by every commit)."""
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    if io_for(location).is_posix:
+        return os.path.exists(metadata_dir(location))
+    return backend_for(location).exists(_hint_path(location))
 
 
 def read_metadata(location: str) -> TableMetadata:

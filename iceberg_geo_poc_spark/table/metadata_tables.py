@@ -137,12 +137,15 @@ def inspect(table: Table, name: str) -> DataFrame:
             if name == "all_manifests"
             else ([table.current_snapshot()] if table.current_snapshot() else [])
         )
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        _fio = io_for(table.location)
         rows = []
         for s in snaps:
             for rel in s.manifest_list():
                 p = os.path.join(table.location, rel)
                 rows.append(
-                    (rel, os.path.getsize(p) if os.path.exists(p) else None,
+                    (rel, _fio.size(p) if _fio.exists(p) else None,
                      s.snapshot_id)
                 )
         return spark.createDataFrame(
@@ -171,13 +174,16 @@ def inspect(table: Table, name: str) -> DataFrame:
         ]
         return spark.createDataFrame(rows, "name STRING, type STRING, snapshot_id LONG")
     if name == "metadata_log_entries":
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        _fio = io_for(table.location)
         mdir = os.path.join(table.location, "metadata")
         rows = []
-        for fname in sorted(os.listdir(mdir)):
+        for fname in sorted(_fio.listdir(mdir)):
             if fname.endswith(".metadata.json"):
                 p = os.path.join(mdir, fname)
                 rows.append(
-                    (fname, int(os.path.getmtime(p) * 1000), os.path.getsize(p))
+                    (fname, _fio.mtime_ms(p) or 0, _fio.size(p))
                 )
         return spark.createDataFrame(
             rows, "file STRING, modified_at_ms LONG, length LONG"

@@ -187,7 +187,7 @@ def dispatch_sql(catalog, text: str):
     if m:
         t = catalog.load_table(m.group("table"))
         rows = []
-        for f in t.schema_ddl().split(","):
+        for f in _ddl_fields_of(t.schema_ddl()):
             name, typ = f.strip().split(None, 1)
             extra = "geometry(" + t.geo_fields[name] + ")" if name in t.geo_fields else ""
             rows.append((name, typ, extra))
@@ -805,8 +805,11 @@ def _call(catalog, proc: str, argstr: str):
             older_than_ms=older,
         )
     if proc == "remove_orphan_files":
+        older = kw.get("older_than")
         return X.remove_orphan_files(
-            catalog.load_table(arg("table", 0)), dry_run=bool(arg("dry_run", 1, False))
+            catalog.load_table(arg("table", 0)),
+            dry_run=bool(arg("dry_run", 1, False)),
+            older_than_ms=int(older) if older is not None else None,
         )
     if proc == "rollback_to_snapshot":
         return catalog.rollback_to_snapshot(arg("table", 0), int(arg("snapshot_id", 1)))

@@ -242,12 +242,22 @@ def compute_partition_stats(table: Table) -> dict:
         _stats_dir(table),
         f"{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.partition-stats.parquet",
     )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    grouped.to_parquet(path, index=False)
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    _fio = io_for(path)
+    if _fio.is_posix:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        grouped.to_parquet(path, index=False)
+    else:
+        import io as _io
+
+        buf = _io.BytesIO()
+        grouped.to_parquet(buf, index=False)
+        _fio.write_bytes(path, buf.getvalue())
     entry = {
         "snapshot-id": snap.snapshot_id,
         "statistics-path": path,
-        "file-size-in-bytes": os.path.getsize(path),
+        "file-size-in-bytes": _fio.size(path),
     }
 
     def mutate(meta: MD.TableMetadata) -> None:
@@ -275,4 +285,6 @@ def read_partition_stats(
     ] or table.meta.partition_statistics_files[-1:]
     if not files:
         raise KeyError("no partition statistics registered")
-    return table.spark.read.parquet(files[-1]["statistics-path"])
+    from iceberg_geo_poc_spark.table.table import _read_parquet_any
+
+    return _read_parquet_any(table.spark, [files[-1]["statistics-path"]])

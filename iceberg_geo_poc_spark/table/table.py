@@ -35,6 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_geo_poc_spark.table import expressions as E
+from iceberg_geo_poc_spark.table import fileio as FIO
 from iceberg_geo_poc_spark.table import manifest as M
 from iceberg_geo_poc_spark.table import metadata as MD
 from iceberg_geo_poc_spark.table import vector_eval as V
@@ -495,7 +496,14 @@ class Table:
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         df = self._to_physical(df)
-        stage = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        # Non-POSIX (object-store) locations: Spark's writer needs a
+        # Hadoop-reachable path, so stage on local disk and upload the
+        # finished files through the location's FileIO.  On a real
+        # cluster the location would be an s3a:// URI the executors
+        # write directly (no driver staging); this path serves
+        # filesystems Spark itself cannot reach (reference parity:
+        # S3FileIO-backed writes, aws/.../s3/S3FileIO.java).
+        stage, _final_dir = self._stage_dir("data")
         fmt = self.file_format
         pcols = self._partition_columns()
         out = df
@@ -558,7 +566,11 @@ class Table:
             # the reference's Avro writers) — see table/avro_format.py
             from iceberg_geo_poc_spark.table import avro_format as AV
 
-            return AV.write_avro_files(out, stage, self.meta.schema_ddl)
+            return self._finalize_staged(
+                AV.write_avro_files(out, stage, self.meta.schema_ddl),
+                stage,
+                _final_dir,
+            )
         writer = out.write.format(fmt)
         if fmt == "parquet":
             # bloom-filter passthrough (reference TableProperties
@@ -651,6 +663,24 @@ class Table:
                     "bbox": json.dumps(bboxes.get(p, {})),
                 }
             )
+        return self._finalize_staged(entries, stage, _final_dir)
+
+    def _finalize_staged(
+        self, entries: list[dict], stage: str, final_dir: str | None
+    ) -> list[dict]:
+        """Upload locally-staged files to an object-store location and
+        rewrite entry paths; no-op for POSIX locations (files were
+        written in place)."""
+        if final_dir is None:
+            return entries
+        fio = FIO.io_for(self.location)
+        for e in entries:
+            rel = os.path.relpath(e["file_path"], stage).replace(os.sep, "/")
+            dest = final_dir + "/" + rel
+            with open(e["file_path"], "rb") as f:
+                fio.write_bytes(dest, f.read())
+            e["file_path"] = dest
+        shutil.rmtree(stage, ignore_errors=True)
         return entries
 
     def append(
@@ -890,7 +920,7 @@ class Table:
         posdel = matches.select(
             F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
         )
-        stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        stage, final_dir = self._stage_dir("deletes")
         posdel.coalesce(1).write.parquet(stage)
         entries = []
         for p in _list_parquet(stage):
@@ -910,7 +940,22 @@ class Table:
                     "bbox": json.dumps({}),
                 }
             )
-        return entries
+        return self._finalize_staged(entries, stage, final_dir)
+
+    def _stage_dir(self, kind: str) -> tuple[str, str | None]:
+        """(spark-writable stage dir, object-store final dir or None).
+
+        POSIX locations write in place; object-store locations stage on
+        local disk and upload via ``_finalize_staged``."""
+        rel = uuid.uuid4().hex[:12]
+        if FIO.io_for(self.location).is_posix:
+            return os.path.join(self.location, kind, rel), None
+        import tempfile
+
+        return (
+            os.path.join(tempfile.mkdtemp(prefix="igps_stage_"), rel),
+            self.location.rstrip("/") + "/" + kind + "/" + rel,
+        )
 
     def delete_by_keys(self, keys: DataFrame, key_cols: list[str] | None = None) -> MD.Snapshot:
         """Merge-on-read equality delete: persist the key tuples as an
@@ -923,7 +968,7 @@ class Table:
         if key_cols is None:
             idf = self.meta.properties.get("identifier-fields")
             key_cols = json.loads(idf) if idf else list(keys.columns)
-        stage = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        stage, final_dir = self._stage_dir("deletes")
         keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage)
         dpaths = _list_parquet(stage)
         entries = []
@@ -945,6 +990,7 @@ class Table:
                     "eq_cols": json.dumps(key_cols),
                 }
             )
+        entries = self._finalize_staged(entries, stage, final_dir)
 
         # equality deletes need no file-liveness validation: they apply
         # by key to any lower-sequence data file, whatever compaction does
@@ -1213,6 +1259,26 @@ class Table:
                 self.spark, paths, self.meta.schema_ddl, with_pos=need_pos
             )
             df = self._to_logical(df)
+        elif fmt == "parquet" and not FIO.io_for(paths[0]).is_posix:
+            # object-store location Spark cannot reach natively (mock /
+            # test filesystems): driver-side Arrow read through FileIO
+            # with synthesized file/pos columns.  On a real cluster the
+            # location is a Hadoop-reachable URI (s3a://) and the branch
+            # below reads it executor-side — this path guards its size.
+            df = _fileio_parquet_df(
+                self.spark, paths, FIO.io_for(paths[0]), need_pos=need_pos
+            )
+            expect = []
+            for fdef in _ddl_fields(self.meta.schema_ddl):
+                name, typ = fdef.strip().split(None, 1)
+                expect.append(
+                    F.col(name).cast(typ).alias(name)
+                    if name in df.columns
+                    else F.lit(None).cast(typ).alias(name)
+                )
+            if need_pos:
+                expect += [F.col("__file_path"), F.col("__pos")]
+            df = self._to_logical(df.select(*expect))
         else:
             reader = self.spark.read.schema(self.meta.schema_ddl)
             df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
@@ -1236,7 +1302,7 @@ class Table:
             ent = entries if entries is not None else self._entries()
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
             if dpaths:
-                deletes = self.spark.read.parquet(*dpaths).select(
+                deletes = _read_parquet_any(self.spark, dpaths).select(
                     F.col("file_path").alias("__file_path"),
                     F.col("pos").alias("__pos"),
                 )
@@ -1275,7 +1341,7 @@ class Table:
             cols = json.loads(eq_cols_json)
             dels = None
             for p, s in files:
-                d = self.spark.read.parquet(p).select(*cols).withColumn(
+                d = _read_parquet_any(self.spark, [p]).select(*cols).withColumn(
                     "__del_seq", F.lit(s)
                 )
                 dels = d if dels is None else dels.unionByName(d)
@@ -1591,8 +1657,66 @@ class TableScan:
         return df
 
 
+# Driver-side Arrow reads exist ONLY for stores Spark itself cannot
+# reach (test/mock filesystems); a real deployment points Spark at a
+# Hadoop-reachable URI and never takes this path.  The cap keeps a
+# misconfigured large table from silently funnelling through the driver.
+_FILEIO_READ_CAP_BYTES = 512 * 1024 * 1024
+
+
+def _fileio_parquet_df(
+    spark: SparkSession, paths: list[str], fio, need_pos: bool = False
+) -> DataFrame:
+    """Read parquet files through a FileIO into a Spark DataFrame
+    (driver-side Arrow; see cap note above).  ``need_pos`` synthesizes
+    the ``__file_path``/``__pos`` columns the MoR delete protocol keys
+    on, mirroring what ``_metadata.file_path``/``row_index`` provide on
+    the executor-side read path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    total = sum(fio.size(p) for p in paths)
+    if total > _FILEIO_READ_CAP_BYTES:
+        raise NotImplementedError(
+            f"driver-side FileIO read of {total} bytes exceeds the "
+            f"{_FILEIO_READ_CAP_BYTES}-byte guard; mount the store as a "
+            "Spark-readable URI (s3a://...) for executor-side reads"
+        )
+    tables = []
+    for p in paths:
+        with fio.open_input(p) as f:
+            t = pq_.read_table(f)
+        drop = [c for c in t.column_names if c.startswith("__p_")]
+        if drop:
+            t = t.drop_columns(drop)
+        if need_pos:
+            n = t.num_rows
+            t = t.append_column("__file_path", pa.array([p] * n, pa.string()))
+            t = t.append_column("__pos", pa.array(range(n), pa.int64()))
+        tables.append(t)
+    merged = pa.concat_tables(tables, promote_options="default")
+    return spark.createDataFrame(merged)
+
+
+def _read_parquet_any(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """spark.read.parquet for POSIX paths; FileIO Arrow read otherwise
+    (small files only — delete sidecars and similar)."""
+    fio = FIO.io_for(paths[0])
+    if fio.is_posix:
+        return spark.read.parquet(*paths)
+    return _fileio_parquet_df(spark, paths, fio)
+
+
 def _list_parquet(root: str) -> list[str]:
     """Data files under root (parquet/orc/avro; names vary by writer)."""
+    fio = FIO.io_for(root)
+    if not fio.is_posix:
+        return [
+            p
+            for p in fio.list_files(root)
+            if p.rsplit("/", 1)[-1][0] not in ("_", ".")
+            and p.endswith((".parquet", ".orc", ".avro"))
+        ]
     out = []
     for dirpath, _dirs, names in os.walk(root):
         for n in names:

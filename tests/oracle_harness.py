@@ -38,9 +38,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # TimestampType = micros; DuckDB TIMESTAMP = micros).
             nonnull = s.dropna()
             if len(nonnull) and (nonnull.dt.normalize() == nonnull).all():
-                df[c] = s.dt.strftime("%Y-%m-%d")
+                rendered = s.dt.strftime("%Y-%m-%d")
             else:
-                df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                rendered = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            # strftime leaves NaN where the input was NaT — pin missing to
+            # None so object columns never mix NaN and None (pandas is
+            # deprecating NaN==None equality in comparisons)
+            df[c] = rendered.astype(object).where(s.notna(), None)
         elif s.dtype == object:
             df[c] = s.map(_norm_cell)
         elif pd.api.types.is_float_dtype(s):
@@ -60,6 +64,10 @@ def _norm_cell(v):
         return None
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
+    # scalar missing markers beyond None/NaN: pd.NA (nullable dtypes
+    # rendered to object) and pd.NaT — normalize all to None
+    if v is pd.NA or v is pd.NaT:
+        return None
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, datetime.datetime):
