@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     # NON-axis-aligned polygon x polygon join: exercises the vectorized
     # irregular-polygon kernel (_fast_polypoly_predicate)
     ("geo_diamond_join", "geo_diamond_join_counts"),
+    # MIXED-vertex-count polygon join: same geometry as the diamond join
+    # but ragged WKB, so the kernel takes _polys_packed_ragged — must
+    # land within ~1.5x of geo_diamond_join (uniform fast path)
+    ("geo_ragged_join", "geo_ragged_poly_join_counts"),
     # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
     ("lm_perplexity", "text_lm_perplexity"),
 ]

@@ -10,10 +10,11 @@ pointer case).
 
 Decode is REAL for the dependency-free formats: P6 PPM and 24-bit BMP
 images (numpy parse → (h, w, 3) uint8), 8-bit RGB/RGBA PNG (stdlib
-zlib inflate + full filter-type 0-4 unfiltering), and 16-bit PCM WAV
-audio (RIFF chunk walk → int16 samples).  Codec-bound formats
-(jpeg/webp/mp3/...) still raise NotImplementedError with the library
-to plug in — the container ships none.  Resize is genuine pixel work
+zlib inflate + full filter-type 0-4 unfiltering), baseline JPEG (the
+spec-level T.81 codec in operators/jpeg.py), and 16-bit PCM WAV audio
+(RIFF chunk walk → int16 samples).  Remaining codec-bound formats
+(webp/mp3/...) still raise NotImplementedError with the library to
+plug in — the container ships none.  Resize is genuine pixel work
 (nearest-neighbor index mapping over the decoded array) and frame
 sampling slices real decoded samples; both stay byte-reproducible by
 the DuckDB oracle because the synthesized test media is constant-color
@@ -238,9 +239,13 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         return _decode_bmp(bytes(payload))
     if fmt == "png":
         return _decode_png(bytes(payload))
+    if fmt in ("jpeg", "jpg"):
+        from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
         f"{fmt} decode requires a codec library (PIL/libvips); container "
-        "ships none. ppm/bmp/png decode natively."
+        "ships none. ppm/bmp/png/jpeg decode natively."
     )
 
 
@@ -370,6 +375,44 @@ def synthesize_image_media(docs: DataFrame) -> DataFrame:
                     "payload": payloads,
                     "uri": [f"s3://media-bucket/img-{d}" for d in pdf["doc_id"]],
                     "format": fmts,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG table: constant-color images run through
+    the spec-level baseline encoder (operators/jpeg.py), alternating
+    4:4:4 and 4:2:0 per doc.  At quality 95 a constant-color image
+    decodes BIT-EXACTLY (the DC quantization error stays under half an
+    intensity step through the YCbCr round-trip), so every downstream
+    decoded-pixel oracle (resize md5, phash) remains SQL-reproducible
+    while the entropy decode, dequantization, IDCT, and chroma
+    upsampling all genuinely execute."""
+    from iceberg_geo_poc_spark.operators.jpeg import encode_jpeg
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 8, 6 + did % 6
+                rgb = (32 + did % 95, 32 + (did * 7) % 95, 32 + (did * 13) % 95)
+                arr = np.full((h, w, 3), rgb, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(arr, quality=95, subsample=bool(did % 2))
+                )
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/img-{d}.jpg" for d in pdf["doc_id"]],
+                    "format": "jpeg",
                     "width": pd.array(ws, dtype="int32"),
                     "height": pd.array(hs, dtype="int32"),
                 }

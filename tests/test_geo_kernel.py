@@ -440,6 +440,118 @@ def test_fast_polypoly_predicate_matches_kernel():
             )
 
 
+def test_fast_polypoly_multipolygon_matches_kernel():
+    """MultiPolygon rows (valid: disjoint parts, optional holes) run the
+    vectorized intersects/disjoint path and must agree with the scalar
+    kernel; covers-family falls back to the scalar kernel for multi-part
+    batches (geometry._covers is per-part, the pooled tables are not)."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.geometry import MultiPolygon, Polygon
+    from iceberg_geo_poc_spark.geo.wkb import geometry_to_wkb
+
+    rng = random.Random(31)
+
+    def mp(cx, cy):
+        # 1-3 disjoint star parts on a coarse grid (valid multipolygon)
+        parts = []
+        for k in range(rng.randint(1, 3)):
+            px, py = cx + 6 * k, cy
+            parts.append(
+                _star_poly(rng, px, py, 0.4, 1.8, hole=rng.random() < 0.4)
+            )
+        return MultiPolygon(parts)
+
+    pairs = []
+    for _ in range(200):
+        ax, ay = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        ga = mp(ax, ay)
+        gb = (
+            mp(ax + rng.uniform(-3, 9), ay + rng.uniform(-3, 3))
+            if rng.random() < 0.7
+            else _star_poly(rng, ax + rng.uniform(-2, 8), ay, 0.3, 1.5)
+        )
+        pairs.append((ga, gb))
+    # deterministic: B inside one part / in the gap / spanning nothing
+    two = MultiPolygon([
+        Polygon([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]),
+        Polygon([(5, 0), (7, 0), (7, 2), (5, 2), (5, 0)]),
+    ])
+    inside1 = Polygon([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)])
+    in_gap = Polygon([(3, 0.5), (4, 0.5), (4, 1.5), (3, 1.5), (3, 0.5)])
+    spanning = Polygon([(1, 0.5), (6, 0.5), (6, 1.5), (1, 1.5), (1, 0.5)])
+    pairs += [(two, inside1), (two, in_gap), (two, spanning), (two, two)]
+    a = pd.Series([geometry_to_wkb(p) for p, _ in pairs] + [None], dtype=object)
+    b = pd.Series(
+        [geometry_to_wkb(q) for _, q in pairs] + [geometry_to_wkb(inside1)],
+        dtype=object,
+    )
+    for name in ("intersects", "disjoint"):
+        got = GF._fast_polypoly_predicate(name, a, b)
+        assert got is not None, f"multipolygon fast path refused {name}"
+        assert got[len(pairs)] is None
+        for i, (p, q) in enumerate(pairs):
+            want = getattr(p, name)(q)
+            assert bool(got[i]) == want, f"{name} pair {i}: fast={got[i]} kernel={want}"
+    # covers-family: multi-part rows → scalar fallback (None), single-part
+    # MultiPolygon wrappers still vectorize
+    assert GF._fast_polypoly_predicate("covers", a, b) is None
+    one = MultiPolygon([Polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])])
+    aa = pd.Series([geometry_to_wkb(one)], dtype=object)
+    bb = pd.Series([geometry_to_wkb(inside1)], dtype=object)
+    got = GF._fast_polypoly_predicate("covers", aa, bb)
+    assert got is not None and bool(got[0])
+
+
+def test_subdivided_diamond_and_annulus_builders():
+    """st_subdivided_diamond emits ragged-but-identical geometry (extra
+    vertices on the edges); st_annulus emits a two-ring holed polygon —
+    and BOTH run through the vectorized pack, not the scalar fallback."""
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb
+
+    cx = pd.Series([0.0, 10.0, None])
+    cy = pd.Series([0.0, 5.0, 1.0])
+    sub = GF.st_subdivided_diamond_builder(
+        cx, cy, pd.Series([2.0, 3.0, 1.0]), pd.Series([1, 4, 2])
+    )
+    assert sub[2] is None
+    g0, g1 = geometry_from_wkb(sub[0]), geometry_from_wkb(sub[1])
+    assert len(g0.shell) == 5 and len(g1.shell) == 17  # 4k+1 vertices
+    # subdivision preserves the region: same bbox, same point membership
+    assert g1.intersects(geometry_from_wkb(sub[1]))
+    ann = GF.st_annulus_builder(
+        cx[:2], cy[:2], pd.Series([4.0, 4.0]), pd.Series([2.0, 2.0])
+    )
+    a0 = geometry_from_wkb(ann[0])
+    assert len(a0.holes) == 1
+    from iceberg_geo_poc_spark.geo.geometry import Point
+
+    assert not a0.intersects(Point(0.0, 0.0))  # center is in the hole
+    assert a0.intersects(Point(3.0, 0.0))  # ring interior
+    # the ragged vectorized pack accepts both shapes (no scalar fallback)
+    mixed = pd.Series(list(sub[:2]) + list(ann), dtype=object)
+    pk = GF._polys_packed(mixed)
+    assert pk is not None and pk.ok.all()
+    assert list(pk.hv_cnt) == [0, 0, 4, 4]  # annuli carry hole vertices
+    # end-to-end parity of the vectorized intersects on this mixed batch
+    probe = GF.st_diamond_builder(
+        pd.Series([0.0] * 4), pd.Series([0.0] * 4), pd.Series([0.5] * 4)
+    )
+    got = GF._fast_polypoly_predicate("intersects", mixed, probe)
+    assert got is not None
+    want = [
+        geometry_from_wkb(mixed[i]).intersects(geometry_from_wkb(probe[i]))
+        for i in range(4)
+    ]
+    assert [bool(v) for v in got] == want
+
+
 def test_fast_polypoly_refuses_mixed_batches():
     """Non-polygon rows must push the whole batch to the generic kernel."""
     import pandas as pd

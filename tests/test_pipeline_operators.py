@@ -130,13 +130,16 @@ def test_fingerprint_order_sensitive(spark):
 
 def test_multimodal_decode_compressed_formats_stubbed():
     """Codec-bound formats still need a library; the dependency-free
-    formats (ppm/bmp/png/wav) decode for real (tests below)."""
+    formats (ppm/bmp/png/jpeg/wav) decode for real (tests below +
+    tests/test_jpeg_codec.py)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff", "jpeg")
+        multimodal.decode_image(b"RIFF0000WEBP", "webp")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"ID3", "mp3")
     with pytest.raises(ValueError):  # PNG is real now: bad sig is data error
         multimodal.decode_image(b"\x89PNG", "png")
+    with pytest.raises(ValueError):  # JPEG is real now: bad sig is data error
+        multimodal.decode_image(b"\x00\x00\xff", "jpeg")
 
 
 def test_png_roundtrip_filters_and_rgba():
