@@ -168,14 +168,19 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsample: bool = False
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (no restarts).
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
 
     ``subsample=False`` emits 4:4:4; ``subsample=True`` emits 4:2:0
     (2x2 Y blocks per MCU, chroma box-averaged by 2) — the layout the
     decoder's upsampling path must handle, and the common camera
-    default."""
+    default.  ``restart_interval`` > 0 emits a DRI segment and an RSTn
+    marker every N MCUs (T.81 F.1.2.3 — what camera writers do for
+    error resilience), exercising the decoder's restart resync."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     rgb = arr.astype(np.float64)
@@ -255,8 +260,19 @@ def encode_jpeg(
             code, length = ac_codes[tsel][0x00]  # EOB
             bw.put(code, length)
 
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred[0] = pred[1] = pred[2] = 0
             for ci in range(3):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -264,6 +280,7 @@ def encode_jpeg(
                         put_block(
                             comp_coefs[ci][my * sv + by, mx * sh + bx], ci
                         )
+            mcu_count += 1
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -284,6 +301,8 @@ def encode_jpeg(
     out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
     out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytes([3]) + b"".join(
         bytes([cid, (t << 4) | t]) for cid, t in ((1, 0), (2, 1), (3, 1))
     ) + bytes([0, 63, 0])

@@ -813,6 +813,58 @@ def managed_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.to_df()
 
 
+_MOCK_FS_TABLES: dict = {}
+
+
+@query(
+    "managed_object_store_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey < 3 AND n_name <> 'FRANCE'
+    ORDER BY n_nationkey
+    """,
+)
+def managed_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table lifecycle on a NON-POSIX object store (pyarrow mock
+    filesystem registered behind table/fileio.py): create partitioned,
+    per-region appends, a merge-on-read DELETE whose position-delete
+    sidecar uploads to the store, then a partition-pruned scan read back
+    through the FileIO Arrow path.  Green = the whole metadata plane
+    (metadata JSON + optimistic commit + manifests + delete sidecars)
+    works without a filesystem — the reference's S3FileIO posture
+    (aws/src/main/java/org/apache/iceberg/aws/s3/S3FileIO.java)."""
+    key = (sf_dir, "objstore")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.catalog import Catalog
+        from iceberg_geo_poc_spark.table.fileio import ArrowFSFileIO, register_file_io
+
+        scheme = f"mockdrv{abs(hash(sf_dir)) % 10**6}"
+        register_file_io(
+            scheme + "://", ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        )
+        cat = Catalog(f"{scheme}://wh", spark)
+        t = cat.create_table(
+            "nation_os",
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+            partition_by=[("n_regionkey", "identity")],
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        for rk in range(5):
+            t.append(n.filter(f"n_regionkey = {rk}").coalesce(1))
+        t.delete(E.eq("n_name", "FRANCE"), mode="merge-on-read")
+        _MOCK_FS_TABLES[key] = t
+    t = _MOCK_FS_TABLES[key]
+    scan = t.scan(where=E.lt("n_regionkey", 3))
+    assert len(scan.files()) < scan.total_data_files(), (
+        "object-store partition pruning inactive"
+    )
+    return scan.to_df().orderBy("n_nationkey")
+
+
 @query(
     "managed_geometry_promotion",
     oracle=f"""

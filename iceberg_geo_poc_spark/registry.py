@@ -123,10 +123,11 @@ _PRIORITY_FIRST = (
     "window_trailing_interval_sum",
     "agg_pivot_event_types",
     "agg_two_phase_skew",
-    # -- new round-5 queries (slots 47-49 of the driver's 50) --
+    # -- new round-5 queries (slots 47-50 of the driver's 50) --
     "geo_ragged_poly_join_counts",
     "geo_annulus_join_counts",
     "multimodal_jpeg_roundtrip",
+    "managed_object_store_roundtrip",
 )
 
 

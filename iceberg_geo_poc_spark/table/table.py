@@ -1564,9 +1564,17 @@ class TableScan:
                 try:
                     import pyarrow.parquet as _pq
 
-                    n_entries = sum(
-                        _pq.read_metadata(p).num_rows for p in mpaths
-                    )
+                    # Spark-side planning needs executor-readable
+                    # manifest paths; FileIO-only stores stay on the
+                    # driver pandas path (their manifests are small by
+                    # construction — the driver-side Arrow data path
+                    # bounds such tables anyway)
+                    if not FIO.io_for(mpaths[0]).is_posix:
+                        n_entries = 0
+                    else:
+                        n_entries = sum(
+                            _pq.read_metadata(p).num_rows for p in mpaths
+                        )
                 except OSError:
                     n_entries = 0
                 if n_entries > threshold:

@@ -78,6 +78,20 @@ def test_quality_monotonic_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("interval", [1, 2, 5])
+def test_restart_marker_roundtrip(interval, subsample):
+    """DRI/RSTn path: restart markers force byte-realignment and DC
+    predictor resets mid-scan; a desynced decoder would produce garbage,
+    so a tight error bound proves the resync."""
+    img = _gradient(40, 56)
+    dec = decode_jpeg(
+        encode_jpeg(img, 95, subsample=subsample, restart_interval=interval)
+    )
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= (12 if subsample else 6)
+
+
 def test_decode_rejects_non_jpeg_and_progressive():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
