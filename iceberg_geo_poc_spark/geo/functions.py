@@ -811,7 +811,9 @@ def _polys_finish(
         first_ring = shell
     v_idx = _ranges(ring_start[first_ring], rn[first_ring] - 1)
     pk.vx, pk.vy = x[v_idx], y[v_idx]
-    np.add.at(pk.v_cnt, rr[first_ring], rn[first_ring] - 1)
+    pk.v_cnt = np.bincount(
+        rr[first_ring], weights=rn[first_ring] - 1, minlength=n
+    ).astype(np.int64)
     pk.v_start = np.concatenate([[0], np.cumsum(pk.v_cnt)[:-1]]).astype(np.int64)
     pk.vrow = np.repeat(np.arange(n), pk.v_cnt)
     # hole vertices: all non-shell rings (adjacent per row in scan order),
@@ -819,7 +821,9 @@ def _polys_finish(
     hole_ring = ~first_ring
     hv_idx = _ranges(ring_start[hole_ring], rn[hole_ring] - 1)
     pk.hvx, pk.hvy = x[hv_idx], y[hv_idx]
-    np.add.at(pk.hv_cnt, rr[hole_ring], rn[hole_ring] - 1)
+    pk.hv_cnt = np.bincount(
+        rr[hole_ring], weights=rn[hole_ring] - 1, minlength=n
+    ).astype(np.int64)
     pk.hv_start = np.concatenate([[0], np.cumsum(pk.hv_cnt)[:-1]]).astype(np.int64)
     pk.hvrow = np.repeat(np.arange(n), pk.hv_cnt)
     return pk

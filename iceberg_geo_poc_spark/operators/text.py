@@ -405,3 +405,41 @@ def novelty_scores(docs: DataFrame) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase, strip scheme and
+    a leading ``www.``, drop the fragment and every ``utm_*`` tracking
+    parameter, normalize a dangling ``?``/``&`` and trailing slash.
+
+    The same page crawled as ``HTTPS://WWW.Site.example/a/?utm_source=x``
+    and ``https://site.example/a`` must land on one canonical key — the
+    first dedup any web corpus performs (URL-level, before any content
+    hash).  Pure regexp_replace chain: whole-stage codegen, zero
+    shuffles, and RE2-compatible so the DuckDB oracle runs the
+    identical regexes.
+    """
+    c = F.lower(F.col(url_col))
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.regexp_replace(c, "#.*$", "")  # fragment
+    c = F.regexp_replace(c, "utm_[a-z]+=[^&#]*&?", "")  # tracking params
+    c = F.regexp_replace(c, "[?&]+$", "")  # dangling separators
+    c = F.regexp_replace(c, "/$", "")  # trailing slash
+    return df.withColumn("canonical_url", c)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per canonical URL: the smallest doc_id wins (the
+    deterministic keeper convention shared by every dedup operator
+    here), with the duplicate count.  One partial-agg groupBy on the
+    canonical key — map-side combine keeps the shuffle at one row per
+    distinct URL."""
+    return (
+        canonical_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )

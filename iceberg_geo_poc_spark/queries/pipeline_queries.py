@@ -531,6 +531,128 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR)
+          WHEN 1 THEN 'HTTPS://Site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+          WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                      || '.example/page/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?utm_source=feed&utm_medium=rss'
+          ELSE 'https://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+               || '.example/page/' || CAST(doc_id // 4 AS VARCHAR) || '#section'
+        END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(lower(url),
+            '^https?://', ''), '^www\\.', ''), '#.*$', ''),
+            'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', ''), '/$', '')
+          AS canonical_url
+      FROM urls)
+    SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (the first pass of every web-corpus build):
+    four crawl variants of each page — mixed case + www, trailing
+    slash, utm_* tracking params, fragment — canonicalize to one key
+    and collapse to the smallest doc_id (operators/text.py
+    canonical_urls/url_dedup, pure codegen regexp chain).  The oracle
+    replays the identical RE2-compatible regexes in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("site"), (g % 50).cast("string"), F.lit(".example"))
+    path = F.concat(F.lit("/page/"), g.cast("string"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www."), host, path),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://Site"), (g % 50).cast("string"),
+                F.lit(".example"), path, F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://www."), host, path,
+                F.lit("?utm_source=feed&utm_medium=rss"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("#section")))
+    )
+    urls = docs.withColumn("url", url)
+    return text.url_dedup(urls).orderBy("canonical_url")
+
+
+@query(
+    "pipeline_warc_extract",
+    oracle="""
+    SELECT 'https://example.org/doc/' || doc_id AS url,
+           md5('Doc ' || doc_id || ' ' || text || ' <end> & fin') AS text_md5
+    FROM documents
+    ORDER BY url
+    """,
+)
+def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-shaped ingestion end-to-end: each document is
+    wrapped in HTML (head/title/style to drop, a script whose BODY
+    contains fake tags, an <h1>, the text in <p>, an entity-encoded
+    footer, a comment), batches are packed into WARC files with
+    per-record gzip members (the Common Crawl layout, warcinfo record
+    included), and ``extract_documents`` parses the records, strips the
+    HTTP envelope, and extracts visible text (operators/warc.py).  The
+    oracle recomputes the expected visible text — 'Doc {id} {text}
+    <end> & fin' — directly in SQL, so a green row proves gzip member
+    splitting, WARC record walking, HTTP parsing, tag/script/comment
+    stripping, and entity decoding all ran correctly."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.operators import warc as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _to_warc(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            pages = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                page = (
+                    "<html><head><title>drop this</title>"
+                    "<style>p { color: red }</style></head>"
+                    "<body><script>var x = '<p>not text</p>';</script>"
+                    f"<h1>Doc {int(did)}</h1><p>{txt}</p>"
+                    "<p>&lt;end&gt; &amp; fin</p><!-- hidden --></body></html>"
+                )
+                pages.append((f"https://example.org/doc/{int(did)}", page))
+            if pages:
+                yield pd.DataFrame(
+                    {"payload": [W.build_warc(pages, gzip_members=True)]}
+                )
+
+    chunks = docs.mapInPandas(_to_warc, "payload BINARY")
+    out = W.extract_documents(chunks)
+    return (
+        out.select(
+            "url", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+        )
+        .orderBy("url")
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH frames AS (

@@ -552,6 +552,53 @@ def test_subdivided_diamond_and_annulus_builders():
     assert [bool(v) for v in got] == want
 
 
+def test_polys_packed_never_raises_on_garbage():
+    """The vectorized pack's contract is None-or-correct: arbitrary
+    bytes (truncations, bit flips, random noise) must make it DECLINE
+    to the scalar kernel, never crash or mis-pack."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.geometry import Polygon
+    from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb, geometry_to_wkb
+
+    rng = random.Random(47)
+    valid = geometry_to_wkb(
+        Polygon([(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)])
+    )
+    cases = [b"", b"\x01", valid[: len(valid) // 2], valid + b"\x00\x00"]
+    for _ in range(300):
+        kind = rng.randrange(3)
+        if kind == 0:  # random noise
+            cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 120))))
+        elif kind == 1:  # bit-flipped valid polygon
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cases.append(bytes(b))
+        else:  # truncated / padded valid polygon
+            cut = rng.randrange(len(valid) + 8)
+            cases.append(valid[:cut] + b"\xff" * rng.randrange(4))
+    for chunk_start in range(0, len(cases), 32):
+        batch = cases[chunk_start : chunk_start + 32]
+        s = pd.Series(batch, dtype=object)
+        pk = GF._polys_packed(s)  # must not raise
+        if pk is None:
+            continue
+        # accepted batch: every ok row must round-trip through the
+        # scalar parser to the same bbox (no silent mis-parse)
+        for i, raw in enumerate(batch):
+            if not pk.ok[i] or pk.empty[i]:
+                continue
+            g = geometry_from_wkb(raw)
+            xs = [p[0] for ring in ([g.shell] + list(g.holes)) for p in ring]
+            ys = [p[1] for ring in ([g.shell] + list(g.holes)) for p in ring]
+            assert pk.bx0[i] == min(xs) and pk.bx1[i] == max(xs)
+            assert pk.by0[i] == min(ys) and pk.by1[i] == max(ys)
+
+
 def test_fast_polypoly_refuses_mixed_batches():
     """Non-polygon rows must push the whole batch to the generic kernel."""
     import pandas as pd
