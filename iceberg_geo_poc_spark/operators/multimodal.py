@@ -11,10 +11,11 @@ pointer case).
 Decode is REAL for the dependency-free formats: P6 PPM and 24-bit BMP
 images (numpy parse → (h, w, 3) uint8), 8-bit RGB/RGBA PNG (stdlib
 zlib inflate + full filter-type 0-4 unfiltering), baseline JPEG (the
-spec-level T.81 codec in operators/jpeg.py), and 16-bit PCM WAV audio
-(RIFF chunk walk → int16 samples).  Remaining codec-bound formats
-(webp/mp3/...) still raise NotImplementedError with the library to
-plug in — the container ships none.  Resize is genuine pixel work
+spec-level T.81 codec in operators/jpeg.py), GIF incl. animated frames
+(LZW + interlace + composition, operators/gif.py), and 16-bit PCM WAV
+audio (RIFF chunk walk → int16 samples).  Remaining codec-bound
+formats (webp/mp3/...) still raise NotImplementedError with the
+library to plug in — the container ships none.  Resize is genuine pixel work
 (nearest-neighbor index mapping over the decoded array) and frame
 sampling slices real decoded samples; both stay byte-reproducible by
 the DuckDB oracle because the synthesized test media is constant-color
@@ -243,9 +244,13 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if fmt == "gif":
+        from iceberg_geo_poc_spark.operators.gif import decode_gif
+
+        return decode_gif(bytes(payload))[0]
     raise NotImplementedError(
         f"{fmt} decode requires a codec library (PIL/libvips); container "
-        "ships none. ppm/bmp/png/jpeg decode natively."
+        "ships none. ppm/bmp/png/jpeg/gif decode natively."
     )
 
 
@@ -419,6 +424,72 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated-GIF table: 2-4 constant-color frames
+    per doc (colors/dims derived from doc_id), LZW-encoded by the
+    spec-level GIF writer (operators/gif.py).  GIF is lossless over its
+    palette, so downstream per-frame hashes are SQL-reproducible while
+    LZW decode + frame composition genuinely execute."""
+    from iceberg_geo_poc_spark.operators.gif import encode_gif
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 8, 6 + did % 6
+                frames = []
+                for f in range(2 + did % 3):
+                    rgb = (
+                        32 + (did + f) % 95,
+                        32 + ((did + f) * 7) % 95,
+                        32 + ((did + f) * 13) % 95,
+                    )
+                    frames.append(np.full((h, w, 3), rgb, dtype=np.uint8))
+                payloads.append(encode_gif(frames, interlace=bool(did % 2)))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/anim-{d}.gif" for d in pdf["doc_id"]],
+                    "format": "gif",
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def gif_frame_hashes(media: DataFrame) -> DataFrame:
+    """Decode every animated-GIF frame (LZW + interlace + composition)
+    and md5 its canonical PPM — the video-frame-extraction shape over a
+    REAL container format.  Per-partition map, no shuffle."""
+    from iceberg_geo_poc_spark.operators.gif import decode_gif
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, md5s = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(decode_gif(payload)):
+                    ids.append(did)
+                    fidx.append(i)
+                    md5s.append(hashlib.md5(encode_ppm(fr)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="int64"),
+                    "frame_md5": md5s,
+                }
+            )
+
+    return media.mapInPandas(
+        _batches, "doc_id LONG, frame_idx LONG, frame_md5 STRING"
+    )
 
 
 def synthesize_audio_media(docs: DataFrame) -> DataFrame:

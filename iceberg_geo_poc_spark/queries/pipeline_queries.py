@@ -653,6 +653,38 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, 1 + CAST(doc_id % 3 AS INT))) AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5('P6' || chr(10)
+               || CAST(8 + doc_id % 8 AS VARCHAR) || ' '
+               || CAST(6 + doc_id % 6 AS VARCHAR) || chr(10) || '255' || chr(10)
+               || repeat(chr(CAST(32 + (doc_id + frame_idx) % 95 AS INT))
+                         || chr(CAST(32 + (doc_id + frame_idx) * 7 % 95 AS INT))
+                         || chr(CAST(32 + (doc_id + frame_idx) * 13 % 95 AS INT)),
+                         CAST((8 + doc_id % 8) * (6 + doc_id % 6) AS INT)))
+             AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame extraction: per-doc GIFs (2-4
+    constant-color frames, alternating interlaced encoding) are
+    LZW-decoded, de-interlaced, composed, and every frame's canonical
+    PPM md5'd (operators/gif.py + multimodal.gif_frame_hashes).  GIF is
+    lossless over its palette, so the oracle reproduces each frame's
+    exact bytes with repeat(chr(..)) — a green row proves the LZW
+    dictionary decode, the 4-pass interlace inversion, and frame
+    composition all ran correctly."""
+    media = multimodal.synthesize_gif_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.gif_frame_hashes(media).orderBy("doc_id", "frame_idx")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH frames AS (

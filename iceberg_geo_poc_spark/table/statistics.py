@@ -97,16 +97,39 @@ def compute_table_stats(
         }
         for c in cols
     ]
-    doc = {
-        "snapshot-id": snap.snapshot_id,
-        "row-count": int(row["__row_count"]),
-        "rsd": rsd,
-        "blobs": blobs,
-    }
+    # persist as a REAL Puffin file (reference parity: statistics files
+    # are Puffin, core/.../puffin/PuffinWriter.java).  Each NDV blob's
+    # payload is its estimate as an 8-byte LE long; ``fields`` carries
+    # the schema position of the column.
+    from iceberg_geo_poc_spark.table import puffin as PF
+
+    col_pos = {c: i for i, c in enumerate(table.columns())}
+    puffin_blobs = [
+        {
+            "type": b["type"],
+            "fields": [col_pos.get(b["columns"][0], -1)],
+            "snapshot-id": b["snapshot-id"],
+            "sequence-number": b["sequence-number"],
+            "properties": dict(b["properties"], column=b["columns"][0]),
+        }
+        for b in blobs
+    ]
+    payloads = [
+        int(b["properties"]["ndv"]).to_bytes(8, "little") for b in blobs
+    ]
     path = os.path.join(
-        _stats_dir(table), f"{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.stats.json"
+        _stats_dir(table),
+        f"{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.stats.puffin",
     )
-    payload = json.dumps(doc, indent=1).encode()
+    payload = PF.write_puffin(
+        puffin_blobs,
+        payloads,
+        {
+            "row-count": str(int(row["__row_count"])),
+            "rsd": str(rsd),
+            "created-by": "iceberg-geo-poc-spark",
+        },
+    )
     MD.backend_for(table.location).put(path, payload)
     entry = {
         "snapshot-id": snap.snapshot_id,

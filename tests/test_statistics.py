@@ -37,8 +37,19 @@ def test_compute_table_stats_registers_and_bounds_ndv(spark, catalog):
     snap = t.current_snapshot()
     assert entry["snapshot-id"] == snap.snapshot_id
     assert os.path.exists(entry["statistics-path"])
-    doc = json.loads(open(entry["statistics-path"], "rb").read())
-    assert doc["row-count"] == 500
+    # the sidecar is a REAL Puffin file (reference format parity)
+    from iceberg_geo_poc_spark.table import puffin as PF
+
+    footer, payloads = PF.read_puffin(open(entry["statistics-path"], "rb").read())
+    assert footer["properties"]["row-count"] == "500"
+    by_col = {
+        b["properties"]["column"]: (b, p)
+        for b, p in zip(footer["blobs"], payloads)
+    }
+    for col, (blob, payload) in by_col.items():
+        # blob payload = the NDV as an 8-byte LE long, matching the
+        # blob-metadata property
+        assert int.from_bytes(payload, "little") == int(blob["properties"]["ndv"])
     # HLL rsd=0.05: estimates within 3*rsd of exact for each column
     exact = {"id": 500, "grp": 37, "s": 11}
     for col, ex in exact.items():
@@ -195,3 +206,31 @@ def test_statistics_metadata_tables(spark, catalog):
     assert (stats["ndv"] > 0).all()
     ps = inspect(t, "partition_stats").toPandas()
     assert int(ps["data_record_count"].sum()) == 500
+
+
+def test_puffin_format_roundtrip_and_guards():
+    from iceberg_geo_poc_spark.table import puffin as PF
+
+    blobs = [
+        {"type": "ndv-long-v1", "fields": [0], "snapshot-id": 1,
+         "sequence-number": 1, "properties": {"column": "a", "ndv": "42"}},
+        {"type": "custom-bytes", "fields": [2], "snapshot-id": 1,
+         "sequence-number": 1, "properties": {}},
+    ]
+    payloads = [(42).to_bytes(8, "little"), b"\xff\x00payload"]
+    data = PF.write_puffin(blobs, payloads, {"created-by": "t"})
+    assert data[:4] == b"PFA1" and data[-4:] == b"PFA1"
+    footer, got = PF.read_puffin(data)
+    assert got == payloads
+    assert footer["blobs"][0]["offset"] == 4  # first payload after magic
+    assert footer["blobs"][1]["offset"] == 4 + 8
+    assert footer["properties"] == {"created-by": "t"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PF.read_puffin(b"NOPE" + data[4:])
+    # compressed-footer flag rejected, not mis-parsed
+    mangled = bytearray(data)
+    mangled[-8] |= 0x01
+    with _pytest.raises(NotImplementedError):
+        PF.read_puffin(bytes(mangled))
