@@ -274,8 +274,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """(int16 sample array, sample_rate) for PCM WAV; NotImplementedError
-    for compressed audio (needs ffmpeg/soundfile)."""
+    """(int16 sample array, sample_rate) for PCM WAV and FLAC (mono);
+    NotImplementedError for codec-bound audio (mp3 needs ffmpeg)."""
+    if fmt == "flac":
+        from iceberg_geo_poc_spark.operators.flac import decode_flac
+
+        arr, rate = decode_flac(bytes(payload))
+        if arr.shape[1] != 1:
+            raise NotImplementedError("only mono FLAC in the audio pipeline")
+        return arr[:, 0], rate
     if fmt != "wav":
         raise NotImplementedError(f"{fmt} decode requires ffmpeg/soundfile")
     b = bytes(payload)
@@ -514,6 +521,38 @@ def synthesize_audio_media(docs: DataFrame) -> DataFrame:
                     "payload": payloads,
                     "uri": [f"s3://media-bucket/wav-{d}" for d in pdf["doc_id"]],
                     "format": "wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+    """The WAV synthesis mirrored through the FLAC encoder
+    (operators/flac.py): identical constant sample values and counts,
+    so the SAME frame-md5 oracle verifies Rice/CONSTANT decode + frame
+    slicing over a genuinely compressed container."""
+    from iceberg_geo_poc_spark.operators.flac import encode_flac
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lo, hi = 32 + did % 95, 32 + (did * 11) % 95
+                val = lo | (hi << 8)
+                n = 512 * (1 + did % 4)
+                payloads.append(
+                    encode_flac(np.full(n, val, dtype=np.int16), sample_rate=16000)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/a-{d}.flac" for d in pdf["doc_id"]],
+                    "format": "flac",
                     "width": pd.array([None] * len(pdf), dtype="Int32"),
                     "height": pd.array([None] * len(pdf), dtype="Int32"),
                 }

@@ -1,0 +1,120 @@
+"""WebDataset tar-shard ingestion — the multimodal training layout.
+
+Large image/text/audio training sets (LAION-style) ship as POSIX tar
+shards where one SAMPLE is a group of adjacent files sharing a basename
+key with different extensions::
+
+    000123.jpg   000123.json   000123.txt
+    000124.jpg   000124.json   000124.txt
+
+This module turns those shards into table rows Spark-first:
+
+- ``parse_shard``: tar bytes -> [(key, ext, payload)] via stdlib
+  ``tarfile`` over a BytesIO (plain or gzip ``.tar.gz`` — tarfile's
+  ``r:*`` sniffing handles both), directories and PAX headers skipped.
+- ``extract_samples``: mapInPandas over a binary shard column -> one
+  row per member (shard passthrough columns preserved); zero shuffle —
+  shards are independent, which is exactly why the format exists.
+- ``group_samples``: member rows -> one row per sample key with an
+  ext->payload map, the shape a multimodal pipeline consumes
+  (decode the ``jpg`` with operators/jpeg.py, parse the ``json``,
+  tokenize the ``txt``).  One partial-agg groupBy on (shard, key).
+- ``build_shard``: fixture/synthesis writer (deterministic mtime/uid so
+  byte-stable fixtures are possible).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def build_shard(
+    members: list[tuple[str, bytes]], gzipped: bool = False
+) -> bytes:
+    """[(name, payload)] -> tar shard bytes (deterministic headers)."""
+    buf = io.BytesIO()
+    mode = "w:gz" if gzipped else "w"
+    # mtime pinned so fixtures are byte-stable (gzip of tar embeds none)
+    with tarfile.open(fileobj=buf, mode=mode, format=tarfile.USTAR_FORMAT) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def parse_shard(data: bytes) -> list[tuple[str, str, bytes]]:
+    """tar (or tar.gz) bytes -> [(sample key, extension, payload)].
+
+    Key/extension split on the FIRST dot of the basename, the
+    WebDataset convention (so ``a/b/000123.seg.png`` -> key
+    ``a/b/000123``, ext ``seg.png``)."""
+    out: list[tuple[str, str, bytes]] = []
+    with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:*") as tf:
+        for info in tf:
+            if not info.isfile():
+                continue
+            base, dot, ext = info.name.partition(".")
+            payload = tf.extractfile(info).read()
+            out.append((base, ext if dot else "", payload))
+    return out
+
+
+MEMBER_DDL = "shard_id LONG, key STRING, ext STRING, payload BINARY, n_bytes LONG"
+
+
+def extract_samples(
+    shards: DataFrame, payload_col: str = "payload", shard_id_col: str = "shard_id"
+) -> DataFrame:
+    """Binary tar shards -> one row per member file.  Per-partition map
+    (Arrow both ways), zero shuffle: at 100 TB each task streams its
+    own shard, the exact access pattern WebDataset was designed for."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids, keys, exts, payloads, sizes = [], [], [], [], []
+            for sid, data in zip(pdf[shard_id_col], pdf[payload_col]):
+                for key, ext, payload in parse_shard(data):
+                    sids.append(int(sid))
+                    keys.append(key)
+                    exts.append(ext)
+                    payloads.append(payload)
+                    sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "shard_id": pd.array(sids, dtype="int64"),
+                    "key": keys,
+                    "ext": exts,
+                    "payload": payloads,
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return shards.mapInPandas(_batches, MEMBER_DDL)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """Member rows -> one row per (shard_id, key) with ``exts`` (sorted
+    array) and ``parts`` (ext -> payload map) — the sample shape a
+    multimodal loader consumes.  Single partial-agg groupBy."""
+    return (
+        members.groupBy("shard_id", "key")
+        .agg(
+            F.array_sort(F.collect_list("ext")).alias("exts"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ext"), F.col("payload")))
+                )
+            ).alias("parts"),
+            F.sum("n_bytes").alias("sample_bytes"),
+        )
+    )

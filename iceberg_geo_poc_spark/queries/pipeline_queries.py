@@ -597,6 +597,78 @@ def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_webdataset_extract",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+           'cls,json,txt' AS exts_csv,
+           lang,
+           md5(text) AS txt_md5,
+           CAST(length(text) + 11 + length(lang) + length(source) AS BIGINT)
+             AS sample_bytes
+    FROM documents
+    ORDER BY key
+    """,
+)
+def pipeline_webdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingestion end-to-end: each document becomes
+    a 3-member sample ({key}.txt text, {key}.json metadata, {key}.cls
+    label) packed into tar shards (gzipped on alternating batches),
+    then ``extract_samples`` walks the tar members and
+    ``group_samples`` reassembles samples by key
+    (operators/webdataset.py).  The output reads the text back out of
+    the grouped parts map and the language out of the JSON member —
+    proving member walk, key/ext split, grouping, and map access all
+    ran; the oracle recomputes every column from the documents table."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.operators import webdataset as WD
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    def _to_shards(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            members = []
+            for did, txt, lang, src in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                key = f"{int(did):06d}"
+                members += [
+                    (f"{key}.txt", txt.encode()),
+                    (f"{key}.json", f'{{"lang":"{lang}"}}'.encode()),
+                    (f"{key}.cls", src.encode()),
+                ]
+            if members:
+                sid = int(pdf["doc_id"].iloc[0])
+                yield pd.DataFrame(
+                    {
+                        "shard_id": pd.array([sid], dtype="int64"),
+                        "payload": [
+                            WD.build_shard(members, gzipped=bool(sid % 2))
+                        ],
+                    }
+                )
+
+    shards = docs.mapInPandas(_to_shards, "shard_id LONG, payload BINARY")
+    samples = WD.group_samples(WD.extract_samples(shards))
+    return (
+        samples.select(
+            "key",
+            F.array_join("exts", ",").alias("exts_csv"),
+            F.get_json_object(
+                F.col("parts").getItem("json").cast("string"), "$.lang"
+            ).alias("lang"),
+            F.md5(F.col("parts").getItem("txt")).alias("txt_md5"),
+            F.col("sample_bytes"),
+        )
+        .orderBy("key")
+    )
+
+
+@query(
     "pipeline_warc_extract",
     oracle="""
     SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -650,6 +722,98 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+@query(
+    "multimodal_log_mel_contract",
+    oracle="""
+    SELECT doc_id,
+           CAST(7 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST(
+             least(40, greatest(1, round(
+               (2595 * log10(1 + (300 + (doc_id % 32) * 180) / 700.0))
+               * 41 / (2595 * log10(1 + 8000 / 700.0))
+             ))) - 1 AS INT) AS expected_band,
+           true AS band_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_log_mel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP front-end: per-doc pure-tone clips (sine at
+    300 + (doc_id%32)*180 Hz, FLAC-compressed) are decoded, framed
+    (512/256 hann), FFT'd, and projected through a 40-band mel
+    filterbank (operators/audio_features.py).  The CONTRACT the oracle
+    checks exactly: frame count from the closed-form formula, the
+    expected band from the mel-scale arithmetic replayed in SQL (the
+    nearest filter center on the uniform mel grid), and band_ok —
+    the measured dominant band landing within one filter of it.  A
+    green row proves decode + framing + FFT + filterbank end-to-end;
+    the DSP core itself is property-tested (Parseval, exact-bin tones,
+    partition of unity) in tests/test_audio_features.py."""
+    from iceberg_geo_poc_spark.operators import audio_features as AF
+    from iceberg_geo_poc_spark.operators.flac import encode_flac
+
+    import numpy as _np
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _tone_media(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            payloads, tones = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                f = 300 + (did % 32) * 180
+                n = 2048 + 256 * (did % 4)
+                t = _np.arange(n)
+                wave = (8000 * _np.sin(2 * _np.pi * f * t / 16000)).astype("int16")
+                payloads.append(encode_flac(wave, sample_rate=16000))
+                tones.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "flac",
+                    "tone_hz": pd.array(tones, dtype="int64"),
+                }
+            )
+
+    media = docs.mapInPandas(
+        _tone_media, "doc_id LONG, payload BINARY, format STRING, tone_hz LONG"
+    )
+    return (
+        AF.extract_log_mel(media)
+        .select("doc_id", "n_frames", "expected_band", "band_ok")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_flac_frames",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, 2 * (1 + doc_id % 4) - 1, 4)) AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(repeat(chr(CAST(32 + doc_id % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 11) % 95 AS INT)), 256))
+             AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode: the WAV frame-sampling workload
+    rerun over FLAC payloads (spec-level Rice/FIXED decode + CRC-16
+    validation, operators/flac.py).  FLAC is lossless, so the decoded
+    int16 samples are byte-identical to the WAV case and the SAME
+    repeat(chr(..)) oracle pins every sampled frame's md5 — a green row
+    proves the entropy decode, not just container parsing."""
+    media = multimodal.synthesize_flac_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_media_frames(media, frame_size=256, every_n=4)
 
 
 @query(
