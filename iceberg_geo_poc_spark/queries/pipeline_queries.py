@@ -597,6 +597,56 @@ def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_roundtrip",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, ' +', ' ', 'g')) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN t = '' THEN 0
+                ELSE length(t) - length(replace(t, ' ', '')) + 1 END
+             AS BIGINT) AS n_words,
+           true AS round_trip_ok,
+           true AS compressed
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer lifecycle (operators/tokenizer.py): merges
+    trained on this corpus (distributed word counting, driver merge
+    loop on the bounded frequency table), every document encoded with
+    the learned ranks, then decoded back by pure string concat.  The
+    contract the oracle pins exactly: word counts, decode(encode(x)) ==
+    whitespace-normalized x for EVERY document (the strongest tokenizer
+    invariant), and genuine compression — fewer tokens than the
+    untrained character+end-marker count, proving the merges actually
+    apply."""
+    from iceberg_geo_poc_spark.operators import tokenizer as TK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = TK.train_bpe(docs, n_merges=200)
+    enc = TK.encode_docs(docs, merges)
+    dec = TK.decode_tokens(enc)
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    chars_no_space = F.length(F.regexp_replace(norm, " ", ""))
+    joined = dec.join(docs, "doc_id")
+    return (
+        joined.select(
+            "doc_id",
+            F.col("n_words"),
+            (F.col("decoded_text") == norm).alias("round_trip_ok"),
+            (
+                (F.col("n_tokens") < chars_no_space + F.col("n_words"))
+                | (F.col("n_words") == 0)
+            ).alias("compressed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pipeline_webdataset_extract",
     oracle="""
     SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,

@@ -59,14 +59,16 @@ _LOADED = False
 # Names hoisted to the front of the registry (after family reordering) so a
 # correctness driver that verifies queries in registration order and caps
 # (first 50) reaches the least-verified entries first.  Round-5 rotation:
-# rounds 1-4 earned green driver rows for 123 of the 169 registered queries;
-# the 46 below are every query WITHOUT a current green row — 4 whose latest
-# driver row is a stale pre-fix failure (the streaming trio fixed by the
-# Spark-4 NTZ cast + ``geo_hilbert_clustering``, which gained a real oracle
-# in r4), then the 42 that have never been driver-seen at all (most of
-# round 4's new operators).  46 <= 50, so one rotation makes every
-# registered query driver-verified; the remaining slots go to new round-5
-# queries appended at the end of this tuple.
+# rounds 1-4 earned green driver rows for 123 of the 169 queries registered
+# at the time; the 46 below are every query WITHOUT a current green row — 4
+# whose latest driver row is a stale pre-fix failure (the streaming trio
+# fixed by the Spark-4 NTZ cast + ``geo_hilbert_clustering``, which gained a
+# real oracle in r4), then the 42 that have never been driver-seen at all
+# (most of round 4's new operators).  46 <= 50, so one rotation makes every
+# one of them driver-verified; the remaining 4 slots go to new round-5
+# queries appended at the end of this tuple.  Round 5 also registered
+# further new queries past slot 50 (warc/url/webdataset/gif/flac/log-mel/
+# bpe) — locally oracle-green, they are the round-6 rotation candidates.
 _PRIORITY_FIRST = (
     # -- stale rows: code fixed + locally green, driver still shows r3 err --
     "stream_hourly_event_counts",
