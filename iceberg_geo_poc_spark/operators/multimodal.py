@@ -248,9 +248,13 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
         from iceberg_geo_poc_spark.operators.gif import decode_gif
 
         return decode_gif(bytes(payload))[0]
+    if fmt in ("tiff", "tif"):
+        from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(bytes(payload))[0]
     raise NotImplementedError(
         f"{fmt} decode requires a codec library (PIL/libvips); container "
-        "ships none. ppm/bmp/png/jpeg/gif decode natively."
+        "ships none. ppm/bmp/png/jpeg/gif/tiff decode natively."
     )
 
 
@@ -464,6 +468,45 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
                     "payload": payloads,
                     "uri": [f"s3://media-bucket/anim-{d}.gif" for d in pdf["doc_id"]],
                     "format": "gif",
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_batches, MEDIA_SCHEMA)
+
+
+def synthesize_tiff_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL TIFF table: constant-color scans rotating
+    through the three TIFF compressions (none / LZW+predictor /
+    PackBits) per doc_id.  TIFF is lossless, so decoded pixels equal
+    the synthesized constants exactly and the resize-md5 oracle applies
+    unchanged — while strip walking, LZW EarlyChange decode, PackBits,
+    and the horizontal predictor all genuinely execute."""
+    from iceberg_geo_poc_spark.operators.tiff import encode_tiff
+
+    comps = [(1, False), (5, True), (32773, False)]
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 8, 6 + did % 6
+                rgb = (32 + did % 95, 32 + (did * 7) % 95, 32 + (did * 13) % 95)
+                arr = np.full((h, w, 3), rgb, dtype=np.uint8)
+                comp, pred = comps[did % 3]
+                payloads.append(
+                    encode_tiff([arr], compression=comp, predictor=pred)
+                )
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "uri": [f"s3://media-bucket/scan-{d}.tif" for d in pdf["doc_id"]],
+                    "format": "tiff",
                     "width": pd.array(ws, dtype="int32"),
                     "height": pd.array(hs, dtype="int32"),
                 }

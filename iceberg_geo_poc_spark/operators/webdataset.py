@@ -53,13 +53,26 @@ def build_shard(
 
 
 def parse_shard(data: bytes) -> list[tuple[str, str, bytes]]:
-    """tar (or tar.gz) bytes -> [(sample key, extension, payload)].
+    """tar / tar.gz / ZIP bytes -> [(sample key, extension, payload)].
 
     Key/extension split on the FIRST dot of the basename, the
     WebDataset convention (so ``a/b/000123.seg.png`` -> key
-    ``a/b/000123``, ext ``seg.png``)."""
+    ``a/b/000123``, ext ``seg.png``).  ZIP shards (document dumps often
+    ship zipped) are sniffed by the PK magic and walked with stdlib
+    ``zipfile``, same member contract."""
+    data = bytes(data)
     out: list[tuple[str, str, bytes]] = []
-    with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:*") as tf:
+    if data[:2] == b"PK":
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                base, dot, ext = info.filename.partition(".")
+                out.append((base, ext if dot else "", zf.read(info)))
+        return out
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
         for info in tf:
             if not info.isfile():
                 continue
@@ -67,6 +80,18 @@ def parse_shard(data: bytes) -> list[tuple[str, str, bytes]]:
             payload = tf.extractfile(info).read()
             out.append((base, ext if dot else "", payload))
     return out
+
+
+def build_zip_shard(members: list[tuple[str, bytes]]) -> bytes:
+    """[(name, payload)] -> ZIP shard bytes (deterministic timestamps)."""
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, payload)
+    return buf.getvalue()
 
 
 MEMBER_DDL = "shard_id LONG, key STRING, ext STRING, payload BINARY, n_bytes LONG"

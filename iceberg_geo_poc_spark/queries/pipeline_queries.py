@@ -842,6 +842,33 @@ def multimodal_log_mel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_tiff_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(6 + doc_id % 6 AS INT) AS height,
+           CAST(16 AS INT) AS new_width,
+           CAST(12 AS INT) AS new_height,
+           md5('P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10) ||
+               repeat(chr(CAST(32 + doc_id % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 7) % 95 AS INT))
+                      || chr(CAST(32 + (doc_id * 13) % 95 AS INT)), 192)) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode in the pipeline (the scanned-document format):
+    constant-color scans rotate through uncompressed / LZW+predictor /
+    PackBits per doc, then the standard resize operator IFD-walks,
+    strip-decodes, un-predicts, resizes, and re-encodes canonical PPM
+    for the md5 (operators/tiff.py).  TIFF is lossless, so the SAME
+    repeat(chr(..)) oracle as multimodal_resize pins the output; the
+    decoded width/height prove the decode ran."""
+    media = multimodal.synthesize_tiff_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, 16, 12)
+
+
+@query(
     "multimodal_flac_frames",
     oracle="""
     WITH frames AS (

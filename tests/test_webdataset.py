@@ -33,6 +33,15 @@ def test_build_shard_deterministic():
     assert build_shard(MEMBERS) == build_shard(MEMBERS)
 
 
+def test_zip_shard_roundtrip():
+    from iceberg_geo_poc_spark.operators.webdataset import build_zip_shard
+
+    data = build_zip_shard(MEMBERS)
+    assert data[:2] == b"PK"
+    assert parse_shard(data) == parse_shard(build_shard(MEMBERS))
+    assert build_zip_shard(MEMBERS) == build_zip_shard(MEMBERS)
+
+
 def test_extract_and_group_spark(spark):
     import pandas as pd
 
