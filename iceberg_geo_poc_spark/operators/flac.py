@@ -293,7 +293,7 @@ def encode_flac(
 
 # -- decoder ----------------------------------------------------------------
 
-def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+def _decode_flac_inner(data: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (int16 samples shaped (n, channels), sample_rate)."""
     data = bytes(data)
     if data[:4] != _MAGIC:
@@ -440,3 +440,13 @@ def _decode_subframe(br: _BitReader, bn: int, bps: int) -> np.ndarray:
     else:
         raise ValueError(f"reserved subframe type {stype}")
     return out << wasted
+
+
+def decode_flac(*args, **kwargs):
+    """Guarded entry: corrupt or truncated input raises ValueError (so
+    ingestion pipelines can catch-and-skip bad records), never a raw
+    IndexError from a short buffer."""
+    try:
+        return _decode_flac_inner(*args, **kwargs)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated FLAC stream: {exc}") from exc

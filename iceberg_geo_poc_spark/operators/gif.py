@@ -22,6 +22,8 @@ over the previous frame.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 _HEADER = b"GIF89a"
@@ -207,7 +209,7 @@ def encode_gif(
 
 # -- decoder ----------------------------------------------------------------
 
-def decode_gif(data: bytes) -> list[np.ndarray]:
+def _decode_gif_inner(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of composed (h, w, 3) uint8 RGB frames."""
     data = bytes(data)
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
@@ -289,3 +291,13 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         frames.append(canvas.copy())
         transparent = None
     return frames
+
+
+def decode_gif(*args, **kwargs):
+    """Guarded entry: corrupt or truncated input raises ValueError (so
+    ingestion pipelines can catch-and-skip bad records), never a raw
+    IndexError from a short buffer."""
+    try:
+        return _decode_gif_inner(*args, **kwargs)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated GIF: {exc}") from exc

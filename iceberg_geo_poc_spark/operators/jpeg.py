@@ -24,6 +24,8 @@ Python cost parallelizes across executors like every other media op.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 # -- shared tables -----------------------------------------------------------
@@ -385,7 +387,7 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
@@ -454,7 +456,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comps = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
                 scan_comps.append(
                     {**comp, "dc": tsel >> 4, "ac": tsel & 0xF}
                 )
@@ -539,3 +543,13 @@ def _decode_scan(data, pos, h, w, comps, qtables, htables, restart_interval):
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
         np.uint8
     )
+
+
+def decode_jpeg(*args, **kwargs):
+    """Guarded entry: corrupt or truncated input raises ValueError (so
+    ingestion pipelines can catch-and-skip bad records), never a raw
+    IndexError from a short buffer."""
+    try:
+        return _decode_jpeg_inner(*args, **kwargs)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated JPEG: {exc}") from exc

@@ -280,7 +280,7 @@ def encode_tiff(
 
 # -- decoder ----------------------------------------------------------------
 
-def decode_tiff(data: bytes) -> list[np.ndarray]:
+def _decode_tiff_inner(data: bytes) -> list[np.ndarray]:
     """TIFF bytes -> list of (h, w, 3) uint8 RGB frames (grayscale
     replicated), following the IFD chain for multi-page files."""
     data = bytes(data)
@@ -366,3 +366,13 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             img = np.repeat(img, 3, axis=2)
         frames.append(img[:, :, :3])
     return frames
+
+
+def decode_tiff(*args, **kwargs):
+    """Guarded entry: corrupt or truncated input raises ValueError (so
+    ingestion pipelines can catch-and-skip bad records), never a raw
+    IndexError from a short buffer."""
+    try:
+        return _decode_tiff_inner(*args, **kwargs)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated TIFF: {exc}") from exc

