@@ -359,6 +359,10 @@ class _BitReader:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 25:
+            # acc is a 32-bit window and _fill only tops up to <=32 bits;
+            # a request this large can only come from a corrupt stream
+            raise ValueError(f"corrupt entropy stream: {n}-bit read requested")
         while self.nbits < n:
             self._fill()
         self.nbits -= n
@@ -484,13 +488,25 @@ def _decode_scan(data, pos, h, w, comps, qtables, htables, restart_interval):
     n_mcu = mcux * mcuy
     for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
-            # byte-align and consume the RSTn (T.81 F.2.1.3.1)
+            # byte-align and consume the RSTn (T.81 F.2.1.3.1).  The reader
+            # may hold 25-31 buffered bits, in which range _fill() is a
+            # no-op, so escape on no-progress rather than a bit threshold —
+            # a desynced entropy stream must raise, never spin.
             while br.marker is None:
+                before = (br.pos, br.nbits)
                 br._fill()
-                if br.nbits >= 32:
+                if (br.pos, br.nbits) == before:
                     break
-            if br.marker is not None and 0xD0 <= br.marker <= 0xD7:
-                br.sync_restart()
+            expected = 0xD0 + ((mi // restart_interval - 1) % 8)
+            if br.marker != expected:
+                found = (
+                    f"0xFF{br.marker:02X}" if br.marker is not None else "no marker"
+                )
+                raise ValueError(
+                    f"corrupt entropy stream: expected RST{expected & 7} "
+                    f"before MCU {mi}, found {found}"
+                )
+            br.sync_restart()
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(mi, mcux)
@@ -501,6 +517,10 @@ def _decode_scan(data, pos, h, w, comps, qtables, htables, restart_interval):
                 for bx in range(c["h"]):
                     zz = np.zeros(64)
                     cat = _huff_decode(br, dct)
+                    if cat > 11:  # T.81 F.1.2.1.1: baseline DC SSSS is 0-11
+                        raise ValueError(
+                            f"corrupt entropy stream: DC category {cat}"
+                        )
                     diff = _extend(br.read_bits(cat), cat) if cat else 0
                     c["pred"] += diff
                     zz[0] = c["pred"]

@@ -423,7 +423,10 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     c = F.regexp_replace(c, "^https?://", "")
     c = F.regexp_replace(c, "^www\\.", "")
     c = F.regexp_replace(c, "#.*$", "")  # fragment
-    c = F.regexp_replace(c, "utm_[a-z]+=[^&#]*&?", "")  # tracking params
+    # tracking params: anchored to a query-string separator so path
+    # segments ('/docs/utm_source=x.html') and longer param names
+    # ('xutm_a=b') are untouched; the (...)+ absorbs utm runs in one pass
+    c = F.regexp_replace(c, "([?&])(utm_[a-z]+=[^&#]*(&|$))+", "$1")
     c = F.regexp_replace(c, "[?&]+$", "")  # dangling separators
     c = F.regexp_replace(c, "/$", "")  # trailing slash
     return df.withColumn("canonical_url", c)

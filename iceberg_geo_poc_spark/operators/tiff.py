@@ -170,18 +170,9 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-# -- predictor ---------------------------------------------------------------
-
-def _predict(rows: np.ndarray) -> np.ndarray:
-    """Horizontal differencing per row, per sample channel."""
-    d = rows.astype(np.int16)
-    d[:, 1:] -= rows[:, :-1].astype(np.int16)
-    return (d & 0xFF).astype(np.uint8)
-
-
-def _unpredict(rows: np.ndarray) -> np.ndarray:
-    return np.cumsum(rows.astype(np.uint64), axis=1).astype(np.uint8)
-
+# -- predictor: horizontal differencing is applied inline (per-channel on a
+# (nrows, w, spp) view) in the encoder/decoder below; a flattened-row helper
+# here would mix interleaved channels, so none is provided.
 
 # -- encoder ----------------------------------------------------------------
 

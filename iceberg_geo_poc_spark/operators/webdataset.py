@@ -52,6 +52,16 @@ def build_shard(
     return buf.getvalue()
 
 
+def _split_key_ext(name: str) -> tuple[str, str]:
+    """Split on the first dot of the BASENAME (WebDataset convention),
+    so dotted directories (``v1.2/000123.jpg``) keep their path intact:
+    key ``v1.2/000123``, ext ``jpg``."""
+    head, _, tail = name.rpartition("/")
+    base, dot, ext = tail.partition(".")
+    key = f"{head}/{base}" if head else base
+    return key, ext if dot else ""
+
+
 def parse_shard(data: bytes) -> list[tuple[str, str, bytes]]:
     """tar / tar.gz / ZIP bytes -> [(sample key, extension, payload)].
 
@@ -69,16 +79,16 @@ def parse_shard(data: bytes) -> list[tuple[str, str, bytes]]:
             for info in zf.infolist():
                 if info.is_dir():
                     continue
-                base, dot, ext = info.filename.partition(".")
-                out.append((base, ext if dot else "", zf.read(info)))
+                base, ext = _split_key_ext(info.filename)
+                out.append((base, ext, zf.read(info)))
         return out
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
         for info in tf:
             if not info.isfile():
                 continue
-            base, dot, ext = info.name.partition(".")
+            base, ext = _split_key_ext(info.name)
             payload = tf.extractfile(info).read()
-            out.append((base, ext if dot else "", payload))
+            out.append((base, ext, payload))
     return out
 
 

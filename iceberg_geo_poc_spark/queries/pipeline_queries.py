@@ -552,7 +552,8 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           regexp_replace(regexp_replace(lower(url),
             '^https?://', ''), '^www\\.', ''), '#.*$', ''),
-            'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', ''), '/$', '')
+            '([?&])(utm_[a-z]+=[^&#]*(&|$))+', '\\1', 'g'),
+            '[?&]+$', ''), '/$', '')
           AS canonical_url
       FROM urls)
     SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,

@@ -70,66 +70,20 @@ _LOADED = False
 # further new queries past slot 50 (warc/url/webdataset/gif/flac/log-mel/
 # bpe) — locally oracle-green, they are the round-6 rotation candidates.
 _PRIORITY_FIRST = (
-    # -- stale rows: code fixed + locally green, driver still shows r3 err --
-    "stream_hourly_event_counts",
-    "stream_session_windows",
-    "stream_stream_join",
-    "geo_hilbert_clustering",
-    # -- never driver-seen: managed-table family --
-    "managed_manifest_consolidation",
-    "managed_identifier_eq_delete",
-    "stats_fastpath_filtered_agg",
-    "managed_avro_mor_delete",
-    # -- never driver-seen: geo family --
-    "geo_diamond_join_counts",
-    "geo_dwithin_join_counts",
-    "geo_covers_join_counts",
-    "geo_knn_join",
-    "geo_envelope_aggr",
-    "geo_sql_function_surface",
-    # -- never driver-seen: streaming family --
-    "stream_dedup_within_watermark",
-    "stream_partitioned_table_sink",
-    # -- never driver-seen: similarity / ANN family --
-    "sim_ivf_kmeans_recall",
-    "sim_pq_adc_recall",
-    "sim_ivf_index_search",
-    "sim_quantize_int8",
-    "sim_random_projection",
-    # -- never driver-seen: text / LM family --
-    "text_repetition_filter",
-    "text_length_histogram",
-    "text_vocab_top_terms",
-    "text_chunk_documents",
-    "text_tfidf_top_terms",
-    "text_lm_perplexity",
-    "text_hash_embedding_retrieval",
-    "text_novelty_scores",
-    # -- never driver-seen: dedup / sampling / multimodal / pipeline --
-    "dedup_duplicate_passages",
-    "sample_domain_mixture",
-    "sample_train_val_test_split",
-    "multimodal_phash_dedup",
-    "pipeline_curate_corpus",
-    # -- never driver-seen: TPC-H completions --
-    "q9_profit_by_nation_year",
-    "q13_customer_order_distribution",
-    "q16_supplier_count_by_part_attrs",
-    "q20_excess_shipment_suppliers",
-    "q21_waiting_suppliers",
-    # -- never driver-seen: relational additions --
-    "ts_gapfill_hourly_counts",
-    "agg_approx_percentile_contract",
-    "join_salted_skew",
-    "window_ntile_percentiles",
-    "window_trailing_interval_sum",
-    "agg_pivot_event_types",
-    "agg_two_phase_skew",
-    # -- new round-5 queries (slots 47-50 of the driver's 50) --
-    "geo_ragged_poly_join_counts",
-    "geo_annulus_join_counts",
-    "multimodal_jpeg_roundtrip",
-    "managed_object_store_roundtrip",
+    # Round-6 rotation: rounds 1-5 earned green driver rows for 173 of the
+    # 181 queries registered at the time; the 8 below are the only ones
+    # without a driver row (round-5 registrations past driver slot 50),
+    # all locally oracle-green.  Verifying them makes every registered
+    # query driver-green; the remaining ~42 driver slots go to new
+    # round-6 queries appended after them.
+    "pipeline_warc_extract",
+    "pipeline_url_dedup",
+    "pipeline_webdataset_extract",
+    "multimodal_gif_frames",
+    "multimodal_flac_frames",
+    "multimodal_tiff_roundtrip",
+    "multimodal_log_mel_contract",
+    "text_bpe_roundtrip",
 )
 
 

@@ -211,6 +211,16 @@ def register_file_io(prefix: str, fio: FileIO) -> None:
 
 def io_for(path: str) -> FileIO:
     for prefix, fio in _REGISTRY:
-        if path.startswith(prefix):
+        # a prefix registered as 'scheme://wh/' also claims the bare
+        # root 'scheme://wh' (directory probes on the warehouse itself)
+        if path.startswith(prefix) or path == prefix.rstrip("/"):
             return fio
+    if "://" in path and not path.startswith("file://"):
+        # an unregistered object-store scheme must never silently fall
+        # through to POSIX IO (which would mkdir the scheme as a literal
+        # directory); fail loudly so misconfigured catalogs surface
+        raise ValueError(
+            f"no FileIO registered for scheme path {path!r}; "
+            "call register_file_io(prefix, fio) first"
+        )
     return _POSIX

@@ -323,7 +323,7 @@ def register_commit_backend(location_prefix: str, backend: CommitBackend) -> Non
 
 def backend_for(location: str) -> CommitBackend:
     for prefix, b in _BACKENDS:
-        if location.startswith(prefix):
+        if location.startswith(prefix) or location == prefix.rstrip("/"):
             return b
     return _DEFAULT_BACKEND
 

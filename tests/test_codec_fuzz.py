@@ -16,8 +16,16 @@ from iceberg_geo_poc_spark.operators import flac, gif, jpeg, tiff, warc, webdata
 
 def _codecs():
     img = np.full((8, 8, 3), 77, np.uint8)
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
     return {
         "jpeg": (jpeg.encode_jpeg(img), jpeg.decode_jpeg),
+        # DRI-bearing stream: a desynced restart marker must raise, not
+        # hang (regression fixture for the nbits-25..31 _fill no-op spin)
+        "jpeg_dri": (
+            jpeg.encode_jpeg(big, restart_interval=2),
+            jpeg.decode_jpeg,
+        ),
         "gif": (gif.encode_gif([img]), gif.decode_gif),
         "tiff": (tiff.encode_tiff([img], compression=5), tiff.decode_tiff),
         "flac": (
@@ -27,20 +35,33 @@ def _codecs():
     }
 
 
-@pytest.mark.parametrize("name", ["jpeg", "gif", "tiff", "flac"])
+@pytest.mark.parametrize("name", ["jpeg", "jpeg_dri", "gif", "tiff", "flac"])
 def test_decoders_fail_cleanly_on_corruption(name):
+    import signal
+
     valid, dec = _codecs()[name]
     dec(valid)  # sanity: pristine input still decodes
     rng = random.Random(hash(name) & 0xFFFF)
-    for _ in range(400):
-        b = bytearray(valid)
-        for _ in range(rng.randrange(1, 5)):
-            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
-        data = bytes(b[: rng.randrange(len(b) + 1)])
-        try:
-            dec(data)
-        except (ValueError, NotImplementedError):
-            pass  # the contract: clean, catchable failure
+
+    def _alarm(signum, frame):  # pragma: no cover - only fires on a hang
+        raise AssertionError(f"{name} decoder hung on corrupt input")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for _ in range(400):
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            data = bytes(b[: rng.randrange(len(b) + 1)])
+            signal.alarm(10)
+            try:
+                dec(data)
+            except (ValueError, NotImplementedError):
+                pass  # the contract: clean, catchable failure
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
 
 
 def test_archive_parsers_fail_cleanly():

@@ -1,0 +1,391 @@
+"""External golden fixtures for the media codecs.
+
+Every other codec test round-trips a file through this repo's own
+encoder, which can never catch a MIRRORED encoder/decoder
+misconception (chroma ordering, LZW EarlyChange off-by-one, Rice
+escape handling...).  The container ships no third-party codec tools
+(no PIL/ImageMagick/libtiff/flac-cli), so these fixtures are the next
+best thing: files assembled INDEPENDENTLY of the codec modules —
+byte-by-byte from the published specs (GIF89a, TIFF 6.0, PNG RFC 2083,
+T.81, RFC 9639), including one widely-published known-good file — and
+decoded with the module under test.  None of the fixture builders
+import anything from the codec modules; CRCs and bit-packing are
+reimplemented here from the spec polynomials.
+"""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# GIF: the canonical minimal GIF89a — a widely published known-good file
+# (1x1, 2-entry palette, white pixel).  Third-party-originated bytes.
+# ---------------------------------------------------------------------------
+
+MINIMAL_GIF = bytes(
+    [
+        0x47, 0x49, 0x46, 0x38, 0x39, 0x61,  # "GIF89a"
+        0x01, 0x00, 0x01, 0x00,              # logical screen 1x1
+        0x80, 0x00, 0x00,                    # GCT: 2 entries; bg 0; aspect 0
+        0xFF, 0xFF, 0xFF,                    # palette[0] = white
+        0x00, 0x00, 0x00,                    # palette[1] = black
+        0x2C, 0x00, 0x00, 0x00, 0x00,        # image descriptor at (0,0)
+        0x01, 0x00, 0x01, 0x00, 0x00,        # 1x1, no LCT
+        0x02,                                # LZW min code size
+        0x02, 0x44, 0x01,                    # codes: Clear(4), 0, EOI(5)
+        0x00,                                # block terminator
+        0x3B,                                # trailer
+    ]
+)
+
+
+def test_gif_minimal_known_good_file():
+    from iceberg_geo_poc_spark.operators.gif import decode_gif
+
+    frames = decode_gif(MINIMAL_GIF)
+    assert len(frames) == 1
+    assert frames[0].shape == (1, 1, 3)
+    assert frames[0].tolist() == [[[255, 255, 255]]]  # palette index 0
+
+
+# ---------------------------------------------------------------------------
+# TIFF: IFDs hand-packed with struct — both byte orders, strip layouts,
+# PackBits and LZW streams derived by hand from TIFF 6.0 §7/§13.
+# ---------------------------------------------------------------------------
+
+def _tiff(entries, payload, endian="<", first_payload_at=None):
+    """Assemble header + payload + one IFD.  ``entries`` are
+    (tag, type, count, value-bytes[4]) tuples, must be tag-sorted."""
+    ii = b"II" if endian == "<" else b"MM"
+    header = ii + struct.pack(endian + "H", 42)
+    payload_at = 8
+    ifd_at = payload_at + len(payload)
+    out = header + struct.pack(endian + "I", ifd_at) + payload
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, raw in entries:
+        assert len(raw) == 4
+        out += struct.pack(endian + "HHI", tag, typ, count) + raw
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    return out
+
+
+def _short(v, endian="<"):
+    return struct.pack(endian + "H", v) + b"\x00\x00"
+
+
+def _long(v, endian="<"):
+    return struct.pack(endian + "I", v)
+
+
+def test_tiff_uncompressed_rgb_little_endian():
+    from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+    # 2x2 RGB, one strip at offset 8 (before the IFD)
+    pix = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  10, 20, 30]
+    )
+    data = _tiff(
+        [
+            (256, 3, 1, _short(2)),        # ImageWidth
+            (257, 3, 1, _short(2)),        # ImageLength
+            (259, 3, 1, _short(1)),        # Compression: none
+            (262, 3, 1, _short(2)),        # Photometric: RGB
+            (273, 4, 1, _long(8)),         # StripOffsets
+            (277, 3, 1, _short(3)),        # SamplesPerPixel
+            (278, 3, 1, _short(2)),        # RowsPerStrip
+            (279, 4, 1, _long(len(pix))),  # StripByteCounts
+        ],
+        pix,
+    )
+    (img,) = decode_tiff(data)
+    assert img.shape == (2, 2, 3)
+    assert img.reshape(-1).tolist() == list(pix)
+
+
+def test_tiff_big_endian_grayscale_two_strips():
+    from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+    # 3x2 grayscale, MM byte order, two one-row strips
+    rows = [bytes([1, 2, 3]), bytes([200, 100, 50])]
+    payload = rows[0] + rows[1]
+    e = ">"
+    data = _tiff(
+        [
+            (256, 3, 1, _short(3, e)),
+            (257, 3, 1, _short(2, e)),
+            (259, 3, 1, _short(1, e)),
+            (262, 3, 1, _short(1, e)),   # BlackIsZero
+            (273, 4, 2, _long(0, e)),    # patched below: offsets array
+            (277, 3, 1, _short(1, e)),
+            (278, 3, 1, _short(1, e)),   # one row per strip
+            (279, 4, 2, _long(0, e)),    # patched below: counts array
+        ],
+        payload,
+        endian=e,
+    )
+    # two-long arrays don't fit in the 4-byte value: append them and
+    # patch the offsets in the raw bytes
+    off_arr_at = len(data)
+    data += struct.pack(e + "II", 8, 8 + len(rows[0]))
+    cnt_arr_at = len(data)
+    data += struct.pack(e + "II", len(rows[0]), len(rows[1]))
+    data = bytearray(data)
+    ifd_at = struct.unpack(e + "I", bytes(data[4:8]))[0]
+    for i in range(struct.unpack(e + "H", bytes(data[ifd_at : ifd_at + 2]))[0]):
+        at = ifd_at + 2 + 12 * i
+        tag = struct.unpack(e + "H", bytes(data[at : at + 2]))[0]
+        if tag == 273:
+            data[at + 8 : at + 12] = struct.pack(e + "I", off_arr_at)
+        elif tag == 279:
+            data[at + 8 : at + 12] = struct.pack(e + "I", cnt_arr_at)
+    (img,) = decode_tiff(bytes(data))
+    assert img.shape == (2, 3, 3)
+    assert img[:, :, 0].reshape(-1).tolist() == [1, 2, 3, 200, 100, 50]
+    assert (img[:, :, 0] == img[:, :, 2]).all()  # gray replicated
+
+
+def test_tiff_packbits_hand_derived_stream():
+    from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+    # TIFF 6.0 §9 PackBits: (n>=0) -> copy n+1 literals; (-127..-1) ->
+    # repeat next byte 1-n times; -128 is a no-op.  4x2 grayscale:
+    # row0 = 7,7,7,7 row1 = 1,2,3,3  ->  [0xFD 0x07] four 7s,
+    # [0x01 0x01 0x02] two literals, [0xFF 0x03] two 3s.
+    comp = bytes([0xFD, 7, 0x01, 1, 2, 0xFF, 3])
+    data = _tiff(
+        [
+            (256, 3, 1, _short(4)),
+            (257, 3, 1, _short(2)),
+            (259, 3, 1, _short(32773)),
+            (262, 3, 1, _short(1)),
+            (273, 4, 1, _long(8)),
+            (277, 3, 1, _short(1)),
+            (278, 3, 1, _short(2)),
+            (279, 4, 1, _long(len(comp))),
+        ],
+        comp,
+    )
+    (img,) = decode_tiff(data)
+    assert img[:, :, 0].reshape(-1).tolist() == [7, 7, 7, 7, 1, 2, 3, 3]
+
+
+def test_tiff_lzw_hand_derived_stream():
+    from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+    # TIFF 6.0 §13 LZW, 9-bit MSB-first codes, ClearCode=256 EOI=257.
+    # Encoding [10,10,10,10] by the spec algorithm emits
+    # Clear, 10, 258 ("10,10" added at first repeat), 10, EOI:
+    #   100000000 000001010 100000010 000001010 100000001
+    # packed MSB-first into bytes:
+    comp = bytes([0x80, 0x02, 0xA0, 0x40, 0xA8, 0x08])
+    data = _tiff(
+        [
+            (256, 3, 1, _short(2)),
+            (257, 3, 1, _short(2)),
+            (259, 3, 1, _short(5)),
+            (262, 3, 1, _short(1)),
+            (273, 4, 1, _long(8)),
+            (277, 3, 1, _short(1)),
+            (278, 3, 1, _short(2)),
+            (279, 4, 1, _long(len(comp))),
+        ],
+        comp,
+    )
+    (img,) = decode_tiff(data)
+    assert img[:, :, 0].reshape(-1).tolist() == [10, 10, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# PNG: chunks assembled with struct + stdlib zlib/crc32 (the compressor
+# the spec delegates to), filters 0 (None) and 2 (Up) applied by hand.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", binascii.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_hand_built_filters_none_and_up():
+    from iceberg_geo_poc_spark.operators.multimodal import decode_image
+
+    rows = np.array(
+        [[[255, 0, 0], [0, 255, 0], [7, 8, 9]],
+         [[250, 1, 2], [3, 250, 4], [17, 28, 39]]],
+        dtype=np.uint8,
+    )
+    scan = bytes([0]) + rows[0].tobytes()  # filter None
+    up = (rows[1].astype(np.int16) - rows[0].astype(np.int16)) % 256
+    scan += bytes([2]) + up.astype(np.uint8).tobytes()  # filter Up
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_image(png, "png")
+    assert out.shape == (2, 3, 3)
+    assert (out == rows).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG: a baseline grayscale 8x8 DC-only file hand-assembled from T.81 —
+# custom minimal Huffman tables defined in the DHT segment itself, DC
+# magnitude bits computed by hand, expected pixels derived analytically
+# (DC-only IDCT => uniform plane at DC/8 + 128).
+# ---------------------------------------------------------------------------
+
+def _jpeg_dc_only(entropy: bytes) -> bytes:
+    seg = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0, all entries 16
+    seg += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    # SOF0: 8-bit precision, 8x8, 1 component (id 1, 1x1 sampling, q0)
+    seg += b"\xff\xc0" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    # DHT DC table 0: len-1 code "0"->cat 0, len-2 code "10"->cat 6
+    bits_dc = [1, 1] + [0] * 14
+    seg += b"\xff\xc4" + struct.pack(">H", 21) + bytes([0x00] + bits_dc + [0, 6])
+    # DHT AC table 0: single len-1 code "0" -> 0x00 (EOB)
+    bits_ac = [1] + [0] * 15
+    seg += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10] + bits_ac + [0x00])
+    # SOS: 1 component, DC table 0 / AC table 0
+    seg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    seg += entropy
+    seg += b"\xff\xd9"  # EOI
+    return bytes(seg)
+
+
+def test_jpeg_hand_built_zero_dc_decodes_mid_gray():
+    from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
+
+    # DC cat 0 ("0") + EOB ("0") + 1-padding = 0b00111111
+    img = decode_jpeg(_jpeg_dc_only(bytes([0x3F])))
+    assert img.shape == (8, 8, 3)
+    assert (img == 128).all()
+
+
+def test_jpeg_hand_built_nonzero_dc_decodes_uniform_200():
+    from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
+
+    # target level 200: centered 72, orthonormal DC = 72*8 = 576,
+    # quantized by 16 -> 36 (category 6, magnitude bits 100100).
+    # entropy: "10" (cat 6) + "100100" + EOB "0" + 1-padding
+    #        = 10100100 01111111 = 0xA4 0x7F
+    img = decode_jpeg(_jpeg_dc_only(bytes([0xA4, 0x7F])))
+    assert img.shape == (8, 8, 3)
+    assert (img == 200).all()
+
+
+# ---------------------------------------------------------------------------
+# FLAC: an independent spec-level writer — bit packing, CRC-8 (poly 0x07)
+# and CRC-16 (poly 0x8005) reimplemented here bitwise from RFC 9639 —
+# emitting VERBATIM and CONSTANT subframes the module never writes
+# together in this layout.
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, width: int):
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        return self
+
+    def bytes(self) -> bytes:
+        assert self.n == 0, "fixture must be byte-aligned"
+        return bytes(self.buf)
+
+
+def _crc8_spec(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_spec(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_fixture():
+    rate = 8000
+    frame0 = np.array([0, 1, -1, 300, -300, 32767, -32768, 12345], np.int16)
+    const_val = -777
+    total = len(frame0) + 4
+
+    stream = _Bits()
+    stream.put(4, 16).put(8, 16)          # min/max block size
+    stream.put(0, 24).put(0, 24)          # min/max frame size unknown
+    stream.put(rate, 20)                  # sample rate
+    stream.put(0, 3)                      # channels - 1 (mono)
+    stream.put(15, 5)                     # bits per sample - 1
+    stream.put(total, 36)                 # total samples
+    info = stream.bytes() + b"\x00" * 16  # MD5 unset
+    out = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    def frame(index: int, samples, subframe_bits) -> bytes:
+        hdr = _Bits()
+        hdr.put(0b11111111111110, 14)     # sync
+        hdr.put(0, 1)                     # reserved
+        hdr.put(0, 1)                     # fixed blocking
+        hdr.put(0b0110, 4)                # block size: 8-bit value follows
+        hdr.put(0b0000, 4)                # sample rate: from STREAMINFO
+        hdr.put(0b0000, 4)                # mono
+        hdr.put(0b100, 3)                 # 16 bps
+        hdr.put(0, 1)                     # reserved
+        hdr.put(index, 8)                 # UTF-8 frame number (< 0x80)
+        hdr.put(len(samples) - 1, 8)      # block size - 1
+        head = hdr.bytes()
+        head += bytes([_crc8_spec(head)])
+        body = subframe_bits.bytes()
+        f = head + body
+        return f + _crc16_spec(f).to_bytes(2, "big")
+
+    sf0 = _Bits()
+    sf0.put(0, 1).put(0x01, 6).put(0, 1)  # VERBATIM, no wasted bits
+    for s in frame0:
+        sf0.put(int(s), 16)
+    out += frame(0, frame0, sf0)
+
+    sf1 = _Bits()
+    sf1.put(0, 1).put(0x00, 6).put(0, 1)  # CONSTANT
+    sf1.put(const_val, 16)
+    out += frame(1, [0] * 4, sf1)
+
+    expected = np.concatenate([frame0, np.full(4, const_val, np.int16)])
+    return out, expected, rate
+
+
+def test_flac_independent_writer_decodes_exactly():
+    from iceberg_geo_poc_spark.operators.flac import decode_flac
+
+    data, expected, rate = _flac_fixture()
+    arr, got_rate = decode_flac(data)
+    assert got_rate == rate
+    assert arr.shape == (len(expected), 1)
+    assert arr[:, 0].tolist() == expected.tolist()

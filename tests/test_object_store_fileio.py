@@ -57,6 +57,20 @@ def test_fileio_routing_defaults_to_posix(mock_io, tmp_path):
     assert io_for("mock://anything") is mock_io
 
 
+def test_fileio_refuses_unregistered_scheme(mock_io):
+    # an unmatched scheme path must raise, never fall through to POSIX
+    # (which would mkdir 'scheme:' as a literal directory in CWD)
+    with pytest.raises(ValueError, match="no FileIO registered"):
+        io_for("unregistered-scheme://bucket/key")
+    # a prefix registered with a trailing slash also claims the bare root
+    import pyarrow.fs as pafs
+
+    fio = ArrowFSFileIO(pafs._MockFileSystem(), "mockroot")
+    register_file_io("mockroot://wh/", fio)
+    assert io_for("mockroot://wh") is fio
+    assert io_for("mockroot://wh/metadata/v1.json") is fio
+
+
 def test_fileio_bytes_roundtrip(mock_io):
     p = f"mock://io-{uuid.uuid4().hex[:8]}/a/b.bin"
     assert not mock_io.exists(p)

@@ -67,3 +67,82 @@ def test_untrained_words_fall_back_to_chars(spark):
     merges = train_bpe(docs, n_merges=0)
     enc = encode_docs(docs, merges).collect()[0]
     assert enc.n_tokens == 8  # 3 chars + end marker, twice
+
+
+def test_roundtrip_with_literal_markers(spark):
+    # text containing the '▁' end-of-word marker and the U+E000 escape
+    # char itself must still round-trip exactly (they occur in real web
+    # corpora; encoding escapes them, the codegen decode chain restores)
+    texts = [
+        "price▁tag under▁score",
+        "pua  char",
+        "mixed ▁▁ run",
+        "E already-looks-escaped ▁U",
+    ]
+    docs = _docs(spark, texts)
+    merges = train_bpe(docs, n_merges=30, min_freq=1)
+    dec = {r.doc_id: r for r in decode_tokens(encode_docs(docs, merges)).collect()}
+    for i, t in enumerate(texts):
+        assert dec[i].decoded_text == t, (i, repr(dec[i].decoded_text))
+
+
+def _naive_train(word_freqs, n_merges):
+    """In-test reference trainer: full pair recount every merge (the
+    textbook O(n_merges x vocab) formulation) — pins the incremental
+    index implementation to identical output."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("▁",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, freq in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += freq
+        if not pc:
+            break
+        best_n = max(pc.values())
+        if best_n < 2:
+            break
+        best = min(p for p, c in pc.items() if c == best_n)
+        merges.append(best)
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_incremental_update_matches_naive_recount(spark):
+    texts = [
+        "the cat sat on the mat the cat",
+        "banana bandana ban ban banana",
+        "aaa aab aba abb bbb aaa aaa",
+        "overlap overlap overlapping laps",
+    ]
+    docs = _docs(spark, texts)
+    fast = train_bpe(docs, n_merges=60, min_freq=1)
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert fast == _naive_train(freqs, 60)
+
+
+def test_vocab_caps_bound_the_collect(spark):
+    texts = ["common common common common rare", "common unique1 unique2"]
+    docs = _docs(spark, texts)
+    # min_freq floor drops the singletons; merges come from 'common' only
+    capped = train_bpe(docs, n_merges=10, min_freq=2)
+    assert capped == _naive_train({"common": 5}, 10)
+    # max_vocab keeps only the most frequent word (deterministic order)
+    top1 = train_bpe(docs, n_merges=10, min_freq=1, max_vocab=1)
+    assert top1 == _naive_train({"common": 5}, 10)

@@ -74,12 +74,18 @@ def test_canonical_urls_variants(spark):
         (2, "https://site7.example/a/b#frag"),
         (3, "https://other.example/a/b"),
         (4, "https://site7.example/a/b?id=9"),  # real param survives
+        # utm stripping must anchor to a ?/& boundary:
+        (5, "https://site7.example/docs/utm_source=x.html"),  # path segment
+        (6, "https://site7.example/a/b?xutm_a=b"),  # longer param name
+        (7, "https://site7.example/a/b?id=9&utm_ref=z"),  # trailing utm
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
     out = {r.canonical_url: (r.keeper_doc_id, r.n_urls) for r in url_dedup(df).collect()}
     assert out["site7.example/a/b"] == (0, 3)
     assert out["other.example/a/b"] == (3, 1)
-    assert out["site7.example/a/b?id=9"] == (4, 1)
+    assert out["site7.example/a/b?id=9"] == (4, 2)
+    assert out["site7.example/docs/utm_source=x.html"] == (5, 1)
+    assert out["site7.example/a/b?xutm_a=b"] == (6, 1)
 
 
 def test_extract_documents_spark(spark):

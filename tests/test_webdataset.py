@@ -14,6 +14,7 @@ MEMBERS = [
     ("000001.json", b'{"lang":"en"}'),
     ("000002.txt", b"zwei"),
     ("a/b/000003.seg.png", b"\x89PNGfake"),
+    ("v1.2/000004.jpg", b"\xff\xd8fake"),
 ]
 
 
@@ -24,8 +25,10 @@ def test_parse_roundtrip_plain_and_gz():
             ("000001", "txt", b"hello world"),
             ("000001", "json", b'{"lang":"en"}'),
             ("000002", "txt", b"zwei"),
-            # first-dot split: multi-extension stays intact
+            # first-dot-of-BASENAME split: multi-extension stays intact
             ("a/b/000003", "seg.png", b"\x89PNGfake"),
+            # ... and dotted directories stay in the key, not the ext
+            ("v1.2/000004", "jpg", b"\xff\xd8fake"),
         ]
 
 
