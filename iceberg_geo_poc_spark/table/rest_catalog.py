@@ -44,20 +44,43 @@ Transport = Callable[[dict], dict]
 
 
 class CatalogService:
-    """In-process catalog service: atomic conditional create."""
+    """In-process catalog service: atomic conditional create, plus the
+    namespace / table-registry / config surface of the reference REST
+    catalog (RESTSessionCatalog.java — /v1/config negotiation,
+    /v1/namespaces CRUD, /v1/namespaces/{ns}/tables listing), all
+    arbitrated under the service lock so multi-host clients need no
+    shared filesystem."""
 
-    def __init__(self) -> None:
+    def __init__(
+        self,
+        defaults: dict[str, str] | None = None,
+        overrides: dict[str, str] | None = None,
+        token: str | None = None,
+    ) -> None:
         self._docs: dict[str, bytes] = {}
+        self._namespaces: dict[str, dict[str, str]] = {}
+        self._tables: dict[str, dict[str, str]] = {}  # ns -> {table: location}
+        self._defaults = dict(defaults or {})
+        self._overrides = dict(overrides or {})
+        self._token = token
         self._lock = threading.Lock()
 
     def handle(self, req: dict) -> dict:
         """The service contract: one verb per request dict.
 
-        verbs: ``get`` / ``head`` / ``create`` (conditional, 409 on
-        conflict) / ``put`` (last-writer-wins) / ``list`` (prefix).
+        Document verbs: ``get`` / ``head`` / ``create`` (conditional,
+        409 on conflict) / ``put`` (last-writer-wins) / ``list``
+        (prefix).  Catalog verbs: ``config``, ``create_namespace`` /
+        ``get_namespace`` / ``list_namespaces`` / ``drop_namespace`` /
+        ``update_namespace``, ``register_table`` / ``list_tables`` /
+        ``get_table`` / ``drop_table_entry``.  When the service was
+        created with a ``token``, every request must carry it (the
+        bearer-auth shape; 401 otherwise).
         """
         op = req["op"]
         path = req.get("path", "")
+        if self._token is not None and req.get("token") != self._token:
+            return {"status": 401}
         with self._lock:
             if op == "get":
                 if path not in self._docs:
@@ -80,6 +103,90 @@ class CatalogService:
                         p for p in self._docs if p.startswith(path)
                     ),
                 }
+            if op == "config":
+                # client settings = defaults < client-supplied < overrides
+                return {
+                    "status": 200,
+                    "defaults": dict(self._defaults),
+                    "overrides": dict(self._overrides),
+                }
+            if op == "create_namespace":
+                ns = req["namespace"]
+                if not ns or ns in self._namespaces:
+                    return {"status": 409 if ns else 400}
+                parent = ns.rpartition(".")[0]
+                if parent and parent not in self._namespaces:
+                    return {"status": 404, "error": f"parent {parent} missing"}
+                self._namespaces[ns] = dict(req.get("properties") or {})
+                self._tables.setdefault(ns, {})
+                return {"status": 201}
+            if op == "get_namespace":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                return {"status": 200, "properties": dict(self._namespaces[ns])}
+            if op == "list_namespaces":
+                parent = req.get("parent", "")
+                names = sorted(
+                    n
+                    for n in self._namespaces
+                    if (
+                        n.rpartition(".")[0] == parent
+                        if parent
+                        else "." not in n
+                    )
+                )
+                return {"status": 200, "namespaces": names}
+            if op == "update_namespace":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                props = self._namespaces[ns]
+                for k in req.get("removals") or []:
+                    props.pop(k, None)
+                props.update(req.get("updates") or {})
+                return {"status": 200, "properties": dict(props)}
+            if op == "drop_namespace":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                children = any(
+                    n.rpartition(".")[0] == ns for n in self._namespaces
+                )
+                if self._tables.get(ns) or children:
+                    return {"status": 409, "error": "namespace not empty"}
+                del self._namespaces[ns]
+                self._tables.pop(ns, None)
+                return {"status": 204}
+            if op == "register_table":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                tbl = req["name"]
+                if tbl in self._tables[ns]:
+                    return {"status": 409}
+                self._tables[ns][tbl] = req["location"]
+                return {"status": 201}
+            if op == "list_tables":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                return {"status": 200, "tables": sorted(self._tables[ns])}
+            if op == "get_table":
+                ns = req["namespace"]
+                loc = self._tables.get(ns, {}).get(req["name"])
+                if loc is None:
+                    return {"status": 404}
+                return {"status": 200, "location": loc}
+            if op == "drop_table_entry":
+                ns = req["namespace"]
+                if req["name"] not in self._tables.get(ns, {}):
+                    return {"status": 404}
+                del self._tables[ns][req["name"]]
+                return {"status": 204}
+            if op == "delete":
+                self._docs.pop(path, None)
+                return {"status": 204}
         return {"status": 400}
 
 
@@ -120,3 +227,172 @@ class ServiceCommitBackend(CommitBackend):
         resp = self.transport({"op": "put", "path": path, "body": payload})
         if resp["status"] != 200:
             raise IOError(f"catalog service error {resp['status']} for {path}")
+
+
+class RestCatalog:
+    """Namespace-aware catalog client running ENTIRELY against a
+    catalog-service transport: the service is the only metadata
+    authority — table registry, namespace tree, config negotiation,
+    and the metadata documents themselves (via ServiceCommitBackend);
+    only data/manifest files go through the registered FileIO.
+
+    Mirrors the reference's RESTSessionCatalog surface
+    (core/src/main/java/org/apache/iceberg/rest/RESTSessionCatalog.java):
+    /v1/config settings merge (defaults < client < overrides),
+    namespace CRUD with parent/empty checks, per-namespace table
+    listing, bearer-token auth, and the conditional-PUT commit path.
+    Table identifiers are dotted: ``ns.table`` / ``a.b.table``.
+    """
+
+    def __init__(
+        self,
+        transport: Transport,
+        spark,
+        warehouse: str | None = None,
+        token: str | None = None,
+        properties: dict[str, str] | None = None,
+    ):
+        base = transport
+        if token is not None:
+            def base(req: dict, _t=transport, _tok=token) -> dict:
+                return _t({**req, "token": _tok})
+        self.transport = base
+        cfg = self._call("config")
+        # reference AuthSession/config semantics: server defaults are
+        # overridable by the client, server overrides always win
+        self.properties = {
+            **cfg.get("defaults", {}),
+            **(properties or {}),
+            **cfg.get("overrides", {}),
+        }
+        wh = self.properties.get("warehouse", warehouse)
+        if not wh:
+            raise ValueError("no warehouse: pass one or set it in config")
+        self.warehouse = wh.rstrip("/")
+        self.spark = spark
+        from iceberg_geo_poc_spark.table import metadata as MD
+
+        MD.register_commit_backend(
+            self.warehouse + "/", ServiceCommitBackend(self.transport)
+        )
+
+    def _call(self, op: str, **kw) -> dict:
+        resp = self.transport({"op": op, **kw})
+        status = resp.get("status", 500)
+        if status == 401:
+            raise PermissionError(f"catalog service rejected credentials ({op})")
+        if status >= 400:
+            detail = resp.get("error", "")
+            raise ValueError(f"catalog service {status} for {op} {kw}: {detail}")
+        return resp
+
+    # -- namespaces --------------------------------------------------------
+    def create_namespace(
+        self, namespace: str, properties: dict[str, str] | None = None
+    ) -> None:
+        self._call(
+            "create_namespace", namespace=namespace, properties=properties or {}
+        )
+
+    def list_namespaces(self, parent: str = "") -> list[str]:
+        return self._call("list_namespaces", parent=parent)["namespaces"]
+
+    def namespace_properties(self, namespace: str) -> dict[str, str]:
+        return self._call("get_namespace", namespace=namespace)["properties"]
+
+    def update_namespace(
+        self,
+        namespace: str,
+        updates: dict[str, str] | None = None,
+        removals: list[str] | None = None,
+    ) -> dict[str, str]:
+        return self._call(
+            "update_namespace",
+            namespace=namespace,
+            updates=updates or {},
+            removals=removals or [],
+        )["properties"]
+
+    def drop_namespace(self, namespace: str) -> None:
+        self._call("drop_namespace", namespace=namespace)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return self.transport(
+            {"op": "get_namespace", "namespace": namespace}
+        )["status"] == 200
+
+    # -- tables ------------------------------------------------------------
+    @staticmethod
+    def _split(identifier: str) -> tuple[str, str]:
+        ns, _, tbl = identifier.rpartition(".")
+        if not ns:
+            raise ValueError(
+                f"table identifier {identifier!r} must be namespace-qualified"
+            )
+        return ns, tbl
+
+    def _location(self, ns: str, tbl: str) -> str:
+        return "/".join([self.warehouse, *ns.split("."), tbl])
+
+    def _ns_catalog(self, ns: str):
+        from iceberg_geo_poc_spark.table.catalog import Catalog
+
+        return Catalog("/".join([self.warehouse, *ns.split(".")]), self.spark)
+
+    def create_table(self, identifier: str, schema_ddl: str, **kwargs):
+        """Claim the name in the service registry FIRST (atomic under
+        the service lock — the create-table race arbitration), then
+        write the table metadata through the service commit backend;
+        a failed metadata write rolls the registry entry back."""
+        ns, tbl = self._split(identifier)
+        self._call(
+            "register_table",
+            namespace=ns,
+            name=tbl,
+            location=self._location(ns, tbl),
+        )
+        try:
+            return self._ns_catalog(ns).create_table(tbl, schema_ddl, **kwargs)
+        except Exception:
+            self._call("drop_table_entry", namespace=ns, name=tbl)
+            raise
+
+    def load_table(self, identifier: str):
+        from iceberg_geo_poc_spark.table import metadata as MD
+        from iceberg_geo_poc_spark.table.table import Table
+
+        ns, tbl = self._split(identifier)
+        loc = self._call("get_table", namespace=ns, name=tbl)["location"]
+        return Table(MD.read_metadata(loc), self.spark)
+
+    def table_exists(self, identifier: str) -> bool:
+        ns, tbl = self._split(identifier)
+        return self.transport(
+            {"op": "get_table", "namespace": ns, "name": tbl}
+        )["status"] == 200
+
+    def list_tables(self, namespace: str) -> list[str]:
+        return self._call("list_tables", namespace=namespace)["tables"]
+
+    def drop_table(self, identifier: str, purge: bool = False) -> None:
+        """Remove the registry entry, the table's metadata documents in
+        the service, and (``purge=True``) its data files via FileIO."""
+        from iceberg_geo_poc_spark.table.fileio import io_for
+
+        ns, tbl = self._split(identifier)
+        loc = self._call("get_table", namespace=ns, name=tbl)["location"]
+        self._call("drop_table_entry", namespace=ns, name=tbl)
+        for doc in self._call("list", path=loc + "/")["paths"]:
+            self._call("delete", path=doc)
+        if purge:
+            fio = io_for(loc)
+            for f in fio.list_files(loc):
+                fio.delete(f)
+
+    def catalog_for_namespace(self, namespace: str):
+        """Expose the full single-namespace DDL/maintenance surface
+        (branches, tags, schema evolution, ...) rooted at this
+        namespace's warehouse prefix."""
+        if not self.namespace_exists(namespace):
+            raise ValueError(f"namespace {namespace} does not exist")
+        return self._ns_catalog(namespace)

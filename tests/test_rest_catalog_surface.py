@@ -1,0 +1,135 @@
+"""RestCatalog: the full catalog lifecycle with the service as the ONLY
+metadata authority (reference RESTSessionCatalog surface — config
+negotiation, namespaces, table registry, bearer auth), data files on an
+object-store FileIO (pyarrow mock fs)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+import pyspark.sql.functions as F
+
+from iceberg_geo_poc_spark.table.fileio import ArrowFSFileIO, register_file_io
+from iceberg_geo_poc_spark.table.rest_catalog import CatalogService, RestCatalog
+
+TOKEN = "secret-bearer"
+
+
+@pytest.fixture()
+def service():
+    return CatalogService(
+        defaults={"write.metadata.compression": "none", "client.pool": "2"},
+        overrides={"commit.retry.num-retries": "7"},
+        token=TOKEN,
+    )
+
+
+@pytest.fixture()
+def warehouse():
+    import pyarrow.fs as pafs
+
+    scheme = f"rest{uuid.uuid4().hex[:6]}"
+    wh = f"{scheme}://wh"
+    register_file_io(wh + "/", ArrowFSFileIO(pafs._MockFileSystem(), scheme))
+    return wh
+
+
+def _cat(service, warehouse, spark, **kw):
+    return RestCatalog(
+        service.handle, spark, warehouse=warehouse, token=TOKEN, **kw
+    )
+
+
+def test_auth_rejected_without_token(service, warehouse, spark):
+    with pytest.raises(PermissionError):
+        RestCatalog(service.handle, spark, warehouse=warehouse, token="wrong")
+
+
+def test_config_negotiation_merge(service, warehouse, spark):
+    cat = _cat(
+        service, warehouse, spark,
+        properties={"client.pool": "8", "commit.retry.num-retries": "1"},
+    )
+    # defaults < client-supplied < server overrides
+    assert cat.properties["write.metadata.compression"] == "none"
+    assert cat.properties["client.pool"] == "8"
+    assert cat.properties["commit.retry.num-retries"] == "7"
+
+
+def test_namespace_crud(service, warehouse, spark):
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("prod", {"owner": "data-eng"})
+    cat.create_namespace("prod.events")
+    with pytest.raises(ValueError):  # parent must exist first
+        cat.create_namespace("stage.raw")
+    with pytest.raises(ValueError):  # duplicate
+        cat.create_namespace("prod")
+    assert cat.list_namespaces() == ["prod"]
+    assert cat.list_namespaces("prod") == ["prod.events"]
+    assert cat.namespace_properties("prod") == {"owner": "data-eng"}
+    props = cat.update_namespace("prod", {"tier": "gold"}, removals=["owner"])
+    assert props == {"tier": "gold"}
+    with pytest.raises(ValueError):  # non-empty: child namespace exists
+        cat.drop_namespace("prod")
+    cat.drop_namespace("prod.events")
+    cat.drop_namespace("prod")
+    assert not cat.namespace_exists("prod")
+
+
+def test_table_lifecycle_service_authoritative(service, warehouse, spark):
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("prod")
+    cat.create_namespace("prod.events")
+    t = cat.create_table("prod.events.clicks", "id BIGINT, cat STRING")
+    t.append(
+        spark.range(50).select(
+            "id", (F.col("id") % 3).cast("string").alias("cat")
+        )
+    )
+    assert cat.list_tables("prod.events") == ["clicks"]
+    assert cat.table_exists("prod.events.clicks")
+    assert not cat.table_exists("prod.events.ghost")
+    got = cat.load_table("prod.events.clicks").to_df()
+    assert got.count() == 50
+    # name claim is arbitrated in the service: second create conflicts
+    with pytest.raises(ValueError):
+        cat.create_table("prod.events.clicks", "id BIGINT")
+    # a second client against the same service sees the same catalog
+    cat2 = _cat(service, warehouse, spark)
+    assert cat2.list_tables("prod.events") == ["clicks"]
+    assert cat2.load_table("prod.events.clicks").to_df().count() == 50
+    # metadata documents live in the service, nowhere else
+    assert service.handle(
+        {"op": "list", "path": f"{warehouse}/prod/events/clicks/", "token": TOKEN}
+    )["paths"]
+    cat.drop_table("prod.events.clicks", purge=True)
+    assert cat.list_tables("prod.events") == []
+    assert not service.handle(
+        {"op": "list", "path": f"{warehouse}/prod/events/clicks/", "token": TOKEN}
+    )["paths"]
+    cat.drop_namespace("prod.events")
+    cat.drop_namespace("prod")
+
+
+def test_create_rolls_back_registry_on_failure(service, warehouse, spark):
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("ns")
+    with pytest.raises(ValueError):
+        cat.create_table("ns.bad", "id BIGINT", file_format="bogus")
+    # the claimed name was released, so a corrected create succeeds
+    assert cat.list_tables("ns") == []
+    cat.create_table("ns.bad", "id BIGINT")
+    assert cat.list_tables("ns") == ["bad"]
+
+
+def test_namespace_scoped_ddl_surface(service, warehouse, spark):
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("ddl")
+    cat.create_table("ddl.t", "id BIGINT, v DOUBLE")
+    inner = cat.catalog_for_namespace("ddl")
+    inner.alter_table_properties("t", {"commit.manifest.min-count-to-merge": "4"})
+    t = cat.load_table("ddl.t")
+    assert t.meta.properties["commit.manifest.min-count-to-merge"] == "4"
+    with pytest.raises(ValueError):
+        cat.catalog_for_namespace("missing")
