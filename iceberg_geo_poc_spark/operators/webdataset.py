@@ -153,3 +153,60 @@ def group_samples(members: DataFrame) -> DataFrame:
             F.sum("n_bytes").alias("sample_bytes"),
         )
     )
+
+
+def write_shards(
+    samples: DataFrame,
+    samples_per_shard: int = 64,
+    key_col: str = "key",
+    shard_key_col: str | None = None,
+) -> DataFrame:
+    """Samples -> tar shard payloads: the EXPORT direction (training
+    jobs consume WebDataset; a pipeline must emit it, not just parse
+    it).
+
+    ``samples`` rows carry ``key`` plus a ``parts`` map (ext ->
+    payload), the exact shape :func:`group_samples` produces — so
+    extract -> transform -> write_shards round-trips.  Sharding is
+    deterministic: shard id = key-hash bucket when ``shard_key_col`` is
+    None (growth-stable, same convention as the sampling operators),
+    else the caller's explicit column.  One partial-agg groupBy on the
+    shard id is the only shuffle; each task then tars ITS shard's
+    members in sorted-key order (deterministic bytes — build_shard pins
+    headers), which is exactly how a 1000-executor export job shapes:
+    shard construction is embarrassingly parallel after one shuffle.
+    """
+    if shard_key_col is not None:
+        sid = F.col(shard_key_col)
+    else:
+        # deterministic key-hash bucketing; bucket count from one
+        # bounded count() so shards land near the target size
+        n = samples.count()
+        n_shards = max(1, -(-n // samples_per_shard))
+        sid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    grouped = samples.select(
+        sid.cast("long").alias("shard_id"),
+        F.col(key_col).alias("key"),
+        F.col("parts"),
+    )
+
+    def _tar(pdf: pd.DataFrame) -> pd.DataFrame:
+        members: list[tuple[str, bytes]] = []
+        for key, parts in sorted(
+            zip(pdf["key"], pdf["parts"]), key=lambda kv: kv[0]
+        ):
+            for ext in sorted(parts):
+                members.append((f"{key}.{ext}", bytes(parts[ext])))
+        payload = build_shard(members)
+        return pd.DataFrame(
+            {
+                "shard_id": pd.array([int(pdf["shard_id"].iloc[0])], dtype="int64"),
+                "payload": [payload],
+                "n_samples": pd.array([len(pdf)], dtype="int64"),
+                "n_bytes": pd.array([len(payload)], dtype="int64"),
+            }
+        )
+
+    return grouped.groupBy("shard_id").applyInPandas(
+        _tar, "shard_id LONG, payload BINARY, n_samples LONG, n_bytes LONG"
+    )

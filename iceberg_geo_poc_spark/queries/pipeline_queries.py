@@ -1846,3 +1846,149 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, 2 + CAST(doc_id % 4 AS INT), 2))
+               AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5('P6' || chr(10)
+               || CAST(8 + 2 * (doc_id % 5) AS VARCHAR) || ' '
+               || CAST(6 + 2 * (doc_id % 4) AS VARCHAR) || chr(10)
+               || '255' || chr(10)
+               || repeat(repeat(chr(CAST(32 + (doc_id * 5 + frame_idx * 17) % 95
+                                         AS INT)), 3),
+                         CAST((8 + 2 * (doc_id % 5)) * (6 + 2 * (doc_id % 4))
+                              AS INT)))
+             AS frame_md5,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-video ingestion: constant-gray clips encoded as
+    YUV4MPEG2 (alternating C444 / C420jpeg), then temporal frame
+    sampling (every 2nd frame) decodes planes, upsamples chroma,
+    converts BT.601 YCbCr->RGB, and md5s the canonical PPM
+    (operators/video.py).  Gray survives the color round-trip and the
+    constant-plane subsampling bit-exactly, so the oracle recomputes
+    every sampled frame's hash in SQL — a green row proves the whole
+    container walk, not just the header parse."""
+    from iceberg_geo_poc_spark.operators import video
+
+    media = video.synthesize_y4m_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return video.sample_video_frames(media, every_n=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "pipeline_webdataset_export",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+           'cls,txt' AS exts_csv,
+           md5(text) AS txt_md5,
+           lang AS cls_text
+    FROM documents
+    ORDER BY key
+    """,
+)
+def pipeline_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset EXPORT -> IMPORT round trip: documents become
+    (key, parts) samples, ``write_shards`` tars them into
+    deterministic key-hash-bucketed shards (one partial-agg shuffle,
+    per-task tar assembly — the training-set export job shape), then
+    the existing extract+group import path reads the shards back and
+    every document's text and label must survive byte-exactly.  The
+    oracle recomputes each recovered member from the source table, so
+    a green row proves the writer emits genuine WebDataset that the
+    (independently driver-proven) reader understands."""
+    from iceberg_geo_poc_spark.operators import webdataset as WD
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    samples = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("key"),
+        F.map_from_arrays(
+            F.array(F.lit("txt"), F.lit("cls")),
+            F.array(
+                F.encode(F.col("text"), "UTF-8"),
+                F.encode(F.col("lang"), "UTF-8"),
+            ),
+        ).alias("parts"),
+    )
+    shards = WD.write_shards(samples, samples_per_shard=16)
+    recovered = WD.group_samples(WD.extract_samples(shards))
+    return recovered.select(
+        "key",
+        F.array_join(F.col("exts"), ",").alias("exts_csv"),
+        F.md5(F.col("parts").getItem("txt")).alias("txt_md5"),
+        F.col("parts").getItem("cls").cast("string").alias("cls_text"),
+    ).orderBy("key")
+
+
+@query(
+    "pipeline_quality_classifier",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           TRUE AS train_acc_ok,
+           TRUE AS length_weight_positive
+    FROM documents
+    """,
+)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier lifecycle (operators/classifier.py — the
+    fastText/CCNet-style corpus filter): cheap codegen text features
+    (log-length, punctuation ratio, digit ratio), full-batch logistic
+    regression trained with one partial-agg gradient pass per
+    iteration (driver holds only the weight vector), then corpus-wide
+    pure-codegen scoring.  The label is a deterministic separable rule
+    (length >= 300), so training must recover it: the oracle pins the
+    class balance plus two contracts — train accuracy >= 0.95 and a
+    positive learned weight on the length feature (full-batch GD makes
+    both exactly reproducible across partitionings)."""
+    from iceberg_geo_poc_spark.operators import classifier as CL
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chars = F.length("text")
+    feats = docs.select(
+        "doc_id",
+        F.log(n_chars + F.lit(1)).alias("f_loglen"),
+        (
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")) /
+            (n_chars + F.lit(1))
+        ).alias("f_punct"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")) /
+            (n_chars + F.lit(1))
+        ).alias("f_digit"),
+        (n_chars >= F.lit(300)).cast("int").alias("label"),
+    )
+    fcols = ["f_loglen", "f_punct", "f_digit"]
+    feats = CL.standardized(feats, fcols).persist()
+    try:
+        w = CL.train_logreg(feats, fcols, "label", n_iters=80, lr=4.0)
+        scored = CL.score_logreg(feats, fcols, w)
+        acc = CL.accuracy(scored, "label")
+        agg = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("p"),
+        ).first()
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        [(int(agg["n"]), int(agg["p"]), acc >= 0.95, w[1] > 0.0)],
+        "n_train BIGINT, n_pos BIGINT, train_acc_ok BOOLEAN, "
+        "length_weight_positive BOOLEAN",
+    )

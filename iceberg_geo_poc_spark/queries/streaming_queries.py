@@ -207,3 +207,52 @@ def stream_partitioned_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     scan = t.scan(where=EE.eq("event_type", "click"))
     assert 0 < len(scan.files()) < scan.total_data_files(), "partition pruning inactive"
     return scan.to_df().select("event_id", "user_id").orderBy("event_id")
+
+
+@query(
+    "stream_incremental_admission",
+    oracle="""
+    SELECT CAST(3 AS INT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS bounded
+    FROM events WHERE event_id % 6 < 6
+    """,
+)
+def stream_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch incremental consumption WITH admission control
+    (streaming/incremental.py IncrementalStream — the reference
+    SparkMicroBatchStream + SupportsAdmissionControl shape): six
+    single-file appends are drained with max_files_per_batch=2, which
+    must yield exactly 3 micro-batches whose union is loss- and
+    duplicate-free (total row count pinned by the oracle), each batch
+    within the admission bound."""
+    from iceberg_geo_poc_spark.queries.table_queries import _managed
+    from iceberg_geo_poc_spark.streaming.incremental import IncrementalStream
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        for i in range(6):
+            t.append(ev.filter(f"event_id % 6 = {i}").coalesce(1))
+            t = cat.load_table(tname)
+        return t
+
+    t = _managed(spark, sf_dir, "admission", build)
+    stream = IncrementalStream(t, max_files_per_batch=2)
+    total = 0
+    n_batches = 0
+    bounded = True
+    while (batch := stream.next_batch()) is not None:
+        total += batch.count()
+        n_batches += 1
+        if n_batches > 10:  # safety: a runaway loop must fail loudly
+            raise AssertionError("admission loop did not converge")
+    bounded = n_batches == 3
+    return spark.createDataFrame(
+        [(n_batches, total, bounded)],
+        "n_batches INT, total_rows BIGINT, bounded BOOLEAN",
+    )

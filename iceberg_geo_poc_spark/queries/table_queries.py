@@ -1831,3 +1831,355 @@ def managed_avro_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
     ).orderBy("o_orderkey")
+
+
+@query(
+    "managed_encrypted_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_custkey % 10 < 3 AND c_mktsegment <> 'BUILDING'
+    ORDER BY c_custkey
+    """,
+)
+def managed_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-GCM encrypted table (table/encryption.py): every
+    metadata-plane object — metadata JSON, manifests, MoR delete
+    sidecars — is sealed with AES-256-GCM behind the FileIO seam on a
+    non-POSIX store, and the query runs the full lifecycle through the
+    ciphertext: create, append, merge-on-read DELETE, read back.  The
+    query also asserts the raw stored bytes are sealed envelopes (no
+    plaintext metadata at rest) — the reference's EncryptionManager
+    posture (core/src/main/java/org/apache/iceberg/encryption/
+    Ciphers.java, AesGcmInputFile.java)."""
+    key = (sf_dir, "encrypted")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.encryption import EncryptingFileIO
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+
+        scheme = f"encdrv{abs(hash(sf_dir)) % 10**6}"
+        inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        register_file_io(
+            scheme + "://",
+            EncryptingFileIO(inner, b"\x13\x37" * 16, aad_prefix=b"tbl"),
+        )
+        cat = Catalog(f"{scheme}://wh", spark)
+        t = cat.create_table(
+            "customer_enc",
+            "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE",
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).filter("c_custkey % 10 < 3")
+        t.append(c.coalesce(2))
+        t.delete(E.eq("c_mktsegment", "BUILDING"), mode="merge-on-read")
+        # nothing at rest is plaintext: every metadata object is sealed
+        sealed = [
+            p
+            for p in inner.list_files(f"{scheme}://wh/customer_enc")
+            if "/metadata/" in p
+        ]
+        assert sealed, "no metadata objects found on the encrypted store"
+        for p in sealed:
+            raw = inner.read_bytes(p)
+            assert raw[:4] == b"AGSP" and b"snapshot" not in raw
+        _MOCK_FS_TABLES[key] = cat.load_table("customer_enc")
+    t = _MOCK_FS_TABLES[key]
+    return t.to_df().select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "rest_catalog_lifecycle",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def rest_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-service lifecycle end-to-end (table/rest_catalog.py
+    RestCatalog): config negotiation (server overrides win), bearer
+    auth, nested namespace creation, table create + append with the
+    service as the ONLY metadata authority, then a second client
+    loading the same table through the service registry and
+    aggregating it.  Mirrors the reference RESTSessionCatalog flow
+    (core/src/main/java/org/apache/iceberg/rest/RESTSessionCatalog.java)."""
+    key = (sf_dir, "restcat")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+        from iceberg_geo_poc_spark.table.rest_catalog import (
+            CatalogService,
+            RestCatalog,
+        )
+
+        scheme = f"restdrv{abs(hash(sf_dir)) % 10**6}"
+        wh = f"{scheme}://wh"
+        register_file_io(
+            wh + "/", ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        )
+        svc = CatalogService(
+            defaults={"write.metadata.compression": "none"},
+            overrides={"commit.retry.num-retries": "5"},
+            token="drv-token",
+        )
+        cat = RestCatalog(svc.handle, spark, warehouse=wh, token="drv-token")
+        assert cat.properties["commit.retry.num-retries"] == "5"
+        cat.create_namespace("prod")
+        cat.create_namespace("prod.tpch")
+        t = cat.create_table(
+            "prod.tpch.supplier",
+            "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE",
+        )
+        s = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        t.append(s.coalesce(2))
+        assert cat.list_tables("prod.tpch") == ["supplier"]
+        # a second client sees the same catalog through the service
+        reader = RestCatalog(svc.handle, spark, warehouse=wh, token="drv-token")
+        _MOCK_FS_TABLES[key] = reader.load_table("prod.tpch.supplier")
+    t = _MOCK_FS_TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "managed_posdelete_compaction",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 8 = 3 AND o_orderstatus <> 'F'
+      AND o_totalprice <= 150000.0
+    ORDER BY o_orderkey
+    """,
+)
+def managed_posdelete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_delete_files end-to-end (reference
+    RewritePositionDeleteFilesSparkAction.java): two merge-on-read
+    DELETEs leave two position-delete files; compaction rewrites them
+    into ONE (asserted from the manifest), and the surviving rows are
+    unchanged — the oracle pins them from the source parquet."""
+    from iceberg_geo_poc_spark.table.maintenance import (
+        rewrite_position_delete_files,
+    )
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).filter("o_orderkey % 8 = 3")
+        t.append(o.coalesce(2))
+        t.delete(E.eq("o_orderstatus", "F"), mode="merge-on-read")
+        t.delete(E.gt("o_totalprice", 150000.0), mode="merge-on-read")
+        entries = t._entries()
+        n_before = int((entries.content == "posdel").sum())
+        assert n_before >= 2, f"expected >=2 delete files, got {n_before}"
+        rewrite_position_delete_files(t)
+        t = cat.load_table(tname)
+        entries = t._entries()
+        n_after = int((entries.content == "posdel").sum())
+        assert n_after == 1, f"compaction left {n_after} delete files"
+        return t
+
+    t = _managed(spark, sf_dir, "posdel_compact", build)
+    return t.to_df().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "managed_snapshot_lineage",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS c FROM nation WHERE n_regionkey = 0),
+    s2 AS (SELECT COUNT(*) AS c FROM nation WHERE n_regionkey <= 1),
+    s3 AS (SELECT COUNT(*) AS c FROM nation WHERE n_regionkey <= 2)
+    SELECT 0 AS ordinal, CAST(c AS BIGINT) AS n_rows FROM base
+    UNION ALL SELECT 1, CAST(c AS BIGINT) FROM s2
+    UNION ALL SELECT 2, CAST(c AS BIGINT) FROM s3
+    ORDER BY ordinal
+    """,
+)
+def managed_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ancestors_of lineage walk (reference AncestorsOfProcedure.java):
+    three appends form a snapshot chain; the query walks the ancestor
+    list oldest-to-newest and time-travels to each, so the per-ancestor
+    row counts prove both the lineage order and snapshot isolation."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "n_nationkey BIGINT, n_regionkey BIGINT")
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        )
+        for rk in range(3):
+            t.append(n.filter(f"n_regionkey = {rk}").coalesce(1))
+            t = cat.load_table(tname)
+        return t
+
+    t = _managed(spark, sf_dir, "lineage", build)
+    cat = _catalog(spark)
+    tname = t.meta.location.rsplit("/", 1)[-1]
+    chain = cat.ancestors_of(tname)
+    assert len(chain) == 3, f"expected 3 ancestors, got {len(chain)}"
+    ordered = sorted(chain, key=lambda s: s.sequence_number)
+    rows = [
+        (i, t.to_df(snapshot_id=s.snapshot_id).count())
+        for i, s in enumerate(ordered)
+    ]
+    return spark.createDataFrame(rows, "ordinal INT, n_rows BIGINT")
+
+
+@query(
+    "managed_geo_encodings_scan",
+    oracle="""
+    WITH pts AS (
+      SELECT (CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount) AS lon,
+             (CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax) AS lat
+      FROM lineitem WHERE l_orderkey % 20 = 7),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts
+      WHERE lon BETWEEN 20.0 AND 80.0 AND lat BETWEEN -15.0 AND 45.0)
+    SELECT enc, n AS n_matched, TRUE AS pruned
+    FROM (VALUES ('ewkb'), ('geojson'), ('wkb'), ('wkt')) v(enc), hits
+    ORDER BY enc
+    """,
+)
+def managed_geo_encodings_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All FOUR geometry encodings end-to-end (reference
+    TestGeometryReadersAndWriters.java:75-78 parameterization): the same
+    point set is written into four managed tables — ewkb/wkb (binary
+    physical type) and wkt/geojson (string physical type) — each scanned
+    with the same st_intersects window.  Counts must agree across
+    encodings and with the SQL oracle, and every scan must have pruned
+    at least one file off its bbox stats (stats are harvested from the
+    ENCODED column, so a green row proves encode, decode-in-predicate,
+    and stats parity for each encoding)."""
+    from iceberg_geo_poc_spark.geo import box
+    from iceberg_geo_poc_spark.geo.functions import (
+        convert_encoding_udf,
+        st_point,
+    )
+
+    window = box(20.0, -15.0, 80.0, 45.0)
+    encodings = ("ewkb", "geojson", "wkb", "wkt")
+
+    def build_one(cat, enc: str, tname: str):
+        phys = "STRING" if enc in ("wkt", "geojson") else "BINARY"
+        t = cat.create_table(
+            tname, f"rowid BIGINT, geom {phys}", geometry_columns={"geom": enc}
+        )
+        pts = load_table(spark, sf_dir, "lineitem").filter(
+            "l_orderkey % 20 = 7"
+        ).select(
+            F.monotonically_increasing_id().alias("rowid"),
+            F.expr("CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount")
+            .alias("lon"),
+            st_point(
+                F.expr("CAST(l_partkey % 360 AS DOUBLE) - 180.0 + l_discount"),
+                F.expr("CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax"),
+            ).alias("wkb"),
+        )
+        geom = (
+            F.col("wkb")
+            if enc == "wkb"
+            else convert_encoding_udf("wkb", enc)(F.col("wkb"))
+        )
+        # range-cluster by longitude so the window scan can prove bbox
+        # pruning off the ENCODED column's harvested stats
+        pts = (
+            pts.withColumn("geom", geom)
+            .repartitionByRange(4, F.col("lon"))
+            .select("rowid", "geom")
+        )
+        t.append(pts)
+        return cat.load_table(tname)
+
+    key = (sf_dir, "geo_encodings")
+    if key not in _TABLES:
+        cat = _catalog(spark)
+        tables = {}
+        for enc in encodings:
+            tname = f"genc_{enc}_{abs(hash(sf_dir)) % 10**8}"
+            if cat.table_exists(tname):
+                cat.drop_table(tname)
+            tables[enc] = build_one(cat, enc, tname)
+        _TABLES[key] = tables
+    tables = _TABLES[key]
+    rows = []
+    for enc in encodings:
+        t = tables[enc]
+        scan = t.scan(where=E.st_intersects("geom", window))
+        pruned = len(scan.files()) < scan.total_data_files()
+        rows.append((enc, scan.to_df().count(), pruned))
+    return spark.createDataFrame(rows, "enc STRING, n_matched BIGINT, pruned BOOLEAN")
+
+
+@query(
+    "sql_show_describe",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ek', 'BIGINT', '', 0),
+      ('ts', 'TIMESTAMP', '', 1),
+      ('geom', 'BINARY', 'geometry(wkb)', 2),
+      ('val', 'DECIMAL(12,2)', '', 3),
+      ('# partition: ts_day', 'day', '', 4),
+      ('# partition: ek_bucket_8', 'bucket[8]', '', 5)
+    ) v(col_name, data_type, comment, ord)
+    ORDER BY ord
+    """,
+)
+def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES / DESCRIBE TABLE statement surface through the SQL
+    dispatcher (reference DSv2 catalog metadata statements): DESCRIBE
+    must render the depth-aware field list — including a nested
+    DECIMAL(12,2) whose comma must NOT split the row (the r5 fix),
+    geometry encodings, and partition transforms — byte-for-byte as
+    the oracle's literal table."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "ek BIGINT, ts TIMESTAMP, geom BINARY, val DECIMAL(12,2)",
+            partition_by=[("ts", "day"), ("ek", "bucket[8]")],
+            geometry_columns={"geom": "wkb"},
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "describe_t", build)
+    cat = _catalog(spark)
+    tname = t.meta.location.rsplit("/", 1)[-1]
+    shown = [r["tableName"] for r in cat.sql("SHOW TABLES").collect()]
+    assert tname in shown, "SHOW TABLES missed the table"
+    rows = cat.sql(f"DESCRIBE TABLE {tname}").collect()  # 6 rows, driver-side
+    return spark.createDataFrame(
+        [(r["col_name"], r["data_type"], r["comment"], i) for i, r in enumerate(rows)],
+        "col_name STRING, data_type STRING, comment STRING, ord INT",
+    )

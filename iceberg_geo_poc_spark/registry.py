@@ -84,6 +84,17 @@ _PRIORITY_FIRST = (
     "multimodal_tiff_roundtrip",
     "multimodal_log_mel_contract",
     "text_bpe_roundtrip",
+    # -- new round-6 queries --
+    "managed_encrypted_roundtrip",
+    "rest_catalog_lifecycle",
+    "managed_posdelete_compaction",
+    "managed_snapshot_lineage",
+    "stream_incremental_admission",
+    "multimodal_y4m_frames",
+    "managed_geo_encodings_scan",
+    "pipeline_webdataset_export",
+    "pipeline_quality_classifier",
+    "sql_show_describe",
 )
 
 

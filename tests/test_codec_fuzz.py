@@ -11,7 +11,15 @@ import random
 import numpy as np
 import pytest
 
-from iceberg_geo_poc_spark.operators import flac, gif, jpeg, tiff, warc, webdataset
+from iceberg_geo_poc_spark.operators import (
+    flac,
+    gif,
+    jpeg,
+    tiff,
+    video,
+    warc,
+    webdataset,
+)
 
 
 def _codecs():
@@ -32,10 +40,13 @@ def _codecs():
             flac.encode_flac(np.arange(200, dtype=np.int16)),
             flac.decode_flac,
         ),
+        "y4m": (video.encode_y4m([img, img]), video.decode_y4m),
     }
 
 
-@pytest.mark.parametrize("name", ["jpeg", "jpeg_dri", "gif", "tiff", "flac"])
+@pytest.mark.parametrize(
+    "name", ["jpeg", "jpeg_dri", "gif", "tiff", "flac", "y4m"]
+)
 def test_decoders_fail_cleanly_on_corruption(name):
     import signal
 

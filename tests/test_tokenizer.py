@@ -146,3 +146,46 @@ def test_vocab_caps_bound_the_collect(spark):
     # max_vocab keeps only the most frequent word (deterministic order)
     top1 = train_bpe(docs, n_merges=10, min_freq=1, max_vocab=1)
     assert top1 == _naive_train({"common": 5}, 10)
+
+
+def test_roundtrip_property_arbitrary_unicode(spark):
+    """decode(encode(x)) == whitespace-normalized x for ARBITRARY text,
+    including literal end-of-word markers, the escape char itself, and
+    hostile whitespace runs (the documented precondition)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    import re
+
+    text_strategy = st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                st.sampled_from("▁ EU  "),
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=text_strategy)
+    def check(texts):
+        docs = _docs(spark, texts)
+        merges = train_bpe(docs, n_merges=20, min_freq=1)
+        dec = {
+            r.doc_id: r.decoded_text
+            for r in decode_tokens(encode_docs(docs, merges)).collect()
+        }
+        for i, t in enumerate(texts):
+            # normalize ASCII spaces only: unicode whitespace (NBSP,
+            # en-quad...) is word content to a space-delimited tokenizer
+            norm = re.sub(" +", " ", t).strip(" ")
+            assert dec[i] == norm, (repr(t), repr(dec[i]))
+
+    check()
