@@ -461,3 +461,101 @@ def contamination_check(
         .select("doc_id", "contamination")
         .orderBy("doc_id")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    scope: str = "lsh",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup-style embedding-level dedup (Abbas et al. 2023): scope
+    the corpus into clusters, enumerate near-duplicate pairs ONLY
+    within a cluster, and keep one representative per duplicate
+    relation (smallest vec_id wins — the deterministic analogue of the
+    paper's keep-one rule).
+
+    ``scope`` picks the clustering used to bound the pair join:
+
+    - ``"lsh"``    : fixed-hyperplane sign buckets — fully deterministic,
+      so results are exactly reproducible cross-engine (the DuckDB
+      oracle pins every kept/dropped row).
+    - ``"kmeans"`` : Lloyd-refined centroids (similarity.kmeans_centroids),
+      the paper's actual scoping — assignment is float-argmax so the
+      checkable contract is recall/soundness, not exact row parity.
+
+    Output: one row per vector — (vec_id, kept, dup_of, cosine), where
+    dropped rows name the SMALLEST qualifying earlier neighbor and its
+    cosine.  kept == (dup_of IS NULL); the kept set within any cluster
+    is a theta-independent set by construction.
+
+    Scale shape: one equi-join on the cluster key (pair enumeration is
+    linear in cluster sizes, never all-pairs), one partial-agg min per
+    dropped vector, one left join back — at 100 TB with balanced
+    clusters this is exactly the SemDeDup job layout (cluster keys
+    shuffle-partition the corpus; kmeans assignment is a broadcast
+    argmax, see similarity.kmeans_centroids for the scoping cost).
+    """
+    from iceberg_geo_poc_spark.operators import similarity as S
+
+    base = S.with_norm(emb)
+    if scope == "lsh":
+        base = base.withColumn(
+            "cluster", F.expr(S.lsh_bucket_expr("embedding", S.NUM_PLANES))
+        )
+    elif scope == "kmeans":
+        cents = F.broadcast(S.kmeans_centroids(emb, n_centroids, iters))
+        scored = base.crossJoin(cents).withColumn(
+            "ccos",
+            F.expr(S.dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        base = (
+            scored.groupBy("vec_id", "embedding", "nrm")
+            .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+            .select("vec_id", "embedding", "nrm", F.col("m.cid").alias("cluster"))
+        )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown semantic_dedup scope {scope!r}")
+
+    a = base.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(S.dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    dups = (
+        pairs.groupBy("ib")
+        .agg(F.min(F.struct("ia", "cosine")).alias("m"))
+        .select(
+            F.col("ib").alias("vec_id"),
+            F.col("m.ia").alias("dup_of"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )
+    return (
+        emb.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )

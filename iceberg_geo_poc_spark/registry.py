@@ -95,6 +95,8 @@ _PRIORITY_FIRST = (
     "pipeline_webdataset_export",
     "pipeline_quality_classifier",
     "sql_show_describe",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
 )
 
 

@@ -612,3 +612,65 @@ def test_ivf_index_incremental_insert(spark, sf_dir, tmp_path):
     assert 0 < len(scan.files()) < scan.total_data_files()
     res = ivf_index_search(idx, probes, k=50, nprobe=8)
     assert any(r["ib"] >= 400 for r in res.collect())
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted structure: 0//1//2 are near-identical (pairwise cosine
+    ~1), 3 is orthogonal — the min-id representative (0) survives, both
+    later copies name it (or a smaller dropped copy) as dup_of, and the
+    orthogonal vector is untouched."""
+    rows = [
+        (0, [1.0, 0.0, 0.02, 0.01] + [0.0] * 60),
+        (1, [1.0, 0.01, 0.0, 0.02] + [0.0] * 60),
+        (2, [0.99, 0.02, 0.01, 0.0] + [0.0] * 60),
+        (3, [0.0, 0.0, 0.0, 1.0] + [0.0] * 60),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    for scope in ("lsh", "kmeans"):
+        out = {
+            r["vec_id"]: r
+            for r in dedup.semantic_dedup(
+                emb, threshold=0.9, scope=scope, n_centroids=2, iters=2
+            ).collect()
+        }
+        assert out[0]["kept"] and out[0]["dup_of"] is None
+        assert out[3]["kept"], scope
+        assert not out[1]["kept"] and out[1]["dup_of"] == 0
+        assert not out[2]["kept"] and out[2]["dup_of"] in (0, 1)
+        assert out[1]["cosine"] >= 0.9
+
+
+def test_semantic_dedup_kept_set_is_independent(emb):
+    """Within any cluster the kept set is a theta-independent set: no
+    kept pair in the same LSH bucket may be >= theta-similar (the
+    greedy min-id rule guarantees it; this pins the implementation)."""
+    theta = 0.3
+    res = dedup.semantic_dedup(emb, threshold=theta, scope="lsh")
+    kept = res.filter(F.col("kept")).select("vec_id")
+    base = similarity.with_norm(emb).withColumn(
+        "bucket", F.expr(similarity.lsh_bucket_expr("embedding"))
+    )
+    k = base.join(kept, "vec_id")
+    a = k.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = k.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    bad = (
+        a.join(b, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(similarity.dot_expr("va", "vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= theta)
+        .count()
+    )
+    assert bad == 0
