@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     # MoR read overhead: scan with position-delete anti-join applied
     # (reference IcebergSourceParquetPosDeleteBenchmark shape)
     ("mor_read", "managed_mor_delete"),
+    # same MoR scan shape but deletes come from roaring deletion
+    # vectors in a Puffin sidecar (Iceberg v3 form) — decode via
+    # mapInPandas + the same broadcast anti-join; should track mor_read
+    ("dv_read", "managed_dv_delete"),
     # polygon x polygon spatial join: the non-point kernel workload
     ("geo_poly_join", "geo_polygon_join_counts"),
     # NON-axis-aligned polygon x polygon join: exercises the vectorized

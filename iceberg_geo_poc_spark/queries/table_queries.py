@@ -2017,6 +2017,54 @@ def managed_posdelete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_dv_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 8 = 5 AND o_orderstatus <> 'F'
+      AND o_totalprice <= 150000.0
+    ORDER BY o_orderkey
+    """,
+)
+def managed_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors end-to-end (Iceberg v3 DV semantics; supersedes
+    the v2 posdel path of reference data/.../DeleteFilter.java:160-233):
+    two merge-on-read DELETEs leave position-delete parquet;
+    convert_position_deletes_to_dvs replaces them with roaring-bitmap
+    blobs in ONE Puffin sidecar (asserted from the manifest), and the
+    DV-filtered scan returns exactly the rows the oracle pins from the
+    source parquet."""
+    from iceberg_geo_poc_spark.table.maintenance import (
+        convert_position_deletes_to_dvs,
+    )
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).filter("o_orderkey % 8 = 5")
+        t.append(o.coalesce(2))
+        t.delete(E.eq("o_orderstatus", "F"), mode="merge-on-read")
+        t.delete(E.gt("o_totalprice", 150000.0), mode="merge-on-read")
+        res = convert_position_deletes_to_dvs(t)
+        t = cat.load_table(tname)
+        entries = t._entries()
+        assert int((entries.content == "posdel").sum()) == 0
+        n_dv = int((entries.content == "dv").sum())
+        assert n_dv == res["dv_blobs"] >= 1, f"expected dv entries, got {n_dv}"
+        return t
+
+    t = _managed(spark, sf_dir, "dv_delete", build)
+    return t.to_df().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "managed_snapshot_lineage",
     oracle="""
     WITH base AS (SELECT COUNT(*) AS c FROM nation WHERE n_regionkey = 0),

@@ -97,6 +97,7 @@ _PRIORITY_FIRST = (
     "sql_show_describe",
     "dedup_semantic",
     "dedup_semantic_kmeans",
+    "managed_dv_delete",
 )
 
 

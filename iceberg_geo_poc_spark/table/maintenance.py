@@ -130,7 +130,7 @@ def rewrite_data_files(
         _validate_files_still_live(current, paths)
         kept = current[~current.file_path.isin(set(paths))]
         if set(paths) >= set(data.file_path):
-            kept = kept[~kept.content.isin(["posdel", "eqdel"])]
+            kept = kept[~kept.content.isin(["posdel", "eqdel", "dv"])]
         add = M.entries_dataframe(
             [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
         )
@@ -255,6 +255,139 @@ def rewrite_position_delete_files(
         {"delete-files-rewritten": len(old_paths), "added": len(new_entries)},
     )
     return RewriteResult(len(old_paths), len(new_entries))
+
+
+def convert_position_deletes_to_dvs(table: Table) -> dict:
+    """Convert position-delete PARQUET files into deletion vectors —
+    one roaring bitmap per data file in a single Puffin sidecar
+    (Iceberg v3's DV form; the reference ships the v2 machinery this
+    supersedes, data/.../DeleteFilter.java:160-233).
+
+    Re-running after further MoR deletes MERGES: existing DV blobs are
+    decoded, unioned with the new (file_path, pos) tuples, and replaced
+    by one fresh DV per file (the v3 "one DV per data file, new
+    supersedes old" rule).  Dangling deletes (referencing dead data
+    files) are dropped, like rewrite_position_delete_files.
+
+    Scale shape: tuples are read distributed, bitmaps are serialized
+    executor-side (one applyInPandas group per data file), and only the
+    compressed payloads — the same bytes the sidecar will hold — come
+    to the driver for the single Puffin write.  At 100 TB shard the
+    blobs across several Puffin files per N MiB; entries already
+    carry per-blob (path, offset, length) so readers are agnostic.
+    """
+    import uuid
+
+    from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
+    from iceberg_geo_poc_spark.table.table import _read_parquet_any
+
+    entries = table._entries()
+    dels = entries[entries.content == "posdel"]
+    dv_old = entries[entries.content == "dv"]
+    if dels.empty:
+        return {"converted_files": 0, "dv_blobs": 0, "dv_file": None}
+
+    tuples = _read_parquet_any(table.spark, dels.file_path.tolist()).select(
+        "file_path", "pos"
+    )
+    if len(dv_old):
+        descs = []
+        for r in dv_old.itertuples():
+            d = json.loads(r.dv)
+            descs.append(
+                (r.file_path, d["referenced"], int(d["offset"]), int(d["length"]))
+            )
+        tuples = tuples.unionByName(
+            DVEC.dv_deletes_df(table.spark, descs).selectExpr(
+                "__file_path AS file_path", "__pos AS pos"
+            )
+        )
+    live = table.spark.createDataFrame(
+        [(p,) for p in entries[entries.content == "data"].file_path],
+        "file_path string",
+    )
+    kept = tuples.join(F.broadcast(live), "file_path", "left_semi")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from iceberg_geo_poc_spark.table import deletion_vectors as _DV
+
+        pos = pdf["pos"].to_numpy()
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [_DV.serialize_positions(pos)],
+                "card": pd.array([int(pd.unique(pos).size)], dtype="int64"),
+            }
+        )
+
+    packed = kept.groupBy("file_path").applyInPandas(
+        _pack, "file_path string, blob binary, card long"
+    ).collect()
+
+    old_paths = set(dels.file_path) | set(dv_old.file_path)
+    snap = table.current_snapshot()
+    if not packed:
+        # every delete was dangling: drop the delete entries outright
+        def build_drop(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            return current[~current.file_path.isin(old_paths)]
+
+        table._commit("replace", build_drop, {"delete-files-rewritten": len(old_paths)})
+        return {"converted_files": len(old_paths), "dv_blobs": 0, "dv_file": None}
+
+    payloads = {r["file_path"]: (bytes(r["blob"]), int(r["card"])) for r in packed}
+    data, descs_out = DVEC.write_dv_file(
+        payloads, snap.snapshot_id if snap else 0, snap.sequence_number if snap else 0
+    )
+    dv_path = os.path.join(
+        table.location, "deletes", f"dv-{uuid.uuid4().hex[:12]}.puffin"
+    )
+    MD.backend_for(table.location).put(dv_path, data)
+
+    part_of = {
+        r.file_path: r.partition for r in entries[entries.content == "data"].itertuples()
+    }
+    new_entries = [
+        {
+            "content": "dv",
+            "file_path": dv_path,
+            "file_size": len(data),
+            "record_count": d["cardinality"],
+            "partition": part_of.get(d["referenced"], json.dumps({})),
+            "lower": json.dumps({}),
+            "upper": json.dumps({}),
+            "nulls": json.dumps({}),
+            "bbox": json.dumps({}),
+            "dv": json.dumps(
+                {
+                    "referenced": d["referenced"],
+                    "offset": d["offset"],
+                    "length": d["length"],
+                }
+            ),
+        }
+        for d in descs_out
+    ]
+
+    def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+        kept_e = current[~current.file_path.isin(old_paths)]
+        add = M.entries_dataframe(
+            [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
+        )
+        return M.concat_entries([kept_e, add])
+
+    table._commit(
+        "replace",
+        build,
+        {
+            "delete-files-rewritten": len(old_paths),
+            "dv-blobs": len(new_entries),
+        },
+    )
+    return {
+        "converted_files": len(old_paths),
+        "dv_blobs": len(new_entries),
+        "dv_file": dv_path,
+    }
 
 
 def expire_snapshots(

@@ -46,6 +46,7 @@ MANIFEST_COLUMNS = [
     "nans",  # JSON {col: nan_count} — float/double columns only
     "bbox",  # JSON {geo_col: [xmin, ymin, xmax, ymax]}
     "eq_cols",  # JSON [col, ...] — equality-delete key columns (eqdel only)
+    "dv",  # JSON {referenced, offset, length} — deletion-vector blob ref (dv only)
 ]
 
 

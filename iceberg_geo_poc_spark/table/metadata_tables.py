@@ -103,7 +103,7 @@ def inspect(table: Table, name: str) -> DataFrame:
         if kind in ("files", "data_files"):
             sub = entries[entries.content == "data"]
         elif kind == "delete_files":
-            sub = entries[entries.content.isin(["posdel", "eqdel"])]
+            sub = entries[entries.content.isin(["posdel", "eqdel", "dv"])]
         else:
             sub = entries
         if sub.empty:
@@ -116,21 +116,53 @@ def inspect(table: Table, name: str) -> DataFrame:
         return spark.createDataFrame(sub[_ENTRY_COLS], _ENTRY_DDL)
     if name == "position_deletes":
         # row-level content of the position-delete files (reference
-        # PositionDeletesTable): one row per deleted (file_path, pos)
+        # PositionDeletesTable): one row per deleted (file_path, pos).
+        # Deletion-vector blobs contribute their decoded positions with
+        # the Puffin sidecar as delete_file.
         entries = table._entries()
         dpaths = entries[entries.content == "posdel"].file_path.tolist()
-        if not dpaths:
+        parts = []
+        if dpaths:
+            parts.append(
+                spark.read.parquet(*dpaths)
+                .withColumn(
+                    "delete_file",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+                .select("file_path", "pos", "delete_file")
+            )
+        dv_ent = entries[entries.content == "dv"]
+        if len(dv_ent):
+            import json as _json
+
+            from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
+
+            descs = []
+            for r in dv_ent.itertuples():
+                d = _json.loads(r.dv)
+                descs.append(
+                    (r.file_path, d["referenced"], int(d["offset"]), int(d["length"]))
+                )
+            dv_rows = DVEC.dv_deletes_df(spark, descs)
+            dv_map = spark.createDataFrame(
+                [(p, ref) for p, ref, _o, _l in descs],
+                "delete_file STRING, __file_path STRING",
+            )
+            parts.append(
+                dv_rows.join(dv_map, "__file_path").select(
+                    F.col("__file_path").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                    "delete_file",
+                )
+            )
+        if not parts:
             return spark.createDataFrame(
                 [], "file_path STRING, pos LONG, delete_file STRING"
             )
-        return (
-            spark.read.parquet(*dpaths)
-            .withColumn(
-                "delete_file",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
-            )
-            .select("file_path", "pos", "delete_file")
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if name in ("manifests", "all_manifests"):
         snaps = (
             table.meta.snapshots

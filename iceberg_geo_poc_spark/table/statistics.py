@@ -220,7 +220,7 @@ def compute_partition_stats(table: Table) -> dict:
         e = ent.copy()
         e["partition"] = e["partition"].fillna("{}")
         data = e[e.content == "data"]
-        pos = e[e.content == "posdel"]
+        pos = e[e.content.isin(["posdel", "dv"])]
         eq = e[e.content == "eqdel"]
 
         def _group(df: pd.DataFrame, prefix: str) -> pd.DataFrame:

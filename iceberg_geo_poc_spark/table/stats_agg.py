@@ -40,7 +40,7 @@ def try_stats_aggregate(table: Table, aggs: list[str], where=None) -> list | Non
         parsed.append((m.group(1).lower(), m.group(2)))
 
     entries = table._entries()
-    if entries.content.isin(["posdel", "eqdel"]).any():
+    if entries.content.isin(["posdel", "eqdel", "dv"]).any():
         return None  # deleted rows make stats counts wrong -> full scan
     data = entries[entries.content == "data"]
     if where is not None and len(data):

@@ -824,13 +824,17 @@ class Table:
         import numpy as np
 
         out = np.zeros(len(data), dtype=bool)
-        dels = entries[entries.content.isin(["posdel", "eqdel"])]
+        dels = entries[entries.content.isin(["posdel", "eqdel", "dv"])]
         if dels.empty:
             return out
         data_seq = data.sequence_number.to_numpy(dtype="int64")
         paths = data.file_path.to_numpy()
         for row in dels.itertuples():
             del_seq = int(row.sequence_number)
+            if row.content == "dv":
+                # a deletion vector names exactly one data file
+                out |= paths == json.loads(row.dv)["referenced"]
+                continue
             if row.content == "eqdel":
                 # equality deletes hit data files with strictly LOWER seq
                 out |= data_seq < del_seq
@@ -1301,11 +1305,25 @@ class Table:
         if with_deletes:
             ent = entries if entries is not None else self._entries()
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
+            deletes = None
             if dpaths:
                 deletes = _read_parquet_any(self.spark, dpaths).select(
                     F.col("file_path").alias("__file_path"),
                     F.col("pos").alias("__pos"),
                 )
+            dv_ent = ent[ent.content == "dv"]
+            if len(dv_ent):
+                from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
+
+                descs = []
+                for r in dv_ent.itertuples():
+                    d = json.loads(r.dv)
+                    descs.append(
+                        (r.file_path, d["referenced"], int(d["offset"]), int(d["length"]))
+                    )
+                dv_del = DVEC.dv_deletes_df(self.spark, descs)
+                deletes = dv_del if deletes is None else deletes.unionByName(dv_del)
+            if deletes is not None:
                 df = df.join(
                     F.broadcast(deletes), on=["__file_path", "__pos"], how="left_anti"
                 )
