@@ -2022,7 +2022,7 @@ def managed_posdelete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
     FROM orders
     WHERE o_orderkey % 8 = 5 AND o_orderstatus <> 'F'
-      AND o_totalprice <= 150000.0
+      AND o_totalprice <= 140000.0
     ORDER BY o_orderkey
     """,
 )
@@ -2031,9 +2031,12 @@ def managed_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     the v2 posdel path of reference data/.../DeleteFilter.java:160-233):
     two merge-on-read DELETEs leave position-delete parquet;
     convert_position_deletes_to_dvs replaces them with roaring-bitmap
-    blobs in ONE Puffin sidecar (asserted from the manifest), and the
-    DV-filtered scan returns exactly the rows the oracle pins from the
-    source parquet."""
+    blobs in ONE Puffin sidecar; a DIRECT DV-mode delete then merges a
+    further predicate into the existing vectors (one blob per data file
+    asserted from the manifest), and the DV-filtered scan returns
+    exactly the rows the oracle pins from the source parquet."""
+    import json as _json
+
     from iceberg_geo_poc_spark.table.maintenance import (
         convert_position_deletes_to_dvs,
     )
@@ -2054,6 +2057,13 @@ def managed_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert int((entries.content == "posdel").sum()) == 0
         n_dv = int((entries.content == "dv").sum())
         assert n_dv == res["dv_blobs"] >= 1, f"expected dv entries, got {n_dv}"
+        # direct v3-style write: merges with the converted DVs in-commit
+        t.delete(E.gt("o_totalprice", 140000.0), mode="merge-on-read-dv")
+        t = cat.load_table(tname)
+        dv_ent = t._entries()
+        dv_ent = dv_ent[dv_ent.content == "dv"]
+        refs = [_json.loads(r.dv)["referenced"] for r in dv_ent.itertuples()]
+        assert len(refs) == len(set(refs)), "one DV per data file"
         return t
 
     t = _managed(spark, sf_dir, "dv_delete", build)

@@ -242,3 +242,29 @@ def dv_deletes_df(spark, descriptors: list[tuple[str, str, int, int]]):
                 )
 
     return desc.mapInPandas(_decode, "__file_path string, __pos long")
+
+
+def pack_tuples(tuples) -> list[tuple[str, bytes, int]]:
+    """(file_path, pos) DataFrame -> [(file_path, payload, cardinality)].
+
+    Bitmaps are serialized executor-side (one applyInPandas group per
+    data file); only the compressed payloads — the bytes a Puffin
+    sidecar will hold — are collected, so driver memory is bounded by
+    the sidecar size itself, not the raw position count.
+    """
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = pdf["pos"].to_numpy()
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [serialize_positions(pos)],
+                "card": pd.array([int(pd.unique(pos).size)], dtype="int64"),
+            }
+        )
+
+    rows = tuples.groupBy("file_path").applyInPandas(
+        _pack, "file_path string, blob binary, card long"
+    ).collect()
+    return [(r["file_path"], bytes(r["blob"]), int(r["card"])) for r in rows]

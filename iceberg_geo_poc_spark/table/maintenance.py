@@ -307,22 +307,7 @@ def convert_position_deletes_to_dvs(table: Table) -> dict:
         "file_path string",
     )
     kept = tuples.join(F.broadcast(live), "file_path", "left_semi")
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        from iceberg_geo_poc_spark.table import deletion_vectors as _DV
-
-        pos = pdf["pos"].to_numpy()
-        return pd.DataFrame(
-            {
-                "file_path": [pdf["file_path"].iloc[0]],
-                "blob": [_DV.serialize_positions(pos)],
-                "card": pd.array([int(pd.unique(pos).size)], dtype="int64"),
-            }
-        )
-
-    packed = kept.groupBy("file_path").applyInPandas(
-        _pack, "file_path string, blob binary, card long"
-    ).collect()
+    packed = DVEC.pack_tuples(kept)
 
     old_paths = set(dels.file_path) | set(dv_old.file_path)
     snap = table.current_snapshot()
@@ -334,7 +319,7 @@ def convert_position_deletes_to_dvs(table: Table) -> dict:
         table._commit("replace", build_drop, {"delete-files-rewritten": len(old_paths)})
         return {"converted_files": len(old_paths), "dv_blobs": 0, "dv_file": None}
 
-    payloads = {r["file_path"]: (bytes(r["blob"]), int(r["card"])) for r in packed}
+    payloads = {path: (blob, card) for path, blob, card in packed}
     data, descs_out = DVEC.write_dv_file(
         payloads, snap.snapshot_id if snap else 0, snap.sequence_number if snap else 0
     )

@@ -876,6 +876,8 @@ class Table:
     def delete(self, where: E.Expr, mode: str = "copy-on-write") -> MD.Snapshot:
         if mode == "merge-on-read":
             return self._delete_mor(where)
+        if mode == "merge-on-read-dv":
+            return self._delete_mor(where, dv=True)
         plan = self._plan_cow(where)
         rewritten = self._rewrite_files(plan["partial"], where)
 
@@ -895,17 +897,26 @@ class Table:
         }
         return self._commit("delete", build, summary)
 
-    def _delete_mor(self, where: E.Expr) -> MD.Snapshot:
+    def _delete_mor(self, where: E.Expr, dv: bool = False) -> MD.Snapshot:
         """Merge-on-read delete: emit a position-delete file
         (file_path, pos) for matching rows (reference
         SparkPositionDeltaWrite.java; applied at read like
-        DeleteFilter.java:160-233)."""
+        DeleteFilter.java:160-233).
+
+        With ``dv=True`` the delete writes DELETION VECTORS instead
+        (the Iceberg v3 form): one roaring bitmap per touched data
+        file in a Puffin sidecar, MERGED with any existing DV on the
+        same file so the "one DV per data file, new supersedes old"
+        rule holds at write time (superseded blob entries are dropped
+        in the same commit)."""
         plan = self._plan_cow(where)
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
         df = self._read_files(paths, with_deletes=True, with_pos=True)
         matches = df.filter(where.to_spark_column(self.geo_fields))
+        if dv:
+            return self._commit_dv_delete(matches, paths)
         entries = self._posdel_entries(matches)
         # row-delta fast commit (reference RowDelta): delta manifest with
         # only the delete entries; liveness of the targeted files is
@@ -915,6 +926,93 @@ class Table:
             summary={"delete-files": len(entries)},
             append_entries=entries,
             validate_live_paths=paths,
+        )
+
+    def _commit_dv_delete(self, matches: DataFrame, paths: list[str]) -> MD.Snapshot:
+        """Persist matched (file_path, pos) rows as deletion vectors
+        and commit, dropping the DV blobs the new ones supersede."""
+        from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
+
+        ent = self._entries()
+        dv_old = ent[ent.content == "dv"]
+        touched = set(paths)
+        merge_rows: list[tuple[str, str, int, int]] = []
+        superseded: set[tuple[str, str]] = set()
+        for r in dv_old.itertuples():
+            d = json.loads(r.dv)
+            if d["referenced"] in touched:
+                merge_rows.append(
+                    (r.file_path, d["referenced"], int(d["offset"]), int(d["length"]))
+                )
+                superseded.add((r.file_path, d["referenced"]))
+        tuples = matches.select(
+            F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        if merge_rows:
+            tuples = tuples.unionByName(
+                DVEC.dv_deletes_df(self.spark, merge_rows).selectExpr(
+                    "__file_path AS file_path", "__pos AS pos"
+                )
+            )
+        packed = DVEC.pack_tuples(tuples)
+        if not packed:
+            return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
+        snap = self.current_snapshot()
+        data, descs = DVEC.write_dv_file(
+            {path: (blob, card) for path, blob, card in packed},
+            snap.snapshot_id if snap else 0,
+            snap.sequence_number if snap else 0,
+        )
+        dv_path = os.path.join(
+            self.location, "deletes", f"dv-{uuid.uuid4().hex[:12]}.puffin"
+        )
+        MD.backend_for(self.location).put(dv_path, data)
+        part_of = {
+            r.file_path: r.partition
+            for r in ent[ent.content == "data"].itertuples()
+        }
+        new_entries = [
+            {
+                "content": "dv",
+                "file_path": dv_path,
+                "file_size": len(data),
+                "record_count": d["cardinality"],
+                "partition": part_of.get(d["referenced"], json.dumps({})),
+                "lower": json.dumps({}),
+                "upper": json.dumps({}),
+                "nulls": json.dumps({}),
+                "bbox": json.dumps({}),
+                "dv": json.dumps(
+                    {
+                        "referenced": d["referenced"],
+                        "offset": d["offset"],
+                        "length": d["length"],
+                    }
+                ),
+            }
+            for d in descs
+        ]
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            _validate_files_still_live(current, paths)
+            if len(current) and "dv" in current.columns:
+                drop = current.apply(
+                    lambda row: row.content == "dv"
+                    and isinstance(row.dv, str)
+                    and (row.file_path, json.loads(row.dv)["referenced"])
+                    in superseded,
+                    axis=1,
+                )
+                current = current[~drop]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in new_entries]
+            )
+            return M.concat_entries([current, add])
+
+        return self._commit(
+            "delete",
+            build,
+            {"dv-blobs": len(new_entries), "merged-dvs": len(merge_rows)},
         )
 
     def _posdel_entries(self, matches: DataFrame) -> list[dict]:

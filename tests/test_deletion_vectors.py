@@ -198,3 +198,35 @@ def test_compaction_retires_dvs(spark, catalog):
     ent = t._entries()
     assert (ent.content == "dv").sum() == 0
     assert sorted(r.a for r in t.to_df().collect()) == list(range(50, 200))
+
+
+def test_direct_dv_delete_mode(spark, catalog):
+    """mode='merge-on-read-dv' writes DVs at delete time; a second DV
+    delete on the same files MERGES (one blob per file survives, the
+    superseded blob entry is dropped in the same commit)."""
+    t = _mk(spark, catalog, "dvw")
+    t.delete(E.lt("a", 20), mode="merge-on-read-dv")
+    ent = t._entries()
+    assert (ent.content == "posdel").sum() == 0
+    n1 = int((ent.content == "dv").sum())
+    assert n1 >= 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(20, 200))
+    t.delete(E.ge("a", 190), mode="merge-on-read-dv")
+    ent = t._entries()
+    dv_ent = ent[ent.content == "dv"]
+    refs = [json.loads(r.dv)["referenced"] for r in dv_ent.itertuples()]
+    assert len(refs) == len(set(refs)), "one DV per data file after merge"
+    assert int(dv_ent.record_count.sum()) == 30
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(20, 190))
+
+
+def test_dv_delete_then_posdel_stack(spark, catalog):
+    """Mixing forms stays correct: DV delete followed by a classic
+    posdel delete — the read path unions both layers."""
+    t = _mk(spark, catalog, "dvmix")
+    t.delete(E.lt("a", 10), mode="merge-on-read-dv")
+    t.delete(E.ge("a", 195), mode="merge-on-read")
+    ent = t._entries()
+    assert (ent.content == "dv").sum() >= 1
+    assert (ent.content == "posdel").sum() >= 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(10, 195))
