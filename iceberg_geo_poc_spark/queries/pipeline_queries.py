@@ -748,6 +748,56 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_roundtrip",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, ' +', ' ', 'g')) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN t = '' THEN 0
+                ELSE length(t) - length(replace(t, ' ', '')) + 1 END
+             AS BIGINT) AS n_words,
+           true AS round_trip_ok,
+           true AS compressed
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer lifecycle (operators/unigram.py, the
+    SentencePiece-style EM-trained family): pieces fit on this corpus
+    (distributed word counting, driver EM + pruning on the bounded
+    frequency table), every document Viterbi-encoded, then decoded by
+    the same pure-codegen concat chain as BPE.  The oracle pins word
+    counts, decode(encode(x)) == whitespace-normalized x for EVERY
+    document, and genuine compression vs the untrained
+    character+end-marker token count."""
+    from iceberg_geo_poc_spark.operators import tokenizer as TK
+    from iceberg_geo_poc_spark.operators import unigram as UG
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = UG.train_unigram(docs, vocab_size=400)
+    enc = UG.encode_unigram_docs(docs, vocab)
+    dec = TK.decode_tokens(enc)
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    chars_no_space = F.length(F.regexp_replace(norm, " ", ""))
+    joined = dec.join(docs, "doc_id")
+    return (
+        joined.select(
+            "doc_id",
+            F.col("n_words"),
+            (F.col("decoded_text") == norm).alias("round_trip_ok"),
+            (
+                (F.col("n_tokens") < chars_no_space + F.col("n_words"))
+                | (F.col("n_words") == 0)
+            ).alias("compressed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pipeline_webdataset_extract",
     oracle="""
     SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,

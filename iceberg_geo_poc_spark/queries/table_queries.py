@@ -220,6 +220,50 @@ def managed_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_changelog_mor",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value,
+           'delete' AS change_type
+    FROM events
+    WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, event_type, ROUND(value, 6) AS value, 'delete'
+    FROM events
+    WHERE event_type <> 'error' AND value > 95.0
+    ORDER BY event_id
+    """,
+)
+def managed_changelog_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog over MERGE-ON-READ deletes: a position-delete commit
+    and a deletion-vector commit both surface exact row-level 'delete'
+    changes (the live-set diff path — a file-set diff would show
+    nothing, since MoR commits leave data files untouched).  The second
+    delete's rows exclude anything already dead, so the changelog is a
+    true net history."""
+    from iceberg_geo_poc_spark.streaming.incremental import changelog
+
+    def build(cat, tname):
+        t = cat.create_table(tname, _EVENTS_DDL)
+        t.append(_events_df(spark, sf_dir).repartition(4))
+        t.delete(E.eq("event_type", "error"), mode="merge-on-read")
+        t.delete(E.gt("value", 95.0), mode="merge-on-read-dv")
+        return t
+
+    t = _managed(spark, sf_dir, "cl_mor", build)
+    oldest = t.meta.snapshots[0].snapshot_id
+    return (
+        changelog(t, from_snapshot_id=oldest)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "managed_mor_update",
     oracle="""
     SELECT event_id, event_type,

@@ -98,6 +98,8 @@ _PRIORITY_FIRST = (
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "managed_dv_delete",
+    "text_unigram_roundtrip",
+    "managed_changelog_mor",
 )
 
 

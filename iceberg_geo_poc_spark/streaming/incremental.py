@@ -70,6 +70,33 @@ def incremental_read(
     return table._read_files(files, with_deletes=False)
 
 
+def _delete_state(entries) -> list[tuple]:
+    """Canonical fingerprint of a snapshot's delete layer: the sorted
+    (content, file_path, dv-ref) triples of every non-data entry."""
+    dels = entries[entries.content != "data"]
+    out = []
+    for r in dels.itertuples():
+        dv = getattr(r, "dv", None)
+        out.append((r.content, r.file_path, dv if isinstance(dv, str) else ""))
+    return sorted(out)
+
+
+def _live_rows(table: Table, entries) -> DataFrame | None:
+    """All live rows of a historical snapshot keyed by (__file_path,
+    __pos) — data files read with that snapshot's OWN delete layer
+    (position-delete parquet, deletion vectors, equality deletes)
+    applied, so the diff between two snapshots' live sets is exact for
+    every delete form."""
+    paths = [
+        p
+        for p in entries[entries.content == "data"].file_path
+        if os.path.exists(p)
+    ]
+    if not paths:
+        return None
+    return table._read_files(paths, with_deletes=True, with_pos=True, entries=entries)
+
+
 def changelog(
     table: Table,
     from_snapshot_id: int | None = None,
@@ -77,24 +104,55 @@ def changelog(
 ) -> DataFrame:
     """Row-level diff with _change_type ('insert' | 'delete') and
     _commit_snapshot_id columns (reference ChangelogRowReader /
-    CreateChangelogViewProcedure shape)."""
+    CreateChangelogViewProcedure shape).
+
+    Append/CoW commits diff the DATA FILE sets (cheap — only changed
+    files are read).  Commits that change the DELETE layer (merge-on-
+    read position deletes, deletion vectors, equality deletes) diff the
+    LIVE ROW sets of the two snapshots keyed by (file, position) — the
+    same read path that serves queries applies each snapshot's deletes,
+    so MoR deletes surface as row-level 'delete' changes instead of
+    being invisible to a file-set diff."""
     to_id = to_snapshot_id or table.meta.current_snapshot_id
     chain = _ancestry(table, to_id)
     if from_snapshot_id is not None:
         chain = chain[chain.index(from_snapshot_id) + 1:]
     out: DataFrame | None = None
+    prev_entries = None
     prev_files: set[str] | None = None
     by_id = {s.snapshot_id: s for s in table.meta.snapshots}
     for sid in chain:
         entries = M.read_snapshot_entries(table.location, by_id[sid])
         files = set(entries[entries.content == "data"].file_path)
         if prev_files is None and from_snapshot_id is not None:
-            prev = M.read_snapshot_entries(
+            prev_entries = M.read_snapshot_entries(
                 table.location, by_id[from_snapshot_id]
             )
-            prev_files = set(prev[prev.content == "data"].file_path)
+            prev_files = set(prev_entries[prev_entries.content == "data"].file_path)
         elif prev_files is None:
+            prev_entries = entries.iloc[0:0]
             prev_files = set()
+        del_changed = _delete_state(entries) != _delete_state(prev_entries)
+        if del_changed:
+            cur_live = _live_rows(table, entries)
+            prev_live = _live_rows(table, prev_entries)
+            key = ["__file_path", "__pos"]
+            for a, b, kind in (
+                (cur_live, prev_live, "insert"),
+                (prev_live, cur_live, "delete"),
+            ):
+                if a is None:
+                    continue
+                part = a if b is None else a.join(b.select(*key), key, "left_anti")
+                part = (
+                    part.drop(*key)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_snapshot_id", F.lit(sid))
+                )
+                out = part if out is None else out.unionByName(part)
+            prev_files = files
+            prev_entries = entries
+            continue
         added = sorted(f for f in files - prev_files if os.path.exists(f))
         removed = sorted(f for f in prev_files - files if os.path.exists(f))
         for paths, kind in ((added, "insert"), (removed, "delete")):
@@ -105,6 +163,7 @@ def changelog(
             ).withColumn("_commit_snapshot_id", F.lit(sid))
             out = part if out is None else out.unionByName(part)
         prev_files = files
+        prev_entries = entries
     if out is None:
         schema = table._empty_df().withColumn(
             "_change_type", F.lit("insert")

@@ -787,6 +787,8 @@ def _call(catalog, proc: str, argstr: str):
         return X.rewrite_manifests(catalog.load_table(arg("table", 0)))
     if proc == "rewrite_position_delete_files":
         return X.rewrite_position_delete_files(catalog.load_table(arg("table", 0)))
+    if proc == "convert_position_deletes_to_dvs":
+        return X.convert_position_deletes_to_dvs(catalog.load_table(arg("table", 0)))
     if proc == "expire_snapshots":
         older = kw.get("older_than")
         if isinstance(older, str):

@@ -527,3 +527,57 @@ def test_branch_retention_options(spark, catalog):
         chain += 1
         cur = by_id[cur].parent_id
     assert chain == 3, f"branch ancestors not protected ({chain} kept, ids={ids})"
+
+
+def test_changelog_mor_deletes_visible(spark, catalog):
+    """MoR delete commits (position-delete parquet AND deletion
+    vectors) must surface row-level 'delete' changes — a file-set diff
+    alone would miss them entirely."""
+    t = catalog.create_table("cl_mor", "a BIGINT, b STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(20)], "a BIGINT, b STRING"
+        ).coalesce(1)
+    )
+    base = t.current_snapshot().snapshot_id
+    t.delete(E.lt("a", 3), mode="merge-on-read")
+    t.delete(E.ge("a", 18), mode="merge-on-read-dv")
+    log = changelog(t, from_snapshot_id=base).collect()
+    dels = sorted(r.a for r in log if r._change_type == "delete")
+    assert dels == [0, 1, 2, 18, 19]
+    assert not [r for r in log if r._change_type == "insert"]
+    # the two delete commits are distinguishable
+    sids = {r._commit_snapshot_id for r in log}
+    assert len(sids) == 2
+
+
+def test_changelog_mixed_append_and_mor(spark, catalog):
+    """Appends stay file-diff cheap; the delete commit uses the
+    live-set diff; net result is exact row-level history."""
+    t = catalog.create_table("cl_mix", "a BIGINT")
+    t.append(spark.createDataFrame([(i,) for i in range(5)], "a BIGINT").coalesce(1))
+    base = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(i,) for i in range(5, 8)], "a BIGINT").coalesce(1))
+    t.delete(E.eq("a", 6), mode="merge-on-read")
+    log = changelog(t, from_snapshot_id=base).collect()
+    ins = sorted(r.a for r in log if r._change_type == "insert")
+    dels = sorted(r.a for r in log if r._change_type == "delete")
+    assert ins == [5, 6, 7]
+    assert dels == [6]
+
+
+def test_changelog_eq_delete_visible(spark, catalog):
+    """Equality-delete commits also surface row-level deletes via the
+    live-set diff."""
+    t = catalog.create_table("cl_eq", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    base = t.current_snapshot().snapshot_id
+    t.delete_by_keys(
+        spark.createDataFrame([(2,), (7,)], "k BIGINT"), key_cols=["k"]
+    )
+    log = changelog(t, from_snapshot_id=base).collect()
+    assert sorted(r.k for r in log if r._change_type == "delete") == [2, 7]

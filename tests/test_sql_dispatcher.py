@@ -473,3 +473,17 @@ def test_show_tables_and_describe(spark, tmp_path):
     assert rows["geom"]["comment"] == "geometry(wkb)"
     parts = [k for k in rows if k.startswith("# partition")]
     assert len(parts) == 2
+
+
+def test_call_convert_position_deletes_to_dvs(spark, catalog):
+    t = _mk(spark, catalog, "cdv", n_appends=1, rows_per=20)
+    t.delete(E.lt("a", 5), mode="merge-on-read")
+    res = catalog.sql(
+        "CALL system.convert_position_deletes_to_dvs(table => 'cdv')"
+    )
+    assert res["dv_blobs"] >= 1
+    t = catalog.load_table("cdv")
+    ent = t._entries()
+    assert (ent.content == "posdel").sum() == 0
+    assert (ent.content == "dv").sum() >= 1
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(5, 20))

@@ -189,3 +189,81 @@ def test_roundtrip_property_arbitrary_unicode(spark):
             assert dec[i] == norm, (repr(t), repr(dec[i]))
 
     check()
+
+
+# -- unigram (SentencePiece-style) family ------------------------------------
+
+
+def test_unigram_viterbi_picks_max_likelihood(spark):
+    """Hand-checkable lattice: with P(ab) >> P(a)P(b) the Viterbi
+    segmentation takes the merged piece; flip the odds and it splits."""
+    from iceberg_geo_poc_spark.operators import unigram as U
+
+    import math
+
+    merged = {"ab": math.log(0.5), "a": math.log(0.2), "b": math.log(0.2),
+              "▁": math.log(0.1)}
+    assert U._viterbi("ab▁", merged, 2) == ["ab", "▁"]
+    split = {"ab": math.log(0.01), "a": math.log(0.45), "b": math.log(0.44),
+             "▁": math.log(0.1)}
+    assert U._viterbi("ab▁", split, 2) == ["a", "b", "▁"]
+
+
+def test_unigram_roundtrip_and_pruning(spark):
+    from iceberg_geo_poc_spark.operators import unigram as U
+    from iceberg_geo_poc_spark.operators.tokenizer import decode_tokens
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "cats and dogs and cats",
+        "",
+        "  spaced   out  ",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    vocab = U.train_unigram(docs, vocab_size=30, min_freq=1)
+    assert len(vocab) <= 30 + sum(1 for p, _ in vocab if len(p) == 1)
+    # coverage invariant: every training character is a piece
+    pieces = {p for p, _ in vocab}
+    for t in texts:
+        for ch in t.replace(" ", ""):
+            assert ch in pieces
+    import re
+
+    dec = {
+        r.doc_id: r.decoded_text
+        for r in decode_tokens(U.encode_unigram_docs(docs, vocab)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert dec[i] == re.sub(" +", " ", t).strip(" ")
+
+
+def test_unigram_unseen_chars_roundtrip(spark):
+    """Characters absent from training still decode exactly (per-char
+    fallback at floor probability)."""
+    from iceberg_geo_poc_spark.operators import unigram as U
+    from iceberg_geo_poc_spark.operators.tokenizer import decode_tokens
+
+    train = spark.createDataFrame(
+        [(0, "plain ascii text only")], "doc_id LONG, text STRING"
+    )
+    vocab = U.train_unigram(train, vocab_size=20, min_freq=1)
+    probe = spark.createDataFrame(
+        [(0, "tschüß Ωmega ▁marker esc")], "doc_id LONG, text STRING"
+    )
+    dec = decode_tokens(U.encode_unigram_docs(probe, vocab)).collect()[0]
+    assert dec.decoded_text == "tschüß Ωmega ▁marker esc"
+
+
+def test_unigram_determinism(spark):
+    from iceberg_geo_poc_spark.operators import unigram as U
+
+    texts = [(i, f"doc {i % 7} repeated words words {i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    v1 = U.train_unigram(docs, vocab_size=50, min_freq=1)
+    v2 = U.train_unigram(docs.repartition(7), vocab_size=50, min_freq=1)
+    assert [p for p, _ in v1] == [p for p, _ in v2]
+    for (_, a), (_, b) in zip(v1, v2):
+        assert abs(a - b) < 1e-9
