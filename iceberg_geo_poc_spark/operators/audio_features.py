@@ -138,3 +138,81 @@ def extract_log_mel(
             )
 
     return media.mapInPandas(_batches, FEATURE_DDL)
+
+
+# --------------------------------------------------------------- MFCC
+
+def dct_ortho(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n, n): row k dotted with a length-n
+    signal gives coefficient k.  Orthonormal scaling (k=0 row by
+    sqrt(1/n), others sqrt(2/n)) makes C @ C.T == I exactly — the
+    inverse transform is the transpose, and the L2 norm is preserved
+    (the Parseval check extract_mfcc pins per clip)."""
+    k = np.arange(n)[:, None]
+    t = (np.arange(n)[None, :] + 0.5) * np.pi / n
+    c = np.cos(k * t) * np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+def mfcc_from_log_mel(mels: np.ndarray, n_coeff: int = 13) -> np.ndarray:
+    """(n_frames, n_mels) log-mel energies -> (n_frames, n_coeff)
+    cepstral coefficients (DCT-II over the mel axis — the classical
+    MFCC front-end step after operators/audio_features.log_mel)."""
+    if not len(mels):
+        return np.zeros((0, n_coeff))
+    c = dct_ortho(mels.shape[1])
+    return mels @ c.T[:, :n_coeff]
+
+
+MFCC_DDL = (
+    "doc_id LONG, n_frames LONG, expected_band INT, band_ok BOOLEAN, "
+    "norm_ok BOOLEAN"
+)
+
+
+def extract_mfcc(
+    media: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    tone_hz_col: str = "tone_hz",
+) -> DataFrame:
+    """Per-clip MFCC contract columns.  The full-rank cepstrum is
+    computed (n_coeff == n_mels), inverted through the transpose, and
+    the reconstructed log-mel's dominant band must still match the
+    closed-form nearest-center band — proving decode -> framing ->
+    FFT -> filterbank -> DCT -> inverse-DCT end-to-end.  ``norm_ok``
+    pins Parseval: the cepstral L2 norm equals the log-mel L2 norm to
+    1e-9 relative (orthonormality of the DCT actually used)."""
+    from iceberg_geo_poc_spark.operators.multimodal import decode_audio
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, exp, ok, nok = [], [], [], [], []
+            for did, payload, fmt, tone in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"], pdf[tone_hz_col]
+            ):
+                samples, rate = decode_audio(payload, fmt)
+                mels = log_mel_spectrogram(samples, rate, frame, hop, n_mels)
+                coeffs = mfcc_from_log_mel(mels, n_coeff=n_mels)
+                recon = coeffs @ dct_ortho(n_mels)
+                d = dominant_mel_band(recon) if len(recon) else -1
+                e = nearest_mel_filter(float(tone), n_mels, rate)
+                a, b = float(np.sum(coeffs**2)), float(np.sum(mels**2))
+                ids.append(int(did))
+                nfr.append(len(mels))
+                exp.append(e)
+                ok.append(abs(d - e) <= 1)
+                nok.append(abs(a - b) <= 1e-9 * max(b, 1.0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_frames": pd.array(nfr, dtype="int64"),
+                    "expected_band": pd.array(exp, dtype="int32"),
+                    "band_ok": ok,
+                    "norm_ok": nok,
+                }
+            )
+
+    return media.mapInPandas(_batches, MFCC_DDL)

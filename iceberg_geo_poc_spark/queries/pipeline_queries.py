@@ -748,6 +748,144 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_json_shred",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-style JSON shredding (operators/semistructured.py): each
+    document's metadata rendered as a raw JSON string, scalar paths
+    INFERRED from a bounded sample, promoted to typed columns by pure
+    codegen, and aggregated — the oracle computes the same result from
+    the base columns, so inference/typing/extraction must recover the
+    original values exactly (any type coercion or path miss skews a
+    group)."""
+    from iceberg_geo_poc_spark.operators import semistructured as SS
+
+    docs = load_table(spark, sf_dir, "documents")
+    js = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                "lang",
+                F.struct(
+                    F.col("n_chars"), (F.col("doc_id") % 7 == 0).alias("flagged")
+                ).alias("meta"),
+            )
+        ).alias("payload"),
+    )
+    shredded = SS.shred_json(js, "payload")
+    return (
+        shredded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("meta_n_chars").cast("long").alias("total_chars"),
+            F.sum(F.col("meta_flagged").cast("long")).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "pipeline_json_array_explode",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE length(text) > 0),
+    f AS (
+      SELECT doc_id,
+             list_slice(words, 1, LEAST(3, len(words))) AS first3
+      FROM w),
+    e AS (SELECT unnest(first3) AS word FROM f)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e WHERE word <> ''
+    GROUP BY word HAVING COUNT(*) >= 5 ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def pipeline_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ARRAY shredding: each doc's first three words round-trip
+    through a JSON payload, explode back out typed, and the leading-word
+    frequency table must match the same computation done directly on the
+    text column."""
+    from iceberg_geo_poc_spark.operators import semistructured as SS
+
+    docs = load_table(spark, sf_dir, "documents")
+    js = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.slice(F.split(F.col("text"), " "), 1, 3).alias("tags")
+            )
+        ).alias("payload"),
+    ).filter(F.length("text") > 0)
+    exploded = SS.shred_json_array(js, "payload", "tags")
+    return (
+        exploded.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        .groupBy(F.col("value").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "pipeline_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pipeline_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native VariantType path (Spark 4 ``parse_json`` /
+    ``try_variant_get`` — the binary variant encoding the Iceberg v3 /
+    Parquet variant spec standardizes, vs the string-shredding path of
+    ``pipeline_json_shred``): nested event payloads parse ONCE into a
+    variant column, every later typed path access reads the binary
+    encoding in codegen, and the aggregate must recover the base-column
+    answer exactly."""
+    from iceberg_geo_poc_spark.operators import semistructured as SS
+
+    ev = load_table(spark, sf_dir, "events")
+    js = ev.select(
+        F.to_json(
+            F.struct(
+                "event_type",
+                F.struct(
+                    "value", (F.col("value") > 50.0).alias("high")
+                ).alias("m"),
+            )
+        ).alias("payload")
+    )
+    v = SS.parse_variant(js, "payload")
+    shredded = SS.shred_variant(
+        v, "variant", [("event_type", "string"), ("m.value", "double"), ("m.high", "boolean")]
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("m_value"), 2).alias("total_value"),
+            F.sum(F.col("m_high").cast("long")).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "text_unigram_roundtrip",
     oracle="""
     WITH norm AS (
@@ -2141,4 +2279,164 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(agg["n"]), int(agg["p"]), acc >= 0.95, w[1] > 0.0)],
         "n_train BIGINT, n_pos BIGINT, train_acc_ok BOOLEAN, "
         "length_weight_positive BOOLEAN",
+    )
+
+
+@query(
+    "text_wordpiece_roundtrip",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, ' +', ' ', 'g')) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN t = '' THEN 0
+                ELSE length(t) - length(replace(t, ' ', '')) + 1 END
+             AS BIGINT) AS n_words,
+           true AS round_trip_ok,
+           true AS corpus_compressed
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def text_wordpiece_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WordPiece tokenizer lifecycle (operators/wordpiece.py, the
+    BERT-family member of the tokenizer surface): likelihood-scored
+    merges trained on this corpus (one distributed word-count shuffle,
+    bounded driver merge loop), every document encoded greedy
+    longest-match-first with ##-continuations, then decoded back in
+    pure codegen.  The oracle pins exactly: word counts,
+    decode(encode(x)) == whitespace-normalized x for EVERY document,
+    and corpus-level compression — total tokens strictly below total
+    characters, WordPiece's untrained one-token-per-char baseline."""
+    from iceberg_geo_poc_spark.operators import wordpiece as WP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = WP.train_wordpiece(docs, n_merges=200)
+    enc = WP.encode_docs(docs, pieces)
+    dec = WP.decode_tokens(enc)
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    # escaped char count = the untrained WordPiece token count ('#'
+    # and the escape char become two-char sequences during encoding)
+    esc = F.replace(
+        F.replace(F.regexp_replace(norm, " ", ""), F.lit(WP._ESC), F.lit("XX")),
+        F.lit("#"),
+        F.lit("XX"),
+    )
+    per_doc = dec.join(docs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("decoded_text") == norm).alias("round_trip_ok"),
+        F.col("n_tokens"),
+        F.length(esc).alias("n_chars_esc"),
+    )
+    totals = per_doc.agg(
+        (F.sum("n_tokens") < F.sum("n_chars_esc")).alias("corpus_compressed")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select("doc_id", "n_words", "round_trip_ok", "corpus_compressed")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_mfcc_contract",
+    oracle="""
+    SELECT doc_id,
+           CAST(7 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST(
+             least(40, greatest(1, round(
+               (2595 * log10(1 + (300 + (doc_id % 32) * 180) / 700.0))
+               * 41 / (2595 * log10(1 + 8000 / 700.0))
+             ))) - 1 AS INT) AS expected_band,
+           true AS band_ok,
+           true AS norm_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mfcc_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC front-end end-to-end (operators/audio_features.py
+    ``extract_mfcc``): per-doc pure-tone clips are FLAC-decoded,
+    framed, FFT'd, mel-projected, DCT-II'd to the full-rank cepstrum,
+    INVERTED through the transpose, and the reconstructed log-mel's
+    dominant band must land within one filter of the mel-grid
+    arithmetic the oracle replays in SQL.  ``norm_ok`` pins Parseval:
+    cepstral L2 == log-mel L2 (orthonormality of the DCT actually
+    used), so a green row proves the whole decode -> DSP -> DCT ->
+    iDCT chain, not just shape plumbing."""
+    from iceberg_geo_poc_spark.operators import audio_features as AF
+    from iceberg_geo_poc_spark.operators.flac import encode_flac
+
+    import numpy as _np
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _tone_media(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            payloads, tones = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                f = 300 + (did % 32) * 180
+                n = 2048 + 256 * (did % 4)
+                t = _np.arange(n)
+                wave = (8000 * _np.sin(2 * _np.pi * f * t / 16000)).astype("int16")
+                payloads.append(encode_flac(wave, sample_rate=16000))
+                tones.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "flac",
+                    "tone_hz": pd.array(tones, dtype="int64"),
+                }
+            )
+
+    media = docs.mapInPandas(
+        _tone_media,
+        "doc_id LONG, payload BINARY, format STRING, tone_hz LONG",
+    )
+    return AF.extract_mfcc(media).orderBy("doc_id")
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents)
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k 'reservoir' sample per group: exactly 10
+    documents per source, chosen by ranking on a content-independent
+    hash — the 'k examples per domain' primitive for eval-set
+    construction.  Unlike fraction-based stratified sampling (which
+    scales with the stratum), fixed-k is stable as the corpus grows:
+    the chosen set changes only where new hashes displace old ones.
+    One shuffle (the window partition); at 100 TB the per-group top-k
+    can be pre-aggregated partially per partition, which Spark's
+    WindowGroupLimit pushdown (rank <= k filter) already performs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
     )

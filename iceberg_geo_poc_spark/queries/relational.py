@@ -1920,3 +1920,174 @@ def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_count(ev, "event_type").select(
         "event_type", F.col("n").cast("long").alias("n")
     ).orderBy("event_type")
+
+
+@query(
+    "ts_linear_interpolation",
+    oracle="""
+    WITH purch AS (
+      SELECT date_trunc('hour', ts) AS h, ROUND(AVG(value), 6) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM purch),
+    cal AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds),
+    joined AS (
+      SELECT c.hour_start, p.v FROM cal c LEFT JOIN purch p ON c.hour_start = p.h),
+    walls AS (
+      SELECT hour_start, v,
+             last_value(v IGNORE NULLS) OVER (
+               ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour_start END IGNORE NULLS)
+               OVER (ORDER BY hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               ORDER BY hour_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour_start END IGNORE NULLS)
+               OVER (ORDER BY hour_start
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM joined)
+    SELECT hour_start,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv)
+                       * (epoch(hour_start) - epoch(pt))
+                       / (epoch(nt) - epoch(pt)) END) * 10000 + 0.5)
+             / 10000 AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM walls
+    ORDER BY hour_start
+    """,
+)
+def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: hourly mean purchase value
+    with silent hours filled by interpolating between the nearest
+    present hours on both sides — the resample+fill primitive of every
+    metrics pipeline.  Spark shape: dense calendar (one ``F.sequence``
+    explode) left-joined to the hourly aggregate, then TWO ignore-null
+    running windows (last non-null behind, first non-null ahead)
+    supply the interpolation walls in a single sort — no self-join,
+    no driver loop.  Bounds are the min/max PRESENT hours, so the
+    walls always exist and the formula is total."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # the hourly mean is rounded to 6 decimals BEFORE interpolating so
+    # both engines interpolate over bit-identical walls (summation
+    # order differs between engines; unrounded means can straddle the
+    # output's 4-decimal rounding boundary)
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    cal = (
+        actual.agg(F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1"))
+        .select(
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            )
+        )
+    )
+    joined = cal.join(actual, "hour_start", "left_outer")
+    back = (
+        Window.orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("hour_start"))
+    walls = joined.select(
+        "hour_start",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(marked, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(marked, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.unix_timestamp("hour_start") - F.unix_timestamp("pt"))
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt"))
+    )
+    # floor(x*1e4 + 0.5)/1e4 on BOTH engines: half-boundary values are
+    # endemic here (5-decimal hourly means), and decimal-based rounding
+    # (Spark) vs scaled-double rounding (DuckDB) disagree on them; the
+    # shared double formulation is bit-identical across engines
+    return walls.select(
+        "hour_start",
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("hour_start")
+
+
+@query(
+    "ts_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_n
+      FROM marked)
+    SELECT user_id, CAST(sess_n AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s,
+           ROUND(SUM(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, sess_n
+    ORDER BY user_id, session_no
+    """,
+)
+def ts_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user event streams cut into sessions
+    at >30-minute gaps (the batch twin of stream_session_windows) —
+    lag + cumulative-sum session numbering, then one per-session
+    aggregate.  Two window passes over the SAME (user_id, ts) sort
+    order, so Spark plans a single shuffle + sort and reuses it for
+    both windows and the final groupBy — the canonical scale shape
+    for sessionizing clickstreams."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap test (unix_timestamp would truncate to
+    # whole seconds and disagree with the oracle on boundary gaps)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = ev.withColumn("sess_n", F.sum(new_sess).over(run))
+    return (
+        numbered.groupBy("user_id", "sess_n")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess_n").cast("long").alias("session_no"),
+            "session_start",
+            "n_events",
+            "duration_s",
+            "total_value",
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -220,6 +220,121 @@ def managed_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_row_lineage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 8 = 1)
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CASE WHEN o_totalprice > 150000.0 THEN 0.0
+                      ELSE o_totalprice END, 2) AS price,
+           CAST(rid AS BIGINT) AS row_id,
+           CAST(CASE WHEN o_totalprice > 150000.0 THEN 3 ELSE 1 END
+             AS BIGINT) AS last_upd
+    FROM base WHERE o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def managed_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (Iceberg v3 _row_id / _last_updated_sequence_number):
+    one sorted append pins _row_id = row_number (block allocation from
+    metadata next-row-id), a CoW DELETE carries survivors' ids through
+    the rewrite MATERIALIZED, and a CoW UPDATE bumps
+    _last_updated_sequence_number ONLY for the rows it touched (via the
+    null-resolves-to-file-seq rule).  The oracle pins every id and seq
+    exactly — any id reassignment or seq leak hash-mismatches."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .filter("o_orderkey % 8 = 1")
+            .orderBy("o_orderkey")
+            .coalesce(1)
+        )
+        t.append(o)  # seq 1: _row_id = sorted position
+        t.delete(E.eq("o_orderstatus", "F"))  # seq 2: CoW, ids must survive
+        t.update(  # seq 3: only touched rows take the new seq
+            {"o_totalprice": F.lit(0.0)}, where=E.gt("o_totalprice", 150000.0)
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "row_lineage", build)
+    return (
+        t.to_df(lineage=True)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number").alias("last_upd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "managed_default_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 16 = 3  THEN 'legacy'
+                WHEN o_orderkey % 16 = 7  THEN 'web'
+                WHEN o_orderkey % 32 = 11 THEN 'app'
+                ELSE NULL END AS channel
+    FROM orders WHERE o_orderkey % 16 IN (3, 7, 11)
+    ORDER BY o_orderkey
+    """,
+)
+def managed_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default column values (Iceberg v3 initial-default /
+    write-default, spec "Default values"; reference TableMetadata
+    default plumbing): a column evolved in AFTER the first append reads
+    'legacy' (initial-default) for every pre-evolution row without any
+    rewrite; a later append that OMITS the column gets 'web'
+    (write-default) filled writer-side; an append that supplies the
+    column keeps its values — explicit NULLs included (the v3
+    absent-vs-null distinction).  A final bin-pack compaction rewrites
+    every file, proving the defaults materialize through rewrites
+    without value drift."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "o_orderkey BIGINT, o_totalprice DOUBLE")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.append(o.filter("o_orderkey % 16 = 3"))  # pre-evolution
+        t = cat.add_column_with_default(
+            tname,
+            "channel",
+            "STRING",
+            initial_default="legacy",
+            write_default="web",
+        )
+        # writer omits the column entirely -> write-default fills it
+        t.append(o.filter("o_orderkey % 16 = 7"))
+        # writer supplies the column -> values kept, NULLs stay NULL
+        t.append(
+            o.filter("o_orderkey % 16 = 11").withColumn(
+                "channel",
+                F.when(F.col("o_orderkey") % 32 == 11, F.lit("app")),
+            )
+        )
+        from iceberg_geo_poc_spark.table import maintenance as MT
+
+        MT.rewrite_data_files(
+            t, target_file_size=512 * 1024 * 1024, min_input_files=2
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "default_columns", build)
+    return t.to_df().select("o_orderkey", "channel").orderBy("o_orderkey")
+
+
+@query(
     "managed_changelog_mor",
     oracle="""
     SELECT event_id, event_type, ROUND(value, 6) AS value,
@@ -2284,4 +2399,69 @@ def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["col_name"], r["data_type"], r["comment"], i) for i, r in enumerate(rows)],
         "col_name STRING, data_type STRING, comment STRING, ord INT",
+    )
+
+
+@query(
+    "managed_metrics_truncate_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(LEAST(MAX(LENGTH(source)), 3) AS BIGINT) AS max_bound_len
+    FROM documents
+    WHERE source >= 'src15'
+    GROUP BY source ORDER BY source
+    """,
+)
+def managed_metrics_truncate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics modes end-to-end (reference MetricsModes.java +
+    UnicodeUtil.truncateStringMax): a table written under
+    ``write.metadata.metrics.default = truncate(3)`` stores string
+    bounds as 3-char prefixes (lower) / incremented prefixes (upper).
+    The scan's string predicate must still return EXACTLY the oracle
+    rows — truncation only ever widens bounds, so pruning stays sound
+    — and ``max_bound_len`` pins that the stored bounds really are
+    truncated (3 == least(max(len(source)), 3); an untruncated writer
+    would store 5-char bounds).  The MIN/MAX stats fast path refuses
+    truncated string bounds (tests/test_metrics_modes.py)."""
+    import json as _json
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "doc_id BIGINT, source STRING, n_chars BIGINT",
+            properties={"write.metadata.metrics.default": "truncate(3)"},
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        # several appends -> several files, each with truncated bounds
+        t.append(docs.filter(F.col("doc_id") % 2 == 0).repartition(2))
+        t.append(docs.filter(F.col("doc_id") % 2 == 1).repartition(2))
+        return t
+
+    t = _managed(spark, sf_dir, "metrics_trunc", build)
+    ent = t._entries()
+    blens = [
+        len(b)
+        for e in ent[ent.content == "data"].itertuples()
+        for b in (
+            _json.loads(e.lower).get("source"),
+            _json.loads(e.upper).get("source"),
+        )
+        if isinstance(b, str)
+    ]
+    max_bound = max(blens) if blens else 0
+    assert max_bound <= 3, f"bounds not truncated: {max_bound}"
+    return (
+        t.scan(where=E.ge("source", "src15"))
+        .to_df()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.lit(max_bound).cast("long").alias("max_bound_len"),
+        )
+        .orderBy("source")
     )

@@ -100,6 +100,16 @@ _PRIORITY_FIRST = (
     "managed_dv_delete",
     "text_unigram_roundtrip",
     "managed_changelog_mor",
+    "managed_row_lineage",
+    "pipeline_json_shred",
+    "pipeline_json_array_explode",
+    "managed_default_columns",
+    "pipeline_variant_extract",
+    "text_wordpiece_roundtrip",
+    "multimodal_mfcc_contract",
+    "sample_reservoir_per_group",
+    "ts_linear_interpolation",
+    "ts_sessionize_events",
 )
 
 

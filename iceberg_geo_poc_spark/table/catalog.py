@@ -197,6 +197,48 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    def add_column_with_default(
+        self,
+        name: str,
+        column: str,
+        col_type: str,
+        initial_default=None,
+        write_default=None,
+    ) -> Table:
+        """Schema evolution with default values (Iceberg v3 spec
+        "Default values": TableMetadata initial-default/write-default).
+
+        ``initial_default`` is what EVERY row of files written before
+        this evolution reads for the new column — applied at scan time
+        to files whose commit sequence predates the add, never by
+        rewriting data.  ``write_default`` fills the column when a
+        later writer omits it entirely (writers that supply the column
+        keep their values, explicit NULLs included — exactly the v3
+        distinction between absent-column and null-value)."""
+        t = self.load_table(name)
+        existing = [f.split()[0] for f in _ddl_fields(t.meta.schema_ddl)]
+        if column in existing:
+            raise ValueError(f"column {column!r} already exists")
+        t.meta.schema_ddl = f"{t.meta.schema_ddl}, {column} {col_type}"
+        t.meta.column_defaults[column] = {
+            "initial": initial_default,
+            "write": write_default,
+            "added-at-seq": t.meta.last_sequence_number,
+        }
+        t.meta.schema_log.append(
+            {
+                "add-column-default": {
+                    "column": column,
+                    "type": col_type,
+                    "initial-default": initial_default,
+                    "write-default": write_default,
+                },
+                "at": MD.now_ms(),
+            }
+        )
+        MD.write_new_metadata(t.meta, t.meta.version)
+        return t
+
     def alter_table_properties(
         self, name: str, set_props: dict[str, str] | None = None,
         unset: list[str] | None = None,

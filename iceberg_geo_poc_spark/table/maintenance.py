@@ -84,7 +84,9 @@ def rewrite_data_files(
     if len(small) < min_input_files:
         return RewriteResult(0, 0)
     paths = small.file_path.tolist()
-    df = table._read_files(paths, with_deletes=True)
+    # lineage read: compaction must carry _row_id (v3 row lineage) —
+    # rewritten rows keep both their id and their last-updated seq
+    df = table._read_files(paths, with_deletes=True, with_lineage=True)
     total_bytes = int(small.file_size.sum())
     n_out = max(1, round(total_bytes / target_file_size))
     if strategy == "binpack":

@@ -47,6 +47,7 @@ MANIFEST_COLUMNS = [
     "bbox",  # JSON {geo_col: [xmin, ymin, xmax, ymax]}
     "eq_cols",  # JSON [col, ...] — equality-delete key columns (eqdel only)
     "dv",  # JSON {referenced, offset, length} — deletion-vector blob ref (dv only)
+    "first_row_id",  # row-lineage block start (data entries; null until assigned)
 ]
 
 
@@ -301,6 +302,9 @@ def entries_dataframe(entries: list[dict]) -> pd.DataFrame:
             "record_count": "int64",
             "sequence_number": "int64",
             "snapshot_id": "int64",
+            # nullable: unassigned until the commit allocates the block
+            # (row lineage); Int64 keeps ids exact past 2^53
+            "first_row_id": "Int64",
         }
     )
     return ensure_flat_stats(df)
@@ -620,3 +624,101 @@ def merge_bounds(bounds_list: list[dict]) -> dict:
         except TypeError:
             continue
     return out
+
+
+# ------------------------------------------------------------- metrics modes
+# Reference parity: core/src/main/java/org/apache/iceberg/MetricsModes.java
+# (None/Counts/Truncate(n)/Full) and the string upper-bound increment of
+# api/src/main/java/org/apache/iceberg/util/UnicodeUtil.java
+# (truncateStringMax).  Our default is FULL — unlike the reference's
+# truncate(16) — because this engine answers MIN/MAX aggregates from
+# manifest bounds (stats_agg.py) and exact string bounds keep that fast
+# path total; the property surface is identical, so a user can dial any
+# table down to the reference posture.
+
+METRICS_DEFAULT_PROP = "write.metadata.metrics.default"
+METRICS_COL_PROP = "write.metadata.metrics.column."
+
+_SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
+
+
+def parse_metrics_mode(s: str):
+    """'none' | 'counts' | 'full' | 'truncate(N)' -> mode tuple."""
+    s = (s or "full").strip().lower()
+    if s in ("none", "counts", "full"):
+        return (s, None)
+    if s.startswith("truncate(") and s.endswith(")"):
+        n = int(s[len("truncate("):-1])
+        if n <= 0:
+            raise ValueError(f"truncate length must be positive: {s!r}")
+        return ("truncate", n)
+    raise ValueError(f"unsupported metrics mode {s!r}")
+
+
+def metrics_mode_for(properties: dict, column: str):
+    """Effective mode for one column: per-column override, else default."""
+    per_col = properties.get(METRICS_COL_PROP + column)
+    if per_col is not None:
+        return parse_metrics_mode(per_col)
+    return parse_metrics_mode(properties.get(METRICS_DEFAULT_PROP, "full"))
+
+
+def truncate_string_min(v: str, n: int) -> str:
+    """Prefix truncation — always a valid (possibly smaller) lower bound."""
+    return v if len(v) <= n else v[:n]
+
+
+def truncate_string_max(v: str, n: int) -> str | None:
+    """Truncate to ``n`` code points and increment so the result stays an
+    UPPER bound (UnicodeUtil.truncateStringMax): walk back from the last
+    kept char looking for one that can be incremented (skipping into the
+    surrogate range jumps to U+E000); if every kept char is U+10FFFF no
+    valid bound exists -> None (bound dropped, column stops pruning)."""
+    if len(v) <= n:
+        return v
+    chars = list(v[:n])
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i]) + 1
+        if _SURROGATE_LO <= cp <= _SURROGATE_HI:
+            cp = _SURROGATE_HI + 1
+        if cp <= 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp)
+        # carry: this position cannot grow, drop it and increment left
+    return None
+
+
+def apply_metrics_modes(
+    lower: dict, upper: dict, nulls: dict, properties: dict, string_cols: set
+) -> tuple[dict, dict, dict]:
+    """Apply per-column metrics modes to one file's harvested stats.
+
+    none   -> no metrics at all (bounds AND null counts dropped);
+    counts -> null counts only;
+    truncate(n) -> string bounds truncated (lower = prefix, upper =
+    incremented prefix or dropped); numeric/date bounds stay exact —
+    truncation is a string-width concern (same as the reference, where
+    numeric bound buffers are fixed-width).  Pruning stays SOUND under
+    truncation because bounds only ever widen."""
+    lo2: dict = {}
+    hi2: dict = {}
+    nu2: dict = {}
+    cols = set(lower) | set(upper) | set(nulls)
+    for c in cols:
+        mode, n = metrics_mode_for(properties, c)
+        if mode == "none":
+            continue
+        if c in nulls:
+            nu2[c] = nulls[c]
+        if mode == "counts":
+            continue
+        lo, hi = lower.get(c), upper.get(c)
+        if mode == "truncate" and c in string_cols:
+            if isinstance(lo, str):
+                lo = truncate_string_min(lo, n)
+            if isinstance(hi, str):
+                hi = truncate_string_max(hi, n)
+        if lo is not None:
+            lo2[c] = lo
+        if hi is not None:
+            hi2[c] = hi
+    return lo2, hi2, nu2

@@ -102,6 +102,18 @@ class TableMetadata:
     # (GenericPartitionStatisticsFile.java).
     statistics_files: list[dict] = field(default_factory=list)
     partition_statistics_files: list[dict] = field(default_factory=list)
+    # row-lineage allocator (Iceberg v3 TableMetadata next-row-id): the
+    # first free _row_id; commits adding data files claim
+    # [next_row_id, next_row_id + record_count) blocks per file
+    next_row_id: int = 0
+    # default column values (Iceberg v3 initial-default / write-default,
+    # spec #default-values): column -> {"initial": v, "write": v,
+    # "added-at-seq": N}.  Files committed at sequence <= added-at-seq
+    # predate the column and read initial-default for EVERY row; later
+    # files always materialize the column physically (write-default is
+    # applied writer-side), so their values — including explicit NULLs —
+    # are read verbatim
+    column_defaults: dict = field(default_factory=dict)
 
     # ---- serialization -------------------------------------------------
     def to_json(self) -> dict:
@@ -121,6 +133,8 @@ class TableMetadata:
             "renames": self.renames,
             "statistics": self.statistics_files,
             "partition-statistics": self.partition_statistics_files,
+            "next-row-id": self.next_row_id,
+            "column-defaults": self.column_defaults,
         }
 
     @staticmethod
@@ -141,6 +155,8 @@ class TableMetadata:
             renames=o.get("renames", {}),
             statistics_files=o.get("statistics", []),
             partition_statistics_files=o.get("partition-statistics", []),
+            next_row_id=o.get("next-row-id", 0),
+            column_defaults=o.get("column-defaults", {}),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:

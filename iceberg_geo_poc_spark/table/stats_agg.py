@@ -71,6 +71,22 @@ def try_stats_aggregate(table: Table, aggs: list[str], where=None) -> list | Non
                 return None
             out.append(int(data.record_count.sum() - (0 if nu is None else nu.sum())))
             continue
+        if fn in ("min", "max"):
+            # truncated string bounds are prefixes / incremented
+            # prefixes — valid for PRUNING but not exact values, so
+            # MIN/MAX over a string column under a truncate metrics
+            # mode must fall back to a real scan (the reference's
+            # MinAggregate/MaxAggregate make the same refusal via
+            # metrics-mode checks in SparkScanBuilder.pushAggregation)
+            from iceberg_geo_poc_spark.table import manifest as M
+
+            mode, _n = M.metrics_mode_for(table.meta.properties, pcol)
+            is_string = any(
+                name == col and typ.strip().upper().startswith("STRING")
+                for name, typ in table._ddl_types()
+            )
+            if mode == "truncate" and is_string:
+                return None
         ser = data.get(f"lo__{pcol}" if fn == "min" else f"hi__{pcol}")
         if ser is None:
             if len(data):

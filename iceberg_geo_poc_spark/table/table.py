@@ -63,6 +63,38 @@ def _validate_files_still_live(current: pd.DataFrame, paths) -> None:
         )
 
 
+_LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+_LINEAGE_DDL = ", _row_id BIGINT, _last_updated_sequence_number BIGINT"
+
+
+def _assign_row_id_blocks(entries: pd.DataFrame, base) -> pd.DataFrame:
+    """Row-lineage block allocation at commit time (Iceberg v3
+    TableMetadata next-row-id semantics): every data entry without a
+    ``first_row_id`` claims ``[next_row_id, next_row_id + record_count)``
+    in deterministic file-path order, and the allocator on ``base``
+    advances.  Runs INSIDE the optimistic-commit loop, so a retry
+    against fresh metadata re-allocates against the fresh counter —
+    ids are unique under concurrent writers by construction."""
+    entries = entries.copy()
+    if "first_row_id" not in entries.columns:
+        entries["first_row_id"] = pd.array([None] * len(entries), dtype="Int64")
+    else:
+        # old manifests round-trip the column as float64 NaN; re-anchor
+        # to nullable Int64 so ids stay exact past 2^53
+        entries["first_row_id"] = entries["first_row_id"].astype("Int64")
+    mask = (entries.content == "data") & entries.first_row_id.isna()
+    if bool(mask.any()):
+        sub = entries.loc[mask].sort_values("file_path")
+        nid = int(getattr(base, "next_row_id", 0))
+        vals = []
+        for rc in sub.record_count:
+            vals.append(nid)
+            nid += int(rc)
+        entries.loc[sub.index, "first_row_id"] = pd.array(vals, dtype="Int64")
+        base.next_row_id = nid
+    return entries
+
+
 def _summary_counters(deltas: dict) -> dict:
     """SnapshotSummary.java standard property names from a deltas dict."""
     return {
@@ -122,6 +154,15 @@ class Table:
             ren.get(f.split()[0], f.split()[0])
             for f in _ddl_fields(self.meta.schema_ddl)
         ]
+
+    def _ddl_types(self) -> list[tuple[str, str]]:
+        """(logical column name, Spark type DDL) pairs in schema order."""
+        ren = self.meta.renames
+        out = []
+        for f in _ddl_fields(self.meta.schema_ddl):
+            name, typ = f.strip().split(None, 1)
+            out.append((ren.get(name, name), typ))
+        return out
 
     def _to_logical(self, df: DataFrame) -> DataFrame:
         for phys, log in self.meta.renames.items():
@@ -303,6 +344,7 @@ class Table:
             else:
                 current = self._entries(head) if head else M.entries_dataframe([])
                 new_entries = build_entries(current, base.last_sequence_number + 1)
+                new_entries = _assign_row_id_blocks(new_entries, base)
                 # SnapshotSummary parity (core/.../SnapshotSummary.java):
                 # standard counter properties ride in the snapshot summary
                 # so metadata-table consumers see commit deltas without
@@ -352,6 +394,7 @@ class Table:
         add = M.entries_dataframe(
             [dict(e, sequence_number=seq, snapshot_id=0) for e in append_entries]
         )
+        add = _assign_row_id_blocks(add, base)
         M.write_manifest(add, os.path.join(self.location, rel))
         prior = head.manifest_list() if head else []
         manifests = prior + [rel]
@@ -478,16 +521,31 @@ class Table:
         # be written as-is and silently read back as NULLs
         expected = self.columns()
         got = list(df.columns)
+        # columns evolved in with a default are optional for writers: an
+        # omitted one is filled with its write-default (Iceberg v3
+        # write-default semantics) and so is always physically present
+        # in files written after the evolution — which is what lets the
+        # read path treat NULLs in post-evolution files as genuine
+        defaults = getattr(self.meta, "column_defaults", {})
+        types = dict(self._ddl_types())
+        for c in expected:
+            if c not in got and c in defaults:
+                df = df.withColumn(
+                    c, F.lit(defaults[c].get("write")).cast(types[c])
+                )
+                got.append(c)
         missing = [c for c in expected if c not in got]
-        extra = [c for c in got if c not in expected]
+        # lineage columns are system columns a rewrite may materialize
+        extra = [c for c in got if c not in expected and c not in _LINEAGE_COLS]
         if missing or extra:
             raise ValueError(
                 f"write schema mismatch for table {self.location!r}: "
                 f"missing columns {missing}, unexpected columns {extra}; "
                 f"table schema is ({self.schema_ddl()})"
             )
-        if got != expected:
-            df = df.select(*expected)
+        keep = expected + [c for c in _LINEAGE_COLS if c in got]
+        if got != keep:
+            df = df.select(*keep)
         # INT96 (the legacy default) writes no parquet min/max stats —
         # timestamp columns would be invisible to manifest pruning.  The
         # conf is runtime-settable; force it even under a caller-provided
@@ -641,10 +699,29 @@ class Table:
         def _cap(d: dict) -> dict:
             return {k: v for k, v in d.items() if k in kept_cols}
 
+        # metrics modes (reference MetricsModes.java none/counts/
+        # truncate(n)/full + UnicodeUtil.truncateStringMax): string
+        # bounds truncated per table property — pruning stays sound
+        # (bounds only widen); the stats MIN/MAX fast path refuses
+        # possibly-truncated string bounds (stats_agg.py)
+        string_cols = {
+            f.split()[0]
+            for f in _ddl_fields(self.meta.schema_ddl)
+            if f.strip().split(None, 1)[1].strip().upper().startswith("STRING")
+        }
+        none_cols = {
+            c
+            for c in kept_cols
+            if M.metrics_mode_for(self.meta.properties, c)[0] == "none"
+        }
+
         entries = []
         for p in paths:
             record_count, file_size, lower, upper, nulls = stats[p][:5]
             lower, upper, nulls = _cap(lower), _cap(upper), _cap(nulls)
+            lower, upper, nulls = M.apply_metrics_modes(
+                lower, upper, nulls, self.meta.properties, string_cols
+            )
             if record_count == 0:
                 os.remove(p)  # empty task output: not a data file
                 continue
@@ -659,7 +736,14 @@ class Table:
                     "lower": json.dumps(lower),
                     "upper": json.dumps(upper),
                     "nulls": json.dumps(nulls),
-                    "nans": json.dumps(nan_counts.get(p, {})),
+                    # 'none'-mode columns carry no NaN counts either
+                    "nans": json.dumps(
+                        {
+                            k: v
+                            for k, v in nan_counts.get(p, {}).items()
+                            if k not in none_cols
+                        }
+                    ),
                     "bbox": json.dumps(bboxes.get(p, {})),
                 }
             )
@@ -762,6 +846,7 @@ class Table:
         as_of_ms: int | None = None,
         ref: str | None = None,
         select: list[str] | None = None,
+        lineage: bool = False,
     ) -> "TableScan":
         if ref is not None:
             snapshot_id = self.meta.refs[ref]["snapshot-id"]
@@ -772,7 +857,7 @@ class Table:
             if snapshot_id is not None
             else self.current_snapshot()
         )
-        return TableScan(self, snap, where, select)
+        return TableScan(self, snap, where, select, lineage=lineage)
 
     def to_df(self, **scan_kwargs) -> DataFrame:
         return self.scan(**scan_kwargs).to_df()
@@ -868,7 +953,10 @@ class Table:
         """
         if not paths:
             return []
-        df = self._read_files(paths, with_deletes=True)
+        # lineage read: survivors carry materialized _row_id /
+        # _last_updated_sequence_number through the rewrite (v3 row
+        # lineage — a rewrite must not reassign surviving rows' ids)
+        df = self._read_files(paths, with_deletes=True, with_lineage=True)
         cond = drop.to_spark_column(self.geo_fields)
         kept = df.filter(~F.coalesce(cond, F.lit(False)))
         return self._write_files(kept)
@@ -1119,11 +1207,26 @@ class Table:
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
-        df = self._read_files(paths, with_deletes=True)
+        df = self._read_files(paths, with_deletes=True, with_lineage=True)
         cond = where.to_spark_column(self.geo_fields)
+        # snapshot the match BEFORE set_exprs mutate the columns the
+        # predicate reads (a later `cond` reference would re-evaluate
+        # against the UPDATED values)
+        df = df.withColumn("__upd_match", F.coalesce(cond, F.lit(False)))
         for col, newv in set_exprs.items():
             newc = newv if hasattr(newv, "_jc") or str(type(newv)).find("Column") >= 0 else F.lit(newv)
-            df = df.withColumn(col, F.when(cond, newc).otherwise(F.col(col)))
+            df = df.withColumn(
+                col, F.when(F.col("__upd_match"), newc).otherwise(F.col(col))
+            )
+        # updated rows take the committing snapshot's sequence number: a
+        # NULL materialized value resolves to the (new) file's manifest
+        # seq at read time, which stays correct across commit retries
+        df = df.withColumn(
+            "_last_updated_sequence_number",
+            F.when(F.col("__upd_match"), F.lit(None).cast("long")).otherwise(
+                F.col("_last_updated_sequence_number")
+            ),
+        ).drop("__upd_match")
         rewritten = self._write_files(df)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -1141,7 +1244,9 @@ class Table:
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
-        df = self._read_files(paths, with_deletes=True, with_pos=True)
+        df = self._read_files(
+            paths, with_deletes=True, with_pos=True, with_lineage=True
+        )
         matches = df.filter(where.to_spark_column(self.geo_fields)).persist()
         try:
             del_entries = self._posdel_entries(matches)
@@ -1154,7 +1259,17 @@ class Table:
                 newc = newv if "Column" in str(type(newv)) else F.lit(newv)
                 upd = upd.withColumn(col, newc)
             target_cols = self.columns()
-            data_entries = self._write_files(upd.select(*target_cols))
+            # the updated copies keep their _row_id (it is an UPDATE);
+            # NULL last_updated resolves to the new file's seq at read
+            data_entries = self._write_files(
+                upd.select(
+                    *target_cols,
+                    "_row_id",
+                    F.lit(None).cast("long").alias(
+                        "_last_updated_sequence_number"
+                    ),
+                )
+            )
         finally:
             matches.unpersist()
 
@@ -1219,7 +1334,7 @@ class Table:
 
         rewritten: list[dict] = []
         if candidates:
-            tgt = self._read_files(candidates, with_deletes=True)
+            tgt = self._read_files(candidates, with_deletes=True, with_lineage=True)
             # explicit never-null probe: a key-only source has no non-key
             # column to test, and join keys are ambiguous after the join
             src_probed = src.withColumn("__s_exists", F.lit(True))
@@ -1238,6 +1353,16 @@ class Table:
                     out_cols.append(F.col(f"t.{c}").alias(c))
                 else:
                     out_cols.append(tc.alias(c))
+            # lineage: rows keep their ids; updated rows' last_updated
+            # goes NULL -> resolves to the new file's seq at read
+            out_cols.append(F.col("t._row_id").alias("_row_id"))
+            upd_seq = (
+                F.when(matched, F.lit(None).cast("long"))
+                .otherwise(F.col("t._last_updated_sequence_number"))
+                if when_matched_update
+                else F.col("t._last_updated_sequence_number")
+            )
+            out_cols.append(upd_seq.alias("_last_updated_sequence_number"))
             result = marked.select(*out_cols, matched.alias("__matched"))
             if when_matched_delete:
                 result = result.filter(~F.col("__matched"))
@@ -1346,11 +1471,69 @@ class Table:
         with_deletes: bool = False,
         with_pos: bool = False,
         entries: pd.DataFrame | None = None,
+        with_lineage: bool = False,
+        _skip_defaults: bool = False,
     ) -> DataFrame:
         if not paths:
             return self._empty_df()
+        # initial-default application (Iceberg v3 default values): files
+        # whose commit sequence predates a column's evolution read the
+        # column's initial-default for EVERY row.  The path list splits
+        # into groups by which defaulted columns each file predates
+        # (bounded by the number of schema evolutions, not files); each
+        # group is a plain scan — predicate pushdown and codegen are
+        # preserved per branch, and the union adds no shuffle.
+        defaults = {
+            c: d
+            for c, d in getattr(self.meta, "column_defaults", {}).items()
+            if d.get("initial") is not None
+        }
+        if defaults and not _skip_defaults:
+            ent0 = entries if entries is not None else self._entries()
+            dent = ent0[ent0.content == "data"]
+            seq_of = dict(zip(dent.file_path, dent.sequence_number))
+            groups: dict[tuple, list[str]] = {}
+            for p in paths:
+                s = seq_of.get(p)
+                key = (
+                    tuple(
+                        sorted(
+                            c
+                            for c, d in defaults.items()
+                            if int(s) <= int(d["added-at-seq"])
+                        )
+                    )
+                    if s is not None
+                    else ()
+                )
+                groups.setdefault(key, []).append(p)
+            if any(groups):
+                types = dict(self._ddl_types())
+                parts = []
+                for key, ps in sorted(groups.items()):
+                    sub = self._read_files(
+                        ps,
+                        with_deletes=with_deletes,
+                        with_pos=with_pos,
+                        entries=ent0,
+                        with_lineage=with_lineage,
+                        _skip_defaults=True,
+                    )
+                    for c in key:
+                        sub = sub.withColumn(
+                            c, F.lit(defaults[c]["initial"]).cast(types[c])
+                        )
+                    parts.append(sub)
+                df = parts[0]
+                for extra_part in parts[1:]:
+                    df = df.unionByName(extra_part)
+                return df
         fmt = self.file_format
-        need_pos = with_pos or with_deletes
+        # row lineage needs per-row positions; ORC has none here (same
+        # limit as position deletes) — such tables still expose the
+        # lineage columns to callers, but as untracked NULLs
+        synth_lineage = with_lineage and fmt in ("parquet", "avro")
+        need_pos = with_pos or with_deletes or synth_lineage
         if fmt == "avro":
             # Python DataSource reader; synthesizes __file_path/__pos
             # during its sequential decode (so avro supports position
@@ -1382,7 +1565,13 @@ class Table:
                 expect += [F.col("__file_path"), F.col("__pos")]
             df = self._to_logical(df.select(*expect))
         else:
-            reader = self.spark.read.schema(self.meta.schema_ddl)
+            read_ddl = self.meta.schema_ddl
+            if synth_lineage and fmt == "parquet":
+                # physically materialized lineage columns (written by
+                # CoW rewrites / compaction) read back; files lacking
+                # them yield NULLs and fall through to synthesis below
+                read_ddl = read_ddl + _LINEAGE_DDL
+            reader = self.spark.read.schema(read_ddl)
             df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
             for c in df.columns:
                 if c.startswith("__p_"):
@@ -1400,6 +1589,10 @@ class Table:
                 )
                 if fmt == "parquet":
                     df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        if with_lineage:
+            for c in _LINEAGE_COLS:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("long"))
         if with_deletes:
             ent = entries if entries is not None else self._entries()
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
@@ -1426,6 +1619,34 @@ class Table:
                     F.broadcast(deletes), on=["__file_path", "__pos"], how="left_anti"
                 )
             df = self._apply_equality_deletes(df, ent)
+        if synth_lineage:
+            # synthesize from the manifest block for rows without a
+            # materialized value: _row_id = first_row_id + position;
+            # _last_updated defaults to the file's commit sequence
+            ent = entries if entries is not None else self._entries()
+            data_ent = ent[ent.content == "data"]
+            rows = []
+            for r in data_ent.itertuples():
+                frid = getattr(r, "first_row_id", None)
+                frid = None if pd.isna(frid) else int(frid)
+                rows.append((r.file_path, frid, int(r.sequence_number)))
+            lmap = self.spark.createDataFrame(
+                rows, "__file_path string, __frid long, __fseq long"
+            )
+            df = (
+                df.join(F.broadcast(lmap), "__file_path", "left")
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(F.col("_row_id"), F.col("__frid") + F.col("__pos")),
+                )
+                .withColumn(
+                    "_last_updated_sequence_number",
+                    F.coalesce(
+                        F.col("_last_updated_sequence_number"), F.col("__fseq")
+                    ),
+                )
+                .drop("__frid", "__fseq")
+            )
         if need_pos and not with_pos:
             df = df.drop("__file_path", "__pos")
         return df
@@ -1573,11 +1794,13 @@ class TableScan:
         snapshot: MD.Snapshot | None,
         where: E.Expr | None,
         select: list[str] | None = None,
+        lineage: bool = False,
     ):
         self.table = table
         self.snapshot = snapshot
         self.where = where
         self.select = select
+        self.lineage = lineage
         self._planned: list[str] | None = None
         self._entries_cache: pd.DataFrame | None = None
         self._residual_noop: bool = False
@@ -1769,9 +1992,15 @@ class TableScan:
         files = self.files()
         if not files:
             df = self.table._empty_df()
+            if self.lineage:
+                for c in _LINEAGE_COLS:
+                    df = df.withColumn(c, F.lit(None).cast("long"))
         else:
             df = self.table._read_files(
-                files, with_deletes=True, entries=self._kept_entries()
+                files,
+                with_deletes=True,
+                entries=self._kept_entries(),
+                with_lineage=self.lineage,
             )
             if self.where is not None and not self._residual_noop:
                 # inclusive pruning => full predicate re-applied as residual
