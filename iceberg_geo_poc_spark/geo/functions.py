@@ -1550,3 +1550,49 @@ def st_envelope_aggr(df, geom_col: str, group_cols: list[str] | None = None):
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
         ),
     )
+
+
+def st_collect_aggr(df, geom_col: str, group_cols: list[str] | None = None):
+    """ST_Collect aggregate (the Sedona ST_Collect the reference defers
+    to via its GeospatialLibrary SPI): assemble each group's geometries
+    into one Multi*-geometry — MultiPoint / MultiLineString /
+    MultiPolygon when the parts are homogeneous, GeometryCollection
+    otherwise.  Collection semantics (areas/lengths sum over parts,
+    bounds union) — NOT a dissolve: parts are kept as-is, which is the
+    documented ST_Collect contract.
+
+    Shape: ``collect_list`` is a JVM-side partial aggregate (one
+    shuffle keyed on the group), then ONE Arrow-batched pandas UDF
+    assembles each group's WKB parts — per-group memory is the group's
+    geometry bytes, the per-executor bound every collection aggregate
+    has.  Returns group_cols + ``collection`` (WKB) + ``n_parts``.
+    """
+    import pyspark.sql.functions as F
+
+    @pandas_udf(BinaryType())
+    def _assemble(parts: pd.Series) -> pd.Series:
+        out = []
+        for lst in parts:
+            geoms = [geometry_from_wkb(bytes(b)) for b in lst if b is not None]
+            if not geoms:
+                out.append(None)
+                continue
+            kinds = {type(g) for g in geoms}
+            if kinds == {G.Point}:
+                coll = G.MultiPoint(tuple((g.x, g.y) for g in geoms))
+            elif kinds == {G.Polygon}:
+                coll = G.MultiPolygon(tuple(geoms))
+            elif kinds == {G.LineString}:
+                coll = G.MultiLineString(tuple(g.coords for g in geoms))
+            else:
+                coll = G.GeometryCollection(tuple(geoms))
+            out.append(geometry_to_wkb(coll))
+        return pd.Series(out)
+
+    agg = df.groupBy(*(group_cols or [])).agg(
+        F.collect_list(geom_col).alias("__parts"),
+        F.count(geom_col).alias("n_parts"),
+    )
+    return agg.withColumn("collection", _assemble(F.col("__parts"))).drop(
+        "__parts"
+    )

@@ -559,3 +559,128 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+# ----------------------------------------------------------- bloom filter
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k bit positions for one key, computed JVM-side: xxhash64 with k
+    seeds, pmod'd into the bitmap — build and probe share this exact
+    expression, so membership needs no Python re-implementation of the
+    hash."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom_bits(df: DataFrame, col, m_bits: int = 1 << 20, k: int = 5):
+    """Distributed Bloom-filter build: per-partition numpy bitmaps
+    OR-reduced on the driver.
+
+    Positions are computed in codegen (one narrow projection); each
+    task sets bits into a local ``m_bits/8``-byte array and emits it
+    once, so the driver receives one bitmap per partition (128 KiB at
+    the 2^20 default) and ORs them — the treeAggregate shape.  Returns
+    a uint64 word array small enough to ship in a task closure.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    n_words = m_bits // 64
+
+    def _partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                pos = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["pos"]])
+                np.bitwise_or.at(
+                    bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+                )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    rows = (
+        df.select(_bloom_positions(col, m_bits, k).alias("pos"))
+        .mapInPandas(_partials, "bits BINARY")
+        .collect()
+    )
+    out = np.zeros(n_words, dtype=np.uint64)
+    for r in rows:
+        out |= np.frombuffer(r["bits"], dtype=np.uint64)
+    return out
+
+
+def bloom_filter_rows(
+    df: DataFrame, col, bits, k: int = 5
+) -> DataFrame:
+    """Keep rows whose key MIGHT be in the filter (no false negatives).
+    Positions come from the same codegen expression as the build; the
+    membership test is a vectorized numpy gather per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    m_bits = len(bits) * 64
+
+    def _test(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.stack([np.asarray(p, dtype=np.int64) for p in pdf["__bpos"]])
+            hit = (
+                (bits[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool).all(axis=1)
+            out = pdf.loc[hit].drop(columns=["__bpos"])
+            if len(out):
+                yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.withColumn("__bpos", _bloom_positions(col, m_bits, k)).mapInPandas(
+        _test, schema
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom prefilter — the scale path
+    of :func:`contamination_check` for when the benchmark's shingle
+    vocabulary is too large to broadcast as an equi-join build side
+    but fits as BITS (2^20 bits = 128 KiB covers ~10^5 shingles at
+    ~2% FPR; 2^30 = 128 MiB covers ~10^8).
+
+    Corpus shingles are bloom-tested first (zero shuffle, vectorized
+    bit gather); only SURVIVORS reach the exact verification join, and
+    Bloom's no-false-negative guarantee makes the final ratios exactly
+    those of the broadcast-join implementation — the filter narrows
+    the join, never the answer.
+    """
+    bench_sh = (
+        _doc_shingles(benchmark)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    bits = build_bloom_bits(bench_sh, F.col("s"), m_bits, k)
+    corpus = _doc_shingles(docs).filter(F.col("n_sh") > 0)
+    exploded = corpus.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    candidates = bloom_filter_rows(exploded, F.col("s"), bits, k)
+    verified = candidates.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "s", "left"
+    )
+    ratios = (
+        verified.groupBy("doc_id", "n_sh")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"))
+        .withColumn("contamination", F.round(F.col("hits") / F.col("n_sh"), 6))
+    )
+    return (
+        ratios.filter(F.col("contamination") >= threshold)
+        .select("doc_id", "contamination")
+        .orderBy("doc_id")
+    )

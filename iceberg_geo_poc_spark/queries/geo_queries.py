@@ -763,3 +763,68 @@ def geo_sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "geo_collect_aggr",
+    oracle=f"""
+    SELECT CASE WHEN {_LON} >= 0 AND {_LAT} >= 0 THEN 0
+                WHEN {_LON} < 0 AND {_LAT} >= 0 THEN 1
+                WHEN {_LON} < 0 AND {_LAT} < 0 THEN 2
+                ELSE 3 END AS quadrant,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(COUNT(*) * 0.0625, 6) AS total_area,
+           ROUND(MIN({_LON}) - 0.125, 6) AS xmin,
+           ROUND(MIN({_LAT}) - 0.125, 6) AS ymin,
+           ROUND(MAX({_LON}) + 0.125, 6) AS xmax,
+           ROUND(MAX({_LAT}) + 0.125, 6) AS ymax
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def geo_collect_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Collect aggregate (geo/functions.py::st_collect_aggr, the
+    Sedona ST_Collect analogue): every lineitem point becomes a
+    0.25x0.25 envelope box (binary-exact area 0.0625), each quadrant's
+    boxes assemble into ONE MultiPolygon via a collect_list partial
+    aggregate + a single Arrow-batched assembly UDF.  The oracle pins
+    collection semantics exactly: part count, total area (areas sum
+    over parts — 0.0625·n, exact in doubles), and the collection's
+    union bounds, all recomputed from the assembled WKB (area and
+    bounds are decoded from the collection bytes, proving the
+    multi-geometry assembly, not just the group counts)."""
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_area_udf,
+        st_collect_aggr,
+        st_makeenvelope,
+        st_xmax_udf,
+        st_xmin_udf,
+        st_ymax_udf,
+        st_ymin_udf,
+    )
+
+    pts = _lineitem_points(spark, sf_dir).withColumn(
+        "quadrant",
+        F.when((F.col("lon") >= 0) & (F.col("lat") >= 0), 0)
+        .when((F.col("lon") < 0) & (F.col("lat") >= 0), 1)
+        .when((F.col("lon") < 0) & (F.col("lat") < 0), 2)
+        .otherwise(3),
+    )
+    boxes = pts.withColumn(
+        "cell",
+        st_makeenvelope(
+            F.col("lon") - 0.125,
+            F.col("lat") - 0.125,
+            F.col("lon") + 0.125,
+            F.col("lat") + 0.125,
+        ),
+    )
+    coll = st_collect_aggr(boxes, "cell", ["quadrant"])
+    return coll.select(
+        "quadrant",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.round(st_area_udf(F.col("collection")), 6).alias("total_area"),
+        F.round(st_xmin_udf(F.col("collection")), 6).alias("xmin"),
+        F.round(st_ymin_udf(F.col("collection")), 6).alias("ymin"),
+        F.round(st_xmax_udf(F.col("collection")), 6).alias("xmax"),
+        F.round(st_ymax_udf(F.col("collection")), 6).alias("ymax"),
+    ).orderBy("quadrant")

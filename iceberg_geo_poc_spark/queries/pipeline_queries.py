@@ -2440,3 +2440,37 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "dedup_bloom_decontaminate",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    b AS (SELECT DISTINCT s FROM inv WHERE doc_id % 5 = 0),
+    hits AS (
+      SELECT i.doc_id, COUNT(*) AS h
+      FROM inv i JOIN b USING (s)
+      WHERE i.doc_id % 5 <> 0 GROUP BY 1)
+    SELECT h.doc_id, ROUND(h.h * 1.0 / z.n, 6) AS contamination
+    FROM hits h JOIN sz z USING (doc_id)
+    WHERE h.h * 1.0 / z.n >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a DISTRIBUTED Bloom filter
+    (operators/dedup.py::decontaminate_bloom): the eval split's shingle
+    vocabulary is folded into a 2^20-bit bitmap (per-partition numpy
+    partials OR-reduced — the treeAggregate shape), corpus shingles are
+    bloom-tested with zero shuffle (positions in codegen, membership a
+    vectorized bit gather), and only survivors reach the exact
+    verification join.  No false negatives, so the reported
+    contamination ratios are EXACTLY the broadcast-join answer the
+    oracle computes — the bloom narrows the join, never the result.
+    This is the scale path for eval vocabularies too big to broadcast
+    as a join build side but small as bits (128 KiB here; 128 MiB
+    covers ~10^8 shingles at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.decontaminate_bloom(corpus, bench, threshold=0.5)

@@ -110,6 +110,9 @@ _PRIORITY_FIRST = (
     "sample_reservoir_per_group",
     "ts_linear_interpolation",
     "ts_sessionize_events",
+    "managed_metrics_truncate_scan",
+    "dedup_bloom_decontaminate",
+    "geo_collect_aggr",
 )
 
 
