@@ -2465,3 +2465,114 @@ def managed_metrics_truncate_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@query(
+    "managed_add_files_mapped",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_add_files_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-mapped file import (reference NameMapping.java / property
+    ``schema.name-mapping.default``, AddFilesProcedure path): half of
+    orders is written as FOREIGN parquet under different column names
+    (order_id/price) and registered zero-copy with a name mapping; the
+    other half is appended natively.  One scan reads BOTH populations —
+    imported files resolve columns through the mapping (coalesce of
+    canonical-or-mapped, still one vectorized scan), harvested stats
+    were rekeyed so the price predicate prunes imported files too, and
+    the grouped totals must equal plain SQL over the original table."""
+    import glob
+    import tempfile
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING",
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        native = orders.filter(F.col("o_orderkey") % 2 == 1)
+        t.append(native)
+        foreign = (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_totalprice").alias("price"),
+                "o_orderstatus",
+            )
+        )
+        fdir = tempfile.mkdtemp(prefix="igps_foreign_")
+        foreign.coalesce(2).write.mode("overwrite").parquet(fdir)
+        files = sorted(glob.glob(f"{fdir}/*.parquet"))
+        cat.add_files(
+            tname,
+            files,
+            name_mapping={"order_id": "o_orderkey", "price": "o_totalprice"},
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "add_files_mapped", build)
+    scan = t.scan(where=E.gt("o_totalprice", 100000.0))
+    return (
+        scan.to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "managed_metadata_columns",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS min_pos,
+           true AS partition_matches_rows
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reserved metadata columns on scans (reference
+    MetadataColumns.java: _file / _pos / _partition): an
+    identity-partitioned events table scanned with
+    ``metadata_columns=True`` exposes each row's source file, its
+    row position within that file, and the file's partition tuple
+    (manifest JSON, attached by one broadcast map).  The oracle pins
+    the contract: grouping by the PARTITION TUPLE (not the data
+    column) reproduces exact per-type counts, every group's minimum
+    _pos is 0 (positions are per-file row indexes), and every row's
+    partition tuple agrees with its own event_type value."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            _EVENTS_DDL,
+            partition_by=[("event_type", "identity")],
+        )
+        t.append(_events_df(spark, sf_dir))
+        return t
+
+    t = _managed(spark, sf_dir, "meta_cols", build)
+    df = t.scan(metadata_columns=True).to_df()
+    ptype = F.get_json_object(F.col("_partition"), "$.event_type")
+    return (
+        df.groupBy(ptype.alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_pos").cast("long").alias("min_pos"),
+            F.min(
+                (ptype == F.col("event_type")) & F.col("_file").isNotNull()
+            ).alias("partition_matches_rows"),
+        )
+        .orderBy("event_type")
+    )

@@ -113,6 +113,8 @@ _PRIORITY_FIRST = (
     "managed_metrics_truncate_scan",
     "dedup_bloom_decontaminate",
     "geo_collect_aggr",
+    "managed_add_files_mapped",
+    "managed_metadata_columns",
 )
 
 

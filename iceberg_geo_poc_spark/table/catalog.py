@@ -536,14 +536,67 @@ class Catalog:
             return []
         return sorted(f[:-5] for f in os.listdir(vdir) if f.endswith(".json"))
 
-    def add_files(self, name: str, parquet_paths: list[str]) -> Table:
+    def add_files(
+        self,
+        name: str,
+        parquet_paths: list[str],
+        name_mapping: dict[str, str] | None = None,
+    ) -> Table:
         """Register existing parquet files into a table WITHOUT copying
         (reference AddFilesProcedure / SnapshotTable: manifests built
-        from existing footers).  Files must match the table schema."""
+        from existing footers).  Files must match the table schema.
+
+        ``name_mapping`` maps FILE column names to table column names
+        for imports whose physical schema uses different names — the
+        reference's NameMapping (core/.../mapping/NameMapping.java,
+        table property ``schema.name-mapping.default``, flat top-level
+        form; nested-field mapping is out of scope for this engine's
+        flat-stats manifests).  The mapping is persisted as the same
+        property, harvested stats are rekeyed to table names (so
+        manifest pruning sees canonical columns), and the parquet read
+        path coalesces canonical-or-mapped per row — native and
+        imported files mix freely in one scan."""
         t = self.load_table(name)
         from iceberg_geo_poc_spark.table import manifest as M
 
+        if name_mapping:
+            import json as _json
+
+            schema_cols = {f.split()[0] for f in _ddl_fields(t.meta.schema_ddl)}
+            for alt, canon in name_mapping.items():
+                if canon not in schema_cols:
+                    raise ValueError(
+                        f"name mapping target {canon!r} not in table schema"
+                    )
+                if alt in schema_cols:
+                    raise ValueError(
+                        f"name mapping source {alt!r} collides with a "
+                        "schema column"
+                    )
+            existing = _json.loads(
+                t.meta.properties.get("schema.name-mapping.default", "{}")
+            )
+            existing.update(name_mapping)
+            self.alter_table_properties(
+                name,
+                {"schema.name-mapping.default": _json.dumps(existing)},
+            )
+            t = self.load_table(name)
+
         stats = M.harvest_stats(parquet_paths)
+        if name_mapping:
+            remap = dict(name_mapping)
+            stats = {
+                p: (
+                    rc,
+                    fs,
+                    {remap.get(k, k): v for k, v in lower.items()},
+                    {remap.get(k, k): v for k, v in upper.items()},
+                    {remap.get(k, k): v for k, v in nulls.items()},
+                )
+                + tuple(rest)
+                for p, (rc, fs, lower, upper, nulls, *rest) in stats.items()
+            }
         bboxes = M.compute_bboxes(self.spark, parquet_paths, t.geo_fields)
         # imported files come from unknown writers: pyarrow strips NaN
         # from bounds without any footer signal, so NaN counts must be
@@ -556,7 +609,20 @@ class Catalog:
             for f in StructType.fromDDL(t.meta.schema_ddl).fields
             if f.dataType.typeName() in ("float", "double")
         ]
-        nan_counts = M.compute_nan_counts(self.spark, parquet_paths, float_cols)
+        # the NaN-count job reads the FILES, so float columns must be
+        # addressed by their in-file (mapped) names; results rekey back
+        # to canonical so manifests stay schema-keyed
+        reverse = {c: a for a, c in (name_mapping or {}).items()}
+        nan_counts = M.compute_nan_counts(
+            self.spark,
+            parquet_paths,
+            [reverse.get(c, c) for c in float_cols],
+        )
+        if name_mapping:
+            nan_counts = {
+                p: {name_mapping.get(k, k): v for k, v in d.items()}
+                for p, d in nan_counts.items()
+            }
         import json as _json
 
         import pandas as pd

@@ -847,6 +847,7 @@ class Table:
         ref: str | None = None,
         select: list[str] | None = None,
         lineage: bool = False,
+        metadata_columns: bool = False,
     ) -> "TableScan":
         if ref is not None:
             snapshot_id = self.meta.refs[ref]["snapshot-id"]
@@ -857,7 +858,14 @@ class Table:
             if snapshot_id is not None
             else self.current_snapshot()
         )
-        return TableScan(self, snap, where, select, lineage=lineage)
+        return TableScan(
+            self,
+            snap,
+            where,
+            select,
+            lineage=lineage,
+            metadata_columns=metadata_columns,
+        )
 
     def to_df(self, **scan_kwargs) -> DataFrame:
         return self.scan(**scan_kwargs).to_df()
@@ -1571,8 +1579,34 @@ class Table:
                 # CoW rewrites / compaction) read back; files lacking
                 # them yield NULLs and fall through to synthesis below
                 read_ddl = read_ddl + _LINEAGE_DDL
+            # name mapping (reference NameMapping.java, property
+            # schema.name-mapping.default): imported files whose
+            # physical columns use mapped names read those columns
+            # under the mapped name (typed as the canonical column)
+            # and coalesce per row — native files see NULL alts, so
+            # the mix is seamless and stays one vectorized scan
+            mapping = {}
+            if fmt == "parquet":
+                mapping = json.loads(
+                    self.meta.properties.get(
+                        "schema.name-mapping.default", "{}"
+                    )
+                )
+                if mapping:
+                    types = {
+                        f.strip().split(None, 1)[0]: f.strip().split(None, 1)[1]
+                        for f in _ddl_fields(self.meta.schema_ddl)
+                    }
+                    read_ddl = read_ddl + "".join(
+                        f", {alt} {types[canon]}"
+                        for alt, canon in mapping.items()
+                    )
             reader = self.spark.read.schema(read_ddl)
             df = reader.parquet(*paths) if fmt == "parquet" else reader.format(fmt).load(paths)
+            for alt, canon in mapping.items():
+                df = df.withColumn(
+                    canon, F.coalesce(F.col(canon), F.col(alt))
+                ).drop(alt)
             for c in df.columns:
                 if c.startswith("__p_"):
                     df = df.drop(c)
@@ -1795,12 +1829,14 @@ class TableScan:
         where: E.Expr | None,
         select: list[str] | None = None,
         lineage: bool = False,
+        metadata_columns: bool = False,
     ):
         self.table = table
         self.snapshot = snapshot
         self.where = where
         self.select = select
         self.lineage = lineage
+        self.metadata_columns = metadata_columns
         self._planned: list[str] | None = None
         self._entries_cache: pd.DataFrame | None = None
         self._residual_noop: bool = False
@@ -1995,13 +2031,39 @@ class TableScan:
             if self.lineage:
                 for c in _LINEAGE_COLS:
                     df = df.withColumn(c, F.lit(None).cast("long"))
+            if self.metadata_columns:
+                df = (
+                    df.withColumn("_file", F.lit(None).cast("string"))
+                    .withColumn("_pos", F.lit(None).cast("long"))
+                    .withColumn("_partition", F.lit(None).cast("string"))
+                )
         else:
             df = self.table._read_files(
                 files,
                 with_deletes=True,
                 entries=self._kept_entries(),
                 with_lineage=self.lineage,
+                with_pos=self.metadata_columns,
             )
+            if self.metadata_columns:
+                # reference MetadataColumns.java: _file / _pos /
+                # _partition surfaced as reserved columns.  _partition
+                # is the file's partition tuple JSON from the manifest
+                # entry, attached with one broadcast map (n_files rows)
+                ent = self._kept_entries()
+                data_ent = ent[ent.content == "data"]
+                pmap = self.table.spark.createDataFrame(
+                    [
+                        (r.file_path, r.partition)
+                        for r in data_ent.itertuples()
+                    ],
+                    "__file_path string, _partition string",
+                )
+                df = (
+                    df.join(F.broadcast(pmap), "__file_path", "left")
+                    .withColumnRenamed("__file_path", "_file")
+                    .withColumnRenamed("__pos", "_pos")
+                )
             if self.where is not None and not self._residual_noop:
                 # inclusive pruning => full predicate re-applied as residual
                 df = df.filter(self.where.to_spark_column(self.table.geo_fields))
