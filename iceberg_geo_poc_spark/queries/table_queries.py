@@ -2576,3 +2576,59 @@ def managed_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "managed_timestamp_ns_scan",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 nanosecond timestamps (spec type ``timestamp_ns``,
+    physical int64 epoch-nanos — the same INT64 the v3 parquet mapping
+    prescribes): a table whose ``ts_ns`` column is registered via the
+    ``schema.timestamp-ns-columns`` property, day-partitioned THROUGH
+    the ns value (date transforms convert ns->micros before
+    truncating).  The range scan carries exact int64 nanosecond
+    bounds — past 2^53, so this also exercises the engine's
+    Int64-exact predicate/stats path — and must prune to the
+    in-range day partitions before reading a byte; per-day grouped
+    results come from converting ns back to timestamps in codegen
+    and must equal plain SQL over the original nano-precision rows."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "event_id BIGINT, ts_ns BIGINT, value DOUBLE",
+            partition_by=[("ts_ns", "day")],
+            properties={"schema.timestamp-ns-columns": '["ts_ns"]'},
+        )
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+            "value",
+        )
+        t.append(ev)
+        return t
+
+    t = _managed(spark, sf_dir, "ts_ns_scan", build)
+    lo = 1704844800 * 1_000_000_000  # 2024-01-10T00:00:00Z as epoch-ns
+    hi = 1705104000 * 1_000_000_000  # 2024-01-13T00:00:00Z
+    scan = t.scan(where=E.and_(E.ge("ts_ns", lo), E.lt("ts_ns", hi)))
+    assert len(scan.files()) < scan.total_data_files(), "day pruning had no effect"
+    ts = F.timestamp_micros(F.expr("CAST(ts_ns DIV 1000 AS LONG)"))
+    return (
+        scan.to_df()
+        .groupBy(F.date_format(ts, "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("d")
+    )

@@ -115,6 +115,7 @@ _PRIORITY_FIRST = (
     "geo_collect_aggr",
     "managed_add_files_mapped",
     "managed_metadata_columns",
+    "managed_timestamp_ns_scan",
 )
 
 

@@ -564,6 +564,15 @@ class Table:
         stage, _final_dir = self._stage_dir("data")
         fmt = self.file_format
         pcols = self._partition_columns()
+        # Iceberg v3 timestamp_ns: columns listed in the property hold
+        # int64 epoch-nanoseconds (the v3 physical form); date-family
+        # transforms convert to micros first (truncation to day/hour
+        # is unaffected by the dropped sub-microsecond bits)
+        ns_cols = set(
+            json.loads(
+                self.meta.properties.get("schema.timestamp-ns-columns", "[]")
+            )
+        )
         out = df
         for cname, pf in pcols:
             src = pf.source
@@ -572,6 +581,24 @@ class Table:
                 from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
 
                 src = convert_encoding_udf(enc, "wkb")(F.col(src))
+            if src in ns_cols and pf.transform.name in (
+                "year",
+                "month",
+                "day",
+                "hour",
+            ):
+                tmp = f"__nsts_{pf.source}"
+                out = (
+                    out.withColumn(
+                        tmp,
+                        F.timestamp_micros(
+                            F.expr(f"CAST({pf.source} DIV 1000 AS LONG)")
+                        ),
+                    )
+                    .withColumn(cname, pf.transform.spark_column(tmp))
+                    .drop(tmp)
+                )
+                continue
             out = out.withColumn(cname, pf.transform.spark_column(src))
         # write distribution & ordering (reference SparkWriteConf
         # DistributionMode NONE/HASH/RANGE + local sort, SURVEY 4.9)

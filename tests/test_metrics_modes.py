@@ -146,3 +146,24 @@ def test_full_mode_string_minmax_still_answered(catalog, spark):
         "alabama",
         "wyoming",
     ]
+
+
+def test_truncate_upper_bound_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(min_size=0, max_size=12),
+        st.integers(min_value=1, max_value=6),
+    )
+    def check(v, n):
+        lo = M.truncate_string_min(v, n)
+        hi = M.truncate_string_max(v, n)
+        assert lo <= v and len(lo) <= n
+        assert hi is None or (hi >= v and len(hi) <= n)
+        if hi is not None:
+            # incremented bounds never contain lone-surrogate code units
+            assert not any(0xD800 <= ord(c) <= 0xDFFF for c in hi[len(hi) - 1:])
+
+    check()

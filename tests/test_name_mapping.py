@@ -92,3 +92,27 @@ def test_metadata_columns_scan(catalog, spark):
     t = catalog.load_table("mc")
     rows2 = t.scan(metadata_columns=True).to_df().collect()
     assert len(rows2) == 9 and all(r["_file"] for r in rows2)
+
+
+def test_timestamp_ns_day_transform_partitions(catalog, spark):
+    t = catalog.create_table(
+        "ns",
+        "id BIGINT, ts_ns BIGINT",
+        partition_by=[("ts_ns", "day")],
+        properties={"schema.timestamp-ns-columns": '["ts_ns"]'},
+    )
+    day = 86_400 * 1_000_000_000
+    rows = [(i, i % 3 * day + 12_345 + i) for i in range(30)]
+    t.append(spark.createDataFrame(rows, "id LONG, ts_ns LONG"))
+    ent = t._entries()
+    parts = {
+        json.loads(r.partition)["ts_ns_day"]
+        for r in ent[ent.content == "data"].itertuples()
+    }
+    assert parts == {"1970-01-01", "1970-01-02", "1970-01-03"}
+    # exact int64 range scan prunes to one day's files
+    scan = t.scan(where=E.and_(E.ge("ts_ns", day), E.lt("ts_ns", 2 * day)))
+    assert len(scan.files()) < scan.total_data_files()
+    assert sorted(r["id"] for r in scan.to_df().collect()) == [
+        i for i in range(30) if i % 3 == 1
+    ]
