@@ -256,3 +256,68 @@ def stream_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_batches, total, bounded)],
         "n_batches INT, total_rows BIGINT, bounded BOOLEAN",
     )
+
+
+@query(
+    "stream_changelog_cdc",
+    oracle="""
+    SELECT event_id,
+           ROUND(CASE WHEN event_type = 'click' THEN value * 2
+                 ELSE value END, 2) AS value
+    FROM events
+    WHERE event_id % 4 = 0 AND value >= 5
+    ORDER BY event_id
+    """,
+)
+def stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumed as a STREAM of per-commit micro-batches
+    (streaming/incremental.py changelog — the reference's
+    CreateChangelogViewProcedure shape driven commit-by-commit): an
+    append, a merge-on-read DELETE, and a copy-on-write UPDATE each
+    produce one changelog batch; a downstream materialization applies
+    every batch in commit order (anti-join the deletes, union the
+    inserts — cost tracks change volume, not table size).  The
+    reconstruction must equal the final table state the oracle
+    computes directly — proving the change stream is complete, ordered,
+    and loss-free across all three commit kinds."""
+    from iceberg_geo_poc_spark.queries.table_queries import _managed
+    from iceberg_geo_poc_spark.streaming import incremental as I
+    from iceberg_geo_poc_spark.table import E as EE
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        ).filter(F.col("event_id") % 4 == 0)
+        t.append(ev)
+        t = cat.load_table(tname)
+        t.delete(EE.lt("value", 5.0), mode="merge-on-read")
+        t = cat.load_table(tname)
+        t.update(
+            {"value": F.col("value") * 2},
+            EE.eq("event_type", "click"),
+            mode="copy-on-write",
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "cdc_stream", build)
+    chain = I._ancestry(t, t.meta.current_snapshot_id)
+    acc = None
+    prev = None
+    for sid in chain:
+        batch = I.changelog(t, from_snapshot_id=prev, to_snapshot_id=sid)
+        dels = batch.filter(F.col("_change_type") == "delete").select("event_id")
+        ins = batch.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_snapshot_id"
+        )
+        if acc is None:
+            acc = ins
+        else:
+            acc = acc.join(dels, "event_id", "left_anti").unionByName(ins)
+        prev = sid
+    return (
+        acc.select("event_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )

@@ -116,6 +116,7 @@ _PRIORITY_FIRST = (
     "managed_add_files_mapped",
     "managed_metadata_columns",
     "managed_timestamp_ns_scan",
+    "stream_changelog_cdc",
 )
 
 

@@ -991,6 +991,30 @@ def _alter(catalog, table: str, rest: str):
     if m:
         keys = [p.strip().strip("'") for p in _split_args(m.group(1))]
         return catalog.alter_table_properties(table, unset=keys)
+    # ADD COLUMN c TYPE DEFAULT v — Iceberg v3 default values (spark
+    # grammar: defaultExpression in ALTER TABLE ADD COLUMNS); the
+    # DEFAULT becomes both initial-default (pre-evolution files) and
+    # write-default (writers omitting the column)
+    m = re.match(
+        r"^ADD COLUMNS? \(?(\w+)\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)"
+        r"\s+DEFAULT\s+(.+?)\)?$",
+        ru,
+        re.I,
+    )
+    if m:
+        raw = m.group(3).strip().rstrip(")")
+        if raw.startswith("'") and raw.endswith("'"):
+            val = raw[1:-1]
+        elif raw.upper() == "NULL":
+            val = None
+        else:
+            try:
+                val = int(raw)
+            except ValueError:
+                val = float(raw)
+        return catalog.add_column_with_default(
+            table, m.group(1), m.group(2), initial_default=val, write_default=val
+        )
     m = re.match(r"^ADD COLUMNS? \(?(.+?)\)?$", ru, re.I)
     if m:
         return catalog.add_columns(table, m.group(1))

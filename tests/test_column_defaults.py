@@ -129,3 +129,24 @@ def test_defaults_survive_metadata_roundtrip(spark, catalog):
     d = t.meta.column_defaults["channel"]
     assert d["initial"] == "legacy" and d["write"] == "web"
     assert _chan(t)[0] == "legacy"
+
+
+def test_sql_add_column_default(spark, tmp_path):
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh_sqld"), spark)
+    cat.sql("CREATE TABLE dft (id BIGINT, name STRING)")
+    t = cat.load_table("dft")
+    t.append(spark.createDataFrame([(1, "a")], "id LONG, name STRING"))
+    cat.sql("ALTER TABLE dft ADD COLUMN score DOUBLE DEFAULT 1.5")
+    t = cat.load_table("dft")
+    # pre-evolution rows read the initial default
+    assert t.to_df().collect()[0]["score"] == 1.5
+    # writers omitting the column get the write default
+    t.append(spark.createDataFrame([(2, "b")], "id LONG, name STRING"))
+    got = {r["id"]: r["score"] for r in t.to_df().collect()}
+    assert got == {1: 1.5, 2: 1.5}
+    # string defaults parse through quotes
+    cat.sql("ALTER TABLE dft ADD COLUMN tag STRING DEFAULT 'x'")
+    t = cat.load_table("dft")
+    assert {r["tag"] for r in t.to_df().collect()} == {"x"}
