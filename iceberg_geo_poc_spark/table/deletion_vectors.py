@@ -244,6 +244,37 @@ def dv_deletes_df(spark, descriptors: list[tuple[str, str, int, int]]):
     return desc.mapInPandas(_decode, "__file_path string, __pos long")
 
 
+def dv_deletes_local(spark, descriptors: list[tuple[str, str, int, int]]):
+    """Driver-side variant of :func:`dv_deletes_df` for scans that will
+    BROADCAST the deleted positions anyway: when the summed DV
+    cardinality is bounded (the caller gates on the manifest's
+    ``record_count``), the decoded set ends up on the driver regardless,
+    so decoding there — one FileIO read per sidecar + vectorized numpy —
+    skips an entire Python-worker stage.  Same crossover posture as
+    ``spark_planning.plan_files_spark`` (pandas below the threshold,
+    distributed above)."""
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.table import fileio as FIO
+
+    cache: dict[str, bytes] = {}
+    files: list[np.ndarray] = []
+    positions: list[np.ndarray] = []
+    for puffin, ref, off, ln in descriptors:
+        if puffin not in cache:
+            cache[puffin] = FIO.io_for(puffin).read_bytes(puffin)
+        pos = read_dv_blob(cache[puffin], int(off), int(ln))
+        files.append(np.repeat(ref, len(pos)))
+        positions.append(pos.astype(np.int64))
+    pdf = pd.DataFrame(
+        {
+            "__file_path": np.concatenate(files) if files else np.empty(0, dtype=object),
+            "__pos": np.concatenate(positions) if positions else np.empty(0, dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf, "__file_path string, __pos long")
+
+
 def pack_tuples(tuples) -> list[tuple[str, bytes, int]]:
     """(file_path, pos) DataFrame -> [(file_path, payload, cardinality)].
 

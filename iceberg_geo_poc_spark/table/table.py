@@ -581,18 +581,26 @@ class Table:
                 from iceberg_geo_poc_spark.geo.functions import convert_encoding_udf
 
                 src = convert_encoding_udf(enc, "wkb")(F.col(src))
-            if src in ns_cols and pf.transform.name in (
+            if pf.source in ns_cols and pf.transform.name in (
                 "year",
                 "month",
                 "day",
                 "hour",
             ):
                 tmp = f"__nsts_{pf.source}"
+                # ns -> us must FLOOR (Math.floorDiv in the reference's
+                # Timestamps.java / DateTimeUtil), not truncate toward
+                # zero: -1ns belongs to 1969-12-31, not 1970-01-01.
+                # (x - pmod(x, 1000)) is divisible by 1000 and DIV on it
+                # equals floorDiv, all in exact int64 arithmetic.
+                c = pf.source
                 out = (
                     out.withColumn(
                         tmp,
                         F.timestamp_micros(
-                            F.expr(f"CAST({pf.source} DIV 1000 AS LONG)")
+                            F.expr(
+                                f"CAST((({c}) - pmod({c}, 1000)) DIV 1000 AS LONG)"
+                            )
                         ),
                     )
                     .withColumn(cname, pf.transform.spark_column(tmp))
@@ -1673,7 +1681,16 @@ class Table:
                     descs.append(
                         (r.file_path, d["referenced"], int(d["offset"]), int(d["length"]))
                     )
-                dv_del = DVEC.dv_deletes_df(self.spark, descs)
+                # crossover: the union below is broadcast, so a bounded
+                # position count (manifest record_count = DV cardinality)
+                # is decoded driver-side — one FileIO read per sidecar +
+                # numpy, no Python-worker stage; above the bound the
+                # decode fans out executor-side (mapInPandas)
+                total_card = int(dv_ent.record_count.sum())
+                if total_card <= 4_000_000:
+                    dv_del = DVEC.dv_deletes_local(self.spark, descs)
+                else:
+                    dv_del = DVEC.dv_deletes_df(self.spark, descs)
                 deletes = dv_del if deletes is None else deletes.unionByName(dv_del)
             if deletes is not None:
                 df = df.join(

@@ -230,3 +230,28 @@ def test_dv_delete_then_posdel_stack(spark, catalog):
     assert (ent.content == "dv").sum() >= 1
     assert (ent.content == "posdel").sum() >= 1
     assert sorted(r.a for r in t.to_df().collect()) == list(range(10, 195))
+
+
+def test_dv_decode_local_matches_distributed(spark, tmp_path):
+    """The driver-side decode fast path (broadcast-bound scans) and the
+    distributed mapInPandas decode are the same function of the same
+    bytes — pin their equivalence."""
+    rng = np.random.default_rng(7)
+    dvs = {
+        "x.parquet": np.unique(rng.integers(0, 1_000_000, 5000)),
+        "y.parquet": np.unique(rng.integers(0, 2**40, 500)),
+    }
+    data, descs = DV.write_dv_file(dvs, 1, 1)
+    p = str(tmp_path / "dv.puffin")
+    with open(p, "wb") as f:
+        f.write(data)
+    quads = [(p, d["referenced"], d["offset"], d["length"]) for d in descs]
+    got_local = sorted(
+        map(tuple, DV.dv_deletes_local(spark, quads).collect())
+    )
+    got_dist = sorted(map(tuple, DV.dv_deletes_df(spark, quads).collect()))
+    assert got_local == got_dist
+    want = sorted(
+        (f, int(v)) for f, arr in dvs.items() for v in arr
+    )
+    assert got_local == want

@@ -116,3 +116,24 @@ def test_timestamp_ns_day_transform_partitions(catalog, spark):
     assert sorted(r["id"] for r in scan.to_df().collect()) == [
         i for i in range(30) if i % 3 == 1
     ]
+
+
+def test_timestamp_ns_negative_epoch_floors(catalog, spark):
+    # Pre-1970 nanos must FLOOR into the earlier day (reference
+    # Timestamps.java rides Math.floorDiv) — -1ns is 1969-12-31, and a
+    # full negative day lands on 1969-12-31 too, not 1969-12-30.
+    t = catalog.create_table(
+        "nsneg",
+        "id BIGINT, ts_ns BIGINT",
+        partition_by=[("ts_ns", "day")],
+        properties={"schema.timestamp-ns-columns": '["ts_ns"]'},
+    )
+    day = 86_400 * 1_000_000_000
+    rows = [(0, -1), (1, -day), (2, -day - 1), (3, 0), (4, 1)]
+    t.append(spark.createDataFrame(rows, "id LONG, ts_ns LONG"))
+    ent = t._entries()
+    by_id = {}
+    for r in ent[ent.content == "data"].itertuples():
+        part = json.loads(r.partition)["ts_ns_day"]
+        by_id[part] = by_id.get(part, 0) + int(r.record_count)
+    assert by_id == {"1969-12-30": 1, "1969-12-31": 2, "1970-01-01": 2}
