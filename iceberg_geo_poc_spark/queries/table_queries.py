@@ -2058,6 +2058,82 @@ def managed_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_encrypted_dv_stream",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_totalprice >= 50000
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def managed_encrypted_dv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNKED AES-GCM streams + deletion vectors on an encrypted table
+    (reference core/.../encryption/AesGcmInputFile.java, the Iceberg
+    gcm-stream format): objects above the FileIO's stream threshold are
+    sealed as fixed-size GCM blocks with index-bound AAD, so the DV
+    scan's Puffin blob reads decrypt ONLY the blocks covering each
+    blob's (offset, length) slice — the seekable-read path a 100 MB
+    encrypted sidecar needs — instead of whole-object decrypts.  The
+    query runs create → append → DV delete → scan entirely through the
+    sealed store, asserts the manifests/sidecars really are in the
+    chunked form at rest, and must reproduce plain SQL exactly."""
+    key = (sf_dir, "encrypted_dv")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.encryption import EncryptingFileIO
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+
+        scheme = f"encdv{abs(hash(sf_dir)) % 10**6}"
+        inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        register_file_io(
+            scheme + "://",
+            EncryptingFileIO(
+                inner,
+                b"\x42\x17" * 16,
+                aad_prefix=b"dvt",
+                # low threshold + small blocks so sf0.01 objects genuinely
+                # exercise the multi-block stream form
+                stream_threshold=512,
+                stream_block=4096,
+            ),
+        )
+        cat = Catalog(f"{scheme}://wh", spark)
+        t = cat.create_table(
+            "orders_encdv",
+            "o_orderkey BIGINT, o_orderstatus STRING, "
+            "o_orderpriority STRING, o_totalprice DOUBLE",
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        ).filter("o_orderkey % 7 = 0")
+        t.append(o.coalesce(2))
+        t.delete(E.lt("o_totalprice", 50000.0), mode="merge-on-read-dv")
+        # stream form at rest: manifests + DV sidecars are chunked
+        stored = inner.list_files(f"{scheme}://wh/orders_encdv")
+        sidecars = [p for p in stored if p.endswith(".puffin")]
+        assert sidecars, "expected a DV Puffin sidecar"
+        for p in sidecars:
+            assert inner.read_bytes(p)[:4] == b"AGS1", "sidecar not chunked"
+        _MOCK_FS_TABLES[key] = cat.load_table("orders_encdv")
+    t = _MOCK_FS_TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
     "rest_catalog_lifecycle",
     oracle="""
     SELECT s_nationkey,
@@ -2528,6 +2604,82 @@ def managed_add_files_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "managed_iceberg_bucket_import",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_iceberg_bucket_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-SPEC bucket numbering for imported layouts (reference
+    transforms/Bucket.java + BucketUtil.java; spec Appendix B: Murmur3-32
+    seed 0 over single-value serialization, goldens pinned in
+    tests/test_iceberg_bucket.py).  Half of customer arrives as a
+    FOREIGN Iceberg-bucketed layout — one parquet file per spec bucket
+    of c_custkey — and is registered zero-copy with
+    ``derive_partition_values=True``: the import computes each file's
+    partition tuple with the spec hash and asserts it matches the
+    foreign directory layout.  The other half appends natively through
+    the ``bucket[8,iceberg]`` transform, so both populations share ONE
+    numbering (engine-native ``bucket[N]`` rides Spark's seed-42 hash
+    and would silently disagree — documented in transforms.py).  The
+    grouped totals must equal plain SQL over the original table."""
+    import glob
+    import json as _json
+    import tempfile
+
+    from iceberg_geo_poc_spark.table.iceberg_bucket import bucket_udf
+
+    NB = 8
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname,
+            "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING",
+            partition_by=[("c_custkey", f"bucket[{NB},iceberg]")],
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        # the "foreign Iceberg writer": one file per spec bucket
+        foreign = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "b", bucket_udf(NB)(F.col("c_custkey"))
+        )
+        fdir = tempfile.mkdtemp(prefix="igps_ibucket_")
+        foreign.repartition("b").write.partitionBy("b").mode(
+            "overwrite"
+        ).parquet(fdir)
+        files = sorted(glob.glob(f"{fdir}/b=*/*.parquet"))
+        cat.add_files(tname, files, derive_partition_values=True)
+        t = cat.load_table(tname)
+        ent = t._entries()
+        for r in ent[ent.content == "data"].itertuples():
+            layout_bucket = int(r.file_path.split("/b=")[1].split("/")[0])
+            derived = _json.loads(r.partition)[f"c_custkey_bucket_{NB}"]
+            assert derived == layout_bucket, (
+                f"derived bucket {derived} != layout {layout_bucket}"
+            )
+        # native append goes through the same spec transform
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "ibucket_import", build)
+    return (
+        t.scan(where=E.gt("c_acctbal", 0.0))
+        .to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

@@ -541,6 +541,7 @@ class Catalog:
         name: str,
         parquet_paths: list[str],
         name_mapping: dict[str, str] | None = None,
+        derive_partition_values: bool = False,
     ) -> Table:
         """Register existing parquet files into a table WITHOUT copying
         (reference AddFilesProcedure / SnapshotTable: manifests built
@@ -555,7 +556,17 @@ class Catalog:
         property, harvested stats are rekeyed to table names (so
         manifest pruning sees canonical columns), and the parquet read
         path coalesces canonical-or-mapped per row — native and
-        imported files mix freely in one scan."""
+        imported files mix freely in one scan.
+
+        ``derive_partition_values`` registers each file's partition
+        tuple by applying the table's partition transforms over the
+        file's rows in ONE distributed pass (a foreign Iceberg layout
+        guarantees one tuple per file; a file spanning several tuples
+        fails the import).  Required when importing a genuinely
+        Iceberg-bucketed layout: declare the table's spec as
+        ``bucket[N,iceberg]`` so derived values use the spec hash
+        (Murmur3-32 seed 0, ``iceberg_bucket.py``) and later engine
+        appends land in the SAME numbering as the imported files."""
         t = self.load_table(name)
         from iceberg_geo_poc_spark.table import manifest as M
 
@@ -627,6 +638,46 @@ class Catalog:
 
         import pandas as pd
 
+        part_by_path: dict[str, str] = {}
+        if derive_partition_values and t.partition_fields:
+            import pyspark.sql.functions as F
+
+            reverse_map = {c: a for a, c in (name_mapping or {}).items()}
+            pcols = t._partition_columns()
+            df = (
+                self.spark.read.parquet(*parquet_paths)
+                .withColumn(
+                    "__f",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ),
+                )
+            )
+            for cname, pf in pcols:
+                src = reverse_map.get(pf.source, pf.source)
+                df = df.withColumn(cname, pf.transform.spark_column(src))
+            names = [c for c, _ in pcols]
+            rows = (
+                df.groupBy("__f")
+                .agg(
+                    F.countDistinct(*[F.coalesce(
+                        F.col(c).cast("string"), F.lit("\x00")
+                    ) for c in names]).alias("__nt"),
+                    *[F.first(c, ignorenulls=False).alias(c) for c in names],
+                )
+                .collect()
+            )
+            for r in rows:
+                if r["__nt"] > 1:
+                    raise ValueError(
+                        f"imported file {r['__f']} spans {r['__nt']} partition "
+                        "tuples; a partition-registered import requires one "
+                        "tuple per file (Iceberg layouts guarantee this)"
+                    )
+                part_by_path[r["__f"]] = _json.dumps(
+                    {pf.name: r[c] for c, pf in pcols}
+                )
+
         entries = []
         for p in parquet_paths:
             record_count, file_size, lower, upper, nulls = stats[p][:5]
@@ -638,7 +689,7 @@ class Catalog:
                     "file_path": p,
                     "file_size": file_size,
                     "record_count": record_count,
-                    "partition": _json.dumps({}),
+                    "partition": part_by_path.get(p, _json.dumps({})),
                     "lower": _json.dumps(lower),
                     "upper": _json.dumps(upper),
                     "nulls": _json.dumps(nulls),

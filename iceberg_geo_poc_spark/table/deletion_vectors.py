@@ -227,21 +227,35 @@ def dv_deletes_df(spark, descriptors: list[tuple[str, str, int, int]]):
     ).repartition(max(1, min(len(descriptors), 32)))
 
     def _decode(batches):
-        from iceberg_geo_poc_spark.table import fileio as FIO
-
         cache: dict[str, bytes] = {}
         for pdf in batches:
             for puffin, ref, off, ln in zip(
                 pdf["puffin"], pdf["referenced"], pdf["offset"], pdf["length"]
             ):
-                if puffin not in cache:
-                    cache[puffin] = FIO.io_for(puffin).read_bytes(puffin)
-                pos = read_dv_blob(cache[puffin], int(off), int(ln))
+                pos = _blob_positions(puffin, int(off), int(ln), cache)
                 yield pd.DataFrame(
                     {"__file_path": ref, "__pos": pos.astype("int64")}
                 )
 
     return desc.mapInPandas(_decode, "__file_path string, __pos long")
+
+
+def _blob_positions(
+    puffin: str, off: int, ln: int, cache: dict[str, bytes]
+) -> np.ndarray:
+    """Read + decode one DV blob.  FileIOs exposing ``read_range``
+    (chunked-GCM-stream encrypted stores, encryption.py) serve the blob
+    slice WITHOUT a whole-sidecar read/decrypt — the reference
+    AesGcmInputFile seek path; plain stores read once per sidecar and
+    slice from a per-task byte cache."""
+    from iceberg_geo_poc_spark.table import fileio as FIO
+
+    io = FIO.io_for(puffin)
+    if hasattr(io, "read_range"):
+        return read_dv_blob(io.read_range(puffin, off, ln), 0, ln)
+    if puffin not in cache:
+        cache[puffin] = io.read_bytes(puffin)
+    return read_dv_blob(cache[puffin], off, ln)
 
 
 def dv_deletes_local(spark, descriptors: list[tuple[str, str, int, int]]):
@@ -255,15 +269,11 @@ def dv_deletes_local(spark, descriptors: list[tuple[str, str, int, int]]):
     distributed above)."""
     import pandas as pd
 
-    from iceberg_geo_poc_spark.table import fileio as FIO
-
     cache: dict[str, bytes] = {}
     files: list[np.ndarray] = []
     positions: list[np.ndarray] = []
     for puffin, ref, off, ln in descriptors:
-        if puffin not in cache:
-            cache[puffin] = FIO.io_for(puffin).read_bytes(puffin)
-        pos = read_dv_blob(cache[puffin], int(off), int(ln))
+        pos = _blob_positions(puffin, int(off), int(ln), cache)
         files.append(np.repeat(ref, len(pos)))
         positions.append(pos.astype(np.int64))
     pdf = pd.DataFrame(

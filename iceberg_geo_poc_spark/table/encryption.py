@@ -24,11 +24,27 @@ for this engine (documented divergence; the reference gates it the
 same way — data-file encryption rides Parquet, metadata rides GCM
 streams).
 
-Envelope format (whole-object, one GCM invocation): the reference's
-AES GCM stream format chunks objects into 1 MiB blocks so readers can
-seek; metadata-plane objects here are read whole, so a single-shot
-envelope ``magic || nonce(12) || ciphertext || tag(16)`` keeps the
-same integrity guarantees with less framing (divergence documented).
+Two on-disk forms, dispatched by magic:
+
+- whole-object envelope (small objects, one GCM invocation):
+  ``AGSP || nonce(12) || ciphertext || tag(16)``;
+- CHUNKED GCM STREAM (large objects; the reference's AES GCM stream
+  format, core/.../encryption/AesGcmInputFile.java + the published
+  Iceberg gcm-stream spec, format/gcm-stream-spec.md): the plaintext is
+  split into fixed-size blocks (1 MiB default), each sealed with its
+  own random nonce and a per-block AAD that binds the header AND the
+  block index — so a reader can decrypt ONLY the blocks covering a
+  requested (offset, length) range (seekable reads: a 100 MB encrypted
+  manifest or Puffin DV sidecar no longer requires a whole-object
+  decrypt), while block reordering/substitution and truncation are
+  still detected.  Layout::
+
+      AGS1 || block_size(u32 LE) || plain_len(u64 LE)
+           || [nonce(12) || ct || tag(16)] per block
+
+  AAD(block i) = aad_prefix || header(16) || u32_le(i).  The header is
+  not separately authenticated; binding it into every block's AAD
+  authenticates it transitively (any header tamper fails every tag).
 """
 
 from __future__ import annotations
@@ -39,6 +55,9 @@ import struct
 import numpy as np
 
 MAGIC = b"AGSP"  # whole-object AES-GCM seal, version P (PoC)
+STREAM_MAGIC = b"AGS1"  # chunked GCM stream (reference gcm-stream form)
+STREAM_HEADER_LEN = 16  # magic(4) + block_size(4) + plain_len(8)
+DEFAULT_STREAM_BLOCK = 1 << 20  # 1 MiB plaintext blocks (reference default)
 NONCE_LEN = 12
 TAG_LEN = 16
 
@@ -267,6 +286,74 @@ class AesGcm:
         nonce = envelope[4 : 4 + NONCE_LEN]
         return self.decrypt(nonce, envelope[4 + NONCE_LEN :], aad)
 
+    # -- chunked GCM stream (seekable; reference AesGcmInputFile) -----------
+    def seal_stream(
+        self,
+        plaintext: bytes,
+        aad_prefix: bytes = b"",
+        block_size: int = DEFAULT_STREAM_BLOCK,
+    ) -> bytes:
+        if block_size <= 0:
+            raise ValueError("block_size must be positive")
+        header = STREAM_MAGIC + struct.pack("<IQ", block_size, len(plaintext))
+        n_blocks = max(1, -(-len(plaintext) // block_size))
+        out = [header]
+        for i in range(n_blocks):
+            chunk = plaintext[i * block_size : (i + 1) * block_size]
+            nonce = os.urandom(NONCE_LEN)
+            aad = aad_prefix + header + struct.pack("<I", i)
+            out.append(nonce + self.encrypt(nonce, chunk, aad))
+        return b"".join(out)
+
+    def _stream_params(self, header: bytes) -> tuple[int, int]:
+        if header[:4] != STREAM_MAGIC:
+            raise ValueError("not a chunked GCM stream (bad magic)")
+        block_size, plain_len = struct.unpack("<IQ", header[4:STREAM_HEADER_LEN])
+        return block_size, plain_len
+
+    def open_stream_range(
+        self, data: bytes, offset: int, length: int, aad_prefix: bytes = b""
+    ) -> bytes:
+        """Decrypt ONLY the blocks covering plaintext [offset, offset+length)
+        of a sealed stream — the seekable-read contract of the reference's
+        AesGcmInputFile (a ranged read of an encrypted 100 MB sidecar
+        touches ~(length/1MiB)+1 blocks, not the whole object)."""
+        header = bytes(data[:STREAM_HEADER_LEN])
+        block_size, plain_len = self._stream_params(header)
+        if offset < 0 or length < 0 or offset + length > plain_len:
+            raise ValueError(
+                f"range [{offset}, {offset + length}) outside plaintext "
+                f"length {plain_len}"
+            )
+        if length == 0:
+            return b""
+        sealed_block = NONCE_LEN + block_size + TAG_LEN
+        first = offset // block_size
+        last = (offset + length - 1) // block_size
+        n_blocks = max(1, -(-plain_len // block_size))
+        parts = []
+        for i in range(first, last + 1):
+            start = STREAM_HEADER_LEN + i * sealed_block
+            plain_i = block_size if i < n_blocks - 1 else plain_len - i * block_size
+            blk = bytes(data[start : start + NONCE_LEN + plain_i + TAG_LEN])
+            if len(blk) < NONCE_LEN + plain_i + TAG_LEN:
+                raise ValueError("truncated GCM stream block")
+            aad = aad_prefix + header + struct.pack("<I", i)
+            parts.append(self.decrypt(blk[:NONCE_LEN], blk[NONCE_LEN:], aad))
+        joined = b"".join(parts)
+        rel = offset - first * block_size
+        return joined[rel : rel + length]
+
+    def open_stream(self, data: bytes, aad_prefix: bytes = b"") -> bytes:
+        header = bytes(data[:STREAM_HEADER_LEN])
+        _, plain_len = self._stream_params(header)
+        if plain_len == 0:
+            # the empty object is still one sealed block — verify its tag
+            blk = bytes(data[STREAM_HEADER_LEN:])
+            aad = aad_prefix + header + struct.pack("<I", 0)
+            return self.decrypt(blk[:NONCE_LEN], blk[NONCE_LEN:], aad)
+        return self.open_stream_range(data, 0, plain_len, aad_prefix)
+
 
 class EncryptingFileIO:
     """FileIO wrapper sealing every object with AES-GCM.
@@ -276,18 +363,50 @@ class EncryptingFileIO:
     statistics — is encrypted at rest with zero changes to the commit
     protocol (the reference's EncryptionManager seam).  ``size`` and
     listings reflect the sealed envelope (as on a real object store).
+
+    Objects larger than ``stream_threshold`` are written in the CHUNKED
+    GCM stream form so readers can seek: ``read_range`` decrypts only
+    the 1 MiB blocks covering the requested slice (reference
+    AesGcmInputFile semantics) — the path Puffin DV blob reads take on
+    encrypted tables.  Reads dispatch on magic, so both forms coexist.
     """
 
-    def __init__(self, inner, key: bytes, aad_prefix: bytes = b""):
+    def __init__(
+        self,
+        inner,
+        key: bytes,
+        aad_prefix: bytes = b"",
+        stream_threshold: int = 4 * DEFAULT_STREAM_BLOCK,
+        stream_block: int = DEFAULT_STREAM_BLOCK,
+    ):
         self.inner = inner
         self.gcm = AesGcm(key)
         self.aad = bytes(aad_prefix)
+        self.stream_threshold = stream_threshold
+        self.stream_block = stream_block
 
     def read_bytes(self, path: str) -> bytes:
-        return self.gcm.open(self.inner.read_bytes(path), self.aad)
+        raw = self.inner.read_bytes(path)
+        if raw[:4] == STREAM_MAGIC:
+            return self.gcm.open_stream(raw, self.aad)
+        return self.gcm.open(raw, self.aad)
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Plaintext slice [offset, offset+length).  Stream-form objects
+        decrypt only the covering blocks; envelope-form objects fall
+        back to a whole-object decrypt + slice."""
+        raw = self.inner.read_bytes(path)
+        if raw[:4] == STREAM_MAGIC:
+            return self.gcm.open_stream_range(raw, offset, length, self.aad)
+        return self.gcm.open(raw, self.aad)[offset : offset + length]
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        self.inner.write_bytes(path, self.gcm.seal(bytes(data), self.aad))
+        data = bytes(data)
+        if len(data) > self.stream_threshold:
+            sealed = self.gcm.seal_stream(data, self.aad, self.stream_block)
+        else:
+            sealed = self.gcm.seal(data, self.aad)
+        self.inner.write_bytes(path, sealed)
 
     def open_input(self, path: str):
         import io as _io
@@ -315,3 +434,41 @@ class EncryptingFileIO:
     @property
     def is_posix(self) -> bool:
         return False
+
+
+def rotate_encryption_key(location: str, new_key: bytes) -> EncryptingFileIO:
+    """Re-seal every object under ``location`` with ``new_key`` and
+    swap the registered FileIO — key rotation for an encrypted table
+    (the operational need behind the reference's KeyManagementClient
+    seam: compromised or expiring table keys must be replaceable
+    without rewriting data semantics).
+
+    Idempotent and resumable: objects already sealed with the new key
+    are skipped (a crashed rotation re-runs to completion).  Not
+    atomic — during rotation some objects are old-key and some
+    new-key — so readers should hold both keys until it finishes;
+    this mirrors dual-key rotation windows on real KMSes.
+    """
+    from iceberg_geo_poc_spark.table import fileio as FIO
+
+    old_io = FIO.io_for(location)
+    if not isinstance(old_io, EncryptingFileIO):
+        raise ValueError(f"{location} is not served by an EncryptingFileIO")
+    new_io = EncryptingFileIO(
+        old_io.inner,
+        new_key,
+        old_io.aad,
+        old_io.stream_threshold,
+        old_io.stream_block,
+    )
+    for path in old_io.inner.list_files(location):
+        try:
+            new_io.read_bytes(path)
+            continue  # already rotated
+        except ValueError:
+            pass
+        new_io.write_bytes(path, old_io.read_bytes(path))
+    FIO.register_file_io(
+        location if location.endswith("/") else location + "/", new_io
+    )
+    return new_io

@@ -78,6 +78,13 @@ class PosixFileIO(FileIO):
         with open(path, "rb") as f:
             return f.read()
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Ranged read (seek + read): blob readers — Puffin DV slices —
+        fetch only their bytes instead of the whole sidecar."""
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
     def write_bytes(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:

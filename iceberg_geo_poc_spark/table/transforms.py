@@ -56,10 +56,25 @@ class Identity(Transform):
 
 @dataclass(frozen=True)
 class Bucket(Transform):
+    """``bucket[N]`` — engine-native numbering via Spark's ``F.hash``
+    (Murmur3-32 seed 42 over Spark's value layout): JVM-side, codegen,
+    self-consistent for tables this engine writes.  ``bucket[N,iceberg]``
+    — the SPEC numbering (Murmur3-32 seed 0 over Iceberg single-value
+    serialization, reference transforms/Bucket.java + BucketUtil.java,
+    spec Appendix B) via a vectorized pandas UDF; REQUIRED for layouts
+    imported from a genuine Iceberg writer so partition values, engine
+    appends, and storage-partitioned joins agree with the foreign files.
+    """
+
     n: int = 16
+    spec_hash: bool = False
     name: str = "bucket"
 
     def spark_column(self, col: str) -> Column:
+        if self.spec_hash:
+            from iceberg_geo_poc_spark.table.iceberg_bucket import bucket_udf
+
+            return bucket_udf(self.n)(F.col(col))
         # Spark's hash() = Murmur3-32; pmod keeps the bucket non-negative.
         # Analogue of reference transforms/Bucket.java (Murmur3 mod N).
         return F.pmod(F.hash(F.col(col)), F.lit(self.n))
@@ -197,7 +212,8 @@ def parse_transform(spec: str) -> Transform:
     if base == "identity":
         return Identity()
     if base == "bucket":
-        return Bucket(n=int(args[0]))
+        spec_hash = len(args) > 1 and args[1] == "iceberg"
+        return Bucket(n=int(args[0]), spec_hash=spec_hash)
     if base == "truncate":
         return Truncate(width=int(args[0]))
     if base == "truncate_int":
@@ -233,7 +249,7 @@ class PartitionField:
     def to_json(self) -> dict:
         t = self.transform
         if isinstance(t, Bucket):
-            spec = f"bucket[{t.n}]"
+            spec = f"bucket[{t.n},iceberg]" if t.spec_hash else f"bucket[{t.n}]"
         elif isinstance(t, Truncate):
             spec = f"truncate[{t.width}]"
         elif isinstance(t, TruncateInt):

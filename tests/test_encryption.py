@@ -142,3 +142,160 @@ def test_gcm_property_roundtrip_and_tamper():
             g.decrypt(nonce, bytes(bad), aad)
 
     check()
+
+
+def test_gcm_stream_roundtrip_sizes():
+    gcm = AesGcm(os.urandom(16))
+    for size in (0, 1, 15, 16, 17, 100, 256, 257, 512, 1000):
+        pt = os.urandom(size)
+        sealed = gcm.seal_stream(pt, b"aad", block_size=256)
+        assert sealed[:4] == b"AGS1"
+        assert gcm.open_stream(sealed, b"aad") == pt
+
+
+def test_gcm_stream_range_reads():
+    import numpy as np
+
+    gcm = AesGcm(os.urandom(24))
+    pt = bytes(np.random.default_rng(1).integers(0, 256, 10_000, dtype=np.uint8))
+    sealed = gcm.seal_stream(pt, b"p", block_size=1024)
+    rng = np.random.default_rng(2)
+    for _ in range(40):
+        off = int(rng.integers(0, len(pt)))
+        ln = int(rng.integers(0, len(pt) - off + 1))
+        assert gcm.open_stream_range(sealed, off, ln, b"p") == pt[off : off + ln]
+    # out-of-range refused
+    with pytest.raises(ValueError):
+        gcm.open_stream_range(sealed, len(pt) - 1, 2, b"p")
+
+
+def test_gcm_stream_tamper_and_block_swap():
+    gcm = AesGcm(os.urandom(16))
+    pt = os.urandom(3000)
+    sealed = bytearray(gcm.seal_stream(pt, block_size=1024))
+    # flip a byte inside block 1's ciphertext
+    blk = 16 + (12 + 1024 + 16) + 12 + 5
+    sealed[blk] ^= 1
+    # range read NOT covering block 1 still fine
+    assert gcm.open_stream_range(bytes(sealed), 0, 100) == pt[:100]
+    # covering reads fail the tag
+    with pytest.raises(ValueError):
+        gcm.open_stream_range(bytes(sealed), 1024, 10)
+    # block swap is caught by the index-bound AAD even with valid tags
+    good = gcm.seal_stream(pt, block_size=1024)
+    sb = 12 + 1024 + 16
+    swapped = (
+        good[:16]
+        + good[16 + sb : 16 + 2 * sb]
+        + good[16 : 16 + sb]
+        + good[16 + 2 * sb :]
+    )
+    with pytest.raises(ValueError):
+        gcm.open_stream(swapped)
+    # header tamper (block size) fails every block via AAD binding
+    bad_header = bytearray(good)
+    bad_header[4] ^= 1
+    with pytest.raises(ValueError):
+        gcm.open_stream_range(bytes(bad_header), 0, 10)
+
+
+def test_encrypting_fileio_stream_dispatch(tmp_path):
+    import pyarrow.fs as pafs
+
+    from iceberg_geo_poc_spark.table.fileio import ArrowFSFileIO
+
+    scheme = f"encs{uuid.uuid4().hex[:6]}"
+    inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+    io = EncryptingFileIO(
+        inner, os.urandom(32), stream_threshold=1000, stream_block=512
+    )
+    small, big = os.urandom(100), os.urandom(5000)
+    io.write_bytes(f"{scheme}://d/small", small)
+    io.write_bytes(f"{scheme}://d/big", big)
+    assert inner.read_bytes(f"{scheme}://d/small")[:4] == b"AGSP"
+    assert inner.read_bytes(f"{scheme}://d/big")[:4] == b"AGS1"
+    assert io.read_bytes(f"{scheme}://d/small") == small
+    assert io.read_bytes(f"{scheme}://d/big") == big
+    # ranged reads on both forms
+    assert io.read_range(f"{scheme}://d/small", 10, 20) == small[10:30]
+    assert io.read_range(f"{scheme}://d/big", 1500, 600) == big[1500:2100]
+
+
+def test_encrypted_table_with_dv_deletes(spark, tmp_path):
+    """DV sidecars on an encrypted table: blobs are sealed at rest in
+    the chunked-stream form and the scan's blob reads decrypt only the
+    covering blocks (read_range), still returning exact rows."""
+    import pyarrow.fs as pafs
+
+    from iceberg_geo_poc_spark.table import E
+    from iceberg_geo_poc_spark.table.catalog import Catalog
+    from iceberg_geo_poc_spark.table.fileio import (
+        ArrowFSFileIO,
+        register_file_io,
+    )
+
+    scheme = f"encdv{uuid.uuid4().hex[:6]}"
+    wh = f"{scheme}://wh"
+    inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+    sealed_io = EncryptingFileIO(
+        inner, os.urandom(32), stream_threshold=64, stream_block=256
+    )
+    register_file_io(wh + "/", sealed_io)
+    cat = Catalog(wh, spark)
+    t = cat.create_table("secdv", "id BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(300)], "id BIGINT, v STRING"
+        ).repartition(3)
+    )
+    t = cat.load_table("secdv")
+    t.delete(E.lt("id", 50), mode="merge-on-read-dv")
+    t = cat.load_table("secdv")
+    dv_files = [p for p in inner.list_files(f"{wh}/secdv") if p.endswith(".puffin")]
+    assert dv_files, "DV sidecar expected"
+    for p in dv_files:
+        assert inner.read_bytes(p)[:4] == b"AGS1", "sidecar not stream-sealed"
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(50, 300))
+
+
+def test_rotate_encryption_key(spark):
+    import pyarrow.fs as pafs
+
+    from iceberg_geo_poc_spark.table.catalog import Catalog
+    from iceberg_geo_poc_spark.table.encryption import rotate_encryption_key
+    from iceberg_geo_poc_spark.table.fileio import (
+        ArrowFSFileIO,
+        io_for,
+        register_file_io,
+    )
+
+    scheme = f"rot{uuid.uuid4().hex[:6]}"
+    wh = f"{scheme}://wh"
+    inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+    old_key, new_key = os.urandom(32), os.urandom(32)
+    register_file_io(wh + "/", EncryptingFileIO(inner, old_key))
+    cat = Catalog(wh, spark)
+    t = cat.create_table("r", "id BIGINT")
+    t.append(spark.range(50).select("id"))
+    rotate_encryption_key(wh + "/", new_key)
+    # every object now opens with the new key, none with the old
+    new_gcm, old_gcm = AesGcm(new_key), AesGcm(old_key)
+    objs = inner.list_files(wh)
+    assert objs
+    for p in objs:
+        raw = inner.read_bytes(p)
+        assert raw[:4] in (b"AGSP", b"AGS1")
+        if raw[:4] == b"AGSP":
+            new_gcm.open(raw)
+            with pytest.raises(ValueError):
+                old_gcm.open(raw)
+    # the registered IO serves the new key and the table still reads
+    assert isinstance(io_for(wh + "/x"), EncryptingFileIO)
+    t = cat.load_table("r")
+    assert t.to_df().count() == 50
+    # appends after rotation seal with the new key
+    t.append(spark.range(50, 80).select("id"))
+    assert cat.load_table("r").to_df().count() == 80
+    # idempotent re-run
+    rotate_encryption_key(wh + "/", new_key)
+    assert cat.load_table("r").to_df().count() == 80
