@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     ("geo_window", "geo_points_in_window"),
     ("dedup_minhash", "dedup_minhash_lsh"),
     ("knn_cosine", "sim_knn_cosine_topk"),
+    # sign-bit quantized ANN: pack = SQL fold at scan, distance =
+    # bit_count(xor) — should land well under knn_cosine (the float
+    # kernel) since every comparison is two JVM intrinsics
+    ("knn_hamming", "sim_hamming_topk"),
     # MoR read overhead: scan with position-delete anti-join applied
     # (reference IcebergSourceParquetPosDeleteBenchmark shape)
     ("mor_read", "managed_mor_delete"),

@@ -1,0 +1,118 @@
+"""Lexical + hybrid retrieval: BM25 scoring and reciprocal-rank fusion.
+
+Training-data curation leans on retrieval twice: (a) query-based corpus
+filtering / decontamination ("find documents matching the benchmark
+prompt") and (b) hybrid dedup-and-rank pipelines that fuse a lexical
+signal with an embedding signal before selecting canonical documents.
+This module supplies both halves Spark-first:
+
+- ``bm25_scores`` — Okapi BM25 (Robertson et al.; the Lucene-style
+  "+1" idf so scores stay positive) computed with TWO partial-agg
+  groupBys (term stats, doc lengths) and ONE equi-join; query terms are
+  a broadcast literal.  No Python in the plan, no all-pairs anywhere:
+  at 100 TB the (doc, term) aggregate is the canonical map-side-combine
+  case and everything downstream is term-keyed.
+- ``rrf_fuse`` — reciprocal-rank fusion (Cormack et al. 2009):
+  ``score = sum_r 1/(k0 + rank_r)`` over the input rankings, here the
+  BM25 list and a cosine list.  Rank computation is one window per
+  ranking over already-aggregated rows.
+
+Parity: the reference has no retrieval surface (it defers execution to
+the host engine); this is SURVEY §2.12 north-star scope on the same
+substrate as tfidf_top_terms (operators/text.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from iceberg_geo_poc_spark.operators.text import with_words
+
+RRF_K = 60  # the constant from the RRF paper; callers may override
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document Okapi BM25 for ``query_terms``.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   [Lucene's variant]
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    -> (doc_id, bm25) for every document containing >= 1 query term.
+    """
+    tf = (
+        with_words(docs)
+        .select("doc_id", F.size("words").alias("dl"),
+                F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # corpus stats: N and avgdl (one tiny aggregate, broadcast)
+    stats = with_words(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("words")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    scored = (
+        tf.filter(F.array_contains(qt, F.col("term")))
+        .join(F.broadcast(dfreq.filter(F.array_contains(qt, F.col("term")))), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("bm25")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], id_col: str = "doc_id", k0: int = RRF_K
+) -> DataFrame:
+    """Fuse rank lists by reciprocal rank: each input DataFrame must
+    carry (id_col, rank).  -> (id_col, rrf, n_lists) ordered best-first.
+    Missing ids simply contribute nothing from that list (standard RRF).
+    """
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(k0) + F.col("rank"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    return (
+        unioned.groupBy(id_col)
+        .agg(
+            F.round(F.sum("c"), 6).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+    )
+
+
+def ranked(scored: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """(id, score) -> (id, rank) with deterministic tie-break by id."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return scored.select(id_col, F.row_number().over(w).alias("rank"))

@@ -128,6 +128,31 @@ def mixture_sample(
     return stratified_sample(df, key, domain_col, fractions)
 
 
+def temperature_mixture_sample(
+    df: DataFrame, key: str, domain_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-flattened mixture (the multilingual-sampling rule of
+    mBERT/XLM-R: sample domain d proportionally to ``n_d ** alpha``,
+    alpha < 1 up-weights small domains RELATIVELY by shrinking big
+    ones).  Downsampling-only, like :func:`mixture_sample` — weights
+    are the unnormalized ``round(n_d**alpha, 6)`` (mixture arithmetic
+    is scale-invariant, and skipping normalization keeps the float
+    path short enough to replicate exactly in SQL).  Same bounded
+    group-count + deterministic hash gate shape."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {d: round(n**alpha, 6) for d, n in counts.items()}
+    total = min(counts[d] / w for d, w in weights.items())
+    fractions = {
+        d: min(1.0, total * w / counts[d]) for d, w in weights.items()
+    }
+    return stratified_sample(df, key, domain_col, fractions)
+
+
 def train_val_test_split(
     df: DataFrame,
     key: str,

@@ -393,6 +393,55 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
+def binary_quantize_expr(col: str) -> str:
+    """Sign-bit binary quantization: a 64-dim embedding packs into ONE
+    BIGINT (bit i set iff x_i >= 0) — 32x smaller than float32 and
+    Hamming-comparable with two codegen ops (xor + bit_count).  The
+    aggressive end of the quantization ladder (float32 -> int8 -> 1-bit)
+    used for first-stage candidate generation at billion-vector scale.
+    Pure SQL fragment; bits OR-accumulated via sum of distinct powers.
+    """
+    return (
+        f"aggregate(zip_with({col}, sequence(0, size({col}) - 1), "
+        "(x, i) -> IF(x >= 0, shiftleft(1L, i), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def hamming_knn_topk(emb: DataFrame, n_probes: int = 8, k: int = 10) -> DataFrame:
+    """Top-k nearest neighbors under HAMMING distance on sign-bit
+    quantized embeddings.
+
+    Distance = bit_count(sig_a XOR sig_b): two JVM intrinsics per pair,
+    no array math at comparison time — the payoff of packing.  Probe
+    side broadcast; the per-probe top-k window sees only probe-keyed
+    rows.  Dim <= 64 packs to one long (the testdata shape); wider
+    vectors would pack to ceil(d/64) longs with summed per-word
+    bit_counts (same plan shape).
+    -> (ia, ib, hamming, rank), deterministic via (hamming, ib) order.
+    """
+    sig = emb.select(
+        "vec_id", F.expr(binary_quantize_expr("embedding")).alias("sig")
+    )
+    probes = F.broadcast(
+        sig.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("ia"), F.col("sig").alias("sa")
+        )
+    )
+    cand = sig.select(F.col("vec_id").alias("ib"), F.col("sig").alias("sb"))
+    pairs = (
+        probes.crossJoin(cand)
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("hamming"), F.asc("ib"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ia", "ib", "hamming", "rank")
+        .orderBy("ia", "rank")
+    )
+
+
 def _l2_expr(a: str, b: str) -> str:
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, "

@@ -14,6 +14,7 @@ narrow stage fused into the Parquet scan by whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -526,3 +527,34 @@ def keyword_tags(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("doc_id", "tag")
     )
+
+
+def normalize_unicode(
+    df: DataFrame, form: str = "NFC", text_col: str = "text"
+) -> DataFrame:
+    """Unicode normalization + control-character strip — the first pass
+    of any multilingual corpus cleanup (decomposed accents fold under
+    NFC; fullwidth/compatibility forms under NFKC; C0/C1 controls are
+    crawl noise).  The control strip is a codegen regexp; normalization
+    itself is an Arrow-batched pandas UDF (Python's unicodedata owns
+    the normalization tables — Spark has no JVM builtin), one linear
+    pass, zero shuffle.  Adds ``text_norm``.
+    """
+    import pandas as pd  # noqa: F401 (resolves the UDF type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    stripped = F.regexp_replace(
+        F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    return df.withColumn("text_norm", _norm(stripped))

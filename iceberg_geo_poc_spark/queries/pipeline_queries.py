@@ -21,7 +21,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_geo_poc_spark.operators import dedup, multimodal, similarity, text
+from iceberg_geo_poc_spark.operators import (
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    text,
+)
 from iceberg_geo_poc_spark.operators.hashing import (
     MERSENNE_P,
     duckdb_hash60,
@@ -227,6 +233,131 @@ def sim_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (fixed hyperplanes), so the oracle checks the
     approximation, not just the arithmetic."""
     return similarity.lsh_knn_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_hamming_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(list_sum(list_transform(
+               generate_series(1, len(a.v)),
+               i -> CASE WHEN (a.v[i] >= 0) <> (b.v[i] >= 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 8),
+    r AS (SELECT ia, ib, hamming,
+                 row_number() OVER (PARTITION BY ia ORDER BY hamming, ib) AS rank
+          FROM p)
+    SELECT ia, ib, hamming, rank FROM r WHERE rank <= 10 ORDER BY ia, rank
+    """,
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization + Hamming top-10: embeddings pack
+    to ONE BIGINT each (32x compression) and every comparison is
+    bit_count(xor) — two JVM intrinsics.  The oracle recomputes Hamming
+    from the raw signs, so the packed representation itself is
+    value-verified end to end."""
+    return similarity.hamming_knn_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_BM25_TERMS = ["table", "scan", "fast"]
+
+_DUCK_BM25 = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+tf AS (SELECT doc_id, unnest(words) AS term, len(words) AS dl FROM w),
+tfg AS (SELECT doc_id, term, COUNT(*) AS tf, FIRST(dl) AS dl
+        FROM tf GROUP BY 1, 2),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(words)) AS avgdl FROM w),
+dfq AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY 1),
+bm AS (
+  SELECT tfg.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tfg JOIN dfq USING (term) CROSS JOIN stats
+  WHERE term IN ('table', 'scan', 'fast')
+  GROUP BY 1)
+"""
+
+
+@query(
+    "retrieval_bm25",
+    oracle=f"""
+    WITH {_DUCK_BM25}
+    SELECT doc_id, bm25 FROM bm ORDER BY doc_id
+    """,
+)
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical scoring (k1=1.2, b=0.75, Lucene '+1' idf) for
+    a fixed query over the documents corpus — two partial-agg groupBys
+    + one term-keyed equi-join, zero Python.  Scores rounded to 6
+    decimals on both engines before comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(docs, _BM25_TERMS).orderBy("doc_id")
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_DUCK_BM25},
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+            FROM bm),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    probe AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+    cos AS (SELECT n.vec_id AS doc_id,
+                   ROUND(list_dot_product(n.v, probe.v)
+                         / (n.nrm * probe.nrm), 6) AS cosine
+            FROM n CROSS JOIN probe WHERE n.vec_id != 0),
+    vec AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+            FROM cos),
+    fused AS (
+      SELECT doc_id, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf,
+             COUNT(*) AS n_lists
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+      GROUP BY 1)
+    SELECT doc_id, rrf, n_lists FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 25
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with an embedding
+    cosine ranking (probe = vec 0) by reciprocal-rank fusion
+    (1/(60+rank), Cormack et al.).  Both rankings order by the ROUNDED
+    score with id tie-break so ranks are engine-stable; RRF is then a
+    pure function of integer ranks.  The curation shape: candidate
+    documents surfaced by either lexical or semantic similarity to a
+    target prompt."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = retrieval.ranked(
+        retrieval.bm25_scores(docs, _BM25_TERMS), "bm25"
+    )
+    base = similarity.with_norm(emb)
+    probe = F.broadcast(
+        base.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("pv"), F.col("nrm").alias("pn")
+        )
+    )
+    cos = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(similarity.dot_expr("embedding", "pv"))
+                / (F.col("nrm") * F.col("pn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    vec = retrieval.ranked(cos, "cosine")
+    return retrieval.rrf_fuse([lex, vec]).limit(25)
 
 
 @query(
@@ -2474,3 +2605,80 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.decontaminate_bloom(corpus, bench, threshold=0.5)
+
+
+# decomposed tail appended in BOTH engines: 'cafe' + COMBINING ACUTE
+# (U+0301) + fullwidth 'A' (U+FF21) — NFC folds the accent pair to one
+# char; the fullwidth form survives NFC (it would fold only under NFKC)
+_DECOMPOSED_TAIL = " café Ａ"
+
+
+@query(
+    "text_unicode_normalize",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' ' || chr(65313) AS t
+      FROM documents),
+    n AS (SELECT doc_id, t, nfc_normalize(t) AS tn FROM aug)
+    SELECT doc_id,
+           CAST(LENGTH(t) AS BIGINT) AS n_chars_raw,
+           CAST(LENGTH(tn) AS BIGINT) AS n_chars_nfc,
+           md5(tn) AS norm_md5
+    FROM n ORDER BY doc_id
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (the first multilingual-cleanup pass):
+    every document gets a DECOMPOSED tail (combining acute + fullwidth
+    letter) appended in both engines; the operator must fold the
+    combining pair to one precomposed char (length shrinks by exactly
+    one) while leaving the fullwidth form alone (that is NFKC's job) —
+    md5 of the normalized text is pinned against DuckDB's native
+    nfc_normalize."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_DECOMPOSED_TAIL))
+    )
+    out = text.normalize_unicode(docs, form="NFC")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length("text_norm").alias("n_chars_nfc"),
+        F.md5(F.encode(F.col("text_norm"), "UTF-8")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, ROUND(POW(n, 0.7), 6) AS wt FROM counts),
+    t AS (SELECT MIN(n / wt) AS total FROM w),
+    gates AS (
+      SELECT w.lang,
+             CAST(FLOOR(LEAST(1.0, t.total * w.wt / w.n) * 10000) AS BIGINT)
+               AS gate
+      FROM w CROSS JOIN t)
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN gates g ON d.lang = g.lang
+    WHERE ({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000 < g.gate
+    ORDER BY doc_id
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened multilingual sampling (mBERT/XLM-R rule:
+    keep domain d proportional to n_d^0.7 — small languages shrink
+    LESS than big ones).  Weights are round(n^alpha, 6) unnormalized
+    (scale-invariant mixture arithmetic keeps the float path short);
+    the oracle replays the identical count -> pow -> gate chain and the
+    exact keep-set must match."""
+    from iceberg_geo_poc_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mixture_sample(docs, "doc_id", "lang", alpha=0.7)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -321,3 +321,23 @@ def stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.select("event_id", F.round("value", 2).alias("value"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT n.n_name, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: micro-batched events joined
+    to a batch dimension with no state store (the static side is
+    re-broadcast per batch) — the canonical streaming-enrichment shape
+    the reference leaves to the host engine (SURVEY §2.9)."""
+    return S.stream_static_enrichment(spark, sf_dir).orderBy(
+        "n_name", "event_type"
+    )

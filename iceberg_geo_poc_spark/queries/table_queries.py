@@ -2058,6 +2058,73 @@ def managed_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_rewrite_table_path",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0 AND l_quantity > 10
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def managed_rewrite_table_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table relocation with absolute-path rewriting (reference
+    RewriteTablePathSparkAction — DR replication / bucket migration):
+    a managed table with a position-delete layer is relocated to a NEW
+    location — manifests, posdel parquet CONTENTS (their file_path
+    column), and metadata rewritten; data files byte-copied per the
+    returned plan — and the query runs against the REGISTERED COPY,
+    which must reproduce plain SQL exactly (MoR deletes still applying
+    through the rewritten posdel paths).  The source tree could be
+    deleted afterwards; nothing in the copy references it."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    def build(cat, tname):
+        from iceberg_geo_poc_spark.table import maintenance as X
+        from iceberg_geo_poc_spark.table import manifest as _M
+
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+            "l_returnflag STRING, l_linestatus STRING",
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus",
+        ).filter("l_orderkey % 5 = 0")
+        t.append(li.coalesce(2))
+        t.delete(E.le("l_quantity", 10.0), mode="merge-on-read")
+        t = cat.load_table(tname)
+        tgt = tempfile.mkdtemp(prefix="igps_reloc_")
+        _os.rmdir(tgt)
+        res = X.rewrite_table_path(t, tgt)
+        assert res["copied"] == len(res["plan"]) > 0
+        moved = cat.register_table(tname + "_moved", tgt)
+        # nothing in the copy references the source location
+        src = t.location.rstrip("/")
+        for s in moved.meta.snapshots:
+            ent = _M.read_snapshot_entries(moved.location, s)
+            assert not any(
+                p.startswith(src + "/") for p in ent.file_path
+            ), "relocated metadata still references the source tree"
+        return moved
+
+    t = _managed(spark, sf_dir, "reloc", build)
+    return (
+        t.to_df()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "managed_encrypted_dv_stream",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -2097,9 +2164,10 @@ def managed_encrypted_dv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 inner,
                 b"\x42\x17" * 16,
                 aad_prefix=b"dvt",
-                # low threshold + small blocks so sf0.01 objects genuinely
-                # exercise the multi-block stream form
-                stream_threshold=512,
+                # zero threshold + small blocks: EVERY object takes the
+                # stream form at any SF (sf0.001 sidecars are <512 B),
+                # and sf0.01 manifests genuinely span multiple blocks
+                stream_threshold=0,
                 stream_block=4096,
             ),
         )
@@ -2130,6 +2198,74 @@ def managed_encrypted_dv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "managed_encrypted_key_rotation",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_encrypted_key_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encryption key rotation (the operational seam behind the
+    reference's KeyManagementClient): a sealed table's entire object
+    tree is re-sealed under a NEW key (idempotent, resumable pass),
+    the old key stops opening any object, and appends + scans continue
+    through the rotated plane — results must equal plain SQL."""
+    key = (sf_dir, "rotated")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.encryption import (
+            AesGcm,
+            EncryptingFileIO,
+            rotate_encryption_key,
+        )
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+
+        scheme = f"rotdrv{abs(hash(sf_dir)) % 10**6}"
+        wh = f"{scheme}://wh"
+        inner = ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        old_key, new_key = b"\x01\x02" * 16, b"\x0a\x0b" * 16
+        register_file_io(wh + "/", EncryptingFileIO(inner, old_key))
+        cat = Catalog(wh, spark)
+        t = cat.create_table(
+            "nation_rot", "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        t.append(n.filter("n_nationkey < 13"))
+        rotate_encryption_key(wh + "/", new_key)
+        # the old key opens nothing anymore
+        old_gcm = AesGcm(old_key)
+        for p in inner.list_files(f"{wh}/nation_rot"):
+            raw = inner.read_bytes(p)
+            if raw[:4] == b"AGSP":
+                try:
+                    old_gcm.open(raw)
+                    raise AssertionError(f"old key still opens {p}")
+                except ValueError:
+                    pass
+        # post-rotation append seals under the new key; scan sees both
+        cat.load_table("nation_rot").append(n.filter("n_nationkey >= 13"))
+        _MOCK_FS_TABLES[key] = cat.load_table("nation_rot")
+    t = _MOCK_FS_TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
     )
 
 

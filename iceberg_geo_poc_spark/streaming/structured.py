@@ -264,3 +264,28 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_completion(deduped, output_mode="append")
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against a batch
+    dimension (nation) via an equi-join Spark plans as a broadcast per
+    micro-batch — the canonical streaming-enrichment shape (no state
+    store, unlike stream-stream joins; the static side is re-broadcast
+    per batch, so dimension updates between batches are picked up).
+    The stream side derives its key in codegen; output aggregates per
+    (nation, event_type) so availableNow yields a deterministic total.
+    """
+    from iceberg_geo_poc_spark.session import load_table
+
+    ev = load_stream(spark, sf_dir, "events").withColumn(
+        "nkey", F.pmod(F.col("user_id"), F.lit(25))
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    joined = ev.join(F.broadcast(dim), "nkey")
+    agg = joined.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_completion(agg)

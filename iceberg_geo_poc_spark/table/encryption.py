@@ -18,11 +18,18 @@ Scale posture: the CTR keystream is generated for ALL blocks of an
 object in one numpy T-table pass (vectorized across blocks), so
 sealing a 100 MB manifest is a handful of numpy gathers rather than a
 Python-level per-block loop; GHASH is the one inherently serial pass
-and runs at table-lookup speed.  Data files are NOT sealed here:
-Parquet modular encryption is the JVM writer's job and out of scope
-for this engine (documented divergence; the reference gates it the
-same way — data-file encryption rides Parquet, metadata rides GCM
-streams).
+and runs at table-lookup speed.
+
+Data-file coverage: on FileIO-routed (object-store) locations data
+parquet is staged locally and uploaded through this wrapper, so it IS
+sealed at rest like everything else, and scans read it back through
+the decrypting driver-side Arrow path.  What this engine does NOT
+implement is Parquet MODULAR encryption (footer/page-level keys
+readable by a vectorized scan in place) — that is the JVM writer's
+format feature and the reference's data-file path; here an encrypted
+POSIX-native table (Spark writing parquet directly, no FileIO hop)
+would leave data plaintext, so encryption is only offered behind the
+FileIO seam (documented divergence).
 
 Two on-disk forms, dispatched by magic:
 

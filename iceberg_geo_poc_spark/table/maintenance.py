@@ -656,3 +656,236 @@ def delete_reachable_files(location: str, dry_run: bool = False) -> dict:
             for p in _fio.list_files(location):
                 _fio.delete(p)
     return counts
+
+
+def rewrite_table_path(
+    table: Table, target_location: str, copy_files: bool = True
+) -> dict:
+    """Relocate a table: produce a complete, self-consistent copy of its
+    metadata under ``target_location`` with every absolute path that
+    pointed inside the old location rewritten to the new prefix — the
+    reference's RewriteTablePathSparkAction (DR replication / bucket
+    migration: metadata must be rewritten because Iceberg paths are
+    absolute; data bytes are only COPIED, never reparsed).
+
+    Rewrites, in dependency order:
+
+    - position-delete parquet CONTENTS (their ``file_path`` column
+      references data files) + the manifest stats bounds of that column
+      (prefix replacement is order-preserving within one prefix);
+    - DV Puffin sidecars' footer ``referenced-data-file`` properties,
+      with blob offsets recomputed and the manifest ``dv`` descriptors
+      updated to match;
+    - every manifest's ``file_path`` column;
+    - statistics / partition-statistics file paths in the metadata;
+    - the metadata JSON itself (location + manifest paths), committed at
+      the target with a fresh version-0 + version hint.
+
+    Content-rewritten objects (manifests, position deletes, DV sidecars,
+    the metadata JSON) are ALWAYS written at the target — a plain byte
+    copy could not produce them.  ``plan`` lists the byte-identical
+    copies (data files, equality deletes, statistics sidecars): with
+    ``copy_files=True`` they are copied here via FileIO; with False the
+    caller hands the plan to a bulk transfer tool (the reference action
+    does exactly this).  Files outside the table location (zero-copy
+    imports) keep their absolute paths, are excluded from the plan, and
+    force ``gc.enabled=false`` on the copy.  Returns {"plan",
+    "rewritten", "external", "copied", "manifests",
+    "target_metadata_version"}.
+    """
+    from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
+    from iceberg_geo_poc_spark.table import fileio as FIO
+    from iceberg_geo_poc_spark.table import puffin as P
+
+    src = table.location.rstrip("/")
+    tgt = target_location.rstrip("/")
+    if tgt == src:
+        raise ValueError("target_location equals the table location")
+    src_io, tgt_io = FIO.io_for(src), FIO.io_for(tgt + "/x")
+
+    def owned(p: str) -> bool:
+        return p.startswith(src + "/")
+
+    def repl(p: str) -> str:
+        return tgt + p[len(src):] if owned(p) else p
+
+    meta = table.meta
+    plan: list[tuple[str, str]] = []  # plain byte copies (data/eqdel/stats)
+    rewritten: list[tuple[str, str]] = []  # content-rewritten, already written
+    external: set[str] = set()
+
+    # pass 1 over all manifests: collect file inventory by content kind.
+    # snapshot manifest fields are RELATIVE to the table location (so the
+    # metadata JSON itself needs no manifest-path rewriting) — resolve
+    # against src for reads, against tgt for writes, same relative layout
+    man_rels: list[str] = []
+    for s in meta.snapshots:
+        for mp in s.manifest_list():
+            if mp not in man_rels:
+                man_rels.append(mp)
+    frames = {rel: M.read_manifest(os.path.join(src, rel)) for rel in man_rels}
+    inventory: dict[str, str] = {}  # path -> content kind
+    for df in frames.values():
+        for r in df.itertuples():
+            inventory.setdefault(r.file_path, r.content)
+
+    # DV sidecars: rewrite footer referenced paths, recompute descriptors
+    dv_desc_map: dict[tuple[str, str], dict] = {}  # (old_puffin, old_ref) -> new
+    dv_new_path: dict[str, str] = {}
+    for p, kind in inventory.items():
+        if kind != "dv":
+            continue
+        footer, payloads = P.read_puffin(src_io.read_bytes(p))
+        blobs = []
+        for b in footer["blobs"]:
+            nb = {
+                k: b[k]
+                for k in ("type", "fields", "snapshot-id", "sequence-number")
+                if k in b
+            }
+            props = dict(b.get("properties", {}))
+            old_ref = props.get("referenced-data-file", "")
+            props["referenced-data-file"] = repl(old_ref)
+            nb["properties"] = props
+            blobs.append((nb, old_ref))
+        data = P.write_puffin(
+            [b for b, _ in blobs], payloads, footer.get("properties", {})
+        )
+        new_footer, _ = P.read_puffin(data)
+        new_p = repl(p)
+        dv_new_path[p] = new_p
+        for (nb, old_ref), fb in zip(blobs, new_footer["blobs"]):
+            dv_desc_map[(p, old_ref)] = {
+                "referenced": fb["properties"]["referenced-data-file"],
+                "offset": fb["offset"],
+                "length": fb["length"],
+            }
+        # rewritten-content sidecars are metadata-plane: always written
+        # (a plain byte copy could not fulfill them)
+        tgt_io.write_bytes(new_p, data)
+        rewritten.append((p, new_p))
+
+    # position-delete files: rewrite contained data-file paths
+    for p, kind in inventory.items():
+        if kind != "posdel":
+            continue
+        if not p.endswith(".parquet"):
+            raise NotImplementedError(
+                "rewrite_table_path handles parquet position deletes; "
+                f"cannot rewrite contents of {p!r}"
+            )
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_io.BytesIO(src_io.read_bytes(p)))
+        fp = t.column("file_path").to_pylist()
+        t = t.set_column(
+            t.schema.get_field_index("file_path"),
+            "file_path",
+            pa.array([repl(x) for x in fp], pa.string()),
+        )
+        buf = _io.BytesIO()
+        pq.write_table(t, buf)
+        new_p = repl(p)
+        tgt_io.write_bytes(new_p, buf.getvalue())
+        rewritten.append((p, new_p))
+
+    # data + equality-delete files: byte copies
+    for p, kind in inventory.items():
+        if kind in ("data", "eqdel"):
+            if not owned(p):
+                external.add(p)
+                continue
+            new_p = repl(p)
+            plan.append((p, new_p))
+            if copy_files:
+                tgt_io.write_bytes(new_p, src_io.read_bytes(p))
+
+    # manifests: rewrite file_path (+ posdel file_path bounds, dv descs)
+    man_map: dict[str, str] = {}
+    for mp, df in frames.items():
+        df = df.copy()
+        df["file_path"] = df["file_path"].map(repl)
+        if "dv" in df.columns:
+            def _fix_dv(row):
+                if row.get("content") != "dv" or not isinstance(row.get("dv"), str):
+                    return row.get("dv")
+                d = json.loads(row["dv"])
+                nd = dv_desc_map.get((row["_old_fp"], d["referenced"]))
+                return json.dumps(nd) if nd else row["dv"]
+            df["_old_fp"] = [r.file_path for r in frames[mp].itertuples()]
+            df["dv"] = df.apply(_fix_dv, axis=1)
+            df = df.drop(columns=["_old_fp"])
+        for col in ("lower", "upper"):
+            mask = df["content"] == "posdel"
+            def _fix_bounds(s):
+                d = json.loads(s)
+                if "file_path" in d and isinstance(d["file_path"], str):
+                    d["file_path"] = repl(d["file_path"])
+                return json.dumps(d)
+            df.loc[mask, col] = df.loc[mask, col].map(_fix_bounds)
+        new_mp = os.path.join(tgt, mp)
+        man_map[mp] = mp  # relative form is location-independent
+        M.write_manifest(M.ensure_flat_stats(df), new_mp)
+
+    # statistics sidecars: copy + re-point
+    def _move_stats(entries: list[dict], key: str) -> list[dict]:
+        out = []
+        for e in entries:
+            e = dict(e)
+            sp = e.get(key)
+            if sp and owned(sp):
+                new_sp = repl(sp)
+                plan.append((sp, new_sp))
+                if copy_files:
+                    tgt_io.write_bytes(new_sp, src_io.read_bytes(sp))
+                e[key] = new_sp
+            out.append(e)
+        return out
+
+    new_meta = MD.TableMetadata(
+        table_uuid=meta.table_uuid,
+        location=tgt,
+        schema_ddl=meta.schema_ddl,
+        partition_spec=list(meta.partition_spec),
+        geo_fields=dict(meta.geo_fields),
+        properties=dict(meta.properties),
+        current_snapshot_id=meta.current_snapshot_id,
+        snapshots=[
+            MD.Snapshot(
+                s.snapshot_id,
+                s.parent_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.operation,
+                man_map.get(s.manifest, s.manifest),
+                dict(s.summary),
+                [man_map[m] for m in s.manifests] if s.manifests else None,
+            )
+            for s in meta.snapshots
+        ],
+        last_sequence_number=meta.last_sequence_number,
+        refs={k: dict(v) for k, v in meta.refs.items()},
+        schema_log=list(meta.schema_log),
+        renames=dict(meta.renames),
+        statistics_files=_move_stats(meta.statistics_files, "statistics-path"),
+        partition_statistics_files=_move_stats(
+            meta.partition_statistics_files, "statistics-path"
+        ),
+        next_row_id=meta.next_row_id,
+        column_defaults=json.loads(json.dumps(meta.column_defaults)),
+    )
+    if external:
+        # relocated copy references files it does not own -> forbid GC
+        new_meta.properties["gc.enabled"] = "false"
+    MD.write_new_metadata(new_meta, base_version=-1)
+    return {
+        "plan": sorted(plan),
+        "rewritten": sorted(rewritten),
+        "external": sorted(external),
+        "copied": len(plan) if copy_files else 0,
+        "manifests": len(man_map),
+        "target_metadata_version": new_meta.version,
+    }

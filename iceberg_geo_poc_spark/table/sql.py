@@ -865,6 +865,12 @@ def _call(catalog, proc: str, argstr: str):
         from iceberg_geo_poc_spark.table import statistics as ST
 
         return ST.compute_partition_stats(catalog.load_table(arg("table", 0)))
+    if proc == "rewrite_table_path":
+        return X.rewrite_table_path(
+            catalog.load_table(arg("table", 0)),
+            arg("target_location", 1),
+            copy_files=bool(arg("copy_files", 2, True)),
+        )
     if proc == "remove_reachable_files":
         t = catalog.load_table(arg("table", 0))
         return X.delete_reachable_files(

@@ -389,3 +389,73 @@ def test_flac_independent_writer_decodes_exactly():
     assert got_rate == rate
     assert arr.shape == (len(expected), 1)
     assert arr[:, 0].tolist() == expected.tolist()
+
+
+# ---------------------------------------------------------------------------
+# JPEG: two widely-published third-party files (bytes produced by
+# libjpeg-family encoders, circulated verbatim in public gists /
+# Stack Overflow answers for years — NOT produced by this repo).
+# ---------------------------------------------------------------------------
+
+# "Smallest base64-encodable JPEG": 1x1, single gray component, quant
+# table of all 255s, minimal Huffman tables.  DC derivation by hand
+# from the published bytes: diff category 2, value 2 -> dequantized
+# DC = 2*255 = 510 -> IDCT constant 510/8 = 63.75 -> +128 level shift
+# = 191.75, so a conforming decoder emits 191-192 (integer-IDCT
+# rounding is the only latitude).
+PUBLISHED_1X1_GRAY_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAQEASABIAAD/2wBDAP//////////////////////////////"
+    "////////////////////////////////////////////////////////wAALCAAB"
+    "AAEBAREA/8QAFAABAAAAAAAAAAAAAAAAAAAAAv/EABQQAQAAAAAAAAAAAAAAAAAA"
+    "AAD/2gAIAQEAAD8AR//Z"
+)
+
+# The canonical 1x1 WHITE JPEG emitted by libjpeg with the full ITU-T
+# T.81 Annex K example Huffman tables (the table bytes in this file ARE
+# the Annex K tables — a fingerprint of a standard encoder, not of this
+# repo's minimal-table writer).
+PUBLISHED_1X1_WHITE_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAYABgAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkS"
+    "Ew8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJ"
+    "CQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIy"
+    "MjIyMjIyMjIyMjIyMjL/wAARCAABAAEDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEA"
+    "AAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIh"
+    "MUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6"
+    "Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZ"
+    "mqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx"
+    "8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREA"
+    "AgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAV"
+    "YnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hp"
+    "anN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPE"
+    "xcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwD3"
+    "+iiigD//2Q=="
+)
+
+
+def test_jpeg_published_1x1_gray_file():
+    import base64
+
+    from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
+
+    img = decode_jpeg(base64.b64decode(PUBLISHED_1X1_GRAY_JPEG_B64))
+    assert img.shape == (1, 1, 3)
+    r, g, b = (int(v) for v in img[0, 0])
+    assert r == g == b, "single-component JPEG must decode achromatic"
+    assert 190 <= r <= 193, f"hand-derived DC says ~192, got {r}"
+
+
+def test_jpeg_published_1x1_white_annexk_file():
+    import base64
+
+    from iceberg_geo_poc_spark.operators.jpeg import decode_jpeg
+
+    raw = base64.b64decode(PUBLISHED_1X1_WHITE_JPEG_B64)
+    # fingerprint: the file carries the Annex K typical Huffman tables
+    # (DC luminance BITS run 0 1 5 1 1 1 1 1 1 0...), i.e. a standard
+    # encoder wrote it — this is what makes it a third-party golden
+    assert bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0]) in raw
+    img = decode_jpeg(raw)
+    assert img.shape == (1, 1, 3)
+    r, g, b = (int(v) for v in img[0, 0])
+    assert r == g == b
+    assert r >= 253, f"published file is a white pixel, got {(r, g, b)}"

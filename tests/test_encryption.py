@@ -109,6 +109,14 @@ def test_encrypted_table_roundtrip(spark, tmp_path):
         raw = inner.read_bytes(p)
         assert raw[:4] == b"AGSP"
         assert b"snapshots" not in raw and b"parquet" not in raw
+    # DATA files go through the same seam on object-store locations:
+    # sealed at rest too (only Parquet MODULAR encryption — in-place
+    # vectorized scans of encrypted parquet — is out of scope)
+    data_objects = [p for p in paths if "/data/" in p]
+    assert data_objects
+    for p in data_objects:
+        raw = inner.read_bytes(p)
+        assert raw[:4] in (b"AGSP", b"AGS1") and raw[:4] != b"PAR1"
     # a reader without the key sees only ciphertext
     with pytest.raises(ValueError):
         AesGcm(os.urandom(32)).open(inner.read_bytes(meta_objects[0]))

@@ -172,3 +172,30 @@ def test_spark_planning_filters_manifest_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     got = SP.plan_files_spark(spark, mpath, E.ge("k", 7), None)
     assert sorted(got) == [f"/f{i}" for i in range(6, 10)]
+
+
+def test_hamming_knn_is_pure_codegen(spark, sf_dir):
+    """The binary-quantized ANN path must never leave the JVM: pack is
+    a SQL fold, distance is bit_count(xor) — no Python eval node, probe
+    side broadcast."""
+    from iceberg_geo_poc_spark.operators.similarity import hamming_knn_topk
+    from iceberg_geo_poc_spark.session import load_table
+
+    plan = _plan(hamming_knn_topk(load_table(spark, sf_dir, "embeddings")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_partial_aggregates_and_no_python(spark, sf_dir):
+    """BM25 is two partial-agg groupBys + a broadcast term join: the
+    (doc, term) aggregate must show a map-side partial phase and the
+    whole plan stays JVM-side."""
+    from iceberg_geo_poc_spark.operators.retrieval import bm25_scores
+    from iceberg_geo_poc_spark.session import load_table
+
+    plan = _plan(
+        bm25_scores(load_table(spark, sf_dir, "documents"), ["table", "scan"])
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate(keys=" in plan
+    assert "BroadcastExchange" in plan
