@@ -1139,6 +1139,67 @@ def pipeline_webdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_zipdataset_extract",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+           'json,txt' AS exts_csv,
+           lang,
+           md5(text) AS txt_md5
+    FROM documents WHERE doc_id % 3 = 0
+    ORDER BY key
+    """,
+)
+def pipeline_zipdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-shard variant of the WebDataset walk: the same key/extension
+    member contract packed into stdlib ZIP archives (the walker sniffs
+    the PK magic and dispatches, operators/webdataset.py::parse_shard) —
+    proving the second container format end to end over a corpus
+    subset; every column recomputed from the documents table."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.operators import webdataset as WD
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "doc_id % 3 = 0"
+    ).select("doc_id", "text", "lang")
+
+    def _to_shards(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            members = []
+            for did, txt, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                key = f"{int(did):06d}"
+                members += [
+                    (f"{key}.txt", txt.encode()),
+                    (f"{key}.json", f'{{"lang":"{lang}"}}'.encode()),
+                ]
+            if members:
+                yield pd.DataFrame(
+                    {
+                        "shard_id": pd.array(
+                            [int(pdf["doc_id"].iloc[0])], dtype="int64"
+                        ),
+                        "payload": [WD.build_zip_shard(members)],
+                    }
+                )
+
+    shards = docs.mapInPandas(_to_shards, "shard_id LONG, payload BINARY")
+    samples = WD.group_samples(WD.extract_samples(shards))
+    return (
+        samples.select(
+            "key",
+            F.array_join("exts", ",").alias("exts_csv"),
+            F.get_json_object(
+                F.col("parts").getItem("json").cast("string"), "$.lang"
+            ).alias("lang"),
+            F.md5(F.col("parts").getItem("txt")).alias("txt_md5"),
+        )
+        .orderBy("key")
+    )
+
+
+@query(
     "pipeline_warc_extract",
     oracle="""
     SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -2681,4 +2742,85 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_mixture_sample(docs, "doc_id", "lang", alpha=0.7)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "sim_hamming_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.v AS va, b.v AS vb,
+             a.nrm AS na, b.nrm AS nb,
+             CAST(list_sum(list_transform(
+               generate_series(1, len(a.v)),
+               i -> CASE WHEN (a.v[i] >= 0) <> (b.v[i] >= 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 5),
+    cand AS (SELECT *, row_number() OVER
+               (PARTITION BY ia ORDER BY hamming, ib) AS hrank FROM p),
+    rr AS (
+      SELECT ia, ib, hamming,
+             ROUND(list_dot_product(va, vb) / (na * nb), 6) AS cosine
+      FROM cand WHERE hrank <= 50),
+    fin AS (SELECT ia, ib, hamming, cosine,
+                   row_number() OVER (PARTITION BY ia
+                                      ORDER BY cosine DESC, ib) AS rank
+            FROM rr)
+    SELECT ia, ib, hamming, cosine, rank FROM fin
+    WHERE rank <= 10 ORDER BY ia, rank
+    """,
+)
+def sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the canonical billion-vector shape: a cheap
+    sign-bit Hamming pass (bit_count(xor), two JVM intrinsics) selects
+    50 candidates per probe, and ONLY those pairs pay the exact float
+    cosine re-rank.  At scale the first stage touches every vector at
+    ~1 bit-op/dim while the float kernel touches 50 rows per probe;
+    the oracle replays both stages, so the candidate-set boundary
+    itself is value-verified."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_norm(emb).withColumn(
+        "sig", F.expr(similarity.binary_quantize_expr("embedding"))
+    )
+    probes = F.broadcast(
+        base.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            F.col("sig").alias("sa"),
+        )
+    )
+    cand = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("sig").alias("sb"),
+    )
+    pairs = (
+        probes.crossJoin(cand)
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+    )
+    wh = Window.partitionBy("ia").orderBy(F.asc("hamming"), F.asc("ib"))
+    shortlist = pairs.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= 50
+    )
+    reranked = shortlist.withColumn(
+        "cosine",
+        F.round(
+            F.expr(similarity.dot_expr("va", "vb")) / (F.col("na") * F.col("nb")),
+            6,
+        ),
+    )
+    wc = Window.partitionBy("ia").orderBy(F.desc("cosine"), F.asc("ib"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= 10)
+        .select("ia", "ib", "hamming", "cosine", "rank")
+        .orderBy("ia", "rank")
     )

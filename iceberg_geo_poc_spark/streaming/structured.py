@@ -164,13 +164,17 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_append_to_table(spark: SparkSession, sf_dir: str, table) -> None:
     """Streaming sink: one engine-table snapshot per micro-batch epoch
-    (foreachBatch; the reference's asStreamingAppend equivalence)."""
+    (foreachBatch; the reference's asStreamingAppend equivalence).
+    Exactly-once: epochs commit through ``append_streaming`` keyed on
+    the checkpoint identity, so a replayed foreachBatch after a failure
+    is skipped instead of double-appended."""
     ev = load_stream(spark, sf_dir, "events")
+    query_id = f"ckpt:{table.location}/_stream_checkpoint"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.append(batch_df)
+        table.append_streaming(batch_df, query_id, epoch_id)
 
     q = (
         ev.writeStream.foreachBatch(sink)

@@ -826,6 +826,34 @@ class Table:
             append_entries=new,
         )
 
+    def append_streaming(
+        self, df: DataFrame, query_id: str, epoch_id: int
+    ) -> MD.Snapshot | None:
+        """Exactly-once streaming append: foreachBatch may REPLAY an
+        epoch after a failure (Structured Streaming's at-least-once
+        sink contract); the committed snapshot records (query-id,
+        epoch-id) in its summary and a replayed epoch is skipped — the
+        reference's SparkWrite streaming commits do the same via the
+        snapshot's epoch-id property.  Returns None on a skipped replay.
+        """
+        eid = str(int(epoch_id))
+        for s in self.meta.snapshots:
+            if (
+                s.summary.get("streaming.query-id") == query_id
+                and s.summary.get("streaming.epoch-id") == eid
+            ):
+                return None
+        new = self._write_files(df)
+        return self._commit(
+            "append",
+            summary={
+                "added-files": len(new),
+                "streaming.query-id": query_id,
+                "streaming.epoch-id": eid,
+            },
+            append_entries=new,
+        )
+
     def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
         """Full-table overwrite, or overwrite-by-filter (rows matching
         ``where`` are replaced by ``df``; reference SparkWrite.java:165-175

@@ -581,3 +581,26 @@ def test_changelog_eq_delete_visible(spark, catalog):
     )
     log = changelog(t, from_snapshot_id=base).collect()
     assert sorted(r.k for r in log if r._change_type == "delete") == [2, 7]
+
+
+def test_streaming_append_exactly_once_replay(spark, tmp_path):
+    """A replayed foreachBatch epoch (same query id + epoch id) must be
+    skipped, not double-appended — the reference's SparkWrite streaming
+    commits record the epoch id in the snapshot summary for exactly
+    this recovery case."""
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    t = cat.create_table("eo", "id BIGINT")
+    df = spark.range(10).select("id")
+    s1 = t.append_streaming(df, "q1", 0)
+    assert s1 is not None
+    t = cat.load_table("eo")
+    assert t.append_streaming(df, "q1", 0) is None  # replay skipped
+    t = cat.load_table("eo")
+    assert t.to_df().count() == 10
+    # a NEW epoch (and a different query) both commit
+    assert t.append_streaming(df, "q1", 1) is not None
+    t = cat.load_table("eo")
+    assert t.append_streaming(df, "q2", 0) is not None
+    assert cat.load_table("eo").to_df().count() == 30

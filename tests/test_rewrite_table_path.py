@@ -122,3 +122,33 @@ def test_sql_call_rewrite_table_path(spark, catalog, tmp_path):
     assert res["copied"] > 0
     moved = catalog.register_table("sqlmoved", tgt)
     assert moved.to_df().count() == 100
+
+
+def test_relocation_across_backends_posix_to_object_store(
+    spark, catalog, tmp_path
+):
+    """DR migration to a DIFFERENT storage backend: a posix table
+    relocated onto the mock object store through the FileIO seam; the
+    registered copy scans identically (driver-side Arrow read path)."""
+    import uuid as _uuid
+
+    import pyarrow.fs as pafs
+
+    from iceberg_geo_poc_spark.table.fileio import (
+        ArrowFSFileIO,
+        register_file_io,
+    )
+
+    t = _mk(spark, catalog, "xsrc")
+    t.delete(E.lt("id", 5), mode="merge-on-read")
+    t = catalog.load_table("xsrc")
+    scheme = f"xs{_uuid.uuid4().hex[:6]}"
+    register_file_io(f"{scheme}://", ArrowFSFileIO(pafs._MockFileSystem(), scheme))
+    # relocate INTO the destination catalog's warehouse (the realistic
+    # migration flow; posix register_table symlinks cannot span schemes)
+    dest_cat = Catalog(f"{scheme}://wh", spark)
+    tgt = f"{scheme}://wh/xmoved"
+    res = X.rewrite_table_path(t, tgt)
+    assert res["copied"] == len(res["plan"]) > 0
+    moved = dest_cat.load_table("xmoved")
+    assert sorted(r.id for r in moved.to_df().collect()) == list(range(5, 100))
