@@ -2202,6 +2202,140 @@ def managed_encrypted_dv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_datasource_write_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS total_price
+    FROM part WHERE p_size <= 25
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def managed_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITE path (the DSv2 SparkWrite.asBatchAppend
+    analogue, spark/.../source/SparkWrite.java): part flows in through
+    ``df.write.format("iceberg_geo_poc").save()`` — executors stream
+    Arrow batches into parquet + per-file stats, the driver commits a
+    fast-append WITHOUT a SparkSession (the append commit loop is pure
+    metadata) — then half the rows are appended in a second write, and
+    the result is read back through BOTH entry points (the engine scan
+    with a pruning predicate, and ``spark.read.format(...)``) which
+    must agree with each other and with plain SQL."""
+    from iceberg_geo_poc_spark.streaming.datasource import TableDataSource
+
+    def build(cat, tname):
+        spark.dataSource.register(TableDataSource)
+        t = cat.create_table(
+            tname,
+            "p_partkey BIGINT, p_brand STRING, p_size BIGINT, "
+            "p_retailprice DOUBLE",
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            "p_retailprice",
+        )
+        for half in (0, 1):
+            (
+                part.filter(F.col("p_partkey") % 2 == half)
+                .repartitionByRange(2, "p_size")
+                .write.format("iceberg_geo_poc")
+                .option("location", t.location)
+                .mode("append")
+                .save()
+            )
+        t = cat.load_table(tname)
+        assert len(t.meta.snapshots) == 2
+        assert t.meta.snapshots[-1].summary.get("writer") == "datasource"
+        # both read entry points agree on the count
+        via_ds = (
+            spark.read.format("iceberg_geo_poc")
+            .option("location", t.location)
+            .load()
+            .count()
+        )
+        assert via_ds == t.to_df().count()
+        return t
+
+    t = _managed(spark, sf_dir, "ds_write", build)
+    scan = t.scan(where=E.le("p_size", 25))
+    assert len(scan.files()) < scan.total_data_files(), "size scan did not prune"
+    return (
+        scan.to_df()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "managed_theta_sketch_ndv",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           true AS exact FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           true FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           true FROM orders
+    ORDER BY col
+    """,
+)
+def managed_theta_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE theta/KMV NDV sketches (table/theta.py; the reference
+    persists apache-datasketches-theta-v1 blobs via
+    ComputeTableStatsSparkAction): per-column sketches are built with
+    one codegen hash pass + per-partition k-smallest reduction, stored
+    as blobs in the snapshot's Puffin statistics file, and read back.
+    Below k the sketch is EXACT, so the oracle pins COUNT(DISTINCT)
+    equality; the query also proves the union law inline — sketches of
+    the two table halves merged equal the whole-table sketch (the
+    property the theta family exists for: stats compose without
+    re-reading data)."""
+    from iceberg_geo_poc_spark.table import statistics as ST
+    from iceberg_geo_poc_spark.table import theta as TH
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_custkey BIGINT, "
+            "o_orderstatus STRING, o_orderpriority STRING"
+        )
+        t.append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+            ).repartition(4)
+        )
+        t = cat.load_table(tname)
+        ST.compute_table_stats(
+            t,
+            columns=["o_custkey", "o_orderstatus", "o_orderpriority"],
+            with_sketches=True,
+            sketch_k=65536,
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "theta_ndv", build)
+    rows = []
+    df = t.to_df()
+    for c in ["o_custkey", "o_orderpriority", "o_orderstatus"]:
+        sk = ST.theta_sketch(t, c)
+        assert sk is not None and sk.is_exact, f"sketch for {c} not exact"
+        # union law: half-sketches merge to the whole
+        s1 = TH.column_sketch(df.filter("o_orderkey % 2 = 0"), c, k=65536)
+        s2 = TH.column_sketch(df.filter("o_orderkey % 2 = 1"), c, k=65536)
+        assert s1.union(s2).estimate() == sk.estimate(), f"union law broke for {c}"
+        rows.append((c, int(sk.estimate()), bool(sk.is_exact)))
+    return spark.createDataFrame(
+        rows, "col STRING, ndv BIGINT, exact BOOLEAN"
+    ).orderBy("col")
+
+
+@query(
     "managed_encrypted_key_rotation",
     oracle="""
     SELECT n_regionkey,

@@ -37,9 +37,11 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "iceberg_geo_poc"
@@ -194,10 +196,19 @@ class _BatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
-        mpath = os.path.join(self.location, by_id[cur]["manifest"])
-        t = pq.read_table(mpath, columns=["content", "file_path"])
-        contents = t.column("content").to_pylist()
-        if any(c in ("posdel", "eqdel") for c in contents):
+        snap = by_id[cur]
+        # fast-append snapshots carry a manifest LIST (delta manifests +
+        # parent reuse); the legacy "manifest" field holds only the delta
+        mpaths = snap.get("manifests") or [snap["manifest"]]
+        contents, files = [], []
+        for rel in mpaths:
+            t = pq.read_table(
+                os.path.join(self.location, rel),
+                columns=["content", "file_path"],
+            )
+            contents += t.column("content").to_pylist()
+            files += t.column("file_path").to_pylist()
+        if any(c in ("posdel", "eqdel", "dv") for c in contents):
             raise ValueError(
                 "batch DataSource read of a table with merge-on-read deletes: "
                 "use the engine scan API (Table.scan) which applies them"
@@ -205,7 +216,7 @@ class _BatchReader(DataSourceReader):
         pairs = _column_pairs(meta)
         return [
             _FilePartition(p, pairs)
-            for c, p in zip(contents, t.column("file_path").to_pylist())
+            for c, p in zip(contents, files)
             if c == "data" and os.path.exists(p)
         ]
 
@@ -234,8 +245,178 @@ class TableDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _BatchReader(self.options["location"])
 
+    def writer(self, schema, overwrite: bool):
+        """Batch write: ``df.write.format("iceberg_geo_poc")
+        .option("location", ...).mode("append"|"overwrite").save()`` —
+        executors write parquet + per-file stats, the driver commits a
+        fast-append (or full overwrite) through the engine commit loop.
+        Restrictions (use Table.append for these): geometry columns
+        (bbox metrics need the geo kernel) and partitioned tables
+        (DataSource tasks write unpartitioned files)."""
+        location = self.options["location"]
+        meta = _read_meta(location)
+        if meta.get("geo-fields"):
+            raise ValueError(
+                "DataSource writer does not handle geometry columns "
+                "(bbox metrics); use Table.append"
+            )
+        if meta.get("partition-spec"):
+            raise ValueError(
+                "DataSource writer does not handle partitioned tables; "
+                "use Table.append"
+            )
+        renames = meta.get("renames", {})
+        # name AND type must match: a silent int32 write into a BIGINT
+        # column would poison later vectorized reads
+        def _norm(t: str) -> str:
+            t = t.strip().lower().replace(" ", "")
+            return {"integer": "int", "long": "bigint"}.get(t, t)
+
+        declared = {}
+        for f in meta["schema-ddl"].split(","):
+            name, _, typ = f.strip().partition(" ")
+            declared[renames.get(name, name)] = _norm(typ)
+        got = {
+            f.name: _norm(f.dataType.simpleString()) for f in schema.fields
+        }
+        if set(got) != set(declared):
+            raise ValueError(
+                f"schema mismatch: table columns {sorted(declared)}, "
+                f"dataframe columns {sorted(got)}"
+            )
+        wrong = {
+            c: (got[c], declared[c]) for c in got if got[c] != declared[c]
+        }
+        if wrong:
+            raise ValueError(
+                f"type mismatch (dataframe vs table): {wrong}; cast the "
+                "dataframe to the table schema before writing"
+            )
+        physical_of = {lg: ph for ph, lg in renames.items()}
+        return _ArrowAppendWriter(location, physical_of, overwrite)
+
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(
             self.options.get("skip-non-append-snapshots", "false")
         ).lower() == "true"
         return _StreamReader(self.options["location"], skip_non_append=skip)
+
+
+# -- batch WRITE path ---------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, entry: dict):
+        self.entry = entry
+
+
+class _ArrowAppendWriter(DataSourceArrowWriter):
+    """Executor-side: each task streams its Arrow batches into ONE
+    parquet file under the table's data/ dir (no Spark-row loop, no
+    re-read: NaN counts tally from the batches in flight, min/max/null
+    stats harvest from the just-written footer — the same encodings
+    ``add_files`` produces).  Driver-side: ``commit`` appends the
+    collected entries through the engine's FAST-APPEND commit loop
+    (delta manifest + parent reuse, optimistic retry, row-lineage block
+    allocation) — the DataSource driver callbacks run without a
+    SparkSession, which is fine because the append commit path is pure
+    pandas/metadata.  ``abort`` deletes the staged files.
+
+    The reference's analogue is SparkWrite.asBatchAppend over DSv2
+    (spark/.../source/SparkWrite.java): executors write files + collect
+    metrics, the driver commits once.
+    """
+
+    def __init__(self, location: str, physical_of: dict, overwrite: bool):
+        self.location = location
+        self.physical_of = physical_of  # logical -> physical column name
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(
+            self.location, "data", f"ds-{_uuid.uuid4().hex}.parquet"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        writer = None
+        nan_counts: dict[str, int] = {}
+        n_rows = 0
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if self.physical_of:
+                tbl = tbl.rename_columns(
+                    [self.physical_of.get(c, c) for c in tbl.column_names]
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema)
+            for col in tbl.column_names:
+                f = tbl.schema.field(col)
+                if pa.types.is_floating(f.type):
+                    vals = tbl.column(col).to_numpy(zero_copy_only=False)
+                    nan_counts[col] = nan_counts.get(col, 0) + int(
+                        np.isnan(vals).sum()
+                    )
+            writer.write_table(tbl)
+            n_rows += len(tbl)
+        if writer is None:
+            return _FileCommit({})  # empty task
+        writer.close()
+        from iceberg_geo_poc_spark.table import manifest as M
+
+        record_count, file_size, lower, upper, nulls, *rest = (
+            M.harvest_footer_stats(path)
+        )
+        entry = {
+            "content": "data",
+            "file_path": path,
+            "file_size": file_size,
+            "record_count": record_count,
+            "partition": json.dumps({}),
+            "lower": json.dumps(lower),
+            "upper": json.dumps(upper),
+            "nulls": json.dumps(nulls),
+            "nans": json.dumps(nan_counts),
+            "bbox": json.dumps({}),
+        }
+        return _FileCommit(entry)
+
+    def commit(self, messages):
+        from iceberg_geo_poc_spark.table import manifest as M
+        from iceberg_geo_poc_spark.table import metadata as MD
+        from iceberg_geo_poc_spark.table.table import Table
+
+        entries = [m.entry for m in messages if m is not None and m.entry]
+        meta = MD.read_metadata(self.location)
+        t = Table(meta, spark=None)
+        if self.overwrite:
+            import pandas as pd
+
+            def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+                return M.entries_dataframe(
+                    [
+                        dict(e, sequence_number=seq, snapshot_id=0)
+                        for e in entries
+                    ]
+                )
+
+            t._commit(
+                "overwrite", build, {"replaced": "all", "writer": "datasource"}
+            )
+        else:
+            t._commit(
+                "append",
+                summary={"added-files": len(entries), "writer": "datasource"},
+                append_entries=entries,
+            )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and getattr(m, "entry", None):
+                p = m.entry.get("file_path")
+                if p and os.path.exists(p):
+                    os.remove(p)

@@ -859,7 +859,9 @@ def _call(catalog, proc: str, argstr: str):
         if isinstance(cols, str):
             cols = [c.strip() for c in cols.split(",") if c.strip()]
         return ST.compute_table_stats(
-            catalog.load_table(arg("table", 0)), columns=cols
+            catalog.load_table(arg("table", 0)),
+            columns=cols,
+            with_sketches=bool(arg("with_sketches", 2, False)),
         )
     if proc == "compute_partition_stats":
         from iceberg_geo_poc_spark.table import statistics as ST

@@ -70,12 +70,22 @@ def _stats_dir(table: Table) -> str:
 
 
 def compute_table_stats(
-    table: Table, columns: list[str] | None = None, rsd: float = 0.05
+    table: Table,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    with_sketches: bool = False,
+    sketch_k: int = 4096,
 ) -> dict:
     """Compute per-column NDV estimates + row count for the current
     snapshot, persist them as a statistics file, and register it in
     table metadata (replacing any prior stats for the same snapshot,
     per SetStatistics semantics).  Returns the registered entry.
+
+    ``with_sketches=True`` additionally persists a MERGEABLE theta/KMV
+    sketch blob per column (type ``theta-kmv-v1``, ``table/theta.py``)
+    — the reference's ``apache-datasketches-theta-v1`` posture: later
+    snapshots/partitions/tables union their sketches without
+    re-reading data, and the sketch is EXACT below its k.
     """
     snap = table.current_snapshot()
     if snap is None:
@@ -117,6 +127,33 @@ def compute_table_stats(
     payloads = [
         int(b["properties"]["ndv"]).to_bytes(8, "little") for b in blobs
     ]
+    if with_sketches:
+        from iceberg_geo_poc_spark.table import theta as TH
+
+        for c in cols:
+            sk = TH.column_sketch(df, c, k=sketch_k)
+            blob = {
+                "type": TH.THETA_BLOB_TYPE,
+                "columns": [c],
+                "snapshot-id": snap.snapshot_id,
+                "sequence-number": snap.sequence_number,
+                "properties": {
+                    "ndv": str(int(round(sk.estimate()))),
+                    "exact": str(sk.is_exact).lower(),
+                    "k": str(sketch_k),
+                },
+            }
+            blobs.append(blob)
+            puffin_blobs.append(
+                {
+                    "type": blob["type"],
+                    "fields": [col_pos.get(c, -1)],
+                    "snapshot-id": blob["snapshot-id"],
+                    "sequence-number": blob["sequence-number"],
+                    "properties": dict(blob["properties"], column=c),
+                }
+            )
+            payloads.append(sk.to_bytes())
     path = os.path.join(
         _stats_dir(table),
         f"{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.stats.puffin",
@@ -187,6 +224,37 @@ def ndv(table: Table, column: str, snapshot_id: int | None = None) -> int | None
             est = blob.get("properties", {}).get("ndv")
             if est is not None:
                 return int(est)
+    return None
+
+
+def theta_sketch(table: Table, column: str, snapshot_id: int | None = None):
+    """Load the registered theta/KMV sketch blob for ``column`` (see
+    ``compute_table_stats(with_sketches=True)``).  The blob is sliced
+    out of the Puffin statistics file by its (offset, length) — a
+    ranged read on stores that support it — and deserialized; returns
+    None when no sketch is registered."""
+    from iceberg_geo_poc_spark.table import fileio as FIO
+    from iceberg_geo_poc_spark.table import puffin as PF
+    from iceberg_geo_poc_spark.table import theta as TH
+
+    if snapshot_id is None:
+        snap = table.current_snapshot()
+        snapshot_id = snap.snapshot_id if snap else None
+    candidates = [
+        f for f in table.meta.statistics_files if f["snapshot-id"] == snapshot_id
+    ] or list(table.meta.statistics_files)
+    for f in reversed(candidates):
+        path = f["statistics-path"]
+        data = FIO.io_for(path).read_bytes(path)
+        footer, _ = PF.read_puffin(data)
+        for b in footer["blobs"]:
+            if (
+                b["type"] == TH.THETA_BLOB_TYPE
+                and b.get("properties", {}).get("column") == column
+            ):
+                return TH.ThetaSketch.from_bytes(
+                    data[b["offset"] : b["offset"] + b["length"]]
+                )
     return None
 
 
