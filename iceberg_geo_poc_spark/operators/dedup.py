@@ -684,3 +684,41 @@ def decontaminate_bloom(
         .select("doc_id", "contamination")
         .orderBy("doc_id")
     )
+
+
+def editdistance_verify_pairs(
+    docs: DataFrame, pairs: DataFrame, max_ratio: float = 0.4
+) -> DataFrame:
+    """Second-stage near-dup VERIFICATION by normalized edit distance:
+    ``levenshtein(a, b) / greatest(len(a), len(b)) <= max_ratio``.
+
+    Candidate generation (MinHash/SimHash) is order-insensitive —
+    shuffled word bags collide; edit distance is the order-SENSITIVE
+    check layered on top, and it is O(|a|*|b|) per pair, which is
+    exactly why it only ever runs on the CANDIDATE pairs, never
+    all-pairs.  Both the distance (Spark's JVM ``levenshtein``) and
+    the ratio arithmetic replicate exactly in DuckDB, so the verified
+    set is oracle-checkable.  -> (ia, ib, lev, ratio).
+    """
+    a = docs.select(
+        F.col("doc_id").alias("ia"), F.col("text").alias("__ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("ib"), F.col("text").alias("__tb")
+    )
+    return (
+        pairs.join(a, "ia")
+        .join(b, "ib")
+        .withColumn("lev", F.levenshtein("__ta", "__tb"))
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("lev")
+                / F.greatest(F.length("__ta"), F.length("__tb")),
+                6,
+            ),
+        )
+        .filter(F.col("ratio") <= max_ratio)
+        .select("ia", "ib", "lev", "ratio")
+        .orderBy("ia", "ib")
+    )

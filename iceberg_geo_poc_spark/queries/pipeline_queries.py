@@ -102,6 +102,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_editdistance_verify",
+    oracle=f"""
+    WITH cand AS ({_DUCK_EXACT_JACCARD}),
+    t AS (SELECT doc_id, text FROM documents)
+    SELECT c.ia, c.ib,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           ROUND(levenshtein(a.text, b.text)
+                 / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6) AS ratio
+    FROM cand c JOIN t a ON c.ia = a.doc_id JOIN t b ON c.ib = b.doc_id
+    WHERE levenshtein(a.text, b.text)
+          / GREATEST(LENGTH(a.text), LENGTH(b.text)) <= 0.4
+    ORDER BY c.ia, c.ib
+    """,
+)
+def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline with an ORDER-SENSITIVE verifier:
+    MinHash-LSH candidates (order-insensitive word bags) pass through a
+    normalized-edit-distance gate (levenshtein / max length <= 0.4) —
+    the O(|a|*|b|) distance runs ONLY on candidate pairs, never
+    all-pairs.  Spark's JVM levenshtein and DuckDB's agree exactly, so
+    the verified pair set hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).select("ia", "ib")
+    return dedup.editdistance_verify_pairs(docs, pairs, max_ratio=0.4)
+
+
 def _duck_simhash_sql(top_k: int = 20) -> str:
     h = duckdb_hash60("w")
     ones = ",\n         ".join(

@@ -2202,6 +2202,89 @@ def managed_encrypted_dv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_sketch_join_estimate",
+    oracle="""
+    WITH l AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+    r AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+    s AS (SELECT
+      (SELECT COUNT(*) FROM l) AS n_l,
+      (SELECT COUNT(*) FROM r) AS n_r,
+      (SELECT COUNT(DISTINCT k) FROM l) AS ndv_l,
+      (SELECT COUNT(DISTINCT k) FROM r) AS ndv_r,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT k FROM l INTERSECT SELECT DISTINCT k FROM r)) AS common,
+      (SELECT COUNT(*) FROM l JOIN r USING (k)) AS actual)
+    SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+           CAST(ndv_l AS BIGINT) AS ndv_left, CAST(ndv_r AS BIGINT) AS ndv_right,
+           CAST(common AS BIGINT) AS common_keys,
+           ROUND(n_l * 1.0 / ndv_l * n_r / ndv_r * common, 2) AS predicted_rows,
+           CAST(actual AS BIGINT) AS actual_rows
+    FROM s
+    """,
+)
+def managed_sketch_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-cardinality estimation (the CBO input the
+    reference feeds Spark through SetStatistics NDVs, upgraded by theta
+    INTERSECTION — table/join_planning.py::estimate_join_cardinality):
+    two managed tables register theta sketches on their join key; the
+    planner's ndv / common-key / predicted-row numbers must equal the
+    EXACT SQL aggregates (below-k sketches are exact, and intersection
+    of exact sketches is exact), pinning that the estimator's inputs —
+    not just its formula — are faithful.  actual_rows is returned
+    alongside so the driver row also witnesses the true join size the
+    estimate is for."""
+    from iceberg_geo_poc_spark.table import join_planning as JP
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    def build(cat, tname):
+        l = cat.create_table(tname, "k BIGINT")
+        l.append(
+            load_table(spark, sf_dir, "orders")
+            .filter("o_orderkey % 3 = 0")
+            .select(F.col("o_custkey").alias("k"))
+        )
+        r = cat.create_table(tname + "_r", "k BIGINT")
+        r.append(
+            load_table(spark, sf_dir, "customer")
+            .filter("c_custkey % 2 = 0")
+            .select(F.col("c_custkey").alias("k"))
+        )
+        ST.compute_table_stats(
+            cat.load_table(tname), columns=["k"],
+            with_sketches=True, sketch_k=65536,
+        )
+        ST.compute_table_stats(
+            cat.load_table(tname + "_r"), columns=["k"],
+            with_sketches=True, sketch_k=65536,
+        )
+        return cat.load_table(tname)
+
+    l = _managed(spark, sf_dir, "sketch_join", build)
+    # the right table lives beside the left in the managed catalog dir
+    from iceberg_geo_poc_spark.table import metadata as MD
+
+    rt = type(l)(MD.read_metadata(l.location + "_r"), spark)
+    est = JP.estimate_join_cardinality(l, rt, "k")
+    assert est is not None and est["exact"], "sketches must be exact here"
+    actual = l.to_df().join(rt.to_df(), "k").count()
+    return spark.createDataFrame(
+        [
+            (
+                JP.estimate_row_count(l),
+                JP.estimate_row_count(rt),
+                int(est["ndv_left"]),
+                int(est["ndv_right"]),
+                int(est["common_keys"]),
+                round(est["rows"], 2),
+                actual,
+            )
+        ],
+        "n_left BIGINT, n_right BIGINT, ndv_left BIGINT, ndv_right BIGINT, "
+        "common_keys BIGINT, predicted_rows DOUBLE, actual_rows BIGINT",
+    )
+
+
+@query(
     "managed_datasource_write_roundtrip",
     oracle="""
     SELECT p_brand,

@@ -71,3 +71,40 @@ def stats_aware_join(
         else:
             ldf = F.broadcast(ldf)
     return ldf.join(rdf, on=on, how=how)
+
+
+def estimate_join_cardinality(
+    left: Table, right: Table, column: str
+) -> dict | None:
+    """Predicted equi-join output rows from registered THETA sketches
+    (table/theta.py; compute_table_stats(with_sketches=True)) — the CBO
+    estimate the reference feeds Spark via SetStatistics NDVs, upgraded
+    by the sketch INTERSECTION: instead of assuming key containment
+    (|join| = n_l * n_r / max(ndv)), the matching-key count comes from
+    |sketch_l ∩ sketch_r|, so disjoint or partially-overlapping key
+    domains estimate correctly.
+
+    |join| ≈ (n_l / ndv_l) * (n_r / ndv_r) * |keys_l ∩ keys_r|
+
+    (uniform key-frequency assumption, the standard CBO model; EXACT
+    when both sketches are exact and frequencies are uniform.)  Returns
+    None when either side lacks a registered sketch."""
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    sl = ST.theta_sketch(left, column)
+    sr = ST.theta_sketch(right, column)
+    if sl is None or sr is None:
+        return None
+    ndv_l, ndv_r = sl.estimate(), sr.estimate()
+    if ndv_l == 0 or ndv_r == 0:
+        return {"rows": 0.0, "common_keys": 0.0, "exact": True}
+    common = sl.estimate_intersection(sr)
+    n_l, n_r = estimate_row_count(left), estimate_row_count(right)
+    rows = (n_l / ndv_l) * (n_r / ndv_r) * common
+    return {
+        "rows": rows,
+        "common_keys": common,
+        "ndv_left": ndv_l,
+        "ndv_right": ndv_r,
+        "exact": sl.is_exact and sr.is_exact,
+    }

@@ -182,6 +182,39 @@ def dispatch_sql(catalog, text: str):
             [(n,) for n in catalog.list_tables()], "tableName STRING"
         )
     m = re.match(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<table>[\w.]+)\s*;?\s*$", text, re.I
+    )
+    if m:
+        t = catalog.load_table(m.group("table"))
+        parts = [f"CREATE TABLE {m.group('table')} ("]
+        fields = []
+        for f in _ddl_fields_of(t.schema_ddl()):
+            name, typ = f.strip().split(None, 1)
+            if name in t.geo_fields:
+                typ = f"{typ} /* geometry({t.geo_fields[name]}) */"
+            fields.append(f"  {name} {typ}")
+        parts.append(",\n".join(fields))
+        parts.append(")")
+        if t.partition_fields:
+            specs = ", ".join(
+                pf.to_json()["transform"].replace("[", "(").replace("]", ")")
+                + f" OF {pf.source}"
+                if pf.transform.name != "identity"
+                else pf.source
+                for pf in t.partition_fields
+            )
+            parts.append(f"PARTITIONED BY ({specs})")
+        props = {
+            k: v for k, v in sorted(t.meta.properties.items())
+        }
+        if props:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+            parts.append(f"TBLPROPERTIES ({kv})")
+        stmt = "\n".join(parts)
+        return catalog.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt STRING"
+        )
+    m = re.match(
         r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>[\w.]+)\s*;?\s*$", text, re.I
     )
     if m:
@@ -867,6 +900,22 @@ def _call(catalog, proc: str, argstr: str):
         from iceberg_geo_poc_spark.table import statistics as ST
 
         return ST.compute_partition_stats(catalog.load_table(arg("table", 0)))
+    if proc == "create_changelog_view":
+        # reference CreateChangelogViewProcedure: register the row-level
+        # diff as a Spark temp view for plain spark.sql consumers
+        from iceberg_geo_poc_spark.streaming import incremental as INC
+
+        t = catalog.load_table(arg("table", 0))
+        start = kw.get("start_snapshot_id")
+        end = kw.get("end_snapshot_id")
+        df = INC.changelog(
+            t,
+            from_snapshot_id=int(start) if start is not None else None,
+            to_snapshot_id=int(end) if end is not None else None,
+        )
+        view = str(arg("changelog_view", 1, f"{arg('table', 0)}_changes"))
+        df.createOrReplaceTempView(view)
+        return df
     if proc == "rewrite_table_path":
         return X.rewrite_table_path(
             catalog.load_table(arg("table", 0)),

@@ -94,6 +94,24 @@ class ThetaSketch:
             return ThetaSketch(self.k, theta, merged)
         return ThetaSketch(self.k, int(merged[self.k]), merged[: self.k])
 
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Intersection sketch (DataSketches a-n-b/intersection shape):
+        common hashes below min(theta); the estimate divides by the
+        shared theta fraction.  EXACT when both inputs are exact."""
+        if self.k != other.k:
+            raise ValueError("cannot intersect sketches with different k")
+        theta = min(self.theta, other.theta)
+        common = np.intersect1d(self.hashes, other.hashes)
+        if theta < 2**64:
+            common = common[common < np.uint64(theta)]
+        return ThetaSketch(self.k, theta, common)
+
+    def estimate_intersection(self, other: "ThetaSketch") -> float:
+        inter = self.intersect(other)
+        if inter.theta == 2**64:
+            return float(len(inter.hashes))
+        return len(inter.hashes) / (inter.theta / _M)
+
     # -- serialization ---------------------------------------------------
     def to_bytes(self) -> bytes:
         return (

@@ -487,3 +487,42 @@ def test_call_convert_position_deletes_to_dvs(spark, catalog):
     assert (ent.content == "posdel").sum() == 0
     assert (ent.content == "dv").sum() >= 1
     assert sorted(r.a for r in t.to_df().collect()) == list(range(5, 20))
+
+
+def test_show_create_table(spark, catalog):
+    from iceberg_geo_poc_spark.table.sql import dispatch_sql
+
+    catalog.create_table(
+        "sct",
+        "id BIGINT, geom BINARY, d DATE",
+        partition_by=[("d", "day"), ("id", "bucket[8]")],
+        geometry_columns={"geom": "wkb"},
+        properties={"write.distribution-mode": "hash"},
+    )
+    row = dispatch_sql(catalog, "SHOW CREATE TABLE sct").collect()[0]
+    stmt = row["createtab_stmt"]
+    assert stmt.startswith("CREATE TABLE sct (")
+    assert "id BIGINT" in stmt and "geometry(wkb)" in stmt
+    assert "PARTITIONED BY" in stmt and "bucket(8) OF id" in stmt
+    assert "'write.distribution-mode' = 'hash'" in stmt
+
+
+def test_call_create_changelog_view(spark, catalog):
+    from iceberg_geo_poc_spark.table import E
+    from iceberg_geo_poc_spark.table.sql import dispatch_sql
+
+    t = catalog.create_table("clv", "id BIGINT")
+    t.append(spark.range(20).select("id"))
+    t.delete(E.lt("id", 5))
+    df = dispatch_sql(
+        catalog,
+        "CALL system.create_changelog_view(table => 'clv', "
+        "changelog_view => 'clv_changes')",
+    )
+    assert set(df.columns) >= {"_change_type", "_commit_snapshot_id"}
+    # the registered Spark temp view serves plain spark.sql
+    got = spark.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM clv_changes GROUP BY 1"
+    ).collect()
+    counts = {r["_change_type"]: r["n"] for r in got}
+    assert counts.get("insert", 0) >= 20 and counts.get("delete", 0) == 5

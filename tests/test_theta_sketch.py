@@ -104,3 +104,56 @@ def test_column_sketch_spark_and_persistence(spark, tmp_path):
     s1 = TH.column_sketch(df.filter("id % 2 = 0"), "grp", k=4096)
     s2 = TH.column_sketch(df.filter("id % 2 = 1"), "grp", k=4096)
     assert s1.union(s2).estimate() == 137
+
+
+def test_intersection_estimator():
+    k = 1024
+    a = _hashes(200_000, 10)
+    b = np.concatenate([a[:100_000], _hashes(150_000, 11)])
+    sa = TH.ThetaSketch.from_hashes(a, k=k)
+    sb = TH.ThetaSketch.from_hashes(b, k=k)
+    true_common = len(np.intersect1d(np.unique(a), np.unique(b)))
+    est = sa.estimate_intersection(sb)
+    # intersection error is looser than union (fewer retained samples);
+    # allow 15% at this overlap ratio
+    assert abs(est - true_common) / true_common < 0.15
+    # exact sketches intersect exactly
+    s1 = TH.ThetaSketch.from_hashes(_hashes(500, 12), k=4096)
+    s2 = TH.ThetaSketch.from_hashes(
+        np.concatenate([s1.hashes[:200], _hashes(300, 13)]), k=4096
+    )
+    want = len(np.intersect1d(s1.hashes, s2.hashes))
+    assert s1.estimate_intersection(s2) == want
+
+
+def test_join_cardinality_estimate_exact_uniform(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table import Catalog
+    from iceberg_geo_poc_spark.table import join_planning as JP
+    from iceberg_geo_poc_spark.table import statistics as ST
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    # A: keys 0..999 x4 copies; B: keys 500..1499 x2; common = 500
+    a = cat.create_table("ja", "k BIGINT, i BIGINT")
+    a.append(
+        spark.range(4000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("i")
+        )
+    )
+    b = cat.create_table("jb", "k BIGINT, i BIGINT")
+    b.append(
+        spark.range(2000).select(
+            (F.col("id") % 1000 + 500).alias("k"), F.col("id").alias("i")
+        )
+    )
+    a, b = cat.load_table("ja"), cat.load_table("jb")
+    ST.compute_table_stats(a, columns=["k"], with_sketches=True)
+    ST.compute_table_stats(b, columns=["k"], with_sketches=True)
+    a, b = cat.load_table("ja"), cat.load_table("jb")
+    est = JP.estimate_join_cardinality(a, b, "k")
+    assert est is not None and est["exact"]
+    assert est["common_keys"] == 500
+    actual = a.to_df().join(b.to_df().select("k"), "k").count()
+    assert actual == 500 * 4 * 2
+    assert est["rows"] == actual
