@@ -153,6 +153,40 @@ def temperature_mixture_sample(
     return stratified_sample(df, key, domain_col, fractions)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws u from its deterministic hash and scores
+    ``u ** (1/w)``; the k LARGEST scores win — inclusion probability is
+    proportional to weight, one pass, no replacement bookkeeping.
+
+    Deterministic u (the md5 hash gate, same as deterministic_sample)
+    makes the chosen set reproducible and cross-engine checkable; the
+    score is rounded before ranking (ties broken by key) so double-pow
+    ulp differences between engines cannot flip the order.  Shape: one
+    codegen projection + one top-k (TakeOrdered) — at 100 TB only k
+    rows survive to the driver/shuffle.
+    """
+    from iceberg_geo_poc_spark.operators.hashing import spark_hash60
+
+    h = spark_hash60(f"CAST({key} AS STRING)")
+    u = f"(({h}) % {RATE_DENOM}) / CAST({RATE_DENOM} AS DOUBLE)"
+    score = F.round(
+        F.expr(f"power({u}, 1.0 / {weight_col})"), round_digits
+    )
+    return (
+        df.withColumn("__score", score)
+        .orderBy(F.desc("__score"), F.asc(key))
+        .limit(k)
+        .drop("__score")
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key: str,

@@ -2737,6 +2737,37 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_aes",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ROUND(POW((({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000)
+                       / 10000.0, 1.0 / n_chars), 12) AS score
+      FROM documents),
+    top AS (SELECT doc_id, n_chars FROM s
+            ORDER BY score DESC, doc_id LIMIT 50)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM top ORDER BY doc_id
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): inclusion probability proportional to document LENGTH —
+    score = u^(1/n_chars) from the deterministic hash, top-50 win.  One
+    codegen projection + one TakeOrdered; the oracle replays the exact
+    hash/pow/round chain, so the chosen SET (not just its size)
+    matches."""
+    from iceberg_geo_poc_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", k=50)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "sample_temperature_mixture",
     oracle=f"""
     WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

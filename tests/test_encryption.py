@@ -307,3 +307,32 @@ def test_rotate_encryption_key(spark):
     # idempotent re-run
     rotate_encryption_key(wh + "/", new_key)
     assert cat.load_table("r").to_df().count() == 80
+
+
+def test_gcm_stream_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    gcm = AesGcm(b"\x05" * 16)
+
+    @given(
+        st.binary(max_size=4096),
+        st.integers(min_value=1, max_value=1500),
+        st.binary(max_size=8),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(pt, block, aad):
+        sealed = gcm.seal_stream(pt, aad, block_size=block)
+        assert gcm.open_stream(sealed, aad) == pt
+        if len(pt) >= 2:
+            mid = len(pt) // 2
+            assert gcm.open_stream_range(sealed, mid, len(pt) - mid, aad) == pt[mid:]
+        # wrong aad fails closed
+        if pt:
+            try:
+                gcm.open_stream(sealed, aad + b"x")
+                raise AssertionError("wrong AAD accepted")
+            except ValueError:
+                pass
+
+    check()

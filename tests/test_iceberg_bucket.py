@@ -183,3 +183,38 @@ def test_add_files_rejects_multi_tuple_file(catalog, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="spans"):
         catalog.add_files("bad", paths, derive_partition_values=True)
+
+
+# -- property tests (hypothesis) ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_prop_long_hash_matches_vectorized(v):
+    import struct
+
+    assert B.murmur3_long_vec(np.array([v]))[0] == B.murmur3_x86_32(
+        struct.pack("<q", v), 0
+    )
+
+
+@given(st.integers(min_value=-(10**30), max_value=10**30))
+@settings(max_examples=200, deadline=None)
+def test_prop_decimal_serialization_minimal_and_roundtrips(unscaled):
+    b = B.serialize_single(unscaled, "decimal")
+    # minimal two's complement: round-trips and has no redundant byte
+    assert int.from_bytes(b, "big", signed=True) == unscaled
+    if len(b) > 1:
+        shorter = b[1:]
+        assert int.from_bytes(shorter, "big", signed=True) != unscaled
+
+
+@given(st.text(max_size=40), st.integers(min_value=1, max_value=1024))
+@settings(max_examples=200, deadline=None)
+def test_prop_bucket_value_range_and_determinism(s, n):
+    v = B.bucket_value(s, "string", n)
+    assert 0 <= v < n
+    assert v == B.bucket_value(s, "string", n)
