@@ -266,6 +266,29 @@ def resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[yi][:, xi]
 
 
+def resize_box(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Area-average (box filter) DOWNSAMPLE: each output pixel is the
+    round-half-up mean of its source block — the antialiased thumbnail
+    path (nearest-neighbor aliases high-frequency content, which
+    perceptual hashing and vision preprocessing both care about).
+    Exact integer arithmetic end to end (block sums via
+    np.add.reduceat, +count//2 before the divide), so results are
+    bit-deterministic across platforms.  Upsampling falls back to
+    nearest (a box filter cannot invent pixels)."""
+    h, w = arr.shape[:2]
+    if height > h or width > w:
+        return resize_nn(arr, width, height)
+    ys = (np.arange(height + 1) * h) // height
+    xs = (np.arange(width + 1) * w) // width
+    a = arr.astype(np.int64)
+    rows = np.add.reduceat(a, ys[:-1], axis=0)
+    cells = np.add.reduceat(rows, xs[:-1], axis=1)
+    counts = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(np.int64)
+    if a.ndim == 3:
+        counts = counts[..., None]
+    return ((cells + counts // 2) // counts).astype(np.uint8)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Mono int16 PCM -> RIFF WAV."""
     data = np.asarray(samples, dtype="<i2").tobytes()
@@ -624,20 +647,26 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, method: str = "nearest"
+) -> DataFrame:
     """REAL image resize over mapInPandas: decode each payload (PPM or
-    BMP) to a pixel array, nearest-neighbor resize in numpy, re-encode
-    canonically as PPM, report its md5.  The emitted width/height come
+    BMP) to a pixel array, resize in numpy (``method``: "nearest" index
+    mapping or "box" area-average antialiasing), re-encode canonically
+    as PPM, report its md5.  The emitted width/height come
     from the DECODED array shape — not the metadata columns — so a green
     oracle row proves the decode actually ran.  Narrow per-partition
     map, Arrow both ways, no shuffle."""
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = resize_nn if method == "nearest" else resize_box
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, md5s = [], [], []
             for payload, fmt in zip(pdf["payload"], pdf["format"]):
                 arr = decode_image(payload, fmt)
-                out = resize_nn(arr, width, height)
+                out = kernel(arr, width, height)
                 h, w = arr.shape[:2]
                 ws.append(w)
                 hs.append(h)

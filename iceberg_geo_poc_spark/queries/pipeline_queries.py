@@ -760,6 +760,71 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_box",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(8 AS INT) AS new_width, CAST(6 AS INT) AS new_height,
+           md5('P6' || chr(10) || '8 6' || chr(10) || '255' || chr(10) ||
+               repeat(
+                 chr(CAST(FLOOR((32 + doc_id % 95
+                                 + 32 + (doc_id * 11) % 95 + 1) / 2) AS INT))
+                 || chr(CAST(FLOOR((32 + (doc_id * 7) % 95
+                                 + 32 + (doc_id * 17) % 95 + 1) / 2) AS INT))
+                 || chr(CAST(FLOOR((32 + (doc_id * 13) % 95
+                                 + 32 + (doc_id * 23) % 95 + 1) / 2) AS INT)),
+                 48)) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-AVERAGE (box filter) image downsampling — the antialiased
+    thumbnail path: 16x12 images whose ROWS ALTERNATE between two
+    doc-derived colors A and B downsample 2x; every output pixel
+    averages a 2x2 block of 2 A- and 2 B-pixels, so the expected pixel
+    is the round-half-up channel mean FLOOR((a+b+1)/2) — the oracle
+    recomputes the exact averaged PPM bytes, proving the integer
+    averaging math (a nearest-neighbor resize would emit pure A or
+    pure B and hash-mismatch)."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _striped(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = np.array(
+                    [32 + d % 95, 32 + (d * 7) % 95, 32 + (d * 13) % 95],
+                    np.uint8,
+                )
+                b = np.array(
+                    [32 + (d * 11) % 95, 32 + (d * 17) % 95, 32 + (d * 23) % 95],
+                    np.uint8,
+                )
+                img = np.empty((12, 16, 3), np.uint8)
+                img[0::2] = a
+                img[1::2] = b
+                payloads.append(multimodal.encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "ppm",
+                }
+            )
+
+    media = docs.mapInPandas(
+        _striped, "doc_id LONG, payload BINARY, format STRING"
+    )
+    return multimodal.resize_images(media, 8, 6, method="box")
+
+
+@query(
     "multimodal_jpeg_roundtrip",
     oracle="""
     SELECT doc_id,

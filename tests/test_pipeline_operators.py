@@ -674,3 +674,36 @@ def test_semantic_dedup_kept_set_is_independent(emb):
         .count()
     )
     assert bad == 0
+
+
+def test_resize_box_hand_computed_and_invariants():
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import (
+        resize_box,
+        resize_nn,
+    )
+
+    # hand-computed 4x4 -> 2x2: each output = round-half-up mean of its
+    # 2x2 block
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_box(g[..., None], 2, 2)[..., 0]
+    # blocks: [[0,1,4,5],[2,3,6,7],[8,9,12,13],[10,11,14,15]]
+    assert out.tolist() == [[3, 5], [11, 13]]
+    # constant image stays constant at any size
+    c = np.full((10, 7, 3), 117, np.uint8)
+    assert (resize_box(c, 3, 4) == 117).all()
+    # mean preservation within rounding for uniform gradients
+    grad = np.tile(np.arange(64, dtype=np.uint8), (64, 1))[..., None]
+    small = resize_box(grad, 8, 8)
+    assert abs(float(small.mean()) - float(grad.mean())) < 1.0
+    # box beats nearest on aliasing: a 1px-period checkerboard averages
+    # to mid-gray under box, but nearest picks one phase
+    cb = np.indices((32, 32)).sum(axis=0) % 2 * 255
+    bb = resize_box(cb.astype(np.uint8)[..., None], 16, 16)
+    nn = resize_nn(cb.astype(np.uint8)[..., None], 16, 16)
+    assert 120 <= float(bb.mean()) <= 135
+    assert float(nn.mean()) in (0.0, 255.0)
+    # upsampling falls back to nearest
+    up = resize_box(np.full((2, 2, 3), 9, np.uint8), 4, 4)
+    assert up.shape == (4, 4, 3) and (up == 9).all()
