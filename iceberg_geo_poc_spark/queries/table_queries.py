@@ -2832,6 +2832,55 @@ def sql_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_ctas_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sup,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier WHERE s_acctbal > 1000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT through the SQL dispatcher (the statement
+    the reference gets from Spark's native CTAS planning over its DSv2
+    catalog): the SELECT runs through the dispatcher's own engine-table
+    SELECT path, the new table's schema is inferred from the result,
+    and the materialized table is a full citizen (snapshots, scans,
+    further DML).  The grouped read-back must equal plain SQL."""
+
+    def build(cat, tname):
+        src = cat.create_table(
+            tname,
+            "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE",
+        )
+        src.append(
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey", "s_acctbal"
+            )
+        )
+        cat.sql(
+            f"CREATE TABLE {tname}_flt AS "
+            f"SELECT s_nationkey, s_acctbal FROM {tname} "
+            f"WHERE s_acctbal > 1000"
+        )
+        t = cat.load_table(tname + "_flt")
+        assert len(t.meta.snapshots) == 1
+        return t
+
+    t = _managed(spark, sf_dir, "ctas", build)
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "managed_metrics_truncate_scan",
     oracle="""
     SELECT source,

@@ -167,6 +167,9 @@ def dispatch_sql(catalog, text: str):
     m = _UPDATE_RE.match(text)
     if m:
         return _update(catalog, m)
+    m = _CTAS_RE.match(text)
+    if m:
+        return _ctas(catalog, m)
     m = _CREATE_RE.match(text)
     if m:
         return _create(catalog, m)
@@ -274,6 +277,44 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
     re.I,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\)\s*)?"
+    r"AS\s+(?P<body>(?:SELECT|WITH)\b.*)$",
+    re.I | re.S,
+)
+
+
+def _ctas(catalog, m):
+    """CREATE TABLE ... AS SELECT: run the SELECT through the dispatcher,
+    derive the DDL from the result schema, create, and append — the
+    statement the reference gets from Spark's native CTAS planning over
+    its DSv2 catalog."""
+    name = m.group("table")
+    if catalog.table_exists(name):
+        if re.search(r"IF\s+NOT\s+EXISTS", m.group(0), re.I):
+            return catalog.load_table(name)
+        raise SqlError(f"table {name} already exists")
+    df = _select(catalog, m.group("body"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields
+    )
+    partition_by = None
+    if m.group("parts"):
+        partition_by = [_partition_term(p) for p in _split_args(m.group("parts"))]
+    properties = {}
+    if m.group("props"):
+        for kv in _split_args(m.group("props")):
+            km = re.match(r"^'([^']*)'\s*=\s*'([^']*)'$", kv.strip())
+            if not km:
+                raise SqlError(f"cannot parse table property {kv!r}")
+            properties[km.group(1)] = km.group(2)
+    t = catalog.create_table(
+        name, ddl, partition_by=partition_by, properties=properties or None
+    )
+    t.append(df)
+    return catalog.load_table(name)
 
 
 def _insert(catalog, m):

@@ -526,3 +526,38 @@ def test_call_create_changelog_view(spark, catalog):
     ).collect()
     counts = {r["_change_type"]: r["n"] for r in got}
     assert counts.get("insert", 0) >= 20 and counts.get("delete", 0) == 5
+
+
+def test_create_table_as_select(spark, catalog):
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table.sql import dispatch_sql
+
+    t = catalog.create_table("src_ctas", "id BIGINT, v DOUBLE")
+    t.append(
+        spark.range(100).select("id", (F.col("id") * 2.0).alias("v"))
+    )
+    out = dispatch_sql(
+        catalog,
+        "CREATE TABLE ctas_t AS SELECT id, v FROM src_ctas WHERE id < 40",
+    )
+    assert out.to_df().count() == 40
+    # schema inferred from the SELECT result
+    assert "id BIGINT" in out.schema_ddl() and "v DOUBLE" in out.schema_ddl()
+    # snapshot machinery fully live on the new table
+    out.append(spark.createDataFrame([(1000, 0.0)], "id BIGINT, v DOUBLE"))
+    assert catalog.load_table("ctas_t").to_df().count() == 41
+    # partitioned CTAS
+    dispatch_sql(
+        catalog,
+        "CREATE TABLE ctas_p PARTITIONED BY (bucket(4, id)) "
+        "AS SELECT id, v FROM src_ctas",
+    )
+    tp = catalog.load_table("ctas_p")
+    assert tp.to_df().count() == 100 and tp.partition_fields
+    # IF NOT EXISTS is a no-op on an existing table
+    again = dispatch_sql(
+        catalog,
+        "CREATE TABLE IF NOT EXISTS ctas_t AS SELECT id, v FROM src_ctas",
+    )
+    assert again.to_df().count() == 41
