@@ -23,6 +23,7 @@ import json
 import os
 import time
 
+import pandas as pd
 import pyspark.sql.functions as F
 
 from iceberg_geo_poc_spark.registry import all_queries
@@ -52,8 +53,8 @@ BENCH_QUERIES = [
     # DVs (the broadcast case) decode DRIVER-side (one FileIO read +
     # numpy roaring decode, deletion_vectors.dv_deletes_local) so no
     # Python-worker stage runs; huge DVs fan out via mapInPandas.
-    # Contract: dv_read <= mor_read (decoded positions skip the
-    # delete-parquet scan mor_read pays); measured r7: 0.35 s vs 0.50 s.
+    # CONTRACT (driver-run): dv_read <= mor_read (decoded positions skip
+    # the delete-parquet scan mor_read pays).  Driver r7: 0.396 vs 0.467.
     ("dv_read", "managed_dv_delete"),
     # polygon x polygon spatial join: the non-point kernel workload
     ("geo_poly_join", "geo_polygon_join_counts"),
@@ -63,16 +64,75 @@ BENCH_QUERIES = [
     # MIXED-vertex-count polygon join: same geometry as the diamond join
     # but ragged WKB, so the kernel takes _polys_packed_ragged.
     # CONTRACT (driver-run ratio, the only stable measurement): ragged
-    # <= 1.8x diamond.  The driver's own bench measured 1.63x (r5) and
-    # 1.71x (r6); single-session quiet-host runs swing 1.29x-1.37x, so
-    # the driver bound is the honest one.  Micro-profile attribution:
-    # the delta is genuine extra edge work in the subdivided rows (avg
-    # vertex counts 1.4x/1.8x of the diamond dataset), not raggedness
-    # overhead in the pack (pack cost scales with vertex bytes).
+    # <= 1.8x diamond.  Driver history: 1.63x (r5), 1.71x (r6), 2.01x
+    # (r7, VIOLATED) — the drift was genuine extra edge work in the
+    # subdivided rows (pair predicates are O(v*e + e*e), so k-fold
+    # subdivision costs ~k^2 downstream).  Since r8 the ragged pack
+    # drops collinear on-chord vertices before the predicate stages
+    # (geo/functions.py::_drop_collinear_vertices), collapsing each
+    # subdivided diamond back to 4 edges: the remaining ragged-vs-
+    # uniform delta is the cursor-machine pack walk only.
     ("geo_ragged_join", "geo_ragged_poly_join_counts"),
     # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
     ("lm_perplexity", "text_lm_perplexity"),
 ]
+
+
+def _calibration_probe(spark) -> dict:
+    """Fixed-work host-noise calibration (VERDICT r7 task #3).
+
+    Two constant pure-Spark workloads, independent of SF_DIR and of any
+    engine code, timed with the same 1-warm-up + median-of-3 posture as
+    the headline queries:
+
+    - ``jvm_sec``: codegen + one shuffle — spark.range(20M) hashed to
+      997 keys, groupBy sum/avg/count.  Tracks JVM/CPU/scheduler speed.
+    - ``pyworker_sec``: Arrow round-trip + numpy — a pandas UDF summing
+      a float column over spark.range(2M).  Tracks Python-worker fork /
+      Arrow IPC / numpy speed (half the headline queries are
+      pandas-UDF-bound, and JVM and py-worker noise are independent).
+
+    A round-over-round query delta that matches the probes' delta is
+    host noise; a delta the probes don't show is a real regression.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _probe_mul(v: pd.Series) -> pd.Series:
+        return v * 1.0000001
+
+    def jvm_work():
+        return (
+            spark.range(20_000_000)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v"), F.avg("v"), F.count(F.lit(1)))
+            .collect()
+        )
+
+    def py_work():
+        return (
+            spark.range(2_000_000)
+            .select((F.col("id") % 65536).cast("double").alias("x"))
+            .select(_probe_mul(F.col("x")).alias("y"))
+            .agg(F.sum("y"))
+            .collect()
+        )
+
+    out = {}
+    for key, work in (("jvm_sec", jvm_work), ("pyworker_sec", py_work)):
+        work()  # warm-up
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            work()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        out[key] = round(runs[1], 3)
+    return out
 
 
 def _stats_fastpath_ratio(spark) -> dict:
@@ -265,6 +325,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # fixed-work host-noise calibration (not in the total): compare
+    # probe deltas across rounds before reading query deltas as real
+    out["calibration_probe"] = _calibration_probe(spark)
     # stats-only agg vs forced full scan of the same managed table — the
     # >=100x evidence BASELINE.md asks for (extra key; not in the total)
     ratio = _stats_fastpath_ratio(spark)

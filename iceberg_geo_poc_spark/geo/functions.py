@@ -728,9 +728,72 @@ def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None"
     keep = np.ones(len(u8), dtype=bool)
     keep[_ranges(np.concatenate(hdr_start_l), np.concatenate(hdr_len_l))] = False
     coords = u8[keep].view("<f8").reshape(-1, 2)
+    # Ragged batches are where subdivided (collinear-vertex) geometries
+    # live — the uniform fast path never sees mixed byte lengths.  Drop
+    # redundant on-edge vertices BEFORE the predicate stages: every pair
+    # predicate is O(v_a x e_b + e_a x e_b), so a diamond subdivided
+    # k-fold costs ~k^2 more downstream while describing the identical
+    # point set.  One vectorized pass here pays for itself immediately.
+    coords, l_npts = _drop_collinear_vertices(coords, l_npts)
     return _polys_finish(
         pk, coords, nn_local[l_row], l_npts, n, shell=l_shell
     )
+
+
+def _drop_collinear_vertices(coords: np.ndarray, rn: np.ndarray):
+    """Remove interior ring vertices lying ON the chord of their
+    neighbors — within the SAME ``_VEPS``-scaled on-segment tolerance the
+    predicate kernels use (``_locate_verts``/``on_seg``), so the
+    simplified boundary is indistinguishable from the original under
+    every kernel test.  Chains of subdivision points collapse in one
+    pass: each point is tested against its ORIGINAL neighbors, and a
+    point on the chord of two points that are themselves on the common
+    line stays on the merged chord.  Rings that would fall below 4
+    points (closing duplicate included) are left untouched.  Pure
+    vectorized numpy; returns (coords, rn) unchanged when nothing is
+    droppable (the annulus/holed shapes short-circuit here)."""
+    total = len(coords)
+    if total == 0:
+        return coords, rn
+    ring_end = np.cumsum(rn)
+    ring_start = ring_end - rn
+    interior = np.ones(total, dtype=bool)
+    interior[ring_start] = False
+    interior[ring_end - 1] = False
+    idx = np.nonzero(interior)[0]
+    if not len(idx):
+        return coords, rn
+    x = coords[:, 0]
+    y = coords[:, 1]
+    ax, ay = x[idx - 1], y[idx - 1]
+    px, py = x[idx], y[idx]
+    bx, by = x[idx + 1], y[idx + 1]
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    scale = np.maximum.reduce(
+        [np.ones_like(cross), np.abs(ax), np.abs(ay), np.abs(bx),
+         np.abs(by), np.abs(px), np.abs(py)]
+    )
+    drop = (
+        (np.abs(cross) <= _VEPS * scale)
+        & (px >= np.minimum(ax, bx) - _VEPS)
+        & (px <= np.maximum(ax, bx) + _VEPS)
+        & (py >= np.minimum(ay, by) - _VEPS)
+        & (py <= np.maximum(ay, by) + _VEPS)
+    )
+    if not drop.any():
+        return coords, rn
+    ridx = np.repeat(np.arange(len(rn)), rn)
+    dropped_per_ring = np.bincount(ridx[idx[drop]], minlength=len(rn))
+    # a ring must keep >= 4 points (triangle + closing duplicate)
+    bad = (rn - dropped_per_ring) < 4
+    if bad.any():
+        drop &= ~bad[ridx[idx]]
+        if not drop.any():
+            return coords, rn
+        dropped_per_ring = np.bincount(ridx[idx[drop]], minlength=len(rn))
+    keep_pts = np.ones(total, dtype=bool)
+    keep_pts[idx[drop]] = False
+    return coords[keep_pts], rn - dropped_per_ring
 
 
 def _polys_packed_uniform(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None":

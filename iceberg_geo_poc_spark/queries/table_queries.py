@@ -3186,3 +3186,52 @@ def managed_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "sql_view_roundtrip",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_price
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey)
+    SELECT o_custkey, n_orders, total_price
+    FROM v WHERE n_orders >= 8 ORDER BY o_custkey
+    """,
+)
+def sql_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL view DDL end-to-end (reference view layer: core
+    view/BaseView.java + spark-extensions TestViews.java): CREATE VIEW
+    over an engine table through the dispatcher, then SELECT through the
+    view with a further filter.  The stored view SQL is re-planned via
+    the dispatcher's engine-table SELECT path at read time, so the
+    base-table scan keeps manifest pruning; the grouped read-back must
+    equal the same SQL inlined over raw parquet."""
+
+    def build(cat, tname):
+        src = cat.create_table(
+            tname, "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        src.append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        cat.sql(
+            f"CREATE OR REPLACE VIEW {tname}_v AS "
+            f"SELECT o_custkey, COUNT(*) AS n_orders, "
+            f"ROUND(SUM(o_totalprice), 2) AS total_price "
+            f"FROM {tname} WHERE o_orderstatus = 'O' "
+            f"GROUP BY o_custkey"
+        )
+        return src
+
+    t = _managed(spark, sf_dir, "sqlview", build)
+    cat = _catalog(spark)
+    vname = f"sqlview_{abs(hash(sf_dir)) % 10**8}_v"
+    return cat.sql(
+        f"SELECT o_custkey, n_orders, total_price FROM {vname} "
+        f"WHERE n_orders >= 8 ORDER BY o_custkey"
+    )

@@ -70,53 +70,61 @@ _LOADED = False
 # further new queries past slot 50 (warc/url/webdataset/gif/flac/log-mel/
 # bpe) — locally oracle-green, they are the round-6 rotation candidates.
 _PRIORITY_FIRST = (
-    # Round-6 rotation: rounds 1-5 earned green driver rows for 173 of the
-    # 181 queries registered at the time; the 8 below are the only ones
-    # without a driver row (round-5 registrations past driver slot 50),
-    # all locally oracle-green.  Verifying them makes every registered
-    # query driver-green; the remaining ~42 driver slots go to new
-    # round-6 queries appended after them.
-    "pipeline_warc_extract",
-    "pipeline_url_dedup",
-    "pipeline_webdataset_extract",
-    "multimodal_gif_frames",
-    "multimodal_flac_frames",
-    "multimodal_tiff_roundtrip",
-    "multimodal_log_mel_contract",
-    "text_bpe_roundtrip",
-    # -- new round-6 queries --
-    "managed_encrypted_roundtrip",
-    "rest_catalog_lifecycle",
-    "managed_posdelete_compaction",
-    "managed_snapshot_lineage",
-    "stream_incremental_admission",
-    "multimodal_y4m_frames",
-    "managed_geo_encodings_scan",
-    "pipeline_webdataset_export",
-    "pipeline_quality_classifier",
-    "sql_show_describe",
-    "dedup_semantic",
-    "dedup_semantic_kmeans",
-    "managed_dv_delete",
-    "text_unigram_roundtrip",
-    "managed_changelog_mor",
-    "managed_row_lineage",
-    "pipeline_json_shred",
-    "pipeline_json_array_explode",
-    "managed_default_columns",
-    "pipeline_variant_extract",
-    "text_wordpiece_roundtrip",
-    "multimodal_mfcc_contract",
-    "sample_reservoir_per_group",
-    "ts_linear_interpolation",
-    "ts_sessionize_events",
-    "managed_metrics_truncate_scan",
-    "dedup_bloom_decontaminate",
-    "geo_collect_aggr",
-    "managed_add_files_mapped",
-    "managed_metadata_columns",
-    "managed_timestamp_ns_scan",
-    "stream_changelog_cdc",
+    # Round-8 rotation.  Rounds 1-7 earned green driver rows for 213 of the
+    # 232 queries registered through round 7; the 19 below are the round-7
+    # registrations that the round-7 window (which re-ran the round-6 list)
+    # never reached — all locally oracle-green.  They go first so one driver
+    # pass restores "every registered query has a green CORRECTNESS row".
+    "dedup_editdistance_verify",
+    "managed_datasource_write_roundtrip",
+    "managed_encrypted_dv_stream",
+    "managed_encrypted_key_rotation",
+    "managed_iceberg_bucket_import",
+    "managed_rewrite_table_path",
+    "managed_sketch_join_estimate",
+    "managed_theta_sketch_ndv",
+    "multimodal_resize_box",
+    "pipeline_zipdataset_extract",
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
+    "sample_temperature_mixture",
+    "sample_weighted_aes",
+    "sim_hamming_rerank",
+    "sim_hamming_topk",
+    "sql_ctas_roundtrip",
+    "stream_static_enrichment",
+    "text_unicode_normalize",
+    # -- new round-8 queries (never driver-seen; registered this round;
+    #    uncommented as each lands so the strict missing-name check holds) --
+    "sql_view_roundtrip",
+    # "dedup_connected_components",
+    # "sample_coreset_kcenter",
+    # "pipeline_span_corruption",
+    # "retrieval_splade_sparse",
+    # -- re-verification picks: long-unseen early-round rows (fill the
+    #    driver's 50-slot window after the guaranteed-new entries above) --
+    "text_lm_perplexity",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_knn_cosine_topk",
+    "sim_ivf_knn",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprint",
+    "sample_stratified_by_lang",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_asof_last_order",
+    "join_range_event_bursts",
+    "geo_hilbert_clustering",
+    "managed_orc_roundtrip",
+    "managed_incremental_read",
+    "managed_merge",
+    "managed_time_travel",
+    "managed_partition_stats",
 )
 
 

@@ -536,6 +536,25 @@ class Catalog:
             return []
         return sorted(f[:-5] for f in os.listdir(vdir) if f.endswith(".json"))
 
+    def view_sql(self, name: str, version: int | None = None) -> str:
+        """The stored SQL text of a view version (latest by default)."""
+        import json as _json
+
+        path = os.path.join(self.warehouse, "_views", f"{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"view {name} not found")
+        with open(path) as f:
+            doc = _json.load(f)
+        return doc["versions"][-1 if version is None else version]["sql"]
+
+    def drop_view(self, name: str) -> None:
+        """Remove a named SQL view (reference: view/BaseMetastoreViewCatalog
+        dropView).  KeyError if the view does not exist."""
+        path = os.path.join(self.warehouse, "_views", f"{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"view {name} not found")
+        os.remove(path)
+
     def add_files(
         self,
         name: str,

@@ -170,6 +170,24 @@ def dispatch_sql(catalog, text: str):
     m = _CTAS_RE.match(text)
     if m:
         return _ctas(catalog, m)
+    m = _CREATE_VIEW_RE.match(text)
+    if m:
+        catalog.create_view(
+            m.group("name"),
+            m.group("body").rstrip().rstrip(";"),
+            replace=bool(m.group("replace")),
+        )
+        return None
+    m = _DROP_VIEW_RE.match(text)
+    if m:
+        if m.group("ifex") and m.group("name") not in catalog.list_views():
+            return None
+        return catalog.drop_view(m.group("name"))
+    m = re.match(r"^\s*SHOW\s+VIEWS\s*;?\s*$", text, re.I)
+    if m:
+        return catalog.spark.createDataFrame(
+            [(n,) for n in catalog.list_views()], "viewName STRING"
+        )
     m = _CREATE_RE.match(text)
     if m:
         return _create(catalog, m)
@@ -237,7 +255,8 @@ def dispatch_sql(catalog, text: str):
     raise SqlError(
         "unsupported statement (this dispatcher covers SELECT/WITH, "
         "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, CREATE/DROP TABLE, "
-        "CALL system.*, ALTER TABLE extensions, and MERGE INTO)"
+        "CREATE/DROP VIEW, SHOW VIEWS, CALL system.*, ALTER TABLE "
+        "extensions, and MERGE INTO)"
     )
 
 
@@ -275,6 +294,21 @@ _CREATE_RE = re.compile(
 )
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    re.I,
+)
+# SQL view DDL over Catalog.create_view/drop_view — the reference ships
+# these through its view catalog (core view/BaseView.java +
+# spark-extensions TestViews.java); here the view body is stored as SQL
+# text and re-planned through _select at read time, so engine-table
+# references inside the body get the same manifest pruning as a direct
+# SELECT.
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<body>(?:SELECT|WITH)\b.*)$",
+    re.I | re.S,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.I,
 )
 _CTAS_RE = re.compile(
@@ -764,9 +798,16 @@ def _select(catalog, text: str):
 
     text = text.rstrip().rstrip(";")
     refs = []
+    view_names: set[str] | None = None
+    view_refs = []
     for m in _TABLE_REF_RE.finditer(text):
         base, _, suffix = m.group("ident").partition(".")
         if not catalog.table_exists(base):
+            # named SQL view? (reference: SELECT through a view catalog)
+            if view_names is None:
+                view_names = set(catalog.list_views())
+            if base in view_names and not suffix:
+                view_refs.append((m, base, m.group("alias")))
             continue
         if suffix and suffix.lower() not in MT.METADATA_TABLES:
             raise SqlError(
@@ -795,18 +836,28 @@ def _select(catalog, text: str):
             text,
         )
 
+    # merge table and view refs, rewriting right-to-left so earlier match
+    # offsets stay valid
+    work: list[tuple] = [("table", i, *refs[i]) for i in range(len(refs))]
+    work += [("view", None, m, base, None, alias) for m, base, alias in view_refs]
+    work.sort(key=lambda w: w[2].start(), reverse=True)
     out = text
-    for i in range(len(refs) - 1, -1, -1):
-        m, base, suffix, _alias = refs[i]
-        t = catalog.load_table(base)
-        kw = _travel_kwargs(m.group("travel"))
-        if suffix:
-            if kw:
-                raise SqlError("time travel is not supported on metadata tables")
-            df = MT.inspect(t, suffix)
+    for kind, i, m, base, suffix, _alias in work:
+        if kind == "view":
+            # re-plan the stored view SQL through _select so engine-table
+            # references inside the body get manifest pruning too
+            df = _select(catalog, catalog.view_sql(base))
+            view = f"__ice_view_{base}"
         else:
-            df = t.scan(where=prunes.get(i), **kw).to_df()
-        view = f"__ice_sql_{i}"
+            t = catalog.load_table(base)
+            kw = _travel_kwargs(m.group("travel"))
+            if suffix:
+                if kw:
+                    raise SqlError("time travel is not supported on metadata tables")
+                df = MT.inspect(t, suffix)
+            else:
+                df = t.scan(where=prunes.get(i), **kw).to_df()
+            view = f"__ice_sql_{i}"
         df.createOrReplaceTempView(view)
         # replace only ident+travel; a trailing alias stays in place so
         # the view keeps the query's name for it.  Without an alias the

@@ -561,3 +561,49 @@ def test_create_table_as_select(spark, catalog):
         "CREATE TABLE IF NOT EXISTS ctas_t AS SELECT id, v FROM src_ctas",
     )
     assert again.to_df().count() == 41
+
+
+def test_create_view_select_through_and_drop(spark, catalog):
+    """CREATE VIEW / SELECT-through / SHOW VIEWS / DROP VIEW statement
+    surface (reference view layer: core view/BaseView.java +
+    spark-extensions TestViews.java — there views resolve through the
+    catalog; here the dispatcher re-plans the stored SQL through its
+    engine-table SELECT path so manifest pruning still applies)."""
+    _mk(spark, catalog, "vt", n_appends=2, rows_per=10)
+    catalog.sql(
+        "CREATE VIEW v_small AS SELECT a, b FROM vt WHERE a < 5"
+    )
+    assert catalog.list_views() == ["v_small"]
+    got = catalog.sql("SELECT COUNT(*) AS n FROM v_small").collect()
+    assert got[0].n == 5
+    # view joins against a base table
+    got = catalog.sql(
+        "SELECT v.a, t.b FROM v_small v JOIN vt t ON v.a = t.a ORDER BY v.a"
+    ).collect()
+    assert [r.a for r in got] == [0, 1, 2, 3, 4]
+    # CREATE OR REPLACE swaps the definition; plain CREATE refuses
+    with pytest.raises(ValueError):
+        catalog.sql("CREATE VIEW v_small AS SELECT a FROM vt")
+    catalog.sql(
+        "CREATE OR REPLACE VIEW v_small AS SELECT a FROM vt WHERE a >= 15"
+    )
+    assert catalog.sql("SELECT COUNT(*) AS n FROM v_small").collect()[0].n == 5
+    shown = {r.viewName for r in catalog.sql("SHOW VIEWS").collect()}
+    assert shown == {"v_small"}
+    catalog.sql("DROP VIEW v_small")
+    assert catalog.list_views() == []
+    with pytest.raises(KeyError):
+        catalog.sql("DROP VIEW v_small")
+    assert catalog.sql("DROP VIEW IF EXISTS v_small") is None
+
+
+def test_view_sees_base_table_updates(spark, catalog):
+    """Views store SQL, not data: rows appended to the base table after
+    CREATE VIEW appear in subsequent view reads."""
+    t = _mk(spark, catalog, "vt2", n_appends=1, rows_per=5)
+    catalog.sql("CREATE VIEW v_all AS SELECT a FROM vt2")
+    assert catalog.sql("SELECT COUNT(*) AS n FROM v_all").collect()[0].n == 5
+    t.append(
+        spark.createDataFrame([(100, "x")], "a BIGINT, b STRING").coalesce(1)
+    )
+    assert catalog.sql("SELECT COUNT(*) AS n FROM v_all").collect()[0].n == 6

@@ -29,6 +29,10 @@ def h(df):
     return hashlib.md5(str(vals).encode()).hexdigest()[:12]
 
 qs, oracles = mod.queries(), mod.oracle_sql()
+# optional substring filters: `python tools/driver_sim.py geo_ sql_view`
+pats = sys.argv[1:]
+if pats:
+    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
 bad = []
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, sf).toPandas()
