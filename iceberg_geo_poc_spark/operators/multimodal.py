@@ -80,9 +80,11 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def _decode_ppm(b: bytes) -> np.ndarray:
-    """Binary P6 PPM -> (h, w, 3) uint8 (comments + whitespace per spec)."""
-    if not b.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
+    """Binary P6 PPM -> (h, w, 3) uint8, or binary P5 PGM -> (h, w)
+    uint8 (comments + whitespace per the netpbm spec)."""
+    if not (b.startswith(b"P6") or b.startswith(b"P5")):
+        raise ValueError("not a P6 PPM / P5 PGM")
+    ch = 3 if b.startswith(b"P6") else 1
     pos, vals = 2, []
     while len(vals) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -99,7 +101,8 @@ def _decode_ppm(b: bytes) -> np.ndarray:
     w, h, maxv = vals
     if maxv != 255:
         raise ValueError("only maxval 255 supported")
-    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    flat = np.frombuffer(b, np.uint8, count=w * h * ch, offset=pos)
+    return flat.reshape(h, w, 3) if ch == 3 else flat.reshape(h, w)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -234,7 +237,7 @@ def _decode_png(b: bytes) -> np.ndarray:
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """(h, w, 3) uint8 for the dependency-free formats; clear error for
     compressed formats that need a codec library."""
-    if fmt == "ppm":
+    if fmt in ("ppm", "pgm"):
         return _decode_ppm(bytes(payload))
     if fmt == "bmp":
         return _decode_bmp(bytes(payload))
@@ -300,9 +303,66 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Full-fidelity RIFF WAV PCM decode: (int32 array shaped
+    (n_frames, channels) at NATIVE scale, sample_rate, bits_per_sample).
+
+    Supports 8-bit unsigned (returned centered: -128..127), 16/24/32-bit
+    signed little-endian, any channel count, and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) wrapping a PCM subformat — the layouts real tools emit
+    (validated against CPython's test/audiodata pluck-pcm{8,16,24,32}
+    files in tests/test_codec_goldens.py).  24-bit unpack is vectorized
+    (three byte-plane gathers + shift-or, then sign extension)."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE file")
+    pos, rate, bits, channels, raw = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, pos
+            )
+            if audio_fmt == 0xFFFE:
+                # extensible: PCM iff the SubFormat GUID starts 01 00
+                if size < 40 or b[pos + 24 : pos + 26] != b"\x01\x00":
+                    raise NotImplementedError(
+                        "only PCM WAVE_FORMAT_EXTENSIBLE supported"
+                    )
+            elif audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            if bits not in (8, 16, 24, 32):
+                raise NotImplementedError(f"unsupported PCM depth {bits}")
+        elif cid == b"data":
+            raw = b[pos : pos + size]
+        pos += size + (size & 1)
+    if rate is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits == 8:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:  # 24-bit: little-endian byte triplets, sign-extended
+        u = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8)
+        u = u.reshape(-1, 3).astype(np.int32)
+        s = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        s -= (s & 0x800000) << 1
+    n = (len(s) // channels) * channels
+    return s[:n].reshape(-1, channels), rate, bits
+
+
 def decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """(int16 sample array, sample_rate) for PCM WAV and FLAC (mono);
-    NotImplementedError for codec-bound audio (mp3 needs ffmpeg)."""
+    """(mono int16 sample array, sample_rate) for PCM WAV and FLAC;
+    NotImplementedError for codec-bound audio (mp3 needs ffmpeg).
+
+    WAV accepts 8/16/24/32-bit PCM at any channel count: samples are
+    rescaled to int16 (8-bit << 8, 24-bit >> 8, 32-bit >> 16) and
+    multichannel audio is downmixed by the floor-division channel mean —
+    integer arithmetic throughout, so the pipeline features stay
+    bit-deterministic."""
     if fmt == "flac":
         from iceberg_geo_poc_spark.operators.flac import decode_flac
 
@@ -312,25 +372,18 @@ def decode_audio(payload: bytes, fmt: str) -> tuple[np.ndarray, int]:
         return arr[:, 0], rate
     if fmt != "wav":
         raise NotImplementedError(f"{fmt} decode requires ffmpeg/soundfile")
-    b = bytes(payload)
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("not a RIFF WAVE file")
-    pos, rate, samples = 12, None, None
-    while pos + 8 <= len(b):
-        cid, size = struct.unpack_from("<4sI", b, pos)
-        pos += 8
-        if cid == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", b, pos
-            )
-            if audio_fmt != 1 or bits != 16 or channels != 1:
-                raise NotImplementedError("only mono 16-bit PCM supported")
-        elif cid == b"data":
-            samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos)
-        pos += size + (size & 1)
-    if rate is None or samples is None:
-        raise ValueError("missing fmt/data chunk")
-    return samples, rate
+    s, rate, bits = decode_wav_pcm(payload)
+    if bits == 8:
+        s = s << 8
+    elif bits == 24:
+        s = s >> 8
+    elif bits == 32:
+        s = s >> 16
+    if s.shape[1] > 1:
+        s = np.floor_divide(s.sum(axis=1), s.shape[1])
+    else:
+        s = s[:, 0]
+    return s.astype(np.int16), rate
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:

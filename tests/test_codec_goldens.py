@@ -20,6 +20,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 
 
 # ---------------------------------------------------------------------------
@@ -459,3 +460,223 @@ def test_jpeg_published_1x1_white_annexk_file():
     r, g, b = (int(v) for v in img[0, 0])
     assert r == g == b
     assert r >= 253, f"published file is a white pixel, got {(r, g, b)}"
+
+
+# ---------------------------------------------------------------------------
+# Third-party cross-format goldens (VERDICT r7 task #4).
+#
+# The four files below are CPython's Lib/test/imghdrdata "python" logo test
+# images (PSF-licensed public test data shipped with every CPython since
+# 2011, present in this container under
+# /root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/).  They encode the
+# SAME 16x16 image, were produced by real third-party tools (not by any
+# module in this repo), and therefore pin our decoders against each other:
+# a shared spec misconception in one codec would have to coincidentally
+# reproduce the output of independently-written encoders in every other
+# format.
+#
+# - python.ppm: binary P6, the trivially-parseable reference raster
+# - python.pgm: binary P5 grayscale of the same image
+# - python.tiff: uncompressed little-endian RGBA TIFF (strip layout,
+#   ExtraSamples) -> RGB must equal the PPM BIT-EXACTLY
+# - python.gif: GIF89a with a 64-color global table (real LZW stream);
+#   its palette quantizes the source, so agreement is near-exact
+#   (<= 3/255 per channel) -- still fatal to any real LZW decode bug
+CPYTHON_PYTHON_PPM_B64 = (
+    "UDYKMTYgMTYKMjU1CgAAAAAAAAAAAAAAAE6NwEqGukiDtER+rUB4pzxxnjdolgAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAEyKvP///0V/r0F5qD50ojpvmzZplAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAEmFt0aAsUJ7qj51oztwnTdqljZplAAAAAAAAAAAAAAAAAAAAAAAAE6PxEyKv0iFtkN9"
+    "rT10oTlsljZmkDhslzZplDZplAAAAAAAAAAAAAAAAAAAAFKRxk+NwUuIu0iDtER9rUB4pj1zoDlt"
+    "mTZplDZplDZplAAAAP/iVf3dSvnVPgAAAFCPw0yJvEiEtUV/r0F5qD10oTpvmzZplDZplDZplDJg"
+    "hwAAAP/eS//aQf3VNgAAAE2LvkmFt0aAsEJ7qj51oztwnDdqljZplDVokjJghwAAAOzORf/aQv/W"
+    "N//TLQAAAEqHuUeBskN8qz92pTZpkxsxRQAAAAAAAAAAAAAAAOLDRf3ZQf/XOP/TLf/PIwAAAEaB"
+    "skR9rUB4pjZnkQAAAPLhbv3pav/mYf/jV//fTf/bQv/XOP/TLv/PJP3LGwAAAEN9rkF5qD10oRwy"
+    "S/Xjb//rbP/nYf/jV//fTf/bQ//XOf/TLv/PJP/MHPPBGgAAAEB1oz1zojpwnAAAAP/rbP/nYv/j"
+    "WP/fTv/bQ//XOf/TL//PJP/MHP/MHMKaEgAAAAAAAAAAAAAAAAAAAP/nYv/jWP/fTujHPevFNOvC"
+    "Kuu+Ieu7GOu7GMabEgAAAAAAAAAAAAAAAAAAAAAAAP/jWP/fTv/bRP/XOv/TMP/QJf/MHAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAP3eTv/bRP/YOv/UMP/QJv////3LGwAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAPHQP/rTOf3SL//QJv/MHPrHGcCXEgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=="
+)
+
+CPYTHON_PYTHON_PGM_B64 = (
+    "UDUKMTYgMTYKMjU1CgAAAACDfXp1b2lhAAAAAAAAAAAAgP92cGxnYQAAAAAAAAAAAHx3cm1oYmEA"
+    "AAAAAACFgXx0bGRfZGFhAAAAAACHhH96dG9rZWFhYQDe2dIAhYB7dnBsZ2FhYVkA2tfSAIF8d3Jt"
+    "aGJhYFkAytfT0AB+eHNuYS4AAAAAwNbU0M0AeHRvYADc5OLf29jU0M3JAHRwbC/e5uLf29jU0M3K"
+    "wABta2gA5uPf29jU0c3KypkAAAAAAOPf28TDwLy5uZoAAAAAAADf29jU0c7KAAAAAAAAAAAA2tjV"
+    "0c7/yQAAAAAAAAAAAM3Qz87KxZYAAAAAAAAAAAAAAAAAAAAAAAAAAAA="
+)
+
+CPYTHON_PYTHON_TIFF_B64 = (
+    "SUkqAAgEAAAAAAAAAAAAAAAAAAAAAAAATo3Ar0qGuu1Ig7T/RH6t/0B4p/88cZ73N2iWkgAAAAsA"
+    "AAADAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEyKvP//////RX+v/0F5qP8+dKL/Om+b/zZp"
+    "lP8AAAAoAAAACwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABJhbf/RoCx/0J7qv8+daP/O3Cd"
+    "/zdqlv82aZT/AAAAQQAAABUAAAAAAAAAAAAAAAAAAAAATo/EfkyKv6BIhbahQ32toz10oac5bJaq"
+    "NmaQqjhsl/82aZT/NmmU/wAAAEgAAAAYAAAAAAAAAAAAAAAAUpHGvU+Nwf9LiLv/SIO0/0R9rf9A"
+    "eKb/PXOg/zltmf82aZT/NmmU/zZplP8AAABI/+JV//3dSvf51T6CAAAAClCPw/9Mibz/SIS1/0V/"
+    "r/9Beaj/PXSh/zpvm/82aZT/NmmU/zZplP8yYIe2AAAAQ//eS///2kH//dU27QAAACRNi77/SYW3"
+    "/0aAsP9Ce6r/PnWj/ztwnP83apb/NmmU/zVokvcyYIe2AAAAT+zORYj/2kL//9Y3///TLf8AAAA9"
+    "Soe5/0eBsv9DfKv/P3al/zZpk7YbMUVcAAAATAAAAEgAAABHAAAAQeLDRWv92UH3/9c4///TLf//"
+    "zyP/AAAARkaBsvdEfa3/QHim/zZnkaoAAABO8uFupv3pavf/5mH//+NX///fTf//20L//9c4///T"
+    "Lv//zyT//csb9wAAAEdDfa7XQXmo/z10of8cMktb9eNvs//rbP//52H//+NX///fTf//20P//9c5"
+    "///TLv//zyT//8wc//PBGsIAAABBQHWjbz1zovc6cJz/AAAAS//rbP//52L//+NY///fTv//20P/"
+    "/9c5///TL///zyT//8wc///MHP/CmhJ6AAAANAAAAAgAAAAhAAAAPAAAADX/52L//+NY///fTv/o"
+    "xz2q68U0qevCKqnrviGp67sYqeu7GKnGmxJ5AAAAQQAAACAAAAACAAAACQAAABMAAAAS/+NY///f"
+    "Tv//20T//9c6///TMP//0CX//8wc/wAAAEEAAAA1AAAALAAAAB4AAAALAAAAAAAAAAAAAAAAAAAA"
+    "AP3eTvf/20T//9g6///UMP//0Cb///////3LG/cAAABAAAAAHAAAAAkAAAAFAAAAAQAAAAAAAAAA"
+    "AAAAAAAAAADx0D9M+tM5zP3SL/f/0Cb//8wc//rHGdjAlxJ7AAAAOwAAABIAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAACAAAAB0AAAA1AAAAQgAAAEcAAABFAAAAOAAAAB8AAAAIAAAAAAAA"
+    "AAAAAAAAEQAAAQMAAQAAABAAAAABAQMAAQAAABAAAAACAQMABAAAANoEAAADAQMAAQAAAAEAAAAG"
+    "AQMAAQAAAAIAAAAKAQMAAQAAAAEAAAANAQIADAAAACIFAAARAQQAAQAAAAgAAAASAQMAAQAAAAEA"
+    "AAAVAQMAAQAAAAQAAAAWAQMAAQAAAIAAAAAXAQQAAQAAAAAEAAAcAQMAAQAAAAEAAAApAQMAAgAA"
+    "AAAAAQA+AQUAAgAAABIFAAA/AQUABgAAAOIEAABSAQMAAQAAAAIAAAAAAAAACAAIAAgACAAACtej"
+    "/////4DhelT/////AM3MTP////8AmpmZ/////4BmZib/////8ChcD/////+AGw1Q/////wBYOVT/"
+    "////cHl0aG9uLnRpZmYA"
+)
+
+CPYTHON_PYTHON_GIF_B64 = (
+    "R0lGODlhEAAQAPU/AOu7GOu+IfPBGvrHGf3LG//MHOvCKv/PI//PJP/QJf/TLevFNOjHPf/TMP/U"
+    "MP3VNvrTOf/XOfnVPv/YOuzORf/aQf/bRP/eS//fTv/iVf/jWP/nYvLhbvXjb/3pav/rbDJghzZm"
+    "kDZnkTZpkzdoljdqljlsljpvmzpwnDtwnDxxnj1zoj50oj92pUB4pkJ7qkN8q0N9rUV/r0aAsUeB"
+    "skiDtEiFtkqGukyJvEyKvEyKv0+NwVCPw1KRxv///wAAACH/C0ltYWdlTWFnaWNrB2dhbW1hPTAA"
+    "IfkEBQAAPwAsAAAAABAAEAAABpvAn/C3u81iLRVpyBTmfLMXC1VqMm1RVqo0sv50thjLFDKVqsze"
+    "DleTuVSn0fmXuUh+PB1N9oKP/iA/FxUPXzY0UipnIoEUhAo/hzAuXU0VEQoHP0cuIj8cHhsZGBUT"
+    "CggEPzFSPx0fGxoYFhENCAUCQispP6+xpacFBVawGAwLBgEAAF6xsw0Jwl4/shEOCT6p0j8QzwUD"
+    "2uBDQQA7"
+)
+
+
+def _cpython_logo_rgb():
+    import base64
+
+    from iceberg_geo_poc_spark.operators.multimodal import decode_image
+
+    return decode_image(base64.b64decode(CPYTHON_PYTHON_PPM_B64), "ppm")
+
+
+def test_tiff_cpython_thirdparty_file_matches_ppm_bitexact():
+    """python.tiff (uncompressed RGBA, produced outside this repo) must
+    decode to exactly the RGB of python.ppm."""
+    import base64
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.tiff import decode_tiff
+
+    frames = decode_tiff(base64.b64decode(CPYTHON_PYTHON_TIFF_B64))
+    assert len(frames) == 1
+    img = frames[0]
+    assert img.shape == (16, 16, 3)
+    assert np.array_equal(img, _cpython_logo_rgb())
+
+
+def test_gif_cpython_thirdparty_lzw_stream_matches_ppm():
+    """python.gif's LZW stream was produced by a real encoder; after its
+    64-color palette quantization the decode must sit within 3/255 of
+    the PPM on every OPAQUE pixel, with the majority of pixels exact.
+    The file's GCE marks index 63 transparent and uses it on exactly 9
+    scattered pixels (the encoder's alpha dither); those decode to the
+    renderer's transparent fill and are excluded."""
+    import base64
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.gif import decode_gif
+
+    frames = decode_gif(base64.b64decode(CPYTHON_PYTHON_GIF_B64))
+    assert len(frames) == 1
+    img = frames[0]
+    assert img.shape == (16, 16, 3)
+    ref = _cpython_logo_rgb()
+    diff = np.abs(img.astype(int) - ref.astype(int)).max(axis=2)
+    bad = diff > 3
+    # exactly the 9 alpha-dither pixels diverge, all rendered as the
+    # transparent fill (black); every opaque pixel is within 3/255
+    assert bad.sum() == 9, bad.sum()
+    assert (img[bad] == 0).all()
+    assert (diff == 0).sum() >= 150  # most pixels exact
+
+
+def test_ppm_pgm_cpython_grayscale_consistency():
+    """python.pgm is a third-party grayscale rendering of the same
+    image: the PPM's luma must track it closely (the exact grayscale
+    matrix the producing tool used is unknown, so tolerance covers
+    Rec.601-vs-average differences)."""
+    import base64
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import decode_image
+
+    g = decode_image(base64.b64decode(CPYTHON_PYTHON_PGM_B64), "pgm")
+    rgb = _cpython_logo_rgb().astype(np.float64)
+    luma601 = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    assert g.shape == luma601.shape
+    assert np.abs(g.astype(np.float64) - luma601).max() <= 8.0
+
+
+# CPython Lib/test/audiodata pluck-pcm(8, 16, 24, 32).wav: the SAME stereo
+# recording mastered by real tools at four PCM depths (+ a
+# WAVE_FORMAT_EXTENSIBLE 24-bit variant).  Too large to embed; read from
+# the container's CPython installations and skip if absent.
+_PYENV_AUDIO = sorted(
+    __import__("glob").glob(
+        "/root/.pyenv/versions/3.1*/lib/python3.*/test/audiodata"
+    )
+)
+
+
+@pytest.mark.skipif(not _PYENV_AUDIO, reason="CPython audiodata not present")
+def test_wav_cpython_thirdparty_cross_depth_agreement():
+    """Decoding the four depths of the same third-party recording and
+    normalizing to [-1, 1) must agree to quantization precision:
+    8-bit within 2^-7, 24/32-bit within dither distance of 16-bit, and
+    24 == 32 == 24-ext exactly (same master).  Any sign-extension,
+    byte-order, channel-interleave, or EXTENSIBLE-parsing bug fails."""
+    import os
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import decode_wav_pcm
+
+    d = _PYENV_AUDIO[-1]
+    out = {}
+    for name, bits in (
+        ("pluck-pcm8.wav", 8), ("pluck-pcm16.wav", 16),
+        ("pluck-pcm24.wav", 24), ("pluck-pcm24-ext.wav", 24),
+        ("pluck-pcm32.wav", 32),
+    ):
+        with open(os.path.join(d, name), "rb") as f:
+            s, rate, got_bits = decode_wav_pcm(f.read())
+        assert got_bits == bits and rate == 11025 and s.shape == (3307, 2)
+        out[name] = s.astype(np.float64) / float(2 ** (bits - 1))
+    ref = out["pluck-pcm16.wav"]
+    # 8-bit master was dithered: one quantization step plus dither slack
+    assert np.abs(out["pluck-pcm8.wav"] - ref).max() <= 1.5 * 2.0 ** -7
+    assert np.abs(out["pluck-pcm24.wav"] - ref).max() <= 2.0 ** -12
+    assert np.array_equal(out["pluck-pcm24.wav"], out["pluck-pcm24-ext.wav"])
+    assert np.abs(out["pluck-pcm32.wav"] - out["pluck-pcm24.wav"]).max() <= 2.0 ** -23
+
+
+@pytest.mark.skipif(not _PYENV_AUDIO, reason="CPython audiodata not present")
+def test_wav_stereo_downmix_pipeline_contract():
+    """decode_audio on a stereo third-party file: int16 mono, floor-mean
+    downmix, against a hand-computed downmix of the full-fidelity
+    decode."""
+    import os
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_pcm,
+    )
+
+    d = _PYENV_AUDIO[-1]
+    with open(os.path.join(d, "pluck-pcm24.wav"), "rb") as f:
+        b = f.read()
+    mono, rate = decode_audio(b, "wav")
+    s, _, _ = decode_wav_pcm(b)
+    want = np.floor_divide((s >> 8).sum(axis=1), 2).astype(np.int16)
+    assert rate == 11025 and mono.dtype == np.int16
+    assert np.array_equal(mono, want)
