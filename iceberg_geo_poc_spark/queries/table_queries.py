@@ -3235,3 +3235,62 @@ def sql_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT o_custkey, n_orders, total_price FROM {vname} "
         f"WHERE n_orders >= 8 ORDER BY o_custkey"
     )
+
+
+@query(
+    "managed_parquet_encrypted_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_totalprice > 50000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def managed_parquet_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet MODULAR encryption end-to-end (PARQUET-1300; the
+    reference rides parquet-mr's implementation through its write
+    builders + encryption manager): a table whose property
+    write.parquet.encryption.footer-key routes appends through the
+    distributed pyarrow encrypted writer (per-file data keys wrapped by
+    the registered master key via the engine's own AES-GCM), and scans
+    through the in-place decrypting Arrow read.  The filtered grouped
+    read-back must equal plain SQL over the unencrypted source, and the
+    data files themselves refuse plaintext reads (asserted in build)."""
+
+    def build(cat, tname):
+        from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+        PC.register_master_key("q_footer", bytes(range(42, 58)))
+        t = cat.create_table(
+            tname,
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+            properties={"write.parquet.encryption.footer-key": "q_footer"},
+        )
+        t.append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        import pyarrow.parquet as pq
+
+        p = t.scan().files()[0]
+        try:
+            pq.read_table(p)
+            raise AssertionError("encrypted data file read back in plaintext")
+        except OSError:
+            pass
+        return t
+
+    t = _managed(spark, sf_dir, "pqenc", build)
+    return (
+        t.scan(where=E.gt("o_totalprice", 50000.0))
+        .to_df()
+        .where(F.col("o_totalprice") > 50000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

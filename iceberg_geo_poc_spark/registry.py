@@ -97,6 +97,7 @@ _PRIORITY_FIRST = (
     # -- new round-8 queries (never driver-seen; registered this round;
     #    uncommented as each lands so the strict missing-name check holds) --
     "sql_view_roundtrip",
+    "managed_parquet_encrypted_scan",
     # "dedup_connected_components",
     # "sample_coreset_kcenter",
     # "pipeline_span_corruption",

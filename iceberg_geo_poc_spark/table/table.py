@@ -664,6 +664,35 @@ class Table:
                 stage,
                 _final_dir,
             )
+        enc_footer_key = self.meta.properties.get(
+            "write.parquet.encryption.footer-key"
+        )
+        if fmt == "parquet" and enc_footer_key:
+            # Parquet MODULAR encryption (PARQUET-1300; reference rides
+            # parquet-mr's implementation of the same format feature):
+            # distributed pyarrow write with per-file data keys wrapped
+            # by the registered master key, stats computed in-task.
+            from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+            if self.geo_fields:
+                raise NotImplementedError(
+                    "geometry bbox harvest on modular-encrypted tables"
+                )
+            column_keys = json.loads(
+                self.meta.properties.get(
+                    "write.parquet.encryption.column-keys", "{}"
+                )
+            )
+            entries = PC.write_encrypted_files(
+                out,
+                stage,
+                self.meta.schema_ddl,
+                [c for c, _ in pcols],
+                PC.master_keys(),
+                enc_footer_key,
+                column_keys,
+            )
+            return self._finalize_staged(entries, stage, _final_dir)
         writer = out.write.format(fmt)
         if fmt == "parquet":
             # bloom-filter passthrough (reference TableProperties
@@ -1613,6 +1642,21 @@ class Table:
 
             df = AV.read_avro_df(
                 self.spark, paths, self.meta.schema_ddl, with_pos=need_pos
+            )
+            df = self._to_logical(df)
+        elif fmt == "parquet" and self.meta.properties.get(
+            "write.parquet.encryption.footer-key"
+        ):
+            # modular-encrypted data files: distributed in-place Arrow
+            # scan with the wrapped-key decryption properties
+            from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+            df = PC.read_encrypted_df(
+                self.spark,
+                paths,
+                self.meta.schema_ddl,
+                PC.master_keys(),
+                need_pos=need_pos,
             )
             df = self._to_logical(df)
         elif fmt == "parquet" and not FIO.io_for(paths[0]).is_posix:
