@@ -722,3 +722,81 @@ def editdistance_verify_pairs(
         .select("ia", "ib", "lev", "ratio")
         .orderBy("ia", "ib")
     )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components with POINTER JUMPING: O(log diameter)
+    rounds, the union-find analogue for graphs whose duplicate chains
+    are LONG (page-overlap chains, crawl mirrors) where plain
+    smallest-label propagation (``duplicate_cluster_representatives``)
+    needs O(diameter) rounds.
+
+    Each round does (1) one min-propagation step — every node adopts
+    the smallest label among itself and its neighbors — and (2) one
+    pointer jump — ``label[v] <- label[label[v]]`` — so label trees
+    halve in height per round (the Hash-to-Min posture of Rastogi et
+    al., "Finding Connected Components in Map-Reduce", ICDE'13,
+    public-domain algorithm).  A 1M-hop chain resolves in ~20 rounds
+    instead of 1M.  Per round: two equi-joins + one partial-aggregable
+    min — all shuffle-on-key, working set |V(pairs)| not corpus size;
+    label state is localCheckpoint'ed so lineage stays flat.
+
+    At fixpoint labels are constant across every edge and equal to the
+    component minimum (labels only ever take existing node ids and are
+    monotone non-increasing; the minimum node keeps its own id).
+    Returns (id, component)."""
+    und = edges.select(F.col("a").cast("long").alias("a"),
+                       F.col("b").cast("long").alias("b"))
+    und = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # (1) min-propagation over edges
+        nbr = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("rep").alias("nbr_min"))
+        )
+        lab1 = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_min"), F.col("rep"))
+                ).alias("rep"),
+            )
+        )
+        # (2) pointer jump: rep <- rep[rep] (tree height halves)
+        jump = lab1.select(
+            F.col("id").alias("jid"), F.col("rep").alias("jrep")
+        )
+        lab2 = (
+            lab1.join(jump, lab1.rep == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("jrep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            lab2.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = lab2
+        if not changed:
+            break
+    und.unpersist()
+    return labels.select(F.col("id"), F.col("rep").alias("component"))

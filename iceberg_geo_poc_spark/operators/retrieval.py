@@ -116,3 +116,69 @@ def ranked(scored: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFra
     """(id, score) -> (id, rank) with deterministic tie-break by id."""
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return scored.select(id_col, F.row_number().over(w).alias("rank"))
+
+
+def splade_sparse_scores(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """SPLADE-shaped SPARSE-VECTOR retrieval for a query batch: both
+    sides expand to sparse term->weight maps with the log-saturated
+    form the SPLADE family popularized (Formal et al. 2021 — there the
+    weights come from a learned MLM head; here, with no model in the
+    container, the same w(t) = log(1 + tf(t)) * idf(t) saturation, so
+    the OPERATOR — distributed sparse dot-product retrieval — is real
+    while the expansion stays deterministic).  score(q, d) =
+    sum_t w_q(t) * w_d(t).
+
+    Scale posture: the doc-side sparse matrix is one partial-agg
+    groupBy (doc, term); the query batch is a broadcast literal; the
+    dot product is ONE term-keyed equi-join + one (query, doc) sum —
+    the canonical sparse-retrieval join, no densification, no
+    all-pairs.  Top-k per query via a per-query window over the scored
+    rows.  -> (query_id, doc_id, score, rank), rank <= k.
+    """
+    spark = docs.sparkSession
+    tf = (
+        with_words(docs)
+        .select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"),
+    )
+    dw = tf.join(idf, "term").select(
+        "term", "doc_id",
+        (F.log(F.lit(1.0) + F.col("tf")) * F.col("idf")).alias("wd"),
+    )
+    qdf = spark.createDataFrame(queries, "query_id INT, qtext STRING")
+    qtf = (
+        qdf.select(
+            "query_id", F.explode(F.split("qtext", " ")).alias("term")
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    qw = qtf.join(idf, "term").select(
+        "query_id", "term",
+        (F.log(F.lit(1.0) + F.col("qtf")) * F.col("idf")).alias("wq"),
+    )
+    scored = (
+        dw.join(F.broadcast(qw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("wd") * F.col("wq")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

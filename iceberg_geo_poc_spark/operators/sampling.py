@@ -210,3 +210,53 @@ def train_val_test_split(
         .when(h < g_test, "test")
         .otherwise("train"),
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) CORESET selection over an
+    embedding column: start from the smallest id, then k-1 times pick
+    the point farthest from the chosen set (max-min distance, ties to
+    the smaller id) — the classic 2-approximation for the k-center
+    cover (Gonzalez 1985), the standard diversity-sampling pass of a
+    training-data pipeline.
+
+    Scale posture: k DRIVER-side rounds; each round is ONE codegen scan
+    (squared-L2 fold against the current centers, broadcast as array
+    literals — no shuffle) plus a global top-1 reduce (TakeOrdered).
+    O(k * n * dim) distance work total, no pairwise matrix ever
+    materializes, and the only driver state is k center vectors.
+    Returns (step, vec_id): the selection order."""
+    dist_sq = (
+        "aggregate(zip_with({v}, {c}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, t) -> acc + t)"
+    )
+    base = emb.select(id_col, vec_col)
+    first = base.select(F.min(id_col).alias("m")).first()["m"]
+    chosen = [(1, first)]
+    center_exprs: list[str] = []
+    for step in range(2, k + 1):
+        vec = (
+            base.filter(F.col(id_col) == chosen[-1][1])
+            .select(vec_col)
+            .first()[0]
+        )
+        lit = "array(" + ", ".join(f"CAST({float(x)} AS DOUBLE)" for x in vec) + ")"
+        center_exprs.append(dist_sq.format(v=vec_col, c=lit))
+        mind = F.least(*[F.expr(e) for e in center_exprs]) if len(
+            center_exprs
+        ) > 1 else F.expr(center_exprs[0])
+        nxt = (
+            base.select(id_col, mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc(id_col))
+            .first()
+        )
+        chosen.append((step, nxt[id_col]))
+    return emb.sparkSession.createDataFrame(
+        chosen, f"step INT, {id_col} LONG"
+    ).orderBy("step")

@@ -558,3 +558,62 @@ def normalize_unicode(
         F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
     )
     return df.withColumn("text_norm", _norm(stripped))
+
+
+def span_corruption(
+    docs: DataFrame,
+    text_col: str = "text",
+    rate_num: int = 20,
+    rate_den: int = 97,
+) -> DataFrame:
+    """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4, the
+    denoising objective): mask ~rate_num/rate_den of token positions,
+    collapse each RUN of masked tokens into one ``<extra_id_K>``
+    sentinel in the corrupted text, and emit the matching target
+    sequence (sentinel + original span tokens).  Masking is a pure
+    integer hash of (doc_id, position) — deterministic across engines
+    and reruns, no RNG state — so the pair (corrupted, target) is
+    reproducible training data.
+
+    Everything is whole-stage-codegen array algebra (split/transform/
+    filter/array_join): no UDF, no shuffle, no per-row Python.  The
+    prefix span-count is an O(len^2) slice-fold per document — fine for
+    natural-language token counts; swap to a window over posexploded
+    tokens if documents exceed ~10k tokens.
+
+    Returns (doc_id, corrupted, target, n_spans)."""
+    return (
+        docs.selectExpr("doc_id", f"split({text_col}, ' ') AS t")
+        .selectExpr(
+            "doc_id",
+            "t",
+            f"transform(sequence(1, size(t)), i -> "
+            f"pmod(doc_id * 2654435761 + (i-1) * 40503, {rate_den})"
+            f" < {rate_num}) AS mk",
+        )
+        .selectExpr(
+            "doc_id", "t", "mk",
+            "transform(sequence(1, size(t)), i -> element_at(mk, i) AND "
+            "(CASE WHEN i = 1 THEN true ELSE NOT element_at(mk, i-1) END)) "
+            "AS st",
+        )
+        .selectExpr(
+            "doc_id", "t", "mk", "st",
+            "transform(sequence(1, size(t)), "
+            "i -> size(filter(slice(st, 1, i), v -> v))) AS sid",
+        )
+        .selectExpr(
+            "doc_id",
+            "array_join(filter(transform(sequence(1, size(t)), i -> "
+            "CASE WHEN NOT element_at(mk, i) THEN element_at(t, i) "
+            "WHEN element_at(st, i) THEN concat('<extra_id_', "
+            "CAST(element_at(sid, i) - 1 AS STRING), '>') END), "
+            "v -> v IS NOT NULL), ' ') AS corrupted",
+            "array_join(filter(transform(sequence(1, size(t)), i -> "
+            "CASE WHEN element_at(st, i) THEN concat('<extra_id_', "
+            "CAST(element_at(sid, i) - 1 AS STRING), '> ', element_at(t, i)) "
+            "WHEN element_at(mk, i) THEN element_at(t, i) END), "
+            "v -> v IS NOT NULL), ' ') AS target",
+            "CAST(element_at(sid, size(t)) AS BIGINT) AS n_spans",
+        )
+    )

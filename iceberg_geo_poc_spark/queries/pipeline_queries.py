@@ -2947,3 +2947,198 @@ def sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ia", "ib", "hamming", "cosine", "rank")
         .orderBy("ia", "rank")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE k AS (
+      SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS kp,
+             array_to_string((string_split(text,' '))[-3:], ' ') AS ks
+      FROM documents WHERE len(string_split(text,' ')) >= 3),
+    keys AS (SELECT doc_id, kp AS key FROM k
+             UNION ALL SELECT doc_id, ks AS key FROM k),
+    b AS (SELECT key, MIN(doc_id) m FROM keys GROUP BY key),
+    e0 AS (SELECT DISTINCT b.m AS a, keys.doc_id AS b
+           FROM keys JOIN b USING(key) WHERE keys.doc_id > b.m),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+      WHERE r.lbl < e.b
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution as FULL connected components with
+    pointer jumping (operators/dedup.py::connected_components —
+    O(log diameter) rounds, the Hash-to-Min posture): docs are linked
+    when they share a 3-word prefix OR a 3-word suffix, with per-bucket
+    STAR edges (every doc -> its bucket's min doc), so candidate
+    generation is bounded by bucket size, never bucket-size squared,
+    and components form cross-bucket CHAINS — exactly the structure
+    that needs log-round convergence at crawl scale.  The oracle walks
+    the same star-edge graph with a recursive closure."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    k = docs.filter(F.size(words) >= 3).select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 3), " ").alias("kp"),
+        F.array_join(F.slice(words, -3, 3), " ").alias("ks"),
+    )
+    keys = k.select("doc_id", F.col("kp").alias("key")).unionAll(
+        k.select("doc_id", F.col("ks").alias("key"))
+    )
+    bmin = keys.groupBy("key").agg(F.min("doc_id").alias("m"))
+    e0 = (
+        keys.join(bmin, "key")
+        .filter(F.col("doc_id") > F.col("m"))
+        .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    return (
+        dedup.connected_components(e0)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center in DuckDB: step 1 = min vec_id, step j =
+    argmax of min-distance-to-chosen (list_distance is monotone in the
+    squared fold Spark computes, so the argmax rows agree exactly)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s1 AS (SELECT MIN(vec_id) AS id FROM e)",
+    ]
+    for j in range(2, k + 1):
+        prev_s = f"s{j-1}"
+        if j == 2:
+            parts.append(
+                "d1 AS (SELECT e.vec_id, list_distance(e.v, "
+                "(SELECT v FROM e WHERE vec_id = (SELECT id FROM s1))) AS d "
+                "FROM e)"
+            )
+        else:
+            parts.append(
+                f"d{j-1} AS (SELECT p.vec_id, LEAST(p.d, list_distance(e.v, "
+                f"(SELECT v FROM e WHERE vec_id = (SELECT id FROM {prev_s})))) "
+                f"AS d FROM d{j-2} p JOIN e USING (vec_id))"
+            )
+        parts.append(
+            f"s{j} AS (SELECT vec_id AS id FROM d{j-1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS step, id AS vec_id FROM s{j}" for j in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT step, vec_id FROM (" + sel + ") ORDER BY step"
+    )
+
+
+@query("sample_coreset_kcenter", oracle=_kcenter_oracle(8))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 2-approx) over the embeddings
+    table: 8 diversity-maximizing exemplars, each round one broadcast
+    codegen scan + a global top-1 reduce (operators/sampling.py
+    ::kcenter_coreset).  The oracle unrolls the same greedy selection
+    in DuckDB."""
+    from iceberg_geo_poc_spark.operators.sampling import kcenter_coreset
+
+    return kcenter_coreset(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@query(
+    "pipeline_span_corruption",
+    oracle="""
+    WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    m AS (SELECT doc_id, t,
+      list_transform(generate_series(1, len(t)),
+        i -> ((doc_id * 2654435761 + (i-1) * 40503) % 97) < 20) AS mk FROM b),
+    s AS (SELECT doc_id, t, mk,
+      list_transform(generate_series(1, len(t)),
+        i -> mk[i] AND (i = 1 OR NOT mk[i-1])) AS st FROM m),
+    x AS (SELECT doc_id, t, mk, st,
+      list_transform(generate_series(1, len(t)),
+        i -> len(list_filter(st[1:i], v -> v))) AS sid FROM s)
+    SELECT doc_id,
+      array_to_string(list_filter(list_transform(generate_series(1, len(t)),
+        i -> CASE WHEN NOT mk[i] THEN t[i]
+                  WHEN st[i] THEN '<extra_id_' || CAST(sid[i] - 1 AS VARCHAR) || '>'
+             END), v -> v IS NOT NULL), ' ') AS corrupted,
+      array_to_string(list_filter(list_transform(generate_series(1, len(t)),
+        i -> CASE WHEN st[i] THEN '<extra_id_' || CAST(sid[i] - 1 AS VARCHAR) || '> ' || t[i]
+                  WHEN mk[i] THEN t[i]
+             END), v -> v IS NOT NULL), ' ') AS target,
+      CAST(sid[len(t)] AS BIGINT) AS n_spans
+    FROM x ORDER BY doc_id
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising pairs over the corpus
+    (operators/text.py::span_corruption): deterministic hash-masked
+    spans collapse to <extra_id_K> sentinels, targets carry the masked
+    tokens — pure codegen array algebra, zero shuffle, zero Python.
+    The oracle replays the identical integer-hash masking in DuckDB
+    (1-indexed list algebra there, element_at here)."""
+    from iceberg_geo_poc_spark.operators.text import span_corruption
+
+    return span_corruption(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+_SPLADE_QUERIES = [
+    (1, "spark table scan fast"),
+    (2, "join shuffle data"),
+    (3, "stream window batch value"),
+]
+_SPLADE_Q_SQL = ", ".join(
+    f"({qid}, '{txt}')" for qid, txt in _SPLADE_QUERIES
+)
+
+
+@query(
+    "retrieval_splade_sparse",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    idf AS (SELECT term,
+                   LN(1.0 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfreq),
+    dw AS (SELECT t.term, t.doc_id, LN(1.0 + t.tf) * i.idf AS wd
+           FROM tfc t JOIN idf i USING (term)),
+    q(query_id, qtext) AS (VALUES {_SPLADE_Q_SQL}),
+    qtf AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+    qtfc AS (SELECT query_id, term, COUNT(*) AS qtf FROM qtf GROUP BY 1, 2),
+    qw AS (SELECT query_id, t.term, LN(1.0 + t.qtf) * i.idf AS wq
+           FROM qtfc t JOIN idf i USING (term)),
+    sc AS (SELECT q.query_id, d.doc_id,
+                  ROUND(SUM(d.wd * q.wq), 6) AS score
+           FROM dw d JOIN qw q USING (term)
+           GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def retrieval_splade_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sparse-vector retrieval with SPLADE-style log-saturated
+    term weights (operators/retrieval.py::splade_sparse_scores): one
+    partial-agg (doc, term) matrix, broadcast query expansion, one
+    term-keyed equi-join for the sparse dot product, per-query top-10
+    window.  The oracle computes the identical expansion in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = retrieval.splade_sparse_scores(docs, _SPLADE_QUERIES, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -98,10 +98,10 @@ _PRIORITY_FIRST = (
     #    uncommented as each lands so the strict missing-name check holds) --
     "sql_view_roundtrip",
     "managed_parquet_encrypted_scan",
-    # "dedup_connected_components",
-    # "sample_coreset_kcenter",
-    # "pipeline_span_corruption",
-    # "retrieval_splade_sparse",
+    "dedup_connected_components",
+    "sample_coreset_kcenter",
+    "pipeline_span_corruption",
+    "retrieval_splade_sparse",
     # -- re-verification picks: long-unseen early-round rows (fill the
     #    driver's 50-slot window after the guaranteed-new entries above) --
     "text_lm_perplexity",

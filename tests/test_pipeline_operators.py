@@ -707,3 +707,79 @@ def test_resize_box_hand_computed_and_invariants():
     # upsampling falls back to nearest
     up = resize_box(np.full((2, 2, 3), 9, np.uint8), 4, 4)
     assert up.shape == (4, 4, 3) and (up == 9).all()
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 600-node path graph has diameter 599: plain label propagation
+    would need ~600 rounds, pointer jumping must resolve it within the
+    default 25 (O(log d)).  Also: two disjoint chains + an isolated
+    pair keep distinct components."""
+    from iceberg_geo_poc_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(599)]           # chain 0..599
+    edges += [(1000 + i, 1001 + i) for i in range(99)] # chain 1000..1099
+    edges += [(5000, 5001)]
+    df = spark.createDataFrame(edges, "a LONG, b LONG")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(600))
+    assert all(got[1000 + i] == 1000 for i in range(100))
+    assert got[5000] == 5000 and got[5001] == 5000
+    assert len(got) == 702
+
+
+def test_connected_components_star_and_selfloop(spark):
+    from iceberg_geo_poc_spark.operators.dedup import connected_components
+
+    edges = [(7, 3), (7, 9), (7, 11), (2, 2)]
+    got = {r.id: r.component for r in connected_components(
+        spark.createDataFrame(edges, "a LONG, b LONG")).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 11: 3, 2: 2}
+
+
+def test_span_corruption_structure(spark):
+    """Corrupted + target reconstruct the original token multiset;
+    sentinels number 0..n_spans-1 in order in BOTH outputs."""
+    import re
+
+    from iceberg_geo_poc_spark.operators.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(40)))], "doc_id LONG, text STRING"
+    )
+    r = span_corruption(docs).collect()[0]
+    sent_c = re.findall(r"<extra_id_(\d+)>", r.corrupted)
+    sent_t = re.findall(r"<extra_id_(\d+)>", r.target)
+    assert sent_c == sent_t == [str(i) for i in range(r.n_spans)]
+    orig = set(f"w{i}" for i in range(40))
+    kept = [w for w in r.corrupted.split() if not w.startswith("<extra")]
+    masked = [w for w in r.target.split() if not w.startswith("<extra")]
+    assert set(kept) | set(masked) == orig
+    assert not (set(kept) & set(masked))
+
+
+def test_kcenter_coreset_maximin(spark):
+    """On a line of points, greedy k-center from the min id must pick
+    the far end second, then the midpoint."""
+    from iceberg_geo_poc_spark.operators.sampling import kcenter_coreset
+
+    pts = [(i, [float(i), 0.0]) for i in range(9)]  # 0..8 on a line
+    emb = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = [r.vec_id for r in kcenter_coreset(emb, k=3).collect()]
+    assert got == [0, 8, 4]
+
+
+def test_splade_ranks_matching_docs_first(spark):
+    from iceberg_geo_poc_spark.operators.retrieval import splade_sparse_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "dog cat"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = splade_sparse_scores(docs, [(1, "apple")], k=5).collect()
+    assert [r.doc_id for r in got] == [1]  # only doc 1 contains 'apple'
+    got2 = splade_sparse_scores(docs, [(2, "banana cherry")], k=5).collect()
+    assert [r.doc_id for r in got2] == [2, 1]  # 2 matches both terms
