@@ -23,13 +23,12 @@ and runs at table-lookup speed.
 Data-file coverage: on FileIO-routed (object-store) locations data
 parquet is staged locally and uploaded through this wrapper, so it IS
 sealed at rest like everything else, and scans read it back through
-the decrypting driver-side Arrow path.  What this engine does NOT
-implement is Parquet MODULAR encryption (footer/page-level keys
-readable by a vectorized scan in place) — that is the JVM writer's
-format feature and the reference's data-file path; here an encrypted
-POSIX-native table (Spark writing parquet directly, no FileIO hop)
-would leave data plaintext, so encryption is only offered behind the
-FileIO seam (documented divergence).
+the decrypting driver-side Arrow path.  Parquet MODULAR encryption
+(footer/page-level keys readable by a vectorized scan in place — the
+reference's data-file path) is provided separately by
+``table/parquet_crypto.py`` via the table property
+``write.parquet.encryption.footer-key``; this module remains the
+metadata-plane / at-rest layer.
 
 Two on-disk forms, dispatched by magic:
 
