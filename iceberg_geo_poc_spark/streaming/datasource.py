@@ -265,6 +265,13 @@ class TableDataSource(DataSource):
                 "DataSource writer does not handle partitioned tables; "
                 "use Table.append"
             )
+        if (meta.get("properties") or {}).get(
+            "write.parquet.encryption.footer-key"
+        ):
+            raise ValueError(
+                "DataSource writer would write PLAINTEXT files into a "
+                "modular-encrypted table; use Table.append"
+            )
         renames = meta.get("renames", {})
         # name AND type must match: a silent int32 write into a BIGINT
         # column would poison later vectorized reads

@@ -587,6 +587,15 @@ class Catalog:
         (Murmur3-32 seed 0, ``iceberg_bucket.py``) and later engine
         appends land in the SAME numbering as the imported files."""
         t = self.load_table(name)
+        if t.meta.properties.get("write.parquet.encryption.footer-key"):
+            # zero-copy imports are plaintext parquet; the encrypted
+            # read path would try (and fail) to decrypt them — and
+            # silently importing plaintext into an encrypted table
+            # would defeat the property's promise
+            raise ValueError(
+                "add_files is not supported on modular-encrypted tables "
+                "(imported files are plaintext; re-write through append)"
+            )
         from iceberg_geo_poc_spark.table import manifest as M
 
         if name_mapping:

@@ -136,3 +136,24 @@ def test_envelope_kms_wrap_roundtrip():
     kms2 = fac(type("C", (), {"custom_kms_conf": PC._master_conf({"other": KEY})})())
     with pytest.raises(Exception):
         kms2.unwrap_key(wrapped, "other")
+
+
+def test_plaintext_entry_points_refused(spark, catalog):
+    """Zero-copy imports and the Python DataSource writer would place
+    PLAINTEXT parquet into a modular-encrypted table — both refuse."""
+    t = _mk_encrypted(spark, catalog, "enc7")
+    with pytest.raises(ValueError, match="modular-encrypted"):
+        catalog.add_files("enc7", ["/tmp/whatever.parquet"])
+    spark.dataSource.register(
+        __import__(
+            "iceberg_geo_poc_spark.streaming.datasource",
+            fromlist=["TableDataSource"],
+        ).TableDataSource
+    )
+    df = spark.range(3).selectExpr(
+        "id", "'x' AS grp", "CAST(id AS DOUBLE) AS val"
+    ).withColumnRenamed("id", "id")
+    with pytest.raises(Exception, match="PLAINTEXT"):
+        df.write.format("iceberg_geo_poc").mode("append").option(
+            "location", t.location
+        ).save()
