@@ -1097,6 +1097,7 @@ class Table:
         same file so the "one DV per data file, new supersedes old"
         rule holds at write time (superseded blob entries are dropped
         in the same commit)."""
+        self._refuse_mor_if_encrypted()
         plan = self._plan_cow(where)
         paths = plan["full"] + plan["partial"]
         if not paths:
@@ -1203,10 +1204,25 @@ class Table:
             {"dv-blobs": len(new_entries), "merged-dvs": len(merge_rows)},
         )
 
+    def _refuse_mor_if_encrypted(self) -> None:
+        """Merge-on-read sidecars (position/equality delete parquet, DV
+        Puffin) are written OUTSIDE the modular-encryption write path —
+        an eq-delete would persist column VALUES in plaintext.  Until
+        sidecars route through parquet_crypto, MoR strategies refuse on
+        encrypted tables; copy-on-write covers the same DML fully
+        encrypted (rewrites go through the encrypted writer)."""
+        if self.meta.properties.get("write.parquet.encryption.footer-key"):
+            raise NotImplementedError(
+                "merge-on-read is not supported on modular-encrypted "
+                "tables (delete sidecars would be plaintext); use "
+                "copy-on-write modes"
+            )
+
     def _posdel_entries(self, matches: DataFrame) -> list[dict]:
         """Persist ``(file_path, pos)`` tuples of ``matches`` (which must
         carry ``__file_path``/``__pos``) as a position-delete parquet and
         return its manifest entries (reference SparkPositionDeltaWrite)."""
+        self._refuse_mor_if_encrypted()
         posdel = matches.select(
             F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
         )
@@ -1258,6 +1274,7 @@ class Table:
         if key_cols is None:
             idf = self.meta.properties.get("identifier-fields")
             key_cols = json.loads(idf) if idf else list(keys.columns)
+        self._refuse_mor_if_encrypted()
         stage, final_dir = self._stage_dir("deletes")
         keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage)
         dpaths = _list_parquet(stage)

@@ -157,3 +157,13 @@ def test_plaintext_entry_points_refused(spark, catalog):
         df.write.format("iceberg_geo_poc").mode("append").option(
             "location", t.location
         ).save()
+
+
+def test_mor_refused_on_encrypted_tables(spark, catalog):
+    t = _mk_encrypted(spark, catalog, "enc8")
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        t.delete(E.lt("id", 5), mode="merge-on-read")
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        t.delete_by_keys(
+            spark.createDataFrame([(1,)], "id BIGINT"), key_cols=["id"]
+        )
