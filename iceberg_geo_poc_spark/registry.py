@@ -126,6 +126,9 @@ _PRIORITY_FIRST = (
     "managed_merge",
     "managed_time_travel",
     "managed_partition_stats",
+    "managed_gdpr_erasure",
+    "managed_maintenance_cycle",
+    "managed_wap_publish",
 )
 
 
