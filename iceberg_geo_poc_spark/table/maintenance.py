@@ -216,32 +216,13 @@ def rewrite_position_delete_files(
     live = table.spark.createDataFrame(
         [(p,) for p in entries[entries.content == "data"].file_path], "file_path string"
     )
-    from iceberg_geo_poc_spark.table.table import _read_parquet_any
-
-    tuples = _read_parquet_any(table.spark, dels.file_path.tolist())
+    tuples = table._sidecar_read(
+        dels.file_path.tolist(), "file_path STRING, pos BIGINT"
+    )
     kept_tuples = tuples.join(F.broadcast(live), "file_path", "left_semi")
-    stage, final_dir = table._stage_dir("deletes")
-    kept_tuples.coalesce(1).write.parquet(stage)
-    new_entries = []
-    for p in _list_parquet(stage):
-        record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
-        if record_count == 0:
-            continue
-        new_entries.append(
-            {
-                "content": "posdel",
-                "file_path": p,
-                "file_size": file_size,
-                "record_count": record_count,
-                "partition": json.dumps({}),
-                "lower": json.dumps(lower),
-                "upper": json.dumps(upper),
-                "nulls": json.dumps(nulls),
-                "bbox": json.dumps({}),
-            }
-        )
-
-    new_entries = table._finalize_staged(new_entries, stage, final_dir)
+    new_entries = table._sidecar_write(
+        kept_tuples, "posdel", "file_path STRING, pos BIGINT"
+    )
     old_paths = set(dels.file_path)
 
     def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
@@ -281,7 +262,6 @@ def convert_position_deletes_to_dvs(table: Table) -> dict:
     import uuid
 
     from iceberg_geo_poc_spark.table import deletion_vectors as DVEC
-    from iceberg_geo_poc_spark.table.table import _read_parquet_any
 
     entries = table._entries()
     dels = entries[entries.content == "posdel"]
@@ -289,9 +269,9 @@ def convert_position_deletes_to_dvs(table: Table) -> dict:
     if dels.empty:
         return {"converted_files": 0, "dv_blobs": 0, "dv_file": None}
 
-    tuples = _read_parquet_any(table.spark, dels.file_path.tolist()).select(
-        "file_path", "pos"
-    )
+    tuples = table._sidecar_read(
+        dels.file_path.tolist(), "file_path STRING, pos BIGINT"
+    ).select("file_path", "pos")
     if len(dv_old):
         descs = []
         for r in dv_old.itertuples():
@@ -701,6 +681,17 @@ def rewrite_table_path(
     tgt = target_location.rstrip("/")
     if tgt == src:
         raise ValueError("target_location equals the table location")
+    if table._modular_footer_key() and any(
+        e == "posdel" for e in table._entries().content
+    ):
+        # posdel CONTENTS must be rewritten (their file_path column
+        # references data files), which on a modular-encrypted table
+        # means decrypt + rewrite + re-encrypt — not wired yet
+        raise NotImplementedError(
+            "rewrite_table_path cannot yet rewrite ENCRYPTED position-"
+            "delete contents; compact deletes into data files first "
+            "(rewrite_data_files)"
+        )
     src_io, tgt_io = FIO.io_for(src), FIO.io_for(tgt + "/x")
 
     def owned(p: str) -> bool:

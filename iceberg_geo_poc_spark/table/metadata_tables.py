@@ -122,7 +122,24 @@ def inspect(table: Table, name: str) -> DataFrame:
         entries = table._entries()
         dpaths = entries[entries.content == "posdel"].file_path.tolist()
         parts = []
-        if dpaths:
+        if dpaths and table._modular_footer_key():
+            # encrypted sidecars: decrypting Arrow read synthesizes the
+            # per-row source sidecar path as __file_path
+            from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+            parts.append(
+                PC.read_encrypted_df(
+                    spark,
+                    dpaths,
+                    "file_path STRING, pos BIGINT",
+                    PC.master_keys(),
+                    need_pos=True,
+                ).select(
+                    "file_path", "pos",
+                    F.col("__file_path").alias("delete_file"),
+                )
+            )
+        elif dpaths:
             parts.append(
                 spark.read.parquet(*dpaths)
                 .withColumn(

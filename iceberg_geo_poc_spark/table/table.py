@@ -1097,7 +1097,6 @@ class Table:
         same file so the "one DV per data file, new supersedes old"
         rule holds at write time (superseded blob entries are dropped
         in the same commit)."""
-        self._refuse_mor_if_encrypted()
         plan = self._plan_cow(where)
         paths = plan["full"] + plan["partial"]
         if not paths:
@@ -1204,30 +1203,41 @@ class Table:
             {"dv-blobs": len(new_entries), "merged-dvs": len(merge_rows)},
         )
 
-    def _refuse_mor_if_encrypted(self) -> None:
-        """Merge-on-read sidecars (position/equality delete parquet, DV
-        Puffin) are written OUTSIDE the modular-encryption write path —
-        an eq-delete would persist column VALUES in plaintext.  Until
-        sidecars route through parquet_crypto, MoR strategies refuse on
-        encrypted tables; copy-on-write covers the same DML fully
-        encrypted (rewrites go through the encrypted writer)."""
-        if self.meta.properties.get("write.parquet.encryption.footer-key"):
-            raise NotImplementedError(
-                "merge-on-read is not supported on modular-encrypted "
-                "tables (delete sidecars would be plaintext); use "
-                "copy-on-write modes"
-            )
+    def _modular_footer_key(self) -> str | None:
+        return self.meta.properties.get("write.parquet.encryption.footer-key")
 
-    def _posdel_entries(self, matches: DataFrame) -> list[dict]:
-        """Persist ``(file_path, pos)`` tuples of ``matches`` (which must
-        carry ``__file_path``/``__pos``) as a position-delete parquet and
-        return its manifest entries (reference SparkPositionDeltaWrite)."""
-        self._refuse_mor_if_encrypted()
-        posdel = matches.select(
-            F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
-        )
+    def _sidecar_read(self, paths: list[str], ddl: str) -> DataFrame:
+        """Read delete-sidecar parquet (posdel/eqdel), decrypting when
+        the table uses Parquet modular encryption — sidecars are sealed
+        with the same footer master key as the data files."""
+        if self._modular_footer_key():
+            from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+            return PC.read_encrypted_df(self.spark, paths, ddl, PC.master_keys())
+        return _read_parquet_any(self.spark, paths)
+
+    def _sidecar_write(
+        self, df: DataFrame, content: str, ddl: str, extra: dict | None = None
+    ) -> list[dict]:
+        """Persist a delete sidecar (posdel/eqdel) and return manifest
+        entries.  On modular-encrypted tables the sidecar routes through
+        the encrypted pyarrow writer under the footer key — an equality
+        delete carries column VALUES, which must not land plaintext."""
         stage, final_dir = self._stage_dir("deletes")
-        posdel.coalesce(1).write.parquet(stage)
+        fkey = self._modular_footer_key()
+        if fkey:
+            from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+            entries = PC.write_encrypted_files(
+                df.coalesce(1), stage, ddl, [], PC.master_keys(), fkey, None
+            )
+            for e in entries:
+                e["content"] = content
+                e.pop("nans", None)
+                if extra:
+                    e.update(extra)
+            return self._finalize_staged(entries, stage, final_dir)
+        df.coalesce(1).write.parquet(stage)
         entries = []
         for p in _list_parquet(stage):
             record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
@@ -1235,7 +1245,7 @@ class Table:
                 continue
             entries.append(
                 {
-                    "content": "posdel",
+                    "content": content,
                     "file_path": p,
                     "file_size": file_size,
                     "record_count": record_count,
@@ -1244,9 +1254,21 @@ class Table:
                     "upper": json.dumps(upper),
                     "nulls": json.dumps(nulls),
                     "bbox": json.dumps({}),
+                    **(extra or {}),
                 }
             )
         return self._finalize_staged(entries, stage, final_dir)
+
+    def _posdel_entries(self, matches: DataFrame) -> list[dict]:
+        """Persist ``(file_path, pos)`` tuples of ``matches`` (which must
+        carry ``__file_path``/``__pos``) as a position-delete parquet and
+        return its manifest entries (reference SparkPositionDeltaWrite)."""
+        posdel = matches.select(
+            F.col("__file_path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        return self._sidecar_write(
+            posdel, "posdel", "file_path STRING, pos BIGINT"
+        )
 
     def _stage_dir(self, kind: str) -> tuple[str, str | None]:
         """(spark-writable stage dir, object-store final dir or None).
@@ -1274,30 +1296,14 @@ class Table:
         if key_cols is None:
             idf = self.meta.properties.get("identifier-fields")
             key_cols = json.loads(idf) if idf else list(keys.columns)
-        self._refuse_mor_if_encrypted()
-        stage, final_dir = self._stage_dir("deletes")
-        keys.select(*key_cols).distinct().coalesce(1).write.parquet(stage)
-        dpaths = _list_parquet(stage)
-        entries = []
-        for p in dpaths:
-            record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]
-            if record_count == 0:
-                continue
-            entries.append(
-                {
-                    "content": "eqdel",
-                    "file_path": p,
-                    "file_size": file_size,
-                    "record_count": record_count,
-                    "partition": json.dumps({}),
-                    "lower": json.dumps(lower),
-                    "upper": json.dumps(upper),
-                    "nulls": json.dumps(nulls),
-                    "bbox": json.dumps({}),
-                    "eq_cols": json.dumps(key_cols),
-                }
-            )
-        entries = self._finalize_staged(entries, stage, final_dir)
+        types = dict(self._ddl_types())
+        ddl = ", ".join(f"{c} {types[c]}" for c in key_cols)
+        entries = self._sidecar_write(
+            keys.select(*key_cols).distinct(),
+            "eqdel",
+            ddl,
+            extra={"eq_cols": json.dumps(key_cols)},
+        )
 
         # equality deletes need no file-liveness validation: they apply
         # by key to any lower-sequence data file, whatever compaction does
@@ -1756,7 +1762,9 @@ class Table:
             dpaths = ent[ent.content == "posdel"].file_path.tolist()
             deletes = None
             if dpaths:
-                deletes = _read_parquet_any(self.spark, dpaths).select(
+                deletes = self._sidecar_read(
+                    dpaths, "file_path STRING, pos BIGINT"
+                ).select(
                     F.col("file_path").alias("__file_path"),
                     F.col("pos").alias("__pos"),
                 )
@@ -1841,11 +1849,13 @@ class Table:
             groups.setdefault(row.eq_cols, []).append(
                 (row.file_path, int(row.sequence_number))
             )
+        types = dict(self._ddl_types())
         for eq_cols_json, files in groups.items():
             cols = json.loads(eq_cols_json)
+            ddl = ", ".join(f"{c} {types[c]}" for c in cols)
             dels = None
             for p, s in files:
-                d = _read_parquet_any(self.spark, [p]).select(*cols).withColumn(
+                d = self._sidecar_read([p], ddl).select(*cols).withColumn(
                     "__del_seq", F.lit(s)
                 )
                 dels = d if dels is None else dels.unionByName(d)

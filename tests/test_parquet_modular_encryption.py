@@ -159,11 +159,60 @@ def test_plaintext_entry_points_refused(spark, catalog):
         ).save()
 
 
-def test_mor_refused_on_encrypted_tables(spark, catalog):
+def test_encrypted_mor_posdel_roundtrip(spark, catalog):
+    """MoR position deletes on an encrypted table: the delete sidecar is
+    itself modular-encrypted (refuses plaintext reads), and the scan
+    applies it through the decrypting read."""
     t = _mk_encrypted(spark, catalog, "enc8")
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
-        t.delete(E.lt("id", 5), mode="merge-on-read")
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
-        t.delete_by_keys(
-            spark.createDataFrame([(1,)], "id BIGINT"), key_cols=["id"]
-        )
+    t.delete(E.lt("id", 30), mode="merge-on-read")
+    assert t.to_df().count() == 170
+    ent = t._entries()
+    sidecars = ent[ent.content == "posdel"].file_path.tolist()
+    assert sidecars
+    for p in sidecars:
+        with pytest.raises(Exception):
+            pq.read_table(p)
+    # POSITION_DELETES metadata table reads through the decrypt path
+    from iceberg_geo_poc_spark.table import metadata_tables as MT
+
+    rows = MT.inspect(t, "position_deletes").collect()
+    assert len(rows) == 30 and all(r.delete_file in sidecars for r in rows)
+
+
+def test_encrypted_mor_eqdel_values_sealed(spark, catalog):
+    """Equality deletes carry column VALUES: the sidecar must be
+    encrypted, and the sequence-aware application still works."""
+    t = _mk_encrypted(spark, catalog, "enc9")
+    t.delete_by_keys(
+        spark.createDataFrame([(5,), (7,)], "id BIGINT"), key_cols=["id"]
+    )
+    got = {r.id for r in t.to_df().collect()}
+    assert 5 not in got and 7 not in got and len(got) == 198
+    ent = t._entries()
+    for p in ent[ent.content == "eqdel"].file_path:
+        with pytest.raises(Exception):
+            pq.read_table(p)
+    # rows appended AFTER the delete keep the key (sequence rule)
+    t.append(
+        spark.createDataFrame([(5, "a", 1.0)], "id BIGINT, grp STRING, val DOUBLE")
+    )
+    assert 5 in {r.id for r in t.to_df().collect()}
+
+
+def test_encrypted_posdel_compaction_and_dv_conversion(spark, catalog):
+    from iceberg_geo_poc_spark.table import maintenance as X
+
+    t = _mk_encrypted(spark, catalog, "enc10")
+    t.delete(E.lt("id", 10), mode="merge-on-read")
+    t.delete(E.ge("id", 190), mode="merge-on-read")
+    res = X.rewrite_position_delete_files(t, min_input_files=1)
+    assert res.rewritten_files == 2 and t.to_df().count() == 180
+    # posdel -> DV conversion reads the encrypted sidecars
+    out = X.convert_position_deletes_to_dvs(t)
+    assert out["converted_files"] > 0
+    assert t.to_df().count() == 180
+    # rewrite_table_path refuses while encrypted posdels exist
+    t2 = _mk_encrypted(spark, catalog, "enc11")
+    t2.delete(E.lt("id", 3), mode="merge-on-read")
+    with pytest.raises(NotImplementedError, match="ENCRYPTED position"):
+        X.rewrite_table_path(t2, t2.location + "_copy", copy_files=False)
