@@ -216,3 +216,37 @@ def test_encrypted_posdel_compaction_and_dv_conversion(spark, catalog):
     t2.delete(E.lt("id", 3), mode="merge-on-read")
     with pytest.raises(NotImplementedError, match="ENCRYPTED position"):
         X.rewrite_table_path(t2, t2.location + "_copy", copy_files=False)
+
+
+def test_encrypted_incremental_and_changelog(spark, catalog):
+    """Incremental reads and the changelog walk the encrypted scan."""
+    from iceberg_geo_poc_spark.streaming.incremental import (
+        changelog,
+        incremental_read,
+    )
+
+    t = _mk_encrypted(spark, catalog, "enc12")
+    s1 = t.meta.snapshots[-1].snapshot_id
+    t.append(
+        spark.createDataFrame(
+            [(1000, "z", 9.0)], "id BIGINT, grp STRING, val DOUBLE"
+        )
+    )
+    inc = incremental_read(t, from_snapshot_id=s1)
+    assert [r.id for r in inc.collect()] == [1000]
+    ch = changelog(t, from_snapshot_id=s1).collect()
+    assert len(ch) == 1 and ch[0]._change_type == "insert"
+
+
+def test_encrypted_streaming_foreachbatch_sink(spark, catalog):
+    """Exactly-once streaming appends land encrypted via Table.append_streaming."""
+    t = _mk_encrypted(spark, catalog, "enc13")
+    df = spark.createDataFrame(
+        [(2000, "s", 1.5)], "id BIGINT, grp STRING, val DOUBLE"
+    )
+    t.append_streaming(df, query_id="q1", epoch_id=0)
+    t.append_streaming(df, query_id="q1", epoch_id=0)  # replay skipped
+    assert t.to_df().where("id = 2000").count() == 1
+    for p in t.scan().files():
+        with pytest.raises(Exception):
+            pq.read_table(p)
