@@ -240,8 +240,13 @@ def float_columns(df) -> list[str]:
     ]
 
 
-def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str]):
+def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str], df=None):
     """Per-file geometry bboxes via one distributed aggregation.
+
+    ``df`` overrides the source scan (it must carry ``__file`` plus the
+    geometry columns) — the modular-encryption write path passes its
+    decrypting read here, so encrypted geo tables get the same manifest
+    bbox metrics as plain ones.
 
     Returns {file_path: {geo_col: [xmin,ymin,xmax,ymax] | None}}.
     """
@@ -257,10 +262,11 @@ def compute_bboxes(spark, paths: list[str], geo_fields: dict[str, str]):
 
     if not geo_fields or not paths:
         return {}
-    df = spark.read.parquet(*paths).select(
-        F.col("_metadata.file_path").alias("__file"),
-        *geo_fields.keys(),
-    )
+    if df is None:
+        df = spark.read.parquet(*paths).select(
+            F.col("_metadata.file_path").alias("__file"),
+            *geo_fields.keys(),
+        )
     aggs = []
     for col, enc in geo_fields.items():
         wkb = F.col(col) if enc in ("ewkb", "wkb") else convert_encoding_udf(enc, "wkb")(

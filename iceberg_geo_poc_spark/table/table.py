@@ -674,10 +674,6 @@ class Table:
             # by the registered master key, stats computed in-task.
             from iceberg_geo_poc_spark.table import parquet_crypto as PC
 
-            if self.geo_fields:
-                raise NotImplementedError(
-                    "geometry bbox harvest on modular-encrypted tables"
-                )
             column_keys = json.loads(
                 self.meta.properties.get(
                     "write.parquet.encryption.column-keys", "{}"
@@ -692,6 +688,25 @@ class Table:
                 enc_footer_key,
                 column_keys,
             )
+            if self.geo_fields and entries:
+                # same post-write bbox aggregation as the plain path,
+                # sourced from the decrypting read
+                enc_paths = [e["file_path"] for e in entries]
+                src = PC.read_encrypted_df(
+                    self.spark,
+                    enc_paths,
+                    self.meta.schema_ddl,
+                    PC.master_keys(),
+                    need_pos=True,
+                ).select(
+                    F.col("__file_path").alias("__file"),
+                    *self.geo_fields.keys(),
+                )
+                enc_bboxes = M.compute_bboxes(
+                    self.spark, enc_paths, self.geo_fields, df=src
+                )
+                for e in entries:
+                    e["bbox"] = json.dumps(enc_bboxes.get(e["file_path"], {}))
             return self._finalize_staged(entries, stage, _final_dir)
         writer = out.write.format(fmt)
         if fmt == "parquet":

@@ -250,3 +250,48 @@ def test_encrypted_streaming_foreachbatch_sink(spark, catalog):
     for p in t.scan().files():
         with pytest.raises(Exception):
             pq.read_table(p)
+
+
+def test_encrypted_geo_table_bbox_pruning(spark, catalog):
+    """Geometry columns on a modular-encrypted table: bbox manifest
+    metrics come from the decrypting read, and spatial file-skip works
+    on the sealed files."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import st_point
+
+    t = catalog.create_table(
+        "encgeo",
+        "id BIGINT, geom BINARY",
+        geometry_columns={"geom": "wkb"},
+        properties={"write.parquet.encryption.footer-key": "k_footer"},
+    )
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            st_point(
+                (F.col("id") % 10).cast("double"),
+                (F.col("id") / 10).cast("int").cast("double"),
+            ).alias("geom"),
+        )
+        .repartition(4)
+    )
+    t.append(df)
+    ent = t._entries()
+    import json as _json
+
+    bboxes = [
+        _json.loads(b) for b in ent[ent.content == "data"].bbox if b
+    ]
+    assert bboxes and all(b.get("geom") for b in bboxes)
+    # spatial window scan: count points in [0,2]x[0,2]
+    got = (
+        t.scan(where=E.st_intersects("geom", __import__("iceberg_geo_poc_spark.geo", fromlist=["box"]).box(0.0, 0.0, 2.0, 2.0)))
+        .to_df()
+        .count()
+    )
+    assert got > 0
+    for p in t.scan().files():
+        with pytest.raises(Exception):
+            pq.read_table(p)
