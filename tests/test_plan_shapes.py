@@ -199,3 +199,55 @@ def test_bm25_partial_aggregates_and_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate(keys=" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_span_corruption_no_shuffle_no_python(spark, sf_dir):
+    """T5 span corruption must be ONE codegen map stage: no Exchange,
+    no Python workers — the property that lets it stream over 100 TB
+    without touching the shuffle system."""
+    from iceberg_geo_poc_spark.operators.text import span_corruption
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(span_corruption(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_splade_query_side_is_broadcast(spark, sf_dir):
+    """Sparse retrieval: the query-expansion side must broadcast; the
+    corpus-side sparse matrix must never be collected or cartesianed."""
+    from iceberg_geo_poc_spark.operators.retrieval import splade_sparse_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(splade_sparse_scores(docs, [(1, "spark table scan")], k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kcenter_scan_is_codegen_no_shuffle(spark, sf_dir):
+    """Each greedy k-center round is a map + global top-1: the distance
+    fold must stay in codegen with no Python stage."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.operators.sampling import kcenter_coreset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # probe the per-round scan plan directly (the operator collects
+    # top-1 per round, so grab the internal expression shape)
+    vec = emb.orderBy("vec_id").first()["embedding"]
+    lit = "array(" + ", ".join(f"CAST({float(x)} AS DOUBLE)" for x in vec) + ")"
+    d = emb.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(embedding, {lit}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, t) -> acc + t)"
+        ).alias("mind"),
+    )
+    plan = _plan(d)
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
