@@ -295,3 +295,25 @@ def test_encrypted_geo_table_bbox_pruning(spark, catalog):
     for p in t.scan().files():
         with pytest.raises(Exception):
             pq.read_table(p)
+
+
+def test_encrypted_compaction_output_stays_encrypted(spark, catalog):
+    """rewrite_data_files routes through _write_files, so bin-packed
+    output must still be sealed."""
+    from iceberg_geo_poc_spark.table import maintenance as X
+
+    t = _mk_encrypted(spark, catalog, "enc14")
+    t.append(
+        spark.createDataFrame(
+            [(500 + i, "c", 1.0) for i in range(20)],
+            "id BIGINT, grp STRING, val DOUBLE",
+        ).coalesce(1)
+    )
+    before = t.scan().total_data_files()
+    X.rewrite_data_files(t, target_file_size=1 << 30)
+    after = t.scan().total_data_files()
+    assert after < before
+    assert t.to_df().count() == 220
+    for p in t.scan().files():
+        with pytest.raises(Exception):
+            pq.read_table(p)

@@ -783,3 +783,59 @@ def test_splade_ranks_matching_docs_first(spark):
     assert [r.doc_id for r in got] == [1]  # only doc 1 contains 'apple'
     got2 = splade_sparse_scores(docs, [(2, "banana cherry")], k=5).collect()
     assert [r.doc_id for r in got2] == [2, 1]  # 2 matches both terms
+
+
+def test_connected_components_property_vs_unionfind(spark):
+    """Property: the distributed pointer-jumping result must equal a
+    plain union-find over the same random edge sets."""
+    import random
+
+    from iceberg_geo_poc_spark.operators.dedup import connected_components
+
+    rng = random.Random(8)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(100 + trial * 40)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for v in set(v for e in edges for v in e):
+            r = find(v)
+            want[v] = min(
+                u for u in set(x for e in edges for x in e) if find(u) == r
+            )
+        df = spark.createDataFrame(edges, "a LONG, b LONG")
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_span_corruption_rate_and_determinism(spark):
+    """Property: masking rate tracks rate_num/rate_den over a large
+    corpus, and reruns are bit-identical."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.operators.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(60))) for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    out1 = span_corruption(docs).orderBy("doc_id").collect()
+    out2 = span_corruption(docs).orderBy("doc_id").collect()
+    assert out1 == out2
+    masked = sum(len(r.target.split()) - r.n_spans for r in out1)
+    total = 200 * 60
+    rate = masked / total
+    assert 0.15 < rate < 0.26  # 20/97 ~ 0.206
