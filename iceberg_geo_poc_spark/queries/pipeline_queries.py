@@ -3142,3 +3142,78 @@ def retrieval_splade_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = retrieval.splade_sparse_scores(docs, _SPLADE_QUERIES, k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS c1
+      FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+    docbig AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM docbig GROUP BY w1, w2
+    ),
+    nll AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(AVG(-LN((COALESCE(b.c2, 0) + 0.1)
+                                / (u.c1 + 0.1 * v.vocab))) * 100) AS BIGINT)
+               AS nll_c
+      FROM docbig d
+      JOIN uni u ON d.w1 = u.w1
+      LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+      CROSS JOIN v
+      GROUP BY d.doc_id),
+    bucketed AS (
+      SELECT doc.lang, n.doc_id, n.nll_c,
+             NTILE(3) OVER (PARTITION BY doc.lang
+                            ORDER BY n.nll_c, n.doc_id) AS bucket
+      FROM nll n JOIN documents doc USING (doc_id))
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(nll_c) AS BIGINT) AS min_nll_c,
+           CAST(MAX(nll_c) AS BIGINT) AS max_nll_c
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus partitioning step (Wenzek et al. 2020): score
+    every document under the corpus bigram LM, then split EACH LANGUAGE
+    into head/middle/tail perplexity terciles (bucket 1 = most fluent).
+    One window over the per-doc scores after the single-pass LM —
+    ordering on the centinat-rounded nll (plus doc_id) so the tercile
+    boundaries are engine-stable."""
+    from pyspark.sql import Window
+
+    from iceberg_geo_poc_spark.operators.lm import perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    nll = perplexity_scores(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.floor(F.col("nll") * 100).cast("long").alias("nll_c"),
+    )
+    w = Window.partitionBy("lang").orderBy("nll_c", "doc_id")
+    bucketed = (
+        nll.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nll_c").alias("min_nll_c"),
+            F.max("nll_c").alias("max_nll_c"),
+        )
+        .orderBy("lang", "bucket")
+    )

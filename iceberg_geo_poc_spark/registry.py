@@ -128,7 +128,7 @@ _PRIORITY_FIRST = (
     "managed_partition_stats",
     "managed_gdpr_erasure",
     "managed_maintenance_cycle",
-    "managed_wap_publish",
+    "text_perplexity_buckets",
 )
 
 
