@@ -182,3 +182,78 @@ def splade_sparse_scores(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def hard_negative_mining(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: list[tuple[int, str]],
+    k_lex: int = 10,
+    k_neg: int = 5,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for retrieval/embedding training (the
+    ANCE/DPR-style curation step): for each query, the lexical top-1
+    document is the POSITIVE; hard negatives are the documents most
+    cosine-similar to the positive's embedding that did NOT make the
+    lexical top-k — semantically close, lexically unmatched, exactly
+    the pairs contrastive training needs.
+
+    Scale posture: the lexical stage is ``splade_sparse_scores`` (one
+    term-keyed equi-join); the positives (|queries| rows) collect to the
+    driver and broadcast as literal vectors, so the cosine stage is one
+    codegen scan of the embedding table (no pairwise matrix); the
+    exclusion set (|queries| x k_lex ids) broadcasts into an anti-join;
+    one per-query top-k window finishes.  -> (query_id, positive_id,
+    negative_id, cosine, neg_rank)."""
+    lex = splade_sparse_scores(docs, queries, k=k_lex)
+    pos = {
+        r.query_id: r.doc_id for r in lex.filter(F.col("rank") == 1).collect()
+    }
+    spark = docs.sparkSession
+    vec_of = {
+        r.vec_id: r.embedding
+        for r in emb.filter(
+            F.col("vec_id").isin(list(pos.values()))
+        ).collect()
+    }
+    dot = (
+        "aggregate(zip_with(embedding, {c}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, t) -> acc + t)"
+    )
+    norm = (
+        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, t) -> acc + t))"
+    )
+    parts = []
+    for qid, pid in sorted(pos.items()):
+        v = vec_of[pid]
+        import math
+
+        pnorm = math.sqrt(sum(float(x) * float(x) for x in v))
+        lit = "array(" + ", ".join(f"CAST({float(x)} AS DOUBLE)" for x in v) + ")"
+        parts.append(
+            emb.select(
+                F.lit(qid).alias("query_id"),
+                F.lit(pid).alias("positive_id"),
+                F.col("vec_id").alias("negative_id"),
+                F.round(
+                    F.expr(dot.format(c=lit)) / (F.expr(norm) * F.lit(pnorm)),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    lex_ids = lex.select(
+        F.col("query_id"), F.col("doc_id").alias("negative_id")
+    )
+    cand = cand.join(lex_ids, ["query_id", "negative_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k_neg)
+        .orderBy("query_id", "neg_rank")
+    )

@@ -3217,3 +3217,70 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "retrieval_hard_negatives",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    idf AS (SELECT term,
+                   LN(1.0 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfreq),
+    dw AS (SELECT t.term, t.doc_id, LN(1.0 + t.tf) * i.idf AS wd
+           FROM tfc t JOIN idf i USING (term)),
+    q(query_id, qtext) AS (VALUES {_SPLADE_Q_SQL}),
+    qtf AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+    qtfc AS (SELECT query_id, term, COUNT(*) AS qtf FROM qtf GROUP BY 1, 2),
+    qw AS (SELECT query_id, t.term, LN(1.0 + t.qtf) * i.idf AS wq
+           FROM qtfc t JOIN idf i USING (term)),
+    sc AS (SELECT q.query_id, d.doc_id,
+                  ROUND(SUM(d.wd * q.wq), 6) AS score
+           FROM dw d JOIN qw q USING (term)
+           GROUP BY 1, 2),
+    lex AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM sc),
+    topk AS (SELECT query_id, doc_id FROM lex WHERE rank <= 10),
+    pos AS (SELECT query_id, doc_id AS positive_id FROM lex WHERE rank = 1),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cand AS (
+      SELECT p.query_id, p.positive_id, x.vec_id AS negative_id,
+             ROUND(list_dot_product(x.v, pe.v) / (x.nrm * pe.nrm), 6) AS cosine
+      FROM pos p
+      JOIN n pe ON pe.vec_id = p.positive_id
+      CROSS JOIN n x),
+    flt AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN topk t ON t.query_id = c.query_id AND t.doc_id = c.negative_id
+      WHERE t.doc_id IS NULL),
+    r AS (SELECT query_id, positive_id, negative_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, negative_id) AS neg_rank
+          FROM flt)
+    SELECT query_id, positive_id, negative_id, cosine,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM r WHERE neg_rank <= 5 ORDER BY query_id, neg_rank
+    """,
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCE/DPR-style hard-negative mining
+    (operators/retrieval.py::hard_negative_mining): lexical top-1 as
+    the positive, then the documents most cosine-similar to the
+    positive's embedding that MISSED the lexical top-10 — semantically
+    close, lexically unmatched contrastive pairs.  Broadcast positives,
+    one codegen cosine scan, anti-join exclusion, per-query top-5."""
+    from iceberg_geo_poc_spark.operators.retrieval import hard_negative_mining
+
+    return hard_negative_mining(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _SPLADE_QUERIES,
+        k_lex=10,
+        k_neg=5,
+    )

@@ -127,7 +127,7 @@ _PRIORITY_FIRST = (
     "managed_time_travel",
     "managed_partition_stats",
     "managed_gdpr_erasure",
-    "managed_maintenance_cycle",
+    "retrieval_hard_negatives",
     "text_perplexity_buckets",
 )
 
