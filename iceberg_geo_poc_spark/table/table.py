@@ -653,6 +653,14 @@ class Table:
             )
         for c in tmp_order_cols:
             out = out.drop(c)
+        if fmt != "parquet" and self._modular_footer_key():
+            # the property names PARQUET modular encryption; an avro/orc
+            # table carrying it would silently write plaintext
+            raise NotImplementedError(
+                "write.parquet.encryption.* requires file_format='parquet' "
+                f"(table is {fmt}); use EncryptingFileIO for at-rest "
+                "sealing of other formats"
+            )
         if fmt == "avro":
             # distributed mapInArrow write: one container per task, the
             # manifest stats computed in-task (write-time metrics, like

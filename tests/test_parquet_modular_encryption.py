@@ -317,3 +317,14 @@ def test_encrypted_compaction_output_stays_encrypted(spark, catalog):
     for p in t.scan().files():
         with pytest.raises(Exception):
             pq.read_table(p)
+
+
+def test_encryption_property_requires_parquet(spark, catalog):
+    t = catalog.create_table(
+        "encavro",
+        "a BIGINT",
+        file_format="avro",
+        properties={"write.parquet.encryption.footer-key": "k_footer"},
+    )
+    with pytest.raises(NotImplementedError, match="requires file_format"):
+        t.append(spark.createDataFrame([(1,)], "a BIGINT"))
