@@ -607,3 +607,17 @@ def test_view_sees_base_table_updates(spark, catalog):
         spark.createDataFrame([(100, "x")], "a BIGINT, b STRING").coalesce(1)
     )
     assert catalog.sql("SELECT COUNT(*) AS n FROM v_all").collect()[0].n == 6
+
+
+def test_view_over_view_resolves_recursively(spark, catalog):
+    """A view body may reference another view: the dispatcher re-plans
+    each stored SQL through _select, which resolves view refs at every
+    level."""
+    _mk(spark, catalog, "vvt", n_appends=1, rows_per=20)
+    catalog.sql("CREATE VIEW v_base AS SELECT a FROM vvt WHERE a < 10")
+    catalog.sql(
+        "CREATE VIEW v_top AS SELECT COUNT(*) AS n FROM v_base WHERE a >= 4"
+    )
+    assert catalog.sql("SELECT n FROM v_top").collect()[0].n == 6
+    catalog.sql("DROP VIEW v_top")
+    catalog.sql("DROP VIEW v_base")
