@@ -3294,3 +3294,65 @@ def managed_parquet_encrypted_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "managed_encrypted_mor_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE NOT (event_type = 'error') AND NOT (user_id % 97 = 13)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_encrypted_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read on a MODULAR-ENCRYPTED table: a position delete
+    (predicate) and an equality delete (keys) both persist as
+    ENCRYPTED sidecars (plaintext reads refuse, asserted in build), and
+    the scan applies them through the decrypting read.  The grouped
+    read-back must equal plain SQL with both delete predicates
+    inlined."""
+
+    def build(cat, tname):
+        from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+        PC.register_master_key("mor_footer", bytes(range(7, 23)))
+        t = cat.create_table(
+            tname,
+            _EVENTS_DDL,
+            properties={"write.parquet.encryption.footer-key": "mor_footer"},
+        )
+        t.append(_events_df(spark, sf_dir))
+        t.delete(E.eq("event_type", "error"), mode="merge-on-read")
+        erased = (
+            _events_df(spark, sf_dir)
+            .select("user_id")
+            .where(F.col("user_id") % 97 == 13)
+            .distinct()
+        )
+        t.delete_by_keys(erased, key_cols=["user_id"])
+        import pyarrow.parquet as pq
+
+        ent = t._entries()
+        sidecars = ent[ent.content.isin(["posdel", "eqdel"])].file_path
+        assert len(sidecars) >= 2
+        for p in sidecars:
+            try:
+                pq.read_table(p)
+                raise AssertionError(f"sidecar {p} readable in plaintext")
+            except OSError:
+                pass
+        return t
+
+    t = _managed(spark, sf_dir, "encmor", build)
+    return (
+        t.to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

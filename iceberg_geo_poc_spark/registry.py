@@ -115,7 +115,7 @@ _PRIORITY_FIRST = (
     "text_quality_scores",
     "text_token_stats",
     "text_fingerprint",
-    "sample_stratified_by_lang",
+    "managed_encrypted_mor_scan",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_asof_last_order",
