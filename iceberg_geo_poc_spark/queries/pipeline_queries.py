@@ -3284,3 +3284,91 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_lex=10,
         k_neg=5,
     )
+
+
+@query(
+    "dedup_keep_best_in_cluster",
+    oracle=f"""
+    WITH RECURSIVE k AS (
+      SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS kp,
+             array_to_string((string_split(text,' '))[-3:], ' ') AS ks
+      FROM documents WHERE len(string_split(text,' ')) >= 3),
+    keys AS (SELECT doc_id, kp AS key FROM k
+             UNION ALL SELECT doc_id, ks AS key FROM k),
+    b AS (SELECT key, MIN(doc_id) m FROM keys GROUP BY key),
+    e0 AS (SELECT DISTINCT b.m AS a, keys.doc_id AS b
+           FROM keys JOIN b USING(key) WHERE keys.doc_id > b.m),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+      WHERE r.lbl < e.b
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component
+             FROM reach GROUP BY id),
+    q AS ({_duck_quality_sql().replace("documents", "documents", 1)}),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q USING (doc_id))
+    SELECT component, doc_id AS kept_doc, quality AS kept_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1 ORDER BY component
+    """,
+)
+def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention step of a dedup pipeline: resolve duplicate
+    clusters (pointer-jumping connected components over the
+    prefix/suffix star graph) and KEEP THE HIGHEST-QUALITY member of
+    each cluster (heuristic quality score, ties to the smaller id) —
+    'cluster then keep best' instead of 'keep first seen'.  One window
+    per component over model-free rounded scores, engine-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    k = docs.filter(F.size(words) >= 3).select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 3), " ").alias("kp"),
+        F.array_join(F.slice(words, -3, 3), " ").alias("ks"),
+    )
+    keys = k.select("doc_id", F.col("kp").alias("key")).unionAll(
+        k.select("doc_id", F.col("ks").alias("key"))
+    )
+    bmin = keys.groupBy("key").agg(F.min("doc_id").alias("m"))
+    e0 = (
+        keys.join(bmin, "key")
+        .filter(F.col("doc_id") > F.col("m"))
+        .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    comp = dedup.connected_components(e0).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    quality = text.quality_scores(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = (
+        comp.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("long"),
+        )
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality").alias("kept_quality"),
+            "n_members",
+        )
+        .orderBy("component")
+    )

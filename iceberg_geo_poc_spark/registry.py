@@ -114,7 +114,7 @@ _PRIORITY_FIRST = (
     "text_language_id",
     "text_quality_scores",
     "text_token_stats",
-    "text_fingerprint",
+    "dedup_keep_best_in_cluster",
     "managed_encrypted_mor_scan",
     "q1_pricing_summary",
     "q3_shipping_priority",
