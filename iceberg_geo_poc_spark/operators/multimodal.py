@@ -308,15 +308,18 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
     (n_frames, channels) at NATIVE scale, sample_rate, bits_per_sample).
 
     Supports 8-bit unsigned (returned centered: -128..127), 16/24/32-bit
-    signed little-endian, any channel count, and WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE) wrapping a PCM subformat — the layouts real tools emit
-    (validated against CPython's test/audiodata pluck-pcm{8,16,24,32}
-    files in tests/test_codec_goldens.py).  24-bit unpack is vectorized
-    (three byte-plane gathers + shift-or, then sign extension)."""
+    signed little-endian, IEEE float32/float64 (format 3, rescaled to
+    the int32 range so the caller contract stays uniform), any channel
+    count, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping a PCM or float
+    subformat — the layouts real tools emit (validated against
+    CPython's test/audiodata pluck-pcm{8,16,24,32} files in
+    tests/test_codec_goldens.py).  24-bit unpack is vectorized (three
+    byte-plane gathers + shift-or, then sign extension)."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF WAVE file")
     pos, rate, bits, channels, raw = 12, None, None, None, None
+    is_float = False
     while pos + 8 <= len(b):
         cid, size = struct.unpack_from("<4sI", b, pos)
         pos += 8
@@ -325,21 +328,37 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
                 "<HHIIHH", b, pos
             )
             if audio_fmt == 0xFFFE:
-                # extensible: PCM iff the SubFormat GUID starts 01 00
-                if size < 40 or b[pos + 24 : pos + 26] != b"\x01\x00":
+                # extensible: SubFormat GUID starts 01 00 (PCM) or
+                # 03 00 (IEEE float)
+                sub = b[pos + 24 : pos + 26] if size >= 40 else b""
+                if sub == b"\x03\x00":
+                    is_float = True
+                elif sub != b"\x01\x00":
                     raise NotImplementedError(
-                        "only PCM WAVE_FORMAT_EXTENSIBLE supported"
+                        "only PCM/float WAVE_FORMAT_EXTENSIBLE supported"
                     )
+            elif audio_fmt == 3:
+                is_float = True
             elif audio_fmt != 1:
-                raise NotImplementedError("only PCM WAV supported")
-            if bits not in (8, 16, 24, 32):
+                raise NotImplementedError("only PCM / IEEE-float WAV supported")
+            if is_float and bits not in (32, 64):
+                raise NotImplementedError(f"unsupported float depth {bits}")
+            if not is_float and bits not in (8, 16, 24, 32):
                 raise NotImplementedError(f"unsupported PCM depth {bits}")
         elif cid == b"data":
             raw = b[pos : pos + size]
         pos += size + (size & 1)
     if rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    if bits == 8:
+    if is_float:
+        # IEEE float in [-1, 1): rescale to 32-bit integer range so the
+        # (array, rate, bits=32) contract is uniform for callers
+        f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+        s = np.clip(f, -1.0, 1.0 - 2.0 ** -31)
+        s = np.round(s * 2147483648.0).astype(np.int64)
+        s = np.clip(s, -2147483648, 2147483647).astype(np.int32)
+        bits = 32
+    elif bits == 8:
         s = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:
         s = np.frombuffer(raw, dtype="<i2").astype(np.int32)

@@ -680,3 +680,34 @@ def test_wav_stereo_downmix_pipeline_contract():
     want = np.floor_divide((s >> 8).sum(axis=1), 2).astype(np.int16)
     assert rate == 11025 and mono.dtype == np.int16
     assert np.array_equal(mono, want)
+
+
+def test_wav_ieee_float_formats():
+    """IEEE-float WAV (format 3, f32 + f64, incl. clipping at +1.0)
+    rescales into the int32 caller contract."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.multimodal import decode_wav_pcm
+
+    def make_wav(fmt, bits, data, channels=1, rate=8000):
+        fc = struct.pack(
+            "<HHIIHH", fmt, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fc)) + fc
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0], dtype="<f4")
+    s, rate, bits = decode_wav_pcm(make_wav(3, 32, f.tobytes()))
+    assert bits == 32 and rate == 8000
+    assert list(s[:, 0]) == [
+        0, 1 << 30, -(1 << 30), 2147483647, -2147483648, 2147483647
+    ]
+    f8 = np.array([0.25, -0.75], dtype="<f8")
+    s8, _, _ = decode_wav_pcm(make_wav(3, 64, f8.tobytes()))
+    assert list(s8[:, 0]) == [1 << 29, -3 * (1 << 29)]
