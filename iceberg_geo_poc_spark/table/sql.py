@@ -188,6 +188,26 @@ def dispatch_sql(catalog, text: str):
         return catalog.spark.createDataFrame(
             [(n,) for n in catalog.list_views()], "viewName STRING"
         )
+    m = re.match(
+        r"^\s*SHOW\s+CREATE\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$", text, re.I
+    )
+    if m:
+        stmt = (
+            f"CREATE VIEW {m.group('name')} AS\n"
+            + catalog.view_sql(m.group("name"))
+        )
+        return catalog.spark.createDataFrame(
+            [(stmt,)], "createview_stmt STRING"
+        )
+    m = re.match(
+        r"^\s*DESC(?:RIBE)?\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$", text, re.I
+    )
+    if m:
+        df = _select(catalog, catalog.view_sql(m.group("name")))
+        rows = [(f.name, f.dataType.simpleString(), "") for f in df.schema.fields]
+        return catalog.spark.createDataFrame(
+            rows, "col_name STRING, data_type STRING, comment STRING"
+        )
     m = _CREATE_RE.match(text)
     if m:
         return _create(catalog, m)

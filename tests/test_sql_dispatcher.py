@@ -621,3 +621,15 @@ def test_view_over_view_resolves_recursively(spark, catalog):
     assert catalog.sql("SELECT n FROM v_top").collect()[0].n == 6
     catalog.sql("DROP VIEW v_top")
     catalog.sql("DROP VIEW v_base")
+
+
+def test_show_create_view_and_describe_view(spark, catalog):
+    _mk(spark, catalog, "svt", n_appends=1, rows_per=5)
+    catalog.sql("CREATE VIEW v_s AS SELECT a, b FROM svt WHERE a > 1")
+    stmt = catalog.sql("SHOW CREATE VIEW v_s").collect()[0].createview_stmt
+    assert stmt.startswith("CREATE VIEW v_s AS")
+    assert "SELECT a, b FROM svt" in stmt
+    desc = catalog.sql("DESCRIBE VIEW v_s").collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("a", "bigint"), ("b", "string")
+    ]
