@@ -879,3 +879,63 @@ def perceptual_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, PHASH_SCHEMA)
+
+
+AUGMENT_SCHEMA = "doc_id LONG, op STRING, width INT, height INT, aug_md5 STRING"
+
+_AUGMENT_OPS = ("hflip", "vflip", "rot90")
+
+
+def augment_images(media: DataFrame, ops: tuple = _AUGMENT_OPS) -> DataFrame:
+    """Deterministic GEOMETRIC augmentation over binary image columns —
+    the label-preserving transforms a vision training pipeline fans
+    each sample into.  Exact index permutations (no resampling, so
+    bit-deterministic everywhere):
+
+    - ``hflip``: out[y, x] = in[y, W-1-x]
+    - ``vflip``: out[y, x] = in[H-1-y, x]
+    - ``rot90``: clockwise, out[y, x] = in[H-1-x, y]
+
+    One mapInPandas over the media table emitting |ops| rows per image
+    (decode once, permute |ops| times), canonical PPM re-encode + md5
+    so an oracle can recompute the exact output bytes.  Arrow both
+    ways, no shuffle."""
+    bad = set(ops) - set(_AUGMENT_OPS)
+    if bad:
+        raise ValueError(f"unknown augment ops {sorted(bad)}")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "op", "width", "height", "aug_md5")}
+            for did, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                arr = decode_image(payload, fmt)
+                h, w = arr.shape[:2]
+                for op in ops:
+                    if op == "hflip":
+                        out = arr[:, ::-1]
+                    elif op == "vflip":
+                        out = arr[::-1, :]
+                    else:  # rot90 clockwise
+                        out = np.rot90(arr, k=-1)
+                    rows["doc_id"].append(did)
+                    rows["op"].append(op)
+                    rows["width"].append(out.shape[1])
+                    rows["height"].append(out.shape[0])
+                    rows["aug_md5"].append(
+                        hashlib.md5(
+                            encode_ppm(np.ascontiguousarray(out))
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "op": rows["op"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "aug_md5": rows["aug_md5"],
+                }
+            )
+
+    return media.mapInPandas(_batches, AUGMENT_SCHEMA)

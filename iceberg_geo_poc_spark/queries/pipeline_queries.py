@@ -3372,3 +3372,61 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "multimodal_augment_flips",
+    oracle="""
+    WITH ops(op) AS (VALUES ('hflip'), ('vflip'), ('rot90')),
+    px AS (
+      SELECT d.doc_id, o.op,
+        (SELECT string_agg(
+            repeat(chr(CAST(32 + (d.doc_id
+              + CASE o.op
+                  WHEN 'hflip' THEN y * 4 + (3 - x)
+                  WHEN 'vflip' THEN (3 - y) * 4 + x
+                  ELSE (3 - x) * 4 + y
+                END) % 95 AS INT)), 3), '' ORDER BY y, x)
+         FROM generate_series(0, 3) t1(y), generate_series(0, 3) t2(x)) AS body
+      FROM documents d CROSS JOIN ops o)
+    SELECT doc_id, op, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           md5('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) || body)
+             AS aug_md5
+    FROM px ORDER BY doc_id, op
+    """,
+)
+def multimodal_augment_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric augmentation fan-out (operators/multimodal.py
+    ::augment_images): 4x4 position-gradient images flip/rotate via
+    exact index permutations, re-encode canonically as PPM, md5
+    reported.  The gradient makes every op produce DIFFERENT bytes (a
+    wrong flip axis or rotation direction hash-mismatches); the oracle
+    rebuilds the expected permuted PPM byte-for-byte in SQL."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gradient(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                idx = np.arange(16).reshape(4, 4)
+                vals = (32 + (d + idx) % 95).astype(np.uint8)
+                arr = np.repeat(vals[:, :, None], 3, axis=2)
+                payloads.append(multimodal.encode_ppm(arr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": ["ppm"] * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(
+        _gradient, "doc_id LONG, payload BINARY, format STRING"
+    )
+    return multimodal.augment_images(media).orderBy("doc_id", "op")

@@ -108,7 +108,7 @@ _PRIORITY_FIRST = (
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "multimodal_augment_flips",
     "sim_knn_cosine_topk",
     "sim_ivf_knn",
     "text_language_id",
