@@ -614,3 +614,66 @@ def test_fast_polypoly_refuses_mixed_batches():
     assert GF._fast_polypoly_predicate("intersects", a, b) is None
     # and unknown predicates are refused outright
     assert GF._fast_polypoly_predicate("touches", b, b) is None
+
+
+def test_ragged_collinear_drop_agrees_with_scalar_kernel():
+    """Property: the vectorized ragged pack (which now DROPS on-chord
+    interior vertices before the predicate stages) must agree with the
+    scalar kernel — which sees the subdivided geometry verbatim — on
+    intersects/covers/within over random convex polygons whose edges
+    are subdivided with exactly-interpolated points."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_geo_poc_spark.geo import functions as GF
+    from iceberg_geo_poc_spark.geo.wkb import geometry_from_wkb
+
+    rng = random.Random(88)
+
+    def convex_poly(cx, cy, r, n_corners, subdiv):
+        import math
+
+        pts = []
+        angles = sorted(
+            rng.uniform(0, 2 * math.pi) for _ in range(n_corners)
+        )
+        corners = [
+            (cx + r * math.cos(a), cy + r * math.sin(a)) for a in angles
+        ]
+        for i, (x0, y0) in enumerate(corners):
+            x1, y1 = corners[(i + 1) % len(corners)]
+            for k in range(subdiv):
+                t = k / subdiv
+                pts.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+        pts.append(pts[0])
+        import struct
+
+        b = b"\x01\x03\x00\x00\x00" + struct.pack("<I", 1)
+        b += struct.pack("<I", len(pts))
+        for x, y in pts:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    wa, wb = [], []
+    for _ in range(120):
+        wa.append(
+            convex_poly(
+                rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(0.5, 3),
+                rng.randrange(3, 7), rng.randrange(1, 4),
+            )
+        )
+        wb.append(
+            convex_poly(
+                rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(0.5, 3),
+                rng.randrange(3, 7), rng.randrange(1, 4),
+            )
+        )
+    sa, sb = pd.Series(wa, dtype=object), pd.Series(wb, dtype=object)
+    for pred in ("intersects", "covers", "within"):
+        fast = GF._fast_polypoly_predicate(pred, sa, sb)
+        assert fast is not None
+        for i, (a, b) in enumerate(zip(wa, wb)):
+            want = getattr(geometry_from_wkb(a), pred)(geometry_from_wkb(b))
+            assert fast[i] == want, (pred, i)
