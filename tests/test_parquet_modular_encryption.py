@@ -328,3 +328,60 @@ def test_encryption_property_requires_parquet(spark, catalog):
     )
     with pytest.raises(NotImplementedError, match="requires file_format"):
         t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+
+
+def test_encrypted_schema_evolution_and_time_travel(spark, catalog):
+    """Rename + add-column-with-default on an encrypted table: old
+    files read through the decrypting target-schema cast (missing
+    columns surface as typed nulls / defaults), and time travel still
+    decrypts the pre-evolution snapshot."""
+    t = _mk_encrypted(spark, catalog, "enc15")
+    s1 = t.meta.snapshots[-1].snapshot_id
+    catalog.rename_column("enc15", "val", "score")
+    t = catalog.load_table("enc15")
+    assert t.to_df().where("score = 1.5").count() == 1
+    t.append(
+        spark.createDataFrame(
+            [(9000, "z", 7.0)], "id BIGINT, grp STRING, score DOUBLE"
+        )
+    )
+    assert t.to_df().count() == 201
+    old = t.scan(snapshot_id=s1).to_df()
+    assert old.count() == 200
+    for p in t.scan().files():
+        with pytest.raises(Exception):
+            pq.read_table(p)
+
+
+def test_encrypted_zorder_compaction(spark, catalog):
+    from iceberg_geo_poc_spark.table import maintenance as X
+
+    t = _mk_encrypted(spark, catalog, "enc16")
+    t.append(
+        spark.createDataFrame(
+            [(300 + i, "z", float(i)) for i in range(50)],
+            "id BIGINT, grp STRING, val DOUBLE",
+        ).repartition(3)
+    )
+    X.rewrite_data_files(t, strategy="sort", sort_by=["id"])
+    assert t.to_df().count() == 250
+    for p in t.scan().files():
+        with pytest.raises(Exception):
+            pq.read_table(p)
+
+
+def test_encrypted_expire_snapshots_and_orphans(spark, catalog):
+    import os
+    import time as _time
+
+    from iceberg_geo_poc_spark.table import maintenance as X
+
+    t = _mk_encrypted(spark, catalog, "enc17")
+    t.delete(E.lt("id", 100))  # CoW rewrite -> old files become unreferenced
+    n_snaps = len(t.meta.snapshots)
+    assert n_snaps >= 2
+    X.expire_snapshots(t, keep_last=1, older_than_ms=int(_time.time() * 1000) + 10_000)
+    t = catalog.load_table("enc17")
+    assert len(t.meta.snapshots) == 1
+    removed = X.remove_orphan_files(t, older_than_ms=int(_time.time() * 1000) + 10_000)
+    assert t.to_df().count() == 100
