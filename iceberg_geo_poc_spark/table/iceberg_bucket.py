@@ -141,8 +141,14 @@ def serialize_single(value, icetype: str) -> bytes:
             if sign:
                 unscaled = -unscaled
         unscaled = int(unscaled)
-        # minimal two's-complement big-endian
-        length = max(1, (unscaled.bit_length() + 8) // 8)
+        # minimal two's-complement big-endian.  Signed minimal width is
+        # (magnitude bits + sign bit) rounded up; for negatives the
+        # magnitude is that of the complement (-n-1), so exact negative
+        # powers of two (-128, -32768, ...) fit one byte narrower than
+        # their positive counterparts — (bit_length+8)//8 over-allocated
+        # a redundant 0xff byte there (hypothesis-found, unscaled=-128).
+        mag = unscaled if unscaled >= 0 else -unscaled - 1
+        length = mag.bit_length() // 8 + 1
         return unscaled.to_bytes(length, "big", signed=True)
     if t in ("float", "double"):
         raise ValueError("bucket transform is not defined for float/double")
