@@ -260,3 +260,95 @@ def kcenter_coreset(
     return emb.sparkSession.createDataFrame(
         chosen, f"step INT, {id_col} LONG"
     ).orderBy("step")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    key: str,
+    text_col: str,
+    target_pred: str,
+    num_buckets: int = 512,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): select raw-corpus documents that look like a TARGET domain
+    under a bag-of-hashed-ngrams model.
+
+    Features are unigrams + word bigrams hashed into ``num_buckets``
+    buckets (the cross-engine md5-60 hash).  Two multinomials are fit
+    with add-1 smoothing — p over the target rows (``target_pred``
+    true), q over the whole corpus — and each document scores its
+    log importance weight ``sum_b c_b * (ln p_b - ln q_b)``.  The
+    resampling step is Gumbel top-k: a deterministic per-document
+    Gumbel draw (from the same hash gate the samplers use) perturbs
+    the log weight and the k largest win — i.e. sampling WITHOUT
+    replacement proportional to the importance weights, reproducible
+    on every rerun and in the DuckDB oracle.
+
+    Scale posture: everything is codegen (split/transform/explode/
+    conv(md5)/pmod) + partial aggregation.  The lambda table is at
+    most ``num_buckets`` rows, broadcast to the per-doc count join;
+    the final step is one TakeOrdered — only k rows reach the driver.
+    The exploded feature stream is aggregated twice (bucket totals,
+    per-doc counts), i.e. two scans of the corpus, both shuffle-light.
+    Reference analogue: none (data-selection layer above the table
+    format); published algorithm, original implementation.
+
+    Returns (key, dsir_logw_e8, gumbel_key_e8) for the k selected
+    rows, both scores as BIGINTs scaled by 1e8.  Rounding a DOUBLE
+    score is NOT enough here: lambdas rounded to 1e-8 multiples make
+    per-doc sums land exactly on decimal rounding boundaries, where
+    ln/sum-order ulp skew between engines flips the last digit (seen
+    live at sf0.01).  Instead each lambda is scaled to an integer once
+    (the only float->int boundary, ~1e-8 flip probability per bucket)
+    and everything downstream — per-doc weighted sum, Gumbel add,
+    ranking — is exact integer arithmetic on both engines.
+    """
+    bigrams = (
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(0, size(__w) - 2), "
+        "i -> concat(__w[i], ' ', __w[i+1])) "
+        "ELSE slice(__w, 1, 0) END"
+    )
+    feats = docs.selectExpr(
+        f"{key} AS __k",
+        f"CAST({target_pred} AS INT) AS __t",
+        f"split({text_col}, ' ') AS __w",
+    ).selectExpr(
+        "__k", "__t", f"explode(concat(__w, {bigrams})) AS __f"
+    )
+    b = feats.selectExpr(
+        "__k", "__t",
+        f"pmod({spark_hash60('__f')}, {num_buckets}) AS __b",
+    )
+    bucket = b.groupBy("__b").agg(
+        F.count("*").alias("__r"), F.sum("__t").alias("__g")
+    )
+    tot = bucket.agg(
+        F.sum("__r").alias("__rt"), F.sum("__g").alias("__gt")
+    )
+    lam = bucket.crossJoin(F.broadcast(tot)).selectExpr(
+        "__b",
+        f"CAST(ROUND((LN((__g + 1.0) / (__gt + {num_buckets})) - "
+        f"LN((__r + 1.0) / (__rt + {num_buckets}))) * 1e8, 0) AS BIGINT)"
+        " AS __lam",
+    )
+    per_doc = b.groupBy("__k", "__b").agg(F.count("*").alias("__c"))
+    scored = (
+        per_doc.join(F.broadcast(lam), "__b")
+        .groupBy("__k")
+        .agg(F.sum(F.col("__c") * F.col("__lam")).alias("dsir_logw_e8"))
+    )
+    h = spark_hash60("CAST(__k AS STRING)")
+    gumbel = (
+        f"CAST(ROUND(-LN(-LN((({h}) % {RATE_DENOM} + 0.5) / "
+        f"CAST({RATE_DENOM} AS DOUBLE))) * 1e8, 0) AS BIGINT)"
+    )
+    return (
+        scored.withColumn("__gkey", F.expr(f"dsir_logw_e8 + {gumbel}"))
+        .orderBy(F.desc("__gkey"), F.asc("__k"))
+        .limit(k)
+        .selectExpr(
+            f"__k AS {key}", "dsir_logw_e8", "__gkey AS gumbel_key_e8"
+        )
+    )

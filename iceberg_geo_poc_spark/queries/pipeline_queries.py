@@ -3430,3 +3430,55 @@ def multimodal_augment_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gradient, "doc_id LONG, payload BINARY, format STRING"
     )
     return multimodal.augment_images(media).orderBy("doc_id", "op")
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS t,
+             string_split(text, ' ') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id, t,
+             unnest(list_concat(words,
+               list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1]))) AS f
+      FROM w),
+    b AS (SELECT doc_id, t,
+                 ({duckdb_hash60("f")}) % 512 AS b FROM f),
+    bc AS (SELECT b, COUNT(*) AS r, SUM(t) AS g FROM b GROUP BY b),
+    tot AS (SELECT SUM(r) AS rt, SUM(g) AS gt FROM bc),
+    lam AS (
+      SELECT b, CAST(ROUND((LN((g + 1.0) / (gt + 512)) -
+                            LN((r + 1.0) / (rt + 512))) * 1e8) AS BIGINT)
+                  AS lam
+      FROM bc CROSS JOIN tot),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+    sc AS (SELECT doc_id, CAST(SUM(c * lam) AS BIGINT) AS dsir_logw_e8
+           FROM dc JOIN lam USING (b) GROUP BY doc_id),
+    gk AS (
+      SELECT doc_id, dsir_logw_e8,
+             dsir_logw_e8 + CAST(ROUND(-LN(-LN(
+               (({duckdb_hash60("CAST(doc_id AS VARCHAR)")}) % 10000 + 0.5)
+               / 10000.0)) * 1e8) AS BIGINT) AS gkey
+      FROM sc),
+    top AS (SELECT doc_id, dsir_logw_e8, gkey AS gumbel_key_e8
+            FROM gk ORDER BY gkey DESC, doc_id LIMIT 100)
+    SELECT doc_id, dsir_logw_e8, gumbel_key_e8 FROM top ORDER BY doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-ngram importance
+    weights of every document against an English-target multinomial,
+    then Gumbel top-k resampling — the standard pretraining-corpus
+    domain-selection pass.  The oracle replays the identical hash ->
+    bucket -> smoothed-log-ratio -> Gumbel chain, so the selected SET
+    and both score columns must match bit-for-bit after rounding."""
+    from iceberg_geo_poc_spark.operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, key="doc_id", text_col="text", target_pred="lang = 'en'",
+        num_buckets=512, k=100,
+    ).orderBy("doc_id")
