@@ -821,5 +821,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         labels = lab2
         if not changed:
             break
+    else:
+        # exhausting the round budget with labels still moving would
+        # silently return labels that are NOT component minima — that
+        # must be loud, not a quietly-wrong dedup keyspace.  25 rounds
+        # covers diameters up to ~2^25 under pointer jumping; hitting
+        # this means the budget, not the algorithm, is wrong.
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (labels still changing); raise max_rounds"
+        )
     und.unpersist()
     return labels.select(F.col("id"), F.col("rep").alias("component"))

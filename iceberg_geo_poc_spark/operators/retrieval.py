@@ -224,9 +224,17 @@ def hard_negative_mining(
         "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, t) -> acc + t))"
     )
+    out_schema = (
+        "query_id long, positive_id long, negative_id long, "
+        "cosine double, neg_rank long"
+    )
     parts = []
     for qid, pid in sorted(pos.items()):
-        v = vec_of[pid]
+        v = vec_of.get(pid)
+        if v is None:
+            # a lexical positive with no embedding row cannot anchor a
+            # cosine stage; skip the query rather than KeyError mid-plan
+            continue
         import math
 
         pnorm = math.sqrt(sum(float(x) * float(x) for x in v))
@@ -242,6 +250,10 @@ def hard_negative_mining(
                 ).alias("cosine"),
             )
         )
+    if not parts:
+        # no query produced both a lexical positive and an embedding:
+        # a well-typed empty result, not an IndexError
+        return spark.createDataFrame([], out_schema)
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)

@@ -66,3 +66,85 @@ def two_phase_count(df: DataFrame, key: str, salt: int = DEFAULT_SALT) -> DataFr
         .groupBy(key)
         .agg(F.sum("__partial").alias("n"))
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    n_buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY group ORDER BY value, tie)``
+    WITHOUT a per-group total sort.
+
+    The naive window funnels each group's ENTIRE row set through one
+    task — on a corpus where one group dominates (CCNet's per-language
+    terciles: ~45% of web text is English) that is a single-reducer
+    sort over billions of rows, the canonical skewed-key scale-killer.
+
+    Equivalent skew-free plan, exact for any integral/discrete
+    ``value_col``:
+
+    1. histogram ``(group, value) -> count`` — one partial-aggregable
+       groupBy; its size is bounded by |groups| x |distinct values|
+       (the VALUE RANGE, e.g. centinat-rounded scores, not corpus
+       size), so it collects to the driver and broadcasts back;
+    2. per (group, value): ``offset`` = rows strictly below, ``n`` =
+       group total — cumulative sums over the tiny histogram;
+    3. within-(group, value) rank by ``tie_col`` — a window whose
+       partition key is (group, value): thousands of small partitions
+       instead of one giant one, no straggler;
+    4. global rank r = offset + within-rank, then NTILE's exact
+       distribution: with ``q = n div k`` and ``rem = n mod k``, the
+       first ``rem`` buckets hold ``q+1`` rows and the rest ``q``
+       (NTILE front-loads ALL remainder rows — NOT the same as the
+       equi-fraction ``floor((r-1)k/n)`` split).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hist = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    hist.sort(key=lambda r: (r[group_col], r[value_col]))
+    rows, run, cur = [], 0, None
+    totals: dict = {}
+    for r in hist:
+        if r[group_col] != cur:
+            cur, run = r[group_col], 0
+        rows.append((r[group_col], r[value_col], run))
+        run += r["__c"]
+        totals[r[group_col]] = run
+    typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    offsets = spark.createDataFrame(
+        [(g, v, off, totals[g]) for g, v, off in rows],
+        f"{group_col} {typ[group_col]}, {value_col} {typ[value_col]}, "
+        "__off long, __n long",
+    )
+    w = Window.partitionBy(group_col, value_col).orderBy(tie_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), [group_col, value_col])
+        .withColumn(
+            bucket_col,
+            F.expr(
+                f"""CAST(CASE
+                  WHEN (__off + __rn)
+                       <= (__n % {int(n_buckets)})
+                          * (__n DIV {int(n_buckets)} + 1)
+                  THEN (__off + __rn - 1)
+                       DIV (__n DIV {int(n_buckets)} + 1) + 1
+                  ELSE (__n % {int(n_buckets)})
+                       + (__off + __rn
+                          - (__n % {int(n_buckets)})
+                            * (__n DIV {int(n_buckets)} + 1) - 1)
+                         DIV (__n DIV {int(n_buckets)}) + 1
+                END AS LONG)"""
+            ),
+        )
+        .drop("__rn", "__off", "__n")
+    )

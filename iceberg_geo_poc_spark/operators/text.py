@@ -578,8 +578,9 @@ def span_corruption(
     Everything is whole-stage-codegen array algebra (split/transform/
     filter/array_join): no UDF, no shuffle, no per-row Python.  The
     prefix span-count is an O(len^2) slice-fold per document — fine for
-    natural-language token counts; swap to a window over posexploded
-    tokens if documents exceed ~10k tokens.
+    natural-language token counts; ``span_corruption_long`` is the
+    O(len) posexplode+window form for documents past ~10k tokens
+    (property-tested to agree, tests/test_pipeline_operators.py).
 
     Returns (doc_id, corrupted, target, n_spans)."""
     return (
@@ -616,4 +617,76 @@ def span_corruption(
             "v -> v IS NOT NULL), ' ') AS target",
             "CAST(element_at(sid, size(t)) AS BIGINT) AS n_spans",
         )
+    )
+
+
+def span_corruption_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    rate_num: int = 20,
+    rate_den: int = 97,
+) -> DataFrame:
+    """``span_corruption`` for LONG documents: identical semantics and
+    output (same (doc_id, position) hash mask, same sentinels), but the
+    per-position span index comes from a running sum over POSEXPLODED
+    tokens instead of the array form's O(len^2) prefix slice-fold — so
+    a 50k-token document costs O(len), not 2.5e9 slice visits.
+
+    Plan shape: posexplode -> two windows partitioned by doc_id (span
+    starts via lag, span ids via running sum — each partition is ONE
+    document, bounded by document length, no skew concern) -> one
+    groupBy doc_id reassembling both sequences with
+    array_sort(collect_list(struct(pos, piece))).  One shuffle on
+    doc_id; everything else codegen."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ex = (
+        docs.selectExpr(
+            "doc_id", f"posexplode(split({text_col}, ' ')) AS (pos, tok)"
+        )
+        .withColumn(
+            "mk",
+            F.expr(
+                f"pmod(doc_id * 2654435761 + pos * 40503, {rate_den})"
+                f" < {rate_num}"
+            ),
+        )
+        .withColumn(
+            "st",
+            F.col("mk")
+            & ~F.coalesce(F.lag("mk").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "sid", F.sum(F.col("st").cast("int")).over(run)
+        )
+        .withColumn(
+            "piece_c",
+            F.expr(
+                "CASE WHEN NOT mk THEN tok WHEN st THEN "
+                "concat('<extra_id_', CAST(sid - 1 AS STRING), '>') END"
+            ),
+        )
+        .withColumn(
+            "piece_t",
+            F.expr(
+                "CASE WHEN st THEN concat('<extra_id_', "
+                "CAST(sid - 1 AS STRING), '> ', tok) "
+                "WHEN mk THEN tok END"
+            ),
+        )
+    )
+
+    def joined(piece: str) -> F.Column:
+        return F.expr(
+            "array_join(transform(filter(array_sort("
+            f"collect_list(struct(pos, {piece}))), "
+            f"s -> s.{piece} IS NOT NULL), s -> s.{piece}), ' ')"
+        )
+
+    return ex.groupBy("doc_id").agg(
+        joined("piece_c").alias("corrupted"),
+        joined("piece_t").alias("target"),
+        F.max("sid").cast("long").alias("n_spans"),
     )

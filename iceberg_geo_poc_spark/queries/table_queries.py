@@ -3238,6 +3238,64 @@ def sql_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_view_version_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sql_view_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View time travel through SQL (reference core
+    view/BaseViewVersion.java — 1-based version ids — surfaced in the
+    dispatcher as ``FROM v VERSION AS OF n``): CREATE VIEW, then
+    REPLACE it with a narrower definition, then read version 1.  The
+    result must equal the ORIGINAL definition's SQL over raw parquet —
+    proving the pinned version log, not the latest body, is planned."""
+
+    def build(cat, tname):
+        src = cat.create_table(
+            tname, "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        src.append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        cat.sql(
+            f"CREATE OR REPLACE VIEW {tname}_v AS "
+            f"SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            f"ROUND(SUM(o_totalprice), 2) AS total_price "
+            f"FROM {tname} GROUP BY o_orderstatus"
+        )
+        cat.sql(  # version 2 narrows the aggregate: travel must NOT see it
+            f"CREATE OR REPLACE VIEW {tname}_v AS "
+            f"SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            f"ROUND(SUM(o_totalprice), 2) AS total_price "
+            f"FROM {tname} WHERE o_totalprice > 100000 "
+            f"GROUP BY o_orderstatus"
+        )
+        return src
+
+    _managed(spark, sf_dir, "sqlviewtt", build)
+    cat = _catalog(spark)
+    vname = f"sqlviewtt_{abs(hash(sf_dir)) % 10**8}_v"
+    out = cat.sql(
+        f"SELECT o_orderstatus, n_orders, total_price "
+        f"FROM {vname} VERSION AS OF 1 ORDER BY o_orderstatus"
+    )
+    latest = cat.sql(
+        f"SELECT o_orderstatus, n_orders, total_price "
+        f"FROM {vname} ORDER BY o_orderstatus"
+    )
+    assert out.count() != latest.count() or (
+        out.subtract(latest).count() > 0
+    ), "version travel returned the latest view body"
+    return out
+
+
+@query(
     "managed_parquet_encrypted_scan",
     oracle="""
     SELECT o_orderstatus,

@@ -69,6 +69,7 @@ class Catalog:
             )
         _validate_geometry_columns(schema_ddl, geometry_columns)
         properties = dict(properties or {})
+        _reject_modular_encryption_off_posix(location, properties)
         if file_format != "parquet":
             properties["write.format.default"] = file_format
         spec = [
@@ -245,6 +246,7 @@ class Catalog:
     ) -> Table:
         """SET/UNSET TBLPROPERTIES (reference UpdateProperties)."""
         t = self.load_table(name)
+        _reject_modular_encryption_off_posix(t.location, set_props or {})
         for k, v in (set_props or {}).items():
             t.meta.properties[k] = str(v)
         for k in unset or []:
@@ -546,6 +548,18 @@ class Catalog:
         with open(path) as f:
             doc = _json.load(f)
         return doc["versions"][-1 if version is None else version]["sql"]
+
+    def view_versions(self, name: str) -> list[dict]:
+        """Full version log of a view: ``[{"sql": ..., "at": ms}, ...]``
+        oldest-first (reference view/ViewVersion history).  Version id N
+        in SQL ``VERSION AS OF`` is 1-based => ``versions[N-1]``."""
+        import json as _json
+
+        path = os.path.join(self.warehouse, "_views", f"{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"view {name} not found")
+        with open(path) as f:
+            return _json.load(f)["versions"]
 
     def drop_view(self, name: str) -> None:
         """Remove a named SQL view (reference: view/BaseMetastoreViewCatalog
@@ -883,6 +897,26 @@ def _decimal_params(t: str) -> tuple[int, int]:
     inner = t[t.index("(") + 1 : t.index(")")]
     p, s = inner.split(",")
     return int(p), int(s)
+
+
+def _reject_modular_encryption_off_posix(location: str, props: dict) -> None:
+    """Parquet modular encryption's read path opens data files with
+    pyarrow directly (table/parquet_crypto.py::read_encrypted_df), which
+    only reaches POSIX paths — and the staged-upload finalizer plus an
+    at-rest EncryptingFileIO would double-seal the bytes.  Refuse the
+    property on object-store locations at CREATE/ALTER time (same shape
+    as the avro/orc format guards) instead of producing unreadable
+    scans later."""
+    if "write.parquet.encryption.footer-key" not in props:
+        return
+    from iceberg_geo_poc_spark.table.fileio import io_for
+
+    if not io_for(location).is_posix:
+        raise ValueError(
+            "write.parquet.encryption.* requires a POSIX table location "
+            f"(got {location!r}); use EncryptingFileIO for at-rest "
+            "sealing on object stores"
+        )
 
 
 def _validate_geometry_columns(schema_ddl: str, geometry_columns: dict[str, str]) -> None:

@@ -28,10 +28,12 @@ distributed shape as the plain parquet path, paying only the AES work
 
 Column-key granularity is supported (``write.parquet.encryption.
 column-keys`` JSON: master-key-id -> [columns]); columns not listed
-stay under the footer key.  Delete sidecars and metadata are covered by
-the at-rest ``EncryptingFileIO`` layer, not by modular encryption —
-position deletes hold only (path, pos) tuples; the documented gap is
-equality-delete VALUES on a MoR modular-encrypted table.
+stay under the footer key.  Delete sidecars route through this same
+encrypted writer under the footer key (table/table.py::_sidecar_write),
+so position-delete tuples AND equality-delete VALUES are sealed on a
+modular-encrypted table; compaction, DV conversion, and metadata reads
+decrypt through ``read_encrypted_df`` (driver row
+``managed_encrypted_mor_scan``).
 """
 
 from __future__ import annotations
@@ -182,11 +184,21 @@ _ENTRY_SCHEMA = (
 )
 
 
+def _hive_path_str(v) -> str:
+    """A partition value's hive directory string (what Spark's
+    ``partitionBy`` would render), null -> the hive default marker."""
+    import pandas as pd
+
+    if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(_json_safe(v))
+
+
 def write_encrypted_files(
     df: DataFrame,
     stage: str,
     schema_ddl: str,
-    part_cols: list[str],
+    pcols: list[tuple],
     keys: dict[str, bytes],
     footer_key: str,
     column_keys: dict[str, list[str]] | None,
@@ -194,7 +206,16 @@ def write_encrypted_files(
     """Distributed modular-encrypted parquet write: one file per
     (task, partition-tuple), hive-style dirs under ``stage``, stats
     computed in-task from the Arrow data (no post-hoc footer harvest
-    needed).  Returns manifest entry dicts."""
+    needed).  Returns manifest entry dicts.
+
+    ``pcols`` is the table's ``[(derived_col_name, PartitionField)]``
+    list: directory segments use the derived column name with
+    hive-escaped values (a ``/`` or ``=`` in a string partition value
+    must not corrupt the path), while the recorded manifest partition
+    tuple is keyed by the LOGICAL field name with values normalized
+    through the same ``transform.parse_path_value`` as the plain write
+    path — so partitions/partition_stats metadata tables and partition
+    pruning see identical tuples on encrypted and plain tables."""
     from iceberg_geo_poc_spark.table.table import _ddl_fields  # noqa: PLC0415
 
     fields = [
@@ -203,6 +224,10 @@ def write_encrypted_files(
     os.makedirs(stage, exist_ok=True)
     conf = _master_conf(keys)
     user_keys = {k: list(v) for k, v in (column_keys or {}).items()}
+    part_cols = [c for c, _ in pcols]
+    # (derived name, logical name, path-string parser) — the transform
+    # dataclasses are small and pickle cleanly into the task closure
+    part_parse = [(c, pf.name, pf.transform) for c, pf in pcols]
 
     def write_task(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -211,7 +236,7 @@ def write_encrypted_files(
         if not chunks:
             return
         tbl = pa.Table.from_batches(chunks)
-        groups: list[tuple[dict, "pa.Table"]] = []
+        groups: list[tuple[list, "pa.Table"]] = []
         if part_cols:
             import pandas as pd
 
@@ -223,12 +248,11 @@ def write_encrypted_files(
 
             for gi, key in enumerate(uniq):
                 mask = np.nonzero(codes == gi)[0]
-                part = dict(zip(part_cols, [_json_safe(v) for v in key]))
-                groups.append((part, tbl.take(mask).drop_columns(part_cols)))
+                groups.append((list(key), tbl.take(mask).drop_columns(part_cols)))
         else:
-            groups.append(({}, tbl))
+            groups.append(([], tbl))
         out_rows = []
-        for part, sub in groups:
+        for raw_key, sub in groups:
             keys_local = {
                 k: base64.b64decode(v) for k, v in conf.items()
             }
@@ -244,10 +268,16 @@ def write_encrypted_files(
                 ck.setdefault(footer_key, []).extend(rest)
             fep = encryption_properties(keys_local, footer_key, ck)
             d = stage
-            if part:
-                d = os.path.join(
-                    stage, *[f"{c}={part[c]}" for c in part_cols]
-                )
+            part: dict = {}
+            if raw_key:
+                from urllib.parse import quote
+
+                segs = []
+                for (cname, lname, transform), v in zip(part_parse, raw_key):
+                    s = _hive_path_str(v)
+                    segs.append(f"{cname}={quote(s, safe='')}")
+                    part[lname] = transform.parse_path_value(s)
+                d = os.path.join(stage, *segs)
                 os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{uuid.uuid4().hex[:16]}.parquet")
             import pyarrow.parquet as pq

@@ -18,6 +18,7 @@ views instead.
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Any
 
@@ -811,11 +812,46 @@ def _extract_prune_exprs_multi(tables: list[tuple], text: str) -> dict:
     }
 
 
+# Every _select invocation namespaces its temp views with a fresh id:
+# view expansion re-enters _select recursively, and a shared name like
+# __ice_sql_0 would let the inner statement's scan overwrite the outer
+# statement's relation before the final spark.sql analyzes (silently
+# wrong results when the schemas happen to align).
+_SELECT_SEQ = itertools.count()
+
+
+def _view_version_index(catalog, name: str, travel: str) -> int | None:
+    """Map a SQL time-travel clause on a *view* reference to a version
+    index for ``catalog.view_sql`` (reference: view/BaseViewVersion.java
+    version ids are 1-based).  None => latest."""
+    kw = _travel_kwargs(travel)
+    if not kw:
+        return None
+    if "snapshot_id" in kw:  # VERSION AS OF n, 1-based like the reference
+        n = kw["snapshot_id"]
+        if n < 1:
+            raise SqlError(f"view version ids are 1-based; got {n}")
+        return n - 1
+    if "as_of_ms" in kw:  # TIMESTAMP AS OF: latest version at-or-before ts
+        versions = catalog.view_versions(name)
+        idx = None
+        for i, v in enumerate(versions):
+            if v["at"] <= kw["as_of_ms"]:
+                idx = i
+        if idx is None:
+            raise SqlError(
+                f"no version of view {name!r} exists at the requested time"
+            )
+        return idx
+    raise SqlError("branch/tag refs are not defined for views")
+
+
 def _select(catalog, text: str):
     """Resolve engine-table references, register pruned/pinned temp
     views, rewrite identifiers, and run the statement via spark.sql."""
     from iceberg_geo_poc_spark.table import metadata_tables as MT
 
+    sid = next(_SELECT_SEQ)
     text = text.rstrip().rstrip(";")
     refs = []
     view_names: set[str] | None = None
@@ -843,11 +879,17 @@ def _select(catalog, text: str):
     # single-table case uses the whole conjunction; joins attribute each
     # conjunct by alias/table qualifier or unique column ownership
     prunes: dict[int, object] = {}
-    if len(refs) == 1 and refs[0][2] is None:
+    if len(refs) == 1 and refs[0][2] is None and not view_refs:
+        # single engine-table statement with no view refs: the whole
+        # conjunction belongs to this table.  With a view in the FROM
+        # list the naive path would attach view-qualified conjuncts
+        # (e.g. ``v.x = 5`` where the table also has an ``x``) to the
+        # table's files — exclusive, i.e. WRONG, pruning — so that
+        # shape goes through the qualifier-aware multi-ref attribution.
         p = _extract_prune_expr(catalog.load_table(refs[0][1]), text)
         if p is not None:
             prunes[0] = p
-    elif len(refs) > 1 and all(s is None for _, _, s, _ in refs):
+    elif refs and all(s is None for _, _, s, _ in refs):
         prunes = _extract_prune_exprs_multi(
             [
                 (i, catalog.load_table(base), alias, base)
@@ -859,15 +901,21 @@ def _select(catalog, text: str):
     # merge table and view refs, rewriting right-to-left so earlier match
     # offsets stay valid
     work: list[tuple] = [("table", i, *refs[i]) for i in range(len(refs))]
-    work += [("view", None, m, base, None, alias) for m, base, alias in view_refs]
+    work += [
+        ("view", j, m, base, None, alias)
+        for j, (m, base, alias) in enumerate(view_refs)
+    ]
     work.sort(key=lambda w: w[2].start(), reverse=True)
     out = text
     for kind, i, m, base, suffix, _alias in work:
         if kind == "view":
             # re-plan the stored view SQL through _select so engine-table
-            # references inside the body get manifest pruning too
-            df = _select(catalog, catalog.view_sql(base))
-            view = f"__ice_view_{base}"
+            # references inside the body get manifest pruning too; a
+            # VERSION/TIMESTAMP AS OF clause pins a view version from the
+            # catalog's version log (reference view time travel)
+            vidx = _view_version_index(catalog, base, m.group("travel"))
+            df = _select(catalog, catalog.view_sql(base, version=vidx))
+            view = f"__ice_view_{sid}_{i}"
         else:
             t = catalog.load_table(base)
             kw = _travel_kwargs(m.group("travel"))
@@ -877,7 +925,7 @@ def _select(catalog, text: str):
                 df = MT.inspect(t, suffix)
             else:
                 df = t.scan(where=prunes.get(i), **kw).to_df()
-            view = f"__ice_sql_{i}"
+            view = f"__ice_sql_{sid}_{i}"
         df.createOrReplaceTempView(view)
         # replace only ident+travel; a trailing alias stays in place so
         # the view keeps the query's name for it.  Without an alias the

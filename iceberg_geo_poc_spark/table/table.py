@@ -691,7 +691,7 @@ class Table:
                 out,
                 stage,
                 self.meta.schema_ddl,
-                [c for c, _ in pcols],
+                pcols,
                 PC.master_keys(),
                 enc_footer_key,
                 column_keys,
@@ -1245,14 +1245,24 @@ class Table:
         """Persist a delete sidecar (posdel/eqdel) and return manifest
         entries.  On modular-encrypted tables the sidecar routes through
         the encrypted pyarrow writer under the footer key — an equality
-        delete carries column VALUES, which must not land plaintext."""
+        delete carries column VALUES, which must not land plaintext.
+
+        One file per delete commit is the default (delete batches are
+        small); ``write.delete.distribution-count`` > 1 keeps N writer
+        tasks for GDPR-scale mass deletes, where funneling billions of
+        (path, pos) tuples through one task is the bottleneck — the
+        read side merges any number of sidecar files per commit."""
         stage, final_dir = self._stage_dir("deletes")
+        n_out = int(
+            self.meta.properties.get("write.delete.distribution-count", 1)
+        )
+        df = df.repartition(n_out) if n_out > 1 else df.coalesce(1)
         fkey = self._modular_footer_key()
         if fkey:
             from iceberg_geo_poc_spark.table import parquet_crypto as PC
 
             entries = PC.write_encrypted_files(
-                df.coalesce(1), stage, ddl, [], PC.master_keys(), fkey, None
+                df, stage, ddl, [], PC.master_keys(), fkey, None
             )
             for e in entries:
                 e["content"] = content
@@ -1260,7 +1270,7 @@ class Table:
                 if extra:
                     e.update(extra)
             return self._finalize_staged(entries, stage, final_dir)
-        df.coalesce(1).write.parquet(stage)
+        df.write.parquet(stage)
         entries = []
         for p in _list_parquet(stage):
             record_count, file_size, lower, upper, nulls = M.harvest_footer_stats(p)[:5]

@@ -256,3 +256,22 @@ def test_concurrent_commits_one_winner_per_version(spark, warehouse):
     t = cat.load_table("c")
     assert t.to_df().count() == 200
     assert len(t.meta.snapshots) == 2
+
+def test_modular_encryption_refused_on_object_store(spark, warehouse, mock_io):
+    """Parquet modular encryption's scan opens files with pyarrow
+    directly (POSIX only), and staged-upload + EncryptingFileIO would
+    double-seal — so the footer-key property is refused at CREATE and
+    at ALTER time on non-POSIX locations (guard shape matches the
+    avro/orc format guards)."""
+    cat = Catalog(warehouse, spark)
+    with pytest.raises(ValueError, match="POSIX table location"):
+        cat.create_table(
+            "enc_os", "id BIGINT",
+            properties={"write.parquet.encryption.footer-key": "k"},
+        )
+    cat.create_table("plain_os", "id BIGINT")
+    with pytest.raises(ValueError, match="POSIX table location"):
+        cat.alter_table_properties(
+            "plain_os",
+            set_props={"write.parquet.encryption.footer-key": "k"},
+        )

@@ -385,3 +385,59 @@ def test_encrypted_expire_snapshots_and_orphans(spark, catalog):
     assert len(t.meta.snapshots) == 1
     removed = X.remove_orphan_files(t, older_than_ms=int(_time.time() * 1000) + 10_000)
     assert t.to_df().count() == 100
+
+def test_encrypted_partition_metadata_matches_plain(spark, catalog):
+    """Manifest partition tuples on an encrypted partitioned table must
+    be keyed/valued exactly like the plain write path's (logical field
+    name + parse_path_value-normalized value), so the partitions
+    metadata table and partition pruning are format-agnostic."""
+    from iceberg_geo_poc_spark.table import metadata_tables as MT
+
+    enc = _mk_encrypted(spark, catalog, "pmeta_enc", partition_by=[("grp", "identity")])
+    plain = catalog.create_table(
+        "pmeta_plain", "id BIGINT, grp STRING, val DOUBLE",
+        partition_by=[("grp", "identity")],
+    )
+    plain.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i) / 2) for i in range(200)],
+            "id BIGINT, grp STRING, val DOUBLE",
+        ).repartition(4)
+    )
+    rows_e = {
+        (r.partition, r.record_count)
+        for r in MT.inspect(enc, "partitions").collect()
+    }
+    rows_p = {
+        (r.partition, r.record_count)
+        for r in MT.inspect(plain, "partitions").collect()
+    }
+    assert rows_e == rows_p
+    assert any("grp" in p for p, _ in rows_e)
+    assert not any("__p_grp" in p for p, _ in rows_e)
+
+
+def test_encrypted_partition_values_hive_escaped(spark, catalog):
+    """A '/' or '=' in a string partition value must not corrupt the
+    hive directory layout; the recorded partition tuple keeps the RAW
+    value and scans read every row back."""
+    t = catalog.create_table(
+        "pesc_enc", "id BIGINT, grp STRING, val DOUBLE",
+        partition_by=[("grp", "identity")],
+        properties={"write.parquet.encryption.footer-key": "k_footer"},
+    )
+    vals = ["a/b", "c=d", "plain"]
+    t.append(
+        spark.createDataFrame(
+            [(i, vals[i % 3], float(i)) for i in range(30)],
+            "id BIGINT, grp STRING, val DOUBLE",
+        ).coalesce(1)
+    )
+    got = sorted(
+        (r.grp, r.id) for r in t.scan().to_df().select("grp", "id").collect()
+    )
+    assert got == sorted((vals[i % 3], i) for i in range(30))
+    # pruning on the awkward value still works
+    pr = t.scan(where=E.eq("grp", "a/b"))
+    assert pr.to_df().count() == 10
+    assert len(pr.files()) < len(t.scan().files())

@@ -839,3 +839,69 @@ def test_span_corruption_rate_and_determinism(spark):
     total = 200 * 60
     rate = masked / total
     assert 0.15 < rate < 0.26  # 20/97 ~ 0.206
+
+
+def test_connected_components_raises_on_round_budget(spark):
+    """An exhausted round budget with labels still moving must raise,
+    not silently return non-minimum labels (a quietly-wrong dedup
+    keyspace is worse than a failure)."""
+    from iceberg_geo_poc_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "a LONG, b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=2)
+
+
+def test_hard_negative_mining_edge_inputs(spark):
+    """No lexical match for any query -> empty typed frame (not
+    IndexError); a positive without an embedding row -> that query is
+    skipped (not KeyError)."""
+    from iceberg_geo_poc_spark.operators.retrieval import hard_negative_mining
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = hard_negative_mining(docs, emb, [(10, "nomatch wordsoup")])
+    assert out.count() == 0
+    assert out.columns == [
+        "query_id", "positive_id", "negative_id", "cosine", "neg_rank"
+    ]
+    # positive (doc 1) has no embedding: drop vec 1 from emb
+    out2 = hard_negative_mining(
+        docs, emb.filter("vec_id != 1"), [(11, "alpha beta")]
+    )
+    assert out2.count() == 0
+
+
+def test_span_corruption_long_agrees_with_array_form(spark):
+    """The O(len) posexplode+window variant must agree byte-for-byte
+    with the array-algebra form — including on a 50k-token document,
+    where the array form's O(len^2) prefix slice-fold is the reason the
+    long variant exists."""
+    from iceberg_geo_poc_spark.operators.text import (
+        span_corruption,
+        span_corruption_long,
+    )
+
+    long_doc = " ".join(f"w{i % 997}" for i in range(50_000))
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "single"),
+        (3, "a b"),
+        (7, long_doc),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = {r.doc_id: (r.corrupted, r.target, r.n_spans)
+         for r in span_corruption(df).collect()}
+    b = {r.doc_id: (r.corrupted, r.target, r.n_spans)
+         for r in span_corruption_long(df).collect()}
+    assert set(a) == set(b) == {1, 2, 3, 7}
+    for k in a:
+        assert a[k] == b[k], f"doc {k} diverged"
+    assert a[7][2] > 100  # the long doc actually has many spans

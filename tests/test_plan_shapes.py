@@ -251,3 +251,57 @@ def test_kcenter_scan_is_codegen_no_shuffle(spark, sf_dir):
     )
     plan = _plan(d)
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_perplexity_buckets_no_single_reducer_sort(spark, sf_dir):
+    """CCNet tercile bucketing must not funnel a whole language through
+    one window task (VERDICT r8 'What's wrong #2'): no ntile anywhere,
+    and every Window's partition spec must include the fine-grained
+    score key (lang + nll_c), never lang alone."""
+    import re
+
+    from iceberg_geo_poc_spark.queries import pipeline_queries as P
+
+    plan = _plan(P.text_perplexity_buckets(spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    # every Window operator in the plan partitions by (lang, nll_c)
+    win_lines = [
+        line for line in plan.splitlines() if re.search(r"\bWindow\b", line)
+    ]
+    assert win_lines, "expected the within-(lang, nll_c) rank window"
+    for line in win_lines:
+        assert "nll_c" in line, f"coarse per-lang window survived: {line}"
+    # the histogram offsets join back via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """Property check: distributed_ntile replicates NTILE(k) OVER
+    (PARTITION BY g ORDER BY v, tie) exactly, including tie-breaking
+    across bucket boundaries and uneven bucket sizes."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_geo_poc_spark.operators.skew import distributed_ntile
+
+    rng = random.Random(9)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(6), i)
+        for i in range(257)  # deliberately not divisible by k
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v LONG, tie LONG")
+    for k in (2, 3, 7):
+        got = {
+            (r.g, r.tie): r.bucket
+            for r in distributed_ntile(df, "g", "v", "tie", k).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "tie")
+        want = {
+            (r.g, r.tie): r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want

@@ -633,3 +633,62 @@ def test_show_create_view_and_describe_view(spark, catalog):
     assert [(r.col_name, r.data_type) for r in desc] == [
         ("a", "bigint"), ("b", "string")
     ]
+
+def test_view_join_table_keeps_relations_distinct(spark, catalog):
+    """Regression: view expansion re-enters _select recursively; before
+    per-invocation temp-view namespacing the inner statement overwrote
+    the outer statement's __ice_sql_0 registration, so the outer table
+    reference silently read the VIEW BODY's (pruned) scan.  Here the
+    view body prunes to the a<10 file, while the outer join needs the
+    a>=10 file of the same base table — a shared name returns 0 rows."""
+    _mk(spark, catalog, "vjt", n_appends=2, rows_per=10)
+    catalog.sql("CREATE VIEW v_lo AS SELECT a FROM vjt WHERE a < 10")
+    got = catalog.sql(
+        "SELECT t.a FROM v_lo v JOIN vjt t ON v.a + 10 = t.a ORDER BY t.a"
+    ).collect()
+    assert [r.a for r in got] == list(range(10, 20))
+    catalog.sql("DROP VIEW v_lo")
+
+
+def test_view_qualified_predicate_does_not_prune_table(spark, catalog):
+    """Regression: a WHERE conjunct qualified by the VIEW's alias
+    (``v.a >= 10``) must not be attributed to the base table's manifest
+    pruning just because the table also has a column ``a`` — that would
+    be exclusive (wrong) pruning.  The join below maps view rows a>=10
+    onto table rows a<10; pruning the table on a>=10 would return 0."""
+    _mk(spark, catalog, "vqt", n_appends=2, rows_per=10)
+    catalog.sql("CREATE VIEW v_hi AS SELECT a FROM vqt WHERE a >= 10")
+    got = catalog.sql(
+        "SELECT t.a FROM v_hi v JOIN vqt t ON v.a = t.a + 10 "
+        "WHERE v.a >= 10 ORDER BY t.a"
+    ).collect()
+    assert [r.a for r in got] == list(range(10))
+    catalog.sql("DROP VIEW v_hi")
+
+
+def test_view_version_as_of(spark, catalog):
+    """View time travel through SQL (reference view/BaseViewVersion.java:
+    1-based version ids): VERSION AS OF pins a version from the view's
+    version log; TIMESTAMP AS OF picks the latest version at-or-before."""
+    _mk(spark, catalog, "vvtt", n_appends=2, rows_per=10)
+    catalog.sql("CREATE VIEW v_tt AS SELECT a FROM vvtt WHERE a < 5")
+    catalog.sql("CREATE OR REPLACE VIEW v_tt AS SELECT a FROM vvtt WHERE a >= 15")
+    assert catalog.sql(
+        "SELECT COUNT(*) AS n FROM v_tt VERSION AS OF 1"
+    ).collect()[0].n == 5
+    assert catalog.sql(
+        "SELECT MIN(a) AS lo FROM v_tt VERSION AS OF 2"
+    ).collect()[0].lo == 15
+    # latest wins without a clause
+    assert catalog.sql("SELECT MIN(a) AS lo FROM v_tt").collect()[0].lo == 15
+    # TIMESTAMP AS OF: at-or-after the second version's commit => v2
+    at2 = catalog.view_versions("v_tt")[1]["at"]
+    assert catalog.sql(
+        f"SELECT MIN(a) AS lo FROM v_tt TIMESTAMP AS OF {at2}"
+    ).collect()[0].lo == 15
+    from iceberg_geo_poc_spark.table.sql import SqlError as _SE
+    with pytest.raises(_SE):
+        catalog.sql("SELECT a FROM v_tt VERSION AS OF 0").collect()
+    with pytest.raises(IndexError):
+        catalog.sql("SELECT a FROM v_tt VERSION AS OF 9").collect()
+    catalog.sql("DROP VIEW v_tt")

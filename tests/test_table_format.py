@@ -1017,3 +1017,27 @@ def test_filtered_stats_fastpath_bails_on_partial_match(spark, catalog):
     assert (
         try_stats_aggregate(t, ["count(*)"], where=E.ge("id", 150)) is None
     )
+
+
+def test_mor_delete_multi_file_sidecar(spark, catalog):
+    """write.delete.distribution-count > 1 fans a mass delete's sidecar
+    write across N tasks (the GDPR-scale escape hatch for the default
+    one-file-per-delete-commit coalesce(1)); the MoR read merges every
+    sidecar file of the commit."""
+    t = catalog.create_table(
+        "mormulti", "a BIGINT, b STRING",
+        properties={"write.delete.distribution-count": "3"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(300)], "a BIGINT, b STRING"
+        ).coalesce(1)
+    )
+    t.delete(E.lt("a", 150), mode="merge-on-read")
+    entries = t._entries()
+    assert (entries.content == "posdel").sum() == 3  # fanned out
+    got = sorted(r.a for r in t.to_df().collect())
+    assert got == list(range(150, 300))
+    # stacks with a second delete and still scans correctly
+    t.delete(E.ge("a", 290), mode="merge-on-read")
+    assert sorted(r.a for r in t.to_df().collect()) == list(range(150, 290))
