@@ -279,6 +279,80 @@ def _planning_latency(spark) -> dict:
     }
 
 
+# -- sf1 scaling lane --------------------------------------------------------
+#
+# Seven rounds of sf0.1 numbers say nothing empirical about the 10x
+# story SCALE.md narrates; one decade of measured scaling does.  sf1 is
+# DERIVED from the driver's sf0.1 parquet (10 replicas, keys remapped
+# into disjoint ranges so per-replica join semantics hold; document
+# text perturbed per replica so cross-replica docs are NOT near-dups —
+# candidate pairs must scale ~linearly, not quadratically, for the
+# measurement to mean anything).  Cached under .sf1/ (gitignored);
+# SPARK_GRAFT_SF1=0 disables the lane.
+
+SF1_QUERIES = ["filtered_scan", "q1", "q3", "geo_window", "dedup_minhash"]
+_SF1_BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1")
+
+
+def _ensure_replicated(spark, src_dir: str, n_reps: int, out_dir: str) -> str:
+    """Derive an ``n_reps``-x corpus from the driver's sf parquet in a
+    FIXED 32-file layout.  The 1-replica build is the scaling CONTROL:
+    the driver's sf0.1 tables are single parquet files (a near-serial
+    scan on 32 cores), so timing sf1-in-32-files against sf0.1-in-1-file
+    would conflate data growth with parallelism headroom — the honest
+    ratio is sf1 / same-layout-sf0.1."""
+    marker = os.path.join(out_dir, "_SUCCESS_REPLICA")
+    if os.path.exists(marker):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    k_off = 1 << 24  # beyond any source key
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__rep")
+
+    def replicate(name: str, remap: dict[str, object]) -> None:
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet").select(
+            "*", reps
+        )
+        for col, expr in remap.items():
+            df = df.withColumn(col, expr)
+        df.drop("__rep").repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+    rep = F.col("__rep").cast("long")
+    replicate("lineitem", {"l_orderkey": F.col("l_orderkey") + rep * k_off})
+    replicate(
+        "orders",
+        {
+            "o_orderkey": F.col("o_orderkey") + rep * k_off,
+            "o_custkey": F.col("o_custkey") + rep * k_off,
+        },
+    )
+    replicate("customer", {"c_custkey": F.col("c_custkey") + rep * k_off})
+    replicate(
+        "documents",
+        {
+            "doc_id": F.col("doc_id") + rep * k_off,
+            # suffix every token with the replica id (replica 0 keeps
+            # the original text): every shingle of every replica-i doc
+            # differs from replica-j's, so MinHash near-dup pairs stay
+            # within replicas and scale linearly with the corpus
+            "text": F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.expr(
+                    r"regexp_replace(text, '(\\S+)', "
+                    "concat('$1r', CAST(__rep AS STRING)))"
+                )
+            ),
+        },
+    )
+    for small in ("nation", "region"):
+        shutil.copy(f"{src_dir}/{small}.parquet", f"{out_dir}/{small}.parquet")
+    open(marker, "w").close()
+    return out_dir
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -328,6 +402,47 @@ def main() -> None:
     # fixed-work host-noise calibration (not in the total): compare
     # probe deltas across rounds before reading query deltas as real
     out["calibration_probe"] = _calibration_probe(spark)
+    # sf1 scaling lane: the same 5 headline queries over a 10x derived
+    # corpus, plus the measured sf1/sf0.1 ratio per query — linear-ish
+    # ratios (~10x on scan-bound, less on setup-bound) substantiate the
+    # SCALE.md narratives with one decade of actual data
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_dir = _ensure_replicated(
+            spark, SF_DIR, 10, os.path.join(_SF1_BASE, "x10")
+        )
+        ctl_dir = _ensure_replicated(
+            spark, SF_DIR, 1, os.path.join(_SF1_BASE, "x1")
+        )
+
+        def lane(d: str) -> dict[str, float]:
+            t: dict[str, float] = {}
+            for bench_name, reg_name in BENCH_QUERIES:
+                if bench_name not in SF1_QUERIES:
+                    continue
+                fn = queries.get(reg_name)
+                if fn is None:
+                    continue
+                fn(spark, d).collect()  # one warm-up (codegen compile)
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).collect()
+                    runs.append(time.perf_counter() - t0)
+                runs.sort()
+                t[bench_name] = round(runs[1], 3)
+            return t
+
+        ctl = lane(ctl_dir)
+        sf1 = lane(sf1_dir)
+        out["sf1"] = {
+            "queries": sf1,
+            "control_same_layout_sf": ctl,
+            # 10x data in the identical 32-file layout: <=10x time on
+            # scan-bound queries = linear-or-better scaling evidence
+            "scaling_ratio_10x": {
+                k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
+            },
+        }
     # stats-only agg vs forced full scan of the same managed table — the
     # >=100x evidence BASELINE.md asks for (extra key; not in the total)
     ratio = _stats_fastpath_ratio(spark)

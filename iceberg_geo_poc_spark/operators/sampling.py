@@ -352,3 +352,48 @@ def dsir_importance(
             f"__k AS {key}", "dsir_logw_e8", "__gkey AS gumbel_key_e8"
         )
     )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    n: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Exact per-group top-N (ORDER BY order_col DESC, tie_col ASC)
+    without sorting any whole group in one task.
+
+    The single-window form (``row_number() OVER (PARTITION BY group)``)
+    funnels each group through one reducer — the per-domain document
+    cap on a crawl corpus hits the same dominant-key wall as CCNet's
+    language terciles (one host can be 10^9 rows).  Two exact phases
+    instead:
+
+    1. rows scatter over ``salt`` shards per group (deterministic hash
+       of the tie column, so reruns agree); each (group, shard) —
+       1/salt of the group — takes a local top-N;
+    2. the survivors (<= salt * N per group, bounded) take the final
+       top-N per group.
+
+    Global top-N is a subset of the union of shard top-Ns, so phase 2
+    over candidates is exact.  -> input columns + ``rank`` (1..N).
+    """
+    shard = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt))
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    cand = (
+        df.withColumn("__shard", shard)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__shard", "__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= n)
+    )

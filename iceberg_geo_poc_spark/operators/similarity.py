@@ -588,3 +588,74 @@ def random_projection(
             ),
         )
     return proj
+
+
+def matryoshka_rerank(
+    emb: DataFrame,
+    n_probes: int = 5,
+    d_head: int = 8,
+    shortlist: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN (Kusupati et al. 2022, MRL):
+    stage 1 scores the corpus on only the first ``d_head`` embedding
+    dimensions (MRL-trained embeddings front-load information, so the
+    prefix is itself a usable low-dim embedding) and keeps a
+    ``shortlist`` per probe; stage 2 reranks the shortlist with the
+    FULL vector.
+
+    Scale shape: the head stage touches d_head/dim of the float data —
+    with the head dims stored as their own column (or a truncated copy
+    of the table) that is an 8x scan-IO reduction, and the full-width
+    vectors are fetched by an equi-join on vec_id for only
+    |probes| x shortlist rows.  Both stage windows see bounded rows per
+    probe key.  -> (ia, ib, cosine, rank) like the other ANN kernels.
+    """
+    head = f"slice(embedding, 1, {int(d_head)})"
+    base = with_norm(emb).withColumn(
+        "hnrm", F.expr(f"sqrt({dot_expr(head, head)})")
+    )
+    probes = F.broadcast(
+        base.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            F.expr(head).alias("ha"),
+            F.col("hnrm").alias("hna"),
+        )
+    )
+    scored_head = (
+        probes.crossJoin(
+            base.select(
+                F.col("vec_id").alias("ib"),
+                F.expr(head).alias("hb"),
+                F.col("hnrm").alias("hnb"),
+            )
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "hcos",
+            F.round(
+                F.expr(dot_expr("ha", "hb")) / (F.col("hna") * F.col("hnb")),
+                6,
+            ),
+        )
+    )
+    w_head = Window.partitionBy("ia").orderBy(F.desc("hcos"), F.asc("ib"))
+    short = (
+        scored_head.withColumn("hrank", F.row_number().over(w_head))
+        .filter(F.col("hrank") <= shortlist)
+        .select("ia", "ib", "va", "na")
+    )
+    full = short.join(
+        base.select(
+            F.col("vec_id").alias("ib"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "ib",
+    ).withColumn(
+        "cosine",
+        F.round(F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6),
+    )
+    return _topk(full, k).orderBy("ia", "rank")

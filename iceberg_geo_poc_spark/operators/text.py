@@ -690,3 +690,48 @@ def span_corruption_long(
         joined("piece_t").alias("target"),
         F.max("sid").cast("long").alias("n_spans"),
     )
+
+
+def fim_transform(
+    docs: DataFrame, text_col: str = "text", min_tokens: int = 3
+) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022): split
+    each document at two deterministic points into (prefix, middle,
+    suffix) and emit the PSM-ordered training text
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the data-level
+    augmentation that teaches a causal LM to infill.
+
+    The cut points are pure integer hashes of doc_id (two independent
+    multiplicative hashes mod len+1, sorted), so the pair is
+    reproducible across engines and reruns — same posture as
+    ``span_corruption``.  Documents under ``min_tokens`` tokens pass
+    through unchanged (fim_text = text, empty middle).  Everything is
+    codegen array algebra: split, slice, array_join; no UDF, no
+    shuffle.  -> (doc_id, fim_text, n_prefix, n_middle, n_suffix)."""
+    cut1 = "pmod(doc_id * 2654435761, size(t) + 1)"
+    cut2 = "pmod(doc_id * 40503 + 17, size(t) + 1)"
+    return (
+        docs.selectExpr("doc_id", f"split({text_col}, ' ') AS t")
+        .selectExpr(
+            "doc_id",
+            "t",
+            f"least({cut1}, {cut2}) AS lo",
+            f"greatest({cut1}, {cut2}) AS hi",
+        )
+        .selectExpr(
+            "doc_id",
+            f"""CASE WHEN size(t) < {int(min_tokens)}
+                THEN array_join(t, ' ')
+                ELSE concat(
+                  '<PRE> ', array_join(slice(t, 1, lo), ' '),
+                  ' <SUF> ', array_join(slice(t, hi + 1, size(t) - hi), ' '),
+                  ' <MID> ', array_join(slice(t, lo + 1, hi - lo), ' '))
+                END AS fim_text""",
+            f"CAST(CASE WHEN size(t) < {int(min_tokens)} THEN size(t) "
+            "ELSE lo END AS BIGINT) AS n_prefix",
+            f"CAST(CASE WHEN size(t) < {int(min_tokens)} THEN 0 "
+            "ELSE hi - lo END AS BIGINT) AS n_middle",
+            f"CAST(CASE WHEN size(t) < {int(min_tokens)} THEN 0 "
+            "ELSE size(t) - hi END AS BIGINT) AS n_suffix",
+        )
+    )

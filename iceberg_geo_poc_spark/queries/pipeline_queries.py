@@ -3489,3 +3489,111 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key="doc_id", text_col="text", target_pred="lang = 'en'",
         num_buckets=512, k=100,
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_fim_transform",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (SELECT doc_id, t,
+            least((doc_id * 2654435761) % (len(t) + 1),
+                  (doc_id * 40503 + 17) % (len(t) + 1)) AS lo,
+            greatest((doc_id * 2654435761) % (len(t) + 1),
+                     (doc_id * 40503 + 17) % (len(t) + 1)) AS hi
+          FROM s)
+    SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                ELSE concat(
+                  '<PRE> ', array_to_string(t[1:lo], ' '),
+                  ' <SUF> ', array_to_string(t[hi+1:len(t)], ' '),
+                  ' <MID> ', array_to_string(t[lo+1:hi], ' '))
+           END AS fim_text,
+           CAST(CASE WHEN len(t) < 3 THEN len(t) ELSE lo END AS BIGINT)
+             AS n_prefix,
+           CAST(CASE WHEN len(t) < 3 THEN 0 ELSE hi - lo END AS BIGINT)
+             AS n_middle,
+           CAST(CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - hi END AS BIGINT)
+             AS n_suffix
+    FROM c ORDER BY doc_id
+    """,
+)
+def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training pairs (Bavarian et al. 2022 — the
+    infilling augmentation applied to ~50% of pretraining documents in
+    published code-model recipes): deterministic hash-derived cut
+    points, PSM-ordered output, pure codegen array algebra
+    (operators/text.py::fim_transform).  The oracle replays the exact
+    hash -> cut -> splice chain, so prefix/middle/suffix boundaries are
+    value-verified, not just row counts."""
+    from iceberg_geo_poc_spark.operators.text import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs).orderBy("doc_id")
+
+
+@query(
+    "sample_top_n_per_domain",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+    SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def sample_top_n_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the crawl-pipeline rule "keep at most N
+    best pages per host" — C4/RefinedWeb keep-lists): exact top-5 per
+    source by length.  The engine side runs the TWO-PHASE salted form
+    (operators/sampling.py::top_n_per_group) — shard-local top-N then
+    top-N over the bounded survivors — so no domain ever sorts through
+    a single reducer; the oracle is the naive single-window form,
+    proving the two-phase plan is exactly equivalent."""
+    from iceberg_geo_poc_spark.operators.sampling import top_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return top_n_per_group(
+        docs, group_col="source", order_col="n_chars", tie_col="doc_id", n=5
+    ).orderBy("source", "rank")
+
+
+@query(
+    "sim_matryoshka_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    h AS (SELECT vec_id, v, nrm, v[1:8] AS hv,
+                 sqrt(list_dot_product(v[1:8], v[1:8])) AS hnrm FROM n),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.v AS va, b.v AS vb,
+             a.nrm AS na, b.nrm AS nb,
+             ROUND(list_dot_product(a.hv, b.hv) / (a.hnrm * b.hnrm), 6)
+               AS hcos
+      FROM h a JOIN h b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 5),
+    sh AS (SELECT *, row_number() OVER
+             (PARTITION BY ia ORDER BY hcos DESC, ib) AS hrank FROM p),
+    rr AS (SELECT ia, ib,
+                  ROUND(list_dot_product(va, vb) / (na * nb), 6) AS cosine
+           FROM sh WHERE hrank <= 40),
+    fin AS (SELECT ia, ib, cosine,
+                   row_number() OVER (PARTITION BY ia
+                                      ORDER BY cosine DESC, ib) AS rank
+            FROM rr)
+    SELECT ia, ib, cosine, rank FROM fin WHERE rank <= 10 ORDER BY ia, rank
+    """,
+)
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN (Kusupati et al. 2022): head-dim (first
+    8 floats) cosine selects 40 candidates per probe — at scale an 8x
+    scan-IO reduction when the head dims are stored columnar — and only
+    the shortlist pays the full-width cosine.  The oracle replays both
+    stages, so the truncated-dim candidate boundary itself is
+    value-verified (operators/similarity.py::matryoshka_rerank)."""
+    return similarity.matryoshka_rerank(
+        load_table(spark, sf_dir, "embeddings")
+    )

@@ -3414,3 +3414,148 @@ def managed_encrypted_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "managed_scd2_history",
+    oracle="""
+    WITH src AS (SELECT o_orderkey,
+                        o_orderstatus AS s0,
+                        ROUND(o_totalprice, 2) AS p
+                 FROM orders),
+    v1 AS (SELECT o_orderkey, s0 AS o_orderstatus, p,
+                  CAST(1 AS BIGINT) AS valid_from_version,
+                  CASE WHEN p > 300000 THEN CAST(2 AS BIGINT) END
+                    AS valid_to_version
+           FROM src),
+    v2 AS (SELECT o_orderkey, 'X1' AS o_orderstatus, p,
+                  CAST(2 AS BIGINT) AS valid_from_version,
+                  CASE WHEN p > 400000 THEN CAST(3 AS BIGINT) END
+                    AS valid_to_version
+           FROM src WHERE p > 300000),
+    v3 AS (SELECT o_orderkey, 'X2' AS o_orderstatus, p,
+                  CAST(3 AS BIGINT) AS valid_from_version,
+                  CASE WHEN p > 475000 THEN CAST(4 AS BIGINT) END
+                    AS valid_to_version
+           FROM src WHERE p > 400000),
+    hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             UNION ALL SELECT * FROM v3)
+    SELECT o_orderkey, o_orderstatus, p AS o_totalprice,
+           valid_from_version, valid_to_version,
+           valid_to_version IS NULL AS is_current
+    FROM hist ORDER BY o_orderkey, valid_from_version
+    """,
+)
+def managed_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension history materialized from the table's
+    row-level changelog (streaming/incremental.py::scd2_history;
+    reference CreateChangelogViewProcedure + the downstream-MERGE
+    pattern its docs describe): an append, two MoR status rewrites and
+    a trailing MoR delete produce versioned intervals with commit-
+    ordinal validity and is_current flags.  The oracle reconstructs the
+    full expected history from raw parquet — version boundaries, close
+    ordinals, and the delete-closed tail are all value-verified."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        t.append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+        t.update(
+            {"o_orderstatus": F.lit("X1")},
+            where=E.gt("o_totalprice", 300000.0),
+            mode="merge-on-read",
+        )
+        t.update(
+            {"o_orderstatus": F.lit("X2")},
+            where=E.gt("o_totalprice", 400000.0),
+            mode="merge-on-read",
+        )
+        t.delete(E.gt("o_totalprice", 475000.0), mode="merge-on-read")
+        return t
+
+    t = _managed(spark, sf_dir, "scd2", build)
+    from iceberg_geo_poc_spark.streaming.incremental import scd2_history
+
+    return scd2_history(t, key_cols=["o_orderkey"]).orderBy(
+        "o_orderkey", "valid_from_version"
+    )
+
+
+_REST_VIEW_CATS: dict = {}
+
+
+@query(
+    "rest_view_lifecycle",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def rest_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST-catalog VIEW lifecycle (reference REST spec /views
+    endpoints, RESTViewCatalog shape): the service stores versioned
+    view SQL under bearer auth; CREATE, REPLACE with a narrower body,
+    list, then SELECT the PINNED version 1 through a second client —
+    execution routes the stored SQL through the namespace catalog's
+    dispatcher so the base-table scan keeps manifest pruning.  The
+    read-back must equal version 1's SQL over raw parquet (and is
+    asserted to differ from the latest body)."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.table.rest_catalog import (
+        CatalogService,
+        RestCatalog,
+    )
+
+    key = (sf_dir, "restview")
+    if key not in _REST_VIEW_CATS:
+        svc = CatalogService(token="view-token")
+        wh = tempfile.mkdtemp(prefix="igps_rv_")
+        cat = RestCatalog(svc.handle, spark, warehouse=wh, token="view-token")
+        cat.create_namespace("mart")
+        t = cat.create_table(
+            "mart.customer",
+            "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE",
+        )
+        t.append(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+        v = cat.create_view(
+            "mart.seg_stats",
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "ROUND(SUM(c_acctbal), 2) AS total_bal "
+            "FROM customer GROUP BY c_mktsegment",
+        )
+        assert v == 1
+        v = cat.create_view(
+            "mart.seg_stats",
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "ROUND(SUM(c_acctbal), 2) AS total_bal "
+            "FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+            replace=True,
+        )
+        assert v == 2
+        assert cat.list_views("mart") == ["seg_stats"]
+        _REST_VIEW_CATS[key] = (svc, wh)
+    svc, wh = _REST_VIEW_CATS[key]
+    # a second client resolves the same view through the service
+    reader = RestCatalog(svc.handle, spark, warehouse=wh, token="view-token")
+    pinned = reader.select_view("mart.seg_stats", version=1).orderBy(
+        "c_mktsegment"
+    )
+    latest = reader.select_view("mart.seg_stats")
+    assert pinned.count() != latest.count() or (
+        pinned.subtract(latest).count() > 0
+    ), "pinned view version returned the latest body"
+    return pinned

@@ -58,77 +58,71 @@ _LOADED = False
 
 # Names hoisted to the front of the registry (after family reordering) so a
 # correctness driver that verifies queries in registration order and caps
-# (first 50) reaches the least-verified entries first.  Round-5 rotation:
-# rounds 1-4 earned green driver rows for 123 of the 169 queries registered
-# at the time; the 46 below are every query WITHOUT a current green row — 4
-# whose latest driver row is a stale pre-fix failure (the streaming trio
-# fixed by the Spark-4 NTZ cast + ``geo_hilbert_clustering``, which gained a
-# real oracle in r4), then the 42 that have never been driver-seen at all
-# (most of round 4's new operators).  46 <= 50, so one rotation makes every
-# one of them driver-verified; the remaining 4 slots go to new round-5
-# queries appended at the end of this tuple.  Round 5 also registered
-# further new queries past slot 50 (warc/url/webdataset/gif/flac/log-mel/
-# bpe) — locally oracle-green, they are the round-6 rotation candidates.
+# (first 50) reaches the least-verified entries first.  Standing rotation
+# discipline (VERDICT r7/r8): every never-driver-seen registration goes
+# FIRST, then the longest-unseen rows re-verify; the list is recomputed
+# each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-8 rotation.  Rounds 1-7 earned green driver rows for 213 of the
-    # 232 queries registered through round 7; the 19 below are the round-7
-    # registrations that the round-7 window (which re-ran the round-6 list)
-    # never reached — all locally oracle-green.  They go first so one driver
-    # pass restores "every registered query has a green CORRECTNESS row".
-    "dedup_editdistance_verify",
-    "managed_datasource_write_roundtrip",
-    "managed_encrypted_dv_stream",
-    "managed_encrypted_key_rotation",
-    "managed_iceberg_bucket_import",
-    "managed_rewrite_table_path",
-    "managed_sketch_join_estimate",
-    "managed_theta_sketch_ndv",
-    "multimodal_resize_box",
-    "pipeline_zipdataset_extract",
-    "retrieval_bm25",
-    "retrieval_hybrid_rrf",
-    "sample_temperature_mixture",
-    "sample_weighted_aes",
-    "sim_hamming_rerank",
-    "sim_hamming_topk",
-    "sql_ctas_roundtrip",
-    "stream_static_enrichment",
-    "text_unicode_normalize",
-    # -- new round-8 queries (never driver-seen; registered this round;
-    #    uncommented as each lands so the strict missing-name check holds) --
-    "sql_view_roundtrip",
-    "managed_parquet_encrypted_scan",
-    "dedup_connected_components",
-    "sample_coreset_kcenter",
-    "pipeline_span_corruption",
-    "retrieval_splade_sparse",
-    # -- re-verification picks: long-unseen early-round rows (fill the
-    #    driver's 50-slot window after the guaranteed-new entries above) --
-    "text_lm_perplexity",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_augment_flips",
-    "sim_knn_cosine_topk",
-    "sim_ivf_knn",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "dedup_keep_best_in_cluster",
-    "managed_encrypted_mor_scan",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_asof_last_order",
-    "join_range_event_bursts",
-    "geo_hilbert_clustering",
-    "managed_orc_roundtrip",
-    "managed_incremental_read",
-    "managed_merge",
-    "managed_time_travel",
-    "managed_partition_stats",
-    "managed_gdpr_erasure",
-    "retrieval_hard_negatives",
-    "text_perplexity_buckets",
+    # Round-9 rotation.  After round 8's pass, 243/244 registered queries
+    # had green driver rows; the 7 below are every query WITHOUT one —
+    # sample_dsir_importance (registered after round 8's window filled,
+    # VERDICT r8 "What's wrong #1") plus the 6 round-9 registrations.
+    # All locally oracle-green via tools/driver_sim.py.
+    "sample_dsir_importance",
+    "sql_view_version_travel",
+    "pipeline_fim_transform",
+    "sample_top_n_per_domain",
+    "sim_matryoshka_rerank",
+    "managed_scd2_history",
+    "rest_view_lifecycle",
+    # -- re-verification picks: the 43 LONGEST-unseen rows (42 remaining
+    #    round-1 rows + 1 round-2 row, computed over CORRECTNESS_r01-r08)
+    #    fill the driver's 50-slot window — text_perplexity_buckets was
+    #    re-verified in r8 but its plan changed this round (scale-safe
+    #    distributed_ntile), covered by the local oracle parity test. --
+    "agg_collect_stats_per_nation",
+    "agg_cube_orders",
+    "agg_distinct_customers_per_status",
+    "agg_rollup_lineitem_flags",
+    "cte_monthly_order_volume",
+    "distinct_flag_combinations",
+    "join_anti_customers_without_orders",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_activity",
+    "join_left_outer_order_counts",
+    "join_semi_customers_with_orders",
+    "join_spj_bucketed_revenue",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_big_quantity_orders",
+    "q19_disjunctive_filter",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "scalar_array_word_explode",
+    "scalar_conditional_case",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "subquery_in_rich_customers",
+    "subquery_scalar_above_avg",
+    "top_customers_by_spend",
+    "window_lag_order_gap",
+    "window_rank_parts_by_price",
+    "window_running_revenue",
+    "window_topk_orders_per_customer",
+    "agg_grouping_sets_events",
 )
 
 

@@ -61,10 +61,21 @@ _NANOS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as Parquet TIMESTAMP(NANOS) (driver-side footer read)."""
     if path not in _NANOS_COLS_CACHE:
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):
+            # directory-style parquet (Spark writer layout): any one
+            # part file carries the dataset schema
+            probe = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        schema = pq.read_schema(probe)
         _NANOS_COLS_CACHE[path] = tuple(
             f.name
             for f in schema

@@ -370,3 +370,65 @@ class IncrementalStream:
 
     def offset(self) -> str:
         return str(self.last_snapshot_id)
+
+
+def scd2_history(table: Table, key_cols: list[str]) -> DataFrame:
+    """Materialize a TYPE-2 SLOWLY CHANGING DIMENSION from the table's
+    changelog: one row per (key, version) with ``valid_from_version`` /
+    ``valid_to_version`` commit ordinals (1-based ancestry position)
+    and ``is_current`` — the standard warehouse pattern for auditable
+    dimension history, built on the same row-level diff that serves CDC
+    (reference CreateChangelogViewProcedure + the downstream MERGE
+    pattern its docs describe).
+
+    Semantics: every changelog INSERT opens a version at its commit's
+    ordinal; the next version of the same key closes it (lead window
+    per key — partitions bounded by versions-per-key, never corpus-
+    wide).  Rows whose keys are never rewritten stay open.  Upsert
+    streams (CoW/MoR UPDATE and MERGE emit delete+insert pairs in one
+    commit) are fully covered; a DELETE with no co-committed
+    replacement closes the open interval at its own ordinal, including
+    delete-then-reinsert gaps.
+    """
+    from pyspark.sql import Window
+
+    cl = changelog(table)
+    chain = _ancestry(table, table.meta.current_snapshot_id)
+    ord_entries = []
+    for i, sid in enumerate(chain):
+        ord_entries += [F.lit(sid), F.lit(i + 1)]
+    ord_map = F.create_map(*ord_entries)
+    cl = cl.withColumn(
+        "__ord", ord_map[F.col("_commit_snapshot_id")].cast("long")
+    )
+    ins = cl.filter(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_snapshot_id"
+    )
+    # per-key delete ordinals as a small sorted array (versions-per-key
+    # bounded): a version at ordinal o closes at the EARLIEST of (next
+    # insert of the key, first delete with ordinal > o).  Strict '>'
+    # keeps an update's co-committed delete+insert pair correct — the
+    # delete closes the PREVIOUS version (whose lead() is that ordinal
+    # anyway), never the replacement row; a delete-then-reinsert gap
+    # closes at the delete, not the reinsert.
+    dels = (
+        cl.filter(F.col("_change_type") == "delete")
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("__ord")).alias("__del_ords"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__ord")
+    out = (
+        ins.withColumn("__next", F.lead("__ord").over(w))
+        .join(dels, key_cols, "left")
+        .withColumn(
+            "__first_del",
+            F.expr("array_min(filter(__del_ords, d -> d > __ord))"),
+        )
+        .withColumn(
+            "valid_to_version", F.least("__next", "__first_del")
+        )
+        .withColumnRenamed("__ord", "valid_from_version")
+        .withColumn("is_current", F.col("valid_to_version").isNull())
+        .drop("__next", "__del_ords", "__first_del")
+    )
+    return out

@@ -60,6 +60,9 @@ class CatalogService:
         self._docs: dict[str, bytes] = {}
         self._namespaces: dict[str, dict[str, str]] = {}
         self._tables: dict[str, dict[str, str]] = {}  # ns -> {table: location}
+        # ns -> {view: [versioned SQL]} (reference REST spec /views
+        # endpoints; versions are 1-based like BaseViewVersion ids)
+        self._views: dict[str, dict[str, list[dict]]] = {}
         self._defaults = dict(defaults or {})
         self._overrides = dict(overrides or {})
         self._token = token
@@ -183,6 +186,43 @@ class CatalogService:
                 if req["name"] not in self._tables.get(ns, {}):
                     return {"status": 404}
                 del self._tables[ns][req["name"]]
+                return {"status": 204}
+            if op == "create_view":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                views = self._views.setdefault(ns, {})
+                name = req["name"]
+                if name in views and not req.get("replace"):
+                    return {"status": 409}
+                views.setdefault(name, []).append({"sql": req["sql"]})
+                return {"status": 201, "version": len(views[name])}
+            if op == "get_view":
+                vers = self._views.get(req["namespace"], {}).get(req["name"])
+                if not vers:
+                    return {"status": 404}
+                ver = req.get("version") or len(vers)
+                if not 1 <= ver <= len(vers):
+                    return {"status": 404, "error": f"no version {ver}"}
+                return {
+                    "status": 200,
+                    "sql": vers[ver - 1]["sql"],
+                    "version": ver,
+                    "versions": len(vers),
+                }
+            if op == "list_views":
+                ns = req["namespace"]
+                if ns not in self._namespaces:
+                    return {"status": 404}
+                return {
+                    "status": 200,
+                    "views": sorted(self._views.get(ns, {})),
+                }
+            if op == "drop_view_entry":
+                ns = req["namespace"]
+                if req["name"] not in self._views.get(ns, {}):
+                    return {"status": 404}
+                del self._views[ns][req["name"]]
                 return {"status": 204}
             if op == "delete":
                 self._docs.pop(path, None)
@@ -388,6 +428,39 @@ class RestCatalog:
             fio = io_for(loc)
             for f in fio.list_files(loc):
                 fio.delete(f)
+
+    # -- views ---------------------------------------------------------------
+    def create_view(
+        self, identifier: str, sql: str, replace: bool = False
+    ) -> int:
+        """Store a versioned SQL view in the SERVICE (reference REST
+        spec /v1/.../views endpoints; RESTViewCatalog shape).  Returns
+        the new 1-based version id."""
+        ns, name = self._split(identifier)
+        return self._call(
+            "create_view", namespace=ns, name=name, sql=sql, replace=replace
+        )["version"]
+
+    def view_sql(self, identifier: str, version: int | None = None) -> str:
+        ns, name = self._split(identifier)
+        return self._call(
+            "get_view", namespace=ns, name=name, version=version
+        )["sql"]
+
+    def list_views(self, namespace: str) -> list[str]:
+        return self._call("list_views", namespace=namespace)["views"]
+
+    def drop_view(self, identifier: str) -> None:
+        ns, name = self._split(identifier)
+        self._call("drop_view_entry", namespace=ns, name=name)
+
+    def select_view(self, identifier: str, version: int | None = None):
+        """Plan the (optionally pinned) stored view SQL through the
+        namespace catalog's SQL dispatcher, so engine-table references
+        in the body keep manifest pruning — the service is the only
+        authority for the view text, the dispatcher for execution."""
+        ns, _ = self._split(identifier)
+        return self._ns_catalog(ns).sql(self.view_sql(identifier, version))
 
     def catalog_for_namespace(self, namespace: str):
         """Expose the full single-namespace DDL/maintenance surface

@@ -22,10 +22,15 @@ integer, keep the k smallest DISTINCT hashes.
 
 Serialization is an engine-local little-endian layout (type
 ``theta-kmv-v1``: u32 k | u64 theta | u32 count | count*u64 sorted
-hashes) — byte parity with DataSketches' compact form is NOT claimed
-(no reference implementation available here to pin against; documented
-divergence), but the estimator contract is property-tested and the
-below-k exactness is driver-oracle-checked against COUNT(DISTINCT).
+hashes).  Byte parity with DataSketches' compact form is permanently
+out of scope (decision, round 9): this environment has no datasketches
+library, no published serialization vectors, and no network, so a
+hand-written ``apache-datasketches-theta-v1`` layout could never be
+validated against ground truth — and an UNVERIFIED interchange format
+that merely looks compatible is worse than an honest engine-local one
+(a consumer would trust bytes nothing ever pinned).  The estimator
+contract (exact below k, (k-1)/m above, exact-under-union merge) is
+property-tested and driver-oracle-checked against COUNT(DISTINCT).
 
 Scale shape: hashes are computed in codegen (xxhash64); each partition
 emits its own k smallest distinct hashes from one numpy pass

@@ -604,3 +604,32 @@ def test_streaming_append_exactly_once_replay(spark, tmp_path):
     t = cat.load_table("eo")
     assert t.append_streaming(df, "q2", 0) is not None
     assert cat.load_table("eo").to_df().count() == 30
+
+
+def test_scd2_history_update_delete_reinsert(spark, catalog):
+    """SCD2 materialization from the changelog: updates open/close
+    versions at commit ordinals; a delete closes WITHOUT a successor;
+    a later re-insert opens a NEW interval — the deleted gap must not
+    be bridged (valid_to of the pre-delete version = the delete's
+    ordinal, not the re-insert's)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.streaming.incremental import scd2_history
+
+    t = catalog.create_table("scd2t", "k BIGINT, s STRING")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, s STRING").coalesce(1))
+    t.update({"s": F.lit("a2")}, where=E.eq("k", 1), mode="merge-on-read")  # ord 2
+    t.delete(E.eq("k", 2), mode="merge-on-read")                            # ord 3
+    t.append(spark.createDataFrame([(2, "b2")], "k BIGINT, s STRING").coalesce(1))  # ord 4
+    hist = {
+        (r.k, r.s): (r.valid_from_version, r.valid_to_version, r.is_current)
+        for r in scd2_history(t, ["k"]).collect()
+    }
+    assert hist == {
+        (1, "a"): (1, 2, False),
+        (1, "a2"): (2, None, True),
+        (2, "b"): (1, 3, False),   # closed by the DELETE, not the reinsert
+        (2, "b2"): (4, None, True),
+        (3, "c"): (1, None, True),
+    }

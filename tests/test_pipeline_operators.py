@@ -905,3 +905,66 @@ def test_span_corruption_long_agrees_with_array_form(spark):
     for k in a:
         assert a[k] == b[k], f"doc {k} diverged"
     assert a[7][2] > 100  # the long doc actually has many spans
+
+
+def test_fim_transform_partition_and_edges(spark):
+    """FIM splice must reconstruct the document exactly (prefix ++
+    middle ++ suffix = tokens, counts sum to len) and short docs pass
+    through unchanged."""
+    from iceberg_geo_poc_spark.operators.text import fim_transform
+
+    rows = [
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (11, "one two three four"),
+        (2, "tiny doc"),   # < 3 tokens: pass-through
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in fim_transform(df).collect()}
+    for doc_id, text in rows:
+        r = out[doc_id]
+        n = len(text.split(" "))
+        assert r.n_prefix + r.n_middle + r.n_suffix == n
+        if n < 3:
+            assert r.fim_text == text
+        else:
+            assert r.fim_text.startswith("<PRE> ")
+            body = r.fim_text
+            pre, rest = body[6:].split(" <SUF> ", 1)
+            suf, mid = rest.split(" <MID> ", 1)
+            toks = [t for t in (pre.split(" ") + mid.split(" ") + suf.split(" ")) if t]
+            assert toks == text.split(" ")
+
+
+def test_top_n_per_group_exact_and_sharded(spark):
+    """Two-phase salted top-N equals the single-window form on skewed
+    input (one dominant group), and the phase-1 window partitions by
+    (group, shard) — never by the group alone."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_geo_poc_spark.operators.sampling import top_n_per_group
+
+    rows = [("big", i, float((i * 37) % 101)) for i in range(500)]
+    rows += [("small", i, float(i)) for i in range(3)]  # fewer than N rows
+    df = spark.createDataFrame(rows, "g STRING, id LONG, score DOUBLE")
+    got = {
+        (r.g, r.id, r.rank)
+        for r in top_n_per_group(df, "g", "score", "id", n=7).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("id"))
+    want = {
+        (r.g, r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 7")
+        .collect()
+    }
+    assert got == want
+    plan = (
+        top_n_per_group(df, "g", "score", "id", n=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    win_lines = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert any("__shard" in l for l in win_lines), "phase-1 shard window missing"

@@ -133,3 +133,37 @@ def test_namespace_scoped_ddl_surface(service, warehouse, spark):
     assert t.meta.properties["commit.manifest.min-count-to-merge"] == "4"
     with pytest.raises(ValueError):
         cat.catalog_for_namespace("missing")
+
+
+def test_view_lifecycle_versioned(service, spark, tmp_path):
+    """REST view verbs (reference REST spec /views endpoints): CREATE
+    refuses duplicates without replace, versions are 1-based and
+    pinnable, list/drop work, and select_view executes the stored SQL
+    through the namespace catalog's dispatcher."""
+    cat = RestCatalog(
+        service.handle, spark, warehouse=str(tmp_path / "wh"), token=TOKEN
+    )
+    cat.create_namespace("mart")
+    t = cat.create_table("mart.kv", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "k BIGINT, v STRING"
+    ).coalesce(1))
+    assert cat.create_view(
+        "mart.top", "SELECT v, COUNT(*) AS n FROM kv GROUP BY v"
+    ) == 1
+    with pytest.raises(ValueError):
+        cat.create_view("mart.top", "SELECT 1 AS x")
+    assert cat.create_view(
+        "mart.top",
+        "SELECT v, COUNT(*) AS n FROM kv WHERE k >= 8 GROUP BY v",
+        replace=True,
+    ) == 2
+    assert cat.list_views("mart") == ["top"]
+    v1 = {(r.v, r.n) for r in cat.select_view("mart.top", version=1).collect()}
+    v2 = {(r.v, r.n) for r in cat.select_view("mart.top").collect()}
+    assert v1 == {("a", 5), ("b", 5)}
+    assert v2 == {("a", 1), ("b", 1)}
+    cat.drop_view("mart.top")
+    assert cat.list_views("mart") == []
+    with pytest.raises(ValueError):
+        cat.view_sql("mart.top")
