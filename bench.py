@@ -407,42 +407,47 @@ def main() -> None:
     # ratios (~10x on scan-bound, less on setup-bound) substantiate the
     # SCALE.md narratives with one decade of actual data
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1_dir = _ensure_replicated(
-            spark, SF_DIR, 10, os.path.join(_SF1_BASE, "x10")
-        )
-        ctl_dir = _ensure_replicated(
-            spark, SF_DIR, 1, os.path.join(_SF1_BASE, "x1")
-        )
+        try:
+            sf1_dir = _ensure_replicated(
+                spark, SF_DIR, 10, os.path.join(_SF1_BASE, "x10")
+            )
+            ctl_dir = _ensure_replicated(
+                spark, SF_DIR, 1, os.path.join(_SF1_BASE, "x1")
+            )
 
-        def lane(d: str) -> dict[str, float]:
-            t: dict[str, float] = {}
-            for bench_name, reg_name in BENCH_QUERIES:
-                if bench_name not in SF1_QUERIES:
-                    continue
-                fn = queries.get(reg_name)
-                if fn is None:
-                    continue
-                fn(spark, d).collect()  # one warm-up (codegen compile)
-                runs = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+            def lane(d: str) -> dict[str, float]:
+                # 1 warm-up (codegen compile) + min-of-2: the lane
+                # exists for the 10x RATIO, and both lanes share the
+                # measurement posture, so the cheaper estimator is fine
+                t: dict[str, float] = {}
+                for bench_name, reg_name in BENCH_QUERIES:
+                    if bench_name not in SF1_QUERIES:
+                        continue
+                    fn = queries.get(reg_name)
+                    if fn is None:
+                        continue
                     fn(spark, d).collect()
-                    runs.append(time.perf_counter() - t0)
-                runs.sort()
-                t[bench_name] = round(runs[1], 3)
-            return t
+                    runs = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        fn(spark, d).collect()
+                        runs.append(time.perf_counter() - t0)
+                    t[bench_name] = round(min(runs), 3)
+                return t
 
-        ctl = lane(ctl_dir)
-        sf1 = lane(sf1_dir)
-        out["sf1"] = {
-            "queries": sf1,
-            "control_same_layout_sf": ctl,
-            # 10x data in the identical 32-file layout: <=10x time on
-            # scan-bound queries = linear-or-better scaling evidence
-            "scaling_ratio_10x": {
-                k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
-            },
-        }
+            ctl = lane(ctl_dir)
+            sf1 = lane(sf1_dir)
+            out["sf1"] = {
+                "queries": sf1,
+                "control_same_layout_sf": ctl,
+                # 10x data in the identical 32-file layout: <=10x time on
+                # scan-bound queries = linear-or-better scaling evidence
+                "scaling_ratio_10x": {
+                    k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
+                },
+            }
+        except Exception as e:  # the lane must never kill the headline JSON
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
     # stats-only agg vs forced full scan of the same managed table — the
     # >=100x evidence BASELINE.md asks for (extra key; not in the total)
     ratio = _stats_fastpath_ratio(spark)

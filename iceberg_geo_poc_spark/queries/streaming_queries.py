@@ -341,3 +341,54 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stream_static_enrichment(spark, sf_dir).orderBy(
         "n_name", "event_type"
     )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, event_type, ROUND(value, 6) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (foreachBatch + conditional MERGE INTO —
+    the CDC-consumption pattern downstream of the reference's
+    changelog views): 4 micro-batches merge into an engine table with
+    last-write-wins by (ts, event_id).  Because the matched-update is
+    conditional, the final state is the per-user argmax regardless of
+    batch slicing — so plain SQL over raw parquet is an exact oracle
+    for a genuinely multi-batch streaming pipeline."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.table import Catalog
+
+    key = (sf_dir, "upsert_sink")
+    if key not in _UPSERT_TABLES:
+        cat = Catalog(tempfile.mkdtemp(prefix="igps_ups_"), spark)
+        t = cat.create_table(
+            "upserted",
+            "user_id BIGINT, event_id BIGINT, ts LONG, "
+            "event_type STRING, value DOUBLE",
+        )
+        S.stream_upsert_to_table(spark, sf_dir, t)
+        _UPSERT_TABLES[key] = t
+    t = _UPSERT_TABLES[key]
+    return (
+        t.to_df()
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_UPSERT_TABLES: dict = {}

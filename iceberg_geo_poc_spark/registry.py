@@ -64,9 +64,9 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-9 rotation.  After round 8's pass, 243/244 registered queries
-    # had green driver rows; the 7 below are every query WITHOUT one —
+    # had green driver rows; the 8 below are every query WITHOUT one —
     # sample_dsir_importance (registered after round 8's window filled,
-    # VERDICT r8 "What's wrong #1") plus the 6 round-9 registrations.
+    # VERDICT r8 "What's wrong #1") plus the 7 round-9 registrations.
     # All locally oracle-green via tools/driver_sim.py.
     "sample_dsir_importance",
     "sql_view_version_travel",
@@ -75,8 +75,9 @@ _PRIORITY_FIRST = (
     "sim_matryoshka_rerank",
     "managed_scd2_history",
     "rest_view_lifecycle",
-    # -- re-verification picks: the 43 LONGEST-unseen rows (42 remaining
-    #    round-1 rows + 1 round-2 row, computed over CORRECTNESS_r01-r08)
+    "stream_upsert_sink",
+    # -- re-verification picks: the 42 LONGEST-unseen rows (every
+    #    remaining round-1 row, computed over CORRECTNESS_r01-r08)
     #    fill the driver's 50-slot window — text_perplexity_buckets was
     #    re-verified in r8 but its plan changed this round (scale-safe
     #    distributed_ntile), covered by the local oracle parity test. --
@@ -122,7 +123,6 @@ _PRIORITY_FIRST = (
     "window_rank_parts_by_price",
     "window_running_revenue",
     "window_topk_orders_per_customer",
-    "agg_grouping_sets_events",
 )
 
 

@@ -293,3 +293,72 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_to_completion(agg)
+
+
+def stream_upsert_to_table(spark: SparkSession, sf_dir: str, table) -> None:
+    """Streaming UPSERT sink — the standard CDC-consumption pattern the
+    reference's changelog-view docs describe downstream (foreachBatch +
+    MERGE INTO): each micro-batch first reduces to one row per key,
+    then merges into the engine table with LAST-WRITE-WINS by
+    (ts, event_id).
+
+    The matched-update is CONDITIONAL (``s`` newer than ``t``: keep
+    ``s``, else keep ``t``), which makes the final table state a pure
+    per-key argmax — independent of how the stream was sliced into
+    micro-batches, so the result is deterministic and SQL-expressible
+    for the oracle even though batch boundaries are an engine detail."""
+    from pyspark.sql import Window
+
+    d = _multifile_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(d).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    # normalize ts to epoch-MICROS longs whatever the staged physical
+    # type (TIMESTAMP_NTZ under Spark-4 inference, or raw nanos longs
+    # under nanosAsLong): the table column and the oracle's ordering
+    # both use microsecond precision
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        ev = ev.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    else:
+        ev = ev.withColumn("ts", F.expr("CAST(ts DIV 1000 AS LONG)"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    newer = (F.col("s.ts") > F.col("t.ts")) | (
+        (F.col("s.ts") == F.col("t.ts"))
+        & (F.col("s.event_id") > F.col("t.event_id"))
+    )
+
+    def keep(col: str):
+        return F.when(newer, F.col(f"s.{col}")).otherwise(F.col(f"t.{col}"))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.merge(
+            src,
+            on=["user_id"],
+            when_matched_update={
+                c: keep(c) for c in ("event_id", "ts", "event_type", "value")
+            },
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"{table.location}/_upsert_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()

@@ -1076,6 +1076,19 @@ def _call(catalog, proc: str, argstr: str):
         view = str(arg("changelog_view", 1, f"{arg('table', 0)}_changes"))
         df.createOrReplaceTempView(view)
         return df
+    if proc == "create_scd2_view":
+        # SCD type-2 dimension history over the changelog (the
+        # downstream-MERGE pattern the reference's changelog-view docs
+        # describe, materialized): register as a temp view for plain
+        # spark.sql consumers
+        from iceberg_geo_poc_spark.streaming import incremental as INC
+
+        t = catalog.load_table(arg("table", 0))
+        keys = [k.strip() for k in str(arg("key_cols", 1)).split(",")]
+        df = INC.scd2_history(t, key_cols=keys)
+        view = str(arg("scd2_view", 2, f"{arg('table', 0)}_scd2"))
+        df.createOrReplaceTempView(view)
+        return df
     if proc == "rewrite_table_path":
         return X.rewrite_table_path(
             catalog.load_table(arg("table", 0)),

@@ -633,3 +633,24 @@ def test_scd2_history_update_delete_reinsert(spark, catalog):
         (2, "b2"): (4, None, True),
         (3, "c"): (1, None, True),
     }
+
+
+def test_call_create_scd2_view(spark, catalog):
+    """CALL system.create_scd2_view registers the SCD2 history as a
+    temp view for plain spark.sql consumers (same shape as
+    create_changelog_view)."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("scd2v", "k BIGINT, s STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, s STRING").coalesce(1))
+    t.update({"s": F.lit("a2")}, where=E.eq("k", 1), mode="merge-on-read")
+    df = catalog.sql(
+        "CALL system.create_scd2_view(table => 'scd2v', key_cols => 'k')"
+    )
+    assert set(df.columns) >= {"k", "s", "valid_from_version",
+                               "valid_to_version", "is_current"}
+    got = {
+        (r.k, r.s): r.is_current
+        for r in spark.sql("SELECT * FROM scd2v_scd2").collect()
+    }
+    assert got == {(1, "a"): False, (1, "a2"): True, (2, "b"): True}
