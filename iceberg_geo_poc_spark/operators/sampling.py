@@ -360,40 +360,27 @@ def top_n_per_group(
     order_col: str,
     tie_col: str,
     n: int,
-    salt: int = 16,
 ) -> DataFrame:
-    """Exact per-group top-N (ORDER BY order_col DESC, tie_col ASC)
-    without sorting any whole group in one task.
+    """Exact per-group top-N (ORDER BY order_col DESC, tie_col ASC) —
+    the per-domain document cap of crawl pipelines ("keep at most N
+    best pages per host", C4/RefinedWeb keep-lists).
 
-    The single-window form (``row_number() OVER (PARTITION BY group)``)
-    funnels each group through one reducer — the per-domain document
-    cap on a crawl corpus hits the same dominant-key wall as CCNet's
-    language terciles (one host can be 10^9 rows).  Two exact phases
-    instead:
-
-    1. rows scatter over ``salt`` shards per group (deterministic hash
-       of the tie column, so reruns agree); each (group, shard) —
-       1/salt of the group — takes a local top-N;
-    2. the survivors (<= salt * N per group, bounded) take the final
-       top-N per group.
-
-    Global top-N is a subset of the union of shard top-Ns, so phase 2
-    over candidates is exact.  -> input columns + ``rank`` (1..N).
+    Scale note (Spark-first: let the optimizer do it): a plain
+    ``row_number() OVER (PARTITION BY group) <= n`` looks like the
+    classic dominant-key single-reducer sort, but Spark >= 3.5 rewrites
+    rank-limit windows with **WindowGroupLimit** — a PARTIAL top-N runs
+    map-side BEFORE the shuffle, so the final per-group task sees at
+    most n x num_map_partitions rows no matter how hot the domain.
+    tests/test_plan_shapes.py asserts the Partial WindowGroupLimit is
+    present so a Spark regression (or a plan change that defeats the
+    pushdown — e.g. a non-rank function in the same window) fails
+    loudly.  Contrast ``skew.distributed_ntile``: NTILE carries no
+    rank-limit filter, gets no pushdown, and genuinely needs the
+    histogram rewrite.
     """
-    shard = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(salt))
-    w1 = Window.partitionBy(group_col, "__shard").orderBy(
+    w = Window.partitionBy(group_col).orderBy(
         F.desc(order_col), F.asc(tie_col)
     )
-    cand = (
-        df.withColumn("__shard", shard)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= n)
-        .drop("__shard", "__r1")
-    )
-    w2 = Window.partitionBy(group_col).orderBy(
-        F.desc(order_col), F.asc(tie_col)
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= n)
+    return df.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= n
     )

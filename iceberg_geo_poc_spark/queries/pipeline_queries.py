@@ -3546,11 +3546,12 @@ def pipeline_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_top_n_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (the crawl-pipeline rule "keep at most N
     best pages per host" — C4/RefinedWeb keep-lists): exact top-5 per
-    source by length.  The engine side runs the TWO-PHASE salted form
-    (operators/sampling.py::top_n_per_group) — shard-local top-N then
-    top-N over the bounded survivors — so no domain ever sorts through
-    a single reducer; the oracle is the naive single-window form,
-    proving the two-phase plan is exactly equivalent."""
+    source by length (operators/sampling.py::top_n_per_group).  Scale
+    posture is Spark-native: the rank-limit window gets a map-side
+    PARTIAL WindowGroupLimit before the shuffle (asserted by
+    tests/test_pipeline_operators.py), so the dominant domain's final
+    task sees at most n x map-partitions rows — no hand-rolled salting
+    needed where the optimizer already two-phases the plan."""
     from iceberg_geo_poc_spark.operators.sampling import top_n_per_group
 
     docs = load_table(spark, sf_dir, "documents").select(

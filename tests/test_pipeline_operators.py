@@ -936,10 +936,14 @@ def test_fim_transform_partition_and_edges(spark):
             assert toks == text.split(" ")
 
 
-def test_top_n_per_group_exact_and_sharded(spark):
-    """Two-phase salted top-N equals the single-window form on skewed
-    input (one dominant group), and the phase-1 window partitions by
-    (group, shard) — never by the group alone."""
+def test_top_n_per_group_exact_and_pushed_down(spark):
+    """top_n_per_group equals the reference single-window semantics on
+    skewed input (one dominant group, one group smaller than N), and —
+    the scale property — Spark's WindowGroupLimit rewrites the
+    rank-limit window with a PARTIAL map-side top-N before the shuffle,
+    so the hot domain never funnels its full row set through one task.
+    The Partial operator's presence is asserted so an optimizer
+    regression or a pushdown-defeating plan change fails loudly."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -964,7 +968,8 @@ def test_top_n_per_group_exact_and_sharded(spark):
         top_n_per_group(df, "g", "score", "id", n=7)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    import re
-
-    win_lines = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
-    assert any("__shard" in l for l in win_lines), "phase-1 shard window missing"
+    partials = [
+        l for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    assert partials, "map-side Partial WindowGroupLimit missing from plan"

@@ -305,3 +305,56 @@ def test_distributed_ntile_equals_window_ntile(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_distributed_ntile_many_groups_heavy_ties(spark):
+    """Wide property sweep in one job: 200 groups with sizes 1..40 and
+    a 4-value domain (heavy ties straddling bucket boundaries), checked
+    against F.ntile for k in {1, 2, 3, 5, 16} — including k larger than
+    most group sizes (NTILE's one-row-per-bucket regime)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_geo_poc_spark.operators.skew import distributed_ntile
+
+    rng = random.Random(41)
+    rows = []
+    tie = 0
+    for g in range(200):
+        for _ in range(rng.randrange(1, 41)):
+            rows.append((f"g{g}", rng.randrange(4), tie))
+            tie += 1
+    df = spark.createDataFrame(rows, "g STRING, v LONG, tie LONG")
+    for k in (1, 2, 3, 5, 16):
+        got = {
+            (r.g, r.tie): r.bucket
+            for r in distributed_ntile(df, "g", "v", "tie", k).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "tie")
+        want = {
+            (r.g, r.tie): r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_ann_topk_windows_get_group_limit_pushdown(spark, sf_dir):
+    """Every per-probe top-k in the ANN kernels is a rank-limit window,
+    which Spark rewrites with a map-side Partial WindowGroupLimit — the
+    property that keeps brute-force kNN from funneling the corpus
+    through one task per probe.  Assert it on the brute-force cosine
+    and Hamming kernels so an optimizer regression (or a plan change
+    that defeats the rewrite) fails here, not at 100 TB."""
+    from iceberg_geo_poc_spark.queries import pipeline_queries as P
+
+    for qname in ("sim_knn_cosine_topk", "sim_hamming_topk"):
+        plan = _plan(getattr(P, qname)(spark, sf_dir))
+        partials = [
+            l for l in plan.splitlines()
+            if "WindowGroupLimit" in l and "Partial" in l
+        ]
+        assert partials, f"{qname}: no Partial WindowGroupLimit in plan"
