@@ -435,21 +435,58 @@ class Catalog:
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
 
+    @staticmethod
+    def _check_ref_mode(
+        t: Table, ref: str, kind: str, replace: bool, if_not_exists: bool,
+        must_exist: bool,
+    ) -> bool:
+        """Shared CREATE/REPLACE ref-existence rules (reference
+        TestBranchDDL / TestReplaceBranch): plain CREATE refuses an
+        existing ref; IF NOT EXISTS no-ops; REPLACE requires the ref to
+        exist AND to be of the same kind; CREATE OR REPLACE accepts
+        both.  Returns True when the caller should no-op."""
+        existing = t.meta.refs.get(ref)
+        if existing is not None:
+            if existing.get("type") != kind and (replace or must_exist):
+                raise ValueError(
+                    f"ref {ref!r} is a {existing.get('type')}, not a {kind}"
+                )
+            if not replace and not must_exist:
+                if if_not_exists:
+                    return True
+                raise ValueError(f"{kind} {ref!r} already exists")
+        elif must_exist:
+            raise ValueError(f"{kind} {ref!r} not found (use CREATE)")
+        return False
+
     def create_tag(
         self,
         name: str,
         tag: str,
         snapshot_id: int | None = None,
         max_ref_age_ms: int | None = None,
+        replace: bool = False,
+        if_not_exists: bool = False,
+        must_exist: bool = False,
     ) -> Table:
         t = self.load_table(name)
+        if self._check_ref_mode(t, tag, "tag", replace, if_not_exists, must_exist):
+            return t
         sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
+        self._validate_snapshot_exists(t, sid)
         ref = {"snapshot-id": sid, "type": "tag", "created-at-ms": MD.now_ms()}
         if max_ref_age_ms is not None:
             ref["max-ref-age-ms"] = int(max_ref_age_ms)
         t.meta.refs[tag] = ref
         MD.write_new_metadata(t.meta, t.meta.version)
         return t
+
+    @staticmethod
+    def _validate_snapshot_exists(t: Table, sid) -> None:
+        if sid is not None and sid not in {
+            s.snapshot_id for s in t.meta.snapshots
+        }:
+            raise ValueError(f"snapshot {sid} not found in the snapshot log")
 
     def create_branch(
         self,
@@ -459,14 +496,24 @@ class Catalog:
         max_ref_age_ms: int | None = None,
         min_snapshots_to_keep: int | None = None,
         max_snapshot_age_ms: int | None = None,
+        replace: bool = False,
+        if_not_exists: bool = False,
+        must_exist: bool = False,
     ) -> Table:
         """Branch ref with the reference's retention surface (grammar:
         CREATE BRANCH b RETAIN n DAYS WITH SNAPSHOT RETENTION k
         SNAPSHOTS m DAYS): max-ref-age expires the REF itself;
         min-snapshots / max-snapshot-age protect the branch's ancestor
-        history from expire_snapshots."""
+        history from expire_snapshots.  ``replace``/``if_not_exists``/
+        ``must_exist`` give the CREATE [OR REPLACE] / IF NOT EXISTS /
+        REPLACE statement semantics (reference TestReplaceBranch)."""
         t = self.load_table(name)
+        if self._check_ref_mode(
+            t, branch, "branch", replace, if_not_exists, must_exist
+        ):
+            return t
         sid = snapshot_id if snapshot_id is not None else t.meta.current_snapshot_id
+        self._validate_snapshot_exists(t, sid)
         ref = {"snapshot-id": sid, "type": "branch", "created-at-ms": MD.now_ms()}
         if max_ref_age_ms is not None:
             ref["max-ref-age-ms"] = int(max_ref_age_ms)

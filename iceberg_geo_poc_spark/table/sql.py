@@ -1178,7 +1178,8 @@ def _alter(catalog, table: str, rest: str):
             table, [c.strip() for c in m.group(1).split(",")]
         )
     m = re.match(
-        r"^CREATE BRANCH (\w+)(?: AS OF VERSION (\d+))?"
+        r"^(?:CREATE(?P<orr> OR REPLACE)?|(?P<repl>REPLACE)) BRANCH"
+        r"(?P<ine> IF NOT EXISTS)? (\w+)(?: AS OF VERSION (\d+))?"
         r"(?: RETAIN (\d+) DAYS?)?"
         r"(?: WITH SNAPSHOT RETENTION (?:(\d+) SNAPSHOTS?)?\s*(?:(\d+) DAYS?)?)?$",
         ru,
@@ -1186,27 +1187,35 @@ def _alter(catalog, table: str, rest: str):
     )
     if m:
         day_ms = 24 * 3600 * 1000
-        sid = int(m.group(2)) if m.group(2) else None
+        sid = int(m.group(5)) if m.group(5) else None
         return catalog.create_branch(
             table,
-            m.group(1),
+            m.group(4),
             sid,
-            max_ref_age_ms=int(m.group(3)) * day_ms if m.group(3) else None,
-            min_snapshots_to_keep=int(m.group(4)) if m.group(4) else None,
-            max_snapshot_age_ms=int(m.group(5)) * day_ms if m.group(5) else None,
+            max_ref_age_ms=int(m.group(6)) * day_ms if m.group(6) else None,
+            min_snapshots_to_keep=int(m.group(7)) if m.group(7) else None,
+            max_snapshot_age_ms=int(m.group(8)) * day_ms if m.group(8) else None,
+            replace=bool(m.group("orr")),
+            if_not_exists=bool(m.group("ine")),
+            must_exist=bool(m.group("repl")),
         )
     m = re.match(
-        r"^CREATE TAG (\w+)(?: AS OF VERSION (\d+))?(?: RETAIN (\d+) DAYS?)?$",
+        r"^(?:CREATE(?P<orr> OR REPLACE)?|(?P<repl>REPLACE)) TAG"
+        r"(?P<ine> IF NOT EXISTS)? (\w+)"
+        r"(?: AS OF VERSION (\d+))?(?: RETAIN (\d+) DAYS?)?$",
         ru,
         re.I,
     )
     if m:
-        sid = int(m.group(2)) if m.group(2) else None
+        sid = int(m.group(5)) if m.group(5) else None
         return catalog.create_tag(
             table,
-            m.group(1),
+            m.group(4),
             sid,
-            max_ref_age_ms=int(m.group(3)) * 24 * 3600 * 1000 if m.group(3) else None,
+            max_ref_age_ms=int(m.group(6)) * 24 * 3600 * 1000 if m.group(6) else None,
+            replace=bool(m.group("orr")),
+            if_not_exists=bool(m.group("ine")),
+            must_exist=bool(m.group("repl")),
         )
     m = re.match(r"^SET TBLPROPERTIES \((.+)\)$", ru, re.I)
     if m:

@@ -514,7 +514,25 @@ class Table:
         return [(f"__p_{pf.name}", pf) for pf in self.partition_fields]
 
     def _write_files(self, df: DataFrame) -> list[dict]:
-        """Write df as data files; return entry dicts (no seq/snap)."""
+        """Write df as data files; return entry dicts (no seq/snap).
+
+        Abort hygiene (reference TestWriteAborts.java: a failed write
+        must leave no stray files behind): a Spark-job or stats-harvest
+        failure removes the write's own staging directory before
+        re-raising — no commit happened, so nothing references those
+        files, and the table needs no remove_orphan_files pass to stay
+        clean after a crashed INSERT."""
+        try:
+            return self._write_files_impl(df)
+        except BaseException:
+            stage = getattr(self, "_last_stage_dir", None)
+            if stage and os.path.isdir(stage):
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
+
+    def _write_files_impl(self, df: DataFrame) -> list[dict]:
         # write-schema validation (reference TypeUtil.validateWriteSchema
         # via SparkWrite): the incoming frame must carry exactly the
         # table's columns — a misnamed or missing column would otherwise
@@ -1310,13 +1328,19 @@ class Table:
         local disk and upload via ``_finalize_staged``."""
         rel = uuid.uuid4().hex[:12]
         if FIO.io_for(self.location).is_posix:
-            return os.path.join(self.location, kind, rel), None
-        import tempfile
+            out = os.path.join(self.location, kind, rel), None
+        else:
+            import tempfile
 
-        return (
-            os.path.join(tempfile.mkdtemp(prefix="igps_stage_"), rel),
-            self.location.rstrip("/") + "/" + kind + "/" + rel,
-        )
+            out = (
+                os.path.join(tempfile.mkdtemp(prefix="igps_stage_"), rel),
+                self.location.rstrip("/") + "/" + kind + "/" + rel,
+            )
+        # recorded for abort cleanup (_write_files); one in-flight write
+        # per Table handle — racing writers use separate handles, as the
+        # multiprocess commit tests do
+        self._last_stage_dir = out[0]
+        return out
 
     def delete_by_keys(self, keys: DataFrame, key_cols: list[str] | None = None) -> MD.Snapshot:
         """Merge-on-read equality delete: persist the key tuples as an

@@ -692,3 +692,42 @@ def test_view_version_as_of(spark, catalog):
     with pytest.raises(IndexError):
         catalog.sql("SELECT a FROM v_tt VERSION AS OF 9").collect()
     catalog.sql("DROP VIEW v_tt")
+
+
+def test_branch_tag_create_replace_semantics(spark, catalog):
+    """Reference TestBranchDDL / TestReplaceBranch statement semantics:
+    plain CREATE refuses an existing ref, IF NOT EXISTS no-ops,
+    REPLACE requires existence and repoints, CREATE OR REPLACE does
+    both, kind mismatches and unknown snapshot ids are refused."""
+    t = _mk(spark, catalog, "brddl", n_appends=3, rows_per=5)
+    snaps = t.snapshots()
+    catalog.sql(f"ALTER TABLE brddl CREATE BRANCH b1 AS OF VERSION {snaps[0].snapshot_id}")
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.sql("ALTER TABLE brddl CREATE BRANCH b1")
+    catalog.sql("ALTER TABLE brddl CREATE BRANCH IF NOT EXISTS b1")  # no-op
+    t = catalog.load_table("brddl")
+    assert t.meta.refs["b1"]["snapshot-id"] == snaps[0].snapshot_id
+    # REPLACE repoints; plain REPLACE of a missing branch refuses
+    catalog.sql(
+        f"ALTER TABLE brddl REPLACE BRANCH b1 AS OF VERSION {snaps[1].snapshot_id}"
+    )
+    assert catalog.load_table("brddl").meta.refs["b1"]["snapshot-id"] == snaps[1].snapshot_id
+    with pytest.raises(ValueError, match="not found"):
+        catalog.sql("ALTER TABLE brddl REPLACE BRANCH nope")
+    # CREATE OR REPLACE creates when missing and repoints when present
+    catalog.sql(
+        f"ALTER TABLE brddl CREATE OR REPLACE BRANCH b2 AS OF VERSION {snaps[0].snapshot_id}"
+    )
+    catalog.sql(
+        f"ALTER TABLE brddl CREATE OR REPLACE BRANCH b2 AS OF VERSION {snaps[2].snapshot_id}"
+    )
+    assert catalog.load_table("brddl").meta.refs["b2"]["snapshot-id"] == snaps[2].snapshot_id
+    # tags: same machinery, and kind mismatch is refused
+    catalog.sql("ALTER TABLE brddl CREATE TAG v1")
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.sql("ALTER TABLE brddl CREATE TAG v1")
+    with pytest.raises(ValueError, match="is a tag"):
+        catalog.sql("ALTER TABLE brddl REPLACE BRANCH v1")
+    # unknown snapshot id refused at create time
+    with pytest.raises(ValueError, match="not found in the snapshot log"):
+        catalog.sql("ALTER TABLE brddl CREATE BRANCH b3 AS OF VERSION 12345")

@@ -1041,3 +1041,37 @@ def test_mor_delete_multi_file_sidecar(spark, catalog):
     # stacks with a second delete and still scans correctly
     t.delete(E.ge("a", 290), mode="merge-on-read")
     assert sorted(r.a for r in t.to_df().collect()) == list(range(150, 290))
+
+
+def test_write_abort_cleans_stage(spark, catalog):
+    """A failed write (mid-job task error) must leave the table
+    unchanged AND remove its own staging directory (reference
+    TestWriteAborts.java) — no stray files for remove_orphan_files to
+    chase after a crashed INSERT."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("abortw", "a BIGINT, b STRING")
+    t.append(
+        spark.createDataFrame([(1, "x")], "a BIGINT, b STRING").coalesce(1)
+    )
+    snap_before = t.meta.current_snapshot_id
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def _boom(x):
+        raise RuntimeError("task failure injected by test")
+
+    bad = spark.createDataFrame(
+        [(2, "y"), (0, "z")], "a BIGINT, b STRING"
+    ).withColumn("a", _boom("a"))
+    with pytest.raises(Exception, match="task failure injected"):
+        t.append(bad.coalesce(1))
+    t2 = catalog.load_table("abortw")
+    assert t2.meta.current_snapshot_id == snap_before
+    assert t2.to_df().count() == 1
+    data_dir = os.path.join(t.location, "data")
+    stages = [d for d in os.listdir(data_dir)] if os.path.isdir(data_dir) else []
+    # only the successful append's stage remains
+    assert len(stages) == 1
