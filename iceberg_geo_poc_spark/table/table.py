@@ -267,6 +267,7 @@ class Table:
         to_branch: str | None = None,
         append_entries: list[dict] | None = None,
         validate_live_paths=None,
+        validate_isolation: tuple | None = None,
     ):
         """Optimistic commit loop: build_entries(current_entries) -> new
         full entry set; retried against fresh metadata on conflict.
@@ -292,7 +293,21 @@ class Table:
             self.meta.properties.get("commit.retry.num-retries", _MAX_COMMIT_RETRIES)
         )
         for _attempt in range(retries):
-            base = MD.read_metadata(self.location) if _attempt else self.meta
+            if _attempt:
+                base = MD.read_metadata(self.location)
+            else:
+                # work on a COPY: the loop below mutates ``base``
+                # (snapshot list, current pointer, sequence number)
+                # BEFORE the conditional metadata write, so mutating
+                # self.meta in place would leave a FAILED operation's
+                # phantom snapshot and advanced sequence number on the
+                # handle — corrupting every later operation's view
+                # (including the serializable-isolation base marker)
+                import copy
+
+                base = copy.copy(self.meta)
+                base.snapshots = list(self.meta.snapshots)
+                base.refs = dict(self.meta.refs)
             if to_branch is not None:
                 ref = base.refs.get(to_branch)
                 if ref is None or ref.get("type") != "branch":
@@ -319,6 +334,11 @@ class Table:
                     def build_entries(current: pd.DataFrame, seq: int) -> pd.DataFrame:
                         if paths_to_check:
                             _validate_files_still_live(current, paths_to_check)
+                        if validate_isolation is not None:
+                            self._validate_no_conflicting_appends(
+                                current, validate_isolation[2],
+                                validate_isolation[0], validate_isolation[1],
+                            )
                         add = M.entries_dataframe(
                             [
                                 dict(e, sequence_number=seq, snapshot_id=0)
@@ -338,6 +358,12 @@ class Table:
                     # writes only the delta manifest
                     cur = self._entries(head) if head else M.entries_dataframe([])
                     _validate_files_still_live(cur, validate_live_paths)
+                if validate_isolation is not None:
+                    cur = self._entries(head) if head else M.entries_dataframe([])
+                    self._validate_no_conflicting_appends(
+                        cur, validate_isolation[2],
+                        validate_isolation[0], validate_isolation[1],
+                    )
                 snap, deltas = self._write_append_snapshot(
                     operation, append_entries, base, dict(summary or {}), head
                 )
@@ -1079,6 +1105,42 @@ class Table:
             out |= m
         return out
 
+    def _validate_no_conflicting_appends(
+        self, current: pd.DataFrame, base_seq: int, where, op: str
+    ) -> None:
+        """SERIALIZABLE isolation for row-level operations (reference
+        TestConflictValidation + TableProperties *_ISOLATION_LEVEL,
+        default serializable): a row-level plan is computed against a
+        base snapshot; if, by commit time, a CONCURRENT commit added
+        data files whose stats might contain rows matching the
+        operation's condition, applying the stale plan would miss those
+        rows — the serial order the user observed no longer exists.
+        Concurrent additions are exactly the data files with a sequence
+        number above the plan's base; the check is one vectorized
+        inclusive-stats pass (same evaluator as scan pruning).  Set
+        ``write.<op>.isolation-level=snapshot`` to accept
+        snapshot-isolation semantics and skip the check."""
+        level = self.meta.properties.get(
+            f"write.{op}.isolation-level",
+            self.meta.properties.get("write.isolation-level", "serializable"),
+        )
+        if level == "snapshot" or where is None:
+            return
+        data = current[current.content == "data"]
+        if data.empty:
+            return
+        new = data[data.sequence_number.astype("int64") > int(base_seq)]
+        if new.empty:
+            return
+        might = V.might_match(where, V.StatsView(new, self.meta.renames))
+        if bool(might.any()):
+            raise ValidationException(
+                f"serializable isolation violated: {int(might.sum())} "
+                f"concurrently-added data file(s) might contain rows "
+                f"matching this {op}'s condition; re-run the {op}, or set "
+                f"write.{op}.isolation-level=snapshot to allow it"
+            )
+
     def _rewrite_files(self, paths: list[str], drop: E.Expr) -> list[dict]:
         """Read files, drop rows matching ``drop``, write replacements.
 
@@ -1108,11 +1170,15 @@ class Table:
         if mode == "merge-on-read-dv":
             return self._delete_mor(where, dv=True)
         plan = self._plan_cow(where)
+        base_seq = self.meta.last_sequence_number
         rewritten = self._rewrite_files(plan["partial"], where)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             drop = set(plan["full"]) | set(plan["partial"])
             _validate_files_still_live(current, drop)
+            self._validate_no_conflicting_appends(
+                current, base_seq, where, "delete"
+            )
             kept = current[~current.file_path.isin(drop)]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
@@ -1139,6 +1205,7 @@ class Table:
         rule holds at write time (superseded blob entries are dropped
         in the same commit)."""
         plan = self._plan_cow(where)
+        base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
@@ -1149,12 +1216,14 @@ class Table:
         entries = self._posdel_entries(matches)
         # row-delta fast commit (reference RowDelta): delta manifest with
         # only the delete entries; liveness of the targeted files is
-        # revalidated inside the commit loop
+        # revalidated inside the commit loop, and serializable isolation
+        # checks for concurrently-appended rows the stale plan would miss
         return self._commit(
             "delete",
             summary={"delete-files": len(entries)},
             append_entries=entries,
             validate_live_paths=paths,
+            validate_isolation=(where, "delete", base_seq),
         )
 
     def _commit_dv_delete(self, matches: DataFrame, paths: list[str]) -> MD.Snapshot:
@@ -1409,8 +1478,13 @@ class Table:
         ).drop("__upd_match")
         rewritten = self._write_files(df)
 
+        base_seq = self.meta.last_sequence_number
+
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             _validate_files_still_live(current, paths)
+            self._validate_no_conflicting_appends(
+                current, base_seq, where, "update"
+            )
             kept = current[~current.file_path.isin(set(paths))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
@@ -1421,6 +1495,7 @@ class Table:
 
     def _update_mor(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
         plan = self._plan_cow(where)
+        base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
@@ -1467,6 +1542,7 @@ class Table:
             },
             append_entries=del_entries + data_entries,
             validate_live_paths=paths,
+            validate_isolation=(where, "update", base_seq),
         )
 
     def merge(
@@ -1560,8 +1636,15 @@ class Table:
             if new_rows.limit(1).count():
                 inserted = self._write_files(new_rows)
 
+        base_seq = self.meta.last_sequence_number
+
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             _validate_files_still_live(current, candidates)
+            # serializable MERGE conflict check uses the source key-range
+            # predicate (a conservative superset of the ON condition)
+            self._validate_no_conflicting_appends(
+                current, base_seq, key_pred, "merge"
+            )
             kept = current[~current.file_path.isin(set(candidates))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + inserted]
@@ -1592,6 +1675,7 @@ class Table:
             if lo is not None:
                 key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
         plan = self._plan_cow(key_pred)
+        base_seq = self.meta.last_sequence_number
         candidates = plan["full"] + plan["partial"]
 
         target_cols = self.columns()
@@ -1640,6 +1724,7 @@ class Table:
             },
             append_entries=del_entries + data_entries + inserted,
             validate_live_paths=candidates if del_entries else None,
+            validate_isolation=(key_pred, "merge", base_seq),
         )
 
     # ------------------------------------------------------------------

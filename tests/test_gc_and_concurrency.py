@@ -203,3 +203,93 @@ def test_metadata_only_delete_survives_unrelated_posdel(spark, catalog):
     snap2 = t2.delete(E.lt("a", 10))  # full match BUT file has a posdel
     assert snap2.summary["mode"] != "metadata+cow"
     assert t2.to_df().count() == 0
+
+
+def test_serializable_isolation_blocks_conflicting_appends(spark, catalog):
+    """Reference TestConflictValidation: a row-level plan computed
+    against a base snapshot must FAIL at commit when a concurrent
+    commit appended files that might contain matching rows (default
+    serializable isolation); disjoint-stats appends pass; setting
+    write.delete.isolation-level=snapshot accepts the stale plan."""
+
+    def fresh(name, props=None):
+        t = catalog.create_table(name, "a BIGINT, b STRING", properties=props)
+        t.append(spark.createDataFrame(
+            [(i, f"r{i}") for i in range(10)], "a BIGINT, b STRING"
+        ).coalesce(1))
+        return t
+
+    # conflicting concurrent append -> ValidationException
+    fresh("iso1")
+    stale = catalog.load_table("iso1")
+    catalog.load_table("iso1").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.delete(E.lt("a", 100))
+    # MoR path enforces it too
+    fresh("iso2")
+    stale = catalog.load_table("iso2")
+    catalog.load_table("iso2").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.delete(E.lt("a", 100), mode="merge-on-read")
+    # stats-disjoint concurrent append does NOT conflict
+    fresh("iso3")
+    stale = catalog.load_table("iso3")
+    catalog.load_table("iso3").append(spark.createDataFrame(
+        [(i, "x") for i in range(1000, 1010)], "a BIGINT, b STRING").coalesce(1))
+    stale.delete(E.lt("a", 5))
+    assert sorted(r.a for r in catalog.load_table("iso3").to_df().collect()) == (
+        list(range(5, 10)) + list(range(1000, 1010))
+    )
+    # snapshot isolation opts out: stale plan applies, appended rows survive
+    fresh("iso4", props={"write.delete.isolation-level": "snapshot"})
+    stale = catalog.load_table("iso4")
+    catalog.load_table("iso4").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    stale.delete(E.lt("a", 100))
+    assert sorted(r.a for r in catalog.load_table("iso4").to_df().collect()) == (
+        list(range(10, 20))
+    )
+    # UPDATE and MERGE enforce it too (CoW)
+    fresh("iso5")
+    stale = catalog.load_table("iso5")
+    catalog.load_table("iso5").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    import pyspark.sql.functions as F
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.update({"b": F.lit("z")}, where=E.lt("a", 100))
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.merge(
+            spark.createDataFrame([(15, "m")], "a BIGINT, b STRING"),
+            on=["a"],
+            when_matched_update={"b": F.col("s.b")},
+        )
+
+
+def test_failed_commit_leaves_handle_clean(spark, catalog):
+    """A FAILED operation must not corrupt the table handle: before the
+    fix, commit attempt 0 mutated self.meta in place (phantom snapshot,
+    advanced current pointer and sequence number) before the
+    conditional metadata write, so a failed op poisoned every later
+    operation on the same handle."""
+    t = catalog.create_table("handleclean", "a BIGINT, b STRING")
+    t.append(spark.createDataFrame([(1, "x")], "a BIGINT, b STRING").coalesce(1))
+    stale = catalog.load_table("handleclean")
+    v0 = stale.meta.version
+    seq0 = stale.meta.last_sequence_number
+    nsnaps0 = len(stale.meta.snapshots)
+    csnap0 = stale.meta.current_snapshot_id
+    catalog.load_table("handleclean").append(
+        spark.createDataFrame([(2, "y")], "a BIGINT, b STRING").coalesce(1)
+    )
+    with pytest.raises(ValidationException):
+        stale.delete(E.lt("a", 100))
+    assert stale.meta.version == v0
+    assert stale.meta.last_sequence_number == seq0
+    assert len(stale.meta.snapshots) == nsnaps0
+    assert stale.meta.current_snapshot_id == csnap0
+    # and the handle still works after reloading fresh state
+    fresh2 = catalog.load_table("handleclean")
+    fresh2.delete(E.eq("a", 1))
+    assert sorted(r.a for r in fresh2.to_df().collect()) == [2]
