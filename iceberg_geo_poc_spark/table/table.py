@@ -1417,7 +1417,12 @@ class Table:
         api/.../DeleteFile.java).  Visibility follows Iceberg's sequence
         rule (DeleteFileIndex.java:122-130): the delete suppresses
         matching rows only in data files with a strictly LOWER sequence
-        number, so rows appended after the delete keep the key.
+        number, so rows appended after the delete keep the key.  That
+        sequence rule IS the isolation story here: a concurrent append
+        commits with a higher sequence number and is untouched by
+        definition, so no serializable-conflict check applies (unlike
+        predicate DELETE/UPDATE/MERGE, whose stale plans would MISS
+        matching rows).
         """
         if key_cols is None:
             idf = self.meta.properties.get("identifier-fields")
@@ -2031,17 +2036,20 @@ class Transaction:
     only the metadata commit is deferred); deletes are planned lazily
     inside the commit's build function so they see both the retried
     base state and this transaction's own pending appends.  On abort,
-    already-written files are unreferenced and `remove_orphan_files`
-    reclaims them (the reference leans on the same GC posture).
+    the transaction deletes its own pending files immediately (same
+    hygiene as _write_files' abort path) — nothing referenced them, so
+    no remove_orphan_files pass is needed.
     """
 
     def __init__(self, table: Table):
         self.table = table
         self._ops: list = []
         self._done = False
+        self._pending_files: list[str] = []
 
     def append(self, df: DataFrame) -> "Transaction":
         entries = self.table._write_files(df)
+        self._pending_files += [e["file_path"] for e in entries]
 
         def apply(cur: pd.DataFrame, seq: int) -> pd.DataFrame:
             add = M.entries_dataframe(
@@ -2092,11 +2100,22 @@ class Transaction:
     def __enter__(self) -> "Transaction":
         return self
 
+    def abort(self) -> None:
+        """Drop the transaction and delete its eagerly-written pending
+        files (no commit ever referenced them)."""
+        self._done = True
+        for p in self._pending_files:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._pending_files.clear()
+
     def __exit__(self, exc_type, exc, tb) -> bool:
         if exc_type is None:
             self.commit()
         else:
-            self._done = True  # abort: pending files stay orphaned
+            self.abort()
         return False
 
 

@@ -866,9 +866,9 @@ def test_transaction_abort_leaves_table_untouched(spark, catalog):
             raise RuntimeError("boom")
     t.refresh()
     assert [r.a for r in t.to_df().collect()] == [1]
-    # the aborted append's files are orphans and get reclaimed
+    # abort deleted its own pending files — nothing left to reclaim
     orphans = remove_orphan_files(t)
-    assert len(orphans) >= 1
+    assert len(orphans) == 0
     assert [r.a for r in t.to_df().collect()] == [1]
     with pytest.raises(RuntimeError, match="already"):
         tx.commit()
