@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     ("geo_ragged_join", "geo_ragged_poly_join_counts"),
     # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
     ("lm_perplexity", "text_lm_perplexity"),
+    # CCNet terciles via distributed_ntile (round 9: the per-language
+    # ntile window became a histogram + fine-partition rank — this lane
+    # tracks that the skew-safe plan stays cheap)
+    ("perplexity_buckets", "text_perplexity_buckets"),
 ]
 
 
