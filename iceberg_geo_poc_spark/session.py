@@ -69,12 +69,36 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         probe = path
         if os.path.isdir(path):
             # directory-style parquet (Spark writer layout): any one
-            # part file carries the dataset schema
+            # part file carries the dataset schema.  Hive-partitioned
+            # layouts have no top-level part file — recurse one level;
+            # a dir with no parquet anywhere (e.g. only _SUCCESS) has
+            # no nanos columns to report.
             probe = next(
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
+                (
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ),
+                None,
             )
+            if probe is None:
+                for sub in sorted(os.listdir(path)):
+                    subdir = os.path.join(path, sub)
+                    if not os.path.isdir(subdir):
+                        continue
+                    probe = next(
+                        (
+                            os.path.join(subdir, f)
+                            for f in sorted(os.listdir(subdir))
+                            if f.endswith(".parquet")
+                        ),
+                        None,
+                    )
+                    if probe is not None:
+                        break
+            if probe is None:
+                _NANOS_COLS_CACHE[path] = ()
+                return ()
         schema = pq.read_schema(probe)
         _NANOS_COLS_CACHE[path] = tuple(
             f.name

@@ -831,6 +831,12 @@ def _view_version_index(catalog, name: str, travel: str) -> int | None:
         n = kw["snapshot_id"]
         if n < 1:
             raise SqlError(f"view version ids are 1-based; got {n}")
+        n_versions = len(catalog.view_versions(name))
+        if n > n_versions:
+            raise SqlError(
+                f"no version {n} of view {name!r}: "
+                f"{n_versions} version(s) exist"
+            )
         return n - 1
     if "as_of_ms" in kw:  # TIMESTAMP AS OF: latest version at-or-before ts
         versions = catalog.view_versions(name)

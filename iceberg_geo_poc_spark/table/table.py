@@ -308,6 +308,13 @@ class Table:
                 base = copy.copy(self.meta)
                 base.snapshots = list(self.meta.snapshots)
                 base.refs = dict(self.meta.refs)
+            # stashed for _validate_no_conflicting_appends: build_entries
+            # closures see only (current, seq), but classifying a
+            # concurrent file as append-vs-compaction needs the snapshot
+            # list MATCHING ``current`` (fresh on retry, where conflicts
+            # are actually visible).  One in-flight commit per handle —
+            # the same convention _last_stage_dir relies on.
+            self._commit_snapshots = base.snapshots
             if to_branch is not None:
                 ref = base.refs.get(to_branch)
                 if ref is None or ref.get("type") != "branch":
@@ -547,7 +554,15 @@ class Table:
         failure removes the write's own staging directory before
         re-raising — no commit happened, so nothing references those
         files, and the table needs no remove_orphan_files pass to stay
-        clean after a crashed INSERT."""
+        clean after a crashed INSERT.
+
+        The pointer is reset BEFORE the write starts: ``_last_stage_dir``
+        survives from the previous (successful) write, and on POSIX
+        locations the stage dir IS the committed data directory — a
+        failure raised before this write's ``_stage_dir()`` runs (e.g.
+        the write-schema-mismatch ValueError below) must not delete the
+        files the previous commit's manifests still reference."""
+        self._last_stage_dir = None
         try:
             return self._write_files_impl(df)
         except BaseException:
@@ -557,6 +572,10 @@ class Table:
 
                 shutil.rmtree(stage, ignore_errors=True)
             raise
+        finally:
+            # never leave a pointer at a now-committed directory for a
+            # later abort handler to find
+            self._last_stage_dir = None
 
     def _write_files_impl(self, df: DataFrame) -> list[dict]:
         # write-schema validation (reference TypeUtil.validateWriteSchema
@@ -1119,12 +1138,25 @@ class Table:
         number above the plan's base; the check is one vectorized
         inclusive-stats pass (same evaluator as scan pruning).  Set
         ``write.<op>.isolation-level=snapshot`` to accept
-        snapshot-isolation semantics and skip the check."""
+        snapshot-isolation semantics and skip the check.
+
+        An UNCONDITIONAL operation (``where is None``) validates with an
+        always-true conflict filter — the reference wires
+        ``Expressions.alwaysTrue()`` into the conflict-detection filter
+        when the command has no condition (SparkRowLevelOperationBuilder),
+        so ANY concurrently appended row aborts a serializable commit.
+
+        Files added by a concurrent compaction (operation ``replace``,
+        rewrite_data_files / rewrite_manifests) carry no NEW rows and are
+        excluded — the reference's validateAddedDataFiles walks only
+        append/overwrite snapshots (MergingSnapshotProducer), so a
+        background compaction whose rewritten stats overlap the predicate
+        must not spuriously abort a DELETE/UPDATE/MERGE."""
         level = self.meta.properties.get(
             f"write.{op}.isolation-level",
             self.meta.properties.get("write.isolation-level", "serializable"),
         )
-        if level == "snapshot" or where is None:
+        if level == "snapshot":
             return
         data = current[current.content == "data"]
         if data.empty:
@@ -1132,6 +1164,21 @@ class Table:
         new = data[data.sequence_number.astype("int64") > int(base_seq)]
         if new.empty:
             return
+        snaps = getattr(self, "_commit_snapshots", None) or self.meta.snapshots
+        seq_op = {int(s.sequence_number): s.operation for s in snaps}
+        ops = new.sequence_number.astype("int64").map(
+            lambda q: seq_op.get(int(q), "append")
+        )
+        new = new[(ops == "append") | (ops == "overwrite")]
+        if new.empty:
+            return
+        if where is None:
+            raise ValidationException(
+                f"serializable isolation violated: {len(new)} "
+                f"concurrently-added data file(s) were not visible to this "
+                f"unconditional {op}; re-run the {op}, or set "
+                f"write.{op}.isolation-level=snapshot to allow it"
+            )
         might = V.might_match(where, V.StatsView(new, self.meta.renames))
         if bool(might.any()):
             raise ValidationException(
@@ -1164,14 +1211,20 @@ class Table:
         kept = df.filter(~F.coalesce(cond, F.lit(False)))
         return self._write_files(kept)
 
-    def delete(self, where: E.Expr, mode: str = "copy-on-write") -> MD.Snapshot:
+    def delete(self, where: E.Expr | None, mode: str = "copy-on-write") -> MD.Snapshot:
+        # unconditional DELETE: plan and rewrite with always-true, but
+        # keep where=None through to the isolation validator — the
+        # unconditional form conflicts with ANY concurrent append
+        # (reference SparkRowLevelOperationBuilder wires alwaysTrue()
+        # as the conflict-detection filter when there is no condition)
+        plan_where = E.AlwaysTrue() if where is None else where
         if mode == "merge-on-read":
-            return self._delete_mor(where)
+            return self._delete_mor(plan_where, validate_where=where)
         if mode == "merge-on-read-dv":
-            return self._delete_mor(where, dv=True)
-        plan = self._plan_cow(where)
+            return self._delete_mor(plan_where, dv=True, validate_where=where)
+        plan = self._plan_cow(plan_where)
         base_seq = self.meta.last_sequence_number
-        rewritten = self._rewrite_files(plan["partial"], where)
+        rewritten = self._rewrite_files(plan["partial"], plan_where)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             drop = set(plan["full"]) | set(plan["partial"])
@@ -1192,7 +1245,12 @@ class Table:
         }
         return self._commit("delete", build, summary)
 
-    def _delete_mor(self, where: E.Expr, dv: bool = False) -> MD.Snapshot:
+    def _delete_mor(
+        self,
+        where: E.Expr,
+        dv: bool = False,
+        validate_where: E.Expr | None = "__same__",
+    ) -> MD.Snapshot:
         """Merge-on-read delete: emit a position-delete file
         (file_path, pos) for matching rows (reference
         SparkPositionDeltaWrite.java; applied at read like
@@ -1203,7 +1261,14 @@ class Table:
         file in a Puffin sidecar, MERGED with any existing DV on the
         same file so the "one DV per data file, new supersedes old"
         rule holds at write time (superseded blob entries are dropped
-        in the same commit)."""
+        in the same commit).
+
+        ``validate_where`` is the ORIGINAL user condition for the
+        isolation check (None = unconditional delete, which conflicts
+        with any concurrent append); ``where`` is the planning/matching
+        form with None already normalized to always-true."""
+        if validate_where == "__same__":
+            validate_where = where
         plan = self._plan_cow(where)
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
@@ -1223,7 +1288,7 @@ class Table:
             summary={"delete-files": len(entries)},
             append_entries=entries,
             validate_live_paths=paths,
-            validate_isolation=(where, "delete", base_seq),
+            validate_isolation=(validate_where, "delete", base_seq),
         )
 
     def _commit_dv_delete(self, matches: DataFrame, paths: list[str]) -> MD.Snapshot:
@@ -1454,15 +1519,20 @@ class Table:
         matches, applying SET via when(cond, new).otherwise(old);
         merge-on-read emits a position delete for each matched row plus
         a new data file with the updated rows (reference
-        SparkPositionDeltaOperation / TestMergeOnReadUpdate)."""
+        SparkPositionDeltaOperation / TestMergeOnReadUpdate).
+
+        ``where=None`` is the unconditional form: every row updates,
+        and serializable isolation treats the condition as always-true
+        (any concurrent append conflicts)."""
+        plan_where = E.AlwaysTrue() if where is None else where
         if mode == "merge-on-read":
-            return self._update_mor(set_exprs, where)
-        plan = self._plan_cow(where)
+            return self._update_mor(set_exprs, plan_where, validate_where=where)
+        plan = self._plan_cow(plan_where)
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
         df = self._read_files(paths, with_deletes=True, with_lineage=True)
-        cond = where.to_spark_column(self.geo_fields)
+        cond = plan_where.to_spark_column(self.geo_fields)
         # snapshot the match BEFORE set_exprs mutate the columns the
         # predicate reads (a later `cond` reference would re-evaluate
         # against the UPDATED values)
@@ -1498,7 +1568,14 @@ class Table:
 
         return self._commit("overwrite", build, {"rewritten-files": len(paths)})
 
-    def _update_mor(self, set_exprs: dict[str, object], where: E.Expr) -> MD.Snapshot:
+    def _update_mor(
+        self,
+        set_exprs: dict[str, object],
+        where: E.Expr,
+        validate_where: E.Expr | None = "__same__",
+    ) -> MD.Snapshot:
+        if validate_where == "__same__":
+            validate_where = where
         plan = self._plan_cow(where)
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
@@ -1547,7 +1624,7 @@ class Table:
             },
             append_entries=del_entries + data_entries,
             validate_live_paths=paths,
-            validate_isolation=(where, "update", base_seq),
+            validate_isolation=(validate_where, "update", base_seq),
         )
 
     def merge(

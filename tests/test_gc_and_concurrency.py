@@ -265,6 +265,51 @@ def test_serializable_isolation_blocks_conflicting_appends(spark, catalog):
             on=["a"],
             when_matched_update={"b": F.col("s.b")},
         )
+    # UNCONDITIONAL delete validates as always-true (reference wires
+    # Expressions.alwaysTrue() into the conflict filter when the command
+    # has no condition): any concurrent append conflicts
+    fresh("iso6")
+    stale = catalog.load_table("iso6")
+    catalog.load_table("iso6").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.delete(None)
+    # ... and the snapshot opt-out still applies to the unconditional form
+    fresh("iso7", props={"write.delete.isolation-level": "snapshot"})
+    stale = catalog.load_table("iso7")
+    catalog.load_table("iso7").append(spark.createDataFrame(
+        [(i, "x") for i in range(10, 20)], "a BIGINT, b STRING").coalesce(1))
+    stale.delete(None)
+    assert sorted(r.a for r in catalog.load_table("iso7").to_df().collect()) == (
+        list(range(10, 20))
+    )
+    # files added by a concurrent COMPACTION (operation "replace") carry
+    # no new rows and must NOT count as conflicting appends (reference
+    # validateAddedDataFiles walks only append/overwrite snapshots) —
+    # exercised directly on the validator: a full race is shadowed by
+    # the liveness check, since any compacted file whose stats overlap
+    # the predicate implies its inputs were in the stale plan
+    from iceberg_geo_poc_spark.table import maintenance as MT
+    t = catalog.create_table("iso8", "a BIGINT, b STRING")
+    for lo in (50, 60):
+        t.append(spark.createDataFrame(
+            [(i, "x") for i in range(lo, lo + 10)], "a BIGINT, b STRING"
+        ).coalesce(1))
+    base_seq = t.meta.last_sequence_number
+    MT.rewrite_data_files(catalog.load_table("iso8"), target_file_size=1 << 30)
+    t2 = catalog.load_table("iso8")
+    ent = t2._entries()
+    assert (ent[ent.content == "data"].sequence_number > base_seq).any()
+    # compaction-added files: silent pass (both conditional + unconditional)
+    t2._validate_no_conflicting_appends(ent, base_seq, E.lt("a", 100), "delete")
+    t2._validate_no_conflicting_appends(ent, base_seq, None, "delete")
+    # a genuine append after the same base still conflicts
+    t2.append(spark.createDataFrame([(1, "y")], "a BIGINT, b STRING").coalesce(1))
+    ent2 = catalog.load_table("iso8")._entries()
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        t2._validate_no_conflicting_appends(ent2, base_seq, E.lt("a", 100), "delete")
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        t2._validate_no_conflicting_appends(ent2, base_seq, None, "delete")
 
 
 def test_failed_commit_leaves_handle_clean(spark, catalog):

@@ -689,7 +689,8 @@ def test_view_version_as_of(spark, catalog):
     from iceberg_geo_poc_spark.table.sql import SqlError as _SE
     with pytest.raises(_SE):
         catalog.sql("SELECT a FROM v_tt VERSION AS OF 0").collect()
-    with pytest.raises(IndexError):
+    # out-of-range version ids surface as SqlError, not a raw IndexError
+    with pytest.raises(_SE, match="no version 9 of view"):
         catalog.sql("SELECT a FROM v_tt VERSION AS OF 9").collect()
     catalog.sql("DROP VIEW v_tt")
 

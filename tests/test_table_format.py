@@ -1075,3 +1075,26 @@ def test_write_abort_cleans_stage(spark, catalog):
     stages = [d for d in os.listdir(data_dir)] if os.path.isdir(data_dir) else []
     # only the successful append's stage remains
     assert len(stages) == 1
+
+
+def test_pre_stage_failure_keeps_committed_data(spark, catalog):
+    """A write that fails BEFORE staging begins (schema validation)
+    must not touch the previous commit's data directory.
+
+    Regression: the abort handler used to rmtree ``_last_stage_dir``,
+    which after a successful write still pointed at that write's stage
+    — and on POSIX locations the stage dir IS the committed data
+    directory, so an ordinary user error (mismatched write schema)
+    silently deleted files the manifests still referenced."""
+    t = catalog.create_table("prestage", "a BIGINT, b STRING")
+    t.append(
+        spark.createDataFrame([(1, "x"), (2, "y")], "a BIGINT, b STRING")
+    )
+    # same handle, wrong schema: fails in validation, before _stage_dir
+    bad = spark.createDataFrame([(3,)], "wrong_col BIGINT")
+    with pytest.raises(ValueError, match="write schema mismatch"):
+        t.append(bad)
+    # previous commit's files survive and the table still scans
+    assert sorted(r.a for r in t.to_df().collect()) == [1, 2]
+    t2 = catalog.load_table("prestage")
+    assert sorted(r.a for r in t2.to_df().collect()) == [1, 2]
