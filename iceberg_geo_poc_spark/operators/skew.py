@@ -75,6 +75,7 @@ def distributed_ntile(
     tie_col: str,
     n_buckets: int,
     bucket_col: str = "bucket",
+    max_hist_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (PARTITION BY group ORDER BY value, tie)``
     WITHOUT a per-group total sort.
@@ -101,6 +102,12 @@ def distributed_ntile(
        first ``rem`` buckets hold ``q+1`` rows and the rest ``q``
        (NTILE front-loads ALL remainder rows — NOT the same as the
        equi-fraction ``floor((r-1)k/n)`` split).
+
+    The histogram collect is driver-bounded ONLY when ``value_col`` is
+    discretized (the caller's contract): ``max_hist_rows`` guards it —
+    a raw continuous score would make the histogram the size of the
+    corpus, a driver OOM presenting as a mystery.  The guard counts
+    first (one extra cheap agg) and fails loudly with the fix.
     """
     from pyspark.sql import Window
 
@@ -108,8 +115,17 @@ def distributed_ntile(
     hist = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(max_hist_rows + 1)  # bounds the collect, one extra row flags overflow
         .collect()
     )
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"distributed_ntile: (group, value) histogram exceeds "
+            f"{max_hist_rows} rows and would not be driver-bounded. "
+            f"value_col={value_col!r} must be DISCRETIZED before calling "
+            "(e.g. round a continuous score to fixed precision, as the "
+            "CCNet centinat bucketing does)"
+        )
     hist.sort(key=lambda r: (r[group_col], r[value_col]))
     rows, run, cur = [], 0, None
     totals: dict = {}

@@ -3559,3 +3559,89 @@ def rest_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned.subtract(latest).count() > 0
     ), "pinned view version returned the latest body"
     return pinned
+
+
+_REST_PAGED: dict = {}
+
+
+@query(
+    "rest_paginated_catalog",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def rest_paginated_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST catalog pagination + OAuth token refresh over REAL HTTP
+    (reference RESTSessionCatalog: list endpoints drain pageToken pages;
+    OAuth2Util.AuthSession refreshes the bearer token and retries on
+    401).  A credentialed client shards ``nation`` across 5 tables,
+    the service's issued tokens are revoked MID-LIFECYCLE (forced
+    expiry), and the reader then drains a 2-per-page table listing —
+    transparently refreshing — and unions every listed table back
+    into the full relation."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.table.rest_catalog import (
+        CatalogService,
+        RestCatalog,
+    )
+    from iceberg_geo_poc_spark.table.rest_http import HttpTransport, serve_catalog
+
+    key = (sf_dir, "restpaged")
+    if key not in _REST_PAGED:
+        svc = CatalogService(
+            defaults={"rest.page-size": "2"},
+            credential="etl-client:etl-secret",
+        )
+        base_url, shutdown = serve_catalog(svc)
+        try:
+            wh = tempfile.mkdtemp(prefix="igps_rp_")
+            cat = RestCatalog(
+                HttpTransport(base_url), spark, warehouse=wh,
+                credential="etl-client:etl-secret",
+            )
+            cat.create_namespace("pg")
+            nation = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+            for i in range(5):
+                t = cat.create_table(
+                    f"pg.n{i}",
+                    "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+                )
+                t.append(
+                    nation.filter(F.col("n_nationkey") % 5 == i).coalesce(1)
+                )
+            # forced token expiry: the next request 401s and the client
+            # must refresh via /oauth_tokens before retrying
+            svc.revoke_issued_tokens()
+            reader = RestCatalog(
+                HttpTransport(base_url), spark, warehouse=wh,
+                credential="etl-client:etl-secret",
+            )
+            svc.revoke_issued_tokens()
+            listed = reader.list_tables("pg")  # rest.page-size=2 -> 3 pages
+            assert listed == [f"n{i}" for i in range(5)], listed
+            parts = [reader.load_table(f"pg.{n}").to_df() for n in listed]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            _REST_PAGED[key] = df
+        finally:
+            shutdown()
+    return (
+        _REST_PAGED[key]
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )

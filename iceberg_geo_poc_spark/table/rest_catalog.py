@@ -56,6 +56,7 @@ class CatalogService:
         defaults: dict[str, str] | None = None,
         overrides: dict[str, str] | None = None,
         token: str | None = None,
+        credential: str | None = None,
     ) -> None:
         self._docs: dict[str, bytes] = {}
         self._namespaces: dict[str, dict[str, str]] = {}
@@ -66,7 +67,38 @@ class CatalogService:
         self._defaults = dict(defaults or {})
         self._overrides = dict(overrides or {})
         self._token = token
+        # OAuth client-credentials flow (reference OAuth2Util /
+        # RESTSessionCatalog AuthSession): clients holding ``credential``
+        # exchange it for a short-lived bearer token via the
+        # ``oauth_tokens`` verb; the service may invalidate issued
+        # tokens at any time (expiry), after which clients refresh.
+        self._credential = credential
+        self._issued_tokens: set[str] = set()
         self._lock = threading.Lock()
+
+    def revoke_issued_tokens(self) -> None:
+        """Invalidate every OAuth-issued token (simulates token expiry —
+        the next authed request gets 401 and must refresh)."""
+        with self._lock:
+            self._issued_tokens.clear()
+
+    @staticmethod
+    def _paginate(req: dict, items: list, key: str) -> dict:
+        """Slice ``items`` per the request's page_size/page_token
+        (reference REST spec pageToken/pageSize on list endpoints;
+        RESTSessionCatalog paginates until no next-page-token).  The
+        token is an opaque cursor — here the start offset."""
+        size = req.get("page_size")
+        if size is None:
+            return {"status": 200, key: items}
+        size = int(size)
+        if size < 1:
+            return {"status": 400, "error": "page_size must be >= 1"}
+        start = int(req.get("page_token") or 0)
+        out = {"status": 200, key: items[start : start + size]}
+        if start + size < len(items):
+            out["next_page_token"] = str(start + size)
+        return out
 
     def handle(self, req: dict) -> dict:
         """The service contract: one verb per request dict.
@@ -82,8 +114,22 @@ class CatalogService:
         """
         op = req["op"]
         path = req.get("path", "")
-        if self._token is not None and req.get("token") != self._token:
-            return {"status": 401}
+        if op == "oauth_tokens":
+            # the auth endpoint itself is pre-auth (reference
+            # /v1/oauth/tokens, client_credentials grant)
+            if self._credential is None or req.get("credential") != self._credential:
+                return {"status": 401, "error": "invalid client credential"}
+            import uuid
+
+            tok = uuid.uuid4().hex
+            with self._lock:
+                self._issued_tokens.add(tok)
+            return {"status": 200, "token": tok}
+        if self._token is not None or self._credential is not None:
+            got = req.get("token")
+            static_ok = self._token is not None and got == self._token
+            if not static_ok and got not in self._issued_tokens:
+                return {"status": 401}
         with self._lock:
             if op == "get":
                 if path not in self._docs:
@@ -139,7 +185,7 @@ class CatalogService:
                         else "." not in n
                     )
                 )
-                return {"status": 200, "namespaces": names}
+                return self._paginate(req, names, "namespaces")
             if op == "update_namespace":
                 ns = req["namespace"]
                 if ns not in self._namespaces:
@@ -174,7 +220,7 @@ class CatalogService:
                 ns = req["namespace"]
                 if ns not in self._namespaces:
                     return {"status": 404}
-                return {"status": 200, "tables": sorted(self._tables[ns])}
+                return self._paginate(req, sorted(self._tables[ns]), "tables")
             if op == "get_table":
                 ns = req["namespace"]
                 loc = self._tables.get(ns, {}).get(req["name"])
@@ -214,10 +260,9 @@ class CatalogService:
                 ns = req["namespace"]
                 if ns not in self._namespaces:
                     return {"status": 404}
-                return {
-                    "status": 200,
-                    "views": sorted(self._views.get(ns, {})),
-                }
+                return self._paginate(
+                    req, sorted(self._views.get(ns, {})), "views"
+                )
             if op == "drop_view_entry":
                 ns = req["namespace"]
                 if req["name"] not in self._views.get(ns, {}):
@@ -290,12 +335,29 @@ class RestCatalog:
         spark,
         warehouse: str | None = None,
         token: str | None = None,
+        credential: str | None = None,
         properties: dict[str, str] | None = None,
     ):
-        base = transport
-        if token is not None:
-            def base(req: dict, _t=transport, _tok=token) -> dict:
-                return _t({**req, "token": _tok})
+        # auth session (reference OAuth2Util.AuthSession): a static
+        # ``token`` rides every request as-is; a ``credential`` is
+        # exchanged for a bearer token up front, and a 401 on any later
+        # request triggers ONE refresh + retry (expired-token recovery —
+        # the RESTSessionCatalog token-refresh shape).
+        self._raw_transport = transport
+        self._credential = credential
+        self._token = token
+        if credential is not None:
+            self._token = self._fetch_token()
+
+        def base(req: dict) -> dict:
+            if self._token is not None:
+                req = {**req, "token": self._token}
+            resp = self._raw_transport(req)
+            if resp.get("status") == 401 and self._credential is not None:
+                self._token = self._fetch_token()
+                resp = self._raw_transport({**req, "token": self._token})
+            return resp
+
         self.transport = base
         cfg = self._call("config")
         # reference AuthSession/config semantics: server defaults are
@@ -316,6 +378,16 @@ class RestCatalog:
             self.warehouse + "/", ServiceCommitBackend(self.transport)
         )
 
+    def _fetch_token(self) -> str:
+        resp = self._raw_transport(
+            {"op": "oauth_tokens", "credential": self._credential}
+        )
+        if resp.get("status") != 200:
+            raise PermissionError(
+                "catalog service rejected client credential (oauth_tokens)"
+            )
+        return resp["token"]
+
     def _call(self, op: str, **kw) -> dict:
         resp = self.transport({"op": op, **kw})
         status = resp.get("status", 500)
@@ -326,6 +398,26 @@ class RestCatalog:
             raise ValueError(f"catalog service {status} for {op} {kw}: {detail}")
         return resp
 
+    def _list_paged(self, op: str, key: str, **kw) -> list[str]:
+        """Drain a paginated list endpoint (reference RESTSessionCatalog:
+        keep requesting with the returned next-page-token until absent).
+        Page size comes from the ``rest.page-size`` config property; when
+        unset, one unpaginated request (the server returns everything)."""
+        size = kw.pop("page_size", None) or self.properties.get("rest.page-size")
+        if size is None:
+            return self._call(op, **kw)[key]
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            req = dict(kw, page_size=int(size))
+            if token is not None:
+                req["page_token"] = token
+            resp = self._call(op, **req)
+            out.extend(resp[key])
+            token = resp.get("next_page_token")
+            if token is None:
+                return out
+
     # -- namespaces --------------------------------------------------------
     def create_namespace(
         self, namespace: str, properties: dict[str, str] | None = None
@@ -334,8 +426,10 @@ class RestCatalog:
             "create_namespace", namespace=namespace, properties=properties or {}
         )
 
-    def list_namespaces(self, parent: str = "") -> list[str]:
-        return self._call("list_namespaces", parent=parent)["namespaces"]
+    def list_namespaces(self, parent: str = "", page_size: int | None = None) -> list[str]:
+        return self._list_paged(
+            "list_namespaces", "namespaces", parent=parent, page_size=page_size
+        )
 
     def namespace_properties(self, namespace: str) -> dict[str, str]:
         return self._call("get_namespace", namespace=namespace)["properties"]
@@ -411,8 +505,10 @@ class RestCatalog:
             {"op": "get_table", "namespace": ns, "name": tbl}
         )["status"] == 200
 
-    def list_tables(self, namespace: str) -> list[str]:
-        return self._call("list_tables", namespace=namespace)["tables"]
+    def list_tables(self, namespace: str, page_size: int | None = None) -> list[str]:
+        return self._list_paged(
+            "list_tables", "tables", namespace=namespace, page_size=page_size
+        )
 
     def drop_table(self, identifier: str, purge: bool = False) -> None:
         """Remove the registry entry, the table's metadata documents in
@@ -447,8 +543,10 @@ class RestCatalog:
             "get_view", namespace=ns, name=name, version=version
         )["sql"]
 
-    def list_views(self, namespace: str) -> list[str]:
-        return self._call("list_views", namespace=namespace)["views"]
+    def list_views(self, namespace: str, page_size: int | None = None) -> list[str]:
+        return self._list_paged(
+            "list_views", "views", namespace=namespace, page_size=page_size
+        )
 
     def drop_view(self, identifier: str) -> None:
         ns, name = self._split(identifier)

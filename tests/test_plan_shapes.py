@@ -342,6 +342,32 @@ def test_distributed_ntile_many_groups_heavy_ties(spark):
         assert got == want, f"k={k}"
 
 
+def test_distributed_ntile_guards_undiscretized_values(spark):
+    """The (group, value) histogram collect is driver-bounded only when
+    value_col is discretized (the caller's contract); a raw continuous
+    score must fail LOUDLY with the fix named, not OOM the driver."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.operators.skew import distributed_ntile
+
+    # every row a distinct double value — the worst case
+    df = spark.range(500).select(
+        F.lit("en").alias("g"),
+        (F.col("id") * 1.000001).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    with pytest.raises(ValueError, match="DISCRETIZED"):
+        distributed_ntile(df, "g", "v", "tie", 3, max_hist_rows=100)
+    # same data, discretized under the bound: succeeds
+    out = distributed_ntile(
+        df.withColumn("v", F.round(F.col("v") / 100).cast("long")),
+        "g", "v", "tie", 3, max_hist_rows=100,
+    )
+    assert out.count() == 500
+
+
 def test_ann_topk_windows_get_group_limit_pushdown(spark, sf_dir):
     """Every per-probe top-k in the ANN kernels is a rank-limit window,
     which Spark rewrites with a map-side Partial WindowGroupLimit — the

@@ -167,3 +167,67 @@ def test_view_lifecycle_versioned(service, spark, tmp_path):
     assert cat.list_views("mart") == []
     with pytest.raises(ValueError):
         cat.view_sql("mart.top")
+
+
+def test_paginated_listings(service, warehouse, spark):
+    """List endpoints paginate (reference REST spec pageToken/pageSize;
+    RESTSessionCatalog drains pages until no next-page-token): the
+    client reassembles the full listing across pages, both via the
+    rest.page-size config property and an explicit page_size."""
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("paged")
+    for i in range(7):
+        cat.create_namespace(f"paged.ns{i}")
+        cat.create_table(f"paged.ns0.t{i}", "a BIGINT")
+        cat.create_view(f"paged.ns0.v{i}", "SELECT 1 AS x")
+    # server-side slicing honored: one raw page holds page_size entries
+    page = service.handle({
+        "op": "list_tables", "namespace": "paged.ns0",
+        "page_size": 3, "token": TOKEN,
+    })
+    assert page["tables"] == ["t0", "t1", "t2"]
+    assert page["next_page_token"] == "3"
+    # client drains all pages, any size, including size > total
+    for size in (1, 2, 3, 100):
+        assert cat.list_tables("paged.ns0", page_size=size) == [
+            f"t{i}" for i in range(7)
+        ]
+        assert cat.list_namespaces("paged", page_size=size) == [
+            f"paged.ns{i}" for i in range(7)
+        ]
+        assert cat.list_views("paged.ns0", page_size=size) == [
+            f"v{i}" for i in range(7)
+        ]
+    # rest.page-size property paginates implicitly
+    cat2 = _cat(service, warehouse, spark, properties={"rest.page-size": "2"})
+    assert cat2.list_tables("paged.ns0") == [f"t{i}" for i in range(7)]
+
+
+def test_oauth_token_refresh_on_401(service, warehouse, spark):
+    """Client-credentials flow (reference OAuth2Util / AuthSession):
+    a credentialed client exchanges the credential for a bearer token;
+    when the service invalidates issued tokens (expiry), the next
+    request 401s and the client refreshes ONCE and retries."""
+    svc = CatalogService(
+        defaults={"write.metadata.compression": "none"},
+        credential="client-id:client-secret",
+    )
+    with pytest.raises(PermissionError):
+        RestCatalog(svc.handle, spark, warehouse=warehouse, credential="wrong")
+    cat = RestCatalog(
+        svc.handle, spark, warehouse=warehouse,
+        credential="client-id:client-secret",
+    )
+    cat.create_namespace("oa")
+    tok_before = cat._token
+    svc.revoke_issued_tokens()  # simulate token expiry
+    # transparently refreshes and succeeds
+    cat.create_namespace("oa.sub")
+    assert cat._token != tok_before
+    assert cat.list_namespaces("oa") == ["oa.sub"]
+    # a static-token client without a credential cannot refresh: hard 401
+    svc2 = CatalogService(token="fixed", credential="c:s")
+    cat2 = RestCatalog(svc2.handle, spark, warehouse=warehouse, token="fixed")
+    svc2._token = "rotated-away"
+    with pytest.raises(PermissionError):
+        cat2.create_namespace("nope")
