@@ -130,8 +130,17 @@ def ivf_index_search(
     )
 
 
-def plan_probe_scan(index: Table, probes: DataFrame, nprobe: int = 2):
-    """(TableScan over probed clusters, probe->cluster DataFrame)."""
+def plan_probe_scan(
+    index: Table,
+    probes: DataFrame,
+    nprobe: int = 2,
+    select: list[str] | None = None,
+):
+    """(TableScan over probed clusters, probe->cluster DataFrame).
+
+    ``select`` projects the scan (parquet column pruning: unselected
+    columns — e.g. the full-width embedding during a head-only stage —
+    are never read off disk)."""
     cents = F.broadcast(_centroids_df(index))
     p = with_norm(probes)
     pw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.desc("cid"))
@@ -153,7 +162,7 @@ def plan_probe_scan(index: Table, probes: DataFrame, nprobe: int = 2):
     cluster_ids = sorted(
         r["cluster"] for r in probe_clusters.select("cluster").distinct().collect()
     )  # bounded: <= n_probes * nprobe
-    scan = index.scan(where=E.in_("cluster", cluster_ids))
+    scan = index.scan(where=E.in_("cluster", cluster_ids), select=select)
     return scan, F.broadcast(probe_clusters)
 
 
@@ -183,3 +192,146 @@ def ivf_index_insert(index: Table, new_emb: DataFrame) -> None:
         )
     )
     index.append(assign)
+
+
+MRL_INDEX_DDL = (
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, "
+    "head ARRAY<FLOAT>, hnrm DOUBLE, cluster BIGINT"
+)
+
+
+def build_matryoshka_index(
+    catalog,
+    name: str,
+    emb: DataFrame,
+    d_head: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> Table:
+    """IVF index with a MATERIALIZED Matryoshka head column.
+
+    The inline ``matryoshka_rerank`` (operators/similarity.py) slices
+    the head in-plan from the full vector, so its 8x scan-IO claim is
+    only real once the head dims are their own parquet column: here
+    ``head`` (first ``d_head`` floats) and its norm are physical
+    columns in a cluster-partitioned managed table, so the head stage
+    is BOTH partition-pruned (probed cells only, manifest stats) and
+    column-pruned (the full-width ``embedding`` column is never read
+    off disk).  Kusupati et al. 2022: MRL-trained embeddings front-load
+    information, so the prefix is a usable low-dim embedding."""
+    cents = kmeans_centroids(emb, n_centroids, iters)
+    base = with_norm(emb)
+    head = f"slice(embedding, 1, {int(d_head)})"
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.expr(dot_expr("embedding", "cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
+        .groupBy("vec_id", "embedding", "nrm")
+        .agg(F.max(F.struct("ccos", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "nrm",
+            F.expr(head).cast("array<float>").alias("head"),
+            F.expr(f"sqrt({dot_expr(head, head)})").alias("hnrm"),
+            F.col("m.cid").alias("cluster"),
+        )
+    )
+    t = catalog.create_table(
+        name, MRL_INDEX_DDL, partition_by=[("cluster", "identity")]
+    )
+    t.append(assign)
+    cent_rows = cents.orderBy("cid").collect()  # bounded: n_centroids rows
+    t.meta.properties["ivf.centroids"] = json.dumps(
+        [[float(x) for x in r["cemb"]] for r in cent_rows]
+    )
+    t.meta.properties["ivf.n-centroids"] = str(n_centroids)
+    t.meta.properties["mrl.d-head"] = str(int(d_head))
+    MD.write_new_metadata(t.meta, t.meta.version)
+    return t
+
+
+def matryoshka_index_search(
+    index: Table,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 40,
+):
+    """Two-stage Matryoshka search over the managed index; returns
+    ``(result_df, head_scan, full_scan)`` so callers can assert the
+    pruning on both stages.
+
+    Stage 1 reads ONLY (vec_id, head, hnrm, cluster) from the probed
+    cells — column pruning keeps the full-width embedding on disk —
+    and shortlists per probe with a rank-limit window (map-side
+    WindowGroupLimit).  Stage 2 re-reads the same pruned cells'
+    full-width column and reranks just |probes| x shortlist rows via
+    an equi-join on vec_id.  At 100 TB: stage-1 IO = d_head/dim of the
+    probed cells' float data, stage-2 IO = the probed cells' embedding
+    column, rerank compute bounded by the shortlist."""
+    d_head = int(index.meta.properties["mrl.d-head"])
+    head_scan, probe_cells = plan_probe_scan(
+        index, probes, nprobe, select=["vec_id", "head", "hnrm", "cluster"]
+    )
+    pc = (
+        probe_cells.withColumn("ha", F.expr(f"slice(va, 1, {d_head})"))
+        .withColumn("hna", F.expr(f"sqrt({dot_expr('ha', 'ha')})"))
+    )
+    cand_h = head_scan.to_df().select(
+        F.col("vec_id").alias("ib"),
+        F.col("head").cast("array<double>").alias("hb"),
+        F.col("hnrm").alias("hnb"),
+        "cluster",
+    )
+    scored_h = (
+        pc.join(cand_h, "cluster")
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "hcos",
+            F.round(
+                F.expr(dot_expr("ha", "hb")) / (F.col("hna") * F.col("hnb")), 6
+            ),
+        )
+        .select("ia", "ib", "hcos")
+        .distinct()  # a pair probed via two cells counts once
+    )
+    w_h = Window.partitionBy("ia").orderBy(F.desc("hcos"), F.asc("ib"))
+    short = (
+        scored_h.withColumn("hrank", F.row_number().over(w_h))
+        .filter(F.col("hrank") <= shortlist)
+        .select("ia", "ib")
+    )
+    # stage 2: full-width vectors for the shortlist only, from the same
+    # pruned cells (fresh scan so the head stage's plan stays head-only)
+    full_scan = index.scan(
+        where=head_scan.where, select=["vec_id", "embedding", "nrm"]
+    )
+    full_cand = full_scan.to_df().select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    probe_vecs = F.broadcast(
+        probe_cells.select("ia", "va", "na").dropDuplicates(["ia"])
+    )
+    rer = (
+        short.join(full_cand, "ib")
+        .join(probe_vecs, "ia")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cosine"), F.asc("ib"))
+    out = (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ia", "ib", "cosine", "rank")
+        .orderBy("ia", "rank")
+    )
+    return out, head_scan, full_scan

@@ -3598,3 +3598,91 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_rerank(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+_MRL_INDEX_CACHE: dict = {}
+
+
+@query(
+    "sim_matryoshka_managed",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_probes,
+           TRUE AS recall_ok,
+           TRUE AS partition_pruned,
+           TRUE AS head_col_pruned,
+           TRUE AS deterministic
+    FROM (SELECT 1)
+    """,
+)
+def sim_matryoshka_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka rerank over a MANAGED index with a materialized head
+    column (operators/ann_index.py::build_matryoshka_index) — the
+    at-scale form of sim_matryoshka_rerank: the head stage is
+    partition-pruned to the probed IVF cells (manifest stats) AND
+    column-pruned to the 8-dim head column (the full-width embedding
+    never leaves disk in stage 1; verified on the physical plan's
+    ReadSchema).  Contract booleans: head-shortlist recall@10 >= 0.8
+    vs the FULL-WIDTH ranking over the same probed cells (the honest
+    stage-1 quality measure — these synthetic embeddings are not
+    MRL-trained, so the 8-dim head carries only 1/8 of the signal and
+    needs a deeper shortlist than trained prefixes would), the probe
+    scan read strictly fewer files than the table holds, the head
+    stage's scan schema excludes ``embedding``, and a re-search is
+    identical."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.operators.ann_index import (
+        build_matryoshka_index,
+        matryoshka_index_search,
+    )
+    from iceberg_geo_poc_spark.table import Catalog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if sf_dir not in _MRL_INDEX_CACHE:
+        cat = Catalog(tempfile.mkdtemp(prefix="igps_mrl_"), spark)
+        _MRL_INDEX_CACHE[sf_dir] = build_matryoshka_index(
+            cat, "mrl_idx", emb, d_head=8, n_centroids=8, iters=2
+        )
+    idx = _MRL_INDEX_CACHE[sf_dir]
+    probes = emb.filter("vec_id < 5")
+    out, head_scan, full_scan = matryoshka_index_search(
+        idx, probes, k=10, nprobe=2, shortlist=100
+    )
+    pruned = 0 < len(head_scan.files()) < head_scan.total_data_files()
+    head_plan = (
+        head_scan.to_df()._jdf.queryExecution().executedPlan().toString()
+    )
+    schema_lines = [
+        line for line in head_plan.splitlines() if "ReadSchema" in line
+    ]
+    head_col_pruned = bool(schema_lines) and all(
+        "embedding" not in line and "head" in line for line in schema_lines
+    )
+    rows = out.collect()  # bounded: n_probes * k rows
+    deterministic = (
+        rows
+        == matryoshka_index_search(idx, probes, k=10, nprobe=2, shortlist=100)[
+            0
+        ].collect()
+    )
+    got = {(r["ia"], r["ib"]) for r in rows}
+    from iceberg_geo_poc_spark.operators.ann_index import ivf_index_search
+
+    want = {
+        (r["ia"], r["ib"])
+        for r in ivf_index_search(idx, probes, k=10, nprobe=2).collect()
+    }
+    recall = len(got & want) / len(want)
+    return spark.createDataFrame(
+        [
+            (
+                len({r["ia"] for r in rows}),
+                recall >= 0.8,
+                bool(pruned),
+                bool(head_col_pruned),
+                bool(deterministic),
+            )
+        ],
+        "n_probes BIGINT, recall_ok BOOLEAN, partition_pruned BOOLEAN, "
+        "head_col_pruned BOOLEAN, deterministic BOOLEAN",
+    )

@@ -384,3 +384,36 @@ def test_ann_topk_windows_get_group_limit_pushdown(spark, sf_dir):
             if "WindowGroupLimit" in l and "Partial" in l
         ]
         assert partials, f"{qname}: no Partial WindowGroupLimit in plan"
+
+
+def test_matryoshka_managed_head_stage_pruning(spark, sf_dir, tmp_path):
+    """The managed Matryoshka index's head stage must be BOTH
+    partition-pruned (probed IVF cells only, via manifest stats) and
+    column-pruned (ReadSchema carries the 8-dim head column, never the
+    full-width embedding) — the two properties that make the 8x
+    scan-IO claim real at 100 TB."""
+    from iceberg_geo_poc_spark.operators.ann_index import (
+        build_matryoshka_index,
+        matryoshka_index_search,
+    )
+    from iceberg_geo_poc_spark.queries.pipeline_queries import load_table
+    from iceberg_geo_poc_spark.table import Catalog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    idx = build_matryoshka_index(cat, "mrl", emb, d_head=8, n_centroids=8, iters=1)
+    probes = emb.filter("vec_id < 3")
+    out, head_scan, full_scan = matryoshka_index_search(
+        idx, probes, k=5, nprobe=2, shortlist=20
+    )
+    # partition pruning: strictly fewer files than the table holds
+    assert 0 < len(head_scan.files()) < head_scan.total_data_files()
+    # column pruning: every scan in the head stage reads head, not embedding
+    plan = _plan(head_scan.to_df())
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    for ln in schema_lines:
+        assert "embedding" not in ln and "head" in ln, ln
+    # the full stage reads the probed cells only as well
+    assert len(full_scan.files()) == len(head_scan.files())
+    assert out.count() > 0
