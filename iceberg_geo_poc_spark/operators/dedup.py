@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
 from iceberg_geo_poc_spark.operators.hashing import (
@@ -834,3 +834,54 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
     und.unpersist()
     return labels.select(F.col("id"), F.col("rep").alias("component"))
+
+
+def chunk_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """CCNet-style sub-document dedup (Wenzek et al. 2020 dedups SHA1'd
+    paragraphs corpus-wide; reference parity: the pipeline's
+    paragraph-hash stage): split every document into fixed
+    ``chunk_words``-word chunks, keep each distinct chunk's FIRST
+    occurrence in (doc_id, position) order, and reassemble what
+    survives per document.
+
+    Scale shape: chunking is per-row codegen (split + sequence +
+    slice); first-occurrence election is ONE window partitioned by the
+    chunk text — millions of small partitions, rank<=1 rides the
+    map-side Partial WindowGroupLimit — and reassembly is a per-doc
+    groupBy whose state is bounded by the document's own chunk count.
+    No driver collect anywhere.  -> (doc_id, n_chunks, n_kept,
+    kept_text)."""
+    cw = int(chunk_words)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) "
+                f"/ {cw}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(text, ' '), i * {cw} + 1, {cw}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("pos", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

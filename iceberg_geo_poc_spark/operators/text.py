@@ -735,3 +735,67 @@ def fim_transform(
             "ELSE size(t) - hi END AS BIGINT) AS n_suffix",
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    required_stopwords: list[str] | None = None,
+    min_stopword_hits: int = 2,
+    min_alpha_word_frac: float = 0.80,
+    max_symbol_word_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) minus the
+    repetition family (that is ``operators/text.py::repetition_stats``):
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    (# and ellipsis), fraction of words with an alphabetic character,
+    and presence of >= ``min_stopword_hits`` DISTINCT required
+    stopwords.  Every signal is a per-row array expression in
+    whole-stage codegen — a quality sweep that scales with bytes read,
+    no shuffle, no Python.  -> per-doc signals + ``keep``."""
+    stops = required_stopwords or [
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ]
+    stop_lit = "array(" + ",".join(f"'{s}'" for s in stops) + ")"
+    d = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("w"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+            / F.size("w").cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.expr("size(filter(w, x -> x rlike '[A-Za-z]'))")
+            / F.size("w").cast("double"),
+            6,
+        ).alias("alpha_word_frac"),
+        F.expr(
+            f"size(filter({stop_lit}, s -> array_contains(w, s)))"
+        ).alias("stopword_hits"),
+        F.round(
+            (
+                F.expr("size(regexp_extract_all(text, '#', 0))")
+                + F.expr(r"size(regexp_extract_all(text, '\\.\\.\\.', 0))")
+            )
+            / F.size("w").cast("double"),
+            6,
+        ).alias("symbol_word_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+    )
+    return d.withColumn("keep", keep)

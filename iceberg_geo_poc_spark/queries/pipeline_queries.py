@@ -3686,3 +3686,90 @@ def sim_matryoshka_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probes BIGINT, recall_ok BOOLEAN, partition_pruned BOOLEAN, "
         "head_col_pruned BOOLEAN, deterministic BOOLEAN",
     )
+
+
+@query(
+    "dedup_chunk_level",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    k AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+             ''
+           ) AS kept_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup (Wenzek et al. 2020 hash-dedups
+    paragraphs corpus-wide before any model step): 10-word chunks,
+    corpus-wide first-occurrence election by (doc_id, pos), per-doc
+    reassembly — the oracle replays the chunking, the window election,
+    and the ordered reassembly, so the kept TEXT itself is
+    value-verified (operators/dedup.py::chunk_dedup)."""
+    from iceberg_geo_poc_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_words=10)
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws, text FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(ws, x -> len(x)))
+                   / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+             ROUND(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_frac,
+             CAST(len(list_filter(['the', 'a', 'row', 'key'],
+                                  s -> list_contains(ws, s))) AS BIGINT)
+               AS stopword_hits,
+             ROUND((len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')))
+                   / CAST(len(ws) AS DOUBLE), 6) AS symbol_word_ratio
+      FROM w
+    )
+    SELECT *,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 3
+            AND symbol_word_ratio <= 0.1) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1, the
+    non-repetition family): word-count bounds, mean-word-length band,
+    alphabetic-word fraction, required-stopword hits, symbol-to-word
+    ratio — each signal AND the keep verdict value-checked per doc.
+    The required-stopword list is adapted to the synthetic corpus's
+    vocabulary ('the a row key' at >=3 hits) so the rule actually
+    discriminates; thresholds are parameters on the operator
+    (operators/text.py::gopher_rules)."""
+    from iceberg_geo_poc_spark.operators.text import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"),
+        min_words=30,
+        required_stopwords=["the", "a", "row", "key"],
+        min_stopword_hits=3,
+    ).orderBy("doc_id")

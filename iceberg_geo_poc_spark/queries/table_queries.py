@@ -709,6 +709,54 @@ def managed_date_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_encrypted_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def managed_encrypted_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT managed_date_pruned_scan shape over a Parquet-modular-
+    encrypted table (PARQUET-1300): same columns, month partitioning,
+    predicate, and aggregate — the only difference is the footer-key
+    property routing writes through the encrypted pyarrow writer and
+    scans through the decrypting Arrow read.  Bench pairs the two as
+    ``encrypted_scan`` vs ``filtered_scan_managed``, so the "overhead is
+    only the AES work" claim in table/parquet_crypto.py carries a
+    standing measured ratio."""
+
+    def build(cat, tname):
+        from iceberg_geo_poc_spark.table import parquet_crypto as PC
+
+        PC.register_master_key("bench_footer", bytes(range(13, 29)))
+        t = cat.create_table(
+            tname,
+            "l_orderkey BIGINT, l_shipdate TIMESTAMP, l_extendedprice DOUBLE",
+            partition_by=[("l_shipdate", "month")],
+            properties={"write.parquet.encryption.footer-key": "bench_footer"},
+        )
+        t.append(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_shipdate", "l_extendedprice"
+            )
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "enc_date_scan", build)
+    scan = t.scan(
+        where=E.ge("l_shipdate", "1996-01-01 00:00:00.000000")
+        & E.lt("l_shipdate", "1996-04-01 00:00:00.000000")
+    )
+    assert len(scan.files()) < scan.total_data_files(), "month pruning had no effect"
+    return scan.to_df().agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@query(
     "managed_overwrite_by_filter",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment != 'BUILDING'

@@ -63,66 +63,69 @@ _LOADED = False
 # FIRST, then the longest-unseen rows re-verify; the list is recomputed
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-9 rotation.  After round 8's pass, 243/244 registered queries
-    # had green driver rows; the 8 below are every query WITHOUT one —
-    # sample_dsir_importance (registered after round 8's window filled,
-    # VERDICT r8 "What's wrong #1") plus the 7 round-9 registrations.
-    # All locally oracle-green via tools/driver_sim.py.
-    "sample_dsir_importance",
-    "sql_view_version_travel",
-    "pipeline_fim_transform",
-    "sample_top_n_per_domain",
-    "sim_matryoshka_rerank",
-    "managed_scd2_history",
-    "rest_view_lifecycle",
-    "stream_upsert_sink",
-    # -- re-verification picks: the 42 LONGEST-unseen rows (every
-    #    remaining round-1 row, computed over CORRECTNESS_r01-r08)
-    #    fill the driver's 50-slot window — text_perplexity_buckets was
-    #    re-verified in r8 but its plan changed this round (scale-safe
-    #    distributed_ntile), covered by the local oracle parity test. --
-    "agg_collect_stats_per_nation",
-    "agg_cube_orders",
-    "agg_distinct_customers_per_status",
-    "agg_rollup_lineitem_flags",
-    "cte_monthly_order_volume",
-    "distinct_flag_combinations",
-    "join_anti_customers_without_orders",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_activity",
-    "join_left_outer_order_counts",
-    "join_semi_customers_with_orders",
-    "join_spj_bucketed_revenue",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_big_quantity_orders",
-    "q19_disjunctive_filter",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "scalar_array_word_explode",
-    "scalar_conditional_case",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "subquery_in_rich_customers",
-    "subquery_scalar_above_avg",
-    "top_customers_by_spend",
-    "window_lag_order_gap",
-    "window_rank_parts_by_price",
-    "window_running_revenue",
-    "window_topk_orders_per_customer",
+    # Round-10 rotation.  After round 9, all 251 then-registered queries
+    # had green driver rows (zero never-seen), so the window is (a) every
+    # round-10 REGISTRATION hoisted as it lands, then (b) the
+    # longest-unseen rows oldest-first.  Last-seen over
+    # CORRECTNESS_r01-r09: r2:5, r3:14, r4:37, r5:48, r7:47, r8:50,
+    # r9:50 — the 5 r2 rows, all 14 r3 rows, and the first 26 r4 rows
+    # (alphabetical) fill the 50 slots.  All locally oracle-green via
+    # tools/driver_sim.py.
+    # -- round-10 registrations --
+    "rest_paginated_catalog",
+    "sim_matryoshka_managed",
+    "managed_encrypted_pruned_scan",
+    "dedup_chunk_level",
+    "text_gopher_rules",
+    # -- re-verification picks: last seen round 2 --
+    "agg_grouping_sets_events",
+    "multimodal_feature_extract",
+    "outlier_filter_event_values",
+    "profile_event_columns",
+    "scalar_json_extract",
+    # -- last seen round 3 --
+    "dedup_cluster_reps",
+    "dedup_ngram_jaccard",
+    "geo_covers_quadrant_counts",
+    "geo_distance_filter",
+    "geo_points_in_window",
+    "geo_polygon_join_counts",
+    "geo_spatial_join_counts",
+    "sim_embedding_neardup",
+    "sim_lsh_bucket_knn",
+    "stream_datasource_read",
+    "stream_stateful_user_counts",
+    "stream_table_sink",
+    "text_fingerprint",
+    "text_redact_pii",
+    # -- last seen round 4 (alphabetical; the remaining 11 r4 rows lead
+    #    round 11's window) --
+    "agg_approx_distinct_users",
+    "dedup_contamination_check",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_signatures",
+    "managed_add_files",
+    "managed_avro_roundtrip",
+    "managed_branch_write",
+    "managed_changelog",
+    "managed_changelog_updates",
+    "managed_compaction_roundtrip",
+    "managed_date_pruned_scan",
+    "managed_fast_append_pruning",
+    "managed_geo_pruned_scan",
+    "managed_geometry_promotion",
+    "managed_maintenance_cycle",
+    "managed_metadata_tables_summary",
+    "managed_nan_pruned_scan",
+    "managed_overwrite_by_filter",
+    "managed_partition_evolution",
+    "managed_runtime_filter_join",
+    "managed_scan_report",
+    "managed_schema_evolution",
+    "managed_stats_broadcast_join",
+    "managed_table_stats_ndv",
+    "managed_wap_publish",
+    "managed_write_ordered",
 )
 
 
