@@ -96,6 +96,78 @@ def pack_sequences(
     )
 
 
+def fixed_block_spans(
+    docs: DataFrame,
+    order_col: str,
+    token_col,
+    block: int,
+    chunk: int = 100_000,
+) -> DataFrame:
+    """GPT-style pretraining chunking: concatenate every document's
+    tokens (in ``order_col`` order) into one global stream and cut it
+    into fixed ``block``-token training blocks — a document CAN
+    straddle blocks, so the output is one SPAN row per (block, doc)
+    overlap: which slice of the doc lands in which block (the layout
+    attention-mask / sample-boundary construction consumes).
+
+    Scale shape: global token offsets use the same two-phase prefix sum
+    as ``pack_sequences`` (per-``chunk`` window sums in parallel, chunk
+    offsets prefix-summed on the driver — one row per chunk — and
+    broadcast back); the block fan-out is a codegen ``sequence`` +
+    ``explode`` bounded per row by ceil(doc_tokens / block) + 1.  No
+    single-reducer sort, no Python.
+
+    -> (block_id, doc_id(order_col), start_tok, n_toks) with
+    ``start_tok`` 0-based within the document.
+    """
+    tok = token_col if not isinstance(token_col, str) else F.col(token_col)
+    df = docs.withColumn("__tok", tok.cast("long")).withColumn(
+        "__chunk", F.floor(F.col(order_col) / chunk).cast("long")
+    )
+    w = Window.partitionBy("__chunk").orderBy(order_col)
+    df = df.withColumn("__local_incl", F.sum("__tok").over(w))
+    totals = {
+        r["__chunk"]: r["total"]
+        for r in df.groupBy("__chunk").agg(F.sum("__tok").alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for c in sorted(totals):
+        offsets.append((c, acc))
+        acc += totals[c]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__chunk LONG, __offset LONG"
+    )
+    b = int(block)
+    g = (
+        df.join(F.broadcast(off_df), "__chunk")
+        .withColumn(
+            "__gstart",
+            F.col("__offset") + F.col("__local_incl") - F.col("__tok"),
+        )
+        .filter(F.col("__tok") > 0)
+        .withColumn(
+            "block_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__gstart") / b),
+                    F.floor((F.col("__gstart") + F.col("__tok") - 1) / b),
+                )
+            ),
+        )
+    )
+    blk_start = F.col("block_id") * b
+    blk_end = blk_start + b  # exclusive
+    doc_end = F.col("__gstart") + F.col("__tok")  # exclusive
+    start_in_doc = F.greatest(blk_start, F.col("__gstart")) - F.col("__gstart")
+    n_toks = F.least(blk_end, doc_end) - F.greatest(blk_start, F.col("__gstart"))
+    return g.select(
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col(order_col),
+        start_in_doc.cast("long").alias("start_tok"),
+        n_toks.cast("long").alias("n_toks"),
+    ).orderBy("block_id", order_col)
+
+
 def mixture_sample(
     df: DataFrame, key: str, domain_col: str, target_weights: dict[str, float]
 ) -> DataFrame:

@@ -3773,3 +3773,52 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         required_stopwords=["the", "a", "row", "key"],
         min_stopword_hits=3,
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_block_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS gstart
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n_tok, gstart, CAST(i AS BIGINT) AS block_id
+      FROM c, UNNEST(range(CAST(gstart // 64 AS BIGINT),
+                           CAST((gstart + n_tok - 1) // 64 + 1 AS BIGINT)))
+                 AS u(i)
+      WHERE n_tok > 0
+    )
+    SELECT block_id, doc_id,
+           CAST(GREATEST(block_id * 64, gstart) - gstart AS BIGINT)
+             AS start_tok,
+           CAST(LEAST((block_id + 1) * 64, gstart + n_tok)
+                - GREATEST(block_id * 64, gstart) AS BIGINT) AS n_toks
+    FROM s ORDER BY block_id, doc_id
+    """,
+)
+def pipeline_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-block pretraining chunking: the corpus token
+    stream (docs concatenated in doc_id order) cut into 64-token
+    blocks, one span row per (block, doc) overlap — documents straddle
+    block boundaries, and the oracle replays the global prefix sum and
+    the straddle arithmetic exactly, so every span boundary is
+    value-verified.  chunk=100 forces the distributed two-phase prefix
+    sum through multiple chunk offsets even at sf0.01
+    (operators/sampling.py::fixed_block_spans)."""
+    from iceberg_geo_poc_spark.operators.sampling import fixed_block_spans
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return fixed_block_spans(
+        docs, order_col="doc_id", token_col="n_tok", block=64, chunk=100
+    )

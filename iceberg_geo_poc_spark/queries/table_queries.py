@@ -745,9 +745,14 @@ def managed_encrypted_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         return t
 
     t = _managed(spark, sf_dir, "enc_date_scan", build)
+    # explicit projection: the decrypting Arrow tasks sit behind
+    # mapInArrow, where Catalyst cannot push column pruning — the plain
+    # scan gets l_extendedprice-only reads for free, so the fair
+    # same-columns comparison passes the select explicitly
     scan = t.scan(
         where=E.ge("l_shipdate", "1996-01-01 00:00:00.000000")
-        & E.lt("l_shipdate", "1996-04-01 00:00:00.000000")
+        & E.lt("l_shipdate", "1996-04-01 00:00:00.000000"),
+        select=["l_shipdate", "l_extendedprice"],
     )
     assert len(scan.files()) < scan.total_data_files(), "month pruning had no effect"
     return scan.to_df().agg(
