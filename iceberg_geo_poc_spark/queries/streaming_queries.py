@@ -392,3 +392,53 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _UPSERT_TABLES: dict = {}
+
+
+_OVERWRITE_TABLES: dict = {}
+
+
+@query(
+    "stream_overwrite_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_overwrite_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming sink (the reference's
+    asStreamingOverwrite, SparkWrite.java:181-186): a running grouped
+    aggregation over the event stream overwrites the engine table each
+    epoch with its FULL state; after the stream drains, the table must
+    equal the plain batch aggregation — exactly-once epoch replay keyed
+    like the append sink (streaming/structured.py::
+    stream_overwrite_to_table, Table.overwrite_streaming)."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.table import Catalog
+
+    key = (sf_dir, "overwrite_sink")
+    if key not in _OVERWRITE_TABLES:
+        cat = Catalog(tempfile.mkdtemp(prefix="igps_ow_"), spark)
+        t = cat.create_table(
+            "ow_counts",
+            "event_type STRING, n_events BIGINT, total_value DOUBLE",
+        )
+        S.stream_overwrite_to_table(spark, sf_dir, t)
+        # replaying the LAST epoch must be a no-op (exactly-once)
+        last = t.meta.snapshots[-1]
+        qid = last.summary["streaming.query-id"]
+        eid = int(last.summary["streaming.epoch-id"])
+        assert t.overwrite_streaming(t.to_df(), qid, eid) is None
+        _OVERWRITE_TABLES[key] = t
+    t = _OVERWRITE_TABLES[key]
+    return (
+        t.to_df()
+        .select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

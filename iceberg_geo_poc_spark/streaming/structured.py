@@ -362,3 +362,34 @@ def stream_upsert_to_table(spark: SparkSession, sf_dir: str, table) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_overwrite_to_table(spark: SparkSession, sf_dir: str, table) -> None:
+    """Complete-mode streaming sink: each epoch OVERWRITES the table
+    with the stream's full aggregation state (the reference's
+    ``asStreamingOverwrite`` — SparkWrite.java:181-186 routes Spark's
+    complete output mode to a replace-all snapshot per epoch).
+
+    Exactly-once: like append_streaming, the committing snapshot
+    records (query-id, epoch-id) and a replayed epoch is skipped —
+    overwrite replay would not corrupt data (it is idempotent by
+    value) but would burn a phantom snapshot + data files per replay.
+    """
+    ev = load_stream(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    query_id = f"ckpt:{table.location}/_stream_ow_checkpoint"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        table.overwrite_streaming(batch_df, query_id, epoch_id)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{table.location}/_stream_ow_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

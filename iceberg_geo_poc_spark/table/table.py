@@ -969,6 +969,38 @@ class Table:
             append_entries=new,
         )
 
+    def overwrite_streaming(
+        self, df: DataFrame, query_id: str, epoch_id: int
+    ) -> MD.Snapshot | None:
+        """Exactly-once streaming OVERWRITE (Spark complete output
+        mode): each epoch replaces the table with the stream's full
+        state — the reference's ``asStreamingOverwrite``
+        (SparkWrite.java:181-186).  Epoch replay detection mirrors
+        ``append_streaming``; a skipped replay returns None."""
+        eid = str(int(epoch_id))
+        for s in self.meta.snapshots:
+            if (
+                s.summary.get("streaming.query-id") == query_id
+                and s.summary.get("streaming.epoch-id") == eid
+            ):
+                return None
+        new = self._write_files(df)
+
+        def build(current, seq):
+            return M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in new]
+            )
+
+        return self._commit(
+            "overwrite",
+            build,
+            {
+                "replaced": "all",
+                "streaming.query-id": query_id,
+                "streaming.epoch-id": eid,
+            },
+        )
+
     def overwrite(self, df: DataFrame, where: E.Expr | None = None) -> MD.Snapshot:
         """Full-table overwrite, or overwrite-by-filter (rows matching
         ``where`` are replaced by ``df``; reference SparkWrite.java:165-175

@@ -654,3 +654,24 @@ def test_call_create_scd2_view(spark, catalog):
         for r in spark.sql("SELECT * FROM scd2v_scd2").collect()
     }
     assert got == {(1, "a"): False, (1, "a2"): True, (2, "b"): True}
+
+
+def test_streaming_overwrite_exactly_once(spark, catalog):
+    """overwrite_streaming: each epoch replaces the table; a replayed
+    (query-id, epoch-id) is skipped — no phantom snapshot, no change."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("ow", "k STRING, n BIGINT")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k STRING, n BIGINT")
+    df2 = spark.createDataFrame([("a", 5), ("b", 6), ("c", 7)], "k STRING, n BIGINT")
+    assert t.overwrite_streaming(df1, "q1", 0) is not None
+    assert t.overwrite_streaming(df2, "q1", 1) is not None
+    n_snaps = len(t.meta.snapshots)
+    # replay of epoch 1: skipped
+    assert t.overwrite_streaming(df1, "q1", 1) is None
+    assert len(t.meta.snapshots) == n_snaps
+    got = sorted((r.k, r.n) for r in t.to_df().collect())
+    assert got == [("a", 5), ("b", 6), ("c", 7)]
+    # a different query id is NOT a replay
+    assert t.overwrite_streaming(df1, "q2", 1) is not None
+    assert sorted((r.k, r.n) for r in t.to_df().collect()) == [("a", 1), ("b", 2)]
