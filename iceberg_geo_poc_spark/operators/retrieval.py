@@ -269,3 +269,93 @@ def hard_negative_mining(
         .filter(F.col("neg_rank") <= k_neg)
         .orderBy("query_id", "neg_rank")
     )
+
+
+def margin_bitext_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+    / LASER parallel-corpus mining criterion): a (src, tgt) pair is a
+    translation candidate when its cosine similarity stands OUT of both
+    sides' neighborhoods —
+
+        margin(x, y) = cos(x, y) /
+            ( avg_{z in NN_k(x)} cos(x, z)/2 + avg_{z in NN_k(y)} cos(y, z)/2 )
+
+    ("ratio" margin; NN_k over the OTHER side).  Output keeps each
+    source's best target when the margin clears ``threshold``.
+
+    Scale shape: one block-and-verify cosine matrix src x tgt (the same
+    documented bounded-crossJoin kernel as the brute ANN baselines —
+    at corpus scale the matrix stage swaps for the IVF/LSH bucketed
+    kernels, the margin algebra is unchanged); both k-NN averages are
+    windowed top-k over that SAME scored frame (map-side Partial
+    WindowGroupLimit), so the matrix is computed once; the final
+    argmax-per-source is one more rank window.  No driver collects.
+
+    -> (src_id, tgt_id, cosine, margin) for accepted pairs.
+    """
+    from iceberg_geo_poc_spark.operators.similarity import dot_expr, with_norm
+
+    s = with_norm(src).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").cast("array<double>").alias("vs"),
+        F.col("nrm").alias("ns"),
+    )
+    t = with_norm(tgt).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").cast("array<double>").alias("vt"),
+        F.col("nrm").alias("nt"),
+    )
+    scored = (
+        s.crossJoin(t)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot_expr("vs", "vt")) / (F.col("ns") * F.col("nt")), 6
+            ),
+        )
+        .select("src_id", "tgt_id", "cosine")
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine"), F.asc("tgt_id")
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cosine"), F.asc("src_id")
+    )
+    knn_src = (
+        scored.withColumn("r", F.row_number().over(w_src))
+        .filter(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cosine").alias("avg_src"))
+    )
+    knn_tgt = (
+        scored.withColumn("r", F.row_number().over(w_tgt))
+        .filter(F.col("r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cosine").alias("avg_tgt"))
+    )
+    m = (
+        scored.join(knn_src, "src_id")
+        .join(knn_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine")
+                / (F.col("avg_src") / 2 + F.col("avg_tgt") / 2),
+                6,
+            ),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        m.withColumn("rk", F.row_number().over(w_best))
+        .filter((F.col("rk") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "cosine", "margin")
+        .orderBy("src_id")
+    )

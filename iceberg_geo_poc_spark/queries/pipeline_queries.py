@@ -3822,3 +3822,68 @@ def pipeline_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_block_spans(
         docs, order_col="doc_id", token_col="n_tok", block=64, chunk=100
     )
+
+
+@query(
+    "retrieval_margin_bitext",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id AS src_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    t AS (
+      SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    sc AS (
+      SELECT src_id, tgt_id,
+             ROUND(list_dot_product(s.v, t.v) / (s.nrm * t.nrm), 6)
+               AS cosine
+      FROM s CROSS JOIN t
+    ),
+    ks AS (
+      SELECT src_id, AVG(cosine) AS avg_src FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY cosine DESC, tgt_id) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY src_id
+    ),
+    kt AS (
+      SELECT tgt_id, AVG(cosine) AS avg_tgt FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cosine DESC, src_id) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT sc.src_id, sc.tgt_id, cosine,
+             ROUND(cosine / (avg_src / 2 + avg_tgt / 2), 6) AS margin
+      FROM sc JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                 ORDER BY margin DESC, tgt_id) AS rk FROM m
+    )
+    SELECT src_id, tgt_id, cosine, margin
+    FROM best WHERE rk = 1 AND margin >= 1.02 ORDER BY src_id
+    """,
+)
+def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 'ratio'
+    margin — the CCMatrix/LASER parallel-corpus criterion): even
+    vec_ids play the source language, odd the target; a pair is mined
+    when its cosine stands out of BOTH 4-NN neighborhoods by >= 1.02.
+    The oracle replays the cosine matrix, both windowed k-NN averages,
+    the margin algebra, and the per-source argmax — every mined pair
+    is value-verified (operators/retrieval.py::margin_bitext_mining)."""
+    from iceberg_geo_poc_spark.operators.retrieval import margin_bitext_mining
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return margin_bitext_mining(
+        emb.filter("vec_id % 2 = 0"),
+        emb.filter("vec_id % 2 = 1"),
+        k=4,
+        threshold=1.02,
+    )

@@ -1075,3 +1075,43 @@ def test_fixed_block_spans_straddle_arithmetic(spark):
     for (b, d), (s, n) in got.items():
         per_doc[d] += n
     assert per_doc == {0: 3, 1: 10, 2: 4, 4: 7}
+
+
+def test_margin_bitext_mining_hand_computed(spark):
+    """Tiny 2D hand-check: an isolated translation pair clears the
+    margin while a source inside a dense cluster does not — the margin
+    criterion (ratio form) rejects high-cosine-but-unexceptional pairs."""
+    import math
+
+    from iceberg_geo_poc_spark.operators.retrieval import margin_bitext_mining
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # src 0 at 0deg has a near-exact target (1deg) far from the cluster;
+    # src 2/4 sit inside a dense 90deg cluster where all targets are
+    # equally close (margin ~1)
+    src = spark.createDataFrame(
+        [(0, v(0.0)), (2, v(90.0)), (4, v(91.0))],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, v(1.0)), (3, v(89.0)), (5, v(90.5)), (7, v(89.5))],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.src_id: (r.tgt_id, r.margin)
+        for r in margin_bitext_mining(src, tgt, k=3, threshold=1.5).collect()
+    }
+    # the isolated pair towers over both neighborhoods (margin ~2.9);
+    # cluster members' best candidates are unexceptional (~1.2) and
+    # fall below the mining threshold
+    assert got.keys() == {0}
+    assert got[0][0] == 1
+    assert got[0][1] > 2.5
+    lo = {
+        r.src_id: r.margin
+        for r in margin_bitext_mining(src, tgt, k=3, threshold=1.0).collect()
+    }
+    assert 1.0 <= lo[2] < 1.3 and 1.0 <= lo[4] < 1.3
