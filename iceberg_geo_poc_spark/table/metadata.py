@@ -211,6 +211,12 @@ class CommitBackend:
         which is advisory and rolled forward on read)."""
         raise NotImplementedError
 
+    def delete(self, path: str) -> None:
+        """Best-effort removal (metadata-file retention).  Backends
+        without deletion semantics may leave this unimplemented — the
+        retention sweep treats that as 'keep everything'."""
+        raise NotImplementedError
+
 
 class PosixLinkBackend(CommitBackend):
     """Filesystem impl: fsynced private temp file + ``os.link``.
@@ -253,6 +259,12 @@ class PosixLinkBackend(CommitBackend):
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 class InMemoryConditionalPutBackend(CommitBackend):
@@ -398,6 +410,29 @@ def write_new_metadata(meta: TableMetadata, base_version: int) -> int:
         )
     be.put(_hint_path(meta.location), str(version).encode())
     meta.version = version
+    # metadata-file retention (reference TableMetadata
+    # write.metadata.delete-after-commit.enabled +
+    # write.metadata.previous-versions-max, default 100/off): old
+    # metadata JSONs beyond the retention window are deleted AFTER a
+    # successful commit — snapshots/time travel live in the CURRENT
+    # file, so only external readers pinned to an old file (static
+    # tables) care, which is why deletion is opt-in like the reference.
+    if (
+        meta.properties.get("write.metadata.delete-after-commit.enabled", "false")
+        == "true"
+    ):
+        keep = int(
+            meta.properties.get("write.metadata.previous-versions-max", 100)
+        )
+        cutoff = version - keep  # keep v{cutoff}..v{version}
+        for old in range(max(0, cutoff - 50), cutoff):
+            old_path = _metadata_path(meta.location, old)
+            try:
+                if be.exists(old_path):
+                    be.delete(old_path)
+            except (OSError, NotImplementedError):
+                # retention must never fail a landed commit
+                break
     return version
 
 

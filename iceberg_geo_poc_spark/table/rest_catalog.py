@@ -313,6 +313,9 @@ class ServiceCommitBackend(CommitBackend):
         if resp["status"] != 200:
             raise IOError(f"catalog service error {resp['status']} for {path}")
 
+    def delete(self, path: str) -> None:
+        self.transport({"op": "delete", "path": path})
+
 
 class RestCatalog:
     """Namespace-aware catalog client running ENTIRELY against a

@@ -1098,3 +1098,42 @@ def test_pre_stage_failure_keeps_committed_data(spark, catalog):
     assert sorted(r.a for r in t.to_df().collect()) == [1, 2]
     t2 = catalog.load_table("prestage")
     assert sorted(r.a for r in t2.to_df().collect()) == [1, 2]
+
+
+def test_metadata_file_retention_after_commit(spark, catalog):
+    """write.metadata.delete-after-commit.enabled +
+    write.metadata.previous-versions-max (reference TableMetadata
+    retention): old metadata JSONs beyond the window are deleted after
+    each successful commit; the table keeps loading, snapshots/time
+    travel are untouched (they live in the CURRENT file); default off."""
+    import glob
+    import os
+
+    t = catalog.create_table(
+        "mretain",
+        "a BIGINT",
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "3",
+        },
+    )
+    for i in range(8):
+        t.append(spark.createDataFrame([(i,)], "a BIGINT").coalesce(1))
+    files = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(t.location, "metadata", "v*.metadata.json"))
+    )
+    # current + 3 previous
+    assert len(files) == 4, files
+    assert f"v{t.meta.version}.metadata.json" in files
+    t2 = catalog.load_table("mretain")
+    assert t2.to_df().count() == 8
+    # every snapshot still time-travels (snapshot log is in the current file)
+    first = t2.snapshots()[0]
+    assert t2.scan(snapshot_id=first.snapshot_id).to_df().count() == 1
+    # default: OFF — nothing deleted
+    u = catalog.create_table("mkeep", "a BIGINT")
+    for i in range(5):
+        u.append(spark.createDataFrame([(i,)], "a BIGINT").coalesce(1))
+    kept = glob.glob(os.path.join(u.location, "metadata", "v*.metadata.json"))
+    assert len(kept) == 6  # create + 5 appends
