@@ -99,6 +99,11 @@ def _calibration_probe(spark) -> dict:
       a float column over spark.range(2M).  Tracks Python-worker fork /
       Arrow IPC / numpy speed (half the headline queries are
       pandas-UDF-bound, and JVM and py-worker noise are independent).
+    - ``scan_sec``: fixed 4M-row parquet read + filter + agg from a
+      one-time synthetic file — tracks disk/page-cache/parquet-decode
+      speed, the axis the two CPU probes are blind to (round-10 gap:
+      IO-bound queries drifted +20% on a host whose CPU probes were
+      flat, and nothing in the artifact could attribute it).
 
     A round-over-round query delta that matches the probes' delta is
     host noise; a delta the probes don't show is a real regression.
@@ -130,8 +135,35 @@ def _calibration_probe(spark) -> dict:
             .collect()
         )
 
+    probe_parquet = os.path.join(_SF1_BASE, "probe_scan.parquet")
+    if not os.path.exists(os.path.join(probe_parquet, "_SUCCESS")):
+        (
+            spark.range(4_000_000)
+            .select(
+                F.col("id"),
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+                F.concat(F.lit("k"), (F.col("id") % 4096).cast("string")).alias("s"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(probe_parquet)
+        )
+
+    def scan_work():
+        return (
+            spark.read.parquet(probe_parquet)
+            .filter(F.col("v") > 500_000)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .agg(F.sum("v"), F.count(F.lit(1)))
+            .collect()
+        )
+
     out = {}
-    for key, work in (("jvm_sec", jvm_work), ("pyworker_sec", py_work)):
+    for key, work in (
+        ("jvm_sec", jvm_work),
+        ("pyworker_sec", py_work),
+        ("scan_sec", scan_work),
+    ):
         work()  # warm-up
         runs = []
         for _ in range(3):
