@@ -442,3 +442,32 @@ def stream_overwrite_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_outer_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven NULL
+    emission: a 4-micro-batch time-ordered replay (plus a far-future
+    sentinel that expires every real click's state before termination)
+    makes the drained streaming result equal the batch left join
+    EXACTLY — matched pairs AND the null-extended unmatched clicks are
+    hash-verified against plain SQL (streaming/structured.py::
+    click_purchase_outer_join)."""
+    return S.click_purchase_outer_join(spark, sf_dir).orderBy(
+        "click_id", "purchase_id"
+    )

@@ -393,3 +393,117 @@ def stream_overwrite_to_table(spark: SparkSession, sf_dir: str, table) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+_SENTINEL_ID = 10**9
+
+
+def _time_ordered_stream_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3) -> str:
+    """Stage the event table as a time-ordered file sequence + a far-
+    future SENTINEL file (one click + one purchase, 100 h past max ts).
+
+    Two distinct correctness needs:
+    - files must arrive in EVENT-TIME order (``maxFilesPerTrigger=1``
+      replays them as micro-batches): a random split puts near-max
+      timestamps in the FIRST batch, the watermark jumps to the end,
+      and every later batch is dropped as late data;
+    - outer joins emit their null-extended rows only when state
+      EXPIRES — at availableNow termination, un-expired state is
+      simply discarded, so without the sentinel advancing the final
+      watermark past every real row the unmatched clicks near the end
+      of the stream would silently never appear.  (Spark's no-data
+      micro-batch after the sentinel performs the flush.)
+    """
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    ev = load_table_events(spark, sf_dir)
+    lo, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    d = tempfile.mkdtemp(prefix="igps_ts_stream_")
+    os.makedirs(d + "/stream")
+    span = (mx - lo) / n_slices
+    for i in range(n_slices):
+        s = ev.filter(F.col("ts") >= lo + i * span)
+        if i < n_slices - 1:
+            s = s.filter(F.col("ts") < lo + (i + 1) * span)
+        tmp = f"{d}/tmp{i}"
+        s.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{tmp}/{f}", f"{d}/stream/a{i}.parquet")
+        _time.sleep(0.05)  # strictly increasing mtimes = replay order
+    sent = spark.createDataFrame(
+        [
+            (_SENTINEL_ID, mx, -1, "click", 0.0),
+            (_SENTINEL_ID + 1, mx, -1, "purchase", 0.0),
+        ],
+        ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("interval 100 hours"))
+    sent.coalesce(1).write.parquet(d + "/sent")
+    for f in os.listdir(d + "/sent"):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{d}/sent/{f}", f"{d}/stream/z_sentinel.parquet")
+    return d + "/stream"
+
+
+def load_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_geo_poc_spark.session import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def click_purchase_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: every
+    click appears exactly once — matched to same-user purchases in the
+    following hour, or with NULL purchase columns once the watermark
+    proves no match can arrive.
+
+    Outer stream-stream joins REQUIRE the watermark + interval bounds:
+    the null-extended row is emitted exactly when the click's state
+    expires, so 'no match' is provable.  The time-ordered sentinel
+    replay (_time_ordered_stream_dir) makes the drained result equal
+    the batch left join EXACTLY — which is what lets the driver oracle
+    hash-verify a genuinely multi-batch outer join."""
+    d = _time_ordered_stream_dir(spark, sf_dir)
+    ev = load_table_events(spark, sf_dir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clicks = (
+        src.filter("event_type = 'click'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src.filter("event_type = 'purchase'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "left_outer",
+    )
+    out = run_to_completion(
+        j.select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        ),
+        output_mode="append",
+    )
+    return out.filter(F.col("click_id") < _SENTINEL_ID)
