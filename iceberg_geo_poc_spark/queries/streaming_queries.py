@@ -471,3 +471,81 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.click_purchase_outer_join(spark, sf_dir).orderBy(
         "click_id", "purchase_id"
     )
+
+
+_DSS_TABLES: dict = {}
+
+
+@query(
+    "stream_datasource_write_sink",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_datasource_write_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE through the Python DataSource format (the
+    reference's asStreamingAppend over DSv2, without foreachBatch): a
+    multi-file event replay streams into a managed table — one engine
+    snapshot per micro-batch epoch, each stamped with (query-id,
+    epoch-id) for exactly-once replay — and the drained table equals
+    plain SQL over the source (streaming/datasource.py::
+    _StreamAppendWriter)."""
+    import tempfile
+
+    from iceberg_geo_poc_spark.streaming.datasource import TableDataSource
+    from iceberg_geo_poc_spark.streaming.structured import (
+        _multifile_stream_dir,
+    )
+    from iceberg_geo_poc_spark.table import Catalog
+
+    key = (sf_dir, "dss_sink")
+    if key not in _DSS_TABLES:
+        spark.dataSource.register(TableDataSource)
+        cat = Catalog(tempfile.mkdtemp(prefix="igps_dss_"), spark)
+        t = cat.create_table(
+            "dss_sink",
+            "event_id BIGINT, user_id BIGINT, value DOUBLE",
+        )
+        d = _multifile_stream_dir(spark, sf_dir, "events", n=4)
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("iceberg_geo_poc")
+            .option("location", t.location)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="igps_dss_ck_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = cat.load_table("dss_sink")
+        # multi-epoch evidence: more than one streaming-stamped snapshot
+        n_epochs = len(
+            {
+                s.summary.get("streaming.epoch-id")
+                for s in t.meta.snapshots
+                if s.summary.get("streaming.query-id")
+            }
+        )
+        assert n_epochs >= 2, n_epochs
+        _DSS_TABLES[key] = t
+    t = _DSS_TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -308,6 +309,29 @@ class TableDataSource(DataSource):
         ).lower() == "true"
         return _StreamReader(self.options["location"], skip_non_append=skip)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """Streaming sink through the Python DataSource API:
+        ``df.writeStream.format("iceberg_geo_poc").option("location",
+        ...)`` — one engine snapshot per micro-batch epoch (the
+        reference's asStreamingAppend over DSv2, SparkWrite.java:181),
+        with the SAME exactly-once epoch keying as append_streaming: a
+        replayed batchId finds its (query-id, epoch-id) snapshot, skips
+        the commit, and deletes its re-staged files.  Same restrictions
+        as the batch writer (no geometry / partitions / encryption —
+        use foreachBatch + Table.append for those)."""
+        if overwrite:
+            raise ValueError(
+                "streaming overwrite through the DataSource is not "
+                "supported; use foreachBatch + Table.overwrite_streaming"
+            )
+        # reuse the batch writer's schema/type/feature validation
+        self.writer(schema, False)
+        location = self.options["location"]
+        meta = _read_meta(location)
+        renames = meta.get("renames", {})
+        physical_of = {lg: ph for ph, lg in renames.items()}
+        return _StreamAppendWriter(location, physical_of)
+
 
 # -- batch WRITE path ---------------------------------------------------------
 
@@ -422,6 +446,109 @@ class _ArrowAppendWriter(DataSourceArrowWriter):
             )
 
     def abort(self, messages):
+        for m in messages or []:
+            if m is not None and getattr(m, "entry", None):
+                p = m.entry.get("file_path")
+                if p and os.path.exists(p):
+                    os.remove(p)
+
+
+class _StreamAppendWriter(DataSourceStreamWriter):
+    """Per-epoch streaming append (reference SparkWrite streaming
+    commits: snapshots carry the epoch id; replays are detected and
+    skipped).  Executor tasks receive ROW iterators (the streaming
+    writer API is row-based, unlike DataSourceArrowWriter) — rows
+    buffer into pandas and write one parquet file per non-empty task
+    with footer-harvested stats, identical on-disk form to the batch
+    writer's output."""
+
+    def __init__(self, location: str, physical_of: dict):
+        self.location = location
+        self.physical_of = physical_of
+
+    def _query_key(self) -> str:
+        return f"datasource-stream:{self.location}"
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        if not rows:
+            return _FileCommit({})
+        pdf = pd.DataFrame(rows)
+        if self.physical_of:
+            pdf = pdf.rename(columns=self.physical_of)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        path = os.path.join(
+            self.location, "data", f"dss-{_uuid.uuid4().hex}.parquet"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        nan_counts = {}
+        for col in tbl.column_names:
+            f = tbl.schema.field(col)
+            if pa.types.is_floating(f.type):
+                vals = tbl.column(col).to_numpy(zero_copy_only=False)
+                nan_counts[col] = int(np.isnan(vals).sum())
+        from iceberg_geo_poc_spark.table import manifest as M
+
+        record_count, file_size, lower, upper, nulls, *_rest = (
+            M.harvest_footer_stats(path)
+        )
+        return _FileCommit(
+            {
+                "content": "data",
+                "file_path": path,
+                "file_size": file_size,
+                "record_count": record_count,
+                "partition": json.dumps({}),
+                "lower": json.dumps(lower),
+                "upper": json.dumps(upper),
+                "nulls": json.dumps(nulls),
+                "nans": json.dumps(nan_counts),
+                "bbox": json.dumps({}),
+            }
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        from iceberg_geo_poc_spark.table import metadata as MD
+        from iceberg_geo_poc_spark.table.table import Table
+
+        entries = [m.entry for m in messages if m is not None and m.entry]
+        meta = MD.read_metadata(self.location)
+        eid = str(int(batchId))
+        for s in meta.snapshots:
+            if (
+                s.summary.get("streaming.query-id") == self._query_key()
+                and s.summary.get("streaming.epoch-id") == eid
+            ):
+                # epoch replay: the snapshot landed before the failure —
+                # drop this retry's re-staged files and move on
+                for e in entries:
+                    p = e.get("file_path")
+                    if p and os.path.exists(p):
+                        os.remove(p)
+                return
+        if not entries:
+            return
+        t = Table(meta, spark=None)
+        t._commit(
+            "append",
+            summary={
+                "added-files": len(entries),
+                "writer": "datasource-stream",
+                "streaming.query-id": self._query_key(),
+                "streaming.epoch-id": eid,
+            },
+            append_entries=entries,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
             if m is not None and getattr(m, "entry", None):
                 p = m.entry.get("file_path")

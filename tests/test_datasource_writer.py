@@ -113,3 +113,60 @@ def test_writer_refusals(spark, catalog):
         _write(
             spark.range(5).select("id", F.lit(b"").alias("geom")), tg
         )
+
+
+def test_stream_writer_epoch_commits_and_replay(spark, catalog, tmp_path):
+    """Streaming write through the DataSource: one snapshot per
+    micro-batch epoch with (query-id, epoch-id) in the summary; a
+    replayed epoch skips the commit and removes its re-staged files."""
+    import os
+
+    t = catalog.create_table("dss", "a BIGINT, v DOUBLE")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(5)], "a BIGINT, v DOUBLE"
+        ).coalesce(1).write.parquet(f"{src_dir}/f{i}")
+        for f in os.listdir(f"{src_dir}/f{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src_dir}/f{i}/{f}", f"{src_dir}/b{i}.parquet")
+    q = (
+        spark.readStream.schema("a BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.format("iceberg_geo_poc")
+        .option("location", t.location)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = catalog.load_table("dss")
+    assert t.to_df().count() == 15
+    epochs = [
+        s.summary.get("streaming.epoch-id")
+        for s in t.meta.snapshots
+        if s.summary.get("streaming.query-id")
+    ]
+    assert len(epochs) == 3 and len(set(epochs)) == 3
+    # manual replay of a committed epoch: no new snapshot, files cleaned
+    from iceberg_geo_poc_spark.streaming.datasource import _StreamAppendWriter
+
+    w = _StreamAppendWriter(t.location, {})
+    rows = spark.createDataFrame([(99, 1.0)], "a BIGINT, v DOUBLE").collect()
+    msg = w.write(iter(rows))
+    staged = msg.entry["file_path"]
+    assert os.path.exists(staged)
+    w.commit([msg], int(epochs[0]))
+    assert not os.path.exists(staged)  # replay: re-staged file dropped
+    t2 = catalog.load_table("dss")
+    assert t2.to_df().count() == 15
+    assert len(t2.meta.snapshots) == len(t.meta.snapshots)
+    # streaming overwrite (complete mode) refused at plan time
+    from iceberg_geo_poc_spark.streaming.datasource import TableDataSource
+
+    ds = TableDataSource({"location": t.location})
+    schema = spark.createDataFrame([], "a BIGINT, v DOUBLE").schema
+    with pytest.raises(ValueError, match="streaming overwrite"):
+        ds.streamWriter(schema, True)
