@@ -3698,3 +3698,95 @@ def rest_paginated_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "managed_merge_conditional",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS k,
+             CASE CAST(c_custkey % 7 AS INTEGER)
+               WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'X' END AS op,
+             ROUND(c_acctbal + 1000, 2) AS newbal
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k,
+             CASE WHEN c_custkey % 2 = 0 THEN 'I' ELSE 'S' END AS op,
+             ROUND(c_acctbal, 2) AS newbal
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    tgt AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+    ),
+    merged AS (
+      SELECT t.k,
+             CASE WHEN s.op = 'U' THEN 'UPDATED' ELSE t.seg END AS seg,
+             CASE WHEN s.op = 'U' THEN s.newbal ELSE t.bal END AS bal,
+             COALESCE(s.op, '') AS op
+      FROM tgt t LEFT JOIN src s ON s.k = t.k
+      WHERE COALESCE(s.op, '') <> 'D'
+    )
+    SELECT k, seg, bal FROM merged
+    UNION ALL
+    SELECT s.k, NULL AS seg, s.newbal AS bal
+    FROM src s LEFT JOIN tgt t ON t.k = s.k
+    WHERE t.k IS NULL AND s.op <> 'S'
+    ORDER BY k
+    """,
+)
+def managed_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional multi-clause MERGE (reference TestMerge: WHEN
+    MATCHED AND s.op='D' THEN DELETE / AND s.op='U' THEN UPDATE /
+    matched-but-no-clause rows pass through / NOT MATCHED AND gates the
+    insert) — the full clause-election semantics value-verified: the
+    oracle replays delete suppression, conditional update, pass-through
+    and the gated insert over raw parquet."""
+
+    def build(cat, tname):
+        t = cat.create_table(
+            tname, "k BIGINT, seg STRING, bal DOUBLE"
+        )
+        cust = load_table(spark, sf_dir, "customer")
+        t.append(
+            cust.select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+        matched_src = cust.filter("c_custkey % 3 = 0").select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 7 == 0, "D")
+            .when(F.col("c_custkey") % 7 == 1, "U")
+            .otherwise("X")
+            .alias("op"),
+            F.round(F.col("c_acctbal") + 1000, 2).alias("newbal"),
+        )
+        insert_src = cust.filter("c_custkey % 11 = 0").select(
+            (F.col("c_custkey") + 1000000).alias("k"),
+            F.when(F.col("c_custkey") % 2 == 0, "I").otherwise("S").alias("op"),
+            F.round("c_acctbal", 2).alias("newbal"),
+        )
+        src = matched_src.unionByName(insert_src).withColumn(
+            "bal", F.col("newbal")
+        )
+        t.merge(
+            src,
+            on=["k"],
+            matched_clauses=[
+                ("s.op = 'D'", "delete", None),
+                (
+                    "s.op = 'U'",
+                    "update",
+                    {"bal": F.col("s.newbal"), "seg": F.lit("UPDATED")},
+                ),
+            ],
+            when_not_matched_insert=True,
+            when_not_matched_condition="s.op <> 'S'",
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "merge_cond", build)
+    return t.to_df().select("k", "seg", F.round("bal", 2).alias("bal")).orderBy("k")

@@ -1278,7 +1278,8 @@ def _alter(catalog, table: str, rest: str):
 # -- MERGE INTO -------------------------------------------------------------
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
     r"(?=\s+WHEN\s|\s*$)",
     re.I | re.S,
 )
@@ -1316,18 +1317,22 @@ def _merge(catalog, m: re.Match):
             )
         on_cols.append(a_col)
 
-    update: dict | None = None
-    delete = False
+    # ordered conditional clauses (reference TestMerge: WHEN MATCHED
+    # AND <cond> THEN ... evaluates in statement order, first hit wins)
+    matched_clauses: list[tuple] = []
     insert = False
+    insert_cond: str | None = None
     for wm in _WHEN_RE.finditer(m.group("clauses")):
         action = re.sub(r"\s+", " ", wm.group("action")).strip()
+        cond = canon(wm.group("cond")) if wm.group("cond") else None
         if wm.group("not"):
             if action.upper() != "INSERT *":
                 raise SqlError("WHEN NOT MATCHED supports only INSERT *")
             insert = True
+            insert_cond = cond
             continue
         if action.upper() == "DELETE":
-            delete = True
+            matched_clauses.append((cond, "delete", None))
             continue
         sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
         if not sm:
@@ -1341,12 +1346,13 @@ def _merge(catalog, m: re.Match):
             if col_alias and canon(f"{col_alias}.x").split(".")[0] != "t":
                 raise SqlError(f"SET must assign target columns: {assign!r}")
             update[col] = F.expr(canon(valexpr))
-    if not (update or delete or insert):
+        matched_clauses.append((cond, "update", update))
+    if not (matched_clauses or insert):
         raise SqlError("MERGE needs at least one WHEN clause")
     return t.merge(
         src_df,
         on=on_cols,
-        when_matched_update=update,
-        when_matched_delete=delete,
         when_not_matched_insert=insert,
+        matched_clauses=matched_clauses,
+        when_not_matched_condition=insert_cond,
     )

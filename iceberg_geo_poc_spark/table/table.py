@@ -1667,6 +1667,8 @@ class Table:
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
         mode: str = "copy-on-write",
+        matched_clauses: list[tuple] | None = None,
+        when_not_matched_condition: str | None = None,
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
@@ -1674,16 +1676,38 @@ class Table:
         merge-on-read: matched rows become position deletes (+ a new
         data file when updating) and no data file is rewritten
         (reference TestMergeOnReadMerge).  Duplicate source keys raise
-        (the reference's MERGE cardinality check, TestMerge.java)."""
-        if when_matched_update and when_matched_delete:
-            raise ValueError("choose one of update/delete for matched rows")
+        (the reference's MERGE cardinality check, TestMerge.java).
+
+        ``matched_clauses`` is the CONDITIONAL multi-clause form
+        (reference TestMerge: ``WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE ...`` — clauses evaluate IN ORDER, the
+        first whose condition holds wins per row, rows matching no
+        clause pass through unchanged): a list of
+        ``(condition_sql | None, "update" | "delete", set_dict | None)``
+        where the condition sees the join under ``t``/``s`` aliases.
+        Overrides the single-clause kwargs when given.
+        ``when_not_matched_condition`` gates INSERT the same way
+        (``s``-aliased columns)."""
+        if matched_clauses is None:
+            if when_matched_update and when_matched_delete:
+                raise ValueError("choose one of update/delete for matched rows")
+            matched_clauses = []
+            if when_matched_update:
+                matched_clauses.append((None, "update", when_matched_update))
+            if when_matched_delete:
+                matched_clauses.append((None, "delete", None))
+        for _cond, kind, sets in matched_clauses:
+            if kind not in ("update", "delete"):
+                raise ValueError(f"matched clause kind must be update/delete: {kind!r}")
+            if kind == "update" and not sets:
+                raise ValueError("update clause needs a SET dict")
         dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
         if dup:
             raise ValueError("MERGE cardinality violation: duplicate keys in source")
         if mode == "merge-on-read":
             return self._merge_mor(
-                source, on, when_matched_update, when_matched_delete,
-                when_not_matched_insert,
+                source, on, matched_clauses,
+                when_not_matched_insert, when_not_matched_condition,
             )
 
         # prune candidate files by source key min/max (broadcast-collected)
@@ -1703,49 +1727,79 @@ class Table:
         src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         rewritten: list[dict] = []
-        if candidates:
+        if candidates and matched_clauses:
             tgt = self._read_files(candidates, with_deletes=True, with_lineage=True)
             # explicit never-null probe: a key-only source has no non-key
-            # column to test, and join keys are ambiguous after the join
-            src_probed = src.withColumn("__s_exists", F.lit(True))
+            # column to test, and join keys are ambiguous after the join.
+            # join the FULL source — clause conditions may reference
+            # source-only columns (e.g. s.op) outside the target schema
+            src_probed = source.withColumn("__s_exists", F.lit(True))
             marked = tgt.alias("t").join(
                 src_probed.alias("s"), on=on, how="left"
             )
             matched = F.col("s.__s_exists").isNotNull()
+            # first-match clause election (reference: clauses evaluate in
+            # order; a matched row satisfying no condition passes through)
+            marked = marked.withColumn(
+                "__clause", _clause_index(matched, matched_clauses)
+            )
+            update_idx = [
+                i
+                for i, (_c, kind, _s) in enumerate(matched_clauses, 1)
+                if kind == "update"
+            ]
+            delete_idx = [
+                i
+                for i, (_c, kind, _s) in enumerate(matched_clauses, 1)
+                if kind == "delete"
+            ]
             out_cols = []
             for c in target_cols:
-                tc = F.col(f"t.{c}")
-                if when_matched_update and c in when_matched_update:
-                    nv = when_matched_update[c]
-                    nv = nv if "Column" in str(type(nv)) else F.lit(nv)
-                    out_cols.append(F.when(matched, nv).otherwise(tc).alias(c))
-                elif c in on:
-                    out_cols.append(F.col(f"t.{c}").alias(c))
-                else:
-                    out_cols.append(tc.alias(c))
+                val = F.col(f"t.{c}")
+                for i, (_cond, kind, sets) in enumerate(matched_clauses, 1):
+                    if kind == "update" and c in sets:
+                        nv = sets[c]
+                        nv = nv if "Column" in str(type(nv)) else F.lit(nv)
+                        val = F.when(F.col("__clause") == i, nv).otherwise(val)
+                out_cols.append(val.alias(c))
             # lineage: rows keep their ids; updated rows' last_updated
             # goes NULL -> resolves to the new file's seq at read
             out_cols.append(F.col("t._row_id").alias("_row_id"))
             upd_seq = (
-                F.when(matched, F.lit(None).cast("long"))
-                .otherwise(F.col("t._last_updated_sequence_number"))
-                if when_matched_update
+                F.when(
+                    F.col("__clause").isin(update_idx),
+                    F.lit(None).cast("long"),
+                ).otherwise(F.col("t._last_updated_sequence_number"))
+                if update_idx
                 else F.col("t._last_updated_sequence_number")
             )
             out_cols.append(upd_seq.alias("_last_updated_sequence_number"))
-            result = marked.select(*out_cols, matched.alias("__matched"))
-            if when_matched_delete:
-                result = result.filter(~F.col("__matched"))
-            result = result.drop("__matched")
+            result = marked.select(*out_cols, F.col("__clause").alias("__cl"))
+            if delete_idx:
+                result = result.filter(~F.col("__cl").isin(delete_idx))
+            result = result.drop("__cl")
             rewritten = self._write_files(result)
+        elif candidates and not matched_clauses:
+            # insert-only MERGE: matched rows untouched, no rewrite
+            candidates = []
 
         inserted: list[dict] = []
         if when_not_matched_insert:
             existing_keys = self.to_df(select=on).select(*on).distinct()
-            new_rows = src.join(existing_keys, on=on, how="left_anti")
-            missing = [c for c in target_cols if c not in src.columns]
+            new_rows = source.join(existing_keys, on=on, how="left_anti")
+            if when_not_matched_condition:
+                new_rows = new_rows.alias("s").filter(
+                    F.expr(when_not_matched_condition)
+                )
+            new_rows = new_rows.select(
+                *[c for c in new_rows.columns if c in target_cols or c in on]
+            )
+            missing = [c for c in target_cols if c not in new_rows.columns]
+            types = dict(self._ddl_types())
             for c in missing:
-                new_rows = new_rows.withColumn(c, F.lit(None))
+                # typed NULL: an untyped lit(None) writes a VOID parquet
+                # column that later vectorized reads reject
+                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
             new_rows = new_rows.select(*target_cols)
             if new_rows.limit(1).count():
                 inserted = self._write_files(new_rows)
@@ -1775,9 +1829,9 @@ class Table:
         self,
         source: DataFrame,
         on: list[str],
-        when_matched_update: dict[str, object] | None,
-        when_matched_delete: bool,
+        matched_clauses: list[tuple],
         when_not_matched_insert: bool,
+        when_not_matched_condition: str | None = None,
     ) -> MD.Snapshot:
         bounds = source.agg(
             *[F.min(k).alias(f"min_{k}") for k in on],
@@ -1797,33 +1851,68 @@ class Table:
 
         del_entries: list[dict] = []
         data_entries: list[dict] = []
-        if candidates and (when_matched_update or when_matched_delete):
+        if candidates and matched_clauses:
             tgt = self._read_files(candidates, with_deletes=True, with_pos=True)
+            # only rows hitting SOME clause become position deletes: a
+            # matched row satisfying no clause condition stays untouched
             matched_rows = (
-                tgt.alias("t").join(src.alias("s"), on=on, how="inner").persist()
+                tgt.alias("t")
+                .join(source.alias("s"), on=on, how="inner")
+                .withColumn(
+                    "__clause", _clause_index(F.lit(True), matched_clauses)
+                )
+                .filter(F.col("__clause") > 0)
+                .persist()
             )
+            update_idx = [
+                i
+                for i, (_c, kind, _s) in enumerate(matched_clauses, 1)
+                if kind == "update"
+            ]
             try:
                 del_entries = self._posdel_entries(matched_rows)
-                if del_entries and when_matched_update:
+                if del_entries and update_idx:
+                    upd_rows = matched_rows.filter(
+                        F.col("__clause").isin(update_idx)
+                    )
                     out_cols = []
                     for c in target_cols:
-                        if c in when_matched_update:
-                            nv = when_matched_update[c]
-                            nv = nv if "Column" in str(type(nv)) else F.lit(nv)
-                            out_cols.append(nv.alias(c))
-                        else:
-                            out_cols.append(F.col(f"t.{c}").alias(c))
-                    data_entries = self._write_files(matched_rows.select(*out_cols))
+                        val = F.col(f"t.{c}")
+                        for i, (_cond, kind, sets) in enumerate(
+                            matched_clauses, 1
+                        ):
+                            if kind == "update" and c in sets:
+                                nv = sets[c]
+                                nv = (
+                                    nv
+                                    if "Column" in str(type(nv))
+                                    else F.lit(nv)
+                                )
+                                val = F.when(
+                                    F.col("__clause") == i, nv
+                                ).otherwise(val)
+                        out_cols.append(val.alias(c))
+                    data_entries = self._write_files(upd_rows.select(*out_cols))
             finally:
                 matched_rows.unpersist()
 
         inserted: list[dict] = []
         if when_not_matched_insert:
             existing_keys = self.to_df(select=on).select(*on).distinct()
-            new_rows = src.join(existing_keys, on=on, how="left_anti")
-            missing = [c for c in target_cols if c not in src.columns]
+            new_rows = source.join(existing_keys, on=on, how="left_anti")
+            if when_not_matched_condition:
+                new_rows = new_rows.alias("s").filter(
+                    F.expr(when_not_matched_condition)
+                )
+            new_rows = new_rows.select(
+                *[c for c in new_rows.columns if c in target_cols or c in on]
+            )
+            missing = [c for c in target_cols if c not in new_rows.columns]
+            types = dict(self._ddl_types())
             for c in missing:
-                new_rows = new_rows.withColumn(c, F.lit(None))
+                # typed NULL: an untyped lit(None) writes a VOID parquet
+                # column that later vectorized reads reject
+                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
             new_rows = new_rows.select(*target_cols)
             if new_rows.limit(1).count():
                 inserted = self._write_files(new_rows)
@@ -2125,6 +2214,18 @@ class Table:
                 .drop("__del_seq")
             )
         return df.drop("__data_seq")
+
+
+def _clause_index(matched, clauses: list[tuple]):
+    """1-based index of the FIRST matched-clause whose condition holds
+    for the row, 0 when none does (MERGE clause-order semantics —
+    reference SparkMergeRows evaluates matched actions in order).
+    Conditions see the join under ``t``/``s`` aliases."""
+    expr = None
+    for i, (cond_sql, _kind, _sets) in enumerate(clauses, 1):
+        cond = matched if cond_sql is None else (matched & F.expr(cond_sql))
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
 
 
 def _plain(v):

@@ -1137,3 +1137,66 @@ def test_metadata_file_retention_after_commit(spark, catalog):
         u.append(spark.createDataFrame([(i,)], "a BIGINT").coalesce(1))
     kept = glob.glob(os.path.join(u.location, "metadata", "v*.metadata.json"))
     assert len(kept) == 6  # create + 5 appends
+
+
+def test_merge_conditional_clauses_cow_and_mor(spark, catalog):
+    """Reference TestMerge conditional multi-clause semantics: clauses
+    evaluate in order, first hit wins, matched rows satisfying no
+    clause pass through unchanged; NOT MATCHED AND gates the insert."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        name = f"mcond_{mode[:3].replace('-', '')}"
+        t = catalog.create_table(name, "k BIGINT, v STRING, n BIGINT")
+        t.append(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k BIGINT, v STRING, n BIGINT",
+        ).coalesce(1))
+        src = spark.createDataFrame(
+            [
+                (1, "D", 0),    # delete clause
+                (2, "U", 99),   # update clause
+                (3, "X", 0),    # matches no clause -> untouched
+                (5, "I", 50),   # not matched, op != 'S' -> inserted
+                (6, "S", 60),   # not matched, op = 'S' -> filtered out
+            ],
+            "k BIGINT, op STRING, n BIGINT",
+        )
+        t.merge(
+            src,
+            on=["k"],
+            mode=mode,
+            matched_clauses=[
+                ("s.op = 'D'", "delete", None),
+                ("s.op = 'U'", "update", {"n": F.col("s.n"), "v": F.lit("upd")}),
+            ],
+            when_not_matched_insert=True,
+            when_not_matched_condition="s.op <> 'S'",
+        )
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {
+            2: ("upd", 99),
+            3: ("c", 30),
+            4: ("d", 40),
+            5: (None, 50),
+        }, (mode, got)
+
+
+def test_merge_conditional_clauses_sql(spark, catalog):
+    """The SQL dispatcher parses WHEN MATCHED AND <cond> clauses in
+    order and a gated NOT MATCHED insert."""
+    t = catalog.create_table("mcsql", "k BIGINT, v STRING, n BIGINT")
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k BIGINT, v STRING, n BIGINT",
+    ).coalesce(1))
+    spark.createDataFrame(
+        [(1, "D", 0), (2, "U", 77), (9, "I", 90), (8, "S", 80)],
+        "k BIGINT, op STRING, n BIGINT",
+    ).createOrReplaceTempView("mc_src")
+    catalog.sql(
+        "MERGE INTO mcsql t USING mc_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n = s.n "
+        "WHEN NOT MATCHED AND s.op <> 'S' THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.n) for r in catalog.load_table("mcsql").to_df().collect()}
+    assert got == {2: ("b", 77), 3: ("c", 30), 9: (None, 90)}, got
