@@ -257,6 +257,53 @@ def dispatch_sql(catalog, text: str):
             [(stmt,)], "createtab_stmt STRING"
         )
     m = re.match(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>[\w.]+)"
+        r"(?:\s*\(\s*'(?P<key>[^']*)'\s*\))?\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        t = catalog.load_table(m.group("table"))
+        key = m.group("key")
+        if key is not None:
+            # Spark's single-key form returns the value (or an error
+            # marker row for a missing key)
+            val = t.meta.properties.get(key)
+            rows = [(key, val if val is not None
+                     else f"Table {m.group('table')} does not have property: {key}")]
+        else:
+            rows = sorted(t.meta.properties.items())
+        return catalog.spark.createDataFrame(
+            rows or [("", "")], "key STRING, value STRING"
+        ).filter("key != '' OR value != ''")
+    m = re.match(
+        r"^\s*SHOW\s+PARTITIONS\s+(?P<table>[\w.]+)\s*;?\s*$", text, re.I
+    )
+    if m:
+        # Spark surface over the partitions metadata table (reference
+        # exposes partition tuples via SparkTable's partitions metadata)
+        t = catalog.load_table(m.group("table"))
+        if not t.partition_fields:
+            raise SqlError(
+                f"SHOW PARTITIONS: table {m.group('table')} is unpartitioned"
+            )
+        import json as _json
+
+        ent = t._entries()
+        data = ent[ent.content == "data"]
+        parts = sorted(
+            {
+                "/".join(
+                    f"{k}={v}"
+                    for k, v in _json.loads(p).items()
+                )
+                for p in data.partition
+            }
+        )
+        return catalog.spark.createDataFrame(
+            [(p,) for p in parts], "partition STRING"
+        )
+    m = re.match(
         r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<table>[\w.]+)\s*;?\s*$", text, re.I
     )
     if m:

@@ -732,3 +732,36 @@ def test_branch_tag_create_replace_semantics(spark, catalog):
     # unknown snapshot id refused at create time
     with pytest.raises(ValueError, match="not found in the snapshot log"):
         catalog.sql("ALTER TABLE brddl CREATE BRANCH b3 AS OF VERSION 12345")
+
+
+def test_show_tblproperties_and_partitions(spark, catalog):
+    """SHOW TBLPROPERTIES (full + single-key + missing-key marker) and
+    SHOW PARTITIONS (hive-style tuples from the manifests; refused on
+    unpartitioned tables) — the Spark statement surface over the
+    table's metadata."""
+    catalog.sql(
+        "CREATE TABLE props_t (k BIGINT, part STRING) "
+        "PARTITIONED BY (part) "
+        "TBLPROPERTIES ('commit.retry.num-retries' = '9', 'owner' = 'etl')"
+    )
+    t = catalog.load_table("props_t")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k BIGINT, part STRING"
+    ))
+    props = {
+        r.key: r.value
+        for r in catalog.sql("SHOW TBLPROPERTIES props_t").collect()
+    }
+    assert props["commit.retry.num-retries"] == "9" and props["owner"] == "etl"
+    one = catalog.sql("SHOW TBLPROPERTIES props_t ('owner')").collect()
+    assert [(r.key, r.value) for r in one] == [("owner", "etl")]
+    missing = catalog.sql("SHOW TBLPROPERTIES props_t ('nope')").collect()
+    assert "does not have property" in missing[0].value
+    parts = [r.partition for r in catalog.sql("SHOW PARTITIONS props_t").collect()]
+    assert parts == ["part=a", "part=b"]
+    catalog.sql("CREATE TABLE props_u (k BIGINT)")
+    import pytest as _pytest
+
+    from iceberg_geo_poc_spark.table.sql import SqlError as _SE
+    with _pytest.raises(_SE, match="unpartitioned"):
+        catalog.sql("SHOW PARTITIONS props_u")
