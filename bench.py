@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # subdivided diamond back to 4 edges: the remaining ragged-vs-
     # uniform delta is the cursor-machine pack walk only.
     ("geo_ragged_join", "geo_ragged_poly_join_counts"),
+    # CCNet chunk-level dedup: corpus-wide first-occurrence election
+    # (chunk-partitioned window) + per-doc reassembly — the shuffle-heavy
+    # sub-document dedup shape, complementing banded dedup_minhash
+    ("dedup_chunks", "dedup_chunk_level"),
     # n-gram LM scoring: train (2 groupBys) + score (2 equi-joins + agg)
     ("lm_perplexity", "text_lm_perplexity"),
     # CCNet terciles via distributed_ntile (round 9: the per-language

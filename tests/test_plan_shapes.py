@@ -417,3 +417,26 @@ def test_matryoshka_managed_head_stage_pruning(spark, sf_dir, tmp_path):
     # the full stage reads the probed cells only as well
     assert len(full_scan.files()) == len(head_scan.files())
     assert out.count() > 0
+
+
+def test_bitext_knn_windows_get_group_limit_pushdown(spark, sf_dir):
+    """margin_bitext_mining's three rank-limit windows (both k-NN
+    averages + the per-source argmax) must ride the map-side Partial
+    WindowGroupLimit and never degrade to a cartesian beyond the one
+    documented block-and-verify matrix stage."""
+    from iceberg_geo_poc_spark.operators.retrieval import margin_bitext_mining
+    from iceberg_geo_poc_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = margin_bitext_mining(
+        emb.filter("vec_id % 2 = 0").limit(50),
+        emb.filter("vec_id % 2 = 1").limit(50),
+        k=4,
+        threshold=1.0,
+    )
+    plan = _plan(df)
+    limits = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    # all three rank windows rewritten (Partial+Final across a shuffle,
+    # or Final-only when the optimizer skips the map-side phase)
+    assert len(limits) >= 3, f"expected 3 window group limits:\n{plan[:2000]}"
+    assert "BatchEvalPython" not in plan
