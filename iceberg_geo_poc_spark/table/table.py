@@ -2270,7 +2270,10 @@ class Transaction:
         self._ops.append(apply)
         return self
 
-    def delete(self, where: E.Expr) -> "Transaction":
+    def delete(self, where: E.Expr | None) -> "Transaction":
+        if where is None:  # unconditional form, like Table.delete
+            where = E.AlwaysTrue()
+
         def apply(cur: pd.DataFrame, seq: int) -> pd.DataFrame:
             plan = self.table._plan_cow(where, entries=cur)
             rewritten = []
