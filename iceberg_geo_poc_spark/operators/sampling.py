@@ -456,3 +456,60 @@ def top_n_per_group(
     return df.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= n
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each group (the
+    'prompt'), pair the HIGHEST-scoring candidate (chosen) with the
+    LOWEST (rejected), keeping groups whose score margin clears
+    ``min_margin`` — the standard best-vs-worst pairing for preference
+    data built from a scalar reward/quality signal.
+
+    Scale shape: two rank-limit windows over the same relation (both
+    ride the map-side WindowGroupLimit — per-group state is ONE row
+    each side regardless of candidates-per-prompt), one equi-join on
+    the group key.  Deterministic: ties break on ``id_col`` (chosen
+    takes the smallest id among maxima, rejected the smallest among
+    minima), so the pair set is engine-stable.
+    -> (group, chosen_id, rejected_id, chosen_score, rejected_score,
+    margin)."""
+    w_top = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_bot = Window.partitionBy(group_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    chosen = (
+        df.withColumn("__r", F.row_number().over(w_top))
+        .filter(F.col("__r") == 1)
+        .select(
+            group_col,
+            F.col(id_col).alias("chosen_id"),
+            F.col(score_col).alias("chosen_score"),
+        )
+    )
+    rejected = (
+        df.withColumn("__r", F.row_number().over(w_bot))
+        .filter(F.col("__r") == 1)
+        .select(
+            group_col,
+            F.col(id_col).alias("rejected_id"),
+            F.col(score_col).alias("rejected_score"),
+        )
+    )
+    return (
+        chosen.join(rejected, group_col)
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .withColumn(
+            "margin",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6),
+        )
+        .filter(F.col("margin") >= min_margin)
+        .orderBy(group_col)
+    )

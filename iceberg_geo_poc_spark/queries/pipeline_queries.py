@@ -3887,3 +3887,53 @@ def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.02,
     )
+
+
+@query(
+    "pipeline_preference_pairs",
+    oracle=f"""
+    WITH qsrc AS ({_duck_quality_sql()}),
+    q AS (
+      SELECT d.source, qsrc.doc_id, qsrc.quality
+      FROM qsrc JOIN documents d USING (doc_id)
+    ),
+    top AS (
+      SELECT source, doc_id AS chosen_id, quality AS chosen_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS rn FROM q)
+      WHERE rn = 1
+    ),
+    bot AS (
+      SELECT source, doc_id AS rejected_id, quality AS rejected_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY quality ASC, doc_id) AS rn FROM q)
+      WHERE rn = 1
+    )
+    SELECT source, chosen_id, rejected_id, chosen_score, rejected_score,
+           ROUND(chosen_score - rejected_score, 6) AS margin
+    FROM top JOIN bot USING (source)
+    WHERE chosen_id != rejected_id
+      AND ROUND(chosen_score - rejected_score, 6) >= 0.02
+    ORDER BY source
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (best-vs-worst per prompt
+    group on a scalar reward): documents grouped by ``source`` pair the
+    highest quality_scores candidate (chosen) against the lowest
+    (rejected), kept when the margin clears 0.02 — the oracle replays
+    the quality formula, both argmax/argmin windows with their
+    tie-breaks, and the margin gate (operators/sampling.py::
+    preference_pairs)."""
+    from iceberg_geo_poc_spark.operators.sampling import preference_pairs
+    from iceberg_geo_poc_spark.operators.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return preference_pairs(
+        q, group_col="source", score_col="quality", id_col="doc_id",
+        min_margin=0.02,
+    ).select(
+        "source", "chosen_id", "rejected_id",
+        "chosen_score", "rejected_score", "margin",
+    )

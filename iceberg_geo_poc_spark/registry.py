@@ -68,7 +68,7 @@ _PRIORITY_FIRST = (
     # round-10 REGISTRATION hoisted as it lands, then (b) the
     # longest-unseen rows oldest-first.  Last-seen over
     # CORRECTNESS_r01-r09: r2:5, r3:14, r4:37, r5:48, r7:47, r8:50,
-    # r9:50 — the 5 r2 rows, all 14 r3 rows, and the first 20 r4 rows
+    # r9:50 — the 5 r2 rows, all 14 r3 rows, and the first 19 r4 rows
     # (alphabetical) fill the 50 slots.  All locally oracle-green via
     # tools/driver_sim.py.
     # -- round-10 registrations --
@@ -83,6 +83,7 @@ _PRIORITY_FIRST = (
     "stream_outer_join",
     "stream_datasource_write_sink",
     "managed_merge_conditional",
+    "pipeline_preference_pairs",
     # -- re-verification picks: last seen round 2 --
     "agg_grouping_sets_events",
     "multimodal_feature_extract",
@@ -104,7 +105,7 @@ _PRIORITY_FIRST = (
     "stream_table_sink",
     "text_fingerprint",
     "text_redact_pii",
-    # -- last seen round 4 (alphabetical; the remaining 17 r4 rows lead
+    # -- last seen round 4 (alphabetical; the remaining 18 r4 rows lead
     #    round 11's window) --
     "agg_approx_distinct_users",
     "dedup_contamination_check",
@@ -125,7 +126,6 @@ _PRIORITY_FIRST = (
     "managed_nan_pruned_scan",
     "managed_overwrite_by_filter",
     "managed_partition_evolution",
-    "managed_runtime_filter_join",
 )
 
 

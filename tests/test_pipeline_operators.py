@@ -1115,3 +1115,29 @@ def test_margin_bitext_mining_hand_computed(spark):
         for r in margin_bitext_mining(src, tgt, k=3, threshold=1.0).collect()
     }
     assert 1.0 <= lo[2] < 1.3 and 1.0 <= lo[4] < 1.3
+
+
+def test_preference_pairs_hand_computed(spark):
+    """Best-vs-worst pairing with deterministic tie-breaks and the
+    margin gate; single-candidate groups drop (chosen == rejected)."""
+    from iceberg_geo_poc_spark.operators.sampling import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("p1", 1, 0.9), ("p1", 2, 0.3), ("p1", 3, 0.9),  # tie on max
+            ("p2", 4, 0.5), ("p2", 5, 0.48),                 # thin margin
+            ("p3", 6, 0.7),                                  # singleton
+        ],
+        "g STRING, id BIGINT, score DOUBLE",
+    )
+    got = {
+        r.g: (r.chosen_id, r.rejected_id, r.margin)
+        for r in preference_pairs(df, "g", "score", "id", min_margin=0.1).collect()
+    }
+    # p1: chosen = smallest id among maxima (1), rejected = argmin (2)
+    assert got == {"p1": (1, 2, 0.6)}
+    loose = {
+        r.g
+        for r in preference_pairs(df, "g", "score", "id", min_margin=0.0).collect()
+    }
+    assert loose == {"p1", "p2"}  # singleton p3 still dropped
