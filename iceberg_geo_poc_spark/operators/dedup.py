@@ -187,7 +187,6 @@ def duplicate_passages(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFr
             F.count(F.lit(1)).alias("n_occ"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .orderBy("gram")
     )
 
 
@@ -242,7 +241,6 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
         .select("ia", "ib", "jaccard")
-        .orderBy("ia", "ib")
     )
 
 
@@ -328,7 +326,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     cand = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "shingles", "n_sh")
-    return _verified_pairs(cand, sh, threshold).orderBy("ia", "ib")
+    return _verified_pairs(cand, sh, threshold)
 
 
 SIMHASH_BITS = 32
@@ -450,7 +448,7 @@ def duplicate_cluster_representatives(pairs: DataFrame) -> DataFrame:
         if not changed:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), "rep").orderBy("doc_id")
+    return labels.select(F.col("id").alias("doc_id"), "rep")
 
 
 def contamination_check(
@@ -482,7 +480,6 @@ def contamination_check(
     return (
         ratios.filter(F.col("contamination") >= threshold)
         .select("doc_id", "contamination")
-        .orderBy("doc_id")
     )
 
 
@@ -580,7 +577,6 @@ def semantic_dedup(
             "dup_of",
             "cosine",
         )
-        .orderBy("vec_id")
     )
 
 
@@ -705,7 +701,6 @@ def decontaminate_bloom(
     return (
         ratios.filter(F.col("contamination") >= threshold)
         .select("doc_id", "contamination")
-        .orderBy("doc_id")
     )
 
 
@@ -743,7 +738,6 @@ def editdistance_verify_pairs(
         )
         .filter(F.col("ratio") <= max_ratio)
         .select("ia", "ib", "lev", "ratio")
-        .orderBy("ia", "ib")
     )
 
 
@@ -883,5 +877,4 @@ def chunk_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
                 " ",
             ).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )

@@ -310,6 +310,9 @@ def margin_bitext_mining(
         F.col("embedding").cast("array<double>").alias("vt"),
         F.col("nrm").alias("nt"),
     )
+    # persisted: three consumers (both k-NN windows + the final join)
+    # would otherwise each recompute the cross-join matrix; lifetime is
+    # the returned plan's (Spark evicts LRU / on context clear)
     scored = (
         s.crossJoin(t)
         .withColumn(
@@ -319,6 +322,7 @@ def margin_bitext_mining(
             ),
         )
         .select("src_id", "tgt_id", "cosine")
+        .persist()
     )
     w_src = Window.partitionBy("src_id").orderBy(
         F.desc("cosine"), F.asc("tgt_id")
@@ -357,5 +361,4 @@ def margin_bitext_mining(
         m.withColumn("rk", F.row_number().over(w_best))
         .filter((F.col("rk") == 1) & (F.col("margin") >= threshold))
         .select("src_id", "tgt_id", "cosine", "margin")
-        .orderBy("src_id")
     )

@@ -511,5 +511,4 @@ def preference_pairs(
             F.round(F.col("chosen_score") - F.col("rejected_score"), 6),
         )
         .filter(F.col("margin") >= min_margin)
-        .orderBy(group_col)
     )

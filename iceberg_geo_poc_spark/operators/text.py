@@ -525,7 +525,6 @@ def keyword_tags(
         words.join(F.broadcast(lex), "word")
         .groupBy("doc_id", "tag")
         .agg(F.count(F.lit(1)).alias("n_hits"))
-        .orderBy("doc_id", "tag")
     )
 
 
@@ -759,11 +758,14 @@ def gopher_rules(
     stops = required_stopwords or [
         "the", "be", "to", "of", "and", "that", "have", "with",
     ]
-    stop_lit = "array(" + ",".join(f"'{s}'" for s in stops) + ")"
+    # bind the stopword list as a literal array COLUMN, never by
+    # interpolating raw strings into SQL text (a stopword like "don't"
+    # would otherwise produce invalid SQL)
     d = docs.select(
         "doc_id",
         F.expr("split(text, ' ')").alias("w"),
         F.col("text"),
+        F.array(*[F.lit(s) for s in stops]).alias("_stops"),
     ).select(
         "doc_id",
         F.size("w").alias("n_words"),
@@ -778,7 +780,7 @@ def gopher_rules(
             6,
         ).alias("alpha_word_frac"),
         F.expr(
-            f"size(filter({stop_lit}, s -> array_contains(w, s)))"
+            "size(filter(_stops, s -> array_contains(w, s)))"
         ).alias("stopword_hits"),
         F.round(
             (

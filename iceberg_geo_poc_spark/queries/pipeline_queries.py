@@ -3886,7 +3886,7 @@ def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter("vec_id % 2 = 1"),
         k=4,
         threshold=1.02,
-    )
+    ).orderBy("src_id")
 
 
 @query(

@@ -330,7 +330,24 @@ class TableDataSource(DataSource):
         meta = _read_meta(location)
         renames = meta.get("renames", {})
         physical_of = {lg: ph for ph, lg in renames.items()}
-        return _StreamAppendWriter(location, physical_of)
+        # Epoch keying must be per-QUERY-RUN, not per-table: two queries
+        # (or a restart with a fresh checkpoint) each start batchId at 0,
+        # and a table-constant key would match an OLD query's epoch-0
+        # snapshot and silently drop the new epoch (reference stamps the
+        # streaming queryId, SparkWrite.java:181).  The checkpoint
+        # location is the stable per-query identity Spark gives sinks;
+        # when absent (no checkpoint configured => no replays possible)
+        # fall back to a fresh token, which degrades to at-least-once
+        # rather than silent loss.
+        token = (
+            self.options.get("checkpointLocation")
+            or self.options.get("checkpointlocation")
+        )
+        if not token:
+            import uuid as _uuid
+
+            token = f"run-{_uuid.uuid4().hex}"
+        return _StreamAppendWriter(location, physical_of, query_token=token)
 
 
 # -- batch WRITE path ---------------------------------------------------------
@@ -462,12 +479,13 @@ class _StreamAppendWriter(DataSourceStreamWriter):
     with footer-harvested stats, identical on-disk form to the batch
     writer's output."""
 
-    def __init__(self, location: str, physical_of: dict):
+    def __init__(self, location: str, physical_of: dict, query_token: str):
         self.location = location
         self.physical_of = physical_of
+        self.query_token = query_token
 
     def _query_key(self) -> str:
-        return f"datasource-stream:{self.location}"
+        return f"datasource-stream:{self.query_token}"
 
     def write(self, iterator):
         import uuid as _uuid

@@ -425,14 +425,33 @@ def write_new_metadata(meta: TableMetadata, base_version: int) -> int:
             meta.properties.get("write.metadata.previous-versions-max", 100)
         )
         cutoff = version - keep  # keep v{cutoff}..v{version}
-        for old in range(max(0, cutoff - 50), cutoff):
+        # A floor marker bounds the sweep to versions not yet examined,
+        # so enabling retention late (or shrinking previous-versions-max
+        # by any amount) still clears EVERY stale version exactly once —
+        # a fixed back-window would strand files below it.  Marker
+        # absence = sweep from 0 (one full pass, then O(1) per commit).
+        floor_path = os.path.join(meta.location, "metadata", ".retention-floor")
+        floor = 0
+        try:
+            if be.exists(floor_path):
+                floor = int(be.read(floor_path).decode().strip())
+        except (OSError, ValueError, NotImplementedError):
+            floor = 0
+        swept_to = floor
+        for old in range(floor, cutoff):
             old_path = _metadata_path(meta.location, old)
             try:
                 if be.exists(old_path):
                     be.delete(old_path)
+                swept_to = old + 1
             except (OSError, NotImplementedError):
                 # retention must never fail a landed commit
                 break
+        if swept_to > floor:
+            try:
+                be.put(floor_path, str(swept_to).encode())
+            except (OSError, NotImplementedError):
+                pass
     return version
 
 
