@@ -209,13 +209,24 @@ def encode_gif(
 
 # -- decoder ----------------------------------------------------------------
 
-def _decode_gif_inner(data: bytes) -> list[np.ndarray]:
+# Decompression-bomb guard: the logical screen size comes from 4 header
+# bytes, so 2 flipped bits can declare a multi-GB canvas for a tiny
+# payload.  16.7M pixels (4096x4096 RGB = 50 MB/frame) is far above any
+# training-data GIF; override per-call for legitimate outliers.
+MAX_PIXELS = 1 << 24
+
+
+def _decode_gif_inner(data: bytes, max_pixels: int = MAX_PIXELS) -> list[np.ndarray]:
     """GIF bytes -> list of composed (h, w, 3) uint8 RGB frames."""
     data = bytes(data)
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
     w = int.from_bytes(data[6:8], "little")
     h = int.from_bytes(data[8:10], "little")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"GIF logical screen {w}x{h} exceeds max_pixels={max_pixels}"
+        )
     flags = data[10]
     pos = 13
     gct = None
@@ -257,6 +268,10 @@ def _decode_gif_inner(data: bytes) -> list[np.ndarray]:
         fh = int.from_bytes(data[pos + 6 : pos + 8], "little")
         iflags = data[pos + 8]
         pos += 9
+        if fw * fh > max_pixels:
+            raise ValueError(
+                f"GIF frame {fw}x{fh} exceeds max_pixels={max_pixels}"
+            )
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 0x07)
             table = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)

@@ -50,9 +50,14 @@ def _codecs():
 def test_decoders_fail_cleanly_on_corruption(name):
     import signal
 
+    import zlib
+
     valid, dec = _codecs()[name]
     dec(valid)  # sanity: pristine input still decodes
-    rng = random.Random(hash(name) & 0xFFFF)
+    # crc32, NOT hash(): str hash is randomized per process, which made
+    # the fuzz corpus differ run-to-run (and intermittently surfaced the
+    # GIF canvas-bomb before the max_pixels guard existed)
+    rng = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
 
     def _alarm(signum, frame):  # pragma: no cover - only fires on a hang
         raise AssertionError(f"{name} decoder hung on corrupt input")
