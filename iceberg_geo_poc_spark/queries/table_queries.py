@@ -3790,3 +3790,85 @@ def managed_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _managed(spark, sf_dir, "merge_cond", build)
     return t.to_df().select("k", "seg", F.round("bal", 2).alias("bal")).orderBy("k")
+
+
+@query(
+    "managed_merge_by_source",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 6 = 0 THEN 'U' ELSE 'X' END AS op,
+             ROUND(c_acctbal + 500, 2) AS newbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000 AS k, 'I' AS op,
+             ROUND(c_acctbal, 2) AS newbal
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    tgt AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             ROUND(c_acctbal, 2) AS bal
+      FROM customer
+    ),
+    merged AS (
+      SELECT t.k,
+             CASE WHEN s.k IS NULL THEN 'ORPHAN' ELSE t.seg END AS seg,
+             CASE WHEN s.op = 'U' THEN s.newbal ELSE t.bal END AS bal
+      FROM tgt t LEFT JOIN src s ON s.k = t.k
+      WHERE NOT (s.k IS NULL AND t.bal < 1000)
+    )
+    SELECT k, seg, bal FROM merged
+    UNION ALL
+    SELECT s.k, NULL AS seg, s.newbal AS bal
+    FROM src s LEFT JOIN tgt t ON t.k = s.k
+    WHERE t.k IS NULL
+    ORDER BY k
+    """,
+)
+def managed_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WHEN NOT MATCHED BY SOURCE (reference Spark 3.5 surface,
+    TestMerge.java:116-177 — the SCD/sync-delete shape): target rows
+    absent from the source are conditionally DELETEd (stale, bal <
+    1000) or UPDATEd (flagged ORPHAN), matched rows follow the matched
+    clauses, and absent source rows insert — all four families
+    value-replayed by the oracle over raw parquet."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "k BIGINT, seg STRING, bal DOUBLE")
+        cust = load_table(spark, sf_dir, "customer")
+        t.append(
+            cust.select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+        matched_src = cust.filter("c_custkey % 2 = 0").select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 6 == 0, "U").otherwise("X").alias("op"),
+            F.round(F.col("c_acctbal") + 500, 2).alias("newbal"),
+        )
+        insert_src = cust.filter("c_custkey % 13 = 0").select(
+            (F.col("c_custkey") + 2000000).alias("k"),
+            F.lit("I").alias("op"),
+            F.round("c_acctbal", 2).alias("newbal"),
+        )
+        src = matched_src.unionByName(insert_src).withColumn(
+            "bal", F.col("newbal")
+        )
+        t.merge(
+            src,
+            on=["k"],
+            matched_clauses=[
+                ("s.op = 'U'", "update", {"bal": F.col("s.newbal")}),
+            ],
+            when_not_matched_insert=True,
+            not_matched_by_source_clauses=[
+                ("t.bal < 1000", "delete", None),
+                (None, "update", {"seg": F.lit("ORPHAN")}),
+            ],
+        )
+        return t
+
+    t = _managed(spark, sf_dir, "merge_bysrc", build)
+    return t.to_df().select("k", "seg", F.round("bal", 2).alias("bal")).orderBy("k")

@@ -1325,7 +1325,8 @@ def _alter(catalog, table: str, rest: str):
 # -- MERGE INTO -------------------------------------------------------------
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<by>\s+BY\s+(?:SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
     r"(?=\s+WHEN\s|\s*$)",
     re.I | re.S,
@@ -1367,23 +1368,14 @@ def _merge(catalog, m: re.Match):
     # ordered conditional clauses (reference TestMerge: WHEN MATCHED
     # AND <cond> THEN ... evaluates in statement order, first hit wins)
     matched_clauses: list[tuple] = []
+    bs_clauses: list[tuple] = []
     insert = False
     insert_cond: str | None = None
-    for wm in _WHEN_RE.finditer(m.group("clauses")):
-        action = re.sub(r"\s+", " ", wm.group("action")).strip()
-        cond = canon(wm.group("cond")) if wm.group("cond") else None
-        if wm.group("not"):
-            if action.upper() != "INSERT *":
-                raise SqlError("WHEN NOT MATCHED supports only INSERT *")
-            insert = True
-            insert_cond = cond
-            continue
-        if action.upper() == "DELETE":
-            matched_clauses.append((cond, "delete", None))
-            continue
+
+    def parse_update(action: str) -> dict:
         sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
         if not sm:
-            raise SqlError(f"unsupported MATCHED action: {action!r}")
+            raise SqlError(f"unsupported MERGE action: {action!r}")
         update = {}
         for assign in _split_args(sm.group(1)):
             am = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.+)$", assign.strip(), re.S)
@@ -1393,8 +1385,33 @@ def _merge(catalog, m: re.Match):
             if col_alias and canon(f"{col_alias}.x").split(".")[0] != "t":
                 raise SqlError(f"SET must assign target columns: {assign!r}")
             update[col] = F.expr(canon(valexpr))
-        matched_clauses.append((cond, "update", update))
-    if not (matched_clauses or insert):
+        return update
+
+    for wm in _WHEN_RE.finditer(m.group("clauses")):
+        action = re.sub(r"\s+", " ", wm.group("action")).strip()
+        cond = canon(wm.group("cond")) if wm.group("cond") else None
+        by = re.sub(r"\s+", " ", wm.group("by") or "").strip().upper()
+        if by and not wm.group("not"):
+            raise SqlError(f"BY {by.split()[-1]} is only valid after NOT MATCHED")
+        if wm.group("not") and by == "BY SOURCE":
+            # WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE — target rows
+            # absent from the source (reference TestMerge.java:116-177)
+            if action.upper() == "DELETE":
+                bs_clauses.append((cond, "delete", None))
+            else:
+                bs_clauses.append((cond, "update", parse_update(action)))
+            continue
+        if wm.group("not"):  # NOT MATCHED [BY TARGET]
+            if action.upper() != "INSERT *":
+                raise SqlError("WHEN NOT MATCHED [BY TARGET] supports only INSERT *")
+            insert = True
+            insert_cond = cond
+            continue
+        if action.upper() == "DELETE":
+            matched_clauses.append((cond, "delete", None))
+            continue
+        matched_clauses.append((cond, "update", parse_update(action)))
+    if not (matched_clauses or insert or bs_clauses):
         raise SqlError("MERGE needs at least one WHEN clause")
     return t.merge(
         src_df,
@@ -1402,4 +1419,5 @@ def _merge(catalog, m: re.Match):
         when_not_matched_insert=insert,
         matched_clauses=matched_clauses,
         when_not_matched_condition=insert_cond,
+        not_matched_by_source_clauses=bs_clauses,
     )

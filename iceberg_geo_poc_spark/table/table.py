@@ -1669,14 +1669,18 @@ class Table:
         mode: str = "copy-on-write",
         matched_clauses: list[tuple] | None = None,
         when_not_matched_condition: str | None = None,
+        not_matched_by_source_clauses: list[tuple] | None = None,
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
         whose key ranges overlap the source's key ranges are rewritten;
         merge-on-read: matched rows become position deletes (+ a new
         data file when updating) and no data file is rewritten
-        (reference TestMergeOnReadMerge).  Duplicate source keys raise
-        (the reference's MERGE cardinality check, TestMerge.java).
+        (reference TestMergeOnReadMerge).  Cardinality: an error is
+        raised only when a TARGET row matches multiple source rows and
+        a matched clause exists (reference TestMerge.java:882);
+        duplicate source keys that match nothing legally insert
+        (TestMerge.java:527 — the empty-target insert-only merge).
 
         ``matched_clauses`` is the CONDITIONAL multi-clause form
         (reference TestMerge: ``WHEN MATCHED AND s.op = 'D' THEN DELETE
@@ -1687,7 +1691,14 @@ class Table:
         where the condition sees the join under ``t``/``s`` aliases.
         Overrides the single-clause kwargs when given.
         ``when_not_matched_condition`` gates INSERT the same way
-        (``s``-aliased columns)."""
+        (``s``-aliased columns).
+
+        ``not_matched_by_source_clauses`` is the by-SOURCE family
+        (reference Spark 3.5 TestMerge.java:116-177 — ``WHEN NOT
+        MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE``): same
+        ordered-clause shape, applied to TARGET rows whose key matches
+        no source row; conditions and SET values may reference only
+        ``t``-aliased columns (there is no source row)."""
         if matched_clauses is None:
             if when_matched_update and when_matched_delete:
                 raise ValueError("choose one of update/delete for matched rows")
@@ -1696,30 +1707,56 @@ class Table:
                 matched_clauses.append((None, "update", when_matched_update))
             if when_matched_delete:
                 matched_clauses.append((None, "delete", None))
-        for _cond, kind, sets in matched_clauses:
+        bs_clauses = not_matched_by_source_clauses or []
+        for _cond, kind, sets in list(matched_clauses) + list(bs_clauses):
             if kind not in ("update", "delete"):
                 raise ValueError(f"matched clause kind must be update/delete: {kind!r}")
             if kind == "update" and not sets:
                 raise ValueError("update clause needs a SET dict")
-        dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
-            raise ValueError("MERGE cardinality violation: duplicate keys in source")
+        # Cardinality (reference SparkMergeRows): error ONLY when a
+        # target row would be touched by >1 source row.  Duplicate
+        # source keys alone are legal (they may all be inserts), so the
+        # target probe runs only when duplicates exist AND a matched
+        # clause could act on them.
+        if matched_clauses:
+            dup_keys = (
+                source.groupBy(*on).count().filter(F.col("count") > 1).drop("count")
+            )
+            if dup_keys.limit(1).count():
+                hit = (
+                    dup_keys.join(
+                        self.to_df(select=on).select(*on).distinct(),
+                        on=on,
+                        how="left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if hit:
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row matches "
+                        "multiple source rows"
+                    )
         if mode == "merge-on-read":
             return self._merge_mor(
                 source, on, matched_clauses,
                 when_not_matched_insert, when_not_matched_condition,
+                bs_clauses,
             )
 
-        # prune candidate files by source key min/max (broadcast-collected)
-        bounds = source.agg(
-            *[F.min(k).alias(f"min_{k}") for k in on],
-            *[F.max(k).alias(f"max_{k}") for k in on],
-        ).collect()[0]
+        # prune candidate files by source key min/max (broadcast-collected);
+        # by-source clauses can touch ANY target row, so they disable both
+        # the file pruning and the key-range conflict predicate
         key_pred: E.Expr = E.AlwaysTrue()
-        for k in on:
-            lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
-            if lo is not None:
-                key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+        if not bs_clauses:
+            bounds = source.agg(
+                *[F.min(k).alias(f"min_{k}") for k in on],
+                *[F.max(k).alias(f"max_{k}") for k in on],
+            ).collect()[0]
+            for k in on:
+                lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+                if lo is not None:
+                    key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
         plan = self._plan_cow(key_pred)
         candidates = plan["full"] + plan["partial"]
 
@@ -1727,22 +1764,30 @@ class Table:
         src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         rewritten: list[dict] = []
-        if candidates and matched_clauses:
+        if candidates and (matched_clauses or bs_clauses):
             tgt = self._read_files(candidates, with_deletes=True, with_lineage=True)
             # explicit never-null probe: a key-only source has no non-key
             # column to test, and join keys are ambiguous after the join.
-            # join the FULL source — clause conditions may reference
-            # source-only columns (e.g. s.op) outside the target schema
-            src_probed = source.withColumn("__s_exists", F.lit(True))
+            # matched clauses may reference source-only columns (e.g.
+            # s.op), so they join the FULL source; a by-source-only MERGE
+            # joins DISTINCT keys so duplicate source keys cannot fan out
+            # pass-through target rows
+            if matched_clauses:
+                src_probed = source.withColumn("__s_exists", F.lit(True))
+            else:
+                src_probed = (
+                    source.select(*on).distinct().withColumn("__s_exists", F.lit(True))
+                )
             marked = tgt.alias("t").join(
                 src_probed.alias("s"), on=on, how="left"
             )
             matched = F.col("s.__s_exists").isNotNull()
             # first-match clause election (reference: clauses evaluate in
-            # order; a matched row satisfying no condition passes through)
+            # order; a matched row satisfying no condition passes through);
+            # by-source clauses elect independently over UNmatched rows
             marked = marked.withColumn(
                 "__clause", _clause_index(matched, matched_clauses)
-            )
+            ).withColumn("__bs", _clause_index(~matched, bs_clauses))
             update_idx = [
                 i
                 for i, (_c, kind, _s) in enumerate(matched_clauses, 1)
@@ -1753,6 +1798,12 @@ class Table:
                 for i, (_c, kind, _s) in enumerate(matched_clauses, 1)
                 if kind == "delete"
             ]
+            bs_update_idx = [
+                i for i, (_c, kind, _s) in enumerate(bs_clauses, 1) if kind == "update"
+            ]
+            bs_delete_idx = [
+                i for i, (_c, kind, _s) in enumerate(bs_clauses, 1) if kind == "delete"
+            ]
             out_cols = []
             for c in target_cols:
                 val = F.col(f"t.{c}")
@@ -1761,25 +1812,41 @@ class Table:
                         nv = sets[c]
                         nv = nv if "Column" in str(type(nv)) else F.lit(nv)
                         val = F.when(F.col("__clause") == i, nv).otherwise(val)
+                for i, (_cond, kind, sets) in enumerate(bs_clauses, 1):
+                    if kind == "update" and c in sets:
+                        nv = sets[c]
+                        nv = nv if "Column" in str(type(nv)) else F.lit(nv)
+                        val = F.when(F.col("__bs") == i, nv).otherwise(val)
                 out_cols.append(val.alias(c))
             # lineage: rows keep their ids; updated rows' last_updated
             # goes NULL -> resolves to the new file's seq at read
             out_cols.append(F.col("t._row_id").alias("_row_id"))
+            upd_pred = None
+            if update_idx:
+                upd_pred = F.col("__clause").isin(update_idx)
+            if bs_update_idx:
+                bsp = F.col("__bs").isin(bs_update_idx)
+                upd_pred = bsp if upd_pred is None else (upd_pred | bsp)
             upd_seq = (
-                F.when(
-                    F.col("__clause").isin(update_idx),
-                    F.lit(None).cast("long"),
-                ).otherwise(F.col("t._last_updated_sequence_number"))
-                if update_idx
+                F.when(upd_pred, F.lit(None).cast("long")).otherwise(
+                    F.col("t._last_updated_sequence_number")
+                )
+                if upd_pred is not None
                 else F.col("t._last_updated_sequence_number")
             )
             out_cols.append(upd_seq.alias("_last_updated_sequence_number"))
-            result = marked.select(*out_cols, F.col("__clause").alias("__cl"))
+            result = marked.select(
+                *out_cols,
+                F.col("__clause").alias("__cl"),
+                F.col("__bs").alias("__bscl"),
+            )
             if delete_idx:
                 result = result.filter(~F.col("__cl").isin(delete_idx))
-            result = result.drop("__cl")
+            if bs_delete_idx:
+                result = result.filter(~F.col("__bscl").isin(bs_delete_idx))
+            result = result.drop("__cl", "__bscl")
             rewritten = self._write_files(result)
-        elif candidates and not matched_clauses:
+        elif candidates:
             # insert-only MERGE: matched rows untouched, no rewrite
             candidates = []
 
@@ -1832,16 +1899,22 @@ class Table:
         matched_clauses: list[tuple],
         when_not_matched_insert: bool,
         when_not_matched_condition: str | None = None,
+        bs_clauses: list[tuple] | None = None,
     ) -> MD.Snapshot:
-        bounds = source.agg(
-            *[F.min(k).alias(f"min_{k}") for k in on],
-            *[F.max(k).alias(f"max_{k}") for k in on],
-        ).collect()[0]
+        bs_clauses = bs_clauses or []
+        # by-source clauses can delete/update ANY target row — the
+        # source-key-range pruning (and the narrow conflict predicate)
+        # only apply without them
         key_pred: E.Expr = E.AlwaysTrue()
-        for k in on:
-            lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
-            if lo is not None:
-                key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+        if not bs_clauses:
+            bounds = source.agg(
+                *[F.min(k).alias(f"min_{k}") for k in on],
+                *[F.max(k).alias(f"max_{k}") for k in on],
+            ).collect()[0]
+            for k in on:
+                lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+                if lo is not None:
+                    key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
         plan = self._plan_cow(key_pred)
         base_seq = self.meta.last_sequence_number
         candidates = plan["full"] + plan["partial"]
@@ -1895,6 +1968,46 @@ class Table:
                     data_entries = self._write_files(upd_rows.select(*out_cols))
             finally:
                 matched_rows.unpersist()
+
+        if candidates and bs_clauses:
+            tgt = self._read_files(candidates, with_deletes=True, with_pos=True)
+            # by-source: TARGET rows matching no source key; distinct
+            # source keys so duplicates cannot fan rows out
+            unmatched = (
+                tgt.alias("t")
+                .join(source.select(*on).distinct(), on=on, how="left_anti")
+                .withColumn("__clause", _clause_index(F.lit(True), bs_clauses))
+                .filter(F.col("__clause") > 0)
+                .persist()
+            )
+            bs_update_idx = [
+                i for i, (_c, kind, _s) in enumerate(bs_clauses, 1) if kind == "update"
+            ]
+            try:
+                bs_dels = self._posdel_entries(unmatched)
+                del_entries = del_entries + bs_dels
+                if bs_dels and bs_update_idx:
+                    upd_rows = unmatched.filter(F.col("__clause").isin(bs_update_idx))
+                    out_cols = []
+                    for c in target_cols:
+                        val = F.col(f"t.{c}")
+                        for i, (_cond, kind, sets) in enumerate(bs_clauses, 1):
+                            if kind == "update" and c in sets:
+                                nv = sets[c]
+                                nv = (
+                                    nv
+                                    if "Column" in str(type(nv))
+                                    else F.lit(nv)
+                                )
+                                val = F.when(
+                                    F.col("__clause") == i, nv
+                                ).otherwise(val)
+                        out_cols.append(val.alias(c))
+                    data_entries = data_entries + self._write_files(
+                        upd_rows.select(*out_cols)
+                    )
+            finally:
+                unmatched.unpersist()
 
         inserted: list[dict] = []
         if when_not_matched_insert:

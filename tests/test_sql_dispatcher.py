@@ -172,6 +172,37 @@ def test_merge_into_delete_clause(spark, catalog):
     ]
 
 
+def test_merge_into_not_matched_by_source(spark, catalog):
+    """WHEN NOT MATCHED BY SOURCE UPDATE/DELETE parse and act on target
+    rows absent from the source; NOT MATCHED BY TARGET aliases the
+    insert form (Spark 3.5 MERGE surface)."""
+    t = catalog.create_table("m_bs", "k BIGINT, v STRING, n BIGINT")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k BIGINT, v STRING, n BIGINT",
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, "U", 99), (7, "I", 70)], "k BIGINT, op STRING, n BIGINT"
+    ).createOrReplaceTempView("m_bs_src")
+    catalog.sql(
+        "MERGE INTO m_bs t USING m_bs_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n = s.n "
+        "WHEN NOT MATCHED BY SOURCE AND t.n >= 30 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphan' "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+    )
+    got = {
+        r.k: (r.v, r.n) for r in catalog.load_table("m_bs").to_df().collect()
+    }
+    assert got == {
+        1: ("a", 99),
+        2: ("orphan", 20),
+        7: (None, 70),
+    }, got
+
+
 def test_unsupported_statements_raise(spark, catalog):
     _mk(spark, catalog, "u1", n_appends=1)
     with pytest.raises(SqlError, match="unsupported statement"):

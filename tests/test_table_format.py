@@ -233,10 +233,16 @@ def test_merge(spark, catalog):
     t.merge(src, on=["k"], when_matched_update={"v": F.col("s.v")})
     rows = dict((r.k, r.v) for r in t.to_df().collect())
     assert rows == {1: "a", 2: "B", 3: "c", 4: "D"}
-    # cardinality violation
+    # cardinality violation: a TARGET row matched by two source rows
+    # while an update clause exists (reference TestMerge.java:882)
     bad = spark.createDataFrame([(1, "x"), (1, "y")], "k BIGINT, v STRING")
     with pytest.raises(ValueError, match="cardinality"):
-        t.merge(bad, on=["k"])
+        t.merge(bad, on=["k"], when_matched_update={"v": F.col("s.v")})
+    # ...but duplicate source keys that match NOTHING legally insert
+    # (TestMerge.java:527 — insert-only merge with repeated keys)
+    dup_new = spark.createDataFrame([(9, "x"), (9, "y")], "k BIGINT, v STRING")
+    t.merge(dup_new, on=["k"], when_matched_update={"v": F.col("s.v")})
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3, 4, 9, 9]
 
 
 def test_mor_update(spark, catalog):
@@ -1178,6 +1184,66 @@ def test_merge_conditional_clauses_cow_and_mor(spark, catalog):
             4: ("d", 40),
             5: (None, 50),
         }, (mode, got)
+
+
+def test_merge_not_matched_by_source_cow_and_mor(spark, catalog):
+    """Reference Spark 3.5 by-source clauses (TestMerge.java:116-177):
+    WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE act on TARGET rows
+    whose key is absent from the source, in clause order, first hit
+    wins; matched rows still follow the matched clauses."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        name = f"mbs_{mode[:3].replace('-', '')}"
+        t = catalog.create_table(name, "k BIGINT, v STRING, n BIGINT")
+        t.append(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k BIGINT, v STRING, n BIGINT",
+        ).coalesce(1))
+        src = spark.createDataFrame(
+            [(1, "U", 99), (5, "I", 50)], "k BIGINT, op STRING, n BIGINT"
+        )
+        t.merge(
+            src,
+            on=["k"],
+            mode=mode,
+            matched_clauses=[
+                ("s.op = 'U'", "update", {"n": F.col("s.n")}),
+            ],
+            when_not_matched_insert=True,
+            not_matched_by_source_clauses=[
+                # absent-and-stale -> delete; other absent rows flagged
+                ("t.n >= 40", "delete", None),
+                (None, "update", {"v": F.lit("orphan")}),
+            ],
+        )
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {
+            1: ("a", 99),        # matched update
+            2: ("orphan", 20),   # by-source conditional update
+            3: ("orphan", 30),   # by-source conditional update
+            5: (None, 50),       # insert (k=4 deleted by-source)
+        }, (mode, got)
+
+
+def test_merge_by_source_delete_only(spark, catalog):
+    """By-source-only MERGE (sync-delete shape): target rows absent
+    from the source are removed, matched rows pass through untouched —
+    including when duplicate source keys match one target row (no
+    matched clause => no cardinality error, no row fan-out)."""
+    t = catalog.create_table("mbsdel", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    ).coalesce(1))
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k BIGINT, v STRING"
+    )
+    t.merge(
+        src,
+        on=["k"],
+        when_not_matched_insert=False,
+        not_matched_by_source_clauses=[(None, "delete", None)],
+    )
+    got = {r.k: r.v for r in t.to_df().collect()}
+    assert got == {1: "a"}, got
 
 
 def test_merge_conditional_clauses_sql(spark, catalog):
