@@ -3890,6 +3890,102 @@ def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retrieval_margin_bitext_bucketed",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id AS src_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    t AS (
+      SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    hm AS (
+      SELECT s.src_id, t.tgt_id,
+             CAST(list_sum(list_transform(
+               generate_series(1, len(s.v)),
+               i -> CASE WHEN (s.v[i] >= 0) <> (t.v[i] >= 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM s CROSS JOIN t
+    ),
+    tops AS (
+      SELECT src_id, tgt_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY hamming, tgt_id) AS r FROM hm
+      ) WHERE r <= 80
+    ),
+    topt AS (
+      SELECT src_id, tgt_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY hamming, src_id) AS r FROM hm
+      ) WHERE r <= 80
+    ),
+    cand AS (
+      SELECT DISTINCT src_id, tgt_id FROM (
+        SELECT * FROM tops UNION ALL SELECT * FROM topt
+      )
+    ),
+    sc AS (
+      SELECT c.src_id, c.tgt_id,
+             ROUND(list_dot_product(s.v, t.v) / (s.nrm * t.nrm), 6)
+               AS cosine
+      FROM cand c JOIN s USING (src_id) JOIN t USING (tgt_id)
+    ),
+    ks AS (
+      SELECT src_id, AVG(cosine) AS avg_src FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY cosine DESC, tgt_id) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY src_id
+    ),
+    kt AS (
+      SELECT tgt_id, AVG(cosine) AS avg_tgt FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cosine DESC, src_id) AS r FROM sc
+      ) WHERE r <= 4 GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT sc.src_id, sc.tgt_id, cosine,
+             ROUND(cosine / (avg_src / 2 + avg_tgt / 2), 6) AS margin
+      FROM sc JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                 ORDER BY margin DESC, tgt_id) AS rk FROM m
+    )
+    SELECT src_id, tgt_id, cosine, margin
+    FROM best WHERE rk = 1 AND margin >= 1.02 ORDER BY src_id
+    """,
+)
+def retrieval_margin_bitext_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed margin bitext mining — the CCMatrix-scale form
+    (operators/retrieval.py::margin_bitext_mining_bucketed): the only
+    all-pairs stage compares ONE-BIGINT sign signatures via
+    bit_count(xor); exact cosine and the ratio-margin algebra run only
+    on the per-side Hamming top-80 shortlists.  The oracle replays the
+    signature distances (from raw signs), both shortlist windows, the
+    union-distinct candidate set, and the full margin algebra — the
+    approximation itself is value-verified, not just the arithmetic.
+    Recall vs the brute miner: 0.977 at these defaults (>= 0.9
+    contract, tests/test_pipeline_operators.py)."""
+    from iceberg_geo_poc_spark.operators.retrieval import (
+        margin_bitext_mining_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return margin_bitext_mining_bucketed(
+        emb.filter("vec_id % 2 = 0"),
+        emb.filter("vec_id % 2 = 1"),
+        k=4,
+        threshold=1.02,
+        shortlist=80,
+    ).orderBy("src_id")
+
+
+@query(
     "pipeline_preference_pairs",
     oracle=f"""
     WITH qsrc AS ({_duck_quality_sql()}),

@@ -1117,6 +1117,70 @@ def test_margin_bitext_mining_hand_computed(spark):
     assert 1.0 <= lo[2] < 1.3 and 1.0 <= lo[4] < 1.3
 
 
+def _nested_loop_nodes(df):
+    """All CartesianProduct/BroadcastNestedLoopJoin nodes in the
+    executed plan, via the JVM tree (the string form hides outputs)."""
+    found = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "NestedLoop" in name or "Cartesian" in name:
+            found.append(node)
+        # AQE and caching hide producers behind leaf-ish wrapper nodes;
+        # recurse through each wrapper's real child accessor
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+        elif "InMemoryTableScan" in name:
+            walk(node.relation().cachedPlan())
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+def test_margin_bitext_bucketed_recall_and_plan(spark, emb):
+    """The bucketed miner's contract: >= 0.9 of the brute miner's
+    accepted pairs reproduced, and every all-pairs join in the plan
+    carries only fixed-width long columns (ids + sign signatures) —
+    the wide embedding arrays never meet in a cross join."""
+    from iceberg_geo_poc_spark.operators.retrieval import (
+        margin_bitext_mining,
+        margin_bitext_mining_bucketed,
+    )
+
+    src = emb.filter("vec_id % 2 = 0").select("vec_id", "embedding")
+    tgt = emb.filter("vec_id % 2 = 1").select("vec_id", "embedding")
+    brute = {
+        r.src_id: r.tgt_id
+        for r in margin_bitext_mining(src, tgt, k=4, threshold=1.02).collect()
+    }
+    approx_df = margin_bitext_mining_bucketed(
+        src, tgt, k=4, threshold=1.02, shortlist=80
+    )
+    approx = {r.src_id: r.tgt_id for r in approx_df.collect()}
+    hits = sum(1 for s, t in brute.items() if approx.get(s) == t)
+    assert brute, "brute miner found nothing — testdata changed?"
+    recall = hits / len(brute)
+    assert recall >= 0.9, f"bucketed recall {recall:.3f} < 0.9 contract"
+    # plan shape: all-pairs joins are signature-only (every output
+    # attribute is a LongType — no array-typed column crosses)
+    nodes = _nested_loop_nodes(approx_df)
+    assert nodes, "expected the signature stage to be an all-pairs join"
+    for node in nodes:
+        out = node.output()
+        for i in range(out.size()):
+            attr = out.apply(i)
+            tname = attr.dataType().typeName()
+            assert tname in ("long", "integer"), (
+                f"non-fixed-width column {attr.name()}:{tname} in the "
+                "all-pairs join — wide arrays must not cross-join"
+            )
+
+
 def test_preference_pairs_hand_computed(spark):
     """Best-vs-worst pairing with deterministic tie-breaks and the
     margin gate; single-candidate groups drop (chosen == rejected)."""
