@@ -2610,6 +2610,97 @@ def rest_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rest_metrics_report",
+    oracle="""
+    WITH lo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                WHERE n_regionkey < 2),
+         hi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                WHERE n_regionkey >= 2)
+    SELECT 'commit-report' AS report_type, 1 AS n_files,
+           0 AS n_pruned, (SELECT n FROM lo) AS n_records
+    UNION ALL
+    SELECT 'commit-report', 1, 0, (SELECT n FROM hi)
+    UNION ALL
+    SELECT 'scan-report', 1, 1, 0
+    ORDER BY report_type, n_records
+    """,
+)
+def rest_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST metrics reporting end-to-end (reference
+    RESTSessionCatalog.java:407,421 + RESTMetricsReporter.java +
+    requests/ReportMetricsRequest.java): a table created and loaded
+    through the REST catalog POSTs its CommitReports (one per append,
+    with file/record counts the oracle derives from the source parquet)
+    and ScanReports (the pruned scan shape: two files, one skipped by
+    stats) to the service's /metrics endpoint; the query re-reads them
+    FROM THE SERVICE, so the wire path itself is value-verified."""
+    key = (sf_dir, "restmetrics")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+        from iceberg_geo_poc_spark.table.rest_catalog import (
+            CatalogService,
+            RestCatalog,
+        )
+
+        scheme = f"restmet{abs(hash(sf_dir)) % 10**6}"
+        wh = f"{scheme}://wh"
+        register_file_io(wh + "/", ArrowFSFileIO(pafs._MockFileSystem(), scheme))
+        svc = CatalogService(token="met-token")
+        cat = RestCatalog(svc.handle, spark, warehouse=wh, token="met-token")
+        cat.create_namespace("obs")
+        t = cat.create_table(
+            "obs.nation", "n_nationkey BIGINT, n_regionkey BIGINT, n_name STRING"
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        )
+        # two appends -> two commit reports and two data files with
+        # disjoint n_regionkey ranges (so the scan below prunes one)
+        t.append(n.filter("n_regionkey < 2").coalesce(1))
+        t = cat.load_table("obs.nation")
+        t.append(n.filter("n_regionkey >= 2").coalesce(1))
+        # one stats-pruned scan -> one scan report (1 result, 1 skipped)
+        reader = cat.load_table("obs.nation")
+        assert reader.scan(E.eq("n_regionkey", 0)).to_df().count() > 0
+        rows = []
+        for m in svc.metrics_reports():
+            assert m["namespace"] == "obs" and m["name"] == "nation"
+            body = m["report"]
+            if m["report-type"] == "commit-report":
+                rows.append(
+                    (
+                        "commit-report",
+                        int(body["added_data_files"]),
+                        0,
+                        int(body["added_records"]),
+                    )
+                )
+            else:
+                # pruning may happen at FILE level (stats) or a whole
+                # MANIFEST earlier (FastAppend manifest bounds) — both
+                # are "files the scan never touched"
+                rows.append(
+                    (
+                        "scan-report",
+                        int(body["result_data_files"]),
+                        int(body["skipped_data_files"])
+                        + int(body["skipped_data_manifests"]),
+                        0,
+                    )
+                )
+        _MOCK_FS_TABLES[key] = rows
+    return spark.createDataFrame(
+        _MOCK_FS_TABLES[key],
+        "report_type STRING, n_files BIGINT, n_pruned BIGINT, n_records BIGINT",
+    ).orderBy("report_type", "n_records")
+
+
+@query(
     "managed_posdelete_compaction",
     oracle="""
     SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price

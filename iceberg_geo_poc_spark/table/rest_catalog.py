@@ -74,7 +74,17 @@ class CatalogService:
         # tokens at any time (expiry), after which clients refresh.
         self._credential = credential
         self._issued_tokens: set[str] = set()
+        # ScanReport/CommitReport payloads POSTed by clients (reference
+        # /v1/{prefix}/namespaces/{ns}/tables/{table}/metrics endpoint,
+        # RESTSessionCatalog.java:407,421 + ReportMetricsRequest.java)
+        self._metrics: list[dict] = []
         self._lock = threading.Lock()
+
+    def metrics_reports(self) -> list[dict]:
+        """Reports received via the ``report_metrics`` verb (each:
+        namespace, name, report-type, report payload), oldest first."""
+        with self._lock:
+            return [dict(m) for m in self._metrics]
 
     def revoke_issued_tokens(self) -> None:
         """Invalidate every OAuth-issued token (simulates token expiry —
@@ -269,6 +279,22 @@ class CatalogService:
                     return {"status": 404}
                 del self._views[ns][req["name"]]
                 return {"status": 204}
+            if op == "report_metrics":
+                # reference ReportMetricsRequest: report-type discriminates
+                # scan-report / commit-report; the service must accept and
+                # never block the client (fire-and-forget observability)
+                rtype = req.get("report_type")
+                if rtype not in ("scan-report", "commit-report"):
+                    return {"status": 400, "error": f"bad report-type {rtype!r}"}
+                self._metrics.append(
+                    {
+                        "namespace": req.get("namespace"),
+                        "name": req.get("name"),
+                        "report-type": rtype,
+                        "report": dict(req.get("report") or {}),
+                    }
+                )
+                return {"status": 204}
             if op == "delete":
                 self._docs.pop(path, None)
                 return {"status": 204}
@@ -315,6 +341,40 @@ class ServiceCommitBackend(CommitBackend):
 
     def delete(self, path: str) -> None:
         self.transport({"op": "delete", "path": path})
+
+
+class RestMetricsReporter:
+    """Client-side MetricsReporter that POSTs ScanReport/CommitReport
+    payloads to the catalog service (reference RESTMetricsReporter.java:
+    the report rides a ReportMetricsRequest to the table's /metrics
+    endpoint, bearer-authed, and NEVER fails the query — transport or
+    service errors are swallowed)."""
+
+    def __init__(self, transport, namespace: str, name: str) -> None:
+        self._transport = transport
+        self._namespace = namespace
+        self._name = name
+
+    def report(self, rpt) -> None:
+        import dataclasses
+
+        rtype = (
+            "commit-report"
+            if type(rpt).__name__ == "CommitReport"
+            else "scan-report"
+        )
+        try:
+            self._transport(
+                {
+                    "op": "report_metrics",
+                    "namespace": self._namespace,
+                    "name": self._name,
+                    "report_type": rtype,
+                    "report": dataclasses.asdict(rpt),
+                }
+            )
+        except Exception:  # noqa: BLE001 — observability must not break queries
+            pass
 
 
 class RestCatalog:
@@ -375,6 +435,7 @@ class RestCatalog:
             raise ValueError("no warehouse: pass one or set it in config")
         self.warehouse = wh.rstrip("/")
         self.spark = spark
+        self._metric_locs: set[str] = set()
         from iceberg_geo_poc_spark.table import metadata as MD
 
         MD.register_commit_backend(
@@ -471,6 +532,22 @@ class RestCatalog:
     def _location(self, ns: str, tbl: str) -> str:
         return "/".join([self.warehouse, *ns.split("."), tbl])
 
+    def _register_metrics(self, ns: str, tbl: str) -> None:
+        """Route this table's scan/commit reports to the service
+        (reference RESTSessionCatalog.java:407,421 — every table loaded
+        through the REST catalog reports to its /metrics endpoint).
+        Idempotent per catalog instance; the newest registration for a
+        location wins in the reporter registry (same service either way)."""
+        from iceberg_geo_poc_spark.table import reporting as RPT
+
+        loc = self._location(ns, tbl)
+        if loc in self._metric_locs:
+            return
+        RPT.register_metrics_reporter(
+            loc, RestMetricsReporter(self.transport, ns, tbl)
+        )
+        self._metric_locs.add(loc)
+
     def _ns_catalog(self, ns: str):
         from iceberg_geo_poc_spark.table.catalog import Catalog
 
@@ -489,10 +566,12 @@ class RestCatalog:
             location=self._location(ns, tbl),
         )
         try:
-            return self._ns_catalog(ns).create_table(tbl, schema_ddl, **kwargs)
+            out = self._ns_catalog(ns).create_table(tbl, schema_ddl, **kwargs)
         except Exception:
             self._call("drop_table_entry", namespace=ns, name=tbl)
             raise
+        self._register_metrics(ns, tbl)
+        return out
 
     def load_table(self, identifier: str):
         from iceberg_geo_poc_spark.table import metadata as MD
@@ -500,6 +579,7 @@ class RestCatalog:
 
         ns, tbl = self._split(identifier)
         loc = self._call("get_table", namespace=ns, name=tbl)["location"]
+        self._register_metrics(ns, tbl)
         return Table(MD.read_metadata(loc), self.spark)
 
     def table_exists(self, identifier: str) -> bool:

@@ -231,3 +231,47 @@ def test_oauth_token_refresh_on_401(service, warehouse, spark):
     svc2._token = "rotated-away"
     with pytest.raises(PermissionError):
         cat2.create_namespace("nope")
+
+
+def test_metrics_reports_reach_service(service, warehouse, spark):
+    """Scan/commit reports flow to the service's /metrics endpoint
+    (reference RESTSessionCatalog.java:407,421 + RESTMetricsReporter):
+    an append POSTs a commit-report, a filtered scan a scan-report,
+    both stamped with the table identity; a broken transport is
+    swallowed (reporting never fails the query)."""
+    from iceberg_geo_poc_spark.table.rest_catalog import RestMetricsReporter
+
+    cat = _cat(service, warehouse, spark)
+    cat.create_namespace("obs")
+    t = cat.create_table("obs.m", "a BIGINT, b STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(6)], "a BIGINT, b STRING"
+        ).coalesce(1)
+    )
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    assert cat.load_table("obs.m").scan(E.ge("a", 0)).to_df().count() == 6
+    reports = service.metrics_reports()
+    kinds = {m["report-type"] for m in reports}
+    assert kinds == {"commit-report", "scan-report"}
+    assert all(
+        m["namespace"] == "obs" and m["name"] == "m" for m in reports
+    )
+    commit = next(
+        m["report"] for m in reports if m["report-type"] == "commit-report"
+    )
+    assert commit["added_records"] == 6 and commit["added_data_files"] == 1
+    assert commit["operation"] == "append"
+    scan = next(
+        m["report"] for m in reports if m["report-type"] == "scan-report"
+    )
+    assert scan["result_data_files"] == 1
+    assert scan["filter_desc"] is not None
+    # reporter failures are swallowed (reporting must not break queries)
+    def broken(req):
+        raise ConnectionError("service down")
+
+    RestMetricsReporter(broken, "obs", "m").report(
+        type("R", (), {"__name__": "x"})  # arbitrary payload, still safe
+    )
