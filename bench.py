@@ -340,9 +340,14 @@ def _planning_latency(spark) -> dict:
 # linearly), knn_hamming (JVM bit-intrinsics ANN), and
 # perplexity_buckets (the histogram-NTILE skew rewrite) put a measured
 # decade under exactly the Arrow-transfer and skew narratives.
+# r11 additions (VERDICT r10 #8): dedup_chunks (corpus-wide chunk
+# election window — the shuffle-heaviest pipeline shape) and
+# encrypted_scan (the JVM-native decrypting read that replaced r10's
+# mapInArrow path) — the two cost centers that lacked a measured decade.
 SF1_QUERIES = [
     "filtered_scan", "q1", "q3", "geo_window", "dedup_minhash",
     "geo_ragged_join", "knn_hamming", "perplexity_buckets",
+    "dedup_chunks", "encrypted_scan",
 ]
 _SF1_BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1")
 
@@ -471,9 +476,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "encrypted_scan" in timings and "filtered_scan_managed" in timings:
-        out["encrypted_scan_overhead_ratio"] = round(
+        ratio = round(
             timings["encrypted_scan"] / timings["filtered_scan_managed"], 2
         )
+        out["encrypted_scan_overhead_ratio"] = ratio
+        # CONTRACT: since r11 encrypted reads decrypt inside the native
+        # vectorized reader (parquet_crypto.py JVM fast path) — parity
+        # with the plain scan, fixed-cost headroom only.  r10's
+        # mapInArrow path measured 3.93x; a ratio drifting past 1.5
+        # means the fast path silently stopped engaging.
+        out["encrypted_scan_ratio_contract"] = {
+            "max": 1.5,
+            "ok": ratio <= 1.5,
+        }
     # fixed-work host-noise calibration (not in the total): compare
     # probe deltas across rounds before reading query deltas as real
     out["calibration_probe"] = _calibration_probe(spark)

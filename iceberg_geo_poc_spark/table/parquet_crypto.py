@@ -21,15 +21,17 @@ instead and leave everything else unchanged.
 
 Scale posture: writes are one pyarrow ``ParquetWriter`` per task
 (mapInArrow, zero shuffle beyond the table's normal write
-distribution); reads fan file paths across executors and stream Arrow
-record batches straight out of the encrypted files — the same
-distributed shape as the plain parquet path.  The measured price
-(bench ``encrypted_scan_overhead_ratio``, same scan shape + explicit
-projection vs the plain managed scan) is ~4x: AES-GCM decrypt
-(hardware-accelerated in Arrow's C++) plus the Arrow->JVM IPC hop that
-the native vectorized reader does not pay — the honest cost of
-pure-Python modular encryption; callers column-prune via ``select=``
-since Catalyst cannot push projections through mapInArrow.
+distribution).  READS decrypt inside Spark's native vectorized reader:
+the bundled jvm_kms/LocalEnvelopeKmsClient.java (compiled on demand,
+loaded via ADD JAR) plugs the engine's envelope format into parquet-mr's
+PropertiesDrivenCryptoFactory, so whole-stage codegen, Catalyst column
+pruning and filter pushdown all apply and no Arrow->JVM IPC hop exists
+— bench ``encrypted_scan_overhead_ratio`` measures ~1.0x vs the plain
+managed scan (was 3.93x on the r10 mapInArrow path).  The mapInArrow
+read remains as the fallback for FileIO-only object stores, JDK-less
+hosts, and files whose physical schema predates a type promotion
+(probed per file, cached — see ``_jvm_compatible_schemas``); callers
+still column-prune via ``select=`` so the fallback stays fair.
 
 Column-key granularity is supported (``write.parquet.encryption.
 column-keys`` JSON: master-key-id -> [columns]); columns not listed
@@ -334,6 +336,184 @@ def _json_safe(v):
     return v
 
 
+# -- JVM-native decrypting scan ----------------------------------------------
+#
+# The pinned Spark ships parquet-mr's PropertiesDrivenCryptoFactory
+# (PARQUET-1373 key tools) but no concrete KmsClient.  jvm_kms/
+# LocalEnvelopeKmsClient.java mirrors _EnvelopeKms's wrap format
+# byte-for-byte (AGSP || nonce || AES-GCM(master, key, aad=key-id)), so
+# files written by the pyarrow path decrypt INSIDE the native vectorized
+# reader: whole-stage codegen, Catalyst column pruning and filter
+# pushdown all return, and the Arrow->JVM IPC hop disappears.  The jar
+# compiles on demand (javac, cached under .build/) and loads via ADD JAR
+# — no session-construction config needed.  Master keys ride the read's
+# Hadoop conf exactly like the task-closure transport of the Arrow path
+# (the POC's KMS stand-in; a production build points the factory at a
+# real KMS URL instead).  SPARK_GRAFT_JVM_CRYPTO=0 forces the Arrow
+# fallback.
+
+_FACTORY_CLASS = (
+    "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory"
+)
+_KMS_CLASS = "LocalEnvelopeKmsClient"
+_JVM_READY: dict[int, bool] = {}
+_JVM_WARMED: dict[tuple, bool] = {}
+_PROBE_CACHE: dict[tuple, bool] = {}
+
+
+def _kms_jar_path() -> str | None:
+    """Compile the bundled LocalEnvelopeKmsClient.java into a cached jar
+    (once per checkout); None when no JDK or the compile fails."""
+    import glob
+    import shutil
+    import subprocess
+    import tempfile
+
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "jvm_kms", "LocalEnvelopeKmsClient.java")
+    build = os.path.join(os.path.dirname(os.path.dirname(here)), ".build")
+    if not os.path.exists(src):
+        return None
+    # cache keyed by source hash: editing the .java invalidates the jar
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()[:12]
+    jar = os.path.join(build, f"kmsclient-{digest}.jar")
+    if os.path.exists(jar):
+        return jar
+    javac, jartool = shutil.which("javac"), shutil.which("jar")
+    if not (javac and jartool):
+        return None
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        cp = ":".join(
+            p
+            for pat in (
+                "parquet-hadoop-*.jar",
+                "parquet-common-*.jar",
+                "hadoop-client-api-*.jar",
+            )
+            for p in glob.glob(os.path.join(jars_dir, pat))
+        )
+        os.makedirs(build, exist_ok=True)
+        with tempfile.TemporaryDirectory(dir=build) as tmpd:
+            subprocess.run(
+                [javac, "-cp", cp, "-d", tmpd, src],
+                check=True,
+                capture_output=True,
+            )
+            tmp_jar = os.path.join(tmpd, "kmsclient.jar")
+            subprocess.run(
+                [jartool, "cf", tmp_jar, "-C", tmpd, "."],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp_jar, jar)  # atomic vs concurrent builders
+        return jar
+    except Exception:  # noqa: BLE001 — optional fast path, never fatal
+        return None
+
+
+def _jvm_read_options(keyspec: str) -> dict[str, str]:
+    return {
+        "parquet.crypto.factory.class": _FACTORY_CLASS,
+        "parquet.encryption.kms.client.class": _KMS_CLASS,
+        # the key set rides the ACCESS TOKEN, not only the conf: parquet-mr's
+        # KeyToolkit caches KmsClient instances per token, so a conf-only
+        # transport would let the first table's keys serve every later table
+        "parquet.encryption.key.access.token": keyspec,
+        "iceberg.geo.poc.kms.keys": keyspec,
+        "mergeSchema": "false",
+    }
+
+
+def _jvm_crypto_ready(spark: SparkSession, keyspec: str, sample_path: str) -> bool:
+    """ADD JAR once per session, then warm the crypto factory once per
+    (session, key set) with a driver-side schema inference of one file.
+
+    The warm-up is load-bearing, not an optimization: an explicit-schema
+    read resolves the KmsClient class lazily in an EXECUTOR task thread,
+    where Hadoop's ``Configuration.getClassByName`` cannot see
+    session-added jars (and negative lookups cache permanently).  Footer
+    inference runs on the DRIVER thread — whose classloader does include
+    ADD JAR — and parks the constructed client in KeyToolkit's static
+    per-token cache, which the executor threads (same JVM in local mode)
+    then hit without any class loading.  A cluster deployment instead
+    ships the jar via ``spark.jars`` so executor classloading works
+    natively; the warm-up is then a no-op footer read."""
+    if os.environ.get("SPARK_GRAFT_JVM_CRYPTO", "1") == "0":
+        return False
+    skey = id(spark)
+    if skey not in _JVM_READY:
+        jar = _kms_jar_path()
+        ok = False
+        if jar is not None:
+            try:
+                spark.sql(f"ADD JAR '{jar}'")
+                ok = True
+            except Exception:  # noqa: BLE001
+                ok = False
+        _JVM_READY[skey] = ok
+    if not _JVM_READY[skey]:
+        return False
+    wkey = (skey, keyspec)
+    if wkey not in _JVM_WARMED:
+        try:
+            spark.read.options(**_jvm_read_options(keyspec)).parquet(
+                sample_path
+            ).schema  # noqa: B018 — forces driver-side footer decrypt
+            _JVM_WARMED[wkey] = True
+        except Exception:  # noqa: BLE001 — fall back to the Arrow path
+            _JVM_WARMED[wkey] = False
+    return _JVM_WARMED[wkey]
+
+
+def _jvm_compatible_schemas(
+    paths: list[str], target, keys: dict[str, bytes]
+) -> bool:
+    """The native reader errors (loudly, never silently) on physical
+    types narrower than the declared schema (e.g. int32 files after an
+    int->bigint promotion).  Probe footers driver-side — all files up
+    to 256, else a sample — and fall back to the casting Arrow path on
+    any mismatch.  String/large-string variants share one parquet
+    physical type and always pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = paths if len(paths) <= 256 else paths[:: max(1, len(paths) // 8)]
+    want = {f.name: f.type for f in target}
+    # data files are immutable (a path is never rewritten in place), so
+    # per-file verdicts cache permanently; repeated scans of a managed
+    # table probe only files they have not seen — the footer-decrypt
+    # cost (python-side AES key schedule) is paid once per file, not
+    # once per query
+    sig = ";".join(f"{n}={t}" for n, t in sorted(want.items()))
+    fresh = [p for p in probe if (p, sig) not in _PROBE_CACHE]
+    if fresh:
+        dep = decryption_properties(keys)
+        for p in fresh:
+            ok = True
+            try:
+                sch = pq.ParquetFile(p, decryption_properties=dep).schema_arrow
+            except Exception:  # noqa: BLE001 — unreadable -> Arrow path reports
+                _PROBE_CACHE[(p, sig)] = False
+                continue
+            for f in sch:
+                t = want.get(f.name)
+                if t is None or f.type == t:
+                    continue
+                if (
+                    pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+                ) and (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                    continue
+                ok = False
+                break
+            _PROBE_CACHE[(p, sig)] = ok
+    return all(_PROBE_CACHE[(p, sig)] for p in probe)
+
+
 def read_encrypted_df(
     spark: SparkSession,
     paths: list[str],
@@ -358,6 +538,35 @@ def read_encrypted_df(
         spark.createDataFrame([], read_ddl).schema
     )
     want = target.names
+
+    # fast path: decrypt inside the native vectorized reader (local
+    # paths only — FileIO-backed object stores have no JVM filesystem)
+    from iceberg_geo_poc_spark.table import fileio as FIO
+
+    keyspec = ",".join(f"{k}:{v}" for k, v in sorted(conf.items()))
+    if (
+        paths
+        and FIO.io_for(paths[0]).is_posix
+        and _jvm_crypto_ready(spark, keyspec, paths[0])
+        and _jvm_compatible_schemas(paths, target, keys)
+    ):
+        import pyspark.sql.functions as F
+
+        df = (
+            spark.read.options(**_jvm_read_options(keyspec))
+            .schema(read_ddl)
+            .parquet(*paths)
+        )
+        if need_pos:
+            # normalize the file: URI back to the manifest's plain path
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__file_path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        return df
 
     def read_task(batches: Iterator) -> Iterator:
         import pyarrow as pa

@@ -441,3 +441,29 @@ def test_encrypted_partition_values_hive_escaped(spark, catalog):
     pr = t.scan(where=E.eq("grp", "a/b"))
     assert pr.to_df().count() == 10
     assert len(pr.files()) < len(t.scan().files())
+
+
+def test_jvm_native_decrypt_fast_path(spark, catalog):
+    """When a JDK is present, encrypted reads go through the NATIVE
+    vectorized reader (no mapInArrow stage: codegen + pushdown apply);
+    with SPARK_GRAFT_JVM_CRYPTO=0 the Arrow fallback returns identical
+    rows.  The physical-schema probe steers promoted tables away from
+    the native reader (which cannot widen int32 files)."""
+    import shutil
+
+    if not (shutil.which("javac") and shutil.which("jar")):
+        pytest.skip("no JDK in this environment")
+    t = _mk_encrypted(spark, catalog, "encjvm")
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, "JVM fast path not engaged"
+    assert "FileScan parquet" in plan
+    fast = sorted((r.id, r.grp, r.val) for r in df.collect())
+    os.environ["SPARK_GRAFT_JVM_CRYPTO"] = "0"
+    try:
+        slow_df = t.to_df()
+        slow_plan = slow_df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in slow_plan, "fallback did not engage"
+        assert sorted((r.id, r.grp, r.val) for r in slow_df.collect()) == fast
+    finally:
+        os.environ.pop("SPARK_GRAFT_JVM_CRYPTO", None)
