@@ -63,14 +63,26 @@ def geo_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity target: reference row-level ST_INTERSECTS evaluation
     (api/.../expressions/BoundLiteralPredicate.java:91-92).
-    """
+
+    Plan shape: a codegen bbox prefilter on the raw coordinate columns
+    runs BEFORE the Arrow kernel — the window keeps ~3.9% of rows
+    (measured at sf1), so 96% of the corpus never crosses the
+    Python-worker boundary; the WKB kernel stays the row-level
+    authority on the survivors.  Point-in-closed-box semantics make
+    the BETWEEN prefilter exact (NaN/null coordinates fail both)."""
     pts = _lineitem_points(spark, sf_dir)
     window = box(10.0, -20.0, 60.0, 30.0)
-    return pts.filter(st_intersects("geom", geo_literal(window))).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round("lon", 6).alias("lon"),
-        F.round("lat", 6).alias("lat"),
+    return (
+        pts.filter(
+            "lon BETWEEN 10.0 AND 60.0 AND lat BETWEEN -20.0 AND 30.0"
+        )
+        .filter(st_intersects("geom", geo_literal(window)))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("lon", 6).alias("lon"),
+            F.round("lat", 6).alias("lat"),
+        )
     )
 
 

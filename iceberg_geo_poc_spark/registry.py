@@ -63,69 +63,65 @@ _LOADED = False
 # FIRST, then the longest-unseen rows re-verify; the list is recomputed
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-10 rotation.  After round 9, all 251 then-registered queries
-    # had green driver rows (zero never-seen), so the window is (a) every
-    # round-10 REGISTRATION hoisted as it lands, then (b) the
-    # longest-unseen rows oldest-first.  Last-seen over
-    # CORRECTNESS_r01-r09: r2:5, r3:14, r4:37, r5:48, r7:47, r8:50,
-    # r9:50 — the 5 r2 rows, all 14 r3 rows, and the first 19 r4 rows
-    # (alphabetical) fill the 50 slots.  All locally oracle-green via
-    # tools/driver_sim.py.
-    # -- round-10 registrations --
-    "rest_paginated_catalog",
-    "sim_matryoshka_managed",
-    "managed_encrypted_pruned_scan",
-    "dedup_chunk_level",
-    "text_gopher_rules",
-    "pipeline_block_spans",
-    "stream_overwrite_sink",
-    "retrieval_margin_bitext",
-    "stream_outer_join",
-    "stream_datasource_write_sink",
-    "managed_merge_conditional",
-    "pipeline_preference_pairs",
-    # -- re-verification picks: last seen round 2 --
-    "agg_grouping_sets_events",
-    "multimodal_feature_extract",
-    "outlier_filter_event_values",
-    "profile_event_columns",
-    "scalar_json_extract",
-    # -- last seen round 3 --
-    "dedup_cluster_reps",
-    "dedup_ngram_jaccard",
-    "geo_covers_quadrant_counts",
-    "geo_distance_filter",
-    "geo_points_in_window",
-    "geo_polygon_join_counts",
-    "geo_spatial_join_counts",
-    "sim_embedding_neardup",
-    "sim_lsh_bucket_knn",
-    "stream_datasource_read",
-    "stream_stateful_user_counts",
-    "stream_table_sink",
-    "text_fingerprint",
-    "text_redact_pii",
-    # -- last seen round 4 (alphabetical; the remaining 18 r4 rows lead
-    #    round 11's window) --
-    "agg_approx_distinct_users",
-    "dedup_contamination_check",
-    "dedup_incremental_new_docs",
-    "dedup_minhash_signatures",
-    "managed_add_files",
-    "managed_avro_roundtrip",
-    "managed_branch_write",
-    "managed_changelog",
-    "managed_changelog_updates",
-    "managed_compaction_roundtrip",
-    "managed_date_pruned_scan",
-    "managed_fast_append_pruning",
-    "managed_geo_pruned_scan",
-    "managed_geometry_promotion",
-    "managed_maintenance_cycle",
-    "managed_metadata_tables_summary",
-    "managed_nan_pruned_scan",
-    "managed_overwrite_by_filter",
-    "managed_partition_evolution",
+    # Round-11 rotation.  Recomputed this session from CORRECTNESS_r01-r10
+    # vs the registry: 3 never-driver-seen round-11 registrations first,
+    # then the longest-unseen rows oldest-first — all 18 remaining r4
+    # rows, then the first 29 r5 rows (alphabetical) fill the 50-slot
+    # window.  Staleness floor moves r4 -> r5 when CORRECTNESS_r11 lands.
+    # All 50 locally oracle-green via tools/driver_sim.py.
+    # -- round-11 registrations (never driver-seen) --
+    "rest_metrics_report",
+    "managed_merge_by_source",
+    "retrieval_margin_bitext_bucketed",
+    # -- last seen round 4 (all 18) --
+    "managed_runtime_filter_join",
+    "managed_scan_report",
+    "managed_schema_evolution",
+    "managed_stats_broadcast_join",
+    "managed_table_stats_ndv",
+    "managed_wap_publish",
+    "managed_write_ordered",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pack_document_batches",
+    "sample_deterministic_docs",
+    "sample_stratified_by_lang",
+    "sql_dml_roundtrip",
+    "sql_select_join_pruned",
+    "sql_select_metadata_table",
+    "sql_select_pruned_scan",
+    "sql_select_time_travel",
+    "stats_fastpath_agg",
+    # -- last seen round 5 (alphabetical, first 29) --
+    "agg_approx_percentile_contract",
+    "agg_pivot_event_types",
+    "agg_two_phase_skew",
+    "dedup_duplicate_passages",
+    "geo_annulus_join_counts",
+    "geo_covers_join_counts",
+    "geo_diamond_join_counts",
+    "geo_dwithin_join_counts",
+    "geo_envelope_aggr",
+    "geo_knn_join",
+    "geo_ragged_poly_join_counts",
+    "geo_sql_function_surface",
+    "join_salted_skew",
+    "managed_avro_mor_delete",
+    "managed_identifier_eq_delete",
+    "managed_manifest_consolidation",
+    "managed_object_store_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_phash_dedup",
+    "pipeline_curate_corpus",
+    "q13_customer_order_distribution",
+    "q16_supplier_count_by_part_attrs",
+    "q20_excess_shipment_suppliers",
+    "q21_waiting_suppliers",
+    "q9_profit_by_nation_year",
+    "sample_domain_mixture",
+    "sample_train_val_test_split",
+    "sim_ivf_index_search",
+    "sim_ivf_kmeans_recall",
 )
 
 
