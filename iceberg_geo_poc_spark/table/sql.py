@@ -1372,10 +1372,24 @@ def _merge(catalog, m: re.Match):
     insert = False
     insert_cond: str | None = None
 
-    def parse_update(action: str) -> dict:
+    def parse_update(action: str, by_source: bool = False) -> dict:
         sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
         if not sm:
             raise SqlError(f"unsupported MERGE action: {action!r}")
+        if sm.group(1).strip() == "*":
+            if by_source:
+                raise SqlError(
+                    "UPDATE SET * is invalid in NOT MATCHED BY SOURCE "
+                    "(there is no source row)"
+                )
+            # UPDATE SET * (reference TestMerge.java:110): assign every
+            # shared non-key column from the source row
+            tcols = t.columns()
+            return {
+                c: F.expr(f"s.{c}")
+                for c in src_df.columns
+                if c in tcols and c not in on_cols
+            }
         update = {}
         for assign in _split_args(sm.group(1)):
             am = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.+)$", assign.strip(), re.S)
@@ -1399,7 +1413,9 @@ def _merge(catalog, m: re.Match):
             if action.upper() == "DELETE":
                 bs_clauses.append((cond, "delete", None))
             else:
-                bs_clauses.append((cond, "update", parse_update(action)))
+                bs_clauses.append(
+                    (cond, "update", parse_update(action, by_source=True))
+                )
             continue
         if wm.group("not"):  # NOT MATCHED [BY TARGET]
             if action.upper() != "INSERT *":

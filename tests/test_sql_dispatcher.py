@@ -203,6 +203,37 @@ def test_merge_into_not_matched_by_source(spark, catalog):
     }, got
 
 
+def test_merge_update_set_star(spark, catalog):
+    """UPDATE SET * assigns every shared non-key column from the source
+    (reference TestMerge.java:110); by-source SET * is refused (no
+    source row exists for those targets)."""
+    t = catalog.create_table("m_star", "k BIGINT, v STRING, n BIGINT")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k BIGINT, v STRING, n BIGINT"
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, "A", 11), (9, "I", 90)], "k BIGINT, v STRING, n BIGINT"
+    ).createOrReplaceTempView("m_star_src")
+    catalog.sql(
+        "MERGE INTO m_star t USING m_star_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        r.k: (r.v, r.n) for r in catalog.load_table("m_star").to_df().collect()
+    }
+    assert got == {1: ("A", 11), 2: ("b", 20), 9: ("I", 90)}, got
+    from iceberg_geo_poc_spark.table.sql import SqlError
+
+    with pytest.raises(SqlError, match="BY SOURCE"):
+        catalog.sql(
+            "MERGE INTO m_star t USING m_star_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+
+
 def test_unsupported_statements_raise(spark, catalog):
     _mk(spark, catalog, "u1", n_appends=1)
     with pytest.raises(SqlError, match="unsupported statement"):
