@@ -1761,7 +1761,6 @@ class Table:
         candidates = plan["full"] + plan["partial"]
 
         target_cols = self.columns()
-        src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         rewritten: list[dict] = []
         if candidates and (matched_clauses or bs_clauses):
@@ -1920,7 +1919,6 @@ class Table:
         candidates = plan["full"] + plan["partial"]
 
         target_cols = self.columns()
-        src = source.select(*[c for c in source.columns if c in target_cols or c in on])
 
         del_entries: list[dict] = []
         data_entries: list[dict] = []

@@ -338,3 +338,39 @@ def test_failed_commit_leaves_handle_clean(spark, catalog):
     fresh2 = catalog.load_table("handleclean")
     fresh2.delete(E.eq("a", 1))
     assert sorted(r.a for r in fresh2.to_df().collect()) == [2]
+
+
+def test_by_source_merge_widens_conflict_predicate(spark, catalog):
+    """A MERGE with by-source clauses can touch ANY target row, so its
+    serializable-isolation predicate is always-true: a concurrent append
+    with stats DISJOINT from the source key range still conflicts
+    (a key-range predicate would wrongly accept it — the appended rows
+    are by-source candidates)."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("isobs", "a BIGINT, b STRING")
+    t.append(spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "a BIGINT, b STRING"
+    ).coalesce(1))
+    stale = catalog.load_table("isobs")
+    # concurrent append far outside the source's key range [0, 5]
+    catalog.load_table("isobs").append(spark.createDataFrame(
+        [(i, "x") for i in range(1000, 1010)], "a BIGINT, b STRING"
+    ).coalesce(1))
+    src = spark.createDataFrame([(i, "s") for i in range(6)], "a BIGINT, b STRING")
+    with pytest.raises(ValidationException, match="serializable isolation"):
+        stale.merge(
+            src,
+            on=["a"],
+            when_matched_update={"b": F.col("s.b")},
+            not_matched_by_source_clauses=[(None, "delete", None)],
+        )
+    # the SAME merge without by-source clauses accepts the disjoint append
+    stale2 = catalog.load_table("isobs")
+    catalog.load_table("isobs").append(spark.createDataFrame(
+        [(i, "x") for i in range(2000, 2010)], "a BIGINT, b STRING"
+    ).coalesce(1))
+    stale2.merge(
+        src, on=["a"], when_matched_update={"b": F.col("s.b")},
+        when_not_matched_insert=False,
+    )
