@@ -2610,6 +2610,72 @@ def rest_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_merge_insert_values",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey + CASE WHEN s_suppkey % 4 = 0 THEN 0 ELSE 500000 END
+               AS value,
+             ROUND(s_acctbal + 100, 2) AS newbal
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    tgt AS (
+      SELECT s_suppkey AS id, ROUND(s_acctbal, 2) AS bal, 'base' AS tag
+      FROM supplier
+    )
+    SELECT t.id, CASE WHEN s.value IS NOT NULL THEN s.newbal ELSE t.bal END
+             AS bal,
+           CASE WHEN s.value IS NOT NULL THEN 'merged' ELSE t.tag END AS tag
+    FROM tgt t LEFT JOIN src s ON t.id = s.value
+    UNION ALL
+    SELECT s.value AS id, s.newbal AS bal, 'inserted' AS tag
+    FROM src s LEFT JOIN tgt t ON t.id = s.value
+    WHERE t.id IS NULL
+    ORDER BY id
+    """,
+)
+def managed_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with DIFFERENTLY-NAMED join keys (``ON t.id == s.value`` —
+    the reference TestMerge by-source tests' join shape) and the
+    explicit ``INSERT (cols) VALUES (exprs)`` form (its dominant insert
+    spelling), driven through the SQL dispatcher; update, pass-through
+    and the value-mapped insert are all replayed by the oracle."""
+
+    def build(cat, tname):
+        t = cat.create_table(tname, "id BIGINT, bal DOUBLE, tag STRING")
+        sup = load_table(spark, sf_dir, "supplier")
+        t.append(
+            sup.select(
+                F.col("s_suppkey").alias("id"),
+                F.round("s_acctbal", 2).alias("bal"),
+                F.lit("base").alias("tag"),
+            )
+        )
+        sup.filter("s_suppkey % 2 = 0").select(
+            (
+                F.col("s_suppkey")
+                + F.when(F.col("s_suppkey") % 4 == 0, 0).otherwise(500000)
+            ).alias("value"),
+            F.round(F.col("s_acctbal") + 100, 2).alias("newbal"),
+        ).createOrReplaceTempView("merge_iv_src")
+        cat.sql(
+            f"MERGE INTO {tname} t USING merge_iv_src s ON t.id == s.value "
+            "WHEN MATCHED THEN UPDATE SET bal = s.newbal, tag = 'merged' "
+            "WHEN NOT MATCHED THEN "
+            "INSERT (id, bal, tag) VALUES (s.value, s.newbal, 'inserted')"
+        )
+        # the SQL dispatcher commits through ITS OWN table handle —
+        # reload so the returned handle sees the merged snapshot
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "merge_iv", build)
+    return (
+        t.to_df()
+        .select("id", F.round("bal", 2).alias("bal"), "tag")
+        .orderBy("id")
+    )
+
+
+@query(
     "rest_metrics_report",
     oracle="""
     WITH lo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation

@@ -66,13 +66,14 @@ _PRIORITY_FIRST = (
     # Round-11 rotation.  Recomputed this session from CORRECTNESS_r01-r10
     # vs the registry: 3 never-driver-seen round-11 registrations first,
     # then the longest-unseen rows oldest-first — all 18 remaining r4
-    # rows, then the first 29 r5 rows (alphabetical) fill the 50-slot
+    # rows, then the first 28 r5 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r4 -> r5 when CORRECTNESS_r11 lands.
     # All 50 locally oracle-green via tools/driver_sim.py.
     # -- round-11 registrations (never driver-seen) --
     "rest_metrics_report",
     "managed_merge_by_source",
     "retrieval_margin_bitext_bucketed",
+    "managed_merge_insert_values",
     # -- last seen round 4 (all 18) --
     "managed_runtime_filter_join",
     "managed_scan_report",
@@ -121,7 +122,6 @@ _PRIORITY_FIRST = (
     "sample_domain_mixture",
     "sample_train_val_test_split",
     "sim_ivf_index_search",
-    "sim_ivf_kmeans_recall",
 )
 
 

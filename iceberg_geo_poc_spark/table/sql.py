@@ -1327,8 +1327,14 @@ def _alter(catalog, table: str, rest: str):
 _WHEN_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<by>\s+BY\s+(?:SOURCE|TARGET))?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*"
+    r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
     r"(?=\s+WHEN\s|\s*$)",
+    re.I | re.S,
+)
+
+_INSERT_VALUES_RE = re.compile(
+    r"^INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)$",
     re.I | re.S,
 )
 
@@ -1347,23 +1353,28 @@ def _merge(catalog, m: re.Match):
         expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
         return expr.strip()
 
-    # ON: conjunction of same-name equi predicates -> key column list
-    on_cols = []
+    # ON: conjunction of equi predicates -> (target_col, source_col)
+    # pairs; names may differ (reference TestMerge ON t.id == s.value)
+    on_pairs: list[tuple] = []
     for conj in re.split(r"\s+AND\s+", m.group("on"), flags=re.I):
         em = re.match(
-            r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj.strip()
+            r"^\s*(\w+)\.(\w+)\s*==?\s*(\w+)\.(\w+)\s*$", conj.strip()
         )
         if not em:
             raise SqlError(
                 f"MERGE ON must be AND-ed equi conditions alias.col = alias.col: {conj!r}"
             )
         a_alias, a_col, b_alias, b_col = em.groups()
-        cols = {canon(f"{a_alias}.{a_col}"), canon(f"{b_alias}.{b_col}")}
-        if {c.split(".")[0] for c in cols} != {"t", "s"} or a_col != b_col:
+        sides = {
+            canon(f"{a_alias}.x").split(".")[0]: a_col,
+            canon(f"{b_alias}.x").split(".")[0]: b_col,
+        }
+        if set(sides) != {"t", "s"}:
             raise SqlError(
-                f"MERGE ON needs target.col = source.col with matching names: {conj!r}"
+                f"MERGE ON needs one target and one source reference: {conj!r}"
             )
-        on_cols.append(a_col)
+        on_pairs.append((sides["t"], sides["s"]))
+    on_cols = [tc for tc, _ in on_pairs]
 
     # ordered conditional clauses (reference TestMerge: WHEN MATCHED
     # AND <cond> THEN ... evaluates in statement order, first hit wins)
@@ -1371,6 +1382,7 @@ def _merge(catalog, m: re.Match):
     bs_clauses: list[tuple] = []
     insert = False
     insert_cond: str | None = None
+    insert_values: dict | None = None
 
     def parse_update(action: str, by_source: bool = False) -> dict:
         sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
@@ -1418,8 +1430,26 @@ def _merge(catalog, m: re.Match):
                 )
             continue
         if wm.group("not"):  # NOT MATCHED [BY TARGET]
-            if action.upper() != "INSERT *":
-                raise SqlError("WHEN NOT MATCHED [BY TARGET] supports only INSERT *")
+            if insert:
+                raise SqlError("only one WHEN NOT MATCHED insert clause is supported")
+            iv = _INSERT_VALUES_RE.match(action)
+            if iv:
+                # INSERT (col, ...) VALUES (expr, ...) — explicit column
+                # mapping (reference TestMerge's dominant insert form)
+                cols = [c.strip() for c in iv.group("cols").split(",") if c.strip()]
+                vals = _split_args(iv.group("vals"))
+                if len(cols) != len(vals):
+                    raise SqlError(
+                        f"INSERT column/value arity mismatch: {len(cols)} vs {len(vals)}"
+                    )
+                insert_values = {
+                    c: F.expr(canon(v)) for c, v in zip(cols, vals)
+                }
+            elif action.upper() != "INSERT *":
+                raise SqlError(
+                    "WHEN NOT MATCHED [BY TARGET] supports INSERT * or "
+                    "INSERT (cols) VALUES (exprs)"
+                )
             insert = True
             insert_cond = cond
             continue
@@ -1431,9 +1461,10 @@ def _merge(catalog, m: re.Match):
         raise SqlError("MERGE needs at least one WHEN clause")
     return t.merge(
         src_df,
-        on=on_cols,
+        on=on_pairs,
         when_not_matched_insert=insert,
         matched_clauses=matched_clauses,
         when_not_matched_condition=insert_cond,
         not_matched_by_source_clauses=bs_clauses,
+        when_not_matched_insert_values=insert_values,
     )

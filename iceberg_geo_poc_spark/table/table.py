@@ -1662,7 +1662,7 @@ class Table:
     def merge(
         self,
         source: DataFrame,
-        on: list[str],
+        on: list,
         when_matched_update: dict[str, object] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
@@ -1670,6 +1670,7 @@ class Table:
         matched_clauses: list[tuple] | None = None,
         when_not_matched_condition: str | None = None,
         not_matched_by_source_clauses: list[tuple] | None = None,
+        when_not_matched_insert_values: dict[str, object] | None = None,
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
@@ -1698,7 +1699,21 @@ class Table:
         MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE``): same
         ordered-clause shape, applied to TARGET rows whose key matches
         no source row; conditions and SET values may reference only
-        ``t``-aliased columns (there is no source row)."""
+        ``t``-aliased columns (there is no source row).
+
+        ``on`` entries are either a shared column name or a
+        ``(target_col, source_col)`` pair for differently-named equi
+        keys (reference TestMerge ``ON t.id == s.value``).
+        ``when_not_matched_insert_values`` is the explicit
+        ``INSERT (col, ...) VALUES (expr, ...)`` form: target-column ->
+        Column/literal (``s``-aliased refs allowed); unlisted columns
+        insert as typed NULL.  Without it, INSERT * maps source columns
+        by name."""
+        on_pairs = [
+            (k, k) if isinstance(k, str) else (k[0], k[1]) for k in on
+        ]
+        t_on = [t for t, _ in on_pairs]
+        s_on = [s for _, s in on_pairs]
         if matched_clauses is None:
             if when_matched_update and when_matched_delete:
                 raise ValueError("choose one of update/delete for matched rows")
@@ -1720,13 +1735,16 @@ class Table:
         # clause could act on them.
         if matched_clauses:
             dup_keys = (
-                source.groupBy(*on).count().filter(F.col("count") > 1).drop("count")
+                source.groupBy(*s_on).count().filter(F.col("count") > 1).drop("count")
             )
             if dup_keys.limit(1).count():
+                for tc, sc in on_pairs:
+                    if tc != sc:
+                        dup_keys = dup_keys.withColumnRenamed(sc, tc)
                 hit = (
                     dup_keys.join(
-                        self.to_df(select=on).select(*on).distinct(),
-                        on=on,
+                        self.to_df(select=t_on).select(*t_on).distinct(),
+                        on=t_on,
                         how="left_semi",
                     )
                     .limit(1)
@@ -1739,9 +1757,9 @@ class Table:
                     )
         if mode == "merge-on-read":
             return self._merge_mor(
-                source, on, matched_clauses,
+                source, on_pairs, matched_clauses,
                 when_not_matched_insert, when_not_matched_condition,
-                bs_clauses,
+                bs_clauses, when_not_matched_insert_values,
             )
 
         # prune candidate files by source key min/max (broadcast-collected);
@@ -1750,13 +1768,13 @@ class Table:
         key_pred: E.Expr = E.AlwaysTrue()
         if not bs_clauses:
             bounds = source.agg(
-                *[F.min(k).alias(f"min_{k}") for k in on],
-                *[F.max(k).alias(f"max_{k}") for k in on],
+                *[F.min(s).alias(f"min_{s}") for s in s_on],
+                *[F.max(s).alias(f"max_{s}") for s in s_on],
             ).collect()[0]
-            for k in on:
-                lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+            for tc, sc in on_pairs:
+                lo, hi = bounds[f"min_{sc}"], bounds[f"max_{sc}"]
                 if lo is not None:
-                    key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+                    key_pred = key_pred & E.ge(tc, _plain(lo)) & E.le(tc, _plain(hi))
         plan = self._plan_cow(key_pred)
         candidates = plan["full"] + plan["partial"]
 
@@ -1775,10 +1793,12 @@ class Table:
                 src_probed = source.withColumn("__s_exists", F.lit(True))
             else:
                 src_probed = (
-                    source.select(*on).distinct().withColumn("__s_exists", F.lit(True))
+                    source.select(*s_on)
+                    .distinct()
+                    .withColumn("__s_exists", F.lit(True))
                 )
             marked = tgt.alias("t").join(
-                src_probed.alias("s"), on=on, how="left"
+                src_probed.alias("s"), on=_on_condition(on_pairs), how="left"
             )
             matched = F.col("s.__s_exists").isNotNull()
             # first-match clause election (reference: clauses evaluate in
@@ -1851,24 +1871,13 @@ class Table:
 
         inserted: list[dict] = []
         if when_not_matched_insert:
-            existing_keys = self.to_df(select=on).select(*on).distinct()
-            new_rows = source.join(existing_keys, on=on, how="left_anti")
-            if when_not_matched_condition:
-                new_rows = new_rows.alias("s").filter(
-                    F.expr(when_not_matched_condition)
-                )
-            new_rows = new_rows.select(
-                *[c for c in new_rows.columns if c in target_cols or c in on]
+            inserted = self._merge_insert_entries(
+                source,
+                on_pairs,
+                target_cols,
+                when_not_matched_condition,
+                when_not_matched_insert_values,
             )
-            missing = [c for c in target_cols if c not in new_rows.columns]
-            types = dict(self._ddl_types())
-            for c in missing:
-                # typed NULL: an untyped lit(None) writes a VOID parquet
-                # column that later vectorized reads reject
-                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
-            new_rows = new_rows.select(*target_cols)
-            if new_rows.limit(1).count():
-                inserted = self._write_files(new_rows)
 
         base_seq = self.meta.last_sequence_number
 
@@ -1891,29 +1900,83 @@ class Table:
             {"merged-files": len(candidates), "inserted-files": len(inserted)},
         )
 
+    def _merge_insert_entries(
+        self,
+        source: DataFrame,
+        on_pairs: list[tuple],
+        target_cols: list[str],
+        condition: str | None,
+        insert_values: dict[str, object] | None,
+    ) -> list[dict]:
+        """Write the NOT-MATCHED insert rows (shared by CoW and MoR
+        merges): source rows whose key matches no target row, optionally
+        gated by ``condition`` (``s``-aliased), projected either through
+        the explicit ``INSERT (col, ...) VALUES (expr, ...)`` mapping or
+        by name (INSERT *); unlisted/missing columns insert as typed
+        NULL."""
+        t_on = [t for t, _ in on_pairs]
+        s_on = [s for _, s in on_pairs]
+        existing_keys = self.to_df(select=t_on).select(*t_on).distinct()
+        for tc, sc in on_pairs:
+            if tc != sc:
+                existing_keys = existing_keys.withColumnRenamed(tc, sc)
+        new_rows = source.join(existing_keys, on=s_on, how="left_anti")
+        if condition:
+            new_rows = new_rows.alias("s").filter(F.expr(condition))
+        types = dict(self._ddl_types())
+        if insert_values:
+            bad = [c for c in insert_values if c not in target_cols]
+            if bad:
+                raise ValueError(f"INSERT targets unknown columns: {bad}")
+            aliased = new_rows.alias("s")
+            cols = []
+            for c in target_cols:
+                if c in insert_values:
+                    v = insert_values[c]
+                    v = v if "Column" in str(type(v)) else F.lit(v)
+                    cols.append(v.cast(types[c]).alias(c))
+                else:
+                    cols.append(F.lit(None).cast(types[c]).alias(c))
+            new_rows = aliased.select(*cols)
+        else:
+            new_rows = new_rows.select(
+                *[c for c in new_rows.columns if c in target_cols]
+            )
+            missing = [c for c in target_cols if c not in new_rows.columns]
+            for c in missing:
+                # typed NULL: an untyped lit(None) writes a VOID parquet
+                # column that later vectorized reads reject
+                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
+            new_rows = new_rows.select(*target_cols)
+        if new_rows.limit(1).count():
+            return self._write_files(new_rows)
+        return []
+
     def _merge_mor(
         self,
         source: DataFrame,
-        on: list[str],
+        on_pairs: list[tuple],
         matched_clauses: list[tuple],
         when_not_matched_insert: bool,
         when_not_matched_condition: str | None = None,
         bs_clauses: list[tuple] | None = None,
+        when_not_matched_insert_values: dict[str, object] | None = None,
     ) -> MD.Snapshot:
         bs_clauses = bs_clauses or []
+        s_on = [s for _, s in on_pairs]
         # by-source clauses can delete/update ANY target row — the
         # source-key-range pruning (and the narrow conflict predicate)
         # only apply without them
         key_pred: E.Expr = E.AlwaysTrue()
         if not bs_clauses:
             bounds = source.agg(
-                *[F.min(k).alias(f"min_{k}") for k in on],
-                *[F.max(k).alias(f"max_{k}") for k in on],
+                *[F.min(s).alias(f"min_{s}") for s in s_on],
+                *[F.max(s).alias(f"max_{s}") for s in s_on],
             ).collect()[0]
-            for k in on:
-                lo, hi = bounds[f"min_{k}"], bounds[f"max_{k}"]
+            for tc, sc in on_pairs:
+                lo, hi = bounds[f"min_{sc}"], bounds[f"max_{sc}"]
                 if lo is not None:
-                    key_pred = key_pred & E.ge(k, _plain(lo)) & E.le(k, _plain(hi))
+                    key_pred = key_pred & E.ge(tc, _plain(lo)) & E.le(tc, _plain(hi))
         plan = self._plan_cow(key_pred)
         base_seq = self.meta.last_sequence_number
         candidates = plan["full"] + plan["partial"]
@@ -1928,7 +1991,7 @@ class Table:
             # matched row satisfying no clause condition stays untouched
             matched_rows = (
                 tgt.alias("t")
-                .join(source.alias("s"), on=on, how="inner")
+                .join(source.alias("s"), on=_on_condition(on_pairs), how="inner")
                 .withColumn(
                     "__clause", _clause_index(F.lit(True), matched_clauses)
                 )
@@ -1973,7 +2036,11 @@ class Table:
             # source keys so duplicates cannot fan rows out
             unmatched = (
                 tgt.alias("t")
-                .join(source.select(*on).distinct(), on=on, how="left_anti")
+                .join(
+                    source.select(*s_on).distinct().alias("s"),
+                    on=_on_condition(on_pairs),
+                    how="left_anti",
+                )
                 .withColumn("__clause", _clause_index(F.lit(True), bs_clauses))
                 .filter(F.col("__clause") > 0)
                 .persist()
@@ -2009,24 +2076,13 @@ class Table:
 
         inserted: list[dict] = []
         if when_not_matched_insert:
-            existing_keys = self.to_df(select=on).select(*on).distinct()
-            new_rows = source.join(existing_keys, on=on, how="left_anti")
-            if when_not_matched_condition:
-                new_rows = new_rows.alias("s").filter(
-                    F.expr(when_not_matched_condition)
-                )
-            new_rows = new_rows.select(
-                *[c for c in new_rows.columns if c in target_cols or c in on]
+            inserted = self._merge_insert_entries(
+                source,
+                on_pairs,
+                target_cols,
+                when_not_matched_condition,
+                when_not_matched_insert_values,
             )
-            missing = [c for c in target_cols if c not in new_rows.columns]
-            types = dict(self._ddl_types())
-            for c in missing:
-                # typed NULL: an untyped lit(None) writes a VOID parquet
-                # column that later vectorized reads reject
-                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
-            new_rows = new_rows.select(*target_cols)
-            if new_rows.limit(1).count():
-                inserted = self._write_files(new_rows)
 
         # row-delta fast commit; position deletes require the candidate
         # files to still be live at commit time (revalidated per attempt)
@@ -2325,6 +2381,18 @@ class Table:
                 .drop("__del_seq")
             )
         return df.drop("__data_seq")
+
+
+def _on_condition(on_pairs: list[tuple]):
+    """Explicit t/s-aliased equi-join condition from (target_col,
+    source_col) pairs — keeps both sides' key columns addressable in
+    clause conditions and supports differently-named keys
+    (reference TestMerge ``ON t.id == s.value``)."""
+    cond = None
+    for tc, sc in on_pairs:
+        c = F.col(f"t.{tc}") == F.col(f"s.{sc}")
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def _clause_index(matched, clauses: list[tuple]):

@@ -234,6 +234,58 @@ def test_merge_update_set_star(spark, catalog):
         )
 
 
+def test_merge_differently_named_keys_and_insert_values(spark, catalog):
+    """ON t.id == s.value (reference TestMerge's by-source tests join on
+    differently-named columns) and the INSERT (cols) VALUES (exprs)
+    form — the reference's dominant insert spelling."""
+    t = catalog.create_table("m_keys", "id BIGINT, dep STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "emp-1"), (2, "emp-2"), (3, "emp-3"), (4, "emp-4")],
+            "id BIGINT, dep STRING",
+        ).coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1,), (4,), (9,)], "value BIGINT"
+    ).createOrReplaceTempView("m_keys_src")
+    catalog.sql(
+        "MERGE INTO m_keys t USING m_keys_src s ON t.id == s.value "
+        "WHEN MATCHED AND t.id = 1 THEN UPDATE SET dep = 'updated' "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (id, dep) VALUES (s.value, 'invalid')"
+    )
+    got = {r.id: r.dep for r in catalog.load_table("m_keys").to_df().collect()}
+    assert got == {1: "updated", 4: "emp-4", 9: "invalid"}, got
+
+
+def test_merge_insert_values_typed_and_gated(spark, catalog):
+    """INSERT VALUES casts to the target schema, fills unlisted columns
+    with typed NULLs, and composes with the NOT MATCHED condition."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table("m_vals", "k BIGINT, v STRING, n BIGINT")
+    t.append(
+        spark.createDataFrame([(1, "a", 10)], "k BIGINT, v STRING, n BIGINT")
+        .coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(1, 5), (7, 70), (8, -1)], "k BIGINT, m BIGINT"
+    )
+    t.merge(
+        src,
+        on=["k"],
+        matched_clauses=[],
+        when_not_matched_insert=True,
+        when_not_matched_condition="s.m > 0",
+        when_not_matched_insert_values={
+            "k": F.col("s.k"),
+            "n": F.col("s.m") * 2,
+        },
+    )
+    got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+    assert got == {1: ("a", 10), 7: (None, 140)}, got
+
+
 def test_unsupported_statements_raise(spark, catalog):
     _mk(spark, catalog, "u1", n_appends=1)
     with pytest.raises(SqlError, match="unsupported statement"):
