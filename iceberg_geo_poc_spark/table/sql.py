@@ -1380,9 +1380,7 @@ def _merge(catalog, m: re.Match):
     # AND <cond> THEN ... evaluates in statement order, first hit wins)
     matched_clauses: list[tuple] = []
     bs_clauses: list[tuple] = []
-    insert = False
-    insert_cond: str | None = None
-    insert_values: dict | None = None
+    insert_clauses: list[tuple] = []
 
     def parse_update(action: str, by_source: bool = False) -> dict:
         sm = re.match(r"^UPDATE SET (.+)$", action, re.I)
@@ -1430,8 +1428,6 @@ def _merge(catalog, m: re.Match):
                 )
             continue
         if wm.group("not"):  # NOT MATCHED [BY TARGET]
-            if insert:
-                raise SqlError("only one WHEN NOT MATCHED insert clause is supported")
             iv = _INSERT_VALUES_RE.match(action)
             if iv:
                 # INSERT (col, ...) VALUES (expr, ...) — explicit column
@@ -1445,26 +1441,28 @@ def _merge(catalog, m: re.Match):
                 insert_values = {
                     c: F.expr(canon(v)) for c, v in zip(cols, vals)
                 }
-            elif action.upper() != "INSERT *":
+            elif action.upper() == "INSERT *":
+                insert_values = None  # name-mapped
+            else:
                 raise SqlError(
                     "WHEN NOT MATCHED [BY TARGET] supports INSERT * or "
                     "INSERT (cols) VALUES (exprs)"
                 )
-            insert = True
-            insert_cond = cond
+            # ordered: first matching insert clause wins per source row
+            # (reference testMergeWithMultipleNotMatchedActions)
+            insert_clauses.append((cond, insert_values))
             continue
         if action.upper() == "DELETE":
             matched_clauses.append((cond, "delete", None))
             continue
         matched_clauses.append((cond, "update", parse_update(action)))
-    if not (matched_clauses or insert or bs_clauses):
+    if not (matched_clauses or insert_clauses or bs_clauses):
         raise SqlError("MERGE needs at least one WHEN clause")
     return t.merge(
         src_df,
         on=on_pairs,
-        when_not_matched_insert=insert,
+        when_not_matched_insert=bool(insert_clauses),
         matched_clauses=matched_clauses,
-        when_not_matched_condition=insert_cond,
         not_matched_by_source_clauses=bs_clauses,
-        when_not_matched_insert_values=insert_values,
+        not_matched_clauses=insert_clauses,
     )

@@ -1671,6 +1671,7 @@ class Table:
         when_not_matched_condition: str | None = None,
         not_matched_by_source_clauses: list[tuple] | None = None,
         when_not_matched_insert_values: dict[str, object] | None = None,
+        not_matched_clauses: list[tuple] | None = None,
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
@@ -1708,12 +1709,28 @@ class Table:
         ``INSERT (col, ...) VALUES (expr, ...)`` form: target-column ->
         Column/literal (``s``-aliased refs allowed); unlisted columns
         insert as typed NULL.  Without it, INSERT * maps source columns
-        by name."""
+        by name.  ``not_matched_clauses`` is the ordered MULTI-clause
+        insert form (reference testMergeWithMultipleNotMatchedActions):
+        a list of ``(condition_sql | None, values_dict | None)`` — the
+        first clause whose condition holds wins per unmatched source
+        row, ``values_dict=None`` meaning INSERT *; overrides the
+        single-clause kwargs."""
         on_pairs = [
             (k, k) if isinstance(k, str) else (k[0], k[1]) for k in on
         ]
         t_on = [t for t, _ in on_pairs]
         s_on = [s for _, s in on_pairs]
+        # ordered NOT MATCHED insert clauses (reference
+        # testMergeWithMultipleNotMatchedActions): explicit list wins;
+        # else the single-clause kwargs build one
+        if not_matched_clauses is None:
+            insert_clauses = (
+                [(when_not_matched_condition, when_not_matched_insert_values)]
+                if when_not_matched_insert
+                else []
+            )
+        else:
+            insert_clauses = list(not_matched_clauses)
         if matched_clauses is None:
             if when_matched_update and when_matched_delete:
                 raise ValueError("choose one of update/delete for matched rows")
@@ -1757,9 +1774,7 @@ class Table:
                     )
         if mode == "merge-on-read":
             return self._merge_mor(
-                source, on_pairs, matched_clauses,
-                when_not_matched_insert, when_not_matched_condition,
-                bs_clauses, when_not_matched_insert_values,
+                source, on_pairs, matched_clauses, insert_clauses, bs_clauses
             )
 
         # prune candidate files by source key min/max (broadcast-collected);
@@ -1870,13 +1885,9 @@ class Table:
             candidates = []
 
         inserted: list[dict] = []
-        if when_not_matched_insert:
+        if insert_clauses:
             inserted = self._merge_insert_entries(
-                source,
-                on_pairs,
-                target_cols,
-                when_not_matched_condition,
-                when_not_matched_insert_values,
+                source, on_pairs, target_cols, insert_clauses
             )
 
         base_seq = self.meta.last_sequence_number
@@ -1905,49 +1916,59 @@ class Table:
         source: DataFrame,
         on_pairs: list[tuple],
         target_cols: list[str],
-        condition: str | None,
-        insert_values: dict[str, object] | None,
+        insert_clauses: list[tuple],
     ) -> list[dict]:
         """Write the NOT-MATCHED insert rows (shared by CoW and MoR
-        merges): source rows whose key matches no target row, optionally
-        gated by ``condition`` (``s``-aliased), projected either through
-        the explicit ``INSERT (col, ...) VALUES (expr, ...)`` mapping or
-        by name (INSERT *); unlisted/missing columns insert as typed
-        NULL."""
+        merges): source rows whose key matches no target row elect the
+        FIRST insert clause whose condition holds (reference
+        testMergeWithMultipleNotMatchedActions — ordered, first match
+        wins, rows electing none drop); each clause projects either
+        through its explicit ``INSERT (col, ...) VALUES (expr, ...)``
+        mapping or by name (INSERT *); unlisted/missing columns insert
+        as typed NULL."""
         t_on = [t for t, _ in on_pairs]
         s_on = [s for _, s in on_pairs]
         existing_keys = self.to_df(select=t_on).select(*t_on).distinct()
         for tc, sc in on_pairs:
             if tc != sc:
                 existing_keys = existing_keys.withColumnRenamed(tc, sc)
-        new_rows = source.join(existing_keys, on=s_on, how="left_anti")
-        if condition:
-            new_rows = new_rows.alias("s").filter(F.expr(condition))
+        anti = source.join(existing_keys, on=s_on, how="left_anti").alias("s")
+        marked = anti.withColumn(
+            "__ins",
+            _clause_index(
+                F.lit(True), [(c, "insert", v) for c, v in insert_clauses]
+            ),
+        )
         types = dict(self._ddl_types())
-        if insert_values:
-            bad = [c for c in insert_values if c not in target_cols]
-            if bad:
-                raise ValueError(f"INSERT targets unknown columns: {bad}")
-            aliased = new_rows.alias("s")
-            cols = []
-            for c in target_cols:
-                if c in insert_values:
-                    v = insert_values[c]
-                    v = v if "Column" in str(type(v)) else F.lit(v)
-                    cols.append(v.cast(types[c]).alias(c))
-                else:
-                    cols.append(F.lit(None).cast(types[c]).alias(c))
-            new_rows = aliased.select(*cols)
-        else:
-            new_rows = new_rows.select(
-                *[c for c in new_rows.columns if c in target_cols]
-            )
-            missing = [c for c in target_cols if c not in new_rows.columns]
-            for c in missing:
-                # typed NULL: an untyped lit(None) writes a VOID parquet
-                # column that later vectorized reads reject
-                new_rows = new_rows.withColumn(c, F.lit(None).cast(types[c]))
-            new_rows = new_rows.select(*target_cols)
+        parts = []
+        for i, (_cond, insert_values) in enumerate(insert_clauses, 1):
+            rows_i = marked.filter(F.col("__ins") == i).drop("__ins")
+            if insert_values:
+                bad = [c for c in insert_values if c not in target_cols]
+                if bad:
+                    raise ValueError(f"INSERT targets unknown columns: {bad}")
+                cols = []
+                for c in target_cols:
+                    if c in insert_values:
+                        v = insert_values[c]
+                        v = v if "Column" in str(type(v)) else F.lit(v)
+                        cols.append(v.cast(types[c]).alias(c))
+                    else:
+                        cols.append(F.lit(None).cast(types[c]).alias(c))
+                rows_i = rows_i.select(*cols)
+            else:
+                rows_i = rows_i.select(
+                    *[c for c in rows_i.columns if c in target_cols]
+                )
+                for c in [c for c in target_cols if c not in rows_i.columns]:
+                    # typed NULL: an untyped lit(None) writes a VOID parquet
+                    # column that later vectorized reads reject
+                    rows_i = rows_i.withColumn(c, F.lit(None).cast(types[c]))
+                rows_i = rows_i.select(*target_cols)
+            parts.append(rows_i)
+        new_rows = parts[0]
+        for p in parts[1:]:
+            new_rows = new_rows.unionByName(p)
         if new_rows.limit(1).count():
             return self._write_files(new_rows)
         return []
@@ -1957,10 +1978,8 @@ class Table:
         source: DataFrame,
         on_pairs: list[tuple],
         matched_clauses: list[tuple],
-        when_not_matched_insert: bool,
-        when_not_matched_condition: str | None = None,
+        insert_clauses: list[tuple],
         bs_clauses: list[tuple] | None = None,
-        when_not_matched_insert_values: dict[str, object] | None = None,
     ) -> MD.Snapshot:
         bs_clauses = bs_clauses or []
         s_on = [s for _, s in on_pairs]
@@ -2075,13 +2094,9 @@ class Table:
                 unmatched.unpersist()
 
         inserted: list[dict] = []
-        if when_not_matched_insert:
+        if insert_clauses:
             inserted = self._merge_insert_entries(
-                source,
-                on_pairs,
-                target_cols,
-                when_not_matched_condition,
-                when_not_matched_insert_values,
+                source, on_pairs, target_cols, insert_clauses
             )
 
         # row-delta fast commit; position deletes require the candidate

@@ -286,6 +286,48 @@ def test_merge_insert_values_typed_and_gated(spark, catalog):
     assert got == {1: ("a", 10), 7: (None, 140)}, got
 
 
+def test_merge_multiple_not_matched_clauses(spark, catalog):
+    """Ordered multi-clause NOT MATCHED inserts (reference
+    testMergeWithMultipleNotMatchedActions / ...Conditional...): the
+    first clause whose condition holds wins per unmatched source row;
+    rows electing no clause drop."""
+    t = catalog.create_table("m_multi", "id BIGINT, dep STRING")
+    t.append(
+        spark.createDataFrame([(0, "emp-id-0")], "id BIGINT, dep STRING")
+        .coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, "emp-id-1"), (2, "emp-id-2"), (3, "emp-id-3")],
+        "id BIGINT, dep STRING",
+    ).createOrReplaceTempView("m_multi_src")
+    catalog.sql(
+        "MERGE INTO m_multi t USING m_multi_src s ON t.id == s.id "
+        "WHEN NOT MATCHED AND s.id = 1 THEN "
+        "  INSERT (dep, id) VALUES (s.dep, -1) "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted((r.id, r.dep) for r in catalog.load_table("m_multi").to_df().collect())
+    assert got == [
+        (-1, "emp-id-1"), (0, "emp-id-0"), (2, "emp-id-2"), (3, "emp-id-3"),
+    ], got
+    # conditional-only: rows matching no insert clause drop
+    t2 = catalog.create_table("m_multi2", "id BIGINT, dep STRING")
+    t2.append(
+        spark.createDataFrame([(0, "emp-id-0")], "id BIGINT, dep STRING")
+        .coalesce(1)
+    )
+    catalog.sql(
+        "MERGE INTO m_multi2 t USING m_multi_src s ON t.id == s.id "
+        "WHEN NOT MATCHED AND s.id = 1 THEN "
+        "  INSERT (dep, id) VALUES (s.dep, -1) "
+        "WHEN NOT MATCHED AND s.id = 2 THEN INSERT *"
+    )
+    got2 = sorted(
+        (r.id, r.dep) for r in catalog.load_table("m_multi2").to_df().collect()
+    )
+    assert got2 == [(-1, "emp-id-1"), (0, "emp-id-0"), (2, "emp-id-2")], got2
+
+
 def test_unsupported_statements_raise(spark, catalog):
     _mk(spark, catalog, "u1", n_appends=1)
     with pytest.raises(SqlError, match="unsupported statement"):
