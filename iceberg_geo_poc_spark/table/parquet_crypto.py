@@ -552,21 +552,44 @@ def read_encrypted_df(
     ):
         import pyspark.sql.functions as F
 
-        df = (
-            spark.read.options(**_jvm_read_options(keyspec))
-            .schema(read_ddl)
-            .parquet(*paths)
+        import re as _re
+
+        # _metadata.file_path is a PERCENT-ENCODED file: URI (a space
+        # becomes %20, a literal % becomes %25) — naively stripping the
+        # scheme would mis-join positions against the manifest's raw
+        # paths on any hive-escaped partition directory, silently
+        # dropping deletes.  Safe-charset paths need only the scheme
+        # strip; others get an exact URI->path literal map (bounded), or
+        # fall through to the Arrow path.
+        uri_safe = all(
+            _re.fullmatch(r"[A-Za-z0-9._/\-=]*", p) for p in paths
         )
-        if need_pos:
-            # normalize the file: URI back to the manifest's plain path
-            df = df.select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__file_path"),
-                F.col("_metadata.row_index").alias("__pos"),
+        if not need_pos or uri_safe or len(paths) <= 1000:
+            df = (
+                spark.read.options(**_jvm_read_options(keyspec))
+                .schema(read_ddl)
+                .parquet(*paths)
             )
-        return df
+            if need_pos:
+                plain = F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                )
+                if not uri_safe:
+                    from urllib.parse import quote
+
+                    uri_of = {"file:" + quote(p): p for p in paths}
+                    m = F.create_map(
+                        *[F.lit(x) for kv in uri_of.items() for x in kv]
+                    )
+                    plain = F.coalesce(
+                        m[F.col("_metadata.file_path")], plain
+                    )
+                df = df.select(
+                    "*",
+                    plain.alias("__file_path"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            return df
 
     def read_task(batches: Iterator) -> Iterator:
         import pyarrow as pa
