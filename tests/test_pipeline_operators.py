@@ -1205,3 +1205,26 @@ def test_preference_pairs_hand_computed(spark):
         for r in preference_pairs(df, "g", "score", "id", min_margin=0.0).collect()
     }
     assert loose == {"p1", "p2"}  # singleton p3 still dropped
+
+
+def test_hyperplane_signs_are_diverse():
+    """Deterministic-random infrastructure needs a SPREAD assertion,
+    not just value parity: through round 10 every LSH plane was the
+    identical +-1 vector (an LCG's lowest bit alternates with period
+    2), collapsing all 2^P buckets to {0, 2^P-1} — and both engines
+    happily agreed on the broken buckets.  Planes must be pairwise
+    near-orthogonal and buckets must actually spread."""
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.hashing import hyperplane_signs
+
+    P = np.array(hyperplane_signs(8, 64))
+    corr = P @ P.T / 64.0
+    off = np.abs(corr[np.triu_indices(8, 1)])
+    assert off.max() < 0.5, f"correlated planes: max |corr| {off.max():.2f}"
+    # sign buckets over deterministic pseudo-random vectors spread far
+    # beyond the 2 buckets the broken generator produced
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((500, 64))
+    buckets = ((v @ P.T) >= 0).astype(int) @ (1 << np.arange(8))
+    assert len(set(buckets.tolist())) > 100, len(set(buckets.tolist()))
