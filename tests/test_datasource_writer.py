@@ -153,7 +153,16 @@ def test_stream_writer_epoch_commits_and_replay(spark, catalog, tmp_path):
     # manual replay of a committed epoch: no new snapshot, files cleaned
     from iceberg_geo_poc_spark.streaming.datasource import _StreamAppendWriter
 
-    w = _StreamAppendWriter(t.location, {})
+    # replay keying is per QUERY RUN (ADVICE r10): reconstruct the
+    # original run's token from its committed query-id so this writer
+    # counts as the same stream replaying epoch 0
+    qid = next(
+        s.summary["streaming.query-id"]
+        for s in t.meta.snapshots
+        if s.summary.get("streaming.query-id")
+    )
+    token = qid.split("datasource-stream:", 1)[1]
+    w = _StreamAppendWriter(t.location, {}, query_token=token)
     rows = spark.createDataFrame([(99, 1.0)], "a BIGINT, v DOUBLE").collect()
     msg = w.write(iter(rows))
     staged = msg.entry["file_path"]
