@@ -209,14 +209,21 @@ def encode_gif(
 
 # -- decoder ----------------------------------------------------------------
 
-# Decompression-bomb guard: the logical screen size comes from 4 header
+# Decompression-bomb guards: the logical screen size comes from 4 header
 # bytes, so 2 flipped bits can declare a multi-GB canvas for a tiny
 # payload.  16.7M pixels (4096x4096 RGB = 50 MB/frame) is far above any
-# training-data GIF; override per-call for legitimate outliers.
+# training-data GIF; MAX_FRAMES bounds the other bomb axis — hundreds of
+# tiny highly-compressible frames each materializing a full canvas copy.
+# Override per-call for legitimate outliers.
 MAX_PIXELS = 1 << 24
+MAX_FRAMES = 512
 
 
-def _decode_gif_inner(data: bytes, max_pixels: int = MAX_PIXELS) -> list[np.ndarray]:
+def _decode_gif_inner(
+    data: bytes,
+    max_pixels: int = MAX_PIXELS,
+    max_frames: int = MAX_FRAMES,
+) -> list[np.ndarray]:
     """GIF bytes -> list of composed (h, w, 3) uint8 RGB frames."""
     data = bytes(data)
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
@@ -304,6 +311,11 @@ def _decode_gif_inner(data: bytes, max_pixels: int = MAX_PIXELS) -> list[np.ndar
         else:
             region[:, :] = rgb
         frames.append(canvas.copy())
+        if len(frames) > max_frames:
+            raise ValueError(
+                f"GIF exceeds max_frames={max_frames} "
+                f"(decoded output would be unbounded)"
+            )
         transparent = None
     return frames
 

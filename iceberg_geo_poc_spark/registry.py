@@ -64,7 +64,7 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-11 rotation.  Recomputed this session from CORRECTNESS_r01-r10
-    # vs the registry: 3 never-driver-seen round-11 registrations first,
+    # vs the registry: 4 never-driver-seen round-11 registrations first,
     # then the longest-unseen rows oldest-first — all 18 remaining r4
     # rows, then the first 28 r5 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r4 -> r5 when CORRECTNESS_r11 lands.

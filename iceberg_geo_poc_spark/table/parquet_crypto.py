@@ -475,14 +475,16 @@ def _jvm_compatible_schemas(
 ) -> bool:
     """The native reader errors (loudly, never silently) on physical
     types narrower than the declared schema (e.g. int32 files after an
-    int->bigint promotion).  Probe footers driver-side — all files up
-    to 256, else a sample — and fall back to the casting Arrow path on
-    any mismatch.  String/large-string variants share one parquet
-    physical type and always pass."""
+    int->bigint promotion).  Probe EVERY footer driver-side — a sampled
+    probe would let one unsampled pre-promotion file crash the scan —
+    and fall back to the casting Arrow path on any mismatch.  Verdicts
+    cache permanently (files are immutable), so the cost is once per
+    file EVER, not per query.  String/large-string variants share one
+    parquet physical type and always pass."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    probe = paths if len(paths) <= 256 else paths[:: max(1, len(paths) // 8)]
+    probe = paths
     want = {f.name: f.type for f in target}
     # data files are immutable (a path is never rewritten in place), so
     # per-file verdicts cache permanently; repeated scans of a managed
@@ -552,44 +554,35 @@ def read_encrypted_df(
     ):
         import pyspark.sql.functions as F
 
-        import re as _re
-
-        # _metadata.file_path is a PERCENT-ENCODED file: URI (a space
-        # becomes %20, a literal % becomes %25) — naively stripping the
-        # scheme would mis-join positions against the manifest's raw
-        # paths on any hive-escaped partition directory, silently
-        # dropping deletes.  Safe-charset paths need only the scheme
-        # strip; others get an exact URI->path literal map (bounded), or
-        # fall through to the Arrow path.
-        uri_safe = all(
-            _re.fullmatch(r"[A-Za-z0-9._/\-=]*", p) for p in paths
+        df = (
+            spark.read.options(**_jvm_read_options(keyspec))
+            .schema(read_ddl)
+            .parquet(*paths)
         )
-        if not need_pos or uri_safe or len(paths) <= 1000:
-            df = (
-                spark.read.options(**_jvm_read_options(keyspec))
-                .schema(read_ddl)
-                .parquet(*paths)
+        if need_pos:
+            # _metadata.file_path is a PERCENT-ENCODED file: URI (a
+            # space becomes %20, a literal % becomes %25) — naively
+            # stripping the scheme would mis-join positions against the
+            # manifest's raw paths on any hive-escaped partition
+            # directory, silently dropping deletes.  Decode exactly:
+            # strip the scheme, re-encode literal '+' (which the URI
+            # keeps raw but url_decode would turn into a space), then
+            # url_decode the %XX escapes.
+            plain = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ),
+                    r"\+",
+                    "%2B",
+                )
             )
-            if need_pos:
-                plain = F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                )
-                if not uri_safe:
-                    from urllib.parse import quote
-
-                    uri_of = {"file:" + quote(p): p for p in paths}
-                    m = F.create_map(
-                        *[F.lit(x) for kv in uri_of.items() for x in kv]
-                    )
-                    plain = F.coalesce(
-                        m[F.col("_metadata.file_path")], plain
-                    )
-                df = df.select(
-                    "*",
-                    plain.alias("__file_path"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
-            return df
+            df = df.select(
+                "*",
+                plain.alias("__file_path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        return df
 
     def read_task(batches: Iterator) -> Iterator:
         import pyarrow as pa

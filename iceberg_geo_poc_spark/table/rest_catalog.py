@@ -532,15 +532,17 @@ class RestCatalog:
     def _location(self, ns: str, tbl: str) -> str:
         return "/".join([self.warehouse, *ns.split("."), tbl])
 
-    def _register_metrics(self, ns: str, tbl: str) -> None:
+    def _register_metrics(self, ns: str, tbl: str, loc: str) -> None:
         """Route this table's scan/commit reports to the service
         (reference RESTSessionCatalog.java:407,421 — every table loaded
         through the REST catalog reports to its /metrics endpoint).
+        Keyed on the table's ACTUAL location (the service may have
+        registered one differing from warehouse/ns/tbl — the reports
+        are emitted against it, not the client-computed path).
         Idempotent per catalog instance; the newest registration for a
         location wins in the reporter registry (same service either way)."""
         from iceberg_geo_poc_spark.table import reporting as RPT
 
-        loc = self._location(ns, tbl)
         if loc in self._metric_locs:
             return
         RPT.register_metrics_reporter(
@@ -570,7 +572,7 @@ class RestCatalog:
         except Exception:
             self._call("drop_table_entry", namespace=ns, name=tbl)
             raise
-        self._register_metrics(ns, tbl)
+        self._register_metrics(ns, tbl, out.location)
         return out
 
     def load_table(self, identifier: str):
@@ -579,7 +581,7 @@ class RestCatalog:
 
         ns, tbl = self._split(identifier)
         loc = self._call("get_table", namespace=ns, name=tbl)["location"]
-        self._register_metrics(ns, tbl)
+        self._register_metrics(ns, tbl, loc)
         return Table(MD.read_metadata(loc), self.spark)
 
     def table_exists(self, identifier: str) -> bool:

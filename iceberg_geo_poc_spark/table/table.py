@@ -1957,6 +1957,19 @@ class Table:
                         cols.append(F.lit(None).cast(types[c]).alias(c))
                 rows_i = rows_i.select(*cols)
             else:
+                # INSERT * maps by NAME; a differently-named join key
+                # cannot map, and a NULL key would corrupt the table
+                # silently — fail like the reference's analysis error
+                unmappable = [
+                    tc
+                    for tc, sc in on_pairs
+                    if tc != sc and tc not in rows_i.columns
+                ]
+                if unmappable:
+                    raise ValueError(
+                        f"INSERT * cannot map join key column(s) {unmappable} "
+                        "absent from the source; use INSERT (cols) VALUES"
+                    )
                 rows_i = rows_i.select(
                     *[c for c in rows_i.columns if c in target_cols]
                 )
@@ -2004,8 +2017,18 @@ class Table:
 
         del_entries: list[dict] = []
         data_entries: list[dict] = []
+        # one shared (and cached) positional read serves both the
+        # matched inner-join and the by-source anti-join — with
+        # by-source clauses candidates = ALL files, so a second read
+        # would scan and decode the whole table twice
+        tgt = (
+            self._read_files(candidates, with_deletes=True, with_pos=True)
+            if candidates and (matched_clauses or bs_clauses)
+            else None
+        )
+        if tgt is not None and matched_clauses and bs_clauses:
+            tgt = tgt.persist()
         if candidates and matched_clauses:
-            tgt = self._read_files(candidates, with_deletes=True, with_pos=True)
             # only rows hitting SOME clause become position deletes: a
             # matched row satisfying no clause condition stays untouched
             matched_rows = (
@@ -2050,7 +2073,6 @@ class Table:
                 matched_rows.unpersist()
 
         if candidates and bs_clauses:
-            tgt = self._read_files(candidates, with_deletes=True, with_pos=True)
             # by-source: TARGET rows matching no source key; distinct
             # source keys so duplicates cannot fan rows out
             unmatched = (
@@ -2092,6 +2114,9 @@ class Table:
                     )
             finally:
                 unmatched.unpersist()
+
+        if tgt is not None and matched_clauses and bs_clauses:
+            tgt.unpersist()
 
         inserted: list[dict] = []
         if insert_clauses:

@@ -492,3 +492,13 @@ def test_jvm_fast_path_mor_on_escaped_partition_paths(spark, catalog):
     # rows in the escaped partition specifically survived/deleted right
     esc = sorted(r.id for r in t.to_df().filter("grp = 'a b%c'").collect())
     assert esc == [i for i in range(5, 20) if i % 2 == 1], esc
+    # CROSS-PATH consistency: delete positions written via the fast
+    # path must carry the manifest's RAW paths, so the Arrow fallback
+    # sees the same table (a percent-encoded posdel path would make
+    # deleted rows silently resurface on the fallback read)
+    os.environ["SPARK_GRAFT_JVM_CRYPTO"] = "0"
+    try:
+        arrow = sorted(r.id for r in t.to_df().collect())
+        assert arrow == got, f"fast-path vs Arrow divergence: {arrow[:8]}..."
+    finally:
+        os.environ.pop("SPARK_GRAFT_JVM_CRYPTO", None)
