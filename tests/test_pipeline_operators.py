@@ -1181,6 +1181,53 @@ def test_margin_bitext_bucketed_recall_and_plan(spark, emb):
             )
 
 
+def test_margin_bitext_banded_no_all_pairs_join(spark):
+    """The band_bits form (CCMatrix-scale regime): at translation-pair
+    similarity (cosine >= 0.9 here) banded signature equi-joins recover
+    >= 0.9 of the brute miner's pairs with NO all-pairs join of any
+    kind in the plan — candidates come only from exact band matches."""
+    import numpy as np
+
+    from iceberg_geo_poc_spark.operators.retrieval import (
+        margin_bitext_mining,
+        margin_bitext_mining_bucketed,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # targets = noisy copies of sources (true translation pairs, cosine
+    # ~0.93 — the similarity regime real bitext pairs occupy) plus
+    # unrelated distractors
+    noisy = base + 0.05 * rng.standard_normal((60, 64))
+    distract = rng.standard_normal((60, 64))
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    tgt_rows = [
+        (1000 + i, [float(x) for x in noisy[i]]) for i in range(60)
+    ] + [(2000 + i, [float(x) for x in distract[i]]) for i in range(60)]
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    brute = {
+        r.src_id: r.tgt_id
+        for r in margin_bitext_mining(src, tgt, k=4, threshold=1.05).collect()
+    }
+    assert len(brute) >= 30, f"expected many true pairs, got {len(brute)}"
+    banded_df = margin_bitext_mining_bucketed(
+        src, tgt, k=4, threshold=1.05, shortlist=40, band_bits=8
+    )
+    banded = {r.src_id: r.tgt_id for r in banded_df.collect()}
+    hits = sum(1 for a, b in brute.items() if banded.get(a) == b)
+    recall = hits / len(brute)
+    assert recall >= 0.9, f"banded recall {recall:.3f} < 0.9"
+    assert not _nested_loop_nodes(banded_df), (
+        "banded form must contain NO all-pairs join"
+    )
+
+
 def test_preference_pairs_hand_computed(spark):
     """Best-vs-worst pairing with deterministic tie-breaks and the
     margin gate; single-candidate groups drop (chosen == rejected)."""
