@@ -3,9 +3,26 @@
 
 Runs the headline queries from BASELINE.md §"Bench queries" at
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+ARTIFACT SHAPE (VERDICT r11 #1): the driver captures a 2,000-byte tail
+of stdout — rounds 10/11 printed one giant line and lost its head
+(``parsed: null``).  The final stdout line is now a COMPACT summary
+(medians, bracketing probes, probe-normalized ratios, contracts, sf1
+scaling ratios) kept under ~1.9 KB by construction; full detail
+(spreads, per-lane sf1 medians, planning/append/stats sub-benchmarks)
+goes to ``BENCH_DETAIL.json`` next to this file.
+
+HOST-NOISE POSTURE: the fixed-work calibration probe runs BEFORE and
+AFTER the suite (r11's single post-suite probe could not show that
+contention was severe during the suite and gone by the tail).  Every
+query also reports ``median / probe`` against its assigned probe
+(scan-bound -> scan probe, pandas-UDF-bound -> pyworker probe,
+shuffle/agg-bound -> jvm probe; mapping in NORM_PROBE, documented in
+SCALE.md) so round-over-round comparisons are host-independent by
+construction.  Never run other Spark work on the box concurrently.
 
 Query set (mirrors the reference's JMH harness shapes, BASELINE.md):
   1. filtered_scan  — selective l_shipdate range (file-skip / pushdown shape)
@@ -88,6 +105,21 @@ BENCH_QUERIES = [
     # tracks that the skew-safe plan stays cheap)
     ("perplexity_buckets", "text_perplexity_buckets"),
 ]
+
+# Which calibration probe each query normalizes against (VERDICT r11
+# #7): "scan" = parquet-decode/IO-bound, "py" = pandas-UDF/Arrow-bound,
+# "jvm" = codegen+shuffle-bound.  median/probe is the host-independent
+# number; the rationale per query lives in SCALE.md §bench-normalization.
+NORM_PROBE = {
+    "filtered_scan": "scan", "filtered_scan_managed": "scan",
+    "encrypted_scan": "scan", "q1": "scan", "q3": "scan",
+    "mor_read": "scan", "dv_read": "scan",
+    "stats_fastpath": "jvm", "dedup_minhash": "jvm", "dedup_chunks": "jvm",
+    "knn_cosine": "jvm", "knn_hamming": "jvm", "lm_perplexity": "jvm",
+    "perplexity_buckets": "jvm",
+    "geo_window": "py", "geo_poly_join": "py", "geo_diamond_join": "py",
+    "geo_ragged_join": "py",
+}
 
 
 def _calibration_probe(spark) -> dict:
@@ -344,10 +376,25 @@ def _planning_latency(spark) -> dict:
 # election window — the shuffle-heaviest pipeline shape) and
 # encrypted_scan (the JVM-native decrypting read that replaced r10's
 # mapInArrow path) — the two cost centers that lacked a measured decade.
+# r12 additions (VERDICT r11 #6): retrieval_bitext (the banded miner —
+# candidates must scale O((n+m)*S) in data, never pairs) and ivf_search
+# (persisted-IVF probe pruning at 10x cells/vectors; the measured time
+# includes the query's built-in recall-vs-brute check, which is itself
+# linear in corpus size, so <=10x remains the right bound).  These two
+# are not in BENCH_QUERIES, so the lane carries its own name mapping.
 SF1_QUERIES = [
-    "filtered_scan", "q1", "q3", "geo_window", "dedup_minhash",
-    "geo_ragged_join", "knn_hamming", "perplexity_buckets",
-    "dedup_chunks", "encrypted_scan",
+    ("filtered_scan", "q6_revenue_forecast"),
+    ("q1", "q1_pricing_summary"),
+    ("q3", "q3_shipping_priority"),
+    ("geo_window", "geo_points_in_window"),
+    ("dedup_minhash", "dedup_minhash_lsh"),
+    ("geo_ragged_join", "geo_ragged_poly_join_counts"),
+    ("knn_hamming", "sim_hamming_topk"),
+    ("perplexity_buckets", "text_perplexity_buckets"),
+    ("dedup_chunks", "dedup_chunk_level"),
+    ("encrypted_scan", "managed_encrypted_pruned_scan"),
+    ("retrieval_bitext", "retrieval_margin_bitext_bucketed"),
+    ("ivf_search", "sim_ivf_index_search"),
 ]
 _SF1_BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1")
 
@@ -435,28 +482,37 @@ def main() -> None:
         st_point(F.col("id").cast("double"), F.col("id").cast("double"))
     ).count()
 
+    # bracketing probe #1 (VERDICT r11 #1b): contention DURING the suite
+    # is attributable only if the probe runs on both sides of it
+    probe_pre = _calibration_probe(spark)
+
     # JMH-style measurement (the reference's own benchmark posture,
-    # BASELINE.md): one warm-up iteration absorbs per-query one-time
-    # costs (whole-stage-codegen compile, managed-table setup), then the
+    # BASELINE.md): warm-up iterations absorb per-query one-time costs
+    # (whole-stage-codegen compile, managed-table setup), then the
     # median of 3 timed iterations is reported.
     # two warm-ups: the Python-kernel joins (geo_diamond_join) need the
     # 2nd iteration to reach steady state (worker reuse + JIT'd codegen)
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    for bench_name, reg_name in BENCH_QUERIES:
-        fn = queries.get(reg_name)
-        if fn is None:
-            continue
+
+    def measure(reg_name: str, d: str) -> list[float]:
+        fn = queries[reg_name]
         for _ in range(warmups):
-            fn(spark, SF_DIR).collect()
+            fn(spark, d).collect()
         runs = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            fn(spark, d).collect()
             runs.append(time.perf_counter() - t0)
         runs.sort()
+        return runs
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for bench_name, reg_name in BENCH_QUERIES:
+        if reg_name not in queries:
+            continue
+        runs = measure(reg_name, SF_DIR)
         timings[bench_name] = round(runs[len(runs) // 2], 3)
         # [min, median, max] of the timed runs: a median that moved
         # round-over-round with a wide spread is a host spike, a moved
@@ -466,36 +522,43 @@ def main() -> None:
             round(runs[0], 3), round(runs[len(runs) // 2], 3), round(runs[-1], 3)
         ]
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "query_spread_min_med_max": spreads,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    detail: dict = {"query_spread_min_med_max": spreads}
+    contracts: dict = {}
     if "encrypted_scan" in timings and "filtered_scan_managed" in timings:
         ratio = round(
             timings["encrypted_scan"] / timings["filtered_scan_managed"], 2
         )
-        out["encrypted_scan_overhead_ratio"] = ratio
         # CONTRACT: since r11 encrypted reads decrypt inside the native
         # vectorized reader (parquet_crypto.py JVM fast path) — parity
         # with the plain scan, fixed-cost headroom only.  r10's
         # mapInArrow path measured 3.93x; a ratio drifting past 1.5
         # means the fast path silently stopped engaging.
-        out["encrypted_scan_ratio_contract"] = {
-            "max": 1.5,
-            "ok": ratio <= 1.5,
-        }
-    # fixed-work host-noise calibration (not in the total): compare
-    # probe deltas across rounds before reading query deltas as real
-    out["calibration_probe"] = _calibration_probe(spark)
-    # sf1 scaling lane: the same 5 headline queries over a 10x derived
-    # corpus, plus the measured sf1/sf0.1 ratio per query — linear-ish
-    # ratios (~10x on scan-bound, less on setup-bound) substantiate the
-    # SCALE.md narratives with one decade of actual data
+        contracts["enc_native_ratio"] = ratio
+        contracts["enc_ok"] = ratio <= 1.5
+        # second tracked ratio (VERDICT r11 #9): the Arrow mapInPandas
+        # fallback (object-store FileIO, pre-promotion files) measured
+        # explicitly by disabling the JVM path — a fallback regression
+        # cannot hide behind the native number
+        os.environ["SPARK_GRAFT_JVM_CRYPTO"] = "0"
+        try:
+            runs = measure("managed_encrypted_pruned_scan", SF_DIR)
+            arrow_med = runs[len(runs) // 2]
+            contracts["enc_arrow_ratio"] = round(
+                arrow_med / timings["filtered_scan_managed"], 2
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_JVM_CRYPTO"]
+    if "dv_read" in timings and "mor_read" in timings:
+        # decoded DV positions skip the delete-parquet scan mor_read
+        # pays; 1.15 headroom absorbs timer jitter on sub-second scans
+        contracts["dv_le_mor"] = timings["dv_read"] <= timings["mor_read"] * 1.15
+
+    # sf1 scaling lane: headline queries over a 10x derived corpus vs a
+    # same-layout 1x control — linear-ish ratios substantiate SCALE.md
+    # with one measured decade.  r12 additions (VERDICT r11 #6): the
+    # banded bitext miner and the persisted-IVF search, plus the in-plan
+    # candidate-pair count for geo_ragged_join (VERDICT r11 #2).
+    sf1_ratio: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             sf1_dir = _ensure_replicated(
@@ -510,12 +573,10 @@ def main() -> None:
                 # exists for the 10x RATIO, and both lanes share the
                 # measurement posture, so the cheaper estimator is fine
                 t: dict[str, float] = {}
-                for bench_name, reg_name in BENCH_QUERIES:
-                    if bench_name not in SF1_QUERIES:
+                for bench_name, reg_name in SF1_QUERIES:
+                    if reg_name not in queries:
                         continue
-                    fn = queries.get(reg_name)
-                    if fn is None:
-                        continue
+                    fn = queries[reg_name]
                     fn(spark, d).collect()
                     runs = []
                     for _ in range(2):
@@ -527,27 +588,85 @@ def main() -> None:
 
             ctl = lane(ctl_dir)
             sf1 = lane(sf1_dir)
-            out["sf1"] = {
-                "queries": sf1,
-                "control_same_layout_sf": ctl,
-                # 10x data in the identical 32-file layout: <=10x time on
-                # scan-bound queries = linear-or-better scaling evidence
-                "scaling_ratio_10x": {
-                    k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
-                },
+            sf1_ratio = {
+                k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
             }
+            detail["sf1"] = {"queries": sf1, "control_same_layout_sf": ctl}
+            # candidate pairs the ragged join's Python kernel receives,
+            # at 1x and 10x fact data (fixed supplier dim): ~10x growth
+            # proves the fixed grid does not densify superlinearly, so
+            # any superlinear TIME ratio is host noise by elimination
+            from iceberg_geo_poc_spark.queries.geo_queries import (
+                ragged_join_candidate_count,
+            )
+
+            p1 = ragged_join_candidate_count(spark, ctl_dir)
+            p10 = ragged_join_candidate_count(spark, sf1_dir)
+            detail["ragged_candidate_pairs"] = {"x1": p1, "x10": p10}
+            contracts["ragged_pairs_10x"] = round(p10 / max(p1, 1), 2)
         except Exception as e:  # the lane must never kill the headline JSON
-            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
-    # stats-only agg vs forced full scan of the same managed table — the
-    # >=100x evidence BASELINE.md asks for (extra key; not in the total)
+            detail["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # sub-benchmarks (full numbers in detail; one compact contract each)
     ratio = _stats_fastpath_ratio(spark)
     if ratio:
-        out["stats_fastpath_vs_fullscan"] = ratio
-    # scan-planning latency (reference PlanningBenchmark shape)
-    out["planning_100k_files"] = _planning_latency(spark)
-    # fast-append commit scaling (O(new), not O(table))
-    out["append_commit_latency"] = _append_commit_latency(spark)
-    print(json.dumps(out))
+        detail["stats_fastpath_vs_fullscan"] = ratio
+        contracts["stats_speedup"] = ratio["speedup"]
+    detail["planning_100k_files"] = _planning_latency(spark)
+    contracts["plan_pandas_ms"] = detail["planning_100k_files"]["pandas_ms"]
+    detail["append_commit_latency"] = _append_commit_latency(spark)
+    contracts["append_flat"] = detail["append_commit_latency"]["flat"]
+
+    # bracketing probe #2
+    probe_post = _calibration_probe(spark)
+
+    def _short(p: dict) -> dict:
+        return {
+            "jvm": p["jvm_sec"], "py": p["pyworker_sec"], "scan": p["scan_sec"]
+        }
+
+    # probe-normalized medians: host-independent round-over-round signal
+    pavg = {
+        "jvm": (probe_pre["jvm_sec"] + probe_post["jvm_sec"]) / 2,
+        "py": (probe_pre["pyworker_sec"] + probe_post["pyworker_sec"]) / 2,
+        "scan": (probe_pre["scan_sec"] + probe_post["scan_sec"]) / 2,
+    }
+    norm = {
+        q: round(v / pavg[NORM_PROBE[q]], 1)
+        for q, v in timings.items()
+        if q in NORM_PROBE and pavg[NORM_PROBE[q]] > 0
+    }
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "probe_pre": _short(probe_pre),
+        "probe_post": _short(probe_post),
+        "norm_vs_probe": norm,
+        "contracts": contracts,
+        "sf1_ratio_10x": sf1_ratio,
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail.update({k: v for k, v in out.items() if k != "detail"})
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    # the driver's stdout capture is a 2,000-byte TAIL: degrade by
+    # dropping the bulkiest derived blocks (all preserved in the detail
+    # file) rather than ever printing a truncatable line
+    for drop in ("norm_vs_probe", "sf1_ratio_10x", "queries"):
+        if len(line) <= 1900:
+            break
+        out[drop] = f"see {out['detail']}"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
