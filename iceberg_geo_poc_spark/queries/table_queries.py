@@ -1504,6 +1504,295 @@ def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "managed_merge_schema_evolution",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice * 2 AS price,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+    SELECT COALESCE(t.k, s.k) AS o_orderkey,
+           ROUND(COALESCE(s.price, t.price), 2) AS price,
+           s.priority AS priority
+    FROM tgt t FULL JOIN src s ON t.k = s.k
+    ORDER BY o_orderkey
+    """,
+)
+def managed_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (reference TestMerge schema-evolution
+    cases + SparkWriteConf's merge-schema handling): the source carries
+    a ``priority`` column the target lacks — the dispatcher ADDs it
+    (nullable add-column evolution) before the clause algebra, so
+    UPDATE SET * assigns it on matched rows, INSERT * carries it on new
+    rows, and rows untouched by the merge (keys % 4 = 0 but not % 6)
+    read it back as NULL from their pre-evolution files."""
+
+    def build(cat, tname):
+        cat.sql(f"CREATE TABLE {tname} (o_orderkey BIGINT, price DOUBLE)")
+        t = cat.load_table(tname)
+        o = load_table(spark, sf_dir, "orders")
+        t.append(
+            o.filter("o_orderkey % 4 = 0").select(
+                "o_orderkey", F.col("o_totalprice").alias("price")
+            )
+        )
+        o.filter("o_orderkey % 6 = 0").select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        ).createOrReplaceTempView("__mse_src")
+        cat.sql(
+            f"MERGE WITH SCHEMA EVOLUTION INTO {tname} t "
+            f"USING __mse_src s ON t.o_orderkey = s.o_orderkey "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "merge_evo", build)
+    return (
+        t.to_df()
+        .select(
+            "o_orderkey", F.round("price", 2).alias("price"), "priority"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sql_delete_in_subquery",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL SELECT -1, NULL, 'X', 1.0
+      UNION ALL SELECT -2, NULL, 'F', 2.0
+    ),
+    hot AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+    ),
+    pairs AS (
+      SELECT DISTINCT o_custkey AS k, 'O' AS s
+      FROM orders WHERE o_custkey % 5 = 0
+    ),
+    keep4 AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+    ),
+    -- DELETE pred TRUE iff IN matched AND price-gate; survivors are the
+    -- NOT-TRUE rows (FALSE or NULL) — EXISTS is exactly IN's TRUE set
+    d1 AS (
+      SELECT * FROM base b
+      WHERE NOT (EXISTS (SELECT 1 FROM hot WHERE hot.k = b.o_custkey)
+                 AND b.price < 150000.0)
+    ),
+    -- NOT IN against a subquery CONTAINING NULL is never TRUE: no-op
+    d2 AS (SELECT * FROM d1),
+    d3 AS (
+      SELECT * FROM d2 b
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.k = b.o_custkey AND p.s = b.status)
+    ),
+    -- NOT IN over a null-free subquery with a never-null probe column:
+    -- TRUE iff no match exists
+    d4 AS (
+      SELECT * FROM d3 b
+      WHERE NOT (b.status = 'F'
+                 AND NOT EXISTS (SELECT 1 FROM keep4 WHERE keep4.k = b.o_orderkey))
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_cust,
+           ROUND(SUM(price), 2) AS total
+    FROM d4 GROUP BY status ORDER BY status
+    """,
+)
+def sql_delete_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates in textual DELETE (reference
+    TestDelete.java:748-823 — testDeleteWithInSubquery,
+    testDeleteWithNotInSubquery, testDeleteWithMultiColumnInSubquery;
+    Spark rewrites all three to joins): the dispatcher plans each inner
+    SELECT through its own SELECT path and executes via
+    ``Table.delete_matching`` — IN as a left-semi join, NOT IN as the
+    NULL-AWARE anti join (a NULL in the subquery makes NOT IN never
+    true, statement 2 here must be a no-op), multi-column IN as a
+    conjunctive pair join; plain conjuncts double as the inclusive
+    file-pruning expression.  NULL target keys (two injected rows)
+    must survive every IN delete."""
+
+    def build(cat, tname):
+        cat.sql(
+            f"CREATE TABLE {tname} (o_orderkey BIGINT, o_custkey BIGINT, "
+            f"status STRING, price DOUBLE)"
+        )
+        load_table(spark, sf_dir, "orders").filter("o_orderkey % 7 = 0").select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).createOrReplaceTempView("__sqd_src")
+        cat.sql(f"INSERT INTO {tname} SELECT * FROM __sqd_src")
+        t = cat.load_table(tname)
+        # NULL-key rows: must survive IN deletes (NULL IN (...) is NULL)
+        t.append(
+            spark.createDataFrame(
+                [(-1, None, "X", 1.0), (-2, None, "F", 2.0)],
+                "o_orderkey BIGINT, o_custkey BIGINT, status STRING, price DOUBLE",
+            )
+        )
+        hot = cat.create_table(f"{tname}_hot", "k BIGINT")
+        hot.append(
+            load_table(spark, sf_dir, "customer")
+            .filter("c_acctbal > 7000")
+            .select(F.col("c_custkey").alias("k"))
+            .distinct()
+        )
+        nn = cat.create_table(f"{tname}_nn", "k BIGINT")
+        nn.append(spark.createDataFrame([(3,), (None,)], "k BIGINT"))
+        pairs = cat.create_table(f"{tname}_pairs", "k BIGINT, s STRING")
+        pairs.append(
+            load_table(spark, sf_dir, "orders")
+            .filter("o_custkey % 5 = 0")
+            .select(F.col("o_custkey").alias("k"), F.lit("O").alias("s"))
+            .distinct()
+        )
+        keep4 = cat.create_table(f"{tname}_keep4", "k BIGINT")
+        keep4.append(
+            load_table(spark, sf_dir, "orders")
+            .filter("o_orderkey % 7 = 0 AND o_orderkey % 3 = 0")
+            .select(F.col("o_orderkey").alias("k"))
+        )
+        cat.sql(
+            f"DELETE FROM {tname} WHERE o_custkey IN "
+            f"(SELECT k FROM {tname}_hot) AND price < 150000.0"
+        )
+        cat.sql(  # subquery holds a NULL -> never true -> must delete 0
+            f"DELETE FROM {tname} WHERE o_orderkey NOT IN "
+            f"(SELECT k FROM {tname}_nn)"
+        )
+        cat.sql(
+            f"DELETE FROM {tname} WHERE (o_custkey, status) IN "
+            f"(SELECT k, s FROM {tname}_pairs)"
+        )
+        cat.sql(
+            f"DELETE FROM {tname} WHERE status = 'F' AND o_orderkey NOT IN "
+            f"(SELECT k FROM {tname}_keep4)"
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "sqd_del", build)
+    return (
+        t.to_df()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_cust"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "sql_update_in_subquery",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 3 = 0
+    ),
+    vips AS (
+      SELECT DISTINCT user_id AS u FROM events WHERE user_id % 11 = 0
+    ),
+    excl AS (
+      SELECT event_id AS k FROM events WHERE event_id % 2 = 0
+    ),
+    u1 AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN EXISTS (SELECT 1 FROM vips WHERE vips.u = base.user_id)
+                  THEN value + 1000.0 ELSE value END AS value
+      FROM base
+    ),
+    -- NOT IN against a NULL-bearing subquery is never TRUE: no-op
+    u2 AS (SELECT * FROM u1),
+    u3 AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click'
+                       AND NOT EXISTS (SELECT 1 FROM excl
+                                       WHERE excl.k = u2.event_id)
+                  THEN value * 2.0 ELSE value END AS value
+      FROM u2
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM u3 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sql_update_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates in textual UPDATE (reference TestUpdate's
+    updateWithInSubquery / updateWithNotInSubquery family): IN via
+    left-semi join, NOT IN via the null-aware anti join (statement 2's
+    NULL-bearing subquery must update 0 rows), executed through
+    ``Table.update_matching`` — matched rows take the SET via the same
+    when/otherwise rewrite as expression UPDATEs, so lineage and
+    sequence-number semantics are identical."""
+
+    def build(cat, tname):
+        cat.sql(
+            f"CREATE TABLE {tname} (event_id BIGINT, user_id BIGINT, "
+            f"event_type STRING, value DOUBLE)"
+        )
+        _events_df(spark, sf_dir).filter("event_id % 3 = 0").select(
+            "event_id", "user_id", "event_type", "value"
+        ).createOrReplaceTempView("__squ_src")
+        cat.sql(f"INSERT INTO {tname} SELECT * FROM __squ_src")
+        vips = cat.create_table(f"{tname}_vips", "u BIGINT")
+        vips.append(
+            _events_df(spark, sf_dir)
+            .filter("user_id % 11 = 0")
+            .select(F.col("user_id").alias("u"))
+            .distinct()
+        )
+        nn = cat.create_table(f"{tname}_nn", "k BIGINT")
+        nn.append(spark.createDataFrame([(12,), (None,)], "k BIGINT"))
+        # excl via temp view: the subquery SELECT path must accept
+        # non-engine relations too (delegated to spark.sql)
+        _events_df(spark, sf_dir).filter("event_id % 2 = 0").select(
+            F.col("event_id").alias("k")
+        ).createOrReplaceTempView("__squ_excl")
+        cat.sql(
+            f"UPDATE {tname} SET value = value + 1000.0 "
+            f"WHERE user_id IN (SELECT u FROM {tname}_vips)"
+        )
+        cat.sql(  # subquery holds a NULL -> never true -> must update 0
+            f"UPDATE {tname} SET value = 0.0 "
+            f"WHERE event_id NOT IN (SELECT k FROM {tname}_nn)"
+        )
+        cat.sql(
+            f"UPDATE {tname} SET value = value * 2.0 "
+            f"WHERE event_type = 'click' AND event_id NOT IN "
+            f"(SELECT k FROM __squ_excl)"
+        )
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "squ_upd", build)
+    return (
+        t.to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "managed_partition_evolution",
     oracle="""
     SELECT event_id, user_id, event_type

@@ -39,7 +39,8 @@ _ALTER_RE = re.compile(
     re.I | re.S,
 )
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
+    r"^\s*MERGE\s+(?P<evo>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
     r"\s+USING\s+(?P<source>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
@@ -345,11 +346,14 @@ _INSERT_RE = re.compile(
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<talias>[A-Za-z_]\w*))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!SET\b)(?P<talias>[A-Za-z_]\w*))?"
+    r"\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -472,16 +476,280 @@ def _ddl_fields_of(ddl: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_HAS_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.I)
+_IN_SUBQ_RE = re.compile(
+    r"^(?:\(\s*(?P<mcols>[\w\s.,]+?)\s*\)|(?P<col>(?:\w+\.)?\w+))"
+    r"\s+(?P<neg>NOT\s+)?IN\s*\(\s*(?P<sub>SELECT\b.+)\)\s*$",
+    re.I | re.S,
+)
+_EXISTS_SUBQ_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<sub>SELECT\b.+)\)\s*$",
+    re.I | re.S,
+)
+_SCALAR_SUBQ_RE = re.compile(
+    r"^(?:(\w+)\.)?(?P<col>\w+)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*"
+    r"\(\s*(?P<sub>SELECT\b.+)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _plan_exists(catalog, sub: str, talias: str | None, cols: set[str]):
+    """Plan a (possibly correlated) EXISTS subquery into
+    ``(tcols, sub_df)`` where ``tcols`` are the TARGET columns the
+    correlation equates and ``sub_df`` projects the matching
+    source-side expressions (reference testDeleteWithExistSubquery:
+    ``EXISTS (SELECT 1 FROM s WHERE t.id = s.value)``).  Correlated
+    equality conjuncts are LIFTED out of the subquery's WHERE into join
+    keys; everything else stays inside and is planned by the dispatcher
+    SELECT path.  ``tcols`` is empty for an uncorrelated EXISTS."""
+    mm = re.match(
+        r"^SELECT\s+.+?\s+(?P<rest>FROM\s+.+)$", sub.strip(), re.I | re.S
+    )
+    if not mm:
+        raise SqlError(f"cannot parse EXISTS subquery {sub!r}")
+    rest = mm.group("rest")
+    wm = re.search(
+        r"^(?P<pre>.*?)\bWHERE\b(?P<cond>.*)$", rest, re.I | re.S
+    )
+    corr: list[tuple[str, str]] = []  # (target_col, source_expr)
+    kept: list[str] = []
+    if wm:
+        conjs = _split_top_and(wm.group("cond"))
+        if conjs is None:
+            # top-level OR: usable only if fully uncorrelated
+            if talias and re.search(rf"\b{re.escape(talias)}\.", wm.group("cond")):
+                raise SqlError(
+                    "correlated EXISTS condition under OR is unsupported"
+                )
+            conjs, kept = [], [wm.group("cond")]
+        for conj in conjs:
+            em = re.match(
+                r"^\s*(\w+)\.(\w+)\s*==?\s*(\w+)\.(\w+)\s*$", conj
+            )
+            pair = None
+            if em and talias:
+                a_al, a_c, b_al, b_c = em.groups()
+                if a_al == talias and b_al != talias:
+                    pair = (a_c, f"{b_al}.{b_c}")
+                elif b_al == talias and a_al != talias:
+                    pair = (b_c, f"{a_al}.{a_c}")
+            if pair is not None:
+                if pair[0] not in cols:
+                    raise SqlError(
+                        f"unknown target column {pair[0]!r} in EXISTS "
+                        f"correlation"
+                    )
+                corr.append(pair)
+            else:
+                if talias and re.search(rf"\b{re.escape(talias)}\.", conj):
+                    raise SqlError(
+                        f"only equality correlation is supported in "
+                        f"EXISTS: {conj!r}"
+                    )
+                kept.append(conj)
+        rest = wm.group("pre").rstrip()
+        if kept:
+            rest += " WHERE " + " AND ".join(f"({c})" for c in kept)
+    if corr:
+        select_list = ", ".join(
+            f"{src} AS __c{j}" for j, (_tc, src) in enumerate(corr)
+        )
+    else:
+        select_list = "1 AS __one"
+    sub_df = _select(catalog, f"SELECT {select_list} {rest}")
+    return [tc for tc, _ in corr], sub_df
+
+
+def _subquery_predicate(catalog, table, where: str, talias: str | None = None):
+    """Split a row-level WHERE containing subqueries into
+    ``(match, prune)`` for ``Table.delete_matching/update_matching``
+    (reference TestDelete.java:748-823, testDeleteWithNotInSubquery and
+    the TestUpdate equivalents — Spark rewrites these to joins):
+
+    - each ``[NOT] IN (SELECT …)`` conjunct (single- or multi-column)
+      plans its inner SELECT through the dispatcher SELECT path and
+      becomes a left-semi join (IN) or a NULL-AWARE left-anti join
+      (NOT IN: a target row is removed when some subquery row matches
+      OR the comparison is NULL — either side null, so a single NULL in
+      the subquery makes NOT IN never-true, an empty subquery keeps
+      every row, and a NULL target key never matches IN; exactly
+      Spark's three-valued rewrite);
+    - ``[NOT] EXISTS (SELECT …)`` with equality correlation
+      (``WHERE t.id = s.value`` — testDeleteWithExistSubquery) lifts
+      the correlated conjuncts into semi/anti join keys; uncorrelated
+      EXISTS resolves with one bounded probe;
+    - a scalar-subquery comparison (``v <= (SELECT min(...) …)`` —
+      testDeleteWithScalarSubquery) evaluates the single value up front
+      and folds it into a strict atom, so it prunes files too;
+    - every other conjunct must be a strict dispatcher atom; the
+      conjunction of those doubles as the INCLUSIVE file-pruning
+      expression (dropping the join conjuncts only widens the scan).
+
+    Subqueries under OR are rejected: the pruning split would be
+    unsound and the reference's SQL surface plans them differently."""
+    from iceberg_geo_poc_spark.table import expressions as E
+
+    # BETWEEN first: the AND split below would bisect it
+    cond = re.sub(
+        r"(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
+        lambda b: f"({b.group(2)} >= {b.group(3)} AND {b.group(2)} <= {b.group(4)})",
+        where.strip(),
+        flags=re.I,
+    )
+    conjs = _split_top_and(cond)
+    if conjs is None:
+        raise SqlError(
+            "subquery predicates must be top-level AND conjuncts "
+            "(OR around a subquery is unsupported)"
+        )
+    cols = set(table.columns())
+    plain: list = []
+    subs: list[tuple[str, list[str], bool, object]] = []
+    never = False
+    n_scalar = 0
+    for conj in conjs:
+        conj = conj.strip()
+        sm = _IN_SUBQ_RE.match(conj)
+        if sm:
+            raw = sm.group("mcols") or sm.group("col")
+            tcols = [c.strip().split(".")[-1] for c in raw.split(",")]
+            for c in tcols:
+                if c not in cols:
+                    raise SqlError(
+                        f"unknown column {c!r} in IN-subquery predicate"
+                    )
+            sub_df = _select(catalog, sm.group("sub"))
+            if len(sub_df.columns) != len(tcols):
+                raise SqlError(
+                    f"IN-subquery arity mismatch: {len(tcols)} column(s) "
+                    f"vs {len(sub_df.columns)} in subquery select list"
+                )
+            subs.append(("in", tcols, bool(sm.group("neg")), sub_df))
+            continue
+        sm = _EXISTS_SUBQ_RE.match(conj)
+        if sm:
+            # correlated equality conjuncts lift into join keys
+            # (reference testDeleteWithExistSubquery / NotExists)
+            tcols, sub_df = _plan_exists(
+                catalog, sm.group("sub"), talias, cols
+            )
+            subs.append(("exists", tcols, bool(sm.group("neg")), sub_df))
+            continue
+        sm = _SCALAR_SUBQ_RE.match(conj)
+        if sm:
+            # scalar subquery (reference testDeleteWithScalarSubquery):
+            # evaluate the single value up front and fold it into a
+            # strict atom — it then BOTH prunes files and filters rows.
+            # A NULL scalar makes the comparison never-true.
+            rows = _select(catalog, sm.group("sub")).collect()
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise SqlError(
+                    f"scalar subquery must return 1 row x 1 column: "
+                    f"{sm.group('sub')!r}"
+                )
+            n_scalar += 1
+            val = rows[0][0]
+            if val is None:
+                never = True
+                continue
+            if not isinstance(val, (int, float, str)):
+                val = str(val)
+            c = sm.group("col")
+            if c not in cols:
+                raise SqlError(f"unknown column {c!r} in scalar predicate")
+            plain.append(getattr(E, _SQL_CMP[sm.group("op")])(c, val))
+            continue
+        plain.append(_where_to_expr_strict(conj, cols))
+    if not subs and not never and not n_scalar:
+        raise SqlError(f"no subquery conjunct found in {where!r}")
+    prune = E.and_(*plain) if plain else None
+    geo = table.geo_fields
+
+    def match(df):
+        import pyspark.sql.functions as F
+
+        if never:  # a NULL scalar comparison: the WHERE is never true
+            return df.limit(0)
+        out = df
+        for e in plain:
+            out = out.filter(e.to_spark_column(geo))
+        for i, (kind, tcols, neg, sub) in enumerate(subs):
+            renamed = sub.select(
+                *[
+                    F.col(c).alias(f"__sq{i}_{j}")
+                    for j, c in enumerate(sub.columns)
+                ]
+            )
+            if kind == "exists":
+                if not tcols:
+                    # uncorrelated EXISTS: one bounded probe decides
+                    nonempty = renamed.limit(1).count() > 0
+                    if nonempty != neg:
+                        continue  # conjunct always-true
+                    return out.limit(0)  # conjunct never-true
+                eq = None
+                for j, tc in enumerate(tcols):
+                    c = out[tc] == renamed[f"__sq{i}_{j}"]
+                    eq = c if eq is None else (eq & c)
+                # plain (not null-aware) joins ARE the EXISTS semantics:
+                # a NULL target key equates to nothing, so EXISTS is
+                # FALSE (semi drops it) and NOT EXISTS is TRUE (anti
+                # keeps it in the match set)
+                out = out.join(
+                    renamed, on=eq, how="left_anti" if neg else "left_semi"
+                )
+                continue
+            if neg:
+                # NOT IN decomposes by two bounded (limit-1) probes of
+                # the SUBQUERY so the join stays a hash anti join — the
+                # naive `eq OR isnull(eq)` anti condition degrades to a
+                # nested-loop join, which is exactly the 100 TB trap:
+                #   empty subquery  -> TRUE for every row (even NULL keys)
+                #   any NULL row    -> never TRUE -> matches nothing
+                #   else            -> non-null keys with no equal row
+                if renamed.limit(1).count() == 0:
+                    continue  # conjunct is always-true
+                import functools
+
+                nullcond = functools.reduce(
+                    lambda a, b: a | b,
+                    [renamed[c].isNull() for c in renamed.columns],
+                )
+                if renamed.filter(nullcond).limit(1).count():
+                    return out.limit(0)  # conjunct is never-true
+                for tc in tcols:
+                    out = out.filter(F.col(tc).isNotNull())
+                eq = None
+                for j, tc in enumerate(tcols):
+                    c = out[tc] == renamed[f"__sq{i}_{j}"]
+                    eq = c if eq is None else (eq & c)
+                out = out.join(renamed, on=eq, how="left_anti")
+            else:
+                eq = None
+                for j, tc in enumerate(tcols):
+                    c = out[tc] == renamed[f"__sq{i}_{j}"]
+                    eq = c if eq is None else (eq & c)
+                out = out.join(renamed, on=eq, how="left_semi")
+        return out
+
+    return match, prune
+
+
 def _delete(catalog, m):
     t = catalog.load_table(m.group("table"))
     where = m.group("where")
     from iceberg_geo_poc_spark.table import expressions as E
 
+    mode = t.meta.properties.get("write.delete.mode", "copy-on-write")
+    if where is not None and _HAS_SUBQUERY_RE.search(where):
+        match, prune = _subquery_predicate(
+            catalog, t, where, m.group("talias")
+        )
+        return t.delete_matching(match, prune, mode=mode)
     if where is None:
         expr = E.AlwaysTrue()
     else:
         expr = _where_to_expr_strict(where, set(t.columns()))
-    mode = t.meta.properties.get("write.delete.mode", "copy-on-write")
     return t.delete(expr, mode=mode)
 
 
@@ -500,12 +768,17 @@ def _update(catalog, m):
         # full Spark SQL expression power on the right-hand side
         sets[sm.group(1)] = F.expr(sm.group(2))
     where = m.group("where")
+    mode = t.meta.properties.get("write.update.mode", "copy-on-write")
+    if where is not None and _HAS_SUBQUERY_RE.search(where):
+        match, prune = _subquery_predicate(
+            catalog, t, where, m.group("talias")
+        )
+        return t.update_matching(sets, match, prune, mode=mode)
     expr = (
         E.AlwaysTrue()
         if where is None
         else _where_to_expr_strict(where, cols)
     )
-    mode = t.meta.properties.get("write.update.mode", "copy-on-write")
     return t.update(sets, expr, mode=mode)
 
 
@@ -1346,6 +1619,21 @@ def _merge(catalog, m: re.Match):
     salias = m.group("salias") or source
     t = catalog.load_table(target)
     src_df = catalog.spark.table(source)
+    if m.group("evo"):
+        # MERGE WITH SCHEMA EVOLUTION (reference TestMerge schema-
+        # evolution cases / SparkWriteConf mergeSchema): source columns
+        # absent from the target are ADDED first — standard nullable
+        # add-column evolution, so rows untouched by the merge read the
+        # new columns as NULL — and only then does the clause algebra
+        # run, with UPDATE SET * / INSERT * naturally covering them.
+        tcols = set(t.columns())
+        missing = [f for f in src_df.schema.fields if f.name not in tcols]
+        if missing:
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in missing
+            )
+            catalog.add_columns(target, ddl)
+            t = catalog.load_table(target)
 
     def canon(expr: str) -> str:
         # rewrite user aliases to the join aliases the API uses
@@ -1393,12 +1681,18 @@ def _merge(catalog, m: re.Match):
                     "(there is no source row)"
                 )
             # UPDATE SET * (reference TestMerge.java:110): assign every
-            # shared non-key column from the source row
+            # shared column from the source row.  Only SAME-NAMED join
+            # keys are excluded (t.id = s.id is a no-op by the join
+            # condition); with differently-named keys (ON t.id ==
+            # s.value) a source column that happens to be named 'id' IS
+            # assigned, matching the reference's SET * expansion
+            # (ADVICE r11).
             tcols = t.columns()
+            same_named_keys = {tc for tc, sc in on_pairs if tc == sc}
             return {
                 c: F.expr(f"s.{c}")
                 for c in src_df.columns
-                if c in tcols and c not in on_cols
+                if c in tcols and c not in same_named_keys
             }
         update = {}
         for assign in _split_args(sm.group(1)):

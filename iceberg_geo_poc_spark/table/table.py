@@ -1541,6 +1541,184 @@ class Table:
             append_entries=entries,
         )
 
+    def delete_matching(
+        self,
+        match,
+        prune: E.Expr | None = None,
+        mode: str = "copy-on-write",
+    ) -> MD.Snapshot:
+        """DELETE whose predicate needs relational power beyond a
+        row-local expression — subquery ``IN (SELECT …)`` / null-aware
+        ``NOT IN (SELECT …)`` / multi-column IN (reference
+        TestDelete.java:748-823; Spark plans these as semi/anti joins).
+
+        ``match`` maps the read frame — which carries ``__file_path`` /
+        ``__pos`` row identity — to its MATCHING subset via arbitrary
+        DataFrame ops (the sql dispatcher builds semi and null-aware
+        anti joins).  ``prune`` is the inclusive conjunction of the
+        predicate's join-free conjuncts: it only SHRINKS the candidate
+        file list via manifest stats; the full predicate always runs in
+        ``match``.  Scale shape: candidate files stream through one
+        distributed join per subquery — no driver-side collect of the
+        subquery values, so a 10^9-row subquery costs one shuffle, not
+        driver memory.
+
+        Isolation is conservative: a join predicate cannot be
+        stats-evaluated against concurrently appended files, so ANY
+        concurrent append conflicts (the unconditional-DELETE posture,
+        validate_where=None)."""
+        plan = self._plan_cow(prune if prune is not None else E.AlwaysTrue())
+        base_seq = self.meta.last_sequence_number
+        paths = plan["full"] + plan["partial"]
+        if not paths:
+            return self._commit(
+                "delete", lambda cur, seq: cur, {"deleted-rows": 0}
+            )
+        if mode in ("merge-on-read", "merge-on-read-dv"):
+            df = self._read_files(paths, with_deletes=True, with_pos=True)
+            matches = match(df)
+            if mode == "merge-on-read-dv":
+                return self._commit_dv_delete(matches, paths)
+            entries = self._posdel_entries(matches)
+            return self._commit(
+                "delete",
+                summary={"delete-files": len(entries)},
+                append_entries=entries,
+                validate_live_paths=paths,
+                validate_isolation=(None, "delete", base_seq),
+            )
+        # CoW: rewrite every candidate file without its matching rows;
+        # (__file_path, __pos) is the row identity the anti-join keys on
+        df = self._read_files(
+            paths, with_deletes=True, with_pos=True, with_lineage=True
+        )
+        matched = match(df).select("__file_path", "__pos").persist()
+        # no-match fast exit: a never-true predicate (e.g. NOT IN over a
+        # NULL-bearing subquery) must not rewrite the whole candidate set
+        if matched.limit(1).count() == 0:
+            matched.unpersist()
+            return self._commit(
+                "delete", lambda cur, seq: cur, {"deleted-rows": 0}
+            )
+        kept = df.join(
+            matched, ["__file_path", "__pos"], "left_anti"
+        ).drop("__file_path", "__pos")
+        try:
+            rewritten = self._write_files(kept)
+        finally:
+            matched.unpersist()
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            _validate_files_still_live(current, paths)
+            self._validate_no_conflicting_appends(
+                current, base_seq, None, "delete"
+            )
+            kept_e = current[~current.file_path.isin(set(paths))]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
+            )
+            return M.concat_entries([kept_e, add])
+
+        return self._commit("delete", build, {"rewritten-files": len(paths)})
+
+    def update_matching(
+        self,
+        set_exprs: dict[str, object],
+        match,
+        prune: E.Expr | None = None,
+        mode: str = "copy-on-write",
+    ) -> MD.Snapshot:
+        """UPDATE with a join-powered predicate (subquery IN / NOT IN —
+        reference TestUpdate's subquery cases); same ``match``/``prune``
+        contract and conservative isolation as ``delete_matching``."""
+        plan = self._plan_cow(prune if prune is not None else E.AlwaysTrue())
+        base_seq = self.meta.last_sequence_number
+        paths = plan["full"] + plan["partial"]
+        if not paths:
+            return self._commit(
+                "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
+            )
+        df = self._read_files(
+            paths, with_deletes=True, with_pos=True, with_lineage=True
+        )
+        if mode == "merge-on-read":
+            matches = match(df).persist()
+            try:
+                del_entries = self._posdel_entries(matches)
+                if not del_entries:
+                    return self._commit(
+                        "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
+                    )
+                upd = matches.drop("__file_path", "__pos")
+                for col, newv in set_exprs.items():
+                    newc = newv if "Column" in str(type(newv)) else F.lit(newv)
+                    upd = upd.withColumn(col, newc)
+                data_entries = self._write_files(
+                    upd.select(
+                        *self.columns(),
+                        "_row_id",
+                        F.lit(None).cast("long").alias(
+                            "_last_updated_sequence_number"
+                        ),
+                    )
+                )
+            finally:
+                matches.unpersist()
+            return self._commit(
+                "overwrite",
+                summary={
+                    "delete-files": len(del_entries),
+                    "added-data-files": len(data_entries),
+                },
+                append_entries=del_entries + data_entries,
+                validate_live_paths=paths,
+                validate_isolation=(None, "update", base_seq),
+            )
+        # CoW: mark matched rows by identity, apply SET through the same
+        # when(match, new).otherwise(old) shape as the expression UPDATE
+        matched = match(df).select(
+            "__file_path", "__pos", F.lit(True).alias("__upd_match")
+        ).persist()
+        # no-match fast exit (never-true NOT IN): rewrite nothing
+        if matched.limit(1).count() == 0:
+            matched.unpersist()
+            return self._commit(
+                "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
+            )
+        df = df.join(matched, ["__file_path", "__pos"], "left").withColumn(
+            "__upd_match", F.coalesce(F.col("__upd_match"), F.lit(False))
+        )
+        for col, newv in set_exprs.items():
+            newc = newv if "Column" in str(type(newv)) else F.lit(newv)
+            df = df.withColumn(
+                col, F.when(F.col("__upd_match"), newc).otherwise(F.col(col))
+            )
+        df = df.withColumn(
+            "_last_updated_sequence_number",
+            F.when(F.col("__upd_match"), F.lit(None).cast("long")).otherwise(
+                F.col("_last_updated_sequence_number")
+            ),
+        ).drop("__upd_match", "__file_path", "__pos")
+        try:
+            rewritten = self._write_files(df)
+        finally:
+            matched.unpersist()
+
+        def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            _validate_files_still_live(current, paths)
+            self._validate_no_conflicting_appends(
+                current, base_seq, None, "update"
+            )
+            kept_e = current[~current.file_path.isin(set(paths))]
+            add = M.entries_dataframe(
+                [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
+            )
+            return M.concat_entries([kept_e, add])
+
+        return self._commit(
+            "overwrite", build, {"rewritten-files": len(paths)}
+        )
+
     def update(
         self,
         set_exprs: dict[str, object],
