@@ -43,7 +43,14 @@ FP_BASE = 31  # polynomial rolling-hash base
 
 
 def _array_lit(words: list[str]) -> str:
-    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    """SQL array literal with ESCAPED string elements: a word containing
+    a single quote (e.g. French "d'une" in a stopword list) must produce
+    a valid literal, not an AnalysisException (ADVICE r11).  Backslashes
+    escape first so an input backslash cannot re-arm the quote."""
+    def q(w: str) -> str:
+        return "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return "array(" + ", ".join(q(w) for w in words) + ")"
 
 
 def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -558,10 +558,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _duck_lit(w: str) -> str:
+    """DuckDB string literal: quotes escape by doubling (ANSI), so a
+    stopword containing ``'`` stays valid SQL (ADVICE r11 — the Spark
+    side's _array_lit escapes too)."""
+    return "'" + w.replace("'", "''") + "'"
+
+
 def _duck_langid_sql() -> str:
     langs = sorted(text.LANG_MARKERS)
     lit = {
-        lang: "[" + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]) + "]"
+        lang: "[" + ", ".join(_duck_lit(w) for w in text.LANG_MARKERS[lang]) + "]"
         for lang in langs
     }
     scores = {
@@ -590,7 +597,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_quality_sql() -> str:
-    sw = "[" + ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS) + "]"
+    sw = "[" + ", ".join(_duck_lit(w) for w in text.QUALITY_STOPWORDS) + "]"
     return f"""
     WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
     d AS (SELECT doc_id,

@@ -38,6 +38,10 @@ public class LocalEnvelopeKmsClient implements KmsClient {
     for (String kv : spec.split(",")) {
       if (kv.isEmpty()) continue;
       int i = kv.indexOf(':');
+      if (i < 0) {
+        throw new IllegalArgumentException(
+            "malformed key-spec entry (expected id:base64): " + kv);
+      }
       masters.put(kv.substring(0, i),
           Base64.getDecoder().decode(kv.substring(i + 1)));
     }

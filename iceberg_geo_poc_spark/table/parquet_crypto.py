@@ -356,8 +356,15 @@ _FACTORY_CLASS = (
     "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory"
 )
 _KMS_CLASS = "LocalEnvelopeKmsClient"
-_JVM_READY: dict[int, bool] = {}
-_JVM_WARMED: dict[tuple, bool] = {}
+# WEAK-keyed by the live SparkSession object (ADVICE r11): id(spark) of a
+# garbage-collected session can be reused by a new one, which would then
+# inherit a stale ADD JAR / warm-up verdict — a stale "warmed" hit makes
+# the scan fail at runtime instead of falling back to the Arrow path.
+# Dead-session entries vanish with the session, so ids can never alias.
+import weakref as _weakref
+
+_JVM_READY: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_JVM_WARMED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 _PROBE_CACHE: dict[tuple, bool] = {}
 
 
@@ -420,11 +427,16 @@ def _jvm_read_options(keyspec: str) -> dict[str, str]:
     return {
         "parquet.crypto.factory.class": _FACTORY_CLASS,
         "parquet.encryption.kms.client.class": _KMS_CLASS,
-        # the key set rides the ACCESS TOKEN, not only the conf: parquet-mr's
-        # KeyToolkit caches KmsClient instances per token, so a conf-only
-        # transport would let the first table's keys serve every later table
+        # the key set rides the ACCESS TOKEN only: parquet-mr's KeyToolkit
+        # caches KmsClient instances per token (a conf-only transport would
+        # let the first table's keys serve every later table), AND the
+        # option name contains 'token' so Spark's default redaction regex
+        # ((?i)secret|password|token|access[.]key) masks the key material
+        # in plan/UI/event-log surfaces.  The Hadoop-conf fallback property
+        # iceberg.geo.poc.kms.keys is NOT set as a per-read option — its
+        # name evades default redaction (ADVICE r11); it remains available
+        # for direct-classpath deployments that set it cluster-side.
         "parquet.encryption.key.access.token": keyspec,
-        "iceberg.geo.poc.kms.keys": keyspec,
         "mergeSchema": "false",
     }
 
@@ -445,8 +457,7 @@ def _jvm_crypto_ready(spark: SparkSession, keyspec: str, sample_path: str) -> bo
     natively; the warm-up is then a no-op footer read."""
     if os.environ.get("SPARK_GRAFT_JVM_CRYPTO", "1") == "0":
         return False
-    skey = id(spark)
-    if skey not in _JVM_READY:
+    if spark not in _JVM_READY:
         jar = _kms_jar_path()
         ok = False
         if jar is not None:
@@ -455,19 +466,19 @@ def _jvm_crypto_ready(spark: SparkSession, keyspec: str, sample_path: str) -> bo
                 ok = True
             except Exception:  # noqa: BLE001
                 ok = False
-        _JVM_READY[skey] = ok
-    if not _JVM_READY[skey]:
+        _JVM_READY[spark] = ok
+    if not _JVM_READY[spark]:
         return False
-    wkey = (skey, keyspec)
-    if wkey not in _JVM_WARMED:
+    warmed = _JVM_WARMED.setdefault(spark, {})
+    if keyspec not in warmed:
         try:
             spark.read.options(**_jvm_read_options(keyspec)).parquet(
                 sample_path
             ).schema  # noqa: B018 — forces driver-side footer decrypt
-            _JVM_WARMED[wkey] = True
+            warmed[keyspec] = True
         except Exception:  # noqa: BLE001 — fall back to the Arrow path
-            _JVM_WARMED[wkey] = False
-    return _JVM_WARMED[wkey]
+            warmed[keyspec] = False
+    return warmed[keyspec]
 
 
 def _jvm_compatible_schemas(
