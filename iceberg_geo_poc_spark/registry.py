@@ -63,65 +63,64 @@ _LOADED = False
 # FIRST, then the longest-unseen rows re-verify; the list is recomputed
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-11 rotation.  Recomputed this session from CORRECTNESS_r01-r10
-    # vs the registry: 4 never-driver-seen round-11 registrations first,
-    # then the longest-unseen rows oldest-first — all 18 remaining r4
-    # rows, then the first 28 r5 rows (alphabetical) fill the 50-slot
-    # window.  Staleness floor moves r4 -> r5 when CORRECTNESS_r11 lands.
-    # All 50 locally oracle-green via tools/driver_sim.py.
-    # -- round-11 registrations (never driver-seen) --
-    "rest_metrics_report",
-    "managed_merge_by_source",
-    "retrieval_margin_bitext_bucketed",
-    "managed_merge_insert_values",
-    # -- last seen round 4 (all 18) --
-    "managed_runtime_filter_join",
-    "managed_scan_report",
-    "managed_schema_evolution",
-    "managed_stats_broadcast_join",
-    "managed_table_stats_ndv",
-    "managed_wap_publish",
-    "managed_write_ordered",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pack_document_batches",
-    "sample_deterministic_docs",
-    "sample_stratified_by_lang",
-    "sql_dml_roundtrip",
-    "sql_select_join_pruned",
-    "sql_select_metadata_table",
-    "sql_select_pruned_scan",
-    "sql_select_time_travel",
-    "stats_fastpath_agg",
-    # -- last seen round 5 (alphabetical, first 29) --
-    "agg_approx_percentile_contract",
-    "agg_pivot_event_types",
-    "agg_two_phase_skew",
-    "dedup_duplicate_passages",
-    "geo_annulus_join_counts",
-    "geo_covers_join_counts",
-    "geo_diamond_join_counts",
-    "geo_dwithin_join_counts",
-    "geo_envelope_aggr",
-    "geo_knn_join",
-    "geo_ragged_poly_join_counts",
-    "geo_sql_function_surface",
-    "join_salted_skew",
-    "managed_avro_mor_delete",
-    "managed_identifier_eq_delete",
-    "managed_manifest_consolidation",
-    "managed_object_store_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_phash_dedup",
-    "pipeline_curate_corpus",
-    "q13_customer_order_distribution",
-    "q16_supplier_count_by_part_attrs",
-    "q20_excess_shipment_suppliers",
-    "q21_waiting_suppliers",
-    "q9_profit_by_nation_year",
-    "sample_domain_mixture",
-    "sample_train_val_test_split",
-    "sim_ivf_index_search",
+    # Round-12 rotation.  Recomputed this session from CORRECTNESS_r01-r11
+    # vs the registry: 3 never-driver-seen round-12 registrations first,
+    # then the longest-unseen rows oldest-first — all 20 remaining r5
+    # rows, then the first 27 r7 rows (alphabetical) fill the 50-slot
+    # window.  Staleness floor moves r5 -> r7 when CORRECTNESS_r12 lands.
+    # -- round-12 registrations (never driver-seen) --
+    "sql_delete_in_subquery",
+    "sql_update_in_subquery",
+    "managed_merge_schema_evolution",
+    # -- last seen round 5 (all 20) --
+    "sim_ivf_kmeans_recall",
+    "sim_pq_adc_recall",
+    "sim_quantize_int8",
+    "sim_random_projection",
+    "stats_fastpath_filtered_agg",
+    "stream_dedup_within_watermark",
+    "stream_hourly_event_counts",
+    "stream_partitioned_table_sink",
+    "stream_session_windows",
+    "stream_stream_join",
+    "text_chunk_documents",
+    "text_hash_embedding_retrieval",
+    "text_length_histogram",
+    "text_novelty_scores",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_vocab_top_terms",
+    "ts_gapfill_hourly_counts",
+    "window_ntile_percentiles",
+    "window_trailing_interval_sum",
+    # -- last seen round 7 (alphabetical, first 27) --
+    "dedup_bloom_decontaminate",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "geo_collect_aggr",
+    "managed_add_files_mapped",
+    "managed_changelog_apply",
+    "managed_changelog_mor",
+    "managed_cow_delete",
+    "managed_cow_update",
+    "managed_default_columns",
+    "managed_dv_delete",
+    "managed_encrypted_roundtrip",
+    "managed_eq_delete",
+    "managed_geo_encodings_scan",
+    "managed_metadata_columns",
+    "managed_metrics_truncate_scan",
+    "managed_mor_delete",
+    "managed_mor_merge",
+    "managed_mor_update",
+    "managed_posdelete_compaction",
+    "managed_row_lineage",
+    "managed_snapshot_lineage",
+    "managed_timestamp_ns_scan",
+    "multimodal_flac_frames",
+    "multimodal_gif_frames",
+    "multimodal_log_mel_contract",
+    "multimodal_mfcc_contract",
 )
 
 
