@@ -561,11 +561,14 @@ def main() -> None:
     sf1_ratio: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
+            # cache keyed by the SOURCE sf dir: a smoke run at sf0.01
+            # must not poison the sf0.1 lane's derived corpus
+            sftag = os.path.basename(SF_DIR.rstrip("/"))
             sf1_dir = _ensure_replicated(
-                spark, SF_DIR, 10, os.path.join(_SF1_BASE, "x10")
+                spark, SF_DIR, 10, os.path.join(_SF1_BASE, f"{sftag}-x10")
             )
             ctl_dir = _ensure_replicated(
-                spark, SF_DIR, 1, os.path.join(_SF1_BASE, "x1")
+                spark, SF_DIR, 1, os.path.join(_SF1_BASE, f"{sftag}-x1")
             )
 
             def lane(d: str) -> dict[str, float]:
