@@ -1503,6 +1503,65 @@ def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JDBC_CACHE: dict = {}
+
+
+@query(
+    "managed_jdbc_catalog_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events WHERE user_id % 3 = 0
+    ),
+    kept AS (SELECT * FROM base WHERE NOT (event_type = 'error'))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_jdbc_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC catalog end-to-end (reference jdbc/JdbcCatalog.java over
+    sqlite3): namespace + table registry in the database, THREE appends
+    where the third comes from a deliberately STALE handle — its commit
+    loses the metadata_location compare-and-swap once and lands via the
+    standard retry (reference CommitFailedException + SnapshotProducer
+    retry) — then a CoW delete and a rename, with the final read loaded
+    by the post-rename name through the DB pointer."""
+    if sf_dir not in _JDBC_CACHE:
+        import tempfile
+
+        from iceberg_geo_poc_spark.table.jdbc_catalog import JdbcCatalog
+
+        cat = JdbcCatalog(
+            tempfile.mkdtemp(prefix="igps_jdbcwh_"), spark, catalog_name="q"
+        )
+        cat.create_namespace("ns1")
+        t = cat.create_table(
+            "ns1.events_jdbc",
+            "event_id BIGINT, event_type STRING, value DOUBLE",
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 3 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        stale = cat.load_table("ns1.events_jdbc")
+        t.append(df.filter("event_id % 4 = 1"))  # moves the pointer
+        stale.append(df.filter("event_id % 4 = 3"))  # CAS loses, retries
+        cat.load_table("ns1.events_jdbc").delete(E.eq("event_type", "error"))
+        cat.rename_table("ns1.events_jdbc", "ns1.events_final")
+        _JDBC_CACHE[sf_dir] = (cat, "ns1.events_final")
+    cat, name = _JDBC_CACHE[sf_dir]
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "managed_merge_schema_evolution",
     oracle="""

@@ -7,6 +7,7 @@ pruning; Spark executes the pruned scan.
 """
 
 from iceberg_geo_poc_spark.table.catalog import Catalog
+from iceberg_geo_poc_spark.table.jdbc_catalog import JdbcCatalog
 from iceberg_geo_poc_spark.table import expressions as E
 
-__all__ = ["Catalog", "E"]
+__all__ = ["Catalog", "JdbcCatalog", "E"]
