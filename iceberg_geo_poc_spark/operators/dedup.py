@@ -190,6 +190,115 @@ def duplicate_passages(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFr
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = 8, hash_grams: bool = True
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1, the suffix-array
+    dedup used for GPT-3/PaLM-class corpora): every duplicated run of
+    ``>= k`` tokens keeps only its FIRST occurrence corpus-wide
+    (ordered by (doc_id, position)); every other occurrence is excised
+    from the text.  ``duplicate_passages`` *finds* shared passages;
+    this produces the cleaned corpus.
+
+    Spark shape (the groupBy-join equivalent of the paper's suffix
+    array — the idiomatic distributed form):
+
+    1. one codegen pass slides a ``k``-token window per doc and
+       explodes (doc_id, pos, key);
+    2. ``min_by``-style first-occurrence election: one partial-agg
+       groupBy on the gram key (NO collect_list — a boilerplate gram
+       occurring 10^6 times costs a counter, not a buffer);
+    3. occurrences != first re-join on the key (co-partitioned with the
+       agg; AQE coalesces) -> duplicate window starts;
+    4. per doc: sort the start positions, MERGE overlapping [pos,
+       pos+k-1] windows into maximal spans with one ``aggregate`` HOF
+       (codegen, no UDF), excise by ``array_except`` over positions
+       (order-preserving), rebuild the text.
+
+    ``hash_grams=True`` keys the election on ``xxhash64(gram)`` —
+    8-byte shuffle rows, the 100 TB form (a 2^-64-per-pair collision
+    risks dropping a non-duplicated span; acceptable for corpus
+    hygiene).  ``hash_grams=False`` keys on the gram text itself —
+    byte-exact, replayable by the DuckDB oracle; both paths elect the
+    same spans whenever no collision occurs (asserted in tests).
+
+    Returns (doc_id, n_dup_spans, n_dropped_tokens, clean_text);
+    documents shorter than ``k`` tokens pass through unchanged.
+    """
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    key_expr = (
+        f"xxhash64(array_join(slice(w, i, {k}), ' '))"
+        if hash_grams
+        else f"array_join(slice(w, i, {k}), ' ')"
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {k} THEN "
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> struct(i - 1 AS pos, {key_expr} AS key)) "
+                f"ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.key")
+    # first occurrence per gram: min over the (doc_id, pos) struct —
+    # struct ordering IS the corpus order, one partial-agg groupBy
+    firsts = grams.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dups = (
+        grams.join(firsts.filter(F.col("n_occ") > 1), "key")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # per-doc maximal spans: sorted window starts -> one aggregate() HOF
+    # merges overlap/adjacency ([s, s+k-1] windows; a start <= last_end+1
+    # extends the open span) — pure codegen, then position excision
+    spans = dups.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+    merged = (
+        f"aggregate(starts, array(struct(element_at(starts, 1) AS s, "
+        f"element_at(starts, 1) + {k - 1} AS e)), "
+        f"(acc, p) -> CASE WHEN p <= element_at(acc, -1).e + 1 THEN "
+        f"concat(slice(acc, 1, size(acc) - 1), "
+        f"array(struct(element_at(acc, -1).s AS s, "
+        f"greatest(element_at(acc, -1).e, p + {k - 1}) AS e))) "
+        f"ELSE concat(acc, array(struct(p AS s, p + {k - 1} AS e))) END)"
+    )
+    out = (
+        w.join(spans, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.expr(
+                f"CASE WHEN starts IS NULL OR size(starts) = 0 THEN "
+                f"CAST(array() AS array<struct<s:INT,e:INT>>) "
+                f"ELSE {merged} END"
+            ),
+        )
+        .withColumn(
+            "drop_pos",
+            F.expr("flatten(transform(spans, sp -> sequence(sp.s, sp.e)))"),
+        )
+        .select(
+            "doc_id",
+            F.size("spans").alias("n_dup_spans"),
+            F.size("drop_pos").alias("n_dropped_tokens"),
+            F.expr(
+                "array_join(transform("
+                "array_except(sequence(0, size(w) - 1), drop_pos), "
+                "i -> element_at(w, i + 1)), ' ')"
+            ).alias("clean_text"),
+        )
+    )
+    return out
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs by exact n-gram jaccard, via inverted index.
 

@@ -1928,6 +1928,87 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_removal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS key
+      FROM w, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n_occ
+      FROM g
+    ),
+    dups AS (SELECT doc_id, pos FROM occ WHERE n_occ > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, pos, pos + 7 AS e,
+             CASE WHEN pos <= COALESCE(MAX(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM dups
+    ),
+    grp AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, gid, MIN(pos) AS s, MAX(e) AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS word
+      FROM w, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.word
+      FROM tok t LEFT JOIN spans s
+        ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(word, ' ' ORDER BY pos), '') AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS n_dropped_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(c.n_dup_spans, 0) AS INT) AS n_dup_spans,
+           CAST(COALESCE(c.n_dropped_tokens, 0) AS INT) AS n_dropped_tokens,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM w LEFT JOIN counts c ON w.doc_id = c.doc_id
+           LEFT JOIN agg a ON w.doc_id = a.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1 — the cleaned
+    corpus, not just the shared passages): every duplicated >= 8-token
+    run keeps only its first (doc_id, pos) occurrence corpus-wide;
+    later occurrences merge into maximal spans (gaps-and-islands) and
+    are excised from the text.  The oracle replays the whole algorithm
+    — gram election, window merging, token excision — in SQL; the
+    operator's 100 TB form keys the election on xxhash64 (8-byte
+    shuffle rows; equality asserted in tests), the oracle-paired form
+    here keys on the gram text (operators/dedup.py::
+    remove_duplicate_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, k=8, hash_grams=False).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "sim_pq_adc_recall",
     oracle="""
     SELECT CAST(10 AS BIGINT) AS n_probes,

@@ -64,15 +64,16 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-12 rotation.  Recomputed this session from CORRECTNESS_r01-r11
-    # vs the registry: 4 never-driver-seen round-12 registrations first,
+    # vs the registry: 5 never-driver-seen round-12 registrations first,
     # then the longest-unseen rows oldest-first — all 20 remaining r5
-    # rows, then the first 26 r7 rows (alphabetical) fill the 50-slot
+    # rows, then the first 25 r7 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r5 -> r7 when CORRECTNESS_r12 lands.
     # -- round-12 registrations (never driver-seen) --
     "sql_delete_in_subquery",
     "sql_update_in_subquery",
     "managed_merge_schema_evolution",
     "managed_jdbc_catalog_roundtrip",
+    "dedup_span_removal",
     # -- last seen round 5 (all 20) --
     "sim_ivf_kmeans_recall",
     "sim_pq_adc_recall",
@@ -120,7 +121,6 @@ _PRIORITY_FIRST = (
     "managed_timestamp_ns_scan",
     "multimodal_flac_frames",
     "multimodal_gif_frames",
-    "multimodal_log_mel_contract",
 )
 
 

@@ -1009,6 +1009,67 @@ def test_chunk_dedup_first_occurrence_and_reassembly(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_remove_duplicate_spans_hand_computed(spark):
+    """ExactSubstr span removal (Lee et al. 2022): first occurrence
+    corpus-wide survives; later occurrences (across AND within docs)
+    excise; overlapping/adjacent windows merge into maximal spans;
+    short docs pass through; both gram-key paths (xxhash64 / raw text)
+    elect identical spans."""
+    from iceberg_geo_poc_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),             # owns a..h (pos 0)
+            (2, "x x a b c d e f g h tail words"),  # dup window at pos 2
+            (3, "short doc"),                       # < k tokens: unchanged
+            # both halves duplicate doc 1's opening 8-gram; the two
+            # windows [0,7] and [8,15] are adjacent -> ONE merged span
+            (4, "a b c d e f g h a b c d e f g h"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    expect = {
+        1: (0, 0, "a b c d e f g h i j"),
+        2: (1, 8, "x x tail words"),
+        3: (0, 0, "short doc"),
+        4: (1, 16, ""),
+    }
+    for hash_grams in (True, False):
+        got = {
+            r.doc_id: (r.n_dup_spans, r.n_dropped_tokens, r.clean_text)
+            for r in remove_duplicate_spans(
+                docs, k=8, hash_grams=hash_grams
+            ).collect()
+        }
+        assert got == expect, f"hash_grams={hash_grams}"
+    # scale posture: no cartesian product; the election is a groupBy
+    plan = (
+        remove_duplicate_spans(docs, k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    """A long repeated run produces many overlapping dup windows — they
+    must merge into one span covering exactly the repeat."""
+    from iceberg_geo_poc_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12-token run
+    docs = spark.createDataFrame(
+        [(1, run + " unique tail one"), (2, "lead in " + run)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.n_dropped_tokens, r.clean_text)
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    # doc 2's copy of the run = 5 overlapping 8-windows (starts 2..6)
+    # merging to [2, 13]: exactly the 12 repeated tokens drop
+    assert got[1] == (0, 0, run + " unique tail one")
+    assert got[2] == (1, 12, "lead in")
+
+
 def test_gopher_rules_signals_and_keep(spark):
     """Each Gopher signal hand-checked on crafted docs, plus the keep
     conjunction and threshold parameters."""
