@@ -473,6 +473,37 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM c FULL JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join, completing the watermarked outer
+    family (inner r8, left-outer r11): the multi-batch time-ordered
+    replay with per-stream sentinels drains to EXACTLY the batch FULL
+    JOIN — matched pairs, null-extended unmatched clicks AND
+    null-extended unmatched purchases all hash-verified
+    (streaming/structured.py::click_purchase_full_outer_join)."""
+    return S.click_purchase_full_outer_join(spark, sf_dir).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
 _DSS_TABLES: dict = {}
 
 

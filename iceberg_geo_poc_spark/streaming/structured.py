@@ -507,3 +507,60 @@ def click_purchase_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.filter(F.col("click_id") < _SENTINEL_ID)
+
+
+def click_purchase_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (Spark 3.1+ watermarked outer
+    family, completing left-outer from round 11): every click AND every
+    purchase appears exactly once — matched within the event-time bound,
+    or null-extended on ITS side once the watermark proves no partner
+    can arrive.  Both sentinel rows (one per stream) expire both sides'
+    state before availableNow termination, so the drained result equals
+    the batch FULL JOIN exactly."""
+    d = _time_ordered_stream_dir(spark, sf_dir)
+    ev = load_table_events(spark, sf_dir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clicks = (
+        src.filter("event_type = 'click'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        src.filter("event_type = 'purchase'")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "full_outer",
+    )
+    out = run_to_completion(
+        j.select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+        ),
+        output_mode="append",
+    )
+    return out.filter(
+        (F.col("click_id").isNull() | (F.col("click_id") < _SENTINEL_ID))
+        & (
+            F.col("purchase_id").isNull()
+            | (F.col("purchase_id") < _SENTINEL_ID)
+        )
+    )
