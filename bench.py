@@ -539,6 +539,7 @@ def main() -> None:
         # fallback (object-store FileIO, pre-promotion files) measured
         # explicitly by disabling the JVM path — a fallback regression
         # cannot hide behind the native number
+        prior = os.environ.get("SPARK_GRAFT_JVM_CRYPTO")
         os.environ["SPARK_GRAFT_JVM_CRYPTO"] = "0"
         try:
             runs = measure("managed_encrypted_pruned_scan", SF_DIR)
@@ -547,7 +548,12 @@ def main() -> None:
                 arrow_med / timings["filtered_scan_managed"], 2
             )
         finally:
-            del os.environ["SPARK_GRAFT_JVM_CRYPTO"]
+            # restore (not delete): a user-set override must keep
+            # governing the rest of the run (code-review r12)
+            if prior is None:
+                del os.environ["SPARK_GRAFT_JVM_CRYPTO"]
+            else:
+                os.environ["SPARK_GRAFT_JVM_CRYPTO"] = prior
     if "dv_read" in timings and "mor_read" in timings:
         # decoded DV positions skip the delete-parquet scan mor_read
         # pays; 1.15 headroom absorbs timer jitter on sub-second scans

@@ -1531,24 +1531,31 @@ def managed_jdbc_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
         from iceberg_geo_poc_spark.table.jdbc_catalog import JdbcCatalog
 
-        cat = JdbcCatalog(
-            tempfile.mkdtemp(prefix="igps_jdbcwh_"), spark, catalog_name="q"
-        )
-        cat.create_namespace("ns1")
+        # ONE catalog (one warehouse tmpdir, one commit-backend
+        # registration) for the process; per-sf tables inside it —
+        # a per-sf catalog would grow metadata._BACKENDS every lane
+        if "_cat" not in _JDBC_CACHE:
+            _JDBC_CACHE["_cat"] = JdbcCatalog(
+                tempfile.mkdtemp(prefix="igps_jdbcwh_"), spark,
+                catalog_name="q",
+            )
+            _JDBC_CACHE["_cat"].create_namespace("ns1")
+        cat = _JDBC_CACHE["_cat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"ns1.events_jdbc_{tag}"
         t = cat.create_table(
-            "ns1.events_jdbc",
-            "event_id BIGINT, event_type STRING, value DOUBLE",
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
         )
         df = _events_df(spark, sf_dir).filter("user_id % 3 = 0").select(
             "event_id", "event_type", "value"
         )
         t.append(df.filter("event_id % 2 = 0"))
-        stale = cat.load_table("ns1.events_jdbc")
+        stale = cat.load_table(tname)
         t.append(df.filter("event_id % 4 = 1"))  # moves the pointer
         stale.append(df.filter("event_id % 4 = 3"))  # CAS loses, retries
-        cat.load_table("ns1.events_jdbc").delete(E.eq("event_type", "error"))
-        cat.rename_table("ns1.events_jdbc", "ns1.events_final")
-        _JDBC_CACHE[sf_dir] = (cat, "ns1.events_final")
+        cat.load_table(tname).delete(E.eq("event_type", "error"))
+        cat.rename_table(tname, f"ns1.events_final_{tag}")
+        _JDBC_CACHE[sf_dir] = (cat, f"ns1.events_final_{tag}")
     cat, name = _JDBC_CACHE[sf_dir]
     return (
         cat.load_table(name)

@@ -298,8 +298,28 @@ class JdbcCatalog(Catalog):
         return "default", name
 
     def _table_location(self, name: str) -> str:
+        ov = getattr(self, "_loc_override", None)
+        if ov and name in ov:
+            return ov[name]
         ns, tbl = self._ident(name)
         return os.path.join(self.warehouse, ns, tbl)
+
+    def _fresh_location(self, name: str) -> str:
+        """Name-derived location, uniquified when another table already
+        holds it — after ``rename_table`` the renamed table KEEPS its
+        old location (reference behavior: locations are independent of
+        names), so a new table under the vacated name must not share the
+        directory (two tables sharing one metadata/ log would corrupt
+        each other; code-review r12)."""
+        ns, tbl = self._ident(name)
+        base = os.path.join(self.warehouse, ns, tbl)
+        with self.backend.db() as c:
+            taken = c.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name = ?"
+                " AND location = ? LIMIT 1",
+                (self.catalog_name, base),
+            ).fetchone()
+        return base if not taken else f"{base}_{uuid.uuid4().hex[:8]}"
 
     def _row(self, name: str):
         ns, tbl = self._ident(name)
@@ -395,7 +415,8 @@ class JdbcCatalog(Catalog):
 
     def create_table(self, name: str, schema_ddl: str, **kwargs) -> Table:
         ns, tbl = self._ident(name)
-        location = self._table_location(name)
+        location = self._fresh_location(name)
+        self._loc_override = {**getattr(self, "_loc_override", {}), name: location}
         with self.backend.db() as c:
             have_ns = c.execute(
                 "SELECT 1 FROM iceberg_namespace_properties"
@@ -425,6 +446,8 @@ class JdbcCatalog(Catalog):
                     (self.catalog_name, ns, tbl),
                 )
             raise
+        finally:
+            self._loc_override.pop(name, None)
 
     def load_table(self, name: str) -> Table:
         row = self._row(name)
@@ -491,6 +514,48 @@ class JdbcCatalog(Catalog):
             # deviation (documented): clear metadata so the name-derived
             # location is reusable; data files stay for external readers
             shutil.rmtree(os.path.join(location, "metadata"), ignore_errors=True)
+
+    def snapshot_table(self, source: str, dest: str) -> Table:
+        """Zero-copy clone under the DB-pointer protocol: the base
+        implementation copies metadata on the FILESYSTEM and re-reads
+        it, but JDBC readers resolve versions from the pointer row — so
+        the clone must be registered (row pointing at the copied
+        current version) BEFORE the location-rewriting commit runs
+        (code-review r12)."""
+        src_row = self._row(source)
+        if src_row is None or src_row[1] is None:
+            raise FileNotFoundError(f"table {source} not found in catalog")
+        src_loc = src_row[0]
+        ns, tbl = self._ident(dest)
+        dest_loc = self._fresh_location(dest)
+        cur_v = self.backend._version_of(src_row[1])
+        os.makedirs(dest_loc)
+        shutil.copytree(
+            MD.metadata_dir(src_loc),
+            MD.metadata_dir(dest_loc),
+            dirs_exist_ok=True,
+        )
+        ptr = os.path.join(
+            MD.metadata_dir(dest_loc), f"v{cur_v}.metadata.json"
+        )
+        with self.backend.db() as c:
+            try:
+                c.execute(
+                    "INSERT INTO iceberg_tables VALUES"
+                    " (?, ?, ?, ?, NULL, 'TABLE', ?)",
+                    (self.catalog_name, ns, tbl, ptr, dest_loc),
+                )
+            except sqlite3.IntegrityError:
+                shutil.rmtree(dest_loc, ignore_errors=True)
+                raise ValueError(f"table {dest} already exists") from None
+        meta = MD.read_metadata(dest_loc)
+        meta.location = dest_loc
+        meta.properties = dict(
+            meta.properties,
+            **{"snapshot-source": source, "gc.enabled": "false"},
+        )
+        MD.write_new_metadata(meta, meta.version)
+        return self.load_table(dest)
 
     # JdbcCatalog.registerTable: adopt an existing metadata document
     def register_table(self, name: str, metadata_location: str) -> Table:

@@ -126,8 +126,18 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
                 )
                 nan_hint[name] = nan_hint.get(name, False) or hinted
             if st.has_min_max:
-                lo = _enc_stat(st.min)
-                hi = _enc_stat(st.max)
+                try:
+                    lo = _enc_stat(st.min)
+                    hi = _enc_stat(st.max)
+                except Exception:  # noqa: BLE001
+                    # pyarrow cannot materialize min/max for some
+                    # logical types (e.g. DECIMAL raises
+                    # ArrowNotImplementedError): record no bounds for
+                    # the column — inclusive pruning treats missing
+                    # stats as might-match, so only pruning is lost,
+                    # never correctness (code-review r12: this crashed
+                    # every append carrying a decimal column)
+                    lo = hi = None
                 if lo is not None:
                     lower[name] = lo if name not in lower else min(lower[name], lo)
                 if hi is not None:

@@ -508,8 +508,13 @@ def _plan_exists(catalog, sub: str, talias: str | None, cols: set[str]):
     if not mm:
         raise SqlError(f"cannot parse EXISTS subquery {sub!r}")
     rest = mm.group("rest")
+    # the predicate region ends at the first trailing clause keyword —
+    # GROUP BY/HAVING/ORDER BY/LIMIT stay attached to the rebuilt query
     wm = re.search(
-        r"^(?P<pre>.*?)\bWHERE\b(?P<cond>.*)$", rest, re.I | re.S
+        r"^(?P<pre>.*?)\bWHERE\b(?P<cond>.*?)"
+        r"(?P<post>\s+\b(?:GROUP|HAVING|ORDER|LIMIT)\b.*)?$",
+        rest,
+        re.I | re.S,
     )
     corr: list[tuple[str, str]] = []  # (target_col, source_expr)
     kept: list[str] = []
@@ -550,6 +555,8 @@ def _plan_exists(catalog, sub: str, talias: str | None, cols: set[str]):
         rest = wm.group("pre").rstrip()
         if kept:
             rest += " WHERE " + " AND ".join(f"({c})" for c in kept)
+        if wm.group("post"):
+            rest += wm.group("post")
     if corr:
         select_list = ", ".join(
             f"{src} AS __c{j}" for j, (_tc, src) in enumerate(corr)
@@ -589,10 +596,20 @@ def _subquery_predicate(catalog, table, where: str, talias: str | None = None):
     unsound and the reference's SQL surface plans them differently."""
     from iceberg_geo_poc_spark.table import expressions as E
 
-    # BETWEEN first: the AND split below would bisect it
+    # BETWEEN first: the AND split below would bisect it.  The alias
+    # qualifier is PRESERVED (dropping it inside a correlated EXISTS
+    # body would silently rebind the column to the inner relation); a
+    # rewrite that reaches into a subquery body is harmless because the
+    # expansion is SQL-equivalent text.
     cond = re.sub(
         r"(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
-        lambda b: f"({b.group(2)} >= {b.group(3)} AND {b.group(2)} <= {b.group(4)})",
+        lambda b: (
+            "("
+            + (f"{b.group(1)}." if b.group(1) else "")
+            + f"{b.group(2)} >= {b.group(3)} AND "
+            + (f"{b.group(1)}." if b.group(1) else "")
+            + f"{b.group(2)} <= {b.group(4)})"
+        ),
         where.strip(),
         flags=re.I,
     )
@@ -652,8 +669,27 @@ def _subquery_predicate(catalog, table, where: str, talias: str | None = None):
             if val is None:
                 never = True
                 continue
-            if not isinstance(val, (int, float, str)):
-                val = str(val)
+            # typed coercion into the strict-atom domain: Decimal joins
+            # the numeric stats comparisons as float, temporal values
+            # take the engine's timestamp-string form (the format every
+            # other E atom uses); anything else is refused loudly
+            # rather than mispruned via str()
+            import datetime as _dt
+            import decimal as _dec
+
+            if isinstance(val, bool) or isinstance(val, (int, float, str)):
+                pass
+            elif isinstance(val, _dec.Decimal):
+                val = float(val)
+            elif isinstance(val, _dt.datetime):
+                val = val.strftime("%Y-%m-%d %H:%M:%S.%f")
+            elif isinstance(val, _dt.date):
+                val = val.strftime("%Y-%m-%d")
+            else:
+                raise SqlError(
+                    f"unsupported scalar-subquery value type "
+                    f"{type(val).__name__} for row-level SQL"
+                )
             c = sm.group("col")
             if c not in cols:
                 raise SqlError(f"unknown column {c!r} in scalar predicate")
@@ -699,31 +735,43 @@ def _subquery_predicate(catalog, table, where: str, talias: str | None = None):
                     renamed, on=eq, how="left_anti" if neg else "left_semi"
                 )
                 continue
-            if neg:
-                # NOT IN decomposes by two bounded (limit-1) probes of
-                # the SUBQUERY so the join stays a hash anti join — the
-                # naive `eq OR isnull(eq)` anti condition degrades to a
-                # nested-loop join, which is exactly the 100 TB trap:
+            if neg and len(tcols) == 1:
+                # single-column NOT IN decomposes by two bounded
+                # (limit-1) probes of the SUBQUERY so the join stays a
+                # hash anti join — the naive `eq OR isnull(eq)` anti
+                # condition degrades to a nested-loop join, which is
+                # exactly the 100 TB trap:
                 #   empty subquery  -> TRUE for every row (even NULL keys)
                 #   any NULL row    -> never TRUE -> matches nothing
                 #   else            -> non-null keys with no equal row
+                # (sound ONLY for one column: x <> s fails to be FALSE
+                # exactly when x or s is NULL)
                 if renamed.limit(1).count() == 0:
                     continue  # conjunct is always-true
-                import functools
-
-                nullcond = functools.reduce(
-                    lambda a, b: a | b,
-                    [renamed[c].isNull() for c in renamed.columns],
-                )
-                if renamed.filter(nullcond).limit(1).count():
+                sq = renamed.columns[0]
+                if renamed.filter(renamed[sq].isNull()).limit(1).count():
                     return out.limit(0)  # conjunct is never-true
-                for tc in tcols:
-                    out = out.filter(F.col(tc).isNotNull())
+                out = out.filter(F.col(tcols[0]).isNotNull())
+                out = out.join(
+                    renamed, on=out[tcols[0]] == renamed[sq], how="left_anti"
+                )
+            elif neg:
+                # multi-column NOT IN: tuple equality is FALSE as soon
+                # as ANY non-null pair differs, so a NULL in the
+                # subquery does NOT globally poison the predicate and a
+                # partially-NULL target key can still be definitely
+                # unequal to every row — the single-column shortcuts
+                # above are UNSOUND here (code-review r12).  Use the
+                # full null-aware anti condition `eq OR isnull(eq)`: a
+                # row leaves the match set when some subquery row is
+                # not-definitely-unequal.  Spark's own multi-column
+                # NOT IN rewrite plans this same condition (nested-loop
+                # shaped — the price of the semantics).
                 eq = None
                 for j, tc in enumerate(tcols):
                     c = out[tc] == renamed[f"__sq{i}_{j}"]
                     eq = c if eq is None else (eq & c)
-                out = out.join(renamed, on=eq, how="left_anti")
+                out = out.join(renamed, on=eq | eq.isNull(), how="left_anti")
             else:
                 eq = None
                 for j, tc in enumerate(tcols):

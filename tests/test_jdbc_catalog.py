@@ -88,8 +88,15 @@ def test_backend_cas_rejects_wrong_base(spark, cat):
 
 def test_concurrent_appends_all_land(spark, cat):
     """8 threads x 1 append: every commit lands exactly once through
-    the CAS (sqlite write lock serializes; losers retry)."""
-    t = cat.create_table("t5", "a BIGINT, b STRING")
+    the CAS (sqlite write lock serializes; losers retry).  The retry
+    budget is raised the same way a real deployment tunes for many
+    concurrent committers (reference TableProperties
+    COMMIT_NUM_RETRIES, default 4 — a thread can lose up to 7 races
+    here)."""
+    t = cat.create_table(
+        "t5", "a BIGINT, b STRING",
+        properties={"commit.retry.num-retries": "40"},
+    )
     t.append(_df(spark, 0, 1))
     errs = []
 
@@ -150,6 +157,36 @@ def test_drop_and_recreate(spark, cat):
     t2 = cat.create_table("t6", "a BIGINT, b STRING")
     t2.append(_df(spark, 0, 2))
     assert cat.load_table("t6").to_df().count() == 2
+
+
+def test_rename_then_recreate_vacated_name(spark, cat):
+    """After rename the old table KEEPS its location (reference:
+    locations are name-independent); re-creating under the vacated name
+    must allocate a FRESH location, not collide on the unique index or
+    share a metadata log (code-review r12)."""
+    t = cat.create_table("r1", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    cat.rename_table("r1", "r2")
+    t2 = cat.create_table("r1", "a BIGINT, b STRING")
+    t2.append(_df(spark, 0, 2))
+    assert cat.load_table("r1").to_df().count() == 2
+    assert cat.load_table("r2").to_df().count() == 5
+    assert cat._row("r1")[0] != cat._row("r2")[0]
+
+
+def test_snapshot_table_under_jdbc(spark, cat):
+    """CALL snapshot clones must register the DB pointer row before the
+    location-rewriting commit (the base FS-copy path alone is invisible
+    to DB-routed readers; code-review r12)."""
+    t = cat.create_table("snap_src", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 6))
+    clone = cat.snapshot_table("snap_src", "snap_dst")
+    assert clone.to_df().count() == 6
+    assert clone.meta.properties["gc.enabled"] == "false"
+    # clone writes never touch the source
+    clone.append(_df(spark, 100, 103))
+    assert cat.load_table("snap_dst").to_df().count() == 9
+    assert cat.load_table("snap_src").to_df().count() == 6
 
 
 def test_register_table_adopts_metadata(spark, cat, tmp_path):

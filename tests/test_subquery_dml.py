@@ -107,6 +107,81 @@ def test_delete_multi_column_in_subquery(spark, catalog):
     assert _ids(catalog, "t6") == [-999, 2, 3]
 
 
+def test_delete_multi_column_not_in_partial_nulls(spark, catalog):
+    """Multi-column NOT IN three-valued semantics (code-review r12):
+    tuple equality is FALSE as soon as any non-null pair differs, so a
+    NULL in the subquery does NOT make the predicate never-true, and a
+    partially-NULL target key can still be definitely unequal."""
+    _mk_target(spark, catalog, "mc1")
+    _mk_keys(
+        spark, catalog, "mc1k",
+        [(1, "a"), (None, "b")],
+        ddl="k BIGINT, g STRING",
+    )
+    catalog.sql("DELETE FROM mc1 WHERE (id, grp) NOT IN (SELECT k, g FROM mc1k)")
+    # (1,a) matches (1,a) -> FALSE for NOT IN -> keep
+    # (2,a): unequal to both (grp 'a'!='b' decides the NULL row) -> delete
+    # (3,b)/(4,b): vs (NULL,b) the comparison is NULL -> keep
+    # (NULL,a): vs (1,a) comparison is NULL -> keep
+    assert _ids(catalog, "mc1") == [-999, 1, 3, 4]
+
+
+def test_delete_multi_column_not_in_null_key_can_delete(spark, catalog):
+    """A NULL-keyed target row IS deleted when every subquery tuple is
+    definitely unequal on some other column."""
+    _mk_target(spark, catalog, "mc2")
+    _mk_keys(
+        spark, catalog, "mc2k", [(7, "z")], ddl="k BIGINT, g STRING"
+    )
+    catalog.sql("DELETE FROM mc2 WHERE (id, grp) NOT IN (SELECT k, g FROM mc2k)")
+    # every row (incl. the NULL id one, via grp != 'z') is definitely
+    # unequal to (7,'z') -> all deleted
+    assert _ids(catalog, "mc2") == []
+
+
+def test_delete_scalar_subquery_decimal(spark, catalog):
+    """A DECIMAL scalar folds into the strict atom as float instead of
+    crashing the stats evaluator via str() (code-review r12)."""
+    from decimal import Decimal
+
+    t = catalog.create_table("dct", "id BIGINT, price DECIMAL(10,2)")
+    t.append(
+        spark.createDataFrame(
+            [(1, Decimal("10.00")), (2, Decimal("20.00")), (3, Decimal("30.00"))],
+            "id BIGINT, price DECIMAL(10,2)",
+        )
+    )
+    catalog.sql("DELETE FROM dct WHERE price <= (SELECT min(price) + 5 FROM dct)")
+    got = sorted(r.id for r in catalog.load_table("dct").to_df().collect())
+    assert got == [2, 3]
+
+
+def test_delete_exists_with_group_by_tail(spark, catalog):
+    """GROUP BY after the correlated WHERE stays attached to the
+    rebuilt subquery instead of being parsed as a conjunct."""
+    _mk_target(spark, catalog, "eg1")
+    _mk_keys(spark, catalog, "eg1k", [(2,), (2,), (4,)])
+    catalog.sql(
+        "DELETE FROM eg1 t WHERE EXISTS "
+        "(SELECT 1 FROM eg1k s WHERE t.id = s.k GROUP BY s.k)"
+    )
+    assert _ids(catalog, "eg1") == [-999, 1, 3]
+
+
+def test_delete_correlated_between_keeps_qualifier(spark, catalog):
+    """t.v BETWEEN inside a correlated EXISTS must keep its alias: a
+    dropped qualifier would silently rebind to the inner relation
+    (code-review r12) — here it is correctly rejected as non-equality
+    correlation rather than mis-executed."""
+    _mk_target(spark, catalog, "bq1")
+    _mk_keys(spark, catalog, "bq1k", [(1,)])
+    with pytest.raises(SqlError, match="only equality correlation"):
+        catalog.sql(
+            "DELETE FROM bq1 t WHERE EXISTS "
+            "(SELECT 1 FROM bq1k s WHERE t.id = s.k AND t.v BETWEEN 1 AND 5)"
+        )
+
+
 def test_delete_subquery_under_or_rejected(spark, catalog):
     _mk_target(spark, catalog, "t7")
     _mk_keys(spark, catalog, "k7", [(1,)])
