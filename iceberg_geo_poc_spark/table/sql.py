@@ -146,6 +146,16 @@ def _partition_term(term: str) -> tuple[str, str]:
     raise SqlError(f"unknown partition transform {fn!r}")
 
 
+def _parse_props(props: str) -> dict[str, str]:
+    out = {}
+    for kv in _split_args(props):
+        km = re.match(r"^'([^']*)'\s*=\s*'([^']*)'$", kv.strip())
+        if not km:
+            raise SqlError(f"cannot parse property {kv!r}")
+        out[km.group(1)] = km.group(2)
+    return out
+
+
 def dispatch_sql(catalog, text: str):
     """Route one SQL statement to the Python API.  Returns whatever the
     routed call returns (Table, DataFrame, procedure result)."""
@@ -223,6 +233,68 @@ def dispatch_sql(catalog, text: str):
     if m:
         return catalog.spark.createDataFrame(
             [(n,) for n in catalog.list_tables()], "tableName STRING"
+        )
+    # -- namespace DDL (reference Spark SQL surface over JdbcCatalog /
+    # RESTCatalog namespaces; catalogs without namespace support refuse) --
+    m = re.match(
+        r"^\s*CREATE\s+NAMESPACE\s+(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>[A-Za-z_]\w*)"
+        r"(?:\s+WITH\s+(?:DB)?PROPERTIES\s*\((?P<props>.*?)\))?\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if m:
+        if not hasattr(catalog, "create_namespace"):
+            raise SqlError("this catalog does not support namespaces")
+        props = _parse_props(m.group("props")) if m.group("props") else None
+        catalog.create_namespace(
+            m.group("name"), props, if_not_exists=bool(m.group("ifnx"))
+        )
+        return None
+    m = re.match(
+        r"^\s*ALTER\s+NAMESPACE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+"
+        r"(?:DB)?PROPERTIES\s*\((?P<props>.*?)\)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if m:
+        if not hasattr(catalog, "set_namespace_properties"):
+            raise SqlError("this catalog does not support namespaces")
+        catalog.set_namespace_properties(
+            m.group("name"), _parse_props(m.group("props"))
+        )
+        return None
+    m = re.match(
+        r"^\s*DROP\s+NAMESPACE\s+(?P<ifex>IF\s+EXISTS\s+)?"
+        r"(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        if not hasattr(catalog, "drop_namespace"):
+            raise SqlError("this catalog does not support namespaces")
+        if m.group("ifex") and m.group("name") not in catalog.list_namespaces():
+            return None
+        catalog.drop_namespace(m.group("name"))
+        return None
+    m = re.match(r"^\s*SHOW\s+NAMESPACES\s*;?\s*$", text, re.I)
+    if m:
+        if not hasattr(catalog, "list_namespaces"):
+            raise SqlError("this catalog does not support namespaces")
+        return catalog.spark.createDataFrame(
+            [(n,) for n in catalog.list_namespaces()], "namespace STRING"
+        )
+    m = re.match(
+        r"^\s*DESC(?:RIBE)?\s+NAMESPACE\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        if not hasattr(catalog, "namespace_properties"):
+            raise SqlError("this catalog does not support namespaces")
+        props = catalog.namespace_properties(m.group("name"))
+        return catalog.spark.createDataFrame(
+            sorted(props.items()), "property STRING, value STRING"
         )
     m = re.match(
         r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<table>[\w.]+)\s*;?\s*$", text, re.I

@@ -202,6 +202,35 @@ def test_register_table_adopts_metadata(spark, cat, tmp_path):
     assert cat2.table_exists("adopted")
 
 
+def test_namespace_ddl_statements(spark, cat):
+    """Textual namespace DDL (the reference's Spark SQL namespace
+    surface) routed to the JDBC catalog."""
+    cat.sql("CREATE NAMESPACE ns_sql WITH PROPERTIES ('owner' = 'etl')")
+    cat.sql("CREATE NAMESPACE IF NOT EXISTS ns_sql")
+    names = [r.namespace for r in cat.sql("SHOW NAMESPACES").collect()]
+    assert "ns_sql" in names and "default" in names
+    cat.sql("ALTER NAMESPACE ns_sql SET PROPERTIES ('tier' = 'gold')")
+    props = {
+        r.property: r.value
+        for r in cat.sql("DESCRIBE NAMESPACE ns_sql").collect()
+    }
+    assert props["owner"] == "etl" and props["tier"] == "gold"
+    cat.sql("DROP NAMESPACE ns_sql")
+    cat.sql("DROP NAMESPACE IF EXISTS ns_sql")  # no-op
+    assert "ns_sql" not in [
+        r.namespace for r in cat.sql("SHOW NAMESPACES").collect()
+    ]
+
+
+def test_namespace_ddl_refused_on_plain_catalog(spark, tmp_path):
+    from iceberg_geo_poc_spark.table import Catalog
+    from iceberg_geo_poc_spark.table.sql import SqlError
+
+    plain = Catalog(str(tmp_path / "plainwh"), spark)
+    with pytest.raises(SqlError, match="does not support namespaces"):
+        plain.sql("CREATE NAMESPACE nope")
+
+
 def test_row_level_ops_and_sql_through_jdbc(spark, cat):
     """The full Catalog surface rides on top: SQL dispatcher, delete,
     time travel — all arbitrating through the DB pointer."""
