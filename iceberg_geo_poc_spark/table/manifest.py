@@ -79,6 +79,27 @@ def _enc_stat(v):
         return None
 
 
+def _decimal_scale(f, name: str):
+    """Scale of a top-level decimal column, else None (footer schema is
+    already in memory; no extra IO)."""
+    import pyarrow as pa
+
+    try:
+        field = f.schema_arrow.field(name)
+    except KeyError:
+        return None
+    return field.type.scale if pa.types.is_decimal(field.type) else None
+
+
+def _dec_raw(raw, scale: int) -> float:
+    """Decimal bound from the footer's RAW unscaled statistic: Spark
+    writes decimal(p<=18) as INT32/INT64 unscaled ints, larger
+    precisions as big-endian two's-complement FIXED_LEN_BYTE_ARRAY."""
+    if isinstance(raw, bytes):
+        raw = int.from_bytes(raw, "big", signed=True)
+    return float(raw) / (10 ** scale)
+
+
 def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
     """(record_count, file_size, lower, upper, nulls, nan_hint) from one
     footer.
@@ -130,14 +151,22 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
                     lo = _enc_stat(st.min)
                     hi = _enc_stat(st.max)
                 except Exception:  # noqa: BLE001
-                    # pyarrow cannot materialize min/max for some
-                    # logical types (e.g. DECIMAL raises
-                    # ArrowNotImplementedError): record no bounds for
-                    # the column — inclusive pruning treats missing
-                    # stats as might-match, so only pruning is lost,
-                    # never correctness (code-review r12: this crashed
-                    # every append carrying a decimal column)
+                    # pyarrow cannot materialize min/max for Spark's
+                    # int-backed DECIMAL (ArrowNotImplementedError —
+                    # this crashed every append carrying a decimal
+                    # column, code-review r12).  The RAW unscaled stats
+                    # are still in the footer: rescale them so decimal
+                    # columns keep min/max pruning; anything else
+                    # degrades to no bounds (inclusive might-match —
+                    # pruning lost, correctness kept).
                     lo = hi = None
+                    scale = _decimal_scale(f, name)
+                    if scale is not None:
+                        try:
+                            lo = _dec_raw(st.min_raw, scale)
+                            hi = _dec_raw(st.max_raw, scale)
+                        except Exception:  # noqa: BLE001
+                            lo = hi = None
                 if lo is not None:
                     lower[name] = lo if name not in lower else min(lower[name], lo)
                 if hi is not None:

@@ -156,6 +156,30 @@ def test_delete_scalar_subquery_decimal(spark, catalog):
     assert got == [2, 3]
 
 
+def test_decimal_column_bounds_prune(spark, catalog):
+    """Decimal footer stats are recovered from the RAW unscaled ints
+    (pyarrow cannot cast them), so decimal columns PRUNE instead of
+    merely not crashing (code-review r12 follow-up)."""
+    from decimal import Decimal
+
+    from iceberg_geo_poc_spark.table import E
+
+    t = catalog.create_table("decp", "id BIGINT, price DECIMAL(10,2)")
+    lo = [(i, Decimal(f"{i}.25")) for i in range(1, 6)]
+    hi = [(i, Decimal(f"{i}.75")) for i in range(100, 106)]
+    t.append(
+        spark.createDataFrame(lo, "id BIGINT, price DECIMAL(10,2)").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(hi, "id BIGINT, price DECIMAL(10,2)").coalesce(1)
+    )
+    scan = t.scan(where=E.ge("price", 50.0))
+    assert scan.total_data_files() == 2
+    assert len(scan.files()) == 1, "decimal bounds did not prune"
+    got = sorted(r.id for r in scan.to_df().collect())
+    assert got == [100, 101, 102, 103, 104, 105]
+
+
 def test_delete_exists_with_group_by_tail(spark, catalog):
     """GROUP BY after the correlated WHERE stays attached to the
     rebuilt subquery instead of being parsed as a conjunct."""
