@@ -41,11 +41,16 @@ _ALTER_RE = re.compile(
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+(?P<evo>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
     r"INTO\s+(?P<target>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
-    r"\s+USING\s+(?P<source>[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
+    r"\s+USING\s+(?:(?P<source>[A-Za-z_][\w.]*)|\((?P<srcsub>.+?)\))"
+    r"(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$",
     re.I | re.S,
 )
+# WITH <cte> AS (...) [, ...] MERGE INTO ... (reference
+# testMergeWithSourceCTE): CTEs register as temp views, then the MERGE
+# dispatches normally
+_WITH_MERGE_RE = re.compile(r"^\s*WITH\s+", re.I)
 
 
 def _parse_literal(tok: str) -> Any:
@@ -146,6 +151,36 @@ def _partition_term(term: str) -> tuple[str, str]:
     raise SqlError(f"unknown partition transform {fn!r}")
 
 
+def _split_ctes(text: str):
+    """Parse a leading ``WITH name AS (...) [, name AS (...)]*`` prefix;
+    returns ``([(name, body), ...], rest)`` or None when the text is not
+    a well-formed CTE list (paren-balanced scan)."""
+    m = re.match(r"^\s*WITH\s+", text, re.I)
+    if not m:
+        return None
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        nm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", text[i:], re.I)
+        if not nm:
+            return None
+        j = i + nm.end()  # position after the opening paren
+        depth, k = 1, j
+        while k < len(text) and depth:
+            depth += text[k] == "("
+            depth -= text[k] == ")"
+            k += 1
+        if depth:
+            return None
+        ctes.append((nm.group(1), text[j : k - 1]))
+        i = k
+        cm = re.match(r"\s*,", text[i:])
+        if not cm:
+            break
+        i += cm.end()
+    return ctes, text[i:]
+
+
 def _parse_props(props: str) -> dict[str, str]:
     out = {}
     for kv in _split_args(props):
@@ -168,6 +203,19 @@ def dispatch_sql(catalog, text: str):
     m = _ALTER_RE.match(text)
     if m:
         return _alter(catalog, m.group("table"), m.group("rest"))
+    if _WITH_MERGE_RE.match(text):
+        # WITH <cte> AS (...) [, ...] MERGE INTO ... (reference
+        # testMergeWithSourceCTE): each CTE plans through the dispatcher
+        # SELECT path (engine tables prune) and registers as a temp
+        # view; a WITH prefix over a SELECT falls through to _select
+        parsed = _split_ctes(text)
+        if parsed is not None and re.match(r"\s*MERGE\b", parsed[1], re.I):
+            for cte_name, body in parsed[0]:
+                _select(catalog, body).createOrReplaceTempView(cte_name)
+            mm = _MERGE_RE.match(parsed[1])
+            if not mm:
+                raise SqlError("cannot parse MERGE statement after WITH clause")
+            return _merge(catalog, mm)
     if _SELECT_RE.match(text):
         return _select(catalog, text)
     m = _INSERT_RE.match(text)
@@ -1736,9 +1784,27 @@ def _merge(catalog, m: re.Match):
     target = m.group("target")
     talias = m.group("talias") or target
     source = m.group("source")
-    salias = m.group("salias") or source
+    salias = m.group("salias") or source or "__src"
     t = catalog.load_table(target)
-    src_df = catalog.spark.table(source)
+    # reference parity (TestMerge.testMergeWithSubqueriesInConditions):
+    # Spark's MERGE rejects subqueries in the ON condition and in every
+    # WHEN clause — match that loudly instead of mis-parsing
+    for part, what in ((m.group("on"), "SEARCH"), (m.group("clauses"), "clause")):
+        if _HAS_SUBQUERY_RE.search(part):
+            raise SqlError(
+                f"MERGE operation contains unsupported {what} condition: "
+                "subqueries are not allowed"
+            )
+    if source is None:
+        # USING (SELECT ...) <alias> — inline subquery source, planned
+        # through the dispatcher SELECT path (engine tables prune)
+        src_df = _select(catalog, m.group("srcsub"))
+    elif catalog.table_exists(source):
+        # engine-table source, incl. self-merge (reference testSelfMerge:
+        # the source plan is pinned BEFORE any rewrite commits)
+        src_df = catalog.load_table(source).to_df()
+    else:
+        src_df = catalog.spark.table(source)
     if m.group("evo"):
         # MERGE WITH SCHEMA EVOLUTION (reference TestMerge schema-
         # evolution cases / SparkWriteConf mergeSchema): source columns

@@ -153,6 +153,94 @@ def test_merge_into_matches_api(spark, catalog):
     ]
 
 
+def test_merge_with_source_cte(spark, catalog):
+    """WITH cte AS (...) MERGE INTO ... (reference
+    testMergeWithSourceCTE): the CTE registers as a temp view and the
+    MERGE runs against it."""
+    t = catalog.create_table("mcte", "id BIGINT, dep STRING")
+    t.append(
+        spark.createDataFrame(
+            [(2, "emp-id-two"), (6, "emp-id-6")], "id BIGINT, dep STRING"
+        )
+    )
+    spark.createDataFrame(
+        [(2, "emp-id-3"), (1, "emp-id-2"), (5, "emp-id-6")],
+        "id BIGINT, dep STRING",
+    ).createOrReplaceTempView("mcte_src")
+    catalog.sql(
+        "WITH cte1 AS (SELECT id + 1 AS id, dep FROM mcte_src) "
+        "MERGE INTO mcte AS t USING cte1 AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND t.id = 2 THEN UPDATE SET * "
+        "WHEN MATCHED AND t.id = 6 THEN DELETE "
+        "WHEN NOT MATCHED AND s.id = 3 THEN INSERT *"
+    )
+    got = sorted(
+        (r.id, r.dep) for r in catalog.load_table("mcte").to_df().collect()
+    )
+    assert got == [(2, "emp-id-2"), (3, "emp-id-3")]
+
+
+def test_self_merge(spark, catalog):
+    """MERGE INTO t USING t (reference testSelfMerge): the source plan
+    pins the pre-merge snapshot."""
+    t = catalog.create_table("selfm", "id BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame([(1, "v1"), (2, "v2")], "id BIGINT, v STRING")
+    )
+    catalog.sql(
+        "MERGE INTO selfm t USING selfm s ON t.id = s.id "
+        "WHEN MATCHED AND t.id = 1 THEN UPDATE SET v = 'x' "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(
+        (r.id, r.v) for r in catalog.load_table("selfm").to_df().collect()
+    )
+    assert got == [(1, "x"), (2, "v2")]
+
+
+def test_merge_with_inline_subquery_source(spark, catalog):
+    """USING (SELECT ...) alias — the inline-subquery source form."""
+    t = catalog.create_table("minl", "id BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING")
+    )
+    spark.createDataFrame(
+        [(1, "A"), (3, "C")], "id BIGINT, v STRING"
+    ).createOrReplaceTempView("minl_src")
+    catalog.sql(
+        "MERGE INTO minl t USING (SELECT id, upper(v) AS v FROM minl_src) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(
+        (r.id, r.v) for r in catalog.load_table("minl").to_df().collect()
+    )
+    assert got == [(1, "A"), (2, "b"), (3, "C")]
+
+
+def test_merge_rejects_subqueries_in_conditions(spark, catalog):
+    """Reference parity (testMergeWithSubqueriesInConditions): Spark's
+    MERGE rejects subqueries in the ON condition and in WHEN clauses."""
+    t = catalog.create_table("mrej", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"))
+    spark.createDataFrame(
+        [(1, "A")], "id BIGINT, v STRING"
+    ).createOrReplaceTempView("mrej_src")
+    with pytest.raises(SqlError, match="SEARCH condition"):
+        catalog.sql(
+            "MERGE INTO mrej t USING mrej_src s "
+            "ON t.id = s.id AND t.id < (SELECT max(id) FROM mrej_src) "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(SqlError, match="subqueries are not allowed"):
+        catalog.sql(
+            "MERGE INTO mrej t USING mrej_src s ON t.id = s.id "
+            "WHEN MATCHED AND t.id NOT IN (SELECT id FROM mrej_src) THEN DELETE"
+        )
+
+
 def test_merge_into_delete_clause(spark, catalog):
     t = catalog.create_table("m_del", "k BIGINT, v STRING")
     t.append(
