@@ -1503,6 +1503,69 @@ def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "managed_wap_branch_dml",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events WHERE user_id % 5 = 0
+    ),
+    afterdel AS (SELECT * FROM base WHERE NOT (event_type = 'error')),
+    afterupd AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END
+               AS value
+      FROM afterdel
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM afterupd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_wap_branch_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP-branch ROW-LEVEL DML (reference testDeleteToWapBranch family
+    + the write-audit-publish pattern): with ``spark.wap.branch`` set,
+    DELETE and UPDATE land on the audit branch — main is asserted
+    UNTOUCHED while staged — then fast_forward publishes the branch
+    head to main and the final state equals the SQL replay."""
+
+    def build(cat, tname):
+        cat.sql(
+            f"CREATE TABLE {tname} "
+            f"(event_id BIGINT, event_type STRING, value DOUBLE)"
+        )
+        _events_df(spark, sf_dir).filter("user_id % 5 = 0").select(
+            "event_id", "event_type", "value"
+        ).createOrReplaceTempView("__wapdml_src")
+        cat.sql(f"INSERT INTO {tname} SELECT * FROM __wapdml_src")
+        cat.sql(f"ALTER TABLE {tname} CREATE BRANCH audit")
+        spark.conf.set("spark.wap.branch", "audit")
+        try:
+            cat.sql(f"DELETE FROM {tname} WHERE event_type = 'error'")
+            cat.sql(
+                f"UPDATE {tname} SET value = value + 1.0 "
+                f"WHERE event_type = 'click'"
+            )
+        finally:
+            spark.conf.unset("spark.wap.branch")
+        t = cat.load_table(tname)
+        n_main = t.to_df().count()
+        n_branch = t.scan(ref="audit").to_df().count()
+        assert n_branch < n_main, "staged deletes must be off-main"
+        cat.fast_forward(tname, "main", t.meta.refs["audit"]["snapshot-id"])
+        return cat.load_table(tname)
+
+    t = _managed(spark, sf_dir, "wap_dml", build)
+    return (
+        t.to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _JDBC_CACHE: dict = {}
 
 

@@ -64,9 +64,9 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-12 rotation.  Recomputed this session from CORRECTNESS_r01-r11
-    # vs the registry: 6 never-driver-seen round-12 registrations first,
+    # vs the registry: 7 never-driver-seen round-12 registrations first,
     # then the longest-unseen rows oldest-first — all 20 remaining r5
-    # rows, then the first 24 r7 rows (alphabetical) fill the 50-slot
+    # rows, then the first 23 r7 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r5 -> r7 when CORRECTNESS_r12 lands.
     # -- round-12 registrations (never driver-seen) --
     "sql_delete_in_subquery",
@@ -75,6 +75,7 @@ _PRIORITY_FIRST = (
     "managed_jdbc_catalog_roundtrip",
     "dedup_span_removal",
     "stream_full_outer_join",
+    "managed_wap_branch_dml",
     # -- last seen round 5 (all 20) --
     "sim_ivf_kmeans_recall",
     "sim_pq_adc_recall",
@@ -96,7 +97,7 @@ _PRIORITY_FIRST = (
     "ts_gapfill_hourly_counts",
     "window_ntile_percentiles",
     "window_trailing_interval_sum",
-    # -- last seen round 7 (alphabetical, first 24) --
+    # -- last seen round 7 (alphabetical, first 23) --
     "dedup_bloom_decontaminate",
     "dedup_semantic",
     "dedup_semantic_kmeans",
@@ -120,7 +121,6 @@ _PRIORITY_FIRST = (
     "managed_row_lineage",
     "managed_snapshot_lineage",
     "managed_timestamp_ns_scan",
-    "multimodal_flac_frames",
 )
 
 

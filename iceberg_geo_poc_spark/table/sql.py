@@ -576,9 +576,26 @@ def _insert(catalog, m):
     df = df.select(
         *[F.col(c).cast(schema_types[c]).alias(c) for c in target]
     )
+    wap = _wap_branch(catalog)
     if m.group("mode").upper() == "OVERWRITE":
+        if wap:
+            raise SqlError(
+                "INSERT OVERWRITE under spark.wap.branch is unsupported"
+            )
         return t.overwrite(df)
-    return t.append(df)
+    return t.append(df, to_branch=wap)
+
+
+def _wap_branch(catalog) -> str | None:
+    """Session WAP branch (reference SparkWriteConf wapBranch /
+    TestDelete.testDeleteToWapBranch): when ``spark.wap.branch`` is set,
+    every write and row-level op lands on that branch; main stays
+    untouched until publish/fast-forward."""
+    try:
+        b = catalog.spark.conf.get("spark.wap.branch", "")
+    except Exception:  # noqa: BLE001
+        return None
+    return b or None
 
 
 def _ddl_fields_of(ddl: str) -> list[str]:
@@ -909,7 +926,12 @@ def _delete(catalog, m):
     from iceberg_geo_poc_spark.table import expressions as E
 
     mode = t.meta.properties.get("write.delete.mode", "copy-on-write")
+    wap = _wap_branch(catalog)
     if where is not None and _HAS_SUBQUERY_RE.search(where):
+        if wap:
+            raise SqlError(
+                "subquery DML under spark.wap.branch is unsupported"
+            )
         match, prune = _subquery_predicate(
             catalog, t, where, m.group("talias")
         )
@@ -918,7 +940,7 @@ def _delete(catalog, m):
         expr = E.AlwaysTrue()
     else:
         expr = _where_to_expr_strict(where, set(t.columns()))
-    return t.delete(expr, mode=mode)
+    return t.delete(expr, mode=mode, to_branch=wap)
 
 
 def _update(catalog, m):
@@ -937,7 +959,12 @@ def _update(catalog, m):
         sets[sm.group(1)] = F.expr(sm.group(2))
     where = m.group("where")
     mode = t.meta.properties.get("write.update.mode", "copy-on-write")
+    wap = _wap_branch(catalog)
     if where is not None and _HAS_SUBQUERY_RE.search(where):
+        if wap:
+            raise SqlError(
+                "subquery DML under spark.wap.branch is unsupported"
+            )
         match, prune = _subquery_predicate(
             catalog, t, where, m.group("talias")
         )
@@ -947,7 +974,7 @@ def _update(catalog, m):
         if where is None
         else _where_to_expr_strict(where, cols)
     )
-    return t.update(sets, expr, mode=mode)
+    return t.update(sets, expr, mode=mode, to_branch=wap)
 
 
 def _create(catalog, m):

@@ -1220,7 +1220,9 @@ class Table:
                 f"write.{op}.isolation-level=snapshot to allow it"
             )
 
-    def _rewrite_files(self, paths: list[str], drop: E.Expr) -> list[dict]:
+    def _rewrite_files(
+        self, paths: list[str], drop: E.Expr, entries: pd.DataFrame | None = None
+    ) -> list[dict]:
         """Read files, drop rows matching ``drop``, write replacements.
 
         The survivor filter is ``NOT coalesce(drop, false)`` — NOT the
@@ -1238,12 +1240,30 @@ class Table:
         # lineage read: survivors carry materialized _row_id /
         # _last_updated_sequence_number through the rewrite (v3 row
         # lineage — a rewrite must not reassign surviving rows' ids)
-        df = self._read_files(paths, with_deletes=True, with_lineage=True)
+        df = self._read_files(
+            paths, with_deletes=True, with_lineage=True, entries=entries
+        )
         cond = drop.to_spark_column(self.geo_fields)
         kept = df.filter(~F.coalesce(cond, F.lit(False)))
         return self._write_files(kept)
 
-    def delete(self, where: E.Expr | None, mode: str = "copy-on-write") -> MD.Snapshot:
+    def _branch_entries(self, to_branch: str | None):
+        """Entries of a branch head for branch-scoped row-level ops
+        (reference WAP-branch DML, TestDelete.testDeleteToWapBranch) —
+        None means current-snapshot planning."""
+        if to_branch is None:
+            return None
+        ref = self.meta.refs.get(to_branch)
+        if ref is None or ref.get("type") != "branch":
+            raise KeyError(f"branch {to_branch!r} not found")
+        return self._entries(self.meta.snapshot_by_id(ref["snapshot-id"]))
+
+    def delete(
+        self,
+        where: E.Expr | None,
+        mode: str = "copy-on-write",
+        to_branch: str | None = None,
+    ) -> MD.Snapshot:
         # unconditional DELETE: plan and rewrite with always-true, but
         # keep where=None through to the isolation validator — the
         # unconditional form conflicts with ANY concurrent append
@@ -1251,12 +1271,22 @@ class Table:
         # as the conflict-detection filter when there is no condition)
         plan_where = E.AlwaysTrue() if where is None else where
         if mode == "merge-on-read":
-            return self._delete_mor(plan_where, validate_where=where)
+            return self._delete_mor(
+                plan_where, validate_where=where, to_branch=to_branch
+            )
         if mode == "merge-on-read-dv":
+            if to_branch is not None:
+                raise ValueError(
+                    "deletion-vector deletes to a branch are unsupported "
+                    "(DV supersede-merging is defined against main)"
+                )
             return self._delete_mor(plan_where, dv=True, validate_where=where)
-        plan = self._plan_cow(plan_where)
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(plan_where, entries=bentries)
         base_seq = self.meta.last_sequence_number
-        rewritten = self._rewrite_files(plan["partial"], plan_where)
+        rewritten = self._rewrite_files(
+            plan["partial"], plan_where, entries=bentries
+        )
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
             drop = set(plan["full"]) | set(plan["partial"])
@@ -1275,13 +1305,14 @@ class Table:
             "rewritten-files": len(plan["partial"]),
             "mode": "metadata+cow" if plan["full"] and not plan["partial"] else "cow",
         }
-        return self._commit("delete", build, summary)
+        return self._commit("delete", build, summary, to_branch=to_branch)
 
     def _delete_mor(
         self,
         where: E.Expr,
         dv: bool = False,
         validate_where: E.Expr | None = "__same__",
+        to_branch: str | None = None,
     ) -> MD.Snapshot:
         """Merge-on-read delete: emit a position-delete file
         (file_path, pos) for matching rows (reference
@@ -1301,12 +1332,17 @@ class Table:
         form with None already normalized to always-true."""
         if validate_where == "__same__":
             validate_where = where
-        plan = self._plan_cow(where)
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(where, entries=bentries)
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
-        df = self._read_files(paths, with_deletes=True, with_pos=True)
+        # branch-scoped: existing delete layers resolve against the
+        # BRANCH head, not main
+        df = self._read_files(
+            paths, with_deletes=True, with_pos=True, entries=bentries
+        )
         matches = df.filter(where.to_spark_column(self.geo_fields))
         if dv:
             return self._commit_dv_delete(matches, paths)
@@ -1321,6 +1357,7 @@ class Table:
             append_entries=entries,
             validate_live_paths=paths,
             validate_isolation=(validate_where, "delete", base_seq),
+            to_branch=to_branch,
         )
 
     def _commit_dv_delete(self, matches: DataFrame, paths: list[str]) -> MD.Snapshot:
@@ -1724,6 +1761,7 @@ class Table:
         set_exprs: dict[str, object],
         where: E.Expr,
         mode: str = "copy-on-write",
+        to_branch: str | None = None,
     ) -> MD.Snapshot:
         """UPDATE. Copy-on-write rewrites only files that might contain
         matches, applying SET via when(cond, new).otherwise(old);
@@ -1733,15 +1771,21 @@ class Table:
 
         ``where=None`` is the unconditional form: every row updates,
         and serializable isolation treats the condition as always-true
-        (any concurrent append conflicts)."""
+        (any concurrent append conflicts).  ``to_branch`` scopes the
+        whole op to a branch head (WAP-branch DML)."""
         plan_where = E.AlwaysTrue() if where is None else where
         if mode == "merge-on-read":
-            return self._update_mor(set_exprs, plan_where, validate_where=where)
-        plan = self._plan_cow(plan_where)
+            return self._update_mor(
+                set_exprs, plan_where, validate_where=where, to_branch=to_branch
+            )
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(plan_where, entries=bentries)
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
-        df = self._read_files(paths, with_deletes=True, with_lineage=True)
+        df = self._read_files(
+            paths, with_deletes=True, with_lineage=True, entries=bentries
+        )
         cond = plan_where.to_spark_column(self.geo_fields)
         # snapshot the match BEFORE set_exprs mutate the columns the
         # predicate reads (a later `cond` reference would re-evaluate
@@ -1776,23 +1820,29 @@ class Table:
             )
             return M.concat_entries([kept, add])
 
-        return self._commit("overwrite", build, {"rewritten-files": len(paths)})
+        return self._commit(
+            "overwrite", build, {"rewritten-files": len(paths)},
+            to_branch=to_branch,
+        )
 
     def _update_mor(
         self,
         set_exprs: dict[str, object],
         where: E.Expr,
         validate_where: E.Expr | None = "__same__",
+        to_branch: str | None = None,
     ) -> MD.Snapshot:
         if validate_where == "__same__":
             validate_where = where
-        plan = self._plan_cow(where)
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(where, entries=bentries)
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
         df = self._read_files(
-            paths, with_deletes=True, with_pos=True, with_lineage=True
+            paths, with_deletes=True, with_pos=True, with_lineage=True,
+            entries=bentries,
         )
         matches = df.filter(where.to_spark_column(self.geo_fields)).persist()
         try:
@@ -1835,6 +1885,7 @@ class Table:
             append_entries=del_entries + data_entries,
             validate_live_paths=paths,
             validate_isolation=(validate_where, "update", base_seq),
+            to_branch=to_branch,
         )
 
     def merge(

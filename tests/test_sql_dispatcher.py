@@ -153,6 +153,74 @@ def test_merge_into_matches_api(spark, catalog):
     ]
 
 
+def test_wap_branch_row_level_dml(spark, catalog):
+    """spark.wap.branch routes INSERT/DELETE/UPDATE to the branch
+    (reference testDeleteToWapBranch family): main stays untouched
+    until publish; the branch carries every staged change."""
+    t = catalog.create_table("m_wap", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(5)], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    catalog.sql("ALTER TABLE m_wap CREATE BRANCH wap1")
+    spark.conf.set("spark.wap.branch", "wap1")
+    try:
+        catalog.sql("INSERT INTO m_wap VALUES (100, 'w')")
+        catalog.sql("DELETE FROM m_wap WHERE k = 0")
+        catalog.sql("UPDATE m_wap SET v = 'u' WHERE k = 1")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    main = sorted(
+        (r.k, r.v) for r in catalog.load_table("m_wap").to_df().collect()
+    )
+    assert main == [(i, f"r{i}") for i in range(5)], "main must be untouched"
+    branch = sorted(
+        (r.k, r.v)
+        for r in catalog.load_table("m_wap").scan(ref="wap1").to_df().collect()
+    )
+    assert branch == [
+        (1, "u"), (2, "r2"), (3, "r3"), (4, "r4"), (100, "w")
+    ]
+
+
+def test_wap_branch_mor_delete(spark, catalog):
+    """Branch-scoped MoR delete: the position-delete row-delta commits
+    on the branch; main reads see no delete layer."""
+    t = catalog.create_table(
+        "m_wapm", "k BIGINT, v STRING",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(4)], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    catalog.sql("ALTER TABLE m_wapm CREATE BRANCH wap2")
+    spark.conf.set("spark.wap.branch", "wap2")
+    try:
+        catalog.sql("DELETE FROM m_wapm WHERE k <= 1")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    assert catalog.load_table("m_wapm").to_df().count() == 4
+    got = sorted(
+        r.k
+        for r in catalog.load_table("m_wapm").scan(ref="wap2").to_df().collect()
+    )
+    assert got == [2, 3]
+
+
+def test_wap_branch_missing_branch_fails(spark, catalog):
+    t = catalog.create_table("m_wapx", "k BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
+    spark.conf.set("spark.wap.branch", "nope")
+    try:
+        with pytest.raises(KeyError, match="branch 'nope' not found"):
+            catalog.sql("DELETE FROM m_wapx WHERE k = 1")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+
+
 def test_merge_with_source_cte(spark, catalog):
     """WITH cte AS (...) MERGE INTO ... (reference
     testMergeWithSourceCTE): the CTE registers as a temp view and the
