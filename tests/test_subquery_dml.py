@@ -412,6 +412,26 @@ def test_update_exists_correlated(spark, catalog):
     assert got == {1: -5.0, 2: 20.0, 3: -5.0, 4: 40.0, -999: 50.0}
 
 
+def test_single_column_not_in_plans_hash_anti_join(spark, catalog):
+    """The probe decomposition exists to keep single-column NOT IN a
+    HASH anti join — the naive null-aware condition degrades to a
+    nested-loop join (the 100 TB trap).  Assert the plan shape."""
+    _mk_target(spark, catalog, "pl1")
+    _mk_keys(spark, catalog, "pl1k", [(1,), (2,)])
+    from iceberg_geo_poc_spark.table.sql import _subquery_predicate
+
+    t = catalog.load_table("pl1")
+    match, _prune = _subquery_predicate(
+        catalog, t, "id NOT IN (SELECT k FROM pl1k)"
+    )
+    plan = (
+        match(t.to_df())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
 def test_array_lit_escapes_quotes(spark):
     """A stopword containing a single quote must produce valid SQL
     (ADVICE r11: operators/text.py::_array_lit)."""
