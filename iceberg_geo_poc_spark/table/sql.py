@@ -1972,4 +1972,5 @@ def _merge(catalog, m: re.Match):
         matched_clauses=matched_clauses,
         not_matched_by_source_clauses=bs_clauses,
         not_matched_clauses=insert_clauses,
+        to_branch=_wap_branch(catalog),
     )

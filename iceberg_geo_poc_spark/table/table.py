@@ -1901,6 +1901,7 @@ class Table:
         not_matched_by_source_clauses: list[tuple] | None = None,
         when_not_matched_insert_values: dict[str, object] | None = None,
         not_matched_clauses: list[tuple] | None = None,
+        to_branch: str | None = None,
     ) -> MD.Snapshot:
         """MERGE INTO as engine API (SQL MERGE needs a JVM catalog;
         SURVEY §2.4 documents the API form).  Copy-on-write: only files
@@ -1989,7 +1990,9 @@ class Table:
                         dup_keys = dup_keys.withColumnRenamed(sc, tc)
                 hit = (
                     dup_keys.join(
-                        self.to_df(select=t_on).select(*t_on).distinct(),
+                        self.to_df(select=t_on, ref=to_branch)
+                        .select(*t_on)
+                        .distinct(),
                         on=t_on,
                         how="left_semi",
                     )
@@ -2003,7 +2006,8 @@ class Table:
                     )
         if mode == "merge-on-read":
             return self._merge_mor(
-                source, on_pairs, matched_clauses, insert_clauses, bs_clauses
+                source, on_pairs, matched_clauses, insert_clauses, bs_clauses,
+                to_branch=to_branch,
             )
 
         # prune candidate files by source key min/max (broadcast-collected);
@@ -2019,14 +2023,18 @@ class Table:
                 lo, hi = bounds[f"min_{sc}"], bounds[f"max_{sc}"]
                 if lo is not None:
                     key_pred = key_pred & E.ge(tc, _plain(lo)) & E.le(tc, _plain(hi))
-        plan = self._plan_cow(key_pred)
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(key_pred, entries=bentries)
         candidates = plan["full"] + plan["partial"]
 
         target_cols = self.columns()
 
         rewritten: list[dict] = []
         if candidates and (matched_clauses or bs_clauses):
-            tgt = self._read_files(candidates, with_deletes=True, with_lineage=True)
+            tgt = self._read_files(
+                candidates, with_deletes=True, with_lineage=True,
+                entries=bentries,
+            )
             # explicit never-null probe: a key-only source has no non-key
             # column to test, and join keys are ambiguous after the join.
             # matched clauses may reference source-only columns (e.g.
@@ -2116,7 +2124,7 @@ class Table:
         inserted: list[dict] = []
         if insert_clauses:
             inserted = self._merge_insert_entries(
-                source, on_pairs, target_cols, insert_clauses
+                source, on_pairs, target_cols, insert_clauses, ref=to_branch
             )
 
         base_seq = self.meta.last_sequence_number
@@ -2138,6 +2146,7 @@ class Table:
             "overwrite",
             build,
             {"merged-files": len(candidates), "inserted-files": len(inserted)},
+            to_branch=to_branch,
         )
 
     def _merge_insert_entries(
@@ -2146,6 +2155,7 @@ class Table:
         on_pairs: list[tuple],
         target_cols: list[str],
         insert_clauses: list[tuple],
+        ref: str | None = None,
     ) -> list[dict]:
         """Write the NOT-MATCHED insert rows (shared by CoW and MoR
         merges): source rows whose key matches no target row elect the
@@ -2157,7 +2167,9 @@ class Table:
         as typed NULL."""
         t_on = [t for t, _ in on_pairs]
         s_on = [s for _, s in on_pairs]
-        existing_keys = self.to_df(select=t_on).select(*t_on).distinct()
+        existing_keys = (
+            self.to_df(select=t_on, ref=ref).select(*t_on).distinct()
+        )
         for tc, sc in on_pairs:
             if tc != sc:
                 existing_keys = existing_keys.withColumnRenamed(tc, sc)
@@ -2222,6 +2234,7 @@ class Table:
         matched_clauses: list[tuple],
         insert_clauses: list[tuple],
         bs_clauses: list[tuple] | None = None,
+        to_branch: str | None = None,
     ) -> MD.Snapshot:
         bs_clauses = bs_clauses or []
         s_on = [s for _, s in on_pairs]
@@ -2238,7 +2251,8 @@ class Table:
                 lo, hi = bounds[f"min_{sc}"], bounds[f"max_{sc}"]
                 if lo is not None:
                     key_pred = key_pred & E.ge(tc, _plain(lo)) & E.le(tc, _plain(hi))
-        plan = self._plan_cow(key_pred)
+        bentries = self._branch_entries(to_branch)
+        plan = self._plan_cow(key_pred, entries=bentries)
         base_seq = self.meta.last_sequence_number
         candidates = plan["full"] + plan["partial"]
 
@@ -2251,7 +2265,9 @@ class Table:
         # by-source clauses candidates = ALL files, so a second read
         # would scan and decode the whole table twice
         tgt = (
-            self._read_files(candidates, with_deletes=True, with_pos=True)
+            self._read_files(
+                candidates, with_deletes=True, with_pos=True, entries=bentries
+            )
             if candidates and (matched_clauses or bs_clauses)
             else None
         )
@@ -2350,7 +2366,7 @@ class Table:
         inserted: list[dict] = []
         if insert_clauses:
             inserted = self._merge_insert_entries(
-                source, on_pairs, target_cols, insert_clauses
+                source, on_pairs, target_cols, insert_clauses, ref=to_branch
             )
 
         # row-delta fast commit; position deletes require the candidate
@@ -2364,6 +2380,7 @@ class Table:
             append_entries=del_entries + data_entries + inserted,
             validate_live_paths=candidates if del_entries else None,
             validate_isolation=(key_pred, "merge", base_seq),
+            to_branch=to_branch,
         )
 
     # ------------------------------------------------------------------

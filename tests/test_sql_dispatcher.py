@@ -210,6 +210,43 @@ def test_wap_branch_mor_delete(spark, catalog):
     assert got == [2, 3]
 
 
+def test_wap_branch_merge(spark, catalog):
+    """MERGE under spark.wap.branch: the whole clause algebra — match
+    probing, pruning, insert anti-join — runs against the BRANCH head
+    and the commit advances the branch (reference testMergeToWapBranch)."""
+    t = catalog.create_table("m_wapmerge", "k BIGINT, v STRING")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    catalog.sql("ALTER TABLE m_wapmerge CREATE BRANCH wap3")
+    spark.createDataFrame(
+        [(2, "B"), (9, "I")], "k BIGINT, v STRING"
+    ).createOrReplaceTempView("m_wapmerge_src")
+    spark.conf.set("spark.wap.branch", "wap3")
+    try:
+        catalog.sql(
+            "MERGE INTO m_wapmerge t USING m_wapmerge_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    main = sorted(
+        (r.k, r.v) for r in catalog.load_table("m_wapmerge").to_df().collect()
+    )
+    assert main == [(1, "a"), (2, "b"), (3, "c")], "main must be untouched"
+    branch = sorted(
+        (r.k, r.v)
+        for r in catalog.load_table("m_wapmerge")
+        .scan(ref="wap3")
+        .to_df()
+        .collect()
+    )
+    assert branch == [(1, "a"), (2, "B"), (3, "c"), (9, "I")]
+
+
 def test_wap_branch_missing_branch_fails(spark, catalog):
     t = catalog.create_table("m_wapx", "k BIGINT, v STRING")
     t.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
