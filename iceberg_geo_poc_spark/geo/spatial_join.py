@@ -46,12 +46,44 @@ def _cells_expr(pre: str, cell_size: float):
     )
 
 
+def _adaptive_cell_size(L: DataFrame, R: DataFrame) -> float:
+    """Density-adaptive grid size (PBSM tuning): pick a cell ≈ 2× the
+    typical envelope extent — each geometry explodes into ~1-4 cells —
+    floored at span/1024 (bounds the global cell count) and capped at
+    span/8 (keeps the equi-join selective).  Costs one small aggregation
+    per side over the already-computed bound columns; use when BOTH join
+    sides grow with the data (a fixed dimension side keeps candidate
+    growth linear under a fixed grid — measured 10.0x pairs at 10x fact
+    data in BENCH_r12 — but two densifying sides need the grid to track
+    the geometry scale, not a constant)."""
+    stats = []
+    for df, p in ((L, "l"), (R, "r")):
+        row = df.agg(
+            F.avg(F.col(f"__{p}xmax") - F.col(f"__{p}xmin")).alias("w"),
+            F.avg(F.col(f"__{p}ymax") - F.col(f"__{p}ymin")).alias("h"),
+            F.min(f"__{p}xmin").alias("x0"),
+            F.max(f"__{p}xmax").alias("x1"),
+            F.min(f"__{p}ymin").alias("y0"),
+            F.max(f"__{p}ymax").alias("y1"),
+        ).collect()[0]
+        stats.append(row)
+    ext = max(
+        *[s["w"] or 0.0 for s in stats], *[s["h"] or 0.0 for s in stats], 1e-9
+    )
+    span = max(
+        max(s["x1"] for s in stats) - min(s["x0"] for s in stats),
+        max(s["y1"] for s in stats) - min(s["y0"] for s in stats),
+        1e-9,
+    )
+    return float(min(max(2.0 * ext, span / 1024.0), span / 8.0))
+
+
 def grid_spatial_join(
     left: DataFrame,
     right: DataFrame,
     left_geom: str = "geom",
     right_geom: str = "geom",
-    cell_size: float = 10.0,
+    cell_size: float | None = 10.0,
     distance: float | None = None,
     left_bounds: tuple | None = None,
     right_bounds: tuple | None = None,
@@ -61,6 +93,11 @@ def grid_spatial_join(
     with ``distance=d``, lie within distance d (st_dwithin semantics:
     the right side's envelopes and cells are dilated by d, the exact
     predicate becomes ``st_distance <= d``).
+
+    ``cell_size=None`` selects the grid ADAPTIVELY from measured
+    envelope density (`_adaptive_cell_size`) — the right mode when both
+    join sides grow with the data; a fixed cell (the default) is exact
+    and cheaper when one side is a bounded dimension.
 
     ``left_bounds`` / ``right_bounds`` optionally supply the envelope as
     four Columns/expressions ``(xmin, ymin, xmax, ymax)``.  When the
@@ -108,10 +145,15 @@ def grid_spatial_join(
         )
         if bounds is None:
             df = df.drop(f"__{prefix}b")
-        return df.withColumn("__cell", F.explode(_cells_expr(f"__{prefix}", cell_size)))
+        return df
 
     L = _with_bounds(left, left_geom, "l", left_bounds, 0.0)
     R = _with_bounds(right, rg, "r", right_bounds, d)
+    if cell_size is None:
+        # adaptive mode: one bounded aggregation per side picks the grid
+        cell_size = _adaptive_cell_size(L, R)
+    L = L.withColumn("__cell", F.explode(_cells_expr("__l", cell_size)))
+    R = R.withColumn("__cell", F.explode(_cells_expr("__r", cell_size)))
     joined = L.join(R, "__cell")
     # envelope prefilter: pure codegen, kills most pairs pre-UDF
     joined = joined.filter(

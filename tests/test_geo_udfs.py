@@ -161,6 +161,48 @@ def test_grid_spatial_join_matches_brute_force(spark):
     assert got2 == brute2
 
 
+def test_grid_spatial_join_adaptive_cell(spark):
+    """cell_size=None picks the grid from measured envelope density and
+    returns exactly the fixed-grid result (the pair set is grid-size
+    invariant by construction — the grid only affects blocking)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.geo.functions import st_makeenvelope, st_point
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(-40, 40), rng.uniform(-40, 40)) for i in range(200)],
+        "pid BIGINT, px DOUBLE, py DOUBLE",
+    ).withColumn("geom", st_point("px", "py"))
+    rects = spark.createDataFrame(
+        [
+            (j, rng.uniform(-45, 30), rng.uniform(-45, 30),
+             rng.uniform(1.0, 12.0), rng.uniform(1.0, 12.0))
+            for j in range(30)
+        ],
+        "rid BIGINT, x0 DOUBLE, y0 DOUBLE, w DOUBLE, h DOUBLE",
+    ).withColumn(
+        "geom",
+        st_makeenvelope(
+            "x0", "y0", F.col("x0") + F.col("w"), F.col("y0") + F.col("h")
+        ),
+    )
+
+    def pairs(cell):
+        return {
+            (r.pid, r.rid)
+            for r in grid_spatial_join(
+                pts.select("pid", "geom"), rects.select("rid", "geom"),
+                cell_size=cell,
+            ).collect()
+        }
+
+    assert pairs(None) == pairs(10.0)
+
+
 def test_grid_spatial_join_distance_variant(spark):
     """distance=d variant == brute-force st_dwithin, across cell
     boundaries (right-side envelope dilation)."""
