@@ -317,9 +317,14 @@ class Table:
             self._commit_snapshots = base.snapshots
             if to_branch is not None:
                 ref = base.refs.get(to_branch)
-                if ref is None or ref.get("type") != "branch":
+                if ref is None and base.current_snapshot_id is None:
+                    # WAP auto-create over an empty table: this commit
+                    # plants the branch ref (created at line ~400 below)
+                    head_id = None
+                elif ref is None or ref.get("type") != "branch":
                     raise KeyError(f"branch {to_branch!r} not found")
-                head_id = ref["snapshot-id"]
+                else:
+                    head_id = ref["snapshot-id"]
             else:
                 head_id = base.current_snapshot_id
             head = base.snapshot_by_id(head_id) if head_id is not None else None
@@ -390,10 +395,13 @@ class Table:
                 )
             base.snapshots.append(snap)
             if to_branch is not None:
-                base.refs[to_branch] = {
-                    "snapshot-id": snap.snapshot_id,
-                    "type": "branch",
-                }
+                # advance the branch head, PRESERVING retention attrs
+                # (max-ref-age-ms etc.) set by branch DDL
+                bref = dict(base.refs.get(to_branch) or {})
+                bref.update(
+                    {"snapshot-id": snap.snapshot_id, "type": "branch"}
+                )
+                base.refs[to_branch] = bref
             elif not stage_only:
                 base.current_snapshot_id = snap.snapshot_id
             base.last_sequence_number = snap.sequence_number
@@ -1247,6 +1255,19 @@ class Table:
         kept = df.filter(~F.coalesce(cond, F.lit(False)))
         return self._write_files(kept)
 
+    def _touched_file_paths(self, matched_df: DataFrame) -> list[str]:
+        """Runtime matched-file narrowing for copy-on-write row-level
+        ops (reference SparkCopyOnWriteScan.java:143-171 — the CoW scan
+        accepts a runtime ``_file IN (...)`` filter built from the
+        matched-row set, so only file groups that actually contain
+        matches are rewritten).  Collects the DISTINCT ``__file_path``
+        of the matched frame — bounded by the CANDIDATE FILE COUNT,
+        never by matched-row count — so a DELETE/UPDATE/MERGE touching
+        0.1% of files rewrites 0.1% of the table instead of 100%."""
+        return sorted(
+            r[0] for r in matched_df.select("__file_path").distinct().collect()
+        )
+
     def _branch_entries(self, to_branch: str | None):
         """Entries of a branch head for branch-scoped row-level ops
         (reference WAP-branch DML, TestDelete.testDeleteToWapBranch) —
@@ -1254,9 +1275,37 @@ class Table:
         if to_branch is None:
             return None
         ref = self.meta.refs.get(to_branch)
+        if ref is None and self.meta.current_snapshot_id is None:
+            # WAP auto-create over an EMPTY table: no snapshot exists to
+            # branch from, so the branch head is empty and the first
+            # to_branch commit plants the ref (reference: wap.branch
+            # needs no pre-created branch)
+            return M.entries_dataframe([])
         if ref is None or ref.get("type") != "branch":
             raise KeyError(f"branch {to_branch!r} not found")
         return self._entries(self.meta.snapshot_by_id(ref["snapshot-id"]))
+
+    def ensure_branch(self, name: str) -> None:
+        """Auto-create branch ``name`` at the current snapshot if it
+        does not exist — WAP semantics (reference
+        TestDelete.testDeleteToWapBranch: the test never creates the
+        branch; the first write under ``spark.wap.branch`` creates it
+        from the current snapshot).  An EMPTY table defers creation to
+        the first ``to_branch`` commit, which plants the ref with its
+        snapshot."""
+        ref = self.meta.refs.get(name)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {name!r} exists and is not a branch")
+            return
+        if self.meta.current_snapshot_id is None:
+            return
+        self.meta.refs[name] = {
+            "snapshot-id": self.meta.current_snapshot_id,
+            "type": "branch",
+            "created-at-ms": MD.now_ms(),
+        }
+        MD.write_new_metadata(self.meta, self.meta.version)
 
     def delete(
         self,
@@ -1284,13 +1333,33 @@ class Table:
         bentries = self._branch_entries(to_branch)
         plan = self._plan_cow(plan_where, entries=bentries)
         base_seq = self.meta.last_sequence_number
-        rewritten = self._rewrite_files(
-            plan["partial"], plan_where, entries=bentries
-        )
+        # runtime matched-file narrowing: the inclusive stats evaluator
+        # only says a partial file MIGHT contain matches; probe which
+        # ones actually do, and rewrite only those (reference
+        # SparkCopyOnWriteScan.java:143-171).  The probe is one
+        # pushed-down filter scan over key columns; files it clears are
+        # left untouched instead of being rewritten byte-for-byte.
+        touched = plan["partial"]
+        if touched:
+            probe = self._read_files(
+                touched, with_deletes=True, with_file_path=True,
+                entries=bentries,
+            )
+            cond = plan_where.to_spark_column(self.geo_fields)
+            touched = self._touched_file_paths(
+                probe.filter(F.coalesce(cond, F.lit(False)))
+            )
+        rewritten = self._rewrite_files(touched, plan_where, entries=bentries)
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            drop = set(plan["full"]) | set(plan["partial"])
-            _validate_files_still_live(current, drop)
+            drop = set(plan["full"]) | set(touched)
+            # liveness is validated over every file the PLAN read (the
+            # matched set was computed against them), not just the
+            # narrowed rewrite set — isolation stays as strict as the
+            # pre-narrowing posture
+            _validate_files_still_live(
+                current, set(plan["full"]) | set(plan["partial"])
+            )
             self._validate_no_conflicting_appends(
                 current, base_seq, where, "delete"
             )
@@ -1302,8 +1371,9 @@ class Table:
 
         summary = {
             "deleted-files": len(plan["full"]),
-            "rewritten-files": len(plan["partial"]),
-            "mode": "metadata+cow" if plan["full"] and not plan["partial"] else "cow",
+            "candidate-files": len(plan["partial"]),
+            "rewritten-files": len(touched),
+            "mode": "metadata+cow" if plan["full"] and not touched else "cow",
         }
         return self._commit("delete", build, summary, to_branch=to_branch)
 
@@ -1624,20 +1694,27 @@ class Table:
                 validate_live_paths=paths,
                 validate_isolation=(None, "delete", base_seq),
             )
-        # CoW: rewrite every candidate file without its matching rows;
-        # (__file_path, __pos) is the row identity the anti-join keys on
+        # CoW: rewrite ONLY the files that contain matched rows
+        # (runtime matched-file narrowing, reference
+        # SparkCopyOnWriteScan.java:143-171); (__file_path, __pos) is
+        # the row identity the anti-join keys on
         df = self._read_files(
             paths, with_deletes=True, with_pos=True, with_lineage=True
         )
         matched = match(df).select("__file_path", "__pos").persist()
-        # no-match fast exit: a never-true predicate (e.g. NOT IN over a
-        # NULL-bearing subquery) must not rewrite the whole candidate set
-        if matched.limit(1).count() == 0:
+        # bounded by candidate-file count, not matched-row count; an
+        # empty set is the no-match fast exit (e.g. never-true NOT IN
+        # over a NULL-bearing subquery) — rewrite nothing
+        touched = self._touched_file_paths(matched)
+        if not touched:
             matched.unpersist()
             return self._commit(
                 "delete", lambda cur, seq: cur, {"deleted-rows": 0}
             )
-        kept = df.join(
+        tdf = self._read_files(
+            touched, with_deletes=True, with_pos=True, with_lineage=True
+        )
+        kept = tdf.join(
             matched, ["__file_path", "__pos"], "left_anti"
         ).drop("__file_path", "__pos")
         try:
@@ -1646,17 +1723,23 @@ class Table:
             matched.unpersist()
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            # liveness over the full candidate set the match was
+            # computed against; only the touched files are replaced
             _validate_files_still_live(current, paths)
             self._validate_no_conflicting_appends(
                 current, base_seq, None, "delete"
             )
-            kept_e = current[~current.file_path.isin(set(paths))]
+            kept_e = current[~current.file_path.isin(set(touched))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
             return M.concat_entries([kept_e, add])
 
-        return self._commit("delete", build, {"rewritten-files": len(paths)})
+        return self._commit(
+            "delete",
+            build,
+            {"candidate-files": len(paths), "rewritten-files": len(touched)},
+        )
 
     def update_matching(
         self,
@@ -1712,16 +1795,22 @@ class Table:
                 validate_isolation=(None, "update", base_seq),
             )
         # CoW: mark matched rows by identity, apply SET through the same
-        # when(match, new).otherwise(old) shape as the expression UPDATE
+        # when(match, new).otherwise(old) shape as the expression UPDATE.
+        # Runtime matched-file narrowing (SparkCopyOnWriteScan.java:
+        # 143-171): only files containing a matched row are re-read and
+        # rewritten; an empty touched set is the no-match fast exit.
         matched = match(df).select(
             "__file_path", "__pos", F.lit(True).alias("__upd_match")
         ).persist()
-        # no-match fast exit (never-true NOT IN): rewrite nothing
-        if matched.limit(1).count() == 0:
+        touched = self._touched_file_paths(matched)
+        if not touched:
             matched.unpersist()
             return self._commit(
                 "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
             )
+        df = self._read_files(
+            touched, with_deletes=True, with_pos=True, with_lineage=True
+        )
         df = df.join(matched, ["__file_path", "__pos"], "left").withColumn(
             "__upd_match", F.coalesce(F.col("__upd_match"), F.lit(False))
         )
@@ -1742,18 +1831,22 @@ class Table:
             matched.unpersist()
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            # liveness over the full candidate set the match was
+            # computed against; only the touched files are replaced
             _validate_files_still_live(current, paths)
             self._validate_no_conflicting_appends(
                 current, base_seq, None, "update"
             )
-            kept_e = current[~current.file_path.isin(set(paths))]
+            kept_e = current[~current.file_path.isin(set(touched))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
             return M.concat_entries([kept_e, add])
 
         return self._commit(
-            "overwrite", build, {"rewritten-files": len(paths)}
+            "overwrite",
+            build,
+            {"candidate-files": len(paths), "rewritten-files": len(touched)},
         )
 
     def update(
@@ -1783,10 +1876,25 @@ class Table:
         paths = plan["full"] + plan["partial"]
         if not paths:
             return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
-        df = self._read_files(
-            paths, with_deletes=True, with_lineage=True, entries=bentries
-        )
         cond = plan_where.to_spark_column(self.geo_fields)
+        # runtime matched-file narrowing (SparkCopyOnWriteScan.java:
+        # 143-171): probe which candidates actually contain matching
+        # rows; full-match files skip the probe (strict evaluator
+        # already proved every row matches), cleared files stay put
+        touched = list(plan["full"])
+        if plan["partial"]:
+            probe = self._read_files(
+                plan["partial"], with_deletes=True, with_file_path=True,
+                entries=bentries,
+            )
+            touched += self._touched_file_paths(
+                probe.filter(F.coalesce(cond, F.lit(False)))
+            )
+        if not touched:
+            return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
+        df = self._read_files(
+            touched, with_deletes=True, with_lineage=True, entries=bentries
+        )
         # snapshot the match BEFORE set_exprs mutate the columns the
         # predicate reads (a later `cond` reference would re-evaluate
         # against the UPDATED values)
@@ -1810,18 +1918,22 @@ class Table:
         base_seq = self.meta.last_sequence_number
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
+            # liveness over every file the plan read; rewrite set is the
+            # narrowed `touched` only
             _validate_files_still_live(current, paths)
             self._validate_no_conflicting_appends(
                 current, base_seq, where, "update"
             )
-            kept = current[~current.file_path.isin(set(paths))]
+            kept = current[~current.file_path.isin(set(touched))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten]
             )
             return M.concat_entries([kept, add])
 
         return self._commit(
-            "overwrite", build, {"rewritten-files": len(paths)},
+            "overwrite",
+            build,
+            {"candidate-files": len(paths), "rewritten-files": len(touched)},
             to_branch=to_branch,
         )
 
@@ -2030,9 +2142,34 @@ class Table:
         target_cols = self.columns()
 
         rewritten: list[dict] = []
+        rewrite_paths: list[str] = []
         if candidates and (matched_clauses or bs_clauses):
+            # runtime matched-file narrowing (reference
+            # SparkCopyOnWriteScan.java:143-171): a keys-only semi-join
+            # probe finds the files that actually contain matched rows,
+            # and ONLY those are re-read and rewritten — an unclustered
+            # merge key no longer forces a full-table rewrite.
+            # By-source clauses act on UNmatched rows in any candidate
+            # file, so they disable narrowing (as they already disable
+            # the key-range pruning above).
+            rewrite_paths = list(candidates)
+            if not bs_clauses:
+                probe = self._read_files(
+                    candidates, with_deletes=True, with_file_path=True,
+                    entries=bentries,
+                )
+                src_keys = source.select(*s_on).distinct()
+                for tc, sc in on_pairs:
+                    if tc != sc:
+                        src_keys = src_keys.withColumnRenamed(sc, tc)
+                rewrite_paths = self._touched_file_paths(
+                    probe.select(*t_on, "__file_path").join(
+                        src_keys, on=t_on, how="left_semi"
+                    )
+                )
+        if rewrite_paths:
             tgt = self._read_files(
-                candidates, with_deletes=True, with_lineage=True,
+                rewrite_paths, with_deletes=True, with_lineage=True,
                 entries=bentries,
             )
             # explicit never-null probe: a key-only source has no non-key
@@ -2117,9 +2254,12 @@ class Table:
                 result = result.filter(~F.col("__bscl").isin(bs_delete_idx))
             result = result.drop("__cl", "__bscl")
             rewritten = self._write_files(result)
-        elif candidates:
-            # insert-only MERGE: matched rows untouched, no rewrite
-            candidates = []
+        # insert-only MERGE (or a probe that cleared every candidate):
+        # matched rows untouched, no rewrite.  Liveness still validates
+        # the candidates the probe READ; an insert-only merge read none.
+        validate_paths = (
+            candidates if (matched_clauses or bs_clauses) else []
+        )
 
         inserted: list[dict] = []
         if insert_clauses:
@@ -2130,13 +2270,13 @@ class Table:
         base_seq = self.meta.last_sequence_number
 
         def build(current: pd.DataFrame, seq: int) -> pd.DataFrame:
-            _validate_files_still_live(current, candidates)
+            _validate_files_still_live(current, validate_paths)
             # serializable MERGE conflict check uses the source key-range
             # predicate (a conservative superset of the ON condition)
             self._validate_no_conflicting_appends(
                 current, base_seq, key_pred, "merge"
             )
-            kept = current[~current.file_path.isin(set(candidates))]
+            kept = current[~current.file_path.isin(set(rewrite_paths))]
             add = M.entries_dataframe(
                 [dict(e, sequence_number=seq, snapshot_id=0) for e in rewritten + inserted]
             )
@@ -2145,7 +2285,11 @@ class Table:
         return self._commit(
             "overwrite",
             build,
-            {"merged-files": len(candidates), "inserted-files": len(inserted)},
+            {
+                "candidate-files": len(validate_paths),
+                "merged-files": len(rewrite_paths),
+                "inserted-files": len(inserted),
+            },
             to_branch=to_branch,
         )
 
@@ -2394,9 +2538,55 @@ class Table:
         entries: pd.DataFrame | None = None,
         with_lineage: bool = False,
         _skip_defaults: bool = False,
+        with_file_path: bool = False,
+        _skip_inject: bool = False,
     ) -> DataFrame:
         if not paths:
             return self._empty_df()
+        # partition-value INJECTION (Delta Lake snapshot migration,
+        # reference BaseSnapshotDeltaLakeTableAction): Delta data files
+        # physically OMIT identity partition columns — their values live
+        # in the commit log and ride in each manifest entry's partition
+        # tuple.  Paths group by partition tuple (bounded by tuple
+        # count, not files); each group is one plain scan plus literal
+        # columns, so pushdown/codegen survive and the union adds no
+        # shuffle.  Identity transforms only: every row's value IS the
+        # partition value, so overwriting files that do carry the
+        # column (post-migration engine appends) is a no-op.
+        if (
+            not _skip_inject
+            and self.meta.properties.get("read.inject-partition-values")
+            == "true"
+        ):
+            ent0 = entries if entries is not None else self._entries()
+            dent = ent0[ent0.content == "data"]
+            part_of = dict(zip(dent.file_path, dent.partition))
+            groups: dict[str, list[str]] = {}
+            for p in paths:
+                groups.setdefault(part_of.get(p) or "{}", []).append(p)
+            types = dict(self._ddl_types())
+            parts = []
+            for pj, ps in sorted(groups.items()):
+                sub = self._read_files(
+                    ps,
+                    with_deletes=with_deletes,
+                    with_pos=with_pos,
+                    entries=ent0,
+                    with_lineage=with_lineage,
+                    _skip_defaults=_skip_defaults,
+                    with_file_path=with_file_path,
+                    _skip_inject=True,
+                )
+                for cname, v in json.loads(pj).items():
+                    if cname in types:
+                        sub = sub.withColumn(
+                            cname, F.lit(v).cast(types[cname])
+                        )
+                parts.append(sub)
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+            return df
         # initial-default application (Iceberg v3 default values): files
         # whose commit sequence predates a column's evolution read the
         # column's initial-default for EVERY row.  The path list splits
@@ -2439,6 +2629,7 @@ class Table:
                         entries=ent0,
                         with_lineage=with_lineage,
                         _skip_defaults=True,
+                        with_file_path=with_file_path,
                     )
                     for c in key:
                         sub = sub.withColumn(
@@ -2454,7 +2645,10 @@ class Table:
         # limit as position deletes) — such tables still expose the
         # lineage columns to callers, but as untracked NULLs
         synth_lineage = with_lineage and fmt in ("parquet", "avro")
-        need_pos = with_pos or with_deletes or synth_lineage
+        # with_file_path keeps ONLY __file_path in the output (works on
+        # every format — _metadata.file_path needs no row index), for
+        # the CoW matched-file probes; with_pos keeps __file_path+__pos
+        need_pos = with_pos or with_deletes or synth_lineage or with_file_path
         if fmt == "avro":
             # Python DataSource reader; synthesizes __file_path/__pos
             # during its sequential decode (so avro supports position
@@ -2621,7 +2815,11 @@ class Table:
                 .drop("__frid", "__fseq")
             )
         if need_pos and not with_pos:
-            df = df.drop("__file_path", "__pos")
+            df = (
+                df.drop("__pos")
+                if with_file_path
+                else df.drop("__file_path", "__pos")
+            )
         return df
 
     def _apply_equality_deletes(self, df: DataFrame, ent: pd.DataFrame) -> DataFrame:
