@@ -67,6 +67,21 @@ def _adaptive_cell_size(L: DataFrame, R: DataFrame) -> float:
             F.max(f"__{p}ymax").alias("y1"),
         ).collect()[0]
         stats.append(row)
+    if any(s["x0"] is None or s["x1"] is None or s["y0"] is None
+           or s["y1"] is None for s in stats):
+        # an EMPTY side (or all-NULL bounds) has no span — the join
+        # result is empty whatever the grid.  Pick a cell LARGE enough
+        # that the non-empty side explodes into ~1 cell per geometry
+        # (a tiny fallback would fan each envelope into billions of
+        # cells before the empty join); span/8 of whichever sides have
+        # bounds, or 1.0 when both are empty.
+        spans = [
+            max(s["x1"] - s["x0"], s["y1"] - s["y0"], 1e-9)
+            for s in stats
+            if s["x0"] is not None and s["x1"] is not None
+            and s["y0"] is not None and s["y1"] is not None
+        ]
+        return float(max(spans) / 8.0) if spans else 1.0
     ext = max(
         *[s["w"] or 0.0 for s in stats], *[s["h"] or 0.0 for s in stats], 1e-9
     )

@@ -91,13 +91,34 @@ def _decimal_scale(f, name: str):
     return field.type.scale if pa.types.is_decimal(field.type) else None
 
 
-def _dec_raw(raw, scale: int) -> float:
+def _dec_raw(raw, scale: int, direction: int) -> float:
     """Decimal bound from the footer's RAW unscaled statistic: Spark
     writes decimal(p<=18) as INT32/INT64 unscaled ints, larger
-    precisions as big-endian two's-complement FIXED_LEN_BYTE_ARRAY."""
+    precisions as big-endian two's-complement FIXED_LEN_BYTE_ARRAY.
+
+    ``direction`` rounds the float DIRECTIONALLY (-1 toward -inf for
+    lower bounds, +1 toward +inf for upper bounds): above ~15 digits
+    nearest-float rounding could move a bound INWARD, which both
+    misprunes inclusive scans (lower bound rounded up skips a matching
+    file) and corrupts the STRICT all-match evaluator (a max rounded
+    down lets a metadata-only delete drop a file containing survivors).
+    Widening-only bounds keep pruning sound at any precision."""
+    import math
+    from fractions import Fraction
+
     if isinstance(raw, bytes):
         raw = int.from_bytes(raw, "big", signed=True)
-    return float(raw) / (10 ** scale)
+    v = float(raw) / (10 ** scale)
+    if math.isinf(v) or math.isnan(v):
+        return v
+    exact = Fraction(raw, 10 ** scale)
+    # float(raw) and the division each round once — walk at most a few
+    # ulps until the float is on the WIDE side of the exact value
+    while direction < 0 and Fraction(v) > exact:
+        v = math.nextafter(v, -math.inf)
+    while direction > 0 and Fraction(v) < exact:
+        v = math.nextafter(v, math.inf)
+    return v
 
 
 def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
@@ -163,8 +184,8 @@ def harvest_footer_stats(path: str) -> tuple[int, int, dict, dict, dict, dict]:
                     scale = _decimal_scale(f, name)
                     if scale is not None:
                         try:
-                            lo = _dec_raw(st.min_raw, scale)
-                            hi = _dec_raw(st.max_raw, scale)
+                            lo = _dec_raw(st.min_raw, scale, -1)
+                            hi = _dec_raw(st.max_raw, scale, +1)
                         except Exception:  # noqa: BLE001
                             lo = hi = None
                 if lo is not None:

@@ -210,12 +210,23 @@ def dispatch_sql(catalog, text: str):
         # view; a WITH prefix over a SELECT falls through to _select
         parsed = _split_ctes(text)
         if parsed is not None and re.match(r"\s*MERGE\b", parsed[1], re.I):
-            for cte_name, body in parsed[0]:
-                _select(catalog, body).createOrReplaceTempView(cte_name)
-            mm = _MERGE_RE.match(parsed[1])
-            if not mm:
-                raise SqlError("cannot parse MERGE statement after WITH clause")
-            return _merge(catalog, mm)
+            # CTE views are statement-scoped: drop them after _merge so
+            # they cannot leak past the statement and shadow (or be
+            # clobbered by) same-named session views of later queries
+            registered: list[str] = []
+            try:
+                for cte_name, body in parsed[0]:
+                    _select(catalog, body).createOrReplaceTempView(cte_name)
+                    registered.append(cte_name)
+                mm = _MERGE_RE.match(parsed[1])
+                if not mm:
+                    raise SqlError(
+                        "cannot parse MERGE statement after WITH clause"
+                    )
+                return _merge(catalog, mm)
+            finally:
+                for cte_name in registered:
+                    catalog.spark.catalog.dropTempView(cte_name)
     if _SELECT_RE.match(text):
         return _select(catalog, text)
     m = _INSERT_RE.match(text)
@@ -583,6 +594,8 @@ def _insert(catalog, m):
                 "INSERT OVERWRITE under spark.wap.branch is unsupported"
             )
         return t.overwrite(df)
+    if wap:
+        t.ensure_branch(wap)
     return t.append(df, to_branch=wap)
 
 
@@ -692,8 +705,43 @@ def _plan_exists(catalog, sub: str, talias: str | None, cols: set[str]):
         rest = wm.group("pre").rstrip()
         if kept:
             rest += " WHERE " + " AND ".join(f"({c})" for c in kept)
-        if wm.group("post"):
-            rest += wm.group("post")
+        post = wm.group("post")
+        if post and corr:
+            # decorrelation reattaches the tail clauses GLOBALLY, which
+            # is only sound per-group/per-row shapes.  A LIMIT inside a
+            # correlated EXISTS (e.g. the `EXISTS (... WHERE t.id=s.k
+            # LIMIT 1)` idiom) would limit the whole decorrelated
+            # subquery — the semi/anti join would see only the retained
+            # row(s) and silently touch the wrong rows.  HAVING is sound
+            # only when every correlation column is a GROUP BY key (each
+            # group then carries exactly one correlation value).
+            if re.search(r"\bLIMIT\b", post, re.I):
+                raise SqlError(
+                    "correlated EXISTS subqueries with LIMIT are "
+                    "unsupported (the decorrelated LIMIT would apply "
+                    "globally, not per correlated row)"
+                )
+            if re.search(r"\bHAVING\b", post, re.I):
+                gm = re.search(
+                    r"\bGROUP\s+BY\s+(.*?)(?=\bHAVING\b)", post, re.I | re.S
+                )
+                keys = (
+                    {k.strip().lower() for k in gm.group(1).split(",")}
+                    if gm
+                    else set()
+                )
+                for _tc, src in corr:
+                    if (
+                        src.lower() not in keys
+                        and src.split(".")[-1].lower() not in keys
+                    ):
+                        raise SqlError(
+                            f"correlated EXISTS with HAVING requires the "
+                            f"correlation column {src!r} to be a GROUP BY "
+                            f"key"
+                        )
+        if post:
+            rest += post
     if corr:
         select_list = ", ".join(
             f"{src} AS __c{j}" for j, (_tc, src) in enumerate(corr)
@@ -794,8 +842,11 @@ def _subquery_predicate(catalog, table, where: str, talias: str | None = None):
             # scalar subquery (reference testDeleteWithScalarSubquery):
             # evaluate the single value up front and fold it into a
             # strict atom — it then BOTH prunes files and filters rows.
-            # A NULL scalar makes the comparison never-true.
-            rows = _select(catalog, sm.group("sub")).collect()
+            # A NULL scalar makes the comparison never-true.  limit(2)
+            # bounds the driver read: a forgotten aggregate over a huge
+            # table still raises the 1x1 error without collecting the
+            # whole result into the driver.
+            rows = _select(catalog, sm.group("sub")).limit(2).collect()
             if len(rows) != 1 or len(rows[0]) != 1:
                 raise SqlError(
                     f"scalar subquery must return 1 row x 1 column: "
@@ -927,6 +978,11 @@ def _delete(catalog, m):
 
     mode = t.meta.properties.get("write.delete.mode", "copy-on-write")
     wap = _wap_branch(catalog)
+    if wap:
+        # first WAP write auto-creates the branch from the current
+        # snapshot (reference TestDelete.testDeleteToWapBranch never
+        # pre-creates it)
+        t.ensure_branch(wap)
     if where is not None and _HAS_SUBQUERY_RE.search(where):
         if wap:
             raise SqlError(
@@ -960,6 +1016,8 @@ def _update(catalog, m):
     where = m.group("where")
     mode = t.meta.properties.get("write.update.mode", "copy-on-write")
     wap = _wap_branch(catalog)
+    if wap:
+        t.ensure_branch(wap)
     if where is not None and _HAS_SUBQUERY_RE.search(where):
         if wap:
             raise SqlError(
@@ -1445,6 +1503,19 @@ def _select(catalog, text: str):
                     raise SqlError("time travel is not supported on metadata tables")
                 df = MT.inspect(t, suffix)
             else:
+                # while spark.wap.branch is set, PLAIN reads resolve to
+                # the WAP branch head (reference SparkCatalog wap-branch
+                # read routing; testDeleteToWapBranch asserts reads see
+                # branch writes).  Explicit time travel wins; a not-yet-
+                # created branch reads main (identical content until the
+                # first WAP write auto-creates the ref).
+                wap = _wap_branch(catalog)
+                if (
+                    not kw
+                    and wap
+                    and t.meta.refs.get(wap, {}).get("type") == "branch"
+                ):
+                    kw = {"ref": wap}
                 df = t.scan(where=prunes.get(i), **kw).to_df()
             view = f"__ice_sql_{sid}_{i}"
         df.createOrReplaceTempView(view)
@@ -1828,8 +1899,18 @@ def _merge(catalog, m: re.Match):
         src_df = _select(catalog, m.group("srcsub"))
     elif catalog.table_exists(source):
         # engine-table source, incl. self-merge (reference testSelfMerge:
-        # the source plan is pinned BEFORE any rewrite commits)
-        src_df = catalog.load_table(source).to_df()
+        # the source plan is pinned BEFORE any rewrite commits).  Like
+        # plain SELECTs, an engine-table source resolves to the WAP
+        # branch head while spark.wap.branch is set.
+        src_t = catalog.load_table(source)
+        src_wap = _wap_branch(catalog)
+        src_ref = (
+            src_wap
+            if src_wap
+            and src_t.meta.refs.get(src_wap, {}).get("type") == "branch"
+            else None
+        )
+        src_df = src_t.to_df(ref=src_ref)
     else:
         src_df = catalog.spark.table(source)
     if m.group("evo"):
@@ -1965,6 +2046,9 @@ def _merge(catalog, m: re.Match):
         matched_clauses.append((cond, "update", parse_update(action)))
     if not (matched_clauses or insert_clauses or bs_clauses):
         raise SqlError("MERGE needs at least one WHEN clause")
+    wap = _wap_branch(catalog)
+    if wap:
+        t.ensure_branch(wap)
     return t.merge(
         src_df,
         on=on_pairs,
@@ -1972,5 +2056,5 @@ def _merge(catalog, m: re.Match):
         matched_clauses=matched_clauses,
         not_matched_by_source_clauses=bs_clauses,
         not_matched_clauses=insert_clauses,
-        to_branch=_wap_branch(catalog),
+        to_branch=wap,
     )

@@ -203,6 +203,35 @@ def test_grid_spatial_join_adaptive_cell(spark):
     assert pairs(None) == pairs(10.0)
 
 
+def test_grid_spatial_join_adaptive_empty_side(spark):
+    """cell_size=None with an EMPTY side returns an empty result cleanly
+    (ADVICE r12: the span aggregates come back None — must not TypeError)
+    and without fanning the non-empty side into a degenerate tiny grid."""
+    from iceberg_geo_poc_spark.geo.functions import st_makeenvelope, st_point
+    from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 500.0, 500.0)], "pid BIGINT, px DOUBLE, py DOUBLE"
+    ).withColumn("geom", st_point("px", "py"))
+    import pyspark.sql.functions as F
+
+    empty = spark.createDataFrame(
+        [], "rid BIGINT, x0 DOUBLE, y0 DOUBLE"
+    ).withColumn("geom", st_makeenvelope("x0", "y0", F.col("x0"), F.col("y0")))
+    assert grid_spatial_join(
+        pts.select("pid", "geom"), empty.select("rid", "geom"), cell_size=None
+    ).collect() == []
+    assert grid_spatial_join(
+        empty.select("rid", "geom"), pts.select("pid", "geom"), cell_size=None
+    ).collect() == []
+    # both sides empty
+    assert grid_spatial_join(
+        empty.select("rid", "geom"),
+        empty.withColumnRenamed("rid", "sid").select("sid", "geom"),
+        cell_size=None,
+    ).collect() == []
+
+
 def test_grid_spatial_join_distance_variant(spark):
     """distance=d variant == brute-force st_dwithin, across cell
     boundaries (right-side envelope dilation)."""

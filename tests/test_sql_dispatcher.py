@@ -247,15 +247,27 @@ def test_wap_branch_merge(spark, catalog):
     assert branch == [(1, "a"), (2, "B"), (3, "c"), (9, "I")]
 
 
-def test_wap_branch_missing_branch_fails(spark, catalog):
+def test_wap_branch_auto_creates_on_first_write(spark, catalog):
+    """Round-13 (ADVICE r12): the reference never pre-creates the WAP
+    branch — the first write under spark.wap.branch creates it from the
+    current snapshot (TestDelete.testDeleteToWapBranch).  Explicit
+    to_branch= on the API keeps failing loudly for missing branches."""
     t = catalog.create_table("m_wapx", "k BIGINT, v STRING")
     t.append(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
     spark.conf.set("spark.wap.branch", "nope")
     try:
-        with pytest.raises(KeyError, match="branch 'nope' not found"):
-            catalog.sql("DELETE FROM m_wapx WHERE k = 1")
+        catalog.sql("DELETE FROM m_wapx WHERE k = 1")
+        t = catalog.load_table("m_wapx")
+        assert t.meta.refs["nope"]["type"] == "branch"
+        assert t.scan(ref="nope").to_df().count() == 0
     finally:
         spark.conf.unset("spark.wap.branch")
+    assert t.to_df().count() == 1  # main untouched
+    # API-level to_branch still requires an existing branch
+    from iceberg_geo_poc_spark.table import E
+
+    with pytest.raises(KeyError, match="branch 'absent' not found"):
+        t.delete(E.eq("k", 1), to_branch="absent")
 
 
 def test_merge_with_source_cte(spark, catalog):
