@@ -300,34 +300,41 @@ def remove_duplicate_spans(
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by exact n-gram jaccard, via inverted index.
+    """Near-dup pairs by exact n-gram jaccard, via a PREFIX-FILTERED
+    inverted index (Bayardo et al. "Scaling Up All Pairs Similarity
+    Search" / SSJoin prefix filtering).
 
-    Any pair with jaccard >= threshold shares at least one shingle, so
-    bucketing by shingle enumerates a superset of the answer without
-    ever forming the full cross product.
-
-    The shingle DF feeds candidate generation plus verification; without
-    persistence Spark recomputes the tokenize+shingle stage once per
-    reference, so we pin it (spills to local disk at scale — the same
-    materialize-the-index step a 1000-executor run would do).
+    For jaccard(A, B) >= t, |A ∩ B| >= ceil(t·|A|); with both shingle
+    sets sorted by ONE global total order (here: the xxhash64 value),
+    the first ``|A| - ceil(t·|A|) + 1 = floor((1-t)·|A|) + 1`` shingles
+    of A must intersect B's same-sized prefix.  Indexing ONLY each
+    doc's prefix is therefore EXACT — no qualifying pair is missed —
+    while bounding the classic hot-bucket blowup: a boilerplate shingle
+    shared by 10^6 docs only pairs the docs whose (1-t)-prefix it
+    reaches in hash order, instead of enumerating ~10^12 pairs from one
+    full-index bucket.  Candidates then verify with an exact set
+    intersection (the same ``_verified_pairs`` kernel MinHash-LSH
+    uses), so the output is identical to the unfiltered index.
     """
-    sh = _doc_shingles(docs)
-    # Bucket on a 64-bit shingle hash (8-byte shuffle key instead of the
-    # shingle text).  |A ∩ B| = the number of buckets a pair co-occurs
-    # in, because shingles are distinct within a doc — so jaccard comes
-    # from ONE pair-count aggregation plus two broadcast joins for the
-    # set sizes, never materializing or intersecting shingle arrays per
-    # candidate pair (the verify join dominated this operator before).
-    inv = sh.select(
-        "doc_id", F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("shingle_h")
+    sh = _doc_shingles(docs).persist()
+    # prefix length per doc: floor((1-t)*n)+1, over hash-sorted shingles
+    pref = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "slice(array_sort(transform(shingles, s -> xxhash64(s))),"
+                f" 1, CAST(floor((1.0 - {threshold}) * size(shingles)) AS INT)"
+                " + 1)"
+            )
+        ).alias("shingle_h"),
     )
     buckets = (
-        inv.groupBy("shingle_h")
+        pref.groupBy("shingle_h")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
         .withColumn("ids", F.array_sort("ids"))
     )
-    shared = (
+    cand = (
         buckets.select(
             F.explode(
                 F.expr(
@@ -337,20 +344,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 )
             ).alias("p")
         )
-        .groupBy("p.ia", "p.ib")
-        .agg(F.count("*").alias("shared"))
+        .select("p.ia", "p.ib")
+        .distinct()
     )
-    sizes = sh.select("doc_id", "n_sh")
-    return (
-        shared.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "ia", "n_sh": "na"})), "ia")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "ib", "n_sh": "nb"})), "ib")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("ia", "ib", "jaccard")
-    )
+    return _verified_pairs(cand, sh, threshold)
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:

@@ -51,6 +51,58 @@ def test_minhash_lsh_recall_equals_exact(docs):
     assert lsh == exact
 
 
+def test_ngram_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering (round-13 hot-bucket fix) is EXACT: on a corpus
+    where one shingle is shared by EVERY doc (the classic hot bucket),
+    the output equals the brute-force all-pairs jaccard answer."""
+    import itertools
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank today".split()
+    )
+    rows = []
+    for i in range(12):
+        words = list(base)
+        for j in range(i % 5):
+            words[-(j + 1)] = f"w{i}x{j}"
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sset(text):
+        w = text.split()
+        return {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+
+    sets = {i: sset(t) for i, t in rows}
+    expect = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter, uni = len(sets[a] & sets[b]), len(sets[a] | sets[b])
+        if uni and round(inter / uni, 6) >= 0.5:
+            expect.add((a, b))
+    got = {
+        (r["ia"], r["ib"])
+        for r in dedup.ngram_jaccard_pairs(df, 0.5).collect()
+    }
+    assert expect and got == expect
+
+
+def test_ngram_prefix_index_smaller_than_full(docs):
+    """The prefix index must carry ~(1-t) of the full inverted index —
+    the scale lever that bounds hot-bucket pair expansion."""
+    sh = dedup._doc_shingles(docs)
+    full = sh.select(F.explode("shingles")).count()
+    t = 0.5
+    pref = sh.select(
+        F.explode(
+            F.expr(
+                "slice(array_sort(transform(shingles, s -> xxhash64(s))),"
+                f" 1, CAST(floor((1.0 - {t}) * size(shingles)) AS INT) + 1)"
+            )
+        )
+    ).count()
+    assert pref <= full * (1 - t) + sh.count()
+
+
 def test_lsh_candidates_far_below_cross_product(docs):
     n = docs.count()
     sigs = dedup.minhash_signatures(dedup._doc_shingles(docs))
