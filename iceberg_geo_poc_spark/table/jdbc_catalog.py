@@ -120,6 +120,18 @@ class JdbcCommitBackend(MD.CommitBackend):
                 " property_value TEXT,"
                 " PRIMARY KEY (catalog_name, namespace, property_key))"
             )
+            # reference JdbcUtil V1 view schema (JdbcViewOperations): view
+            # metadata lives behind a DB pointer row, so a DB-only reader
+            # discovers views without touching the filesystem listing
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS iceberg_views ("
+                " catalog_name TEXT NOT NULL,"
+                " view_namespace TEXT NOT NULL,"
+                " view_name TEXT NOT NULL,"
+                " metadata_location TEXT,"
+                " previous_metadata_location TEXT,"
+                " PRIMARY KEY (catalog_name, view_namespace, view_name))"
+            )
 
     @contextmanager
     def db(self):
@@ -514,6 +526,122 @@ class JdbcCatalog(Catalog):
             # deviation (documented): clear metadata so the name-derived
             # location is reusable; data files stay for external readers
             shutil.rmtree(os.path.join(location, "metadata"), ignore_errors=True)
+
+    # -- views: DB pointer rows (reference JdbcViewOperations,
+    # core/.../jdbc/JdbcViewOperations.java:1-206 + JdbcUtil V1
+    # ``iceberg_views`` schema).  The base catalog stores views as
+    # filesystem JSON, which a DB-only deployment cannot discover; here
+    # each view's version log is a metadata DOCUMENT on the filesystem
+    # (uniquely named, like table metadata) and the DB row holds the
+    # CURRENT pointer, advanced by the same optimistic CAS the table
+    # commit uses — two concurrent CREATE OR REPLACE VIEW writers both
+    # write documents, the CAS decides, the loser's document is an
+    # invisible orphan. ---------------------------------------------------
+
+    def _view_ptr(self, name: str) -> str | None:
+        ns, vname = self._ident(name)
+        with self.backend.db() as c:
+            row = c.execute(
+                "SELECT metadata_location FROM iceberg_views"
+                " WHERE catalog_name = ? AND view_namespace = ?"
+                " AND view_name = ?",
+                (self.catalog_name, ns, vname),
+            ).fetchone()
+        return row[0] if row else None
+
+    def _view_doc(self, name: str) -> dict:
+        ptr = self._view_ptr(name)
+        if ptr is None:
+            raise KeyError(f"view {name} not found")
+        with open(ptr) as f:
+            return json.load(f)
+
+    def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
+        ns, vname = self._ident(name)
+        ptr = self._view_ptr(name)
+        if ptr is not None and not replace:
+            raise ValueError(f"view {name} already exists")
+        versions: list[dict] = []
+        if ptr is not None:
+            with open(ptr) as f:
+                versions = json.load(f)["versions"]
+        versions = versions + [{"sql": sql_text, "at": MD.now_ms()}]
+        doc_dir = os.path.join(self.warehouse, "_views", ns, vname)
+        os.makedirs(doc_dir, exist_ok=True)
+        # unique document name: two racing replacers write DIFFERENT
+        # files; only the CAS winner's becomes current
+        path = os.path.join(
+            doc_dir, f"v{len(versions)}-{uuid.uuid4().hex[:8]}.metadata.json"
+        )
+        with open(path, "w") as f:
+            json.dump({"name": name, "versions": versions}, f, indent=1)
+        c = self.backend._conn()
+        try:
+            c.execute("BEGIN IMMEDIATE")
+            if ptr is None:
+                try:
+                    c.execute(
+                        "INSERT INTO iceberg_views VALUES (?, ?, ?, ?, NULL)",
+                        (self.catalog_name, ns, vname, path),
+                    )
+                except sqlite3.IntegrityError:
+                    c.execute("ROLLBACK")
+                    raise MD.CommitConflict(
+                        f"concurrent CREATE VIEW won for {name!r}"
+                    ) from None
+            else:
+                got = c.execute(
+                    "UPDATE iceberg_views SET metadata_location = ?,"
+                    " previous_metadata_location = ?"
+                    " WHERE catalog_name = ? AND view_namespace = ?"
+                    " AND view_name = ? AND metadata_location = ?",
+                    (path, ptr, self.catalog_name, ns, vname, ptr),
+                )
+                if got.rowcount != 1:
+                    c.execute("ROLLBACK")
+                    raise MD.CommitConflict(
+                        f"concurrent REPLACE VIEW won for {name!r}"
+                    )
+            c.execute("COMMIT")
+        finally:
+            c.close()
+
+    def list_views(self) -> list[str]:
+        with self.backend.db() as c:
+            rows = c.execute(
+                "SELECT view_namespace, view_name FROM iceberg_views"
+                " WHERE catalog_name = ? ORDER BY view_namespace, view_name",
+                (self.catalog_name,),
+            ).fetchall()
+        return [n if ns == "default" else f"{ns}.{n}" for ns, n in rows]
+
+    def view_sql(self, name: str, version: int | None = None) -> str:
+        doc = self._view_doc(name)
+        return doc["versions"][-1 if version is None else version]["sql"]
+
+    def view_versions(self, name: str) -> list[dict]:
+        return self._view_doc(name)["versions"]
+
+    def load_view(self, name: str, version: int | None = None):
+        sql_text = self.view_sql(name, version)
+        for tname in self.list_tables():
+            self.load_table(tname).to_df().createOrReplaceTempView(tname)
+        return self.spark.sql(sql_text)
+
+    def drop_view(self, name: str) -> None:
+        ns, vname = self._ident(name)
+        with self.backend.db() as c:
+            got = c.execute(
+                "DELETE FROM iceberg_views WHERE catalog_name = ?"
+                " AND view_namespace = ? AND view_name = ?",
+                (self.catalog_name, ns, vname),
+            )
+            if got.rowcount != 1:
+                raise KeyError(f"view {name} not found")
+        shutil.rmtree(
+            os.path.join(self.warehouse, "_views", ns, vname),
+            ignore_errors=True,
+        )
 
     def snapshot_table(self, source: str, dest: str) -> Table:
         """Zero-copy clone under the DB-pointer protocol: the base
