@@ -802,6 +802,17 @@ class Catalog:
         # must never delete another table's data files).
         return self.alter_table_properties(name, {"gc.enabled": "false"})
 
+    def snapshot_delta_table(self, delta_path: str, dest: str) -> Table:
+        """Delta Lake -> engine snapshot migration (reference
+        delta-lake/.../BaseSnapshotDeltaLakeTableAction.java): replay
+        ``_delta_log`` (checkpoint + JSON commits), register the live
+        parquet zero-copy with footer-harvested stats, and map each
+        file's partitionValues into its manifest partition tuple +
+        column bounds.  See ``delta_migration.py``."""
+        from iceberg_geo_poc_spark.table import delta_migration as DL
+
+        return DL.snapshot_delta_table(self, delta_path, dest)
+
     def snapshot_table(self, source: str, dest: str) -> Table:
         """Zero-copy testing clone (reference SnapshotTableProcedure):
         the new table's metadata references the SOURCE's data files by
