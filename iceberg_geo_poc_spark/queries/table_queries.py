@@ -4447,3 +4447,169 @@ def managed_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _managed(spark, sf_dir, "merge_bysrc", build)
     return t.to_df().select("k", "seg", F.round("bal", 2).alias("bal")).orderBy("k")
+
+
+@query(
+    "managed_delta_snapshot",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 5 = 0 AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def managed_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake -> engine snapshot migration (reference
+    delta-lake/.../BaseSnapshotDeltaLakeTableAction.java): Spark writes
+    a hive-partitioned parquet layout (partition column PHYSICALLY
+    ABSENT from the data files, exactly Delta's layout), a hand-built
+    ``_delta_log`` adds every file in commit 0 and REMOVEs the 5-LOW
+    partition in commit 1, and the migration replays the log, registers
+    the live files zero-copy with footer stats + log-derived partition
+    bounds, and injects the partition column at read time.  The oracle
+    sees only rows that survived the remove."""
+    key = (sf_dir, "delta_snap")
+    if key not in _TABLES:
+        import json as _json
+        import os
+
+        cat = _catalog(spark)
+        tag = abs(hash(sf_dir)) % 10**8
+        root = tempfile.mkdtemp(prefix="igps_delta_")
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .filter("o_orderkey % 5 = 0")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        )
+        df.write.partitionBy("o_orderpriority").parquet(root, mode="overwrite")
+        # harvest the layout into Delta add actions
+        adds, removes = [], []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("o_orderpriority="):
+                continue
+            pval = d.split("=", 1)[1].replace("%20", " ")
+            for fn in sorted(os.listdir(os.path.join(root, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"{d}/{fn}"
+                act = {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"o_orderpriority": pval},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+                adds.append(act)
+                if pval == "5-LOW":
+                    removes.append(
+                        {"remove": {"path": rel, "deletionTimestamp": 1,
+                                    "dataChange": True}}
+                    )
+        schema = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "o_orderkey", "type": "long",
+                     "nullable": True, "metadata": {}},
+                    {"name": "o_totalprice", "type": "double",
+                     "nullable": True, "metadata": {}},
+                    {"name": "o_orderpriority", "type": "string",
+                     "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"metaData": {
+                "id": "q-delta", "schemaString": schema,
+                "partitionColumns": ["o_orderpriority"],
+                "configuration": {}}}) + "\n")
+            for a in adds:
+                f.write(_json.dumps(a) + "\n")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+            for a in removes:
+                f.write(_json.dumps(a) + "\n")
+        _TABLES[key] = cat.snapshot_delta_table(root, f"delta_snap_{tag}")
+    t = _TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "managed_jdbc_view_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def managed_jdbc_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC-catalog VIEW lifecycle behind DB pointer rows (reference
+    core/.../jdbc/JdbcViewOperations.java + JdbcUtil V1
+    ``iceberg_views``): CREATE, REPLACE with a narrower body (pointer
+    CAS advances), list via the DATABASE row (a DB-only reader's
+    discovery surface), then SELECT the PINNED version 1 through the
+    SQL dispatcher — which must differ from the latest body."""
+    key = (sf_dir, "jdbc_view")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.jdbc_catalog import JdbcCatalog
+
+        if "_jvcat" not in _CATALOGS:
+            _CATALOGS["_jvcat"] = JdbcCatalog(
+                tempfile.mkdtemp(prefix="igps_jvwh_"), spark,
+                catalog_name="jv",
+            )
+        cat = _CATALOGS["_jvcat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"cust_jv_{tag}"
+        t = cat.create_table(
+            tname, "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE"
+        )
+        t.append(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+        vname = f"seg_stats_{tag}"
+        cat.sql(
+            f"CREATE VIEW {vname} AS SELECT c_mktsegment, "
+            f"COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal "
+            f"FROM {tname} GROUP BY c_mktsegment"
+        )
+        cat.sql(
+            f"CREATE OR REPLACE VIEW {vname} AS SELECT c_mktsegment, "
+            f"COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal "
+            f"FROM {tname} WHERE c_acctbal > 0 GROUP BY c_mktsegment"
+        )
+        # discovery through the DATABASE row, not the filesystem
+        with cat.backend.db() as c:
+            names = [
+                r[0]
+                for r in c.execute(
+                    "SELECT view_name FROM iceberg_views WHERE view_name = ?",
+                    (vname,),
+                ).fetchall()
+            ]
+        assert names == [vname], "view must be discoverable from the DB row"
+        assert len(cat.view_versions(vname)) == 2
+        _TABLES[key] = (cat, vname)
+    cat, vname = _TABLES[key]
+    pinned = cat.sql(f"SELECT * FROM {vname} VERSION AS OF 1").orderBy(
+        "c_mktsegment"
+    )
+    latest = cat.sql(f"SELECT * FROM {vname}")
+    assert pinned.count() != latest.count() or (
+        pinned.subtract(latest).count() > 0
+    ), "pinned view version returned the latest body"
+    return pinned

@@ -63,64 +63,64 @@ _LOADED = False
 # FIRST, then the longest-unseen rows re-verify; the list is recomputed
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-12 rotation.  Recomputed this session from CORRECTNESS_r01-r11
-    # vs the registry: 7 never-driver-seen round-12 registrations first,
-    # then the longest-unseen rows oldest-first — all 20 remaining r5
-    # rows, then the first 23 r7 rows (alphabetical) fill the 50-slot
-    # window.  Staleness floor moves r5 -> r7 when CORRECTNESS_r12 lands.
-    # -- round-12 registrations (never driver-seen) --
-    "sql_delete_in_subquery",
-    "sql_update_in_subquery",
-    "managed_merge_schema_evolution",
-    "managed_jdbc_catalog_roundtrip",
-    "dedup_span_removal",
-    "stream_full_outer_join",
-    "managed_wap_branch_dml",
-    # -- last seen round 5 (all 20) --
-    "sim_ivf_kmeans_recall",
-    "sim_pq_adc_recall",
-    "sim_quantize_int8",
-    "sim_random_projection",
-    "stats_fastpath_filtered_agg",
-    "stream_dedup_within_watermark",
-    "stream_hourly_event_counts",
-    "stream_partitioned_table_sink",
-    "stream_session_windows",
-    "stream_stream_join",
-    "text_chunk_documents",
-    "text_hash_embedding_retrieval",
-    "text_length_histogram",
-    "text_novelty_scores",
-    "text_repetition_filter",
-    "text_tfidf_top_terms",
-    "text_vocab_top_terms",
-    "ts_gapfill_hourly_counts",
-    "window_ntile_percentiles",
-    "window_trailing_interval_sum",
-    # -- last seen round 7 (alphabetical, first 23) --
-    "dedup_bloom_decontaminate",
-    "dedup_semantic",
-    "dedup_semantic_kmeans",
-    "geo_collect_aggr",
-    "managed_add_files_mapped",
-    "managed_changelog_apply",
-    "managed_changelog_mor",
-    "managed_cow_delete",
-    "managed_cow_update",
-    "managed_default_columns",
-    "managed_dv_delete",
-    "managed_encrypted_roundtrip",
-    "managed_eq_delete",
-    "managed_geo_encodings_scan",
-    "managed_metadata_columns",
-    "managed_metrics_truncate_scan",
-    "managed_mor_delete",
-    "managed_mor_merge",
-    "managed_mor_update",
-    "managed_posdelete_compaction",
-    "managed_row_lineage",
-    "managed_snapshot_lineage",
-    "managed_timestamp_ns_scan",
+    # Round-13 rotation.  Recomputed this session from CORRECTNESS_r01-r12
+    # vs the registry: 2 never-driver-seen round-13 registrations first,
+    # then the longest-unseen rows oldest-first — all 24 remaining r7
+    # rows, then the first 24 r8 rows (alphabetical) fill the 50-slot
+    # window.  Staleness floor moves r7 -> r8 when CORRECTNESS_r13 lands.
+    # -- round-13 registrations (never driver-seen) --
+    "managed_delta_snapshot",
+    "managed_jdbc_view_lifecycle",
+    # -- last seen round 7 (all 24) --
+    "multimodal_flac_frames",
+    "multimodal_gif_frames",
+    "multimodal_log_mel_contract",
+    "multimodal_mfcc_contract",
+    "multimodal_tiff_roundtrip",
+    "multimodal_y4m_frames",
+    "pipeline_json_array_explode",
+    "pipeline_json_shred",
+    "pipeline_quality_classifier",
+    "pipeline_url_dedup",
+    "pipeline_variant_extract",
+    "pipeline_warc_extract",
+    "pipeline_webdataset_export",
+    "pipeline_webdataset_extract",
+    "rest_catalog_lifecycle",
+    "sample_reservoir_per_group",
+    "sql_show_describe",
+    "stream_changelog_cdc",
+    "stream_incremental_admission",
+    "text_bpe_roundtrip",
+    "text_unigram_roundtrip",
+    "text_wordpiece_roundtrip",
+    "ts_linear_interpolation",
+    "ts_sessionize_events",
+    # -- last seen round 8 (alphabetical, first 24) --
+    "dedup_connected_components",
+    "dedup_editdistance_verify",
+    "dedup_exact_stats",
+    "dedup_keep_best_in_cluster",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "geo_hilbert_clustering",
+    "join_asof_last_order",
+    "join_range_event_bursts",
+    "managed_datasource_write_roundtrip",
+    "managed_encrypted_dv_stream",
+    "managed_encrypted_key_rotation",
+    "managed_encrypted_mor_scan",
+    "managed_gdpr_erasure",
+    "managed_iceberg_bucket_import",
+    "managed_incremental_read",
+    "managed_merge",
+    "managed_orc_roundtrip",
+    "managed_parquet_encrypted_scan",
+    "managed_partition_stats",
+    "managed_rewrite_table_path",
+    "managed_sketch_join_estimate",
+    "managed_theta_sketch_ndv",
+    "managed_time_travel",
 )
 
 
