@@ -4613,3 +4613,70 @@ def managed_jdbc_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pinned.subtract(latest).count() > 0
     ), "pinned view version returned the latest body"
     return pinned
+
+
+@query(
+    "managed_nessie_catalog_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 5 = 0 AND NOT (event_type = 'error' AND value < 0.5)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_nessie_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie catalog end-to-end (reference nessie/NessieCatalog.java +
+    NessieIcebergClient commitMultipleOperations): table committed on
+    main, the WHOLE CATALOG forked to an 'etl' branch, a CoW delete +
+    an append land on etl via hash-CAS commits (one from a stale handle
+    that conflicts and retries), main is asserted untouched, then the
+    publish step fast-forwards main to etl's head and the table is read
+    through its post-rename name — an atomic Delete+Put commit."""
+    key = (sf_dir, "nessie_rt")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.nessie_catalog import NessieCatalog
+
+        if "_nessiecat" not in _CATALOGS:
+            _CATALOGS["_nessiecat"] = NessieCatalog(
+                tempfile.mkdtemp(prefix="igps_nessiewh_"), spark
+            )
+        cat = _CATALOGS["_nessiecat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_nessie_{tag}"
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 5 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 4 = 0"))
+        main_rows = t.to_df().count()
+        cat.create_ref(f"etl_{tag}")
+        cat.use_ref(f"etl_{tag}")
+        stale = cat.load_table(tname)
+        cat.load_table(tname).append(df.filter("event_id % 2 = 1"))
+        # stale handle: loses the hash-CAS once, engine retry lands it
+        stale.append(df.filter("event_id % 4 = 2"))
+        cat.load_table(tname).delete(
+            E.and_(E.eq("event_type", "error"), E.lt("value", 0.5))
+        )
+        # main untouched by everything on etl
+        cat.use_ref("main")
+        assert cat.load_table(tname).to_df().count() == main_rows
+        # publish: fast-forward main to the etl head, then atomic rename
+        cat.assign_ref("main", to=f"etl_{tag}")
+        cat.rename_table(tname, f"events_nessie_final_{tag}")
+        _TABLES[key] = (cat, f"events_nessie_final_{tag}")
+    cat, name = _TABLES[key]
+    cat.use_ref("main")
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,719 @@
+"""Nessie catalog — git-like CATALOG-LEVEL versioning over a commit DAG.
+
+Python analogue of the reference's ``nessie/`` module
+(``NessieCatalog.java``, ``NessieIcebergClient.java``,
+``NessieTableOperations.java``, ``NessieViewOperations.java``): tables
+and views are CONTENT entries addressed by key on a NAMED REFERENCE
+(branch/tag) in a Nessie service; every catalog mutation is a commit
+``Operation.Put/Delete`` against an EXPECTED branch-head hash; a losing
+writer gets ``NessieConflict`` and the engine's standard commit retry
+re-reads and re-applies (reference: commitMultipleOperations +
+NessieConflictException, NessieIcebergClient.java:586-700).
+
+The environment has no Nessie server, so ``NessieService`` implements
+the SEMANTICS in-process (the same posture as the REST catalog's
+``CatalogService``): an immutable commit DAG (each commit = parent hash
++ per-key delta), named references, per-key conflict detection — a
+commit whose expected hash is stale REBASES onto the head when none of
+its keys changed in between, and conflicts otherwise (Nessie's actual
+rule, which is what lets independent tables commit concurrently on one
+branch without false conflicts).
+
+What Nessie adds over the other catalogs — and what the queries/tests
+exercise — is catalog-level branching: ``create_ref("etl")`` forks the
+WHOLE CATALOG at a hash; commits on ``etl`` leave ``main`` untouched;
+``assign_ref("main", to="etl")`` is the publish (fast-forward) step;
+``use_ref`` switches the working reference (the reference binds one
+``NessieCatalog`` per ref — ``client.withReference``).
+
+Scale: the service stores per-commit DELTAS; key resolution walks the
+parent chain (the real server indexes this in its store — RocksDB /
+Mongo — and this in-process stand-in documents the same contract:
+O(changed keys) per commit, never O(tables)).  Data files, manifests
+and metadata documents stay on the shared filesystem; the DAG holds
+POINTERS, so a commit is one small CAS regardless of table size —
+the property that matters at 100 TB.
+
+Deviation (documented, same as JdbcCatalog): ``drop_table`` clears the
+table's ``metadata/`` directory so the name-derived location is
+reusable; a renamed table keeps its location (reverse lookup maps the
+location back to its key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import threading
+import uuid
+
+from pyspark.sql import SparkSession
+
+import re
+
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.catalog import Catalog
+from iceberg_geo_poc_spark.table.jdbc_catalog import _V_RE, _split_metadata_path
+from iceberg_geo_poc_spark.table.table import Table
+
+# pointer documents carry a uuid suffix (real Iceberg's
+# <version>-<uuid>.metadata.json form): two catalog branches advancing
+# the SAME table to the same version number write DIFFERENT files, and
+# each branch's content pointer names its own — no clobbering across
+# divergent histories
+_VU_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]{8})?\.metadata\.json$")
+
+
+class NessieConflict(MD.CommitConflict):
+    """A commit lost the expected-hash CAS on a key it touches
+    (reference NessieConflictException)."""
+
+
+_ROOT = "0" * 16  # no-ancestor hash (Nessie's beginning-of-time)
+
+
+class NessieService:
+    """In-process Nessie semantics: commit DAG + named references.
+
+    Contents are dicts: ``{"type": "ICEBERG_TABLE" | "ICEBERG_VIEW" |
+    "NAMESPACE", "id": <content-id>, "metadataLocation": ...}`` —
+    the fields the reference's IcebergTable/IcebergView/Namespace
+    content models carry that this engine needs.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.RLock()
+        # root commit: empty catalog
+        self._commits: dict[str, dict] = {
+            _ROOT: {"parent": None, "meta": {"message": "root"}, "ops": {}}
+        }
+        self._refs: dict[str, dict] = {
+            "main": {"type": "BRANCH", "hash": _ROOT}
+        }
+
+    # -- references --------------------------------------------------------
+
+    def get_reference(self, name: str) -> dict:
+        with self._lock:
+            ref = self._refs.get(name)
+            if ref is None:
+                raise KeyError(f"reference {name!r} not found")
+            return dict(ref, name=name)
+
+    def create_reference(
+        self, name: str, ref_type: str = "BRANCH", at_hash: str | None = None
+    ) -> dict:
+        with self._lock:
+            if name in self._refs:
+                raise ValueError(f"reference {name!r} already exists")
+            h = at_hash if at_hash is not None else self._refs["main"]["hash"]
+            if h not in self._commits:
+                raise KeyError(f"unknown hash {h!r}")
+            self._refs[name] = {"type": ref_type.upper(), "hash": h}
+            return self.get_reference(name)
+
+    def assign_reference(self, name: str, to_hash: str) -> dict:
+        """Move a reference to an existing hash (the publish /
+        fast-forward step: ``assign main -> etl head``)."""
+        with self._lock:
+            if name not in self._refs:
+                raise KeyError(f"reference {name!r} not found")
+            if to_hash not in self._commits:
+                raise KeyError(f"unknown hash {to_hash!r}")
+            self._refs[name]["hash"] = to_hash
+            return self.get_reference(name)
+
+    def drop_reference(self, name: str) -> None:
+        with self._lock:
+            if name == "main":
+                raise ValueError("cannot drop the main reference")
+            if name not in self._refs:
+                raise KeyError(f"reference {name!r} not found")
+            del self._refs[name]
+
+    # -- content resolution -------------------------------------------------
+
+    def _resolve(self, ref_or_hash: str) -> str:
+        with self._lock:
+            if ref_or_hash in self._refs:
+                return self._refs[ref_or_hash]["hash"]
+            if ref_or_hash in self._commits:
+                return ref_or_hash
+            raise KeyError(f"unknown reference or hash {ref_or_hash!r}")
+
+    def get_content(self, ref_or_hash: str, key: str) -> dict | None:
+        """Newest content for ``key`` at a ref/hash (None = absent)."""
+        with self._lock:
+            h = self._resolve(ref_or_hash)
+            while h is not None:
+                c = self._commits[h]
+                if key in c["ops"]:
+                    v = c["ops"][key]
+                    return dict(v) if v is not None else None
+                h = c["parent"]
+            return None
+
+    def get_entries(self, ref_or_hash: str) -> dict[str, dict]:
+        """All live (key -> content) at a ref/hash, newest-wins walk."""
+        with self._lock:
+            h = self._resolve(ref_or_hash)
+            seen: dict[str, dict | None] = {}
+            while h is not None:
+                c = self._commits[h]
+                for k, v in c["ops"].items():
+                    seen.setdefault(k, v)
+                h = c["parent"]
+            return {k: dict(v) for k, v in seen.items() if v is not None}
+
+    def _changed_between(self, ancestor: str, head: str) -> set[str]:
+        keys: set[str] = set()
+        h = head
+        while h is not None and h != ancestor:
+            c = self._commits.get(h)
+            if c is None:
+                break
+            keys.update(c["ops"])
+            h = c["parent"]
+        if h != ancestor:
+            # expected hash is not an ancestor of head: everything may
+            # have changed — force the conflict path
+            return {"*"}
+        return keys
+
+    def commit(
+        self,
+        branch: str,
+        expected_hash: str,
+        ops: dict[str, dict | None],
+        meta: dict | None = None,
+    ) -> str:
+        """Atomic multi-operation commit (reference
+        commitMultipleOperations): Put = key -> content dict, Delete =
+        key -> None.  Per-key conflict detection: a stale expected hash
+        REBASES onto the head unless one of this commit's keys changed
+        between expected and head (Nessie's rule — concurrent commits
+        to independent tables on one branch both land)."""
+        with self._lock:
+            ref = self._refs.get(branch)
+            if ref is None:
+                raise KeyError(f"reference {branch!r} not found")
+            if ref["type"] != "BRANCH":
+                raise ValueError(f"reference {branch!r} is not a branch")
+            head = ref["hash"]
+            if expected_hash != head:
+                changed = self._changed_between(expected_hash, head)
+                if "*" in changed or changed & set(ops):
+                    raise NessieConflict(
+                        f"keys {sorted(set(ops) & changed) or '(ref rewound)'} "
+                        f"changed between {expected_hash[:8]} and {head[:8]}"
+                    )
+            payload = json.dumps(
+                [head, sorted((k, v) for k, v in ops.items())],
+                sort_keys=True, default=str,
+            )
+            new_hash = hashlib.sha256(payload.encode()).hexdigest()[:16]
+            self._commits[new_hash] = {
+                "parent": head,
+                "meta": dict(meta or {}),
+                "ops": {k: (dict(v) if v is not None else None) for k, v in ops.items()},
+            }
+            ref["hash"] = new_hash
+            return new_hash
+
+    def log(self, ref_or_hash: str) -> list[dict]:
+        """Commit log newest-first: [{"hash", "meta"}, ...]."""
+        with self._lock:
+            h = self._resolve(ref_or_hash)
+            out = []
+            while h is not None and h != _ROOT:
+                c = self._commits[h]
+                out.append({"hash": h, "meta": dict(c["meta"])})
+                h = c["parent"]
+            return out
+
+
+class NessieCommitBackend(MD.CommitBackend):
+    """CommitBackend arbitrating metadata versions through Nessie
+    content entries on the backend's CURRENT reference (reference
+    NessieTableOperations.doCommit: load records the commit id, commit
+    CASes against it).  Same path routing as the JDBC backend:
+    version-hint reads resolve from the content pointer, ``v{N}`` docs
+    above the pointer are invisible orphans, everything else passes
+    through to the filesystem."""
+
+    def __init__(self, service: NessieService, warehouse: str):
+        self.service = service
+        self.warehouse = warehouse.rstrip("/")
+        self.ref = "main"
+
+    # -- key plumbing -------------------------------------------------------
+
+    def _derived_key(self, location: str) -> str:
+        rel = location[len(self.warehouse):].strip("/")
+        parts = [p for p in rel.split("/") if p]
+        if len(parts) == 1:
+            parts = ["default"] + parts
+        return ".".join(parts)
+
+    def _key_for_location(self, location: str) -> str | None:
+        """Location -> content key at the current ref: the name-derived
+        key fast path, else a bounded reverse scan (a RENAMED table
+        keeps its location under the old name-derived path)."""
+        k = self._derived_key(location)
+        c = self.service.get_content(self.ref, k)
+        if c is not None and c.get("metadataLocation", "").startswith(
+            location + "/"
+        ):
+            return k
+        for key, content in self.service.get_entries(self.ref).items():
+            if content.get("type") != "ICEBERG_TABLE":
+                continue
+            if content.get("metadataLocation", "").startswith(location + "/"):
+                return key
+        return None
+
+    def _pointer(self, location: str) -> tuple[str | None, str | None]:
+        key = self._key_for_location(location)
+        if key is None:
+            return None, None
+        c = self.service.get_content(self.ref, key)
+        return (c or {}).get("metadataLocation"), key
+
+    @staticmethod
+    def _version_of(ptr: str | None) -> int | None:
+        if ptr is None:
+            return None
+        m = _VU_RE.match(os.path.basename(ptr))
+        return int(m.group(1)) if m else None
+
+    # -- CommitBackend surface ----------------------------------------------
+
+    def read(self, path: str) -> bytes:
+        split = _split_metadata_path(path)
+        if split is not None:
+            location, leaf = split
+            if leaf == "version-hint.text":
+                ptr, _ = self._pointer(location)
+                v = self._version_of(ptr)
+                if v is None:
+                    raise FileNotFoundError(path)
+                return str(v).encode()
+            vm = _V_RE.match(leaf)
+            if vm:
+                ptr, _ = self._pointer(location)
+                v = self._version_of(ptr)
+                if v is None or int(vm.group(1)) > v:
+                    raise FileNotFoundError(path)
+                if int(vm.group(1)) == v:
+                    # the CURRENT version resolves through the pointer:
+                    # the document carries a uuid suffix the canonical
+                    # name doesn't know (divergent-branch safety)
+                    with open(ptr, "rb") as f:
+                        return f.read()
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        split = _split_metadata_path(path)
+        if split is not None:
+            location, leaf = split
+            if leaf == "version-hint.text":
+                ptr, _ = self._pointer(location)
+                return ptr is not None
+            vm = _V_RE.match(leaf)
+            if vm:
+                ptr, _ = self._pointer(location)
+                v = self._version_of(ptr)
+                if v is None or int(vm.group(1)) > v:
+                    return False
+                return int(vm.group(1)) == v or os.path.exists(path)
+        return os.path.exists(path)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        split = _split_metadata_path(path)
+        vm = _V_RE.match(split[1]) if split else None
+        if vm is None:
+            return MD.PosixLinkBackend().put_if_absent(path, payload)
+        location, n = split[0], int(vm.group(1))
+        head = self.service.get_reference(self.ref)["hash"]
+        ptr, key = self._pointer(location)
+        cur_v = self._version_of(ptr)
+        expect = -1 if cur_v is None else cur_v
+        if n != expect + 1:
+            return False  # replay of an old version / racer already won
+        if key is None:
+            key = self._derived_key(location)
+            content_id = str(uuid.uuid4())
+        else:
+            content_id = (
+                self.service.get_content(self.ref, key) or {}
+            ).get("id") or str(uuid.uuid4())
+        # uuid-suffixed document (invisible until the commit points at
+        # it, and never clobbered by another branch writing the same
+        # version number), then the hash-CAS commit decides the winner
+        doc_path = os.path.join(
+            os.path.dirname(path),
+            f"v{n}-{uuid.uuid4().hex[:8]}.metadata.json",
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{doc_path}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, doc_path)
+        try:
+            self.service.commit(
+                self.ref,
+                head,
+                {key: {
+                    "type": "ICEBERG_TABLE",
+                    "id": content_id,
+                    "metadataLocation": doc_path,
+                }},
+                meta={"message": f"commit {key} v{n}",
+                      "iceberg.operation": "commit"},
+            )
+            return True
+        except NessieConflict:
+            os.unlink(doc_path)  # orphan of a lost race
+            return False
+
+    def put(self, path: str, payload: bytes) -> None:
+        split = _split_metadata_path(path)
+        if split is not None and split[1] == "version-hint.text":
+            return  # the content pointer IS the hint
+        MD.PosixLinkBackend().put(path, payload)
+
+    def delete(self, path: str) -> None:
+        MD.PosixLinkBackend().delete(path)
+
+
+class NessieCatalog(Catalog):
+    """Catalog whose registry is a Nessie commit DAG (reference
+    NessieCatalog).  Inherits the full Catalog surface; adds
+    catalog-level branches/tags, atomic multi-op rename, and
+    content-backed namespaces/views."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        spark: SparkSession,
+        service: NessieService | None = None,
+        ref: str = "main",
+    ):
+        super().__init__(warehouse, spark)
+        self.service = service or NessieService()
+        self.backend = NessieCommitBackend(self.service, warehouse)
+        self.backend.ref = ref
+        MD.register_commit_backend(warehouse.rstrip("/") + "/", self.backend)
+        if self.service.get_content(ref, "default") is None:
+            self.create_namespace("default", if_not_exists=True)
+
+    # -- reference surface (what Nessie exists FOR) -------------------------
+
+    @property
+    def ref(self) -> str:
+        return self.backend.ref
+
+    def use_ref(self, name: str) -> "NessieCatalog":
+        """Switch the working reference (reference: one NessieCatalog
+        per ref; this client rebinds in place — sequential use)."""
+        self.service.get_reference(name)  # existence check
+        self.backend.ref = name
+        return self
+
+    def create_ref(
+        self, name: str, ref_type: str = "BRANCH", at: str | None = None
+    ) -> dict:
+        """Fork the WHOLE CATALOG: every table/view/namespace at ``at``
+        (a ref name or hash, default the current ref's head) becomes
+        visible on the new reference."""
+        h = self.service._resolve(at if at is not None else self.ref)
+        return self.service.create_reference(name, ref_type, h)
+
+    def assign_ref(self, name: str, to: str) -> dict:
+        """Publish / fast-forward: move ``name`` to ``to``'s head."""
+        return self.service.assign_reference(name, self.service._resolve(to))
+
+    def drop_ref(self, name: str) -> None:
+        self.service.drop_reference(name)
+
+    def ref_log(self, name: str | None = None) -> list[dict]:
+        return self.service.log(name or self.ref)
+
+    # -- identifier plumbing -------------------------------------------------
+
+    @staticmethod
+    def _ident(name: str) -> tuple[str, str]:
+        if "." in name:
+            ns, tbl = name.rsplit(".", 1)
+            return ns, tbl
+        return "default", name
+
+    def _table_location(self, name: str) -> str:
+        ns, tbl = self._ident(name)
+        return os.path.join(self.warehouse, ns, tbl)
+
+    def _key(self, name: str) -> str:
+        ns, tbl = self._ident(name)
+        return f"{ns}.{tbl}"
+
+    # -- namespaces (content entries, reference NessieIcebergClient
+    # createNamespace: a commit Put of a NAMESPACE content) ------------------
+
+    def create_namespace(
+        self,
+        namespace: str,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        if self.service.get_content(self.ref, namespace) is not None:
+            if if_not_exists:
+                return
+            raise ValueError(f"namespace {namespace!r} already exists")
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref,
+            head,
+            {namespace: {"type": "NAMESPACE", "id": str(uuid.uuid4()),
+                         "properties": dict(properties or {})}},
+            meta={"message": f"create namespace {namespace}"},
+        )
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            k
+            for k, c in self.service.get_entries(self.ref).items()
+            if c.get("type") == "NAMESPACE"
+        )
+
+    def namespace_properties(self, namespace: str) -> dict[str, str]:
+        c = self.service.get_content(self.ref, namespace)
+        if c is None or c.get("type") != "NAMESPACE":
+            raise KeyError(f"namespace {namespace!r} not found")
+        return dict(c.get("properties") or {})
+
+    def set_namespace_properties(
+        self, namespace: str, updates: dict[str, str]
+    ) -> None:
+        props = self.namespace_properties(namespace)
+        props.update(updates)
+        head = self.service.get_reference(self.ref)["hash"]
+        cur = self.service.get_content(self.ref, namespace)
+        self.service.commit(
+            self.ref, head,
+            {namespace: dict(cur, properties=props)},
+            meta={"message": f"alter namespace {namespace}"},
+        )
+
+    def drop_namespace(self, namespace: str) -> None:
+        if self.service.get_content(self.ref, namespace) is None:
+            raise KeyError(f"namespace {namespace!r} not found")
+        inside = [
+            k
+            for k, c in self.service.get_entries(self.ref).items()
+            if c.get("type") != "NAMESPACE"
+            and k.startswith(namespace + ".")
+        ]
+        if inside:
+            raise ValueError(
+                f"namespace {namespace!r} is not empty ({len(inside)} keys)"
+            )
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head, {namespace: None},
+            meta={"message": f"drop namespace {namespace}"},
+        )
+
+    # -- table registry ------------------------------------------------------
+
+    def create_table(self, name: str, schema_ddl: str, **kwargs) -> Table:
+        ns, _tbl = self._ident(name)
+        if self.service.get_content(self.ref, ns) is None:
+            raise KeyError(f"namespace {ns!r} not found")
+        if self.service.get_content(self.ref, self._key(name)) is not None:
+            raise ValueError(f"table {name} already exists")
+        # stale metadata under a reused name-derived location would make
+        # the v0 claim a replay — the drop deviation guarantees it's gone
+        return super().create_table(name, schema_ddl, **kwargs)
+
+    def load_table(self, name: str) -> Table:
+        c = self.service.get_content(self.ref, self._key(name))
+        if c is None or c.get("type") != "ICEBERG_TABLE":
+            raise FileNotFoundError(
+                f"table {name} not found on ref {self.ref!r}"
+            )
+        split = _split_metadata_path(c["metadataLocation"])
+        return Table(MD.read_metadata(split[0]), self.spark)
+
+    table = load_table
+
+    def table_exists(self, name: str) -> bool:
+        c = self.service.get_content(self.ref, self._key(name))
+        return c is not None and c.get("type") == "ICEBERG_TABLE"
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        out = []
+        for k, c in self.service.get_entries(self.ref).items():
+            if c.get("type") != "ICEBERG_TABLE":
+                continue
+            ns, _, tbl = k.rpartition(".")
+            if ns == namespace:
+                out.append(tbl)
+        return sorted(out)
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ONE atomic commit carrying Delete(old) + Put(new) — the
+        multi-operation form the reference uses
+        (NessieIcebergClient.renameTable); the table keeps its location
+        and metadata untouched."""
+        nns, _ = self._ident(new)
+        if self.service.get_content(self.ref, nns) is None:
+            raise KeyError(f"namespace {nns!r} not found")
+        c = self.service.get_content(self.ref, self._key(old))
+        if c is None or c.get("type") != "ICEBERG_TABLE":
+            raise FileNotFoundError(f"table {old} not found on ref {self.ref!r}")
+        if self.service.get_content(self.ref, self._key(new)) is not None:
+            raise ValueError(f"table {new} already exists")
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head,
+            {self._key(old): None, self._key(new): c},
+            meta={"message": f"rename {old} -> {new}"},
+        )
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        c = self.service.get_content(self.ref, self._key(name))
+        if c is None:
+            raise FileNotFoundError(f"table {name} not found on ref {self.ref!r}")
+        location = _split_metadata_path(c["metadataLocation"])[0]
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head, {self._key(name): None},
+            meta={"message": f"drop {name}"},
+        )
+        if purge:
+            shutil.rmtree(location, ignore_errors=True)
+        else:
+            # deviation (documented): clear metadata so the name-derived
+            # location is reusable on THIS ref; other refs still resolve
+            # their pinned documents... which this would break — so the
+            # metadata dir is only cleared when NO other ref sees the key
+            still_visible = any(
+                self.service.get_content(r, self._key(name)) is not None
+                for r in self.service._refs
+            )
+            if not still_visible:
+                shutil.rmtree(
+                    os.path.join(location, "metadata"), ignore_errors=True
+                )
+
+    def snapshot_table(self, source: str, dest: str) -> Table:
+        """Zero-copy clone under the content-pointer protocol: copy the
+        source's metadata documents and commit a content row whose
+        pointer names the copied current version (same shape as the
+        JDBC override — readers resolve from the pointer, so the row
+        must exist before the location-rewriting commit)."""
+        c = self.service.get_content(self.ref, self._key(source))
+        if c is None or c.get("type") != "ICEBERG_TABLE":
+            raise FileNotFoundError(f"table {source} not found on ref {self.ref!r}")
+        src_loc = _split_metadata_path(c["metadataLocation"])[0]
+        dest_loc = self._table_location(dest)
+        if os.path.exists(dest_loc):
+            raise ValueError(f"table {dest} already exists")
+        os.makedirs(dest_loc)
+        shutil.copytree(
+            MD.metadata_dir(src_loc), MD.metadata_dir(dest_loc),
+            dirs_exist_ok=True,
+        )
+        ptr = os.path.join(
+            MD.metadata_dir(dest_loc),
+            os.path.basename(c["metadataLocation"]),
+        )
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head,
+            {self._key(dest): {
+                "type": "ICEBERG_TABLE",
+                "id": str(uuid.uuid4()),
+                "metadataLocation": ptr,
+            }},
+            meta={"message": f"snapshot {source} -> {dest}"},
+        )
+        meta = MD.read_metadata(dest_loc)
+        meta.location = dest_loc
+        meta.properties = dict(
+            meta.properties,
+            **{"snapshot-source": source, "gc.enabled": "false"},
+        )
+        MD.write_new_metadata(meta, meta.version)
+        return self.load_table(dest)
+
+    # -- views (content-backed, reference NessieViewOperations) --------------
+
+    def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
+        key = self._key(name) + "@view"
+        cur = self.service.get_content(self.ref, key)
+        if cur is not None and not replace:
+            raise ValueError(f"view {name} already exists")
+        versions = list((cur or {}).get("versions") or [])
+        versions.append({"sql": sql_text, "at": MD.now_ms()})
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head,
+            {key: {
+                "type": "ICEBERG_VIEW",
+                "id": (cur or {}).get("id") or str(uuid.uuid4()),
+                "versions": versions,
+            }},
+            meta={"message": f"{'replace' if cur else 'create'} view {name}"},
+        )
+
+    def _view_content(self, name: str) -> dict:
+        c = self.service.get_content(self.ref, self._key(name) + "@view")
+        if c is None or c.get("type") != "ICEBERG_VIEW":
+            raise KeyError(f"view {name} not found")
+        return c
+
+    def list_views(self) -> list[str]:
+        out = []
+        for k, c in self.service.get_entries(self.ref).items():
+            if c.get("type") != "ICEBERG_VIEW":
+                continue
+            ident = k[: -len("@view")]
+            ns, _, v = ident.rpartition(".")
+            out.append(v if ns == "default" else ident)
+        return sorted(out)
+
+    def view_sql(self, name: str, version: int | None = None) -> str:
+        vs = self._view_content(name)["versions"]
+        return vs[-1 if version is None else version]["sql"]
+
+    def view_versions(self, name: str) -> list[dict]:
+        return list(self._view_content(name)["versions"])
+
+    def load_view(self, name: str, version: int | None = None):
+        sql_text = self.view_sql(name, version)
+        # register EVERY table on the ref under its bare name (view SQL
+        # references tables unqualified, whatever their namespace)
+        for k, c in self.service.get_entries(self.ref).items():
+            if c.get("type") != "ICEBERG_TABLE":
+                continue
+            split = _split_metadata_path(c["metadataLocation"])
+            Table(
+                MD.read_metadata(split[0]), self.spark
+            ).to_df().createOrReplaceTempView(k.rpartition(".")[2])
+        return self.spark.sql(sql_text)
+
+    def drop_view(self, name: str) -> None:
+        key = self._key(name) + "@view"
+        if self.service.get_content(self.ref, key) is None:
+            raise KeyError(f"view {name} not found")
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head, {key: None},
+            meta={"message": f"drop view {name}"},
+        )
