@@ -4680,3 +4680,59 @@ def managed_nessie_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "managed_hive_catalog_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 7 = 0 AND event_type <> 'click'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_hive_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-metastore catalog end-to-end (reference
+    hive-metastore/HiveTableOperations.java doCommit +
+    MetastoreLock.java): the metadata_location PARAMETER is the pointer
+    of record; three appends — the third from a deliberately STALE
+    handle whose base-location check fails once under the exclusive
+    table lock and lands via the standard retry — then a CoW delete and
+    a rename, with the final read resolved through the metastore entry
+    under the post-rename name."""
+    key = (sf_dir, "hive_rt")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.hive_catalog import HiveCatalog
+
+        if "_hivecat" not in _CATALOGS:
+            _CATALOGS["_hivecat"] = HiveCatalog(
+                tempfile.mkdtemp(prefix="igps_hivewh_"), spark
+            )
+        cat = _CATALOGS["_hivecat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_hive_{tag}"
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 7 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        stale = cat.load_table(tname)
+        t.append(df.filter("event_id % 4 = 1"))  # moves the parameter
+        stale.append(df.filter("event_id % 4 = 3"))  # CAS fails once, retries
+        cat.load_table(tname).delete(E.eq("event_type", "click"))
+        cat.rename_table(tname, f"events_hive_final_{tag}")
+        _TABLES[key] = (cat, f"events_hive_final_{tag}")
+    cat, name = _TABLES[key]
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,14 +64,15 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-13 rotation.  Recomputed this session from CORRECTNESS_r01-r12
-    # vs the registry: 3 never-driver-seen round-13 registrations first,
+    # vs the registry: 4 never-driver-seen round-13 registrations first,
     # then the longest-unseen rows oldest-first — all 24 remaining r7
-    # rows, then the first 23 r8 rows (alphabetical) fill the 50-slot
+    # rows, then the first 22 r8 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r7 -> r8 when CORRECTNESS_r13 lands.
     # -- round-13 registrations (never driver-seen) --
     "managed_delta_snapshot",
     "managed_jdbc_view_lifecycle",
     "managed_nessie_catalog_roundtrip",
+    "managed_hive_catalog_roundtrip",
     # -- last seen round 7 (all 24) --
     "multimodal_flac_frames",
     "multimodal_gif_frames",
@@ -120,7 +121,6 @@ _PRIORITY_FIRST = (
     "managed_partition_stats",
     "managed_rewrite_table_path",
     "managed_sketch_join_estimate",
-    "managed_theta_sketch_ndv",
 )
 
 

@@ -171,8 +171,12 @@ def test_namespaces_and_views_are_content(spark, cat):
 
 def test_concurrent_appends_all_land(spark, cat):
     """8 threads x 1 append on ONE table: every commit lands exactly
-    once through hash-CAS + engine retry."""
-    t = cat.create_table("t6", "a BIGINT, b STRING")
+    once through hash-CAS + engine retry.  Retry budget raised for the
+    8-way contention (reference COMMIT_NUM_RETRIES tuning)."""
+    t = cat.create_table(
+        "t6", "a BIGINT, b STRING",
+        properties={"commit.retry.num-retries": "30"},
+    )
     t.append(_df(spark, 0, 1))
     errs = []
 
