@@ -432,7 +432,11 @@ class HiveCatalog(Catalog):
     def load_table(self, name: str) -> Table:
         db, tbl = self._ident(name)
         t = self.service.get_table(db, tbl)
-        if t is None or not t["parameters"].get(METADATA_LOCATION_PROP):
+        if (
+            t is None
+            or not t["parameters"].get(METADATA_LOCATION_PROP)
+            or t["parameters"].get("table_type") == "VIRTUAL_VIEW"
+        ):
             raise FileNotFoundError(f"table {name} not found in metastore")
         location = _split_metadata_path(
             t["parameters"][METADATA_LOCATION_PROP]
@@ -444,12 +448,19 @@ class HiveCatalog(Catalog):
     def table_exists(self, name: str) -> bool:
         db, tbl = self._ident(name)
         t = self.service.get_table(db, tbl)
-        return t is not None and bool(
-            t["parameters"].get(METADATA_LOCATION_PROP)
+        return (
+            t is not None
+            and bool(t["parameters"].get(METADATA_LOCATION_PROP))
+            and t["parameters"].get("table_type") != "VIRTUAL_VIEW"
         )
 
     def list_tables(self, namespace: str = "default") -> list[str]:
-        return self.service.list_tables(namespace)
+        out = []
+        for n in self.service.list_tables(namespace):
+            t = self.service.get_table(namespace, n)
+            if t["parameters"].get("table_type") != "VIRTUAL_VIEW":
+                out.append(n)
+        return out
 
     def rename_table(self, old: str, new: str) -> None:
         odb, otbl = self._ident(old)
@@ -470,3 +481,162 @@ class HiveCatalog(Catalog):
             shutil.rmtree(
                 os.path.join(t["location"], "metadata"), ignore_errors=True
             )
+
+    # HiveCatalog.registerTable: adopt an existing metadata document
+    def register_table(self, name: str, metadata_location: str) -> Table:
+        import json as _json
+
+        db, tbl = self._ident(name)
+        doc = _json.loads(open(metadata_location, "rb").read())
+        self.service.create_table_entry(
+            db, tbl, doc["location"],
+            parameters={METADATA_LOCATION_PROP: metadata_location},
+        )
+        return self.load_table(name)
+
+    def snapshot_table(self, source: str, dest: str) -> Table:
+        """Zero-copy clone under the HMS-pointer protocol (same shape
+        as the JDBC/Nessie overrides: the entry must exist, pointing at
+        the copied current version, BEFORE the location-rewriting
+        commit runs)."""
+        sdb, stbl = self._ident(source)
+        src = self.service.get_table(sdb, stbl)
+        if src is None or not src["parameters"].get(METADATA_LOCATION_PROP):
+            raise FileNotFoundError(f"table {source} not found in metastore")
+        src_loc = src["location"]
+        dest_loc = self._table_location(dest)
+        ddb, dtbl = self._ident(dest)
+        os.makedirs(dest_loc)
+        shutil.copytree(
+            MD.metadata_dir(src_loc), MD.metadata_dir(dest_loc),
+            dirs_exist_ok=True,
+        )
+        ptr = os.path.join(
+            MD.metadata_dir(dest_loc),
+            os.path.basename(src["parameters"][METADATA_LOCATION_PROP]),
+        )
+        self.service.create_table_entry(
+            ddb, dtbl, dest_loc, parameters={METADATA_LOCATION_PROP: ptr}
+        )
+        meta = MD.read_metadata(dest_loc)
+        meta.location = dest_loc
+        meta.properties = dict(
+            meta.properties,
+            **{"snapshot-source": source, "gc.enabled": "false"},
+        )
+        MD.write_new_metadata(meta, meta.version)
+        return self.load_table(dest)
+
+    # -- views (reference HiveViewOperations: a VIRTUAL_VIEW metastore
+    # entry whose metadata_location parameter points at the view's
+    # version document; commits use the same lock protocol) ---------------
+
+    def _view_entry(self, name: str) -> dict | None:
+        db, v = self._ident(name)
+        t = self.service.get_table(db, v)
+        if t is None or t["parameters"].get("table_type") != "VIRTUAL_VIEW":
+            return None
+        return t
+
+    def _view_doc(self, name: str) -> dict:
+        import json as _json
+
+        t = self._view_entry(name)
+        if t is None:
+            raise KeyError(f"view {name} not found")
+        with open(t["parameters"][METADATA_LOCATION_PROP]) as f:
+            return _json.load(f)
+
+    def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
+        import json as _json
+
+        db, vname = self._ident(name)
+        entry = self._view_entry(name)
+        if entry is not None and not replace:
+            raise ValueError(f"view {name} already exists")
+        versions: list[dict] = []
+        if entry is not None:
+            with open(entry["parameters"][METADATA_LOCATION_PROP]) as f:
+                versions = _json.load(f)["versions"]
+        versions = versions + [{"sql": sql_text, "at": MD.now_ms()}]
+        doc_dir = os.path.join(self.warehouse, "_views", db, vname)
+        os.makedirs(doc_dir, exist_ok=True)
+        path = os.path.join(
+            doc_dir, f"v{len(versions)}-{uuid.uuid4().hex[:8]}.metadata.json"
+        )
+        with open(path, "w") as f:
+            _json.dump({"name": name, "versions": versions}, f, indent=1)
+        # commit under the SAME exclusive lock protocol table commits
+        # use; re-check the base pointer under the lock (replace race:
+        # exactly one winner, the loser's document is an orphan)
+        lid = self.backend._acquire(db, vname)
+        try:
+            cur = self._view_entry(name)
+            cur_ptr = (
+                cur["parameters"][METADATA_LOCATION_PROP] if cur else None
+            )
+            base_ptr = (
+                entry["parameters"][METADATA_LOCATION_PROP] if entry else None
+            )
+            if cur_ptr != base_ptr:
+                raise MD.CommitConflict(
+                    f"concurrent view commit won for {name!r}"
+                )
+            self.service.heartbeat(lid)
+            if cur is None:
+                self.service.create_table_entry(
+                    db, vname, doc_dir,
+                    parameters={
+                        "table_type": "VIRTUAL_VIEW",
+                        METADATA_LOCATION_PROP: path,
+                    },
+                )
+            else:
+                self.service.alter_table(
+                    db, vname,
+                    {
+                        "table_type": "VIRTUAL_VIEW",
+                        PREVIOUS_METADATA_LOCATION_PROP: cur_ptr or "",
+                        METADATA_LOCATION_PROP: path,
+                    },
+                )
+        finally:
+            try:
+                self.service.unlock(lid)
+            except LockException:
+                pass
+
+    def list_views(self) -> list[str]:
+        out = []
+        with self.service._lock:
+            items = list(self.service._tables.items())
+        for (db, n), entry in items:
+            if entry["parameters"].get("table_type") == "VIRTUAL_VIEW":
+                out.append(n if db == "default" else f"{db}.{n}")
+        return sorted(out)
+
+    def view_sql(self, name: str, version: int | None = None) -> str:
+        vs = self._view_doc(name)["versions"]
+        return vs[-1 if version is None else version]["sql"]
+
+    def view_versions(self, name: str) -> list[dict]:
+        return list(self._view_doc(name)["versions"])
+
+    def load_view(self, name: str, version: int | None = None):
+        sql_text = self.view_sql(name, version)
+        db, _ = self._ident(name)
+        for tname in self.list_tables(db):
+            self.load_table(f"{db}.{tname}").to_df().createOrReplaceTempView(
+                tname
+            )
+        return self.spark.sql(sql_text)
+
+    def drop_view(self, name: str) -> None:
+        db, vname = self._ident(name)
+        if self._view_entry(name) is None:
+            raise KeyError(f"view {name} not found")
+        self.service.drop_table_entry(db, vname)
+        shutil.rmtree(
+            os.path.join(self.warehouse, "_views", db, vname),
+            ignore_errors=True,
+        )

@@ -611,6 +611,25 @@ class NessieCatalog(Catalog):
                     os.path.join(location, "metadata"), ignore_errors=True
                 )
 
+    # NessieCatalog.registerTable: adopt an existing metadata document
+    def register_table(self, name: str, metadata_location: str) -> Table:
+        ns, _tbl = self._ident(name)
+        if self.service.get_content(self.ref, ns) is None:
+            raise KeyError(f"namespace {ns!r} not found")
+        if self.service.get_content(self.ref, self._key(name)) is not None:
+            raise ValueError(f"table {name} already exists")
+        head = self.service.get_reference(self.ref)["hash"]
+        self.service.commit(
+            self.ref, head,
+            {self._key(name): {
+                "type": "ICEBERG_TABLE",
+                "id": str(uuid.uuid4()),
+                "metadataLocation": metadata_location,
+            }},
+            meta={"message": f"register {name}"},
+        )
+        return self.load_table(name)
+
     def snapshot_table(self, source: str, dest: str) -> Table:
         """Zero-copy clone under the content-pointer protocol: copy the
         source's metadata documents and commit a content row whose

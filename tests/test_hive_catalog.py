@@ -171,3 +171,65 @@ def test_time_travel_and_row_level_through_hive(spark, cat):
         cat.sql("SELECT COUNT(*) AS n FROM hsql WHERE b = 'x'").collect()[0].n
         == 2
     )
+
+
+def test_hive_views_virtual_view_entries(spark, cat):
+    """Views are VIRTUAL_VIEW metastore entries (reference
+    HiveViewOperations): pointer in table parameters, replace advances
+    it under the table lock, tables and views share the name space but
+    table APIs exclude views."""
+    t = cat.create_table("vt", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 10))
+    cat.sql("CREATE VIEW v_small AS SELECT a FROM vt WHERE a < 3")
+    cat.sql("CREATE OR REPLACE VIEW v_small AS SELECT a FROM vt WHERE a < 5")
+    assert cat.list_views() == ["v_small"]
+    assert cat.list_tables() == ["vt"]  # view excluded from tables
+    assert not cat.table_exists("v_small")
+    entry = cat.service.get_table("default", "v_small")
+    assert entry["parameters"]["table_type"] == "VIRTUAL_VIEW"
+    assert len(cat.view_versions("v_small")) == 2
+    assert cat.sql("SELECT * FROM v_small VERSION AS OF 1").count() == 3
+    assert cat.sql("SELECT * FROM v_small").count() == 5
+    cat.sql("DROP VIEW v_small")
+    assert cat.list_views() == []
+    with pytest.raises(KeyError):
+        cat.view_sql("v_small")
+
+
+def test_hive_view_replace_race_one_loses(spark, cat):
+    cat.create_table("vr", "a BIGINT, b STRING").append(_df(spark, 0, 4))
+    cat.create_view("vdup", "SELECT a FROM vr")
+    stale_entry = cat._view_entry("vdup")
+    cat.create_view("vdup", "SELECT a FROM vr WHERE a < 2", replace=True)
+    # simulate a racer whose PRE-LOCK read saw the old pointer; the
+    # re-read UNDER the lock sees the truth and the base check loses
+    calls = {"n": 0}
+    real = type(cat)._view_entry
+
+    def fake(name):
+        calls["n"] += 1
+        return stale_entry if calls["n"] == 1 else real(cat, name)
+
+    cat._view_entry = fake
+    try:
+        with pytest.raises(MD.CommitConflict):
+            cat.create_view("vdup", "SELECT a FROM vr WHERE a < 1", replace=True)
+    finally:
+        del cat._view_entry
+    assert "a < 2" in cat.view_sql("vdup")
+
+
+def test_hive_snapshot_and_register(spark, cat, tmp_path):
+    t = cat.create_table("t8", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    clone = cat.snapshot_table("t8", "t8_clone")
+    assert clone.to_df().count() == 5
+    clone.append(_df(spark, 5, 8))
+    assert cat.load_table("t8_clone").to_df().count() == 8
+    assert cat.load_table("t8").to_df().count() == 5
+    # register the ORIGINAL's current metadata under a new name
+    src = cat.service.get_table("default", "t8")
+    from iceberg_geo_poc_spark.table.hive_catalog import METADATA_LOCATION_PROP
+
+    reg = cat.register_table("t8_reg", src["parameters"][METADATA_LOCATION_PROP])
+    assert reg.to_df().count() == 5

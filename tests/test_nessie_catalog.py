@@ -219,3 +219,13 @@ def test_snapshot_table_zero_copy(spark, cat):
     clone.append(_df(spark, 5, 8))
     assert cat.load_table("t7_clone").to_df().count() == 8
     assert cat.load_table("t7").to_df().count() == 5
+
+
+def test_register_table(spark, cat):
+    t = cat.create_table("t8", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    ptr = cat.service.get_content("main", "default.t8")["metadataLocation"]
+    reg = cat.register_table("t8_reg", ptr)
+    assert reg.to_df().count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        cat.register_table("t8_reg", ptr)
