@@ -440,3 +440,27 @@ def test_bitext_knn_windows_get_group_limit_pushdown(spark, sf_dir):
     # or Final-only when the optimizer skips the map-side phase)
     assert len(limits) >= 3, f"expected 3 window group limits:\n{plan[:2000]}"
     assert "BatchEvalPython" not in plan
+
+
+def test_cow_probe_filter_pushed_to_scan(spark, tmp_path):
+    """The CoW matched-file probe (round-13 runtime narrowing,
+    table.py _touched_file_paths) is one pushed-down filter scan: the
+    DELETE/UPDATE predicate must reach the parquet reader, so the probe
+    costs a selective scan, not a full decode."""
+    import pyspark.sql.functions as F
+
+    from iceberg_geo_poc_spark.table import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    t = cat.create_table("probe_t", "id BIGINT, v STRING")
+    for lo, hi in ((1, 100), (2, 99), (3, 98)):
+        t.append(
+            spark.createDataFrame(
+                [(lo, "a"), (hi, "b")], "id BIGINT, v STRING"
+            ).coalesce(1)
+        )
+    ent = t._entries()
+    paths = list(ent[ent.content == "data"].file_path)
+    probe = t._read_files(paths, with_deletes=True, with_file_path=True)
+    plan = _plan(probe.filter(F.col("id") == 4))
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,4)]" in plan
