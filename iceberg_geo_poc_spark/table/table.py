@@ -2630,6 +2630,7 @@ class Table:
                         with_lineage=with_lineage,
                         _skip_defaults=True,
                         with_file_path=with_file_path,
+                        _skip_inject=True,
                     )
                     for c in key:
                         sub = sub.withColumn(
