@@ -347,7 +347,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("p.ia", "p.ib")
         .distinct()
     )
-    return _verified_pairs(cand, sh, threshold)
+    # materialize the (small) verified output eagerly so the shingle
+    # cache can be released — repeated calls must not accumulate cached
+    # blocks for the session lifetime
+    try:
+        return _verified_pairs(cand, sh, threshold).localCheckpoint()
+    finally:
+        sh.unpersist()
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:

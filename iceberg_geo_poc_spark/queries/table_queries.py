@@ -4736,3 +4736,193 @@ def managed_hive_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "managed_glue_catalog_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 6 = 0 AND event_type <> 'view'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_glue_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue catalog end-to-end (reference aws/glue/GlueTableOperations
+    .java:62-409 doCommit/persistGlueTable optimistic versionId CAS +
+    GlueCatalog.renameTable): the v0 commit CREATES the Glue entry,
+    three appends — the third from a deliberately STALE handle whose
+    conditional UpdateTable loses once on the versionId and lands via
+    the standard retry — then a CoW delete through the SQL dispatcher
+    and the non-atomic create-then-drop rename, with the final read
+    resolved through the Glue entry under the post-rename name."""
+    key = (sf_dir, "glue_rt")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.glue_catalog import GlueCatalog
+
+        if "_gluecat" not in _CATALOGS:
+            _CATALOGS["_gluecat"] = GlueCatalog(
+                tempfile.mkdtemp(prefix="igps_gluewh_"), spark
+            )
+        cat = _CATALOGS["_gluecat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_glue_{tag}"
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 6 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        stale = cat.load_table(tname)
+        t.append(df.filter("event_id % 4 = 1"))  # bumps the versionId
+        stale.append(df.filter("event_id % 4 = 3"))  # CAS loses once, retries
+        cat.sql(f"DELETE FROM {tname} WHERE event_type = 'view'")
+        cat.rename_table(tname, f"events_glue_final_{tag}")
+        _TABLES[key] = (cat, f"events_glue_final_{tag}")
+    cat, name = _TABLES[key]
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "managed_dynamodb_catalog_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 9 = 0 AND NOT (event_type = 'purchase' AND value > 0.9)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_dynamodb_catalog_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DynamoDB catalog end-to-end (reference aws/dynamodb/
+    DynamoDbTableOperations.persistTable:200-250 conditional-expression
+    CAS + DynamoDbCatalog.renameTable:416-474 transactional rename):
+    the v0 commit PutItems the entry with attribute_not_exists(v),
+    appends rotate the uuid version attribute — one from a STALE
+    handle whose conditional UpdateItem loses once and retries — then
+    a CoW delete and the ATOMIC TransactWriteItems rename, final read
+    through the post-rename item."""
+    key = (sf_dir, "dynamo_rt")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.dynamodb_catalog import DynamoDbCatalog
+
+        if "_dynamocat" not in _CATALOGS:
+            _CATALOGS["_dynamocat"] = DynamoDbCatalog(
+                tempfile.mkdtemp(prefix="igps_dynwh_"), spark
+            )
+        cat = _CATALOGS["_dynamocat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_dyn_{tag}"
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 9 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        stale = cat.load_table(tname)
+        t.append(df.filter("event_id % 4 = 1"))  # rotates the item version
+        stale.append(df.filter("event_id % 4 = 3"))  # condition loses, retries
+        cat.load_table(tname).delete(
+            E.and_(E.eq("event_type", "purchase"), E.gt("value", 0.9))
+        )
+        cat.rename_table(tname, f"events_dyn_final_{tag}")
+        _TABLES[key] = (cat, f"events_dyn_final_{tag}")
+    cat, name = _TABLES[key]
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "managed_snowflake_readonly_resolve",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 11 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_snowflake_readonly_resolve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snowflake read-only catalog (reference snowflake/
+    SnowflakeCatalog.java:1-269 + SnowflakeTableOperations): a table
+    WRITTEN BY ANOTHER CATALOG (the fs catalog stands in for
+    Snowflake's own write path) is registered in the service, resolved
+    via GET_ICEBERG_TABLE_INFORMATION -> metadata document, re-resolved
+    after the writer commits again (the pointer moves), and every
+    mutation through the Snowflake handle refuses."""
+    key = (sf_dir, "sf_ro")
+    if key not in _TABLES:
+        import os as _os
+
+        from iceberg_geo_poc_spark.table.snowflake_catalog import (
+            SnowflakeCatalog,
+            SnowflakeService,
+        )
+
+        writer = _catalog(spark)
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_sfro_{tag}"
+        t = writer.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 11 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        svc = SnowflakeService()
+
+        def _ptr(tb):
+            return _os.path.join(
+                tb.location, "metadata", f"v{tb.meta.version}.metadata.json"
+            )
+
+        svc.register_iceberg_table("analytics", "prod", tname, _ptr(t))
+        sfcat = SnowflakeCatalog(spark, svc)
+        first = sfcat.load_table(f"analytics.prod.{tname}")
+        n_first = first.to_df().count()
+        # the loaded handle is read-only
+        try:
+            first.append(df.limit(1))
+            raise AssertionError("snowflake table accepted a write")
+        except ValueError:
+            pass
+        # writer commits again; Snowflake's answer moves; re-resolve
+        t.append(df.filter("event_id % 2 = 1"))
+        svc.register_iceberg_table("analytics", "prod", tname, _ptr(t))
+        assert sfcat.load_table(f"analytics.prod.{tname}").to_df().count() > n_first
+        _TABLES[key] = (sfcat, f"analytics.prod.{tname}")
+    sfcat, name = _TABLES[key]
+    return (
+        sfcat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,64 +63,65 @@ _LOADED = False
 # FIRST, then the longest-unseen rows re-verify; the list is recomputed
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
-    # Round-13 rotation.  Recomputed this session from CORRECTNESS_r01-r12
-    # vs the registry: 4 never-driver-seen round-13 registrations first,
-    # then the longest-unseen rows oldest-first — all 24 remaining r7
-    # rows, then the first 22 r8 rows (alphabetical) fill the 50-slot
-    # window.  Staleness floor moves r7 -> r8 when CORRECTNESS_r13 lands.
-    # -- round-13 registrations (never driver-seen) --
-    "managed_delta_snapshot",
-    "managed_jdbc_view_lifecycle",
-    "managed_nessie_catalog_roundtrip",
-    "managed_hive_catalog_roundtrip",
-    # -- last seen round 7 (all 24) --
-    "multimodal_flac_frames",
-    "multimodal_gif_frames",
-    "multimodal_log_mel_contract",
-    "multimodal_mfcc_contract",
-    "multimodal_tiff_roundtrip",
-    "multimodal_y4m_frames",
-    "pipeline_json_array_explode",
-    "pipeline_json_shred",
-    "pipeline_quality_classifier",
-    "pipeline_url_dedup",
-    "pipeline_variant_extract",
-    "pipeline_warc_extract",
-    "pipeline_webdataset_export",
-    "pipeline_webdataset_extract",
-    "rest_catalog_lifecycle",
-    "sample_reservoir_per_group",
-    "sql_show_describe",
-    "stream_changelog_cdc",
-    "stream_incremental_admission",
-    "text_bpe_roundtrip",
-    "text_unigram_roundtrip",
-    "text_wordpiece_roundtrip",
-    "ts_linear_interpolation",
-    "ts_sessionize_events",
-    # -- last seen round 8 (alphabetical, first 24) --
-    "dedup_connected_components",
-    "dedup_editdistance_verify",
-    "dedup_exact_stats",
-    "dedup_keep_best_in_cluster",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "geo_hilbert_clustering",
-    "join_asof_last_order",
-    "join_range_event_bursts",
-    "managed_datasource_write_roundtrip",
-    "managed_encrypted_dv_stream",
-    "managed_encrypted_key_rotation",
-    "managed_encrypted_mor_scan",
-    "managed_gdpr_erasure",
-    "managed_iceberg_bucket_import",
-    "managed_incremental_read",
-    "managed_merge",
-    "managed_orc_roundtrip",
-    "managed_parquet_encrypted_scan",
-    "managed_partition_stats",
-    "managed_rewrite_table_path",
-    "managed_sketch_join_estimate",
+    # Round-14 rotation.  Recomputed this session from CORRECTNESS_r01-r13
+    # vs the registry: 3 never-driver-seen round-14 registrations first,
+    # then the longest-unseen rows oldest-first — all 28 remaining r8
+    # rows, then the first 19 r9 rows (alphabetical) fill the 50-slot
+    # window.  Staleness floor moves r8 -> r9 when CORRECTNESS_r14 lands
+    # (19 of 50 r9 rows re-verify this round; the rest lead round 15).
+    # -- round-14 registrations (never driver-seen) --
+    "managed_glue_catalog_roundtrip",
+    "managed_dynamodb_catalog_roundtrip",
+    "managed_snowflake_readonly_resolve",
+    # -- last seen round 8 (all 28 remaining) --
+    "managed_theta_sketch_ndv",
+    "managed_time_travel",
+    "multimodal_augment_flips",
+    "multimodal_resize_box",
+    "pipeline_span_corruption",
+    "pipeline_zipdataset_extract",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "retrieval_bm25",
+    "retrieval_hard_negatives",
+    "retrieval_hybrid_rrf",
+    "retrieval_splade_sparse",
+    "sample_coreset_kcenter",
+    "sample_temperature_mixture",
+    "sample_weighted_aes",
+    "sim_hamming_rerank",
+    "sim_hamming_topk",
+    "sim_ivf_knn",
+    "sim_knn_cosine_topk",
+    "sql_ctas_roundtrip",
+    "sql_view_roundtrip",
+    "stream_static_enrichment",
+    "text_language_id",
+    "text_lm_perplexity",
+    "text_perplexity_buckets",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_unicode_normalize",
+    # -- last seen round 9 (alphabetical, first 19) --
+    "agg_collect_stats_per_nation",
+    "agg_cube_orders",
+    "agg_distinct_customers_per_status",
+    "agg_rollup_lineitem_flags",
+    "cte_monthly_order_volume",
+    "distinct_flag_combinations",
+    "join_anti_customers_without_orders",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_activity",
+    "join_left_outer_order_counts",
+    "join_semi_customers_with_orders",
+    "join_spj_bucketed_revenue",
+    "managed_scd2_history",
+    "pipeline_fim_transform",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_supplier",
 )
 
 

@@ -126,17 +126,41 @@ def _schema_ddl(meta: dict) -> tuple[str, dict[str, str]]:
 
 def _typed(value: str | None, sql_type: str):
     """A partitionValues STRING -> the column's engine-typed value (the
-    reference maps through Spark's partition-value casting)."""
+    reference maps through Spark's partition-value casting).
+
+    DECIMAL keeps Delta's exact string form: float(value) rounds to
+    nearest, which both corrupts the injected literal beyond ~15
+    significant digits (``F.lit(float).cast(decimal)``) and can move
+    the lower==upper pruning bounds INWARD — the same mispruning
+    ``manifest._dec_raw`` widens against.  ``F.lit(str).cast(decimal)``
+    parses exactly; the bounds path widens separately via
+    :func:`_decimal_bounds`."""
     if value is None:
         return None
     t = sql_type.lower()
     if t in ("tinyint", "smallint", "int", "bigint"):
         return int(value)
-    if t in ("float", "double") or t.startswith("decimal"):
+    if t in ("float", "double"):
         return float(value)
     if t == "boolean":
         return value.lower() == "true"
-    return value  # string / date / timestamp keep Delta's string form
+    # string / date / timestamp / DECIMAL keep Delta's string form
+    return value
+
+
+def _decimal_bounds(value: str, sql_type: str) -> tuple[float, float]:
+    """Directionally-widened float (lower, upper) for a decimal
+    partition constant, mirroring ``manifest._dec_raw``: lower rounds
+    toward -inf, upper toward +inf, so a >15-digit decimal can never
+    misprune the inclusive scan or fool the strict evaluator."""
+    import decimal as _decimal
+
+    from iceberg_geo_poc_spark.table.manifest import _dec_raw
+
+    d = _decimal.Decimal(value)
+    scale = max(0, -d.as_tuple().exponent)
+    unscaled = int(d.scaleb(scale))
+    return _dec_raw(unscaled, scale, -1), _dec_raw(unscaled, scale, +1)
 
 
 def snapshot_delta_table(catalog, delta_path: str, dest_name: str):
@@ -187,13 +211,18 @@ def snapshot_delta_table(catalog, delta_path: str, dest_name: str):
         }
         # identity partition values double as exact column bounds: the
         # footer has no stats for an absent column, so pruning on the
-        # partition predicate comes from the log-known constant
+        # partition predicate comes from the log-known constant.
+        # Decimals carry their exact string in the partition tuple but
+        # widened floats in the bounds (see _decimal_bounds).
         for c, v in pvals.items():
             if v is None:
                 nulls[c] = record_count
             else:
-                lower[c] = v
-                upper[c] = v
+                if types[c].lower().startswith("decimal"):
+                    lower[c], upper[c] = _decimal_bounds(v, types[c])
+                else:
+                    lower[c] = v
+                    upper[c] = v
                 nulls[c] = 0
         entries.append(
             {

@@ -42,6 +42,7 @@ location back to its key).
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -312,6 +313,23 @@ class NessieCommitBackend(MD.CommitBackend):
                     # name doesn't know (divergent-branch safety)
                     with open(ptr, "rb") as f:
                         return f.read()
+                # OLDER versions: the canonical v{N} name was never
+                # written under this backend (every document is
+                # uuid-suffixed), so a reader pinned to a previous
+                # metadata version (static-table posture) resolves via
+                # a bounded glob in the metadata dir
+                if not os.path.exists(path):
+                    hits = sorted(
+                        glob.glob(
+                            os.path.join(
+                                os.path.dirname(path),
+                                f"v{int(vm.group(1))}-*.metadata.json",
+                            )
+                        )
+                    )
+                    if hits:
+                        with open(hits[0], "rb") as f:
+                            return f.read()
         with open(path, "rb") as f:
             return f.read()
 
@@ -328,7 +346,18 @@ class NessieCommitBackend(MD.CommitBackend):
                 v = self._version_of(ptr)
                 if v is None or int(vm.group(1)) > v:
                     return False
-                return int(vm.group(1)) == v or os.path.exists(path)
+                return (
+                    int(vm.group(1)) == v
+                    or os.path.exists(path)
+                    or bool(
+                        glob.glob(
+                            os.path.join(
+                                os.path.dirname(path),
+                                f"v{int(vm.group(1))}-*.metadata.json",
+                            )
+                        )
+                    )
+                )
         return os.path.exists(path)
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:

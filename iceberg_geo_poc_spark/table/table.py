@@ -285,9 +285,14 @@ class Table:
         ops keep the consolidate-to-one-manifest path (which doubles as
         manifest compaction)."""
         if getattr(self, "_static", False):
+            # _static may carry a catalog-specific refusal message
+            # (e.g. the Snowflake read-only catalog)
             raise ValueError(
-                "static table is read-only (loaded from a pinned metadata "
-                "file; reference StaticTableOperations.java refuses commits)"
+                self._static
+                if isinstance(self._static, str)
+                else "static table is read-only (loaded from a pinned "
+                "metadata file; reference StaticTableOperations.java "
+                "refuses commits)"
             )
         retries = int(
             self.meta.properties.get("commit.retry.num-retries", _MAX_COMMIT_RETRIES)
@@ -1407,7 +1412,10 @@ class Table:
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
-            return self._commit("delete", lambda cur, seq: cur, {"deleted-rows": 0})
+            return self._commit(
+                "delete", lambda cur, seq: cur, {"deleted-rows": 0},
+                to_branch=to_branch,
+            )
         # branch-scoped: existing delete layers resolve against the
         # BRANCH head, not main
         df = self._read_files(
@@ -1875,7 +1883,12 @@ class Table:
         plan = self._plan_cow(plan_where, entries=bentries)
         paths = plan["full"] + plan["partial"]
         if not paths:
-            return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
+            # no-match early exits still route to the WAP branch: a
+            # bare _commit would plant the no-op snapshot on main
+            return self._commit(
+                "overwrite", lambda cur, seq: cur, {"updated": 0},
+                to_branch=to_branch,
+            )
         cond = plan_where.to_spark_column(self.geo_fields)
         # runtime matched-file narrowing (SparkCopyOnWriteScan.java:
         # 143-171): probe which candidates actually contain matching
@@ -1891,7 +1904,10 @@ class Table:
                 probe.filter(F.coalesce(cond, F.lit(False)))
             )
         if not touched:
-            return self._commit("overwrite", lambda cur, seq: cur, {"updated": 0})
+            return self._commit(
+                "overwrite", lambda cur, seq: cur, {"updated": 0},
+                to_branch=to_branch,
+            )
         df = self._read_files(
             touched, with_deletes=True, with_lineage=True, entries=bentries
         )
@@ -1951,7 +1967,10 @@ class Table:
         base_seq = self.meta.last_sequence_number
         paths = plan["full"] + plan["partial"]
         if not paths:
-            return self._commit("overwrite", lambda cur, seq: cur, {"updated-rows": 0})
+            return self._commit(
+                "overwrite", lambda cur, seq: cur, {"updated-rows": 0},
+                to_branch=to_branch,
+            )
         df = self._read_files(
             paths, with_deletes=True, with_pos=True, with_lineage=True,
             entries=bentries,
@@ -1961,7 +1980,8 @@ class Table:
             del_entries = self._posdel_entries(matches)
             if not del_entries:
                 return self._commit(
-                    "overwrite", lambda cur, seq: cur, {"updated-rows": 0}
+                    "overwrite", lambda cur, seq: cur, {"updated-rows": 0},
+                    to_branch=to_branch,
                 )
             upd = matches.drop("__file_path", "__pos")
             for col, newv in set_exprs.items():

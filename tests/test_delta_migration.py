@@ -202,3 +202,53 @@ def test_unpartitioned_delta(spark, catalog, tmp_path):
 def test_not_a_delta_table(catalog, tmp_path):
     with pytest.raises(FileNotFoundError, match="_delta_log"):
         catalog.snapshot_delta_table(str(tmp_path / "nope"), "x")
+
+
+def test_decimal_partition_exact_injection_and_pruning(spark, catalog, tmp_path):
+    """A decimal partition value with >15 significant digits must
+    inject EXACTLY (lit(str).cast(decimal), never through float) and
+    its log-known bounds must widen directionally so eq-pruning keeps
+    the right file (ADVICE r13: float(value) corrupted both)."""
+    from decimal import Decimal
+
+    hi = "1234567890123.4567890123"  # 23 sig digits: float() rounds it
+    lo = "2.0000000001"
+    root = str(tmp_path / "dldec")
+    log = os.path.join(root, "_delta_log")
+    _write_part(os.path.join(root, "d=hi/part-0000.parquet"), [1], [1.0])
+    _write_part(os.path.join(root, "d=lo/part-0001.parquet"), [2], [2.0])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "d", "type": "decimal(38,10)", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(
+        log,
+        0,
+        [
+            {"metaData": {"id": "x", "schemaString": schema,
+                          "partitionColumns": ["d"], "configuration": {}}},
+            {"add": {"path": "d=hi/part-0000.parquet",
+                     "partitionValues": {"d": hi},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "d=lo/part-0001.parquet",
+                     "partitionValues": {"d": lo},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    t = catalog.snapshot_delta_table(root, "dltdec")
+    got = {r.id: r.d for r in t.to_df().collect()}
+    # exact to the last digit — float round-trip would end ...4567890123
+    # with the tail rounded
+    assert got[1] == Decimal(hi)
+    assert got[2] == Decimal(lo)
+    # bounds prune: the widened lower/upper still bracket the exact
+    # value, and the two partitions are far enough apart to separate
+    assert len(t.scan(where=E.gt("d", 1000.0)).files()) == 1
+    assert len(t.scan(where=E.lt("d", 1000.0)).files()) == 1

@@ -1,0 +1,223 @@
+"""GlueCatalog: optimistic versionId commit protocol (reference
+aws/glue/GlueTableOperations.java:62-409 doCommit/persistGlueTable +
+GlueCatalog.java renameTable/namespaces).
+
+Load-bearing properties: the metadata_location PARAMETER is the
+pointer of record (orphan documents invisible); there is NO lock —
+commits arbitrate through the conditional UpdateTable carrying the
+versionId the committer read (ConcurrentModificationException = lost
+race = engine retry); the FIRST commit is CreateTable with
+AlreadyExists as the same signal; rename is a non-atomic
+create-then-drop that keeps the pointer; non-Iceberg Glue tables are
+invisible (checkIfTableIsIceberg)."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from iceberg_geo_poc_spark.table import E
+from iceberg_geo_poc_spark.table import metadata as MD
+from iceberg_geo_poc_spark.table.glue_catalog import (
+    ConcurrentModification,
+    EntityAlreadyExists,
+    GlueCatalog,
+    GlueService,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return GlueCatalog(str(tmp_path / "wh"), spark)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"r{i}") for i in range(lo, hi)], "a BIGINT, b STRING"
+    ).coalesce(1)
+
+
+def test_create_load_roundtrip_and_sql(spark, cat):
+    t = cat.create_table("t1", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 10))
+    t.delete(E.lt("a", 3))
+    assert cat.load_table("t1").to_df().count() == 7
+    assert cat.list_tables() == ["t1"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("t1", "a BIGINT")
+    rows = cat.sql("SELECT COUNT(*) AS n FROM t1").collect()
+    assert rows[0].n == 7
+
+
+def test_pointer_is_source_of_truth(spark, cat):
+    t = cat.create_table("t2", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))  # v1
+    loc = t.location
+    orphan = os.path.join(loc, "metadata", "v2.metadata.json")
+    with open(orphan, "wb") as f:
+        f.write(b'{"torn": "never committed"}')
+    assert MD.read_metadata(loc).version == 1
+    assert cat.load_table("t2").to_df().count() == 5
+    cat.load_table("t2").append(_df(spark, 5, 8))  # claims v2 conditionally
+    assert cat.load_table("t2").to_df().count() == 8
+
+
+def test_stale_handle_version_id_cas(spark, cat):
+    t1 = cat.create_table("t3", "a BIGINT, b STRING")
+    t1.append(_df(spark, 0, 5))
+    t2 = cat.load_table("t3")
+    t1.append(_df(spark, 5, 10))  # bumps the versionId
+    t2.append(_df(spark, 10, 15))  # conditional update fails once, retries
+    assert cat.load_table("t3").to_df().count() == 15
+
+
+def test_concurrent_appends_serialize_through_version_id(spark, cat):
+    # 8 simultaneous committers, no lock anywhere: every commit races
+    # on the conditional UpdateTable; the unluckiest can lose once per
+    # interleaved winner, so the retry budget scales with contention
+    t = cat.create_table(
+        "t4", "a BIGINT, b STRING",
+        properties={"commit.retry.num-retries": "30"},
+    )
+    t.append(_df(spark, 0, 1))
+    errs = []
+
+    def worker(i):
+        try:
+            cat.load_table("t4").append(_df(spark, 10 * i, 10 * i + 2))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert cat.load_table("t4").to_df().count() == 1 + 8 * 2
+
+
+def test_service_conditional_update_unit():
+    """The GlueService primitive itself: update_table with a stale
+    versionId raises ConcurrentModificationException; without a
+    version_id the update is unconditional (reference: versionId only
+    set when the SDK supports it and no LockManager is configured)."""
+    svc = GlueService()
+    svc.create_database("default")
+    svc.create_table("default", "u", parameters={"p": "1"})
+    e = svc.get_table("default", "u")
+    assert e["version_id"] == "1"
+    svc.update_table("default", "u", {"p": "2"}, version_id="1")
+    assert svc.get_table("default", "u")["version_id"] == "2"
+    with pytest.raises(ConcurrentModification):
+        svc.update_table("default", "u", {"p": "3"}, version_id="1")
+    svc.update_table("default", "u", {"p": "3"})  # unconditional
+    assert svc.get_table("default", "u")["parameters"]["p"] == "3"
+    with pytest.raises(EntityAlreadyExists):
+        svc.create_table("default", "u")
+
+
+def test_first_commit_create_race_one_winner(spark, cat):
+    """Two catalogs over the SAME service racing the v0 CreateTable:
+    exactly one wins (AlreadyExists = lost race)."""
+    svc = cat.service
+    cat2 = GlueCatalog(cat.warehouse, cat.spark, service=svc)
+    t = cat.create_table("race", "a BIGINT")
+    assert cat2.table_exists("race")
+    with pytest.raises(ValueError, match="already exists"):
+        cat2.create_table("race", "a BIGINT")
+    assert t.meta.version == 0
+
+
+def test_rename_create_then_drop(spark, cat):
+    t = cat.create_table("r1", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 4))
+    cat.rename_table("r1", "r2")
+    assert not cat.table_exists("r1")
+    assert cat.load_table("r2").to_df().count() == 4
+    # the renamed table keeps committing (location unchanged; the
+    # backend resolves the entry by location reverse-scan)
+    cat.load_table("r2").append(_df(spark, 4, 6))
+    assert cat.load_table("r2").to_df().count() == 6
+    with pytest.raises(FileNotFoundError):
+        cat.rename_table("r1", "r3")
+
+
+def test_non_iceberg_glue_table_invisible(spark, cat):
+    """checkIfTableIsIceberg: a plain Glue table (no ICEBERG
+    table_type) is, for Iceberg, the same as no table."""
+    cat.service.create_table(
+        "default", "csvtab",
+        parameters={"metadata_location": "/x/y", "table_type": "HIVE"},
+    )
+    assert not cat.table_exists("csvtab")
+    with pytest.raises(FileNotFoundError, match="not an iceberg"):
+        cat.load_table("csvtab")
+    assert cat.list_tables() == []
+
+
+def test_namespaces(spark, cat):
+    cat.create_namespace("analytics", {"owner": "ml"})
+    assert "analytics" in cat.list_namespaces()
+    assert cat.namespace_properties("analytics")["owner"] == "ml"
+    t = cat.create_table("analytics.ev", "a BIGINT")
+    t.append(spark.createDataFrame([(1,)], "a BIGINT"))
+    assert cat.list_tables("analytics") == ["ev"]
+    with pytest.raises(ValueError):
+        cat.create_namespace("analytics")
+    cat.create_namespace("analytics", if_not_exists=True)
+    with pytest.raises(ConcurrentModification, match="not empty"):
+        cat.drop_namespace("analytics")
+    cat.drop_table("analytics.ev")
+    cat.drop_namespace("analytics")
+    assert "analytics" not in cat.list_namespaces()
+
+
+def test_time_travel_and_row_level_through_glue(spark, cat):
+    t = cat.create_table("tt", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 6))
+    s1 = t.current_snapshot().snapshot_id
+    t = cat.load_table("tt")
+    t.update({"b": "X"}, E.eq("a", 2))
+    assert (2, "X") in {
+        (r.a, r.b) for r in cat.load_table("tt").to_df().collect()
+    }
+    old = cat.load_table("tt").scan(snapshot_id=s1).to_df()
+    assert (2, "X") not in {(r.a, r.b) for r in old.collect()}
+
+
+def test_older_metadata_versions_remain_readable(spark, cat):
+    """uuid-suffixed documents: canonical v{N} names are never written,
+    but a reader pinned to a previous version must still resolve."""
+    import json
+
+    t = cat.create_table("told", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+    be = MD.backend_for(t.location)
+    cur_v = t.meta.version
+    assert cur_v >= 2
+    for v in range(cur_v + 1):
+        p = os.path.join(t.location, "metadata", f"v{v}.metadata.json")
+        assert be.exists(p), f"v{v} invisible"
+        assert json.loads(be.read(p))["location"] == t.location
+    p = os.path.join(t.location, "metadata", f"v{cur_v + 1}.metadata.json")
+    assert not be.exists(p)
+    with pytest.raises(FileNotFoundError):
+        be.read(p)
+
+
+def test_glue_snapshot_and_register(spark, cat, tmp_path):
+    t = cat.create_table("src", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    snap = cat.snapshot_table("src", "snapped")
+    assert snap.to_df().count() == 5
+    assert snap.meta.properties["gc.enabled"] == "false"
+    # register: adopt the source's current metadata under a new name
+    ptr = cat.service.get_table("default", "src")["parameters"][
+        "metadata_location"
+    ]
+    reg = cat.register_table("adopted", ptr)
+    assert reg.to_df().count() == 5

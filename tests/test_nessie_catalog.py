@@ -229,3 +229,31 @@ def test_register_table(spark, cat):
     assert reg.to_df().count() == 5
     with pytest.raises(ValueError, match="already exists"):
         cat.register_table("t8_reg", ptr)
+
+
+def test_older_metadata_versions_remain_readable(spark, cat):
+    """Documents are uuid-suffixed, so canonical v{N} names are never
+    written — but a reader pinned to a PREVIOUS metadata version
+    (static-table posture) must still resolve it via the backend
+    (ADVICE r13: only the current version redirected)."""
+    import json
+    import os
+
+    from iceberg_geo_poc_spark.table import metadata as MD
+
+    t = cat.create_table("told", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+    be = MD.backend_for(t.location)
+    cur_v = t.meta.version
+    assert cur_v >= 2
+    for v in range(cur_v + 1):  # every version incl. 0
+        p = os.path.join(t.location, "metadata", f"v{v}.metadata.json")
+        assert be.exists(p), f"v{v} invisible"
+        doc = json.loads(be.read(p))
+        assert doc["location"] == t.location
+    # beyond-current still 404s
+    p = os.path.join(t.location, "metadata", f"v{cur_v + 1}.metadata.json")
+    assert not be.exists(p)
+    with pytest.raises(FileNotFoundError):
+        be.read(p)
