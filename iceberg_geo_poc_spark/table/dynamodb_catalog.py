@@ -103,15 +103,27 @@ class DynamoService:
         identifier: str,
         namespace: str,
         updates: dict,
-        expected_version: str,
+        expected_version: str | None = None,
+        expected_attrs: dict | None = None,
     ) -> None:
-        """UpdateItem SET ... with ConditionExpression ``v = :v``."""
+        """UpdateItem SET ... with ConditionExpression ``v = :v`` and/or
+        attribute equality (the lock heartbeat conditions on
+        entityId+ownerId match, not version)."""
         with self._lock:
             row = self._items.get((identifier, namespace))
-            if row is None or row[COL_VERSION] != expected_version:
+            if row is None or (
+                expected_version is not None
+                and row[COL_VERSION] != expected_version
+            ):
                 raise ConditionalCheckFailed(
                     f"item {(identifier, namespace)} version mismatch"
                 )
+            for k, v in (expected_attrs or {}).items():
+                if row.get(k) != v:
+                    raise ConditionalCheckFailed(
+                        f"item {(identifier, namespace)} attribute {k!r} "
+                        f"condition failed"
+                    )
             row.update(updates)
             row[COL_VERSION] = self._fresh_version()
 
@@ -120,7 +132,11 @@ class DynamoService:
         identifier: str,
         namespace: str,
         expected_version: str | None = None,
+        expected_attrs: dict | None = None,
     ) -> None:
+        """DeleteItem with ConditionExpression: version equality and/or
+        arbitrary attribute equality (the lock manager's owner-match
+        delete uses ``expected_attrs``)."""
         with self._lock:
             key = (identifier, namespace)
             row = self._items.get(key)
@@ -129,7 +145,32 @@ class DynamoService:
                 and row[COL_VERSION] != expected_version
             ):
                 raise ConditionalCheckFailed(f"item {key} condition failed")
+            for k, v in (expected_attrs or {}).items():
+                if row.get(k) != v:
+                    raise ConditionalCheckFailed(
+                        f"item {key} attribute {k!r} condition failed"
+                    )
             del self._items[key]
+
+    def put_item_if_version(
+        self, item: dict, expected_version: str
+    ) -> None:
+        """PutItem with ConditionExpression
+        ``attribute_not_exists(...) OR v = :vid`` — the lock manager's
+        lease-steal write (reference DynamoDbLockManager.acquireOnce
+        CONDITION_LOCK_ENTITY_NOT_EXIST_OR_VERSION_MATCH): lands if the
+        item vanished OR its version is still the one the caller read
+        (no heartbeat rotated it during the full lease wait)."""
+        with self._lock:
+            key = (item[COL_IDENTIFIER], item[COL_NAMESPACE])
+            row = self._items.get(key)
+            if row is not None and row[COL_VERSION] != expected_version:
+                raise ConditionalCheckFailed(
+                    f"item {key} version rotated (live heartbeat)"
+                )
+            new = dict(item)
+            new[COL_VERSION] = self._fresh_version()
+            self._items[key] = new
 
     def transact_write(self, ops: list[tuple]) -> None:
         """TransactWriteItems: every op's condition checks first; all
@@ -453,3 +494,140 @@ class DynamoDbCatalog(Catalog):
         )
         MD.write_new_metadata(meta, meta.version)
         return self.load_table(dest)
+
+
+# -- DynamoDB lock manager (reference aws/dynamodb/DynamoDbLockManager.java
+# :62-320) — the LockManager Glue engages when versionId preconditions are
+# unavailable (GlueTableOperations.persistGlueTable: versionId set only
+# "if available on the path AND lockManager == null") -------------------------
+
+LOCK_NAMESPACE = "__lock__"
+COL_OWNER = "lockOwnerId"
+COL_LEASE_MS = "leaseDurationMs"
+
+
+class LockAcquireTimeout(Exception):
+    """acquire() exhausted its timeout without winning the lock."""
+
+
+class DynamoDbLockManager:
+    """Lease-based distributed lock over the DynamoDB item store.
+
+    Protocol (reference ``DynamoDbLockManager.acquireOnce:195-236``):
+
+    - lock ABSENT: PutItem with ``attribute_not_exists`` — first writer
+      wins;
+    - lock PRESENT: wait out the holder's FULL lease duration, then
+      PutItem conditional on ``not_exists OR version == the version we
+      read`` — a LIVE holder's heartbeat rotates the version during the
+      wait so the steal loses (ConditionalCheckFailedException), while
+      a DEAD holder's version never moves and the lease expires to us;
+    - heartbeat: a background task rotates the version every
+      ``heartbeat_interval`` conditional on entityId+ownerId match;
+    - release: DeleteItem conditional on ownerId match — releasing
+      someone else's lock fails instead of clobbering
+      (``release:251-292``).
+
+    acquire() retries acquireOnce with backoff until
+    ``acquire_timeout`` (reference Tasks.foreach exponentialBackoff
+    retrying ConditionalCheckFailedException).
+    """
+
+    def __init__(
+        self,
+        service: DynamoService,
+        heartbeat_interval: float = 0.05,
+        heartbeat_timeout: float = 0.3,
+        acquire_timeout: float = 10.0,
+        acquire_interval: float = 0.01,
+    ) -> None:
+        self.service = service
+        self.heartbeat_interval = heartbeat_interval
+        self.heartbeat_timeout = heartbeat_timeout
+        self.acquire_timeout = acquire_timeout
+        self.acquire_interval = acquire_interval
+        self._beats: dict[str, threading.Event] = {}
+        self._beat_lock = threading.Lock()
+
+    def _new_item(self, entity_id: str, owner_id: str) -> dict:
+        return {
+            COL_IDENTIFIER: entity_id,
+            COL_NAMESPACE: LOCK_NAMESPACE,
+            COL_OWNER: owner_id,
+            COL_LEASE_MS: self.heartbeat_timeout * 1000.0,
+        }
+
+    def _acquire_once(self, entity_id: str, owner_id: str) -> None:
+        row = self.service.get_item(entity_id, LOCK_NAMESPACE)
+        if row is None:
+            self.service.put_item(self._new_item(entity_id, owner_id))
+        else:
+            # wait out the CURRENT holder's full lease; if its
+            # heartbeat is alive the version rotates meanwhile and the
+            # conditional steal below loses
+            import time as _time
+
+            _time.sleep(float(row[COL_LEASE_MS]) / 1000.0)
+            self.service.put_item_if_version(
+                self._new_item(entity_id, owner_id),
+                expected_version=row[COL_VERSION],
+            )
+        self._start_heartbeat(entity_id, owner_id)
+
+    def acquire(self, entity_id: str, owner_id: str) -> bool:
+        import time as _time
+
+        deadline = _time.monotonic() + self.acquire_timeout
+        while True:
+            try:
+                self._acquire_once(entity_id, owner_id)
+                return True
+            except ConditionalCheckFailed:
+                if _time.monotonic() > deadline:
+                    return False
+                _time.sleep(self.acquire_interval)
+
+    def _start_heartbeat(self, entity_id: str, owner_id: str) -> None:
+        stop = threading.Event()
+        with self._beat_lock:
+            old = self._beats.pop(entity_id, None)
+            if old is not None:
+                old.set()
+            self._beats[entity_id] = stop
+
+        def beat() -> None:
+            while not stop.wait(self.heartbeat_interval):
+                try:
+                    # rotate the version, conditional on still owning
+                    # the lock (reference DynamoDbHeartbeat.run)
+                    self.service.update_item(
+                        entity_id,
+                        LOCK_NAMESPACE,
+                        {COL_LEASE_MS: self.heartbeat_timeout * 1000.0},
+                        expected_attrs={COL_OWNER: owner_id},
+                    )
+                except ConditionalCheckFailed:
+                    return  # lost the lock: stop beating
+
+        threading.Thread(target=beat, daemon=True).start()
+
+    def release(self, entity_id: str, owner_id: str) -> bool:
+        with self._beat_lock:
+            stop = self._beats.pop(entity_id, None)
+        if stop is not None:
+            stop.set()
+        try:
+            self.service.delete_item(
+                entity_id,
+                LOCK_NAMESPACE,
+                expected_attrs={COL_OWNER: owner_id},
+            )
+            return True
+        except ConditionalCheckFailed:
+            return False  # not the owner / already expired-and-stolen
+
+    def close(self) -> None:
+        with self._beat_lock:
+            for stop in self._beats.values():
+                stop.set()
+            self._beats.clear()

@@ -218,9 +218,15 @@ class GlueCommitBackend(MD.CommitBackend):
     orphan — the same posture as the Nessie backend and as the real
     reference, whose metadata filenames always embed a UUID."""
 
-    def __init__(self, service: GlueService, warehouse: str):
+    def __init__(self, service: GlueService, warehouse: str, lock_manager=None):
         self.service = service
         self.warehouse = warehouse.rstrip("/")
+        # reference GlueTableOperations: with a LockManager configured
+        # the commit serializes through lock()/release() and the
+        # UpdateTable goes UNCONDITIONAL ("Use Optimistic locking with
+        # table version id ... if SET_VERSION_ID is not noop AND
+        # lockManager == null"); without one, the versionId IS the CAS
+        self.lock_manager = lock_manager
 
     def _ident_of(self, location: str) -> tuple[str, str]:
         rel = location[len(self.warehouse):].strip("/")
@@ -333,6 +339,39 @@ class GlueCommitBackend(MD.CommitBackend):
             # beforehand — derive the identity from the location
             ident, entry = self._ident_of(location), None
         db, name = ident
+        if self.lock_manager is not None:
+            # commitLockEntityId = "db.tbl"; ownerId = the new metadata
+            # location (reference lock(newMetadataLocation))
+            owner = f"{path}:{uuid.uuid4().hex[:8]}"
+            if not self.lock_manager.acquire(f"{db}.{name}", owner):
+                raise RuntimeError(
+                    f"Fail to acquire lock {db}.{name} to commit new "
+                    f"metadata at {path}"
+                )
+            try:
+                # re-read UNDER the lock, then commit without the
+                # versionId precondition — the lock is the arbitration
+                ident2, entry2 = self._entry_for_location(location)
+                if ident2 is not None:
+                    entry = entry2
+                return self._persist(db, name, location, n, entry, payload,
+                                     path, conditional=False)
+            finally:
+                self.lock_manager.release(f"{db}.{name}", owner)
+        return self._persist(db, name, location, n, entry, payload, path,
+                             conditional=True)
+
+    def _persist(
+        self,
+        db: str,
+        name: str,
+        location: str,
+        n: int,
+        entry: dict | None,
+        payload: bytes,
+        path: str,
+        conditional: bool,
+    ) -> bool:
         ptr = (
             entry["parameters"].get(METADATA_LOCATION_PROP) if entry else None
         )
@@ -374,7 +413,8 @@ class GlueCommitBackend(MD.CommitBackend):
                 merged = dict(entry["parameters"])
                 merged.update(params)
                 self.service.update_table(
-                    db, name, merged, version_id=entry["version_id"]
+                    db, name, merged,
+                    version_id=entry["version_id"] if conditional else None,
                 )
             return True
         except (ConcurrentModification, EntityAlreadyExists):
@@ -408,10 +448,13 @@ class GlueCatalog(Catalog):
         warehouse: str,
         spark: SparkSession,
         service: GlueService | None = None,
+        lock_manager=None,
     ):
         super().__init__(warehouse, spark)
         self.service = service or GlueService()
-        self.backend = GlueCommitBackend(self.service, warehouse)
+        self.backend = GlueCommitBackend(
+            self.service, warehouse, lock_manager=lock_manager
+        )
         MD.register_commit_backend(warehouse.rstrip("/") + "/", self.backend)
         if "default" not in self.service.list_databases():
             self.service.create_database("default")

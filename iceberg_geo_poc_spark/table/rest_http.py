@@ -52,11 +52,35 @@ def _decode(raw: bytes) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     service: CatalogService  # set by serve_catalog on the subclass
+    sigv4_secret: str | None = None  # set by serve_catalog when enforcing
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         length = int(self.headers.get("Content-Length", "0"))
-        req = _decode(self.rfile.read(length))
+        raw = self.rfile.read(length)
+        if self.sigv4_secret is not None:
+            # IAM-side posture: recompute the signature from the
+            # received request; unsigned/tampered requests are refused
+            # before the service sees them
+            from iceberg_geo_poc_spark.table.rest_sigv4 import verify_sigv4
+
+            url = f"http://{self.headers.get('Host', '')}{self.path}"
+            if not verify_sigv4(
+                "POST", url, dict(self.headers.items()), raw,
+                self.sigv4_secret,
+            ):
+                body = _encode({"status": 403, "error": "SigV4 check failed"})
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+        req = _decode(raw)
+        # the bearer token: straight Authorization, or the
+        # Original-Authorization a SigV4 signer relocated it to
         auth = self.headers.get("Authorization", "")
+        if not auth.startswith("Bearer "):
+            auth = self.headers.get("Original-Authorization", "")
         if auth.startswith("Bearer "):
             req["token"] = auth[len("Bearer "):]
         resp = self.service.handle(req)
@@ -73,12 +97,19 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
-def serve_catalog(service: CatalogService, port: int = 0):
+def serve_catalog(
+    service: CatalogService, port: int = 0, sigv4_secret: str | None = None
+):
     """Start a threading HTTP server for ``service`` on localhost.
 
     Returns ``(base_url, shutdown)``; ``port=0`` picks a free port.
+    ``sigv4_secret`` enforces SigV4 on every request (the IAM-fronted
+    deployment shape the reference's RESTSigV4Signer targets).
     """
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type(
+        "BoundHandler", (_Handler,),
+        {"service": service, "sigv4_secret": sigv4_secret},
+    )
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -96,12 +127,25 @@ class HttpTransport:
 
     The bearer token travels in the Authorization header (not the JSON
     body), matching how the reference's HTTPClient attaches auth.
+
+    ``signer`` (optional) is a ``rest_sigv4.RESTSigV4Signer`` — when
+    set, every request is SigV4-signed AFTER the bearer header attaches
+    (the signer relocates it to Original-Authorization and covers it
+    with the signature), matching the reference's interceptor order
+    (RESTSigV4Signer.java runs on the fully-built request).
     """
 
-    def __init__(self, base_url: str, token: str | None = None, timeout: float = 10.0):
+    def __init__(
+        self,
+        base_url: str,
+        token: str | None = None,
+        timeout: float = 10.0,
+        signer=None,
+    ):
         self.base_url = base_url.rstrip("/")
         self.token = token
         self.timeout = timeout
+        self.signer = signer
 
     def __call__(self, req: dict) -> dict:
         import urllib.request
@@ -112,11 +156,12 @@ class HttpTransport:
         token = req.get("token", self.token)
         if token is not None:
             headers["Authorization"] = f"Bearer {token}"
+        url = self.base_url + "/v1/catalog"
+        payload = _encode(body)
+        if self.signer is not None:
+            headers = self.signer.process("POST", url, headers, payload)
         http_req = urllib.request.Request(
-            self.base_url + "/v1/catalog",
-            data=_encode(body),
-            headers=headers,
-            method="POST",
+            url, data=payload, headers=headers, method="POST"
         )
         with urllib.request.urlopen(http_req, timeout=self.timeout) as resp:
             return _decode(resp.read())

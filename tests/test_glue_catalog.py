@@ -209,6 +209,55 @@ def test_older_metadata_versions_remain_readable(spark, cat):
         be.read(p)
 
 
+def test_glue_with_lock_manager_mode(spark, tmp_path):
+    """LockManager mode (reference persistGlueTable: versionId only
+    when lockManager == null): commits serialize through
+    acquire/release and the UpdateTable goes unconditional; the
+    under-lock re-read still rejects stale bases, and 8-way contention
+    still lands every append."""
+    import threading
+
+    from iceberg_geo_poc_spark.table.dynamodb_catalog import (
+        DynamoDbLockManager,
+        DynamoService,
+    )
+
+    lm = DynamoDbLockManager(
+        DynamoService(),
+        heartbeat_interval=0.03,
+        heartbeat_timeout=0.15,
+        acquire_timeout=30.0,
+    )
+    cat = GlueCatalog(str(tmp_path / "whlm"), spark, lock_manager=lm)
+    t = cat.create_table(
+        "lk", "a BIGINT, b STRING",
+        properties={"commit.retry.num-retries": "30"},
+    )
+    t.append(_df(spark, 0, 1))
+    # stale handle: the under-lock re-read sees the moved pointer and
+    # the version check rejects; the engine retry lands it
+    stale = cat.load_table("lk")
+    t.append(_df(spark, 1, 3))
+    stale.append(_df(spark, 3, 5))
+    assert cat.load_table("lk").to_df().count() == 5
+    errs = []
+
+    def worker(i):
+        try:
+            cat.load_table("lk").append(_df(spark, 10 * i, 10 * i + 2))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert cat.load_table("lk").to_df().count() == 5 + 8 * 2
+    lm.close()
+
+
 def test_glue_snapshot_and_register(spark, cat, tmp_path):
     t = cat.create_table("src", "a BIGINT, b STRING")
     t.append(_df(spark, 0, 5))

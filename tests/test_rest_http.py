@@ -106,3 +106,45 @@ def test_racing_commits_across_http(http_service, spark):
     t = cat.load_table("c")
     assert t.to_df().count() == 100
     assert len(t.meta.snapshots) == 2
+
+
+def test_sigv4_enforced_endpoint_roundtrip():
+    """The IAM-fronted deployment shape (reference RESTSigV4Signer):
+    the server enforces SigV4; a signed transport's verbs work, the
+    bearer token survives relocation to Original-Authorization, and
+    unsigned / wrongly-keyed requests are refused before the service
+    runs."""
+    from iceberg_geo_poc_spark.table.rest_sigv4 import RESTSigV4Signer
+
+    svc = CatalogService(token="http-tok")
+    sk = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+    url, shutdown = serve_catalog(svc, sigv4_secret=sk)
+    try:
+        signer = RESTSigV4Signer().initialize(
+            {
+                "rest.signing-region": "us-east-1",
+                "rest.access-key-id": "AKIDEXAMPLE",
+                "rest.secret-access-key": sk,
+            }
+        )
+        t = HttpTransport(url, token="http-tok", signer=signer)
+        assert t({"op": "create", "path": "s/x", "body": b"payload"})["status"] == 201
+        assert t({"op": "get", "path": "s/x"})["body"] == b"payload"
+        # bearer still enforced UNDER SigV4 (it rode Original-Authorization)
+        bad_tok = HttpTransport(url, token="nope", signer=signer)
+        assert bad_tok({"op": "head", "path": "s/x"})["status"] == 401
+        # unsigned request: refused at the door
+        unsigned = HttpTransport(url, token="http-tok")
+        assert unsigned({"op": "head", "path": "s/x"})["status"] == 403
+        # wrong signing key: refused
+        wrong = RESTSigV4Signer().initialize(
+            {
+                "rest.signing-region": "us-east-1",
+                "rest.access-key-id": "AKIDEXAMPLE",
+                "rest.secret-access-key": "not-the-secret",
+            }
+        )
+        t_wrong = HttpTransport(url, token="http-tok", signer=wrong)
+        assert t_wrong({"op": "head", "path": "s/x"})["status"] == 403
+    finally:
+        shutdown()
