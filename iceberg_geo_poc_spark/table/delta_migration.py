@@ -158,8 +158,16 @@ def _decimal_bounds(value: str, sql_type: str) -> tuple[float, float]:
     from iceberg_geo_poc_spark.table.manifest import _dec_raw
 
     d = _decimal.Decimal(value)
-    scale = max(0, -d.as_tuple().exponent)
-    unscaled = int(d.scaleb(scale))
+    t = d.as_tuple()
+    scale = max(0, -t.exponent)
+    # exact unscaled integer from the tuple — NOT d.scaleb(scale), which
+    # rounds through the default 28-significant-digit context and can
+    # move a 38-digit bound INWARD (code-review r14, reproduced)
+    unscaled = int("".join(map(str, t.digits)) or "0")
+    if t.exponent > 0:
+        unscaled *= 10 ** t.exponent
+    if t.sign:
+        unscaled = -unscaled
     return _dec_raw(unscaled, scale, -1), _dec_raw(unscaled, scale, +1)
 
 

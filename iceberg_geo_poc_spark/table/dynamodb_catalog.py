@@ -253,45 +253,47 @@ class DynamoCommitBackend(GlueCommitBackend):
         if ident is None:
             ident, row = self._ident_of(location), None
         db, name = ident
-        ptr = row.get(METADATA_LOCATION_PROP) if row else None
-        cur_v = self._version_of(ptr)
-        expect = -1 if cur_v is None else cur_v
-        if n != expect + 1:
-            return False
-        doc_path = os.path.join(
-            os.path.dirname(path), f"v{n}-{uuid.uuid4().hex[:8]}.metadata.json"
-        )
-        os.makedirs(os.path.dirname(doc_path), exist_ok=True)
-        with open(doc_path, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        # the SHARED _persist protocol (doc write, replay check, orphan
+        # cleanup on any failed pointer write) with the Dynamo hooks
+        return self._persist(db, name, location, n, row, payload, path,
+                             conditional=True)
+
+    # -- the three store-specific hooks of the shared protocol ----------------
+
+    _LOST_RACE = (ConditionalCheckFailed,)
+
+    def _entry_pointer(self, row: dict | None) -> str | None:
+        return row.get(METADATA_LOCATION_PROP) if row else None
+
+    def _pointer_params(self, doc_path: str, ptr: str | None) -> dict:
         updates = {METADATA_LOCATION_PROP: doc_path}
         if ptr:
             updates[PREVIOUS_METADATA_LOCATION_PROP] = ptr
-        try:
-            if row is None:
-                self.service.put_item(
-                    {
-                        COL_IDENTIFIER: f"{db}.{name}",
-                        COL_NAMESPACE: db,
-                        **updates,
-                    }
-                )
-            else:
-                self.service.update_item(
-                    row[COL_IDENTIFIER],
-                    row[COL_NAMESPACE],
-                    updates,
-                    expected_version=row[COL_VERSION],
-                )
-            return True
-        except ConditionalCheckFailed:
-            try:
-                os.remove(doc_path)  # orphan cleanup, reference finally
-            except OSError:
-                pass
-            return False
+        return updates
+
+    def _check_entry(self, db: str, name: str, row: dict) -> None:
+        pass  # DynamoDB items carry no table_type discriminator
+
+    def _commit_pointer(
+        self,
+        db: str,
+        name: str,
+        location: str,
+        row: dict | None,
+        params: dict,
+        conditional: bool,
+    ) -> None:
+        if row is None:
+            self.service.put_item(
+                {COL_IDENTIFIER: f"{db}.{name}", COL_NAMESPACE: db, **params}
+            )
+        else:
+            self.service.update_item(
+                row[COL_IDENTIFIER],
+                row[COL_NAMESPACE],
+                params,
+                expected_version=row[COL_VERSION],
+            )
 
 
 class DynamoDbCatalog(Catalog):

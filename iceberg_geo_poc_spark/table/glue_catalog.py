@@ -285,17 +285,20 @@ class GlueCommitBackend(MD.CommitBackend):
                     with open(ptr, "rb") as f:
                         return f.read()
                 # older versions: canonical names were never written;
-                # bounded glob for the uuid-suffixed document
+                # bounded glob for the uuid-suffixed document.  Glue
+                # has no branches, so multiple same-N documents can
+                # only be crash orphans — AMBIGUITY REFUSES rather
+                # than risking an uncommitted doc (code-review r14;
+                # every in-process failure path already removes its
+                # candidate, so this guards process crashes only)
                 if not os.path.exists(path):
-                    hits = sorted(
-                        _glob.glob(
-                            os.path.join(
-                                os.path.dirname(path),
-                                f"v{int(vm.group(1))}-*.metadata.json",
-                            )
+                    hits = _glob.glob(
+                        os.path.join(
+                            os.path.dirname(path),
+                            f"v{int(vm.group(1))}-*.metadata.json",
                         )
                     )
-                    if hits:
+                    if len(hits) == 1:
                         with open(hits[0], "rb") as f:
                             return f.read()
         with open(path, "rb") as f:
@@ -315,7 +318,7 @@ class GlueCommitBackend(MD.CommitBackend):
                 return (
                     int(vm.group(1)) == v
                     or os.path.exists(path)
-                    or bool(
+                    or len(
                         _glob.glob(
                             os.path.join(
                                 os.path.dirname(path),
@@ -323,6 +326,7 @@ class GlueCommitBackend(MD.CommitBackend):
                             )
                         )
                     )
+                    == 1
                 )
         return os.path.exists(path)
 
@@ -350,16 +354,73 @@ class GlueCommitBackend(MD.CommitBackend):
                 )
             try:
                 # re-read UNDER the lock, then commit without the
-                # versionId precondition — the lock is the arbitration
-                ident2, entry2 = self._entry_for_location(location)
-                if ident2 is not None:
-                    entry = entry2
+                # versionId precondition — the lock is the arbitration.
+                # An entry that VANISHED between the reads (concurrent
+                # drop) must not be committed from the stale copy: the
+                # re-read result replaces it unconditionally
+                _, entry = self._entry_for_location(location)
                 return self._persist(db, name, location, n, entry, payload,
                                      path, conditional=False)
             finally:
                 self.lock_manager.release(f"{db}.{name}", owner)
         return self._persist(db, name, location, n, entry, payload, path,
                              conditional=True)
+
+    # -- the shared commit protocol (also the Dynamo backend's, which
+    # overrides only the three hooks below) -----------------------------------
+
+    # exceptions meaning "a racer won; engine retry" (reference
+    # ConcurrentModificationException / AlreadyExistsException ->
+    # CommitFailedException)
+    _LOST_RACE: tuple = (ConcurrentModification, EntityAlreadyExists)
+
+    def _entry_pointer(self, entry: dict | None) -> str | None:
+        return (
+            entry["parameters"].get(METADATA_LOCATION_PROP) if entry else None
+        )
+
+    def _pointer_params(self, doc_path: str, ptr: str | None) -> dict:
+        """Store-specific pointer attributes for the committed doc."""
+        params = {
+            TABLE_TYPE_PROP: ICEBERG_TABLE_TYPE,
+            METADATA_LOCATION_PROP: doc_path,
+        }
+        if ptr:
+            params[PREVIOUS_METADATA_LOCATION_PROP] = ptr
+        return params
+
+    def _check_entry(self, db: str, name: str, entry: dict) -> None:
+        """Pre-write validation (reference checkIfTableIsIceberg runs
+        BEFORE persist) — raising here must not leak a document."""
+        if entry["parameters"].get(METADATA_LOCATION_PROP) and entry[
+            "parameters"
+        ].get(TABLE_TYPE_PROP, "").upper() != ICEBERG_TABLE_TYPE:
+            raise ValueError(
+                f"Glue table {db}.{name} is not an iceberg table "
+                f"(type={entry['parameters'].get(TABLE_TYPE_PROP)})"
+            )
+
+    def _commit_pointer(
+        self,
+        db: str,
+        name: str,
+        location: str,
+        entry: dict | None,
+        params: dict,
+        conditional: bool,
+    ) -> None:
+        """The store-specific conditional write."""
+        if entry is None:
+            self.service.create_table(
+                db, name, parameters=params, location=location
+            )
+        else:
+            merged = dict(entry["parameters"])
+            merged.update(params)
+            self.service.update_table(
+                db, name, merged,
+                version_id=entry["version_id"] if conditional else None,
+            )
 
     def _persist(
         self,
@@ -372,9 +433,13 @@ class GlueCommitBackend(MD.CommitBackend):
         path: str,
         conditional: bool,
     ) -> bool:
-        ptr = (
-            entry["parameters"].get(METADATA_LOCATION_PROP) if entry else None
-        )
+        # validate FIRST (reference checkIfTableIsIceberg precedes the
+        # commit): a rejected entry leaks no document, and a
+        # non-Iceberg entry's pointer must not silently read as
+        # version-None in the replay check below
+        if entry is not None:
+            self._check_entry(db, name, entry)
+        ptr = self._entry_pointer(entry)
         cur_v = self._version_of(ptr)
         expect = -1 if cur_v is None else cur_v
         if n != expect + 1:
@@ -389,42 +454,22 @@ class GlueCommitBackend(MD.CommitBackend):
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
-        params = {
-            TABLE_TYPE_PROP: ICEBERG_TABLE_TYPE,
-            METADATA_LOCATION_PROP: doc_path,
-        }
-        if ptr:
-            params[PREVIOUS_METADATA_LOCATION_PROP] = ptr
+        params = self._pointer_params(doc_path, ptr)
         try:
-            if entry is None:
-                self.service.create_table(
-                    db, name, parameters=params, location=location
-                )
-            else:
-                if entry["parameters"].get(
-                    METADATA_LOCATION_PROP
-                ) and entry["parameters"].get(TABLE_TYPE_PROP, "").upper() != (
-                    ICEBERG_TABLE_TYPE
-                ):
-                    raise ValueError(
-                        f"Glue table {db}.{name} is not an iceberg table "
-                        f"(type={entry['parameters'].get(TABLE_TYPE_PROP)})"
-                    )
-                merged = dict(entry["parameters"])
-                merged.update(params)
-                self.service.update_table(
-                    db, name, merged,
-                    version_id=entry["version_id"] if conditional else None,
-                )
+            self._commit_pointer(db, name, location, entry, params,
+                                 conditional)
             return True
-        except (ConcurrentModification, EntityAlreadyExists):
-            # lost the optimistic race; the candidate document is an
-            # orphan (reference cleanupMetadataAndUnlock deletes it)
+        except BaseException as e:
+            # ANY failed pointer write orphans the candidate document —
+            # remove it so the old-version resolution can never surface
+            # an uncommitted doc (reference cleanupMetadataAndUnlock)
             try:
                 os.remove(doc_path)
             except OSError:
                 pass
-            return False
+            if isinstance(e, self._LOST_RACE):
+                return False  # racer won; engine retry
+            raise  # unexpected (e.g. entity dropped concurrently)
 
     def put(self, path: str, payload: bytes) -> None:
         split = _split_metadata_path(path)

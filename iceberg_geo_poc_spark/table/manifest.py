@@ -118,6 +118,13 @@ def _dec_raw(raw, scale: int, direction: int) -> float:
         v = math.nextafter(v, -math.inf)
     while direction > 0 and Fraction(v) < exact:
         v = math.nextafter(v, math.inf)
+    # ...then walk BACK to the MINIMAL wide float: the two roundings
+    # can overshoot by an ulp, and a needlessly-wide bound costs
+    # pruning (still sound either way; this keeps it tight)
+    while direction < 0 and Fraction(math.nextafter(v, math.inf)) <= exact:
+        v = math.nextafter(v, math.inf)
+    while direction > 0 and Fraction(math.nextafter(v, -math.inf)) >= exact:
+        v = math.nextafter(v, -math.inf)
     return v
 
 

@@ -42,7 +42,6 @@ location back to its key).
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os
@@ -289,6 +288,29 @@ class NessieCommitBackend(MD.CommitBackend):
         m = _VU_RE.match(os.path.basename(ptr))
         return int(m.group(1)) if m else None
 
+    def _history_doc(self, location: str, n: int) -> str | None:
+        """Resolve metadata version ``n`` of ``location`` through THIS
+        REF'S commit history (newest-first DAG walk): divergent
+        branches legitimately write same-numbered documents into one
+        metadata dir, so a filesystem glob could answer with ANOTHER
+        branch's snapshot (code-review r14) — the ref's own history is
+        the only sound source.  Walks commit ops directly (key-
+        agnostic) so versions committed under a PRE-RENAME key still
+        resolve.  Bounded by the ref's commit count."""
+        svc = self.service
+        with svc._lock:
+            h = svc._resolve(self.ref)
+            while h is not None and h in svc._commits:
+                for v in svc._commits[h]["ops"].values():
+                    ptr = (v or {}).get("metadataLocation")
+                    if not ptr or self._version_of(ptr) != n:
+                        continue
+                    sp = _split_metadata_path(ptr)
+                    if sp is not None and sp[0] == location:
+                        return ptr
+                h = svc._commits[h]["parent"]
+        return None
+
     # -- CommitBackend surface ----------------------------------------------
 
     def read(self, path: str) -> bytes:
@@ -316,19 +338,14 @@ class NessieCommitBackend(MD.CommitBackend):
                 # OLDER versions: the canonical v{N} name was never
                 # written under this backend (every document is
                 # uuid-suffixed), so a reader pinned to a previous
-                # metadata version (static-table posture) resolves via
-                # a bounded glob in the metadata dir
+                # metadata version (static-table posture) resolves
+                # through THIS ref's commit history — never a glob,
+                # which could surface a DIVERGENT branch's same-
+                # numbered document (code-review r14)
                 if not os.path.exists(path):
-                    hits = sorted(
-                        glob.glob(
-                            os.path.join(
-                                os.path.dirname(path),
-                                f"v{int(vm.group(1))}-*.metadata.json",
-                            )
-                        )
-                    )
-                    if hits:
-                        with open(hits[0], "rb") as f:
+                    hist = self._history_doc(location, int(vm.group(1)))
+                    if hist is not None:
+                        with open(hist, "rb") as f:
                             return f.read()
         with open(path, "rb") as f:
             return f.read()
@@ -349,14 +366,8 @@ class NessieCommitBackend(MD.CommitBackend):
                 return (
                     int(vm.group(1)) == v
                     or os.path.exists(path)
-                    or bool(
-                        glob.glob(
-                            os.path.join(
-                                os.path.dirname(path),
-                                f"v{int(vm.group(1))}-*.metadata.json",
-                            )
-                        )
-                    )
+                    or self._history_doc(location, int(vm.group(1)))
+                    is not None
                 )
         return os.path.exists(path)
 

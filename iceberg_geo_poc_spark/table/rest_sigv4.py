@@ -70,11 +70,20 @@ def canonical_request(
     path = parts.path or "/"
     # canonical URI: each path segment URI-encoded (slashes kept)
     canon_uri = _uri_encode(path, encode_slash=False) or "/"
-    # canonical query: sorted by key then value, strictly encoded
-    q = urllib.parse.parse_qsl(parts.query, keep_blank_values=True)
-    canon_query = "&".join(
-        f"{_uri_encode(k)}={_uri_encode(v)}" for k, v in sorted(q)
-    )
+    # canonical query: split the RAW string (parse_qsl would turn '+'
+    # into a space and change what AWS canonicalizes), unquote each
+    # part, re-encode strictly, and sort by the ENCODED name/value —
+    # the spec sorts encoded forms, and encoded vs decoded order can
+    # differ (e.g. 'a%2Fb' vs 'a-b')
+    pairs = []
+    if parts.query:
+        for part in parts.query.split("&"):
+            k, _, v = part.partition("=")
+            pairs.append(
+                (_uri_encode(urllib.parse.unquote(k)),
+                 _uri_encode(urllib.parse.unquote(v)))
+            )
+    canon_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
     # canonical headers: lowercase names, trimmed values, sorted
     lower = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
     names = sorted(lower)
@@ -229,12 +238,17 @@ def verify_sigv4(
             auth = v
     if auth is None:
         return False
-    fields = dict(
-        f.strip().split("=", 1) for f in auth[len(_ALGORITHM):].split(",")
-    )
-    cred = fields["Credential"].split("/")
-    access_key, date, region, service = cred[0], cred[1], cred[2], cred[3]
-    signed = fields["SignedHeaders"].split(";")
+    # malformed headers answer False (the endpoint's 403), never raise
+    try:
+        fields = dict(
+            f.strip().split("=", 1) for f in auth[len(_ALGORITHM):].split(",")
+        )
+        cred = fields["Credential"].split("/")
+        access_key, date, region, service = cred[0], cred[1], cred[2], cred[3]
+        signed = fields["SignedHeaders"].split(";")
+        fields["Signature"]  # noqa: B018 — presence check
+    except (ValueError, KeyError, IndexError):
+        return False
     lower = {k.lower(): v for k, v in received_headers.items()}
     subset = {n: lower[n] for n in signed if n in lower}
     if set(signed) - set(subset):

@@ -42,6 +42,7 @@ from pyspark.sql import SparkSession
 
 from iceberg_geo_poc_spark.table import metadata as MD
 from iceberg_geo_poc_spark.table.jdbc_catalog import _split_metadata_path
+from iceberg_geo_poc_spark.table.nessie_catalog import _VU_RE
 from iceberg_geo_poc_spark.table.table import Table
 
 _READ_ONLY = "SnowflakeCatalog does not currently support {}"
@@ -219,11 +220,15 @@ class SnowflakeCatalog:
         pin to it (SnowflakeTableOperations.doRefresh ->
         refreshFromMetadataLocation).  The returned table is read-only:
         Snowflake is the writer of record."""
+        import os as _os
+
         ptr = self._metadata_location(name)
         split = _split_metadata_path(ptr)
         if split is None:
             raise ValueError(f"not a metadata document path: {ptr!r}")
-        m = re.search(r"v(\d+)(?:-[0-9a-f]{8})?\.metadata\.json$", ptr)
+        # the shared uuid-suffixed version pattern (one source of truth
+        # with the document-writing backends)
+        m = _VU_RE.match(_os.path.basename(ptr))
         if not m:
             raise ValueError(f"not a metadata document path: {ptr!r}")
         doc = json.loads(MD.backend_for(ptr).read(ptr))

@@ -48,3 +48,41 @@ def test_dec_raw_exact_values_unchanged():
     # values exactly representable as floats are NOT nudged
     assert _dec_raw(12500, 2, -1) == 125.0
     assert _dec_raw(12500, 2, +1) == 125.0
+
+
+def test_decimal_partition_bounds_widen_property():
+    """Property (hypothesis): for ANY decimal string, the injected
+    partition bounds from delta_migration._decimal_bounds bracket the
+    exact value — lower <= exact <= upper as Fractions — and each is
+    within one ulp of exact (widened, never inward)."""
+    import math
+    from decimal import Decimal
+    from fractions import Fraction
+
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from iceberg_geo_poc_spark.table.delta_migration import _decimal_bounds
+
+    @st.composite
+    def decimal_strings(draw):
+        digits = draw(st.integers(1, 38))
+        scale = draw(st.integers(0, min(digits, 20)))
+        unscaled = draw(
+            st.integers(-(10**digits - 1), 10**digits - 1)
+        )
+        return str(Decimal(unscaled).scaleb(-scale))
+
+    @given(decimal_strings())
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        lo, hi = _decimal_bounds(s, "decimal(38,20)")
+        exact = Fraction(Decimal(s))
+        assert Fraction(lo) <= exact <= Fraction(hi)
+        # widening is minimal: at most one ulp beyond the exact value
+        if math.isfinite(lo) and Fraction(lo) != exact:
+            assert Fraction(math.nextafter(lo, math.inf)) >= exact
+        if math.isfinite(hi) and Fraction(hi) != exact:
+            assert Fraction(math.nextafter(hi, -math.inf)) <= exact
+
+    check()

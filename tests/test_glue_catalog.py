@@ -270,3 +270,45 @@ def test_glue_snapshot_and_register(spark, cat, tmp_path):
     ]
     reg = cat.register_table("adopted", ptr)
     assert reg.to_df().count() == 5
+
+
+def test_ambiguous_orphan_docs_refuse(spark, cat):
+    """code-review r14: multiple same-version documents (crash
+    orphans) make old-version resolution AMBIGUOUS — refuse rather
+    than risk answering with an uncommitted document."""
+    import os
+
+    t = cat.create_table("amb", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 3))
+    t.append(_df(spark, 3, 6))
+    be = MD.backend_for(t.location)
+    mdir = os.path.join(t.location, "metadata")
+    p_v1 = os.path.join(mdir, "v1.metadata.json")
+    assert be.exists(p_v1)  # unique doc resolves
+    # plant a second v1-* doc (a crash orphan)
+    with open(os.path.join(mdir, "v1-deadbeef.metadata.json"), "wb") as f:
+        f.write(b'{"torn": true}')
+    assert not be.exists(p_v1)
+    with pytest.raises(FileNotFoundError):
+        be.read(p_v1)
+    # the CURRENT version is pointer-resolved, immune to orphans
+    assert be.exists(os.path.join(mdir, "v2.metadata.json"))
+
+
+def test_non_iceberg_commit_rejected_before_doc_write(spark, cat, tmp_path):
+    """code-review r14: the checkIfTableIsIceberg rejection must fire
+    BEFORE the candidate document writes (no leaked orphan)."""
+    import os
+
+    loc = os.path.join(cat.warehouse, "default", "hv")
+    cat.service.create_table(
+        "default", "hv",
+        parameters={"metadata_location": "/x/y", "table_type": "HIVE"},
+        location=loc,
+    )
+    mdir = os.path.join(loc, "metadata")
+    with pytest.raises(ValueError, match="not an iceberg"):
+        cat.backend.put_if_absent(
+            os.path.join(mdir, "v1.metadata.json"), b"{}"
+        )
+    assert not os.path.exists(mdir) or os.listdir(mdir) == []

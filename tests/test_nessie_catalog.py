@@ -257,3 +257,49 @@ def test_older_metadata_versions_remain_readable(spark, cat):
     assert not be.exists(p)
     with pytest.raises(FileNotFoundError):
         be.read(p)
+
+
+def test_divergent_branch_old_versions_resolve_per_ref(spark, tmp_path):
+    """code-review r14: two branches advance the SAME table to the
+    same version number with DIFFERENT documents; a reader pinned to
+    an older version on one ref must get THAT ref's document (history
+    walk), never the other branch's same-numbered file."""
+    import json
+    import os
+
+    from iceberg_geo_poc_spark.table import metadata as MD
+    from iceberg_geo_poc_spark.table.nessie_catalog import NessieCatalog
+
+    cat = NessieCatalog(str(tmp_path / "whdv"), spark)
+    t = cat.create_table("dvt", "a BIGINT, b STRING")
+    t.append(_df(spark, 0, 3))  # v1 shared by both branches
+    cat.create_ref("dev")
+    # main advances to v2 with ITS document
+    cat.use_ref("main")
+    cat.load_table("dvt").append(_df(spark, 10, 13))
+    main_v2_rows = 6
+    # dev advances to v2 with a DIFFERENT document (different rows)
+    cat.use_ref("dev")
+    cat.load_table("dvt").append(_df(spark, 100, 105))
+    dev_v2_rows = 8
+    loc = t.location
+    p_v2 = os.path.join(loc, "metadata", "v2.metadata.json")
+    # reader on MAIN pinned to v2 sees main's snapshot
+    cat.use_ref("main")
+    be = MD.backend_for(loc)
+    doc_main = json.loads(be.read(p_v2))
+    # reader on DEV pinned to v2 sees dev's snapshot
+    cat.use_ref("dev")
+    doc_dev = json.loads(be.read(p_v2))
+    assert doc_main != doc_dev
+    # row counts via static loads of each pinned doc
+    sm = MD.TableMetadata.from_json(doc_main, 2)
+    sd = MD.TableMetadata.from_json(doc_dev, 2)
+    from iceberg_geo_poc_spark.table.table import Table
+
+    assert Table(sm, spark).to_df().count() == main_v2_rows
+    assert Table(sd, spark).to_df().count() == dev_v2_rows
+    # pre-rename versions still resolve after an atomic rename
+    cat.use_ref("main")
+    cat.rename_table("dvt", "dvt2")
+    assert json.loads(be.read(p_v2)) == doc_main

@@ -174,3 +174,39 @@ def test_initialize_validation():
                                       "rest.secret-access-key": "b"})
     with pytest.raises(ValueError, match="access-key"):
         RESTSigV4Signer().initialize({"rest.signing-region": "us-east-1"})
+
+
+def test_malformed_authorization_returns_false_not_raises():
+    """code-review r14: a garbage AWS4-HMAC-SHA256 header must answer
+    False (the endpoint's 403), never raise out of the handler."""
+    for bad in (
+        "AWS4-HMAC-SHA256 garbage",
+        "AWS4-HMAC-SHA256 Credential=onlykey, SignedHeaders=host",
+        "AWS4-HMAC-SHA256 Credential=a/b, Signature=zz",
+        "AWS4-HMAC-SHA256 ",
+    ):
+        assert not verify_sigv4(
+            "GET", "https://x.example.com/", {"Authorization": bad}, None,
+            _SK,
+        )
+
+
+def test_canonical_query_sorts_encoded_and_preserves_plus():
+    """code-review r14: SigV4 sorts by URI-ENCODED names and a literal
+    '+' in the raw query must not decode to space."""
+    cr, _ = canonical_request(
+        "GET",
+        "https://x.example.com/path?b=1+1&a%2Fb=2&a-b=3",
+        {"host": "x.example.com"},
+        EMPTY_BODY_SHA256,
+    )
+    qline = cr.split("\n")[2]
+    # '+' re-encodes as %2B (a plus, not a space -> %20)
+    assert "b=1%2B1" in qline
+    # encoded sort: 'a%2Fb' (%2F='/') vs 'a-b' — '%'(0x25) < '-'(0x2D)
+    assert qline.index("a%2Fb=2") < qline.index("a-b=3")
+    # signed round-trip still verifies with tricky queries
+    url = "https://x.example.com/v1/q?b=1+1&a%2Fb=2&a-b=3"
+    out = sign_request("GET", url, {}, None, access_key=_AK, secret_key=_SK,
+                       region="us-east-1", service="execute-api")
+    assert verify_sigv4("GET", url, out, None, _SK)
