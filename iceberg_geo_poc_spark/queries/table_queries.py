@@ -4926,3 +4926,159 @@ def managed_snowflake_readonly_resolve(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rest_catalog_sigv4_http",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier
+    WHERE s_acctbal > 0
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def rest_catalog_sigv4_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog lifecycle over the REAL HTTP binding with SigV4
+    ENFORCED end-to-end (reference aws/RESTSigV4Signer.java +
+    rest/HTTPClient.java): the server recomputes every request's
+    signature (IAM posture), the OAuth bearer rides
+    Original-Authorization under the signature, an UNSIGNED transport
+    is refused at the door (403), and a second signed client loads the
+    table committed through the wire."""
+    key = (sf_dir, "sigv4cat")
+    if key not in _MOCK_FS_TABLES:
+        import pyarrow.fs as pafs
+
+        from iceberg_geo_poc_spark.table.fileio import (
+            ArrowFSFileIO,
+            register_file_io,
+        )
+        from iceberg_geo_poc_spark.table.rest_catalog import (
+            CatalogService,
+            RestCatalog,
+        )
+        from iceberg_geo_poc_spark.table.rest_http import (
+            HttpTransport,
+            serve_catalog,
+        )
+        from iceberg_geo_poc_spark.table.rest_sigv4 import RESTSigV4Signer
+
+        scheme = f"sig4drv{abs(hash(sf_dir)) % 10**6}"
+        wh = f"{scheme}://wh"
+        register_file_io(
+            wh + "/", ArrowFSFileIO(pafs._MockFileSystem(), scheme)
+        )
+        secret = "drv-signing-secret/with+specials"
+        svc = CatalogService(token="drv-token")
+        url, _shutdown = serve_catalog(svc, sigv4_secret=secret)
+        signer = RESTSigV4Signer().initialize(
+            {
+                "rest.signing-region": "us-east-1",
+                "rest.access-key-id": "AKIDDRIVER",
+                "rest.secret-access-key": secret,
+            }
+        )
+        transport = HttpTransport(url, token="drv-token", signer=signer)
+        # unsigned request: refused BEFORE the service runs
+        assert (
+            HttpTransport(url, token="drv-token")({"op": "head", "path": "x"})[
+                "status"
+            ]
+            == 403
+        )
+        cat = RestCatalog(transport, spark, warehouse=wh, token="drv-token")
+        cat.create_namespace("prod")
+        t = cat.create_table(
+            "prod.supplier_pos",
+            "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE",
+        )
+        s = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        ).filter("s_acctbal > 0")
+        t.append(s.coalesce(2))
+        reader = RestCatalog(
+            HttpTransport(url, token="drv-token", signer=signer),
+            spark, warehouse=wh, token="drv-token",
+        )
+        _MOCK_FS_TABLES[key] = reader.load_table("prod.supplier_pos")
+    t = _MOCK_FS_TABLES[key]
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "managed_glue_lock_manager_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id % 8 = 0 AND event_type <> 'error'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def managed_glue_lock_manager_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Glue catalog in LOCK-MANAGER mode (reference
+    GlueTableOperations.persistGlueTable: with a LockManager the
+    UpdateTable goes UNCONDITIONAL — versionId preconditions engage
+    only when lockManager is null; lock entity = 'db.tbl', lease-based
+    DynamoDbLockManager): appends serialize through acquire/release
+    with the under-lock re-read as the base check; one append from a
+    deliberately STALE handle still lands via the engine retry; a CoW
+    delete rides the same protocol."""
+    key = (sf_dir, "glue_lm_rt")
+    if key not in _TABLES:
+        from iceberg_geo_poc_spark.table.dynamodb_catalog import (
+            DynamoDbLockManager,
+            DynamoService,
+        )
+        from iceberg_geo_poc_spark.table.glue_catalog import GlueCatalog
+
+        if "_gluelmcat" not in _CATALOGS:
+            _CATALOGS["_gluelmcat"] = GlueCatalog(
+                tempfile.mkdtemp(prefix="igps_gluelmwh_"),
+                spark,
+                lock_manager=DynamoDbLockManager(
+                    DynamoService(),
+                    heartbeat_interval=0.03,
+                    heartbeat_timeout=0.2,
+                    acquire_timeout=30.0,
+                ),
+            )
+        cat = _CATALOGS["_gluelmcat"]
+        tag = abs(hash(sf_dir)) % 10**8
+        tname = f"events_gluelm_{tag}"
+        t = cat.create_table(
+            tname, "event_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        df = _events_df(spark, sf_dir).filter("user_id % 8 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        t.append(df.filter("event_id % 2 = 0"))
+        stale = cat.load_table(tname)
+        t.append(df.filter("event_id % 4 = 1"))  # moves the pointer
+        stale.append(df.filter("event_id % 4 = 3"))  # base check under lock
+        cat.load_table(tname).delete(E.eq("event_type", "error"))
+        _TABLES[key] = (cat, tname)
+    cat, name = _TABLES[key]
+    return (
+        cat.load_table(name)
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,15 +64,18 @@ _LOADED = False
 # each round from CORRECTNESS_r01..r{N-1} vs the registry.
 _PRIORITY_FIRST = (
     # Round-14 rotation.  Recomputed this session from CORRECTNESS_r01-r13
-    # vs the registry: 3 never-driver-seen round-14 registrations first,
+    # vs the registry: 5 never-driver-seen round-14 registrations first,
     # then the longest-unseen rows oldest-first — all 28 remaining r8
-    # rows, then the first 19 r9 rows (alphabetical) fill the 50-slot
+    # rows, then the first 17 r9 rows (alphabetical) fill the 50-slot
     # window.  Staleness floor moves r8 -> r9 when CORRECTNESS_r14 lands
-    # (19 of 50 r9 rows re-verify this round; the rest lead round 15).
+    # (17 of 50 r9 rows re-verify this round; the remaining 33 lead
+    # round 15).
     # -- round-14 registrations (never driver-seen) --
     "managed_glue_catalog_roundtrip",
     "managed_dynamodb_catalog_roundtrip",
     "managed_snowflake_readonly_resolve",
+    "rest_catalog_sigv4_http",
+    "managed_glue_lock_manager_roundtrip",
     # -- last seen round 8 (all 28 remaining) --
     "managed_theta_sketch_ndv",
     "managed_time_travel",
@@ -120,8 +123,6 @@ _PRIORITY_FIRST = (
     "q10_returned_revenue",
     "q11_important_parts",
     "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_supplier",
 )
 
 
