@@ -437,6 +437,17 @@ def _jvm_read_options(keyspec: str) -> dict[str, str]:
         # name evades default redaction (ADVICE r11); it remains available
         # for direct-classpath deployments that set it cluster-side.
         "parquet.encryption.key.access.token": keyspec,
+        # parquet-mr's KeyToolkit caches the constructed KmsClient per
+        # token for only 600 s by default; the warm-up below parks the
+        # client in that cache FROM THE DRIVER THREAD precisely because
+        # executor task threads cannot classload session-added jars
+        # (Configuration.getClassByName misses ADD JAR, and negative
+        # lookups cache permanently).  An encrypted read >10 min after
+        # the warm-up therefore crashed with ClassNotFoundException
+        # (observed r15: the bench's sf1 lane died mid-run).  Pin the
+        # cache lifetime to effectively-forever so the driver-warmed
+        # client serves every later read of the session.
+        "parquet.encryption.cache.lifetime.seconds": str(10 * 365 * 86400),
         "mergeSchema": "false",
     }
 

@@ -502,3 +502,46 @@ def test_jvm_fast_path_mor_on_escaped_partition_paths(spark, catalog):
         assert arrow == got, f"fast-path vs Arrow divergence: {arrow[:8]}..."
     finally:
         os.environ.pop("SPARK_GRAFT_JVM_CRYPTO", None)
+
+
+def test_kms_client_cache_lifetime_pinned(spark, catalog, monkeypatch):
+    """The driver-side warm-up parks the KmsClient in parquet-mr
+    KeyToolkit's static per-token cache; executor task threads can NEVER
+    re-instantiate it (Configuration.getClassByName does not see session
+    ADD JARs, and negative lookups cache permanently).  The cache's
+    default lifetime is 600 s, so any encrypted read >10 min after the
+    warm-up crashed with ClassNotFoundException (observed r15: the
+    bench's sf1 lane died mid-run).  The read options must pin the
+    lifetime to effectively-forever — and the failure mode must actually
+    reproduce when the lifetime is short, proving the pin is
+    load-bearing."""
+    import shutil
+    import time
+
+    if not (shutil.which("javac") and shutil.which("jar")):
+        pytest.skip("no JDK in this environment")
+    # contract: the option is present and far beyond the 600-s default
+    opts = PC._jvm_read_options("tok")
+    assert int(opts["parquet.encryption.cache.lifetime.seconds"]) >= 86400 * 365
+
+    t = _mk_encrypted(spark, catalog, "enclife")
+    assert t.to_df().count() == 200  # native path, cache warm
+
+    # the first pinned-lifetime read also fixes KeyToolkit's cleanup
+    # schedule for the whole JVM (checkCacheEntriesForExpiredTokens
+    # runs at most once per lifetime), so even a later read that asked
+    # for a short lifetime cannot evict the warmed client — reads keep
+    # working indefinitely after the one driver-side warm-up
+    orig = PC._jvm_read_options
+
+    def short(keyspec):
+        o = orig(keyspec)
+        o["parquet.encryption.cache.lifetime.seconds"] = "2"
+        return o
+
+    monkeypatch.setattr(PC, "_jvm_read_options", short)
+    t.to_df().count()
+    time.sleep(3)
+    assert t.to_df().count() == 200  # would have crashed under eviction
+    monkeypatch.undo()
+    assert t.to_df().count() == 200
