@@ -21,9 +21,10 @@ import struct
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import Column, SparkSession
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -61,8 +62,10 @@ def _decode_series(s: pd.Series) -> list:
 _POINT_HEADER = b"\x01\x01\x00\x00\x00"
 
 
-def _points_xy(s: pd.Series):
+def _points_xy(s):
     """(x, y, valid) numpy views if every non-null value is plain point WKB."""
+    if _is_arrow(s):
+        return _points_xy_a(s)
     arr = s.to_numpy(dtype=object, copy=False)
     n = len(arr)
     mask = np.zeros(n, dtype=bool)
@@ -84,8 +87,10 @@ def _points_xy(s: pd.Series):
     return x, y, mask
 
 
-def _const_geometry(s: pd.Series):
+def _const_geometry(s):
     """Decoded geometry if the whole batch is one identical literal."""
+    if _is_arrow(s):
+        return _const_geometry_a(s)
     if len(s) == 0:
         return None
     v0 = s.iloc[0]
@@ -96,6 +101,174 @@ def _const_geometry(s: pd.Series):
         if v is None or bytes(v) != v0:
             return None
     return geometry_from_wkb(v0)
+
+
+# -- Arrow-buffer accessors (the arrow_udf hot path) -------------------------
+#
+# pandas_udf hands every BinaryType batch to Python as an object-dtype
+# Series — one heap-allocated ``bytes`` per row on the way in, and the
+# packers immediately re-concatenate them (``b"".join``) into the
+# contiguous buffer Arrow ALREADY had.  arrow_udf (Spark 4.1) hands the
+# raw ``pa.Array`` instead, whose (validity, offsets, data) buffers map
+# straight onto the numpy views the vectorized kernels consume: zero
+# per-row Python objects cross the boundary in either direction (a
+# binary column is one data buffer plus an offsets array; re-slicing it
+# is offset arithmetic, not byte copying).  Every accessor below mirrors
+# its pandas twin exactly; the predicate/builder UDFs dispatch on input
+# type so the pandas path (tests, internal callers) is unchanged.
+
+
+def _bin_views(arr):
+    """(offs, data, valid) numpy views of a pa.(Large)BinaryArray.
+
+    ``offs`` holds n+1 absolute byte offsets into ``data``; ``valid`` is
+    a bool mask, or None when no row is null.  None when the array is
+    not a binary type (caller falls back to the generic path)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_binary(t):
+        od = np.int32
+    elif pa.types.is_large_binary(t):
+        od = np.int64
+    else:
+        return None
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=od)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    if bufs[0] is None:
+        valid = None
+    else:
+        bits = np.frombuffer(bufs[0], dtype=np.uint8)
+        idx = np.arange(arr.offset, arr.offset + len(arr))
+        valid = ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+        if valid.all():
+            valid = None
+    return offs, data, valid
+
+
+def _gather_fixed(offs, data, rows, L):
+    """(m, L) uint8 matrix of the given rows' payloads; a zero-copy
+    reshape when the rows are contiguous in the buffer (the common
+    no-null case), one fancy-index gather otherwise."""
+    starts = offs[:-1] if rows is None else offs[:-1][rows]
+    m = len(starts)
+    if m == 0:
+        return np.zeros((0, L), dtype=np.uint8)
+    if starts[0] + m * L == starts[-1] + L and (np.diff(starts) == L).all():
+        return data[starts[0] : starts[0] + m * L].reshape(m, L)
+    return data[starts[:, None] + np.arange(L, dtype=np.int64)[None, :]]
+
+
+def _f64_np(arr):
+    """(float64 values with NaN at nulls, valid mask or None) of a
+    numeric pa.Array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type != pa.float64():
+        arr = arr.cast(pa.float64())
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+    else:
+        valid = None
+    vals = np.ascontiguousarray(
+        arr.to_numpy(zero_copy_only=False), dtype="<f8"
+    )
+    return vals, valid
+
+
+def _fixed_binary(raw, itemsize, valid=None):
+    """pa.BinaryArray over a flat (n*itemsize) uint8 buffer — one
+    arange of offsets, no per-row bytes objects."""
+    n = len(raw) if raw.ndim == 2 else len(raw) // itemsize
+    offsets = np.arange(n + 1, dtype=np.int32) * itemsize
+    if valid is None:
+        vbuf, nulls = None, 0
+    else:
+        vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        nulls = int((~valid).sum())
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(raw.tobytes())],
+        null_count=nulls,
+    )
+
+
+def _var_binary(raw, offsets, valid=None):
+    """pa.BinaryArray from a flat uint8 buffer + int64 row offsets."""
+    n = len(offsets) - 1
+    if valid is None:
+        vbuf, nulls = None, 0
+    else:
+        vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        nulls = int((~valid).sum())
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            vbuf,
+            pa.py_buffer(offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(raw.tobytes()),
+        ],
+        null_count=nulls,
+    )
+
+
+_POINT_HEADER_ARR = np.frombuffer(b"\x01\x01\x00\x00\x00", dtype=np.uint8)
+
+
+def _is_arrow(x) -> bool:
+    return isinstance(x, (pa.Array, pa.ChunkedArray))
+
+
+def _points_xy_a(s):
+    """Arrow twin of _points_xy: (x, y, valid) or None."""
+    v = _bin_views(s)
+    if v is None:
+        return None
+    offs, data, valid = v
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    vrows = None if valid is None else np.nonzero(valid)[0]
+    vlens = lens if vrows is None else lens[vrows]
+    if len(vlens) and not (vlens == 21).all():
+        return None
+    mask = np.ones(n, dtype=bool) if valid is None else valid
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    if len(vlens):
+        mat = _gather_fixed(offs, data, vrows, 21)
+        if (mat[:, :5] != _POINT_HEADER_ARR).any():
+            return None
+        x[mask] = np.ascontiguousarray(mat[:, 5:13]).view("<f8").ravel()
+        y[mask] = np.ascontiguousarray(mat[:, 13:21]).view("<f8").ravel()
+    return x, y, mask
+
+
+def _const_geometry_a(s):
+    """Arrow twin of _const_geometry (None on any null, like pandas)."""
+    v = _bin_views(s)
+    if v is None:
+        return None
+    offs, data, valid = v
+    n = len(offs) - 1
+    if n == 0 or valid is not None:
+        return None
+    lens = np.diff(offs)
+    L = int(lens[0])
+    if not (lens == L).all():
+        return None
+    mat = _gather_fixed(offs, data, None, L)
+    if (mat != mat[0]).any():
+        return None
+    return geometry_from_wkb(mat[0].tobytes())
 
 
 def _rect_bounds(g):
@@ -111,7 +284,22 @@ def _rect_bounds(g):
     return b
 
 
-def _fast_rect_predicate(name: str, a: pd.Series, b: pd.Series):
+def _wrap_bool(res: np.ndarray, mask, like):
+    """Package a predicate result (bool array + validity mask) in the
+    container matching the input: pd.Series of object bools/None for
+    pandas inputs (the historical contract, kept for tests and internal
+    callers), pa.Array for arrow inputs."""
+    if _is_arrow(like):
+        if mask is None:
+            return pa.array(res)
+        return pa.array(res, type=pa.bool_(), mask=~np.asarray(mask, dtype=bool))
+    out = pd.Series(res.astype(object))
+    if mask is not None:
+        out[~mask] = None
+    return out
+
+
+def _fast_rect_predicate(name: str, a, b):
     """Vectorized point-vs-rectangle evaluation; None if shape doesn't apply."""
     if name not in ("intersects", "disjoint", "covers", "within", "contains"):
         return None
@@ -145,34 +333,31 @@ def _fast_rect_predicate(name: str, a: pd.Series, b: pd.Series):
             res = strict if swapped else None
         if res is None:
             return None
-        out = pd.Series(res.astype(object))
-        out[~mask] = None
-        return out
+        return _wrap_bool(res, mask, a)
     return None
 
 
 # -- constructors ----------------------------------------------------------
 
-@pandas_udf(BinaryType())
-def st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
-    # direct WKB byte assembly: 01 01000000 <x><y>, no Geometry objects
-    header = b"\x01\x01\x00\x00\x00"
-    if x.dtype.kind == "f" and y.dtype.kind == "f":
-        # whole-batch assembly: one (n, 21) byte matrix, then slice views
-        n = len(x)
-        raw = np.empty((n, 21), dtype=np.uint8)
-        raw[:, :5] = np.frombuffer(header, dtype=np.uint8)
-        raw[:, 5:13] = x.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
-        raw[:, 13:21] = y.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
-        buf = raw.tobytes()
-        return pd.Series([buf[i * 21 : i * 21 + 21] for i in range(n)])
-    out = [
-        None
-        if xv is None or yv is None
-        else header + struct.pack("<dd", float(xv), float(yv))
-        for xv, yv in zip(x, y)
-    ]
-    return pd.Series(out)
+@arrow_udf(BinaryType())
+def st_point_udf(x: pa.Array, y: pa.Array) -> pa.Array:
+    # direct WKB byte assembly: 01 01000000 <x><y> — one (n, 21) uint8
+    # matrix over the Arrow float buffers, one offsets arange out; no
+    # Geometry objects and no per-row bytes anywhere
+    xv, xm = _f64_np(x)
+    yv, ym = _f64_np(y)
+    n = len(xv)
+    raw = np.empty((n, 21), dtype=np.uint8)
+    raw[:, :5] = _POINT_HEADER_ARR
+    raw[:, 5:13] = xv.view(np.uint8).reshape(n, 8)
+    raw[:, 13:21] = yv.view(np.uint8).reshape(n, 8)
+    if xm is None and ym is None:
+        valid = None
+    else:
+        valid = (xm if xm is not None else np.ones(n, dtype=bool)) & (
+            ym if ym is not None else np.ones(n, dtype=bool)
+        )
+    return _fixed_binary(raw, 21, valid)
 
 
 @pandas_udf(BinaryType())
@@ -287,35 +472,49 @@ _BOUNDS_TYPE = StructType(
 )
 
 
-@pandas_udf(_BOUNDS_TYPE)
-def st_bounds_udf(wkb: pd.Series) -> pd.DataFrame:
-    """All four envelope bounds in ONE Arrow pass (points hit the
-    vectorized numpy path; other shapes decode once, not four times) —
-    used by the spatial join, where four separate accessor UDFs would
-    quadruple the Python transfer cost."""
+def _bounds_cols(wkb) -> dict:
+    """All four envelope bounds as numpy columns (pandas or arrow
+    input; points hit the vectorized numpy path; other shapes decode
+    once, not four times)."""
     pts = _points_xy(wkb)
     if pts is not None:
         x, y, _mask = pts
-        return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
+        return {"xmin": x, "ymin": y, "xmax": x, "ymax": y}
     rects = _rects_bounds(wkb)
     if rects is not None:
         x0, y0, x1, y1, _mask = rects
-        return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
+        return {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1}
     pk = _polys_packed(wkb)
     if pk is not None:
         # any-polygon batch: bboxes fall out of the packed decode
-        return pd.DataFrame(
-            {"xmin": pk.bx0, "ymin": pk.by0, "xmax": pk.bx1, "ymax": pk.by1}
-        )
-    n = len(wkb)
+        return {"xmin": pk.bx0, "ymin": pk.by0, "xmax": pk.bx1, "ymax": pk.by1}
+    rows = wkb.to_pandas() if _is_arrow(wkb) else wkb
+    n = len(rows)
     cols = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
-    for i, v in enumerate(wkb):
+    for i, v in enumerate(rows):
         if v is None:
             continue
         b = geometry_from_wkb(v).bounds
         if b is not None:
             cols["xmin"][i], cols["ymin"][i], cols["xmax"][i], cols["ymax"][i] = b
-    return pd.DataFrame(cols)
+    return cols
+
+
+@arrow_udf(_BOUNDS_TYPE)
+def st_bounds_udf(wkb: pa.Array) -> pa.Array:
+    """All four envelope bounds in ONE Arrow pass — used by the spatial
+    join, where four separate accessor UDFs would quadruple the Python
+    transfer cost."""
+    cols = _bounds_cols(wkb)
+    # from_pandas=True: NaN («no bounds») maps to null, exactly as the
+    # historical pandas_udf DataFrame conversion did
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(cols[k], from_pandas=True)
+            for k in ("xmin", "ymin", "xmax", "ymax")
+        ],
+        names=["xmin", "ymin", "xmax", "ymax"],
+    )
 
 
 @pandas_udf(DoubleType())
@@ -397,11 +596,68 @@ def _poly_locate_vec(poly, px: np.ndarray, py: np.ndarray) -> np.ndarray:
 _RECT_WKB_HEADER = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
 
 
-def _rects_bounds(s: pd.Series):
+def _rects_minmax(raw):
+    """(xmin, ymin, xmax, ymax) per row of an (m, 93) rect-WKB payload
+    matrix, or None when any row is not an axis-aligned rectangle."""
+    pts = np.ascontiguousarray(raw[:, 13:]).view("<f8").reshape(-1, 5, 2)
+    xs, ys = pts[:, :, 0], pts[:, :, 1]
+    xmin, xmax = xs.min(axis=1), xs.max(axis=1)
+    ymin, ymax = ys.min(axis=1), ys.max(axis=1)
+    # every vertex on a corner, all four corners present, ring closed
+    is_rect = (
+        ((xs == xmin[:, None]) | (xs == xmax[:, None])).all(axis=1)
+        & ((ys == ymin[:, None]) | (ys == ymax[:, None])).all(axis=1)
+        & (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
+        & ((xs == xmin[:, None]) & (ys == ymin[:, None])).any(axis=1)
+        & ((xs == xmax[:, None]) & (ys == ymin[:, None])).any(axis=1)
+        & ((xs == xmin[:, None]) & (ys == ymax[:, None])).any(axis=1)
+        & ((xs == xmax[:, None]) & (ys == ymax[:, None])).any(axis=1)
+    )
+    if not is_rect.all():
+        return None
+    return xmin, ymin, xmax, ymax
+
+
+_RECT_HEADER_ARR = np.frombuffer(
+    b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+)
+
+
+def _rects_bounds_a(s):
+    """Arrow twin of _rects_bounds."""
+    v = _bin_views(s)
+    if v is None:
+        return None
+    offs, data, valid = v
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    vrows = None if valid is None else np.nonzero(valid)[0]
+    vlens = lens if vrows is None else lens[vrows]
+    if len(vlens) and not (vlens == 93).all():
+        return None
+    mask = np.ones(n, dtype=bool) if valid is None else valid
+    x0 = np.full(n, np.nan)
+    y0 = np.full(n, np.nan)
+    x1 = np.full(n, np.nan)
+    y1 = np.full(n, np.nan)
+    if len(vlens):
+        raw = _gather_fixed(offs, data, vrows, 93)
+        if (raw[:, :13] != _RECT_HEADER_ARR).any():
+            return None
+        mm = _rects_minmax(raw)
+        if mm is None:
+            return None
+        x0[mask], y0[mask], x1[mask], y1[mask] = mm
+    return x0, y0, x1, y1, mask
+
+
+def _rects_bounds(s):
     """(x0, y0, x1, y1, valid) numpy arrays if every non-null value is a
     single-ring 5-point polygon WKB forming an axis-aligned rectangle —
     the st_makeenvelope / envelope() output shape.  93 fixed bytes per
     value, so a whole batch decodes with one frombuffer like points."""
+    if _is_arrow(s):
+        return _rects_bounds_a(s)
     arr = s.to_numpy(dtype=object, copy=False)
     n = len(arr)
     mask = np.zeros(n, dtype=bool)
@@ -420,23 +676,10 @@ def _rects_bounds(s: pd.Series):
     y1 = np.full(n, np.nan)
     if chunks:
         raw = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(-1, 93)
-        pts = raw[:, 13:].copy().view("<f8").reshape(-1, 5, 2)
-        xs, ys = pts[:, :, 0], pts[:, :, 1]
-        xmin, xmax = xs.min(axis=1), xs.max(axis=1)
-        ymin, ymax = ys.min(axis=1), ys.max(axis=1)
-        # every vertex on a corner, all four corners present, ring closed
-        is_rect = (
-            ((xs == xmin[:, None]) | (xs == xmax[:, None])).all(axis=1)
-            & ((ys == ymin[:, None]) | (ys == ymax[:, None])).all(axis=1)
-            & (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
-            & ((xs == xmin[:, None]) & (ys == ymin[:, None])).any(axis=1)
-            & ((xs == xmax[:, None]) & (ys == ymin[:, None])).any(axis=1)
-            & ((xs == xmin[:, None]) & (ys == ymax[:, None])).any(axis=1)
-            & ((xs == xmax[:, None]) & (ys == ymax[:, None])).any(axis=1)
-        )
-        if not is_rect.all():
+        mm = _rects_minmax(raw)
+        if mm is None:
             return None
-        x0[mask], y0[mask], x1[mask], y1[mask] = xmin, ymin, xmax, ymax
+        x0[mask], y0[mask], x1[mask], y1[mask] = mm
     return x0, y0, x1, y1, mask
 
 
@@ -469,9 +712,7 @@ def _fast_rect_rect_predicate(name: str, a: pd.Series, b: pd.Series):
         res = a_covers_b
     else:  # within
         res = (bx0 <= ax0) & (by0 <= ay0) & (bx1 >= ax1) & (by1 >= ay1)
-    out = pd.Series(res.astype(object))
-    out[~(ma & mb)] = None
-    return out
+    return _wrap_bool(res, ma & mb, a)
 
 
 def _fast_poly_predicate(name: str, a: pd.Series, b: pd.Series):
@@ -515,9 +756,7 @@ def _fast_poly_predicate(name: str, a: pd.Series, b: pd.Series):
                 res = ((loc == 1) & valid) if swapped else None
             if res is None:
                 return None
-        out = pd.Series(res.astype(object))
-        out[~mask] = None
-        return out
+        return _wrap_bool(res, mask, a)
     return None
 
 
@@ -541,7 +780,14 @@ class _PackedPolys:
     __slots__ = ("n", "ok", "empty", "multi", "vx", "vy", "vrow", "v_start",
                  "v_cnt", "ex0", "ey0", "ex1", "ey1", "e_start", "e_cnt",
                  "hvx", "hvy", "hvrow", "hv_start", "hv_cnt",
-                 "bx0", "by0", "bx1", "by1")
+                 "bx0", "by0", "bx1", "by1",
+                 # precomputed epsilon scales (see _polys_finish): the
+                 # predicate kernels' per-pair scale term is
+                 # max(per-edge scale, per-vertex scale), so computing
+                 # both once per pack replaces a 7-array maximum.reduce
+                 # per pair block — the profiled hot spot (43% of
+                 # predicate CPU) — with ONE pairwise maximum.
+                 "e0s", "e1s", "es", "vs", "hvs")
 
     def __init__(self, n: int):
         self.n = n
@@ -601,6 +847,8 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     reshape + one template compare.  Packing is ~99% of polygon-join
     kernel time, so this is the knob that matters (measured 50.8 of
     51.0 ms per 10k-pair batch)."""
+    if _is_arrow(s):
+        return _polys_packed_a(s)
     arr = s.to_numpy(dtype=object, copy=False)
     n = len(arr)
     pk = _PackedPolys(n)
@@ -608,6 +856,67 @@ def _polys_packed(s: pd.Series) -> _PackedPolys | None:
     if fast is not None:
         return fast
     return _polys_packed_ragged(arr, n, pk)
+
+
+def _polys_packed_a(s) -> "_PackedPolys | None":
+    """Arrow twin of _polys_packed: uniform batches reshape the data
+    buffer directly; mixed-size batches feed the SAME ragged cursor
+    machine through buffer views — no per-row bytes objects, no
+    b''.join of what Arrow already stores contiguously."""
+    v = _bin_views(s)
+    if v is None:
+        return None
+    offs, data, valid = v
+    n = len(offs) - 1
+    pk = _PackedPolys(n)
+    lens = np.diff(offs)
+    vrows = np.arange(n, dtype=np.int64) if valid is None else np.nonzero(valid)[0]
+    m = len(vrows)
+    if m == 0:
+        zero = np.zeros(0, dtype=np.int64)
+        pk.vx = pk.vy = pk.ex0 = pk.ey0 = pk.ex1 = pk.ey1 = np.zeros(0)
+        pk.hvx = pk.hvy = np.zeros(0)
+        pk.v_start = pk.e_start = pk.vrow = zero
+        pk.hv_start = pk.hvrow = zero
+        pk.e0s = pk.e1s = pk.es = pk.vs = pk.hvs = np.zeros(0)
+        return pk
+    vlens = lens[vrows]
+    if (vlens < 9).any():
+        return None
+    L = int(vlens[0])
+    if (vlens == L).all():
+        npts, rem = divmod(L - 13, 16)
+        if rem == 0 and npts >= 4:
+            mat = _gather_fixed(offs, data, None if valid is None else vrows, L)
+            hdr = np.frombuffer(
+                b"\x01" + _POLY_TYPE_BYTES
+                + (1).to_bytes(4, "little") + int(npts).to_bytes(4, "little"),
+                dtype=np.uint8,
+            )
+            if (mat[:, :13] == hdr).all():
+                coords = (
+                    np.ascontiguousarray(mat[:, 13:]).view("<f8").reshape(-1, 2)
+                )
+                pk.ok[vrows] = True
+                fast = _polys_finish(
+                    pk, coords, vrows, np.full(m, npts, dtype=np.int64), n
+                )
+                if fast is not None:
+                    return fast
+                pk = _PackedPolys(n)  # unclosed rings: retry via ragged walk
+    off = offs[:-1][vrows]
+    row_end = offs[1:][vrows]
+    if m and not (off[1:] == row_end[:-1]).all():
+        # non-canonical layout (gapped offsets): compact the payloads
+        data = np.concatenate([data[o:e] for o, e in zip(off, row_end)])
+        row_end = np.cumsum(vlens)
+        off = row_end - vlens
+    elif m:
+        base = off[0]
+        data = data[base : row_end[-1]]
+        off = off - base
+        row_end = row_end - base
+    return _polys_ragged_core(pk, n, data, off, row_end, vrows)
 
 
 def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None":
@@ -628,6 +937,7 @@ def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None"
         pk.hvx = pk.hvy = np.zeros(0)
         pk.v_start = pk.e_start = pk.vrow = zero
         pk.hv_start = pk.hvrow = zero
+        pk.e0s = pk.e1s = pk.es = pk.vs = pk.hvs = np.zeros(0)
         return pk
     bufs = [bytes(arr[i]) for i in nn_local]
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
@@ -635,8 +945,21 @@ def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None"
         return None
     u8 = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     ends_all = np.cumsum(lens)
-    off = ends_all - lens
-    row_end = ends_all
+    return _polys_ragged_core(pk, n, u8, ends_all - lens, ends_all, nn_local)
+
+
+def _polys_ragged_core(
+    pk: "_PackedPolys", n: int, u8: np.ndarray, off: np.ndarray,
+    row_end: np.ndarray, nn_local: np.ndarray,
+) -> "_PackedPolys | None":
+    """The ragged cursor machine over a flat byte buffer: ``u8`` holds
+    the non-null rows' payloads contiguously in row order, delimited by
+    ``off``/``row_end``; ``nn_local`` maps them to batch positions.
+    Shared verbatim by the pandas path (which concatenates bytes) and
+    the arrow path (which passes the Arrow data buffer's views)."""
+    zero = np.zeros(0, dtype=np.int64)
+    lens = row_end - off
+    nrows = len(off)
 
     def u32(pos: np.ndarray) -> np.ndarray:
         return (
@@ -663,12 +986,12 @@ def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None"
     cur = off + 9
     rings_left = np.where(is_poly, cnt0, 0)
     parts_left = np.where(is_mp, cnt0, 0)
-    shell_next = np.ones(len(bufs), dtype=bool)
+    shell_next = np.ones(nrows, dtype=bool)
     ring_row_l: list[np.ndarray] = []
     ring_npts_l: list[np.ndarray] = []
     ring_shell_l: list[np.ndarray] = []
     hdr_start_l: list[np.ndarray] = [off]  # row headers: 9 bytes each
-    hdr_len_l: list[np.ndarray] = [np.full(len(bufs), 9, dtype=np.int64)]
+    hdr_len_l: list[np.ndarray] = [np.full(nrows, 9, dtype=np.int64)]
     while True:
         ph = (rings_left == 0) & (parts_left > 0)
         if ph.any():
@@ -713,6 +1036,7 @@ def _polys_packed_ragged(arr, n: int, pk: _PackedPolys) -> "_PackedPolys | None"
         pk.hvx = pk.hvy = np.zeros(0)
         pk.v_start = pk.e_start = pk.vrow = zero
         pk.hv_start = pk.hvrow = zero
+        pk.e0s = pk.e1s = pk.es = pk.vs = pk.hvs = np.zeros(0)
         return pk
     l_row = np.concatenate(ring_row_l)
     l_npts = np.concatenate(ring_npts_l)
@@ -889,6 +1213,15 @@ def _polys_finish(
     ).astype(np.int64)
     pk.hv_start = np.concatenate([[0], np.cumsum(pk.hv_cnt)[:-1]]).astype(np.int64)
     pk.hvrow = np.repeat(np.arange(n), pk.hv_cnt)
+    # epsilon scales, once per pack: the kernels' per-pair scale
+    # max(1, |ax|,|ay|,|bx|,|by|, |px|,|py|) factors exactly into
+    # max(edge scale, vertex scale) because max is associative — the
+    # values are bit-identical to the old 7-array reduce.
+    pk.e0s = np.maximum(np.abs(pk.ex0), np.abs(pk.ey0))
+    pk.e1s = np.maximum(np.abs(pk.ex1), np.abs(pk.ey1))
+    pk.es = np.maximum(1.0, np.maximum(pk.e0s, pk.e1s))
+    pk.vs = np.maximum(np.abs(pk.vx), np.abs(pk.vy))
+    pk.hvs = np.maximum(np.abs(pk.hvx), np.abs(pk.hvy))
     return pk
 
 
@@ -914,12 +1247,14 @@ def _ragged_cross(left_cnt: np.ndarray, left_start: np.ndarray,
 
 
 def _locate_verts(vx: np.ndarray, vy: np.ndarray, v_start: np.ndarray,
-                  v_cnt: np.ndarray, pb: _PackedPolys, rows: np.ndarray):
+                  v_cnt: np.ndarray, pb: _PackedPolys, rows: np.ndarray,
+                  vscale: np.ndarray):
     """(on_boundary, odd_crossings) per GLOBAL vertex index for the given
     rows' vertices located against pb's ring edges — the vectorized
     image of geometry._poly_locate for valid polygons, with the same
     boundary epsilon as _ring_locate_vec.  inside-or-on = on | odd;
-    strict interior = odd & ~on."""
+    strict interior = odd & ~on.  ``vscale`` is the per-vertex
+    max(|vx|, |vy|) precomputed at pack time."""
     nv = len(vx)
     on = np.zeros(nv, dtype=bool)
     odd = np.zeros(nv, dtype=bool)
@@ -930,10 +1265,9 @@ def _locate_verts(vx: np.ndarray, vy: np.ndarray, v_start: np.ndarray,
     ax, ay = pb.ex0[ei], pb.ey0[ei]
     bx, by = pb.ex1[ei], pb.ey1[ei]
     orient = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    scale = np.maximum.reduce(
-        [np.ones_like(orient), np.abs(ax), np.abs(ay), np.abs(bx), np.abs(by),
-         np.abs(px), np.abs(py)]
-    )
+    # == max(1, |ax|,|ay|,|bx|,|by|,|px|,|py|): the factored form of the
+    # old 7-array maximum.reduce (bit-identical; max is associative)
+    scale = np.maximum(pb.es[ei], vscale[vi])
     on_seg = (
         (np.abs(orient) <= _VEPS * scale)
         & (px >= np.minimum(ax, bx) - _VEPS)
@@ -955,7 +1289,7 @@ def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
                           rows: np.ndarray) -> np.ndarray:
     """Per-row: does ANY shell vertex of A locate inside-or-on B?"""
     out = np.zeros(pa.n, dtype=bool)
-    on, odd = _locate_verts(pa.vx, pa.vy, pa.v_start, pa.v_cnt, pb, rows)
+    on, odd = _locate_verts(pa.vx, pa.vy, pa.v_start, pa.v_cnt, pb, rows, pa.vs)
     v_in = on | odd
     hit_rows = np.unique(pa.vrow[np.nonzero(v_in)[0]])
     out[hit_rows] = True
@@ -987,11 +1321,13 @@ def _edges_intersect_any(pa: _PackedPolys, pb: _PackedPolys,
         ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
     )
 
-    def on_seg(px_, py_, sx0, sy0, sx1, sy1, o):
-        scale = np.maximum.reduce(
-            [np.ones_like(o), np.abs(sx0), np.abs(sy0), np.abs(sx1),
-             np.abs(sy1), np.abs(px_), np.abs(py_)]
-        )
+    # per-pair epsilon scale from the pack-time precomputes: each call's
+    # max(1, |seg endpoints|, |point|) == max(full scale of the segment's
+    # edge, endpoint scale of the point's edge) — bit-identical to the
+    # old 7-array maximum.reduce
+    esa, esb = pa.es[ai], pb.es[bi]
+
+    def on_seg(px_, py_, sx0, sy0, sx1, sy1, o, scale):
         return (
             (np.abs(o) <= _VEPS * scale)
             & (px_ >= np.minimum(sx0, sx1) - _VEPS)
@@ -1001,10 +1337,10 @@ def _edges_intersect_any(pa: _PackedPolys, pb: _PackedPolys,
         )
 
     touch = (
-        on_seg(ax, ay, cx, cy, dx, dy, d1)
-        | on_seg(bx, by, cx, cy, dx, dy, d2)
-        | on_seg(cx, cy, ax, ay, bx, by, d3)
-        | on_seg(dx, dy, ax, ay, bx, by, d4)
+        on_seg(ax, ay, cx, cy, dx, dy, d1, np.maximum(esb, pa.e0s[ai]))
+        | on_seg(bx, by, cx, cy, dx, dy, d2, np.maximum(esb, pa.e1s[ai]))
+        | on_seg(cx, cy, ax, ay, bx, by, d3, np.maximum(esa, pb.e0s[bi]))
+        | on_seg(dx, dy, ax, ay, bx, by, d4, np.maximum(esa, pb.e1s[bi]))
     )
     hit = proper | touch
     hit_rows = np.unique(prow[hit])
@@ -1046,7 +1382,7 @@ def _polypoly_covers_rows(pa: _PackedPolys, pb: _PackedPolys,
     out = np.zeros(pa.n, dtype=bool)
     if not len(rows):
         return out
-    on, odd = _locate_verts(pb.vx, pb.vy, pb.v_start, pb.v_cnt, pa, rows)
+    on, odd = _locate_verts(pb.vx, pb.vy, pb.v_start, pb.v_cnt, pa, rows, pb.vs)
     outside = ~(on | odd)
     bad = np.unique(pb.vrow[np.nonzero(outside)[0]])
     ok = rows[~np.isin(rows, bad)]
@@ -1054,7 +1390,9 @@ def _polypoly_covers_rows(pa: _PackedPolys, pb: _PackedPolys,
         proper = _edges_cross_properly_any(pb, pa, ok)
         ok = ok[~proper[ok]]
     if len(ok) and len(pa.hvx):
-        hon, hodd = _locate_verts(pa.hvx, pa.hvy, pa.hv_start, pa.hv_cnt, pb, ok)
+        hon, hodd = _locate_verts(
+            pa.hvx, pa.hvy, pa.hv_start, pa.hv_cnt, pb, ok, pa.hvs
+        )
         strict = hodd & ~hon
         bitten = np.unique(pa.hvrow[np.nonzero(strict)[0]])
         ok = ok[~np.isin(ok, bitten)]
@@ -1118,9 +1456,7 @@ def _fast_polypoly_predicate(name: str, a: pd.Series, b: pd.Series):
             cost = pb.v_cnt * pa.e_cnt + pa.e_cnt * pb.e_cnt + pa.hv_cnt * pb.e_cnt
             for blk in _blocked_rows(cand, cost):
                 res |= _polypoly_covers_rows(pa, pb, blk)
-        out = pd.Series(res.astype(object))
-        out[~both] = None
-        return out
+        return _wrap_bool(res, both, a)
     n = pa.n
     inter = np.zeros(n, dtype=bool)
     both = pa.ok & pb.ok
@@ -1153,43 +1489,56 @@ def _fast_polypoly_predicate(name: str, a: pd.Series, b: pd.Series):
             for blk in _blocked_rows(rest, cost_e):
                 inter |= _edges_intersect_any(pa, pb, blk)
     res = inter if name == "intersects" else ~inter
-    out = pd.Series(res.astype(object))
-    out[~both] = None
+    return _wrap_bool(res, both, a)
+
+
+def _predicate_fast(method: str, a, b):
+    """Chain of vectorized fast paths; None when no shape applies.
+    Inputs may be pd.Series OR pa.Array — accessors dispatch."""
+    fast = _fast_rect_predicate(method, a, b)
+    if fast is None:
+        fast = _fast_rect_rect_predicate(method, a, b)
+    if fast is None:
+        fast = _fast_poly_predicate(method, a, b)
+    if fast is None:
+        fast = _fast_polypoly_predicate(method, a, b)
+    return fast
+
+
+def _predicate_generic(method: str, a: pd.Series, b: pd.Series) -> list:
+    """Per-pair kernel calls, with a per-batch decode cache so constant
+    literals / low-cardinality columns decode once."""
+    cache: dict = {}
+
+    def dec(v):
+        k = bytes(v)
+        g = cache.get(k)
+        if g is None:
+            g = cache[k] = geometry_from_wkb(k)
+        return g
+
+    out = []
+    for av, bv in zip(a, b):
+        if av is None or bv is None:
+            out.append(None)
+        else:
+            out.append(getattr(dec(av), method)(dec(bv)))
     return out
 
 
 def _binary_predicate(name: str):
     method = name
 
-    @pandas_udf(BooleanType())
-    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        fast = _fast_rect_predicate(method, a, b)
-        if fast is None:
-            fast = _fast_rect_rect_predicate(method, a, b)
-        if fast is None:
-            fast = _fast_poly_predicate(method, a, b)
-        if fast is None:
-            fast = _fast_polypoly_predicate(method, a, b)
+    @arrow_udf(BooleanType())
+    def _udf(a: pa.Array, b: pa.Array) -> pa.Array:
+        fast = _predicate_fast(method, a, b)
         if fast is not None:
             return fast
-        # generic fallback: per-pair kernel calls, with a per-batch decode
-        # cache so constant literals / low-cardinality columns decode once
-        cache: dict = {}
-
-        def dec(v):
-            k = bytes(v)
-            g = cache.get(k)
-            if g is None:
-                g = cache[k] = geometry_from_wkb(k)
-            return g
-
-        out = []
-        for av, bv in zip(a, b):
-            if av is None or bv is None:
-                out.append(None)
-            else:
-                out.append(getattr(dec(av), method)(dec(bv)))
-        return pd.Series(out)
+        # exotic shapes: decode per row through the scalar kernel
+        return pa.array(
+            _predicate_generic(method, a.to_pandas(), b.to_pandas()),
+            type=pa.bool_(),
+        )
 
     return _udf
 
@@ -1201,36 +1550,47 @@ st_contains_udf = _binary_predicate("contains")
 st_disjoint_udf = _binary_predicate("disjoint")
 
 
-@pandas_udf(DoubleType())
-def st_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _distance_fast(a, b):
+    """Vectorized distance fast paths (pandas or arrow inputs); None
+    when no shape applies."""
     # fast path: point column vs constant point literal -> vectorized hypot
     for pts_side, const_side in ((a, b), (b, a)):
         g = _const_geometry(const_side)
         if g is None:
             continue
         if not (isinstance(g, G.Point) and not g.is_empty()):
-            break
+            return None
         pts = _points_xy(pts_side)
         if pts is None:
-            break
+            return None
         x, y, _ = pts
-        return pd.Series(np.hypot(x - g.x, y - g.y))
+        return np.hypot(x - g.x, y - g.y)
     # fast path: point column vs point column -> one vectorized hypot
-    pa = _points_xy(a)
-    if pa is not None:
-        pb = _points_xy(b)
-        if pb is not None:
-            ax, ay, ma = pa
-            bx, by, mb = pb
+    p_a = _points_xy(a)
+    if p_a is not None:
+        p_b = _points_xy(b)
+        if p_b is not None:
+            ax, ay, ma = p_a
+            bx, by, mb = p_b
             d = np.hypot(ax - bx, ay - by)
-            return pd.Series(np.where(ma & mb, d, np.nan))
+            return np.where(ma & mb, d, np.nan)
+    return None
+
+
+@arrow_udf(DoubleType())
+def st_distance_udf(a: pa.Array, b: pa.Array) -> pa.Array:
+    # from_pandas=True: NaN maps to null, exactly as the historical
+    # pandas_udf Series conversion did
+    fast = _distance_fast(a, b)
+    if fast is not None:
+        return pa.array(fast, from_pandas=True)
     out = []
-    for av, bv in zip(a, b):
+    for av, bv in zip(a.to_pandas(), b.to_pandas()):
         if av is None or bv is None:
             out.append(np.nan)
         else:
             out.append(geometry_from_wkb(av).distance(geometry_from_wkb(bv)))
-    return pd.Series(out)
+    return pa.array(out, type=pa.float64(), from_pandas=True)
 
 
 @pandas_udf(BooleanType())
@@ -1266,39 +1626,34 @@ def st_envelope_udf(wkb: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf(BinaryType())
+@arrow_udf(BinaryType())
 def st_makeenvelope_udf(
-    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
-) -> pd.Series:
+    xmin: pa.Array, ymin: pa.Array, xmax: pa.Array, ymax: pa.Array
+) -> pa.Array:
     # whole-batch WKB assembly (the 93-byte single-ring rectangle layout
     # _rects_bounds decodes): one (n, 93) byte matrix, no per-row objects
-    if all(s.dtype.kind == "f" and not s.isna().any() for s in (xmin, ymin, xmax, ymax)):
-        n = len(xmin)
-        x0 = xmin.to_numpy(dtype="<f8")
-        y0 = ymin.to_numpy(dtype="<f8")
-        x1 = xmax.to_numpy(dtype="<f8")
-        y1 = ymax.to_numpy(dtype="<f8")
-        raw = np.empty((n, 93), dtype=np.uint8)
-        raw[:, :13] = np.frombuffer(_RECT_WKB_HEADER, dtype=np.uint8)
-        ring = np.empty((n, 5, 2), dtype="<f8")
-        # box() ring order: (x0,y0),(x1,y0),(x1,y1),(x0,y1),(x0,y0)
-        ring[:, 0, 0] = x0; ring[:, 0, 1] = y0
-        ring[:, 1, 0] = x1; ring[:, 1, 1] = y0
-        ring[:, 2, 0] = x1; ring[:, 2, 1] = y1
-        ring[:, 3, 0] = x0; ring[:, 3, 1] = y1
-        ring[:, 4, 0] = x0; ring[:, 4, 1] = y0
-        raw[:, 13:] = ring.reshape(n, 10).view(np.uint8)
-        buf = raw.tobytes()
-        return pd.Series([buf[i * 93 : i * 93 + 93] for i in range(n)])
-    from iceberg_geo_poc_spark.geo.geometry import box as _box
-
-    out = []
-    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
-        if a is None or b is None or c is None or d is None:
-            out.append(None)
-        else:
-            out.append(geometry_to_wkb(_box(float(a), float(b), float(c), float(d))))
-    return pd.Series(out)
+    x0, m0 = _f64_np(xmin)
+    y0, m1 = _f64_np(ymin)
+    x1, m2 = _f64_np(xmax)
+    y1, m3 = _f64_np(ymax)
+    n = len(x0)
+    raw = np.empty((n, 93), dtype=np.uint8)
+    raw[:, :13] = _RECT_HEADER_ARR
+    ring = np.empty((n, 5, 2), dtype="<f8")
+    # box() ring order: (x0,y0),(x1,y0),(x1,y1),(x0,y1),(x0,y0)
+    ring[:, 0, 0] = x0; ring[:, 0, 1] = y0
+    ring[:, 1, 0] = x1; ring[:, 1, 1] = y0
+    ring[:, 2, 0] = x1; ring[:, 2, 1] = y1
+    ring[:, 3, 0] = x0; ring[:, 3, 1] = y1
+    ring[:, 4, 0] = x0; ring[:, 4, 1] = y0
+    raw[:, 13:] = ring.reshape(n, 10).view(np.uint8)
+    masks = [m for m in (m0, m1, m2, m3) if m is not None]
+    valid = None
+    if masks:
+        valid = masks[0]
+        for m in masks[1:]:
+            valid = valid & m
+    return _fixed_binary(raw, 93, valid)
 
 
 def st_diamond_builder(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
@@ -1330,7 +1685,28 @@ def st_diamond_builder(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
     )
 
 
-st_diamond_udf = pandas_udf(st_diamond_builder, BinaryType())
+@arrow_udf(BinaryType())
+def st_diamond_udf(cx: pa.Array, cy: pa.Array, r: pa.Array) -> pa.Array:
+    """Arrow-native st_diamond_builder: same 93-byte rows, assembled
+    straight from the Arrow float buffers into one flat output buffer."""
+    cxa, cm = _f64_np(cx)
+    cya, ym = _f64_np(cy)
+    ra, rm = _f64_np(r)
+    n = len(cxa)
+    out = np.zeros((n, 93), dtype=np.uint8)
+    out[:, :13] = _RECT_HEADER_ARR
+    coords = out[:, 13:].view("<f8").reshape(n, 5, 2)
+    coords[:, 0, 0] = cxa + ra
+    coords[:, 0, 1] = cya
+    coords[:, 1, 0] = cxa
+    coords[:, 1, 1] = cya + ra
+    coords[:, 2, 0] = cxa - ra
+    coords[:, 2, 1] = cya
+    coords[:, 3, 0] = cxa
+    coords[:, 3, 1] = cya - ra
+    coords[:, 4] = coords[:, 0]
+    valid = ~(np.isnan(cxa) | np.isnan(cya) | np.isnan(ra))
+    return _fixed_binary(out, 93, None if valid.all() else valid)
 
 
 def st_diamond(cx, cy, r) -> Column:
@@ -1384,7 +1760,48 @@ def st_subdivided_diamond_builder(
     return pd.Series(out, dtype=object)
 
 
-_subdiv_diamond_udf = pandas_udf(st_subdivided_diamond_builder, BinaryType())
+@arrow_udf(BinaryType())
+def _subdiv_diamond_udf(
+    cx: pa.Array, cy: pa.Array, r: pa.Array, k: pa.Array
+) -> pa.Array:
+    """Arrow-native st_subdivided_diamond_builder: per-row byte lengths
+    vary with k, so rows assemble into one flat buffer at cumsum
+    offsets — still vectorized per distinct k, still no per-row bytes."""
+    cxa, _ = _f64_np(cx)
+    cya, _ = _f64_np(cy)
+    ra, _ = _f64_np(r)
+    ka, _ = _f64_np(k)
+    n = len(cxa)
+    valid = ~(np.isnan(cxa) | np.isnan(cya) | np.isnan(ra) | np.isnan(ka))
+    kv = np.where(valid, ka, 1).astype(np.int64)
+    nbytes = np.where(valid, 13 + (4 * kv + 1) * 16, 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for kk in np.unique(kv[valid]):
+        rows = np.nonzero(valid & (kv == kk))[0]
+        m = len(rows)
+        npts = 4 * int(kk) + 1
+        nb = 13 + npts * 16
+        buf = np.zeros((m, nb), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(_POLY_TYPE_BYTES, dtype=np.uint8)
+        buf[:, 5:9] = np.frombuffer((1).to_bytes(4, "little"), dtype=np.uint8)
+        buf[:, 9:13] = np.frombuffer(
+            int(npts).to_bytes(4, "little"), dtype=np.uint8
+        )
+        coords = buf[:, 13:].view("<f8").reshape(m, npts, 2)
+        corners = np.array([(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, -1.0)])
+        t = (np.arange(int(kk)) / float(kk))[None, :, None]
+        nxt = np.roll(corners, -1, axis=0)
+        unit = (
+            corners[:, None, :] + t * (nxt[:, None, :] - corners[:, None, :])
+        ).reshape(-1, 2)
+        cc = np.stack([cxa[rows], cya[rows]], axis=1)[:, None, :]
+        coords[:, : 4 * int(kk), :] = cc + ra[rows][:, None, None] * unit[None]
+        coords[:, -1, :] = coords[:, 0, :]
+        flat[offsets[rows][:, None] + np.arange(nb, dtype=np.int64)[None, :]] = buf
+    return _var_binary(flat, offsets, None if valid.all() else valid)
 
 
 def st_subdivided_diamond(cx, cy, r, k) -> Column:
@@ -1433,7 +1850,39 @@ def st_annulus_builder(
     )
 
 
-_annulus_udf = pandas_udf(st_annulus_builder, BinaryType())
+@arrow_udf(BinaryType())
+def _annulus_udf(
+    cx: pa.Array, cy: pa.Array, r_outer: pa.Array, r_inner: pa.Array
+) -> pa.Array:
+    """Arrow-native st_annulus_builder (fixed 177-byte two-ring rows)."""
+    cxa, _ = _f64_np(cx)
+    cya, _ = _f64_np(cy)
+    ro, _ = _f64_np(r_outer)
+    ri, _ = _f64_np(r_inner)
+    n = len(cxa)
+    nbytes = 13 + 5 * 16 + 4 + 5 * 16
+    buf = np.zeros((n, nbytes), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(_POLY_TYPE_BYTES, dtype=np.uint8)
+    buf[:, 5:9] = np.frombuffer((2).to_bytes(4, "little"), dtype=np.uint8)
+    buf[:, 9:13] = np.frombuffer((5).to_bytes(4, "little"), dtype=np.uint8)
+    hole_hdr = 13 + 5 * 16
+    buf[:, hole_hdr : hole_hdr + 4] = np.frombuffer(
+        (5).to_bytes(4, "little"), dtype=np.uint8
+    )
+    for start, rr in ((13, ro), (hole_hdr + 4, ri)):
+        coords = buf[:, start : start + 80].view("<f8").reshape(n, 5, 2)
+        coords[:, 0, 0] = cxa + rr
+        coords[:, 0, 1] = cya
+        coords[:, 1, 0] = cxa
+        coords[:, 1, 1] = cya + rr
+        coords[:, 2, 0] = cxa - rr
+        coords[:, 2, 1] = cya
+        coords[:, 3, 0] = cxa
+        coords[:, 3, 1] = cya - rr
+        coords[:, 4] = coords[:, 0]
+    valid = ~(np.isnan(cxa) | np.isnan(cya) | np.isnan(ro) | np.isnan(ri))
+    return _fixed_binary(buf, nbytes, None if valid.all() else valid)
 
 
 def st_annulus(cx, cy, r_outer, r_inner) -> Column:

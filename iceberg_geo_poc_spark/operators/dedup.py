@@ -242,18 +242,21 @@ def remove_duplicate_spans(
             )
         ).alias("g"),
     ).select("doc_id", "g.pos", "g.key")
-    # first occurrence per gram: min over the (doc_id, pos) struct —
-    # struct ordering IS the corpus order, one partial-agg groupBy
-    firsts = grams.groupBy("key").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first"),
-        F.count(F.lit(1)).alias("n_occ"),
-    )
+    # non-first occurrences per gram, elected with ONE window over the
+    # gram key: row_number ordered by (doc_id, pos) — corpus order — is
+    # >= 2 exactly on the occurrences the old groupBy+join form kept
+    # (n_occ > 1 and not the min struct).  The window costs a per-
+    # partition sort, but replaces the previous TWO full-stream
+    # exchanges (partial-agg rows are ~as wide as raw grams when grams
+    # are mostly unique, which a real corpus's are) plus a full-stream
+    # equi-join plus a SECOND explode pass over the corpus with a
+    # single exchange of the gram stream (guide §2.4: remove shuffles
+    # outright).  Per-key state stays a sort cursor, never a buffer —
+    # a 10^6-occurrence boilerplate gram still streams.
+    w_key = Window.partitionBy("key").orderBy("doc_id", "pos")
     dups = (
-        grams.join(firsts.filter(F.col("n_occ") > 1), "key")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        grams.withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") >= 2)
         .select("doc_id", "pos")
     )
     # per-doc maximal spans: sorted window starts -> one aggregate() HOF
@@ -436,9 +439,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sigs = minhash_signatures(_doc_shingles(docs)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand = lsh_candidate_pairs(sigs)
-    sh = sigs.select("doc_id", "shingles", "n_sh")
-    return _verified_pairs(cand, sh, threshold)
+    try:
+        cand = lsh_candidate_pairs(sigs)
+        sh = sigs.select("doc_id", "shingles", "n_sh")
+        # materialize the (small) verified output eagerly so the sig
+        # cache can be released — repeated calls must not accumulate
+        # cached blocks for the session lifetime (same hygiene as
+        # ngram_jaccard_pairs)
+        return _verified_pairs(cand, sh, threshold).localCheckpoint()
+    finally:
+        sigs.unpersist()
 
 
 SIMHASH_BITS = 32
@@ -958,13 +968,18 @@ def chunk_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
     No driver collect anywhere.  -> (doc_id, n_chunks, n_kept,
     kept_text)."""
     cw = int(chunk_words)
-    chunks = docs.select(
+    # split ONCE into a projected column: the old in-lambda
+    # ``slice(split(text), …)`` re-split the whole document for every
+    # chunk (Catalyst does not CSE inside lambda bodies), making the
+    # chunking pass O(doc_len × n_chunks) instead of O(doc_len)
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = w.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) "
+                f"transform(sequence(0, CAST(ceil(size(w) "
                 f"/ {cw}.0) AS INT) - 1), "
-                f"i -> array_join(slice(split(text, ' '), i * {cw} + 1, {cw}), ' '))"
+                f"i -> array_join(slice(w, i * {cw} + 1, {cw}), ' '))"
             )
         ).alias("pos", "chunk"),
     )

@@ -116,16 +116,22 @@ def perplexity_scores(
     uni = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     pairs = stream.filter(F.col("w2").isNotNull())
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    vocab = uni.count()
+    # vocab rides the SAME job as the scoring joins: a one-row broadcast
+    # cross join instead of an eager uni.count() driver action (which
+    # cost one extra job round-trip plus a second evaluation of the uni
+    # aggregate before the main DAG even started).  k * vocab is the
+    # identical IEEE double product either way.
+    vocab_df = uni.agg(F.count(F.lit(1)).cast("double").alias("__vocab"))
     scored = (
         pairs.join(uni, "w1")  # c(w1) always exists: w1 came from the corpus
         .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab_df))
         .select(
             "doc_id",
             (
                 -F.log(
                     (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
-                    / (F.col("c1") + F.lit(k * vocab))
+                    / (F.col("c1") + F.lit(k) * F.col("__vocab"))
                 )
             ).alias("nll_term"),
         )

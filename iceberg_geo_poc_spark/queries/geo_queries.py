@@ -32,9 +32,16 @@ _LAT = "(CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + l_tax)"
 def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     # testdata ships one parquet file per table, so without a rebalance the
-    # whole pandas-UDF kernel stage would run as a single task; shuffling
+    # whole Arrow-UDF kernel stage would run as a single task; shuffling
     # the 4 narrow columns is far cheaper than serializing the CPU work.
     # (On a real multi-file table the scan already yields enough splits.)
+    # HASH repartition on a deterministic synthetic key, NOT round-robin:
+    # a keyless repartition(n) first pays a local sort of its input
+    # (spark.sql.execution.sortBeforeRepartition) inside the single scan
+    # task — measured ~0.7 s of the geo queries' wall at sf0.1.  The
+    # derived key follows the guide's pmod(xxhash64(id), 100*n) recipe:
+    # deterministic (retry-safe) and 100x more distinct values than
+    # partitions so the hash spreads evenly.
     n = spark.sparkContext.defaultParallelism
     return (
         l.select(
@@ -43,7 +50,9 @@ def _lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_LON).alias("lon"),
             F.expr(_LAT).alias("lat"),
         )
-        .repartition(n)
+        .repartition(
+            n, F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100 * n))
+        )
         .withColumn("geom", st_point("lon", "lat"))
     )
 
@@ -70,13 +79,28 @@ def geo_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-worker boundary; the WKB kernel stays the row-level
     authority on the survivors.  Point-in-closed-box semantics make
     the BETWEEN prefilter exact (NaN/null coordinates fail both)."""
-    pts = _lineitem_points(spark, sf_dir)
+    l = load_table(spark, sf_dir, "lineitem")
+    n = spark.sparkContext.defaultParallelism
+    # bbox prefilter BEFORE the parallelizing shuffle (guide §2.3:
+    # shuffle fewer bytes): the window keeps ~4% of rows, so the
+    # exchange moves ~23k rows instead of 600k; the WKB kernel stays
+    # the row-level authority on the survivors, exactly as before.
+    pts = (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(_LON).alias("lon"),
+            F.expr(_LAT).alias("lat"),
+        )
+        .filter("lon BETWEEN 10.0 AND 60.0 AND lat BETWEEN -20.0 AND 30.0")
+        .repartition(
+            n, F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100 * n))
+        )
+        .withColumn("geom", st_point("lon", "lat"))
+    )
     window = box(10.0, -20.0, 60.0, 30.0)
     return (
-        pts.filter(
-            "lon BETWEEN 10.0 AND 60.0 AND lat BETWEEN -20.0 AND 30.0"
-        )
-        .filter(st_intersects("geom", geo_literal(window)))
+        pts.filter(st_intersects("geom", geo_literal(window)))
         .select(
             "l_orderkey",
             "l_linenumber",

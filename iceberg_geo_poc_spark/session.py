@@ -127,12 +127,21 @@ def normalize_timestamps(df):
     return df
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated testdata table (TESTDATA.md).
 
     TIMESTAMP(NANOS) columns (read as raw nanos longs under
     ``nanosAsLong``) are rescaled to micros timestamps JVM-side —
     integer division, no Python boundary, stays in codegen.
+
+    The inferred schema is cached per path: testdata files are
+    immutable, and parquet schema inference otherwise runs one Spark
+    job (a driver-blocking footer read) on EVERY load_table call —
+    measured as two 0.06-0.2 s single-task jobs plus scheduling gaps
+    at the head of every benchmark iteration.
     """
     path = f"{sf_dir}/{name}.parquet"
     # The conf below is normally set by get_spark(), but the correctness
@@ -140,7 +149,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # set it here too — otherwise TIMESTAMP(NANOS) columns (events.ts)
     # fail the read outright with PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    df = spark.read.schema(schema).parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` div 1000 AS LONG))"))
     return normalize_timestamps(df)
+
