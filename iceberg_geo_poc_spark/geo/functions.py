@@ -1230,11 +1230,25 @@ def _ragged_cross(left_cnt: np.ndarray, left_start: np.ndarray,
                   rows: np.ndarray):
     """(li, ri, prow): index pairs for the per-row cross product
     left[row] × right[row] over the given rows, as flat int arrays."""
-    pair_cnt = left_cnt[rows] * right_cnt[rows]
+    lc, rc_ = left_cnt[rows], right_cnt[rows]
+    pair_cnt = lc * rc_
     total = int(pair_cnt.sum())
     if total == 0:
         empty = np.zeros(0, dtype=np.int64)
         return empty, empty, empty
+    if (lc == lc[0]).all() and (rc_ == rc_[0]).all():
+        # uniform counts (constant-vertex shapes): broadcast the index
+        # grids directly — no per-element // and % over the ragged walk
+        R, nl, nr = len(rows), int(lc[0]), int(rc_[0])
+        li = np.repeat(
+            (left_start[rows][:, None] + np.arange(nl)[None, :]).ravel(), nr
+        )
+        ri = (
+            right_start[rows][:, None, None]
+            + np.broadcast_to(np.arange(nr)[None, None, :], (R, nl, nr))
+        ).ravel()
+        prow = np.repeat(rows, nl * nr)
+        return li, ri, prow
     prow = np.repeat(rows, pair_cnt)
     # pair ordinal within its row block
     ends = np.cumsum(pair_cnt)
@@ -1258,6 +1272,15 @@ def _locate_verts(vx: np.ndarray, vy: np.ndarray, v_start: np.ndarray,
     nv = len(vx)
     on = np.zeros(nv, dtype=bool)
     odd = np.zeros(nv, dtype=bool)
+    vc = v_cnt[rows]
+    ec = pb.e_cnt[rows]
+    uniform = (
+        len(rows) > 0
+        and (vc == vc[0]).all()
+        and (ec == ec[0]).all()
+        and vc[0] > 0
+        and ec[0] > 0
+    )
     vi, ei, _prow = _ragged_cross(v_cnt, v_start, pb.e_cnt, pb.e_start, rows)
     if len(vi) == 0:
         return on, odd
@@ -1276,12 +1299,37 @@ def _locate_verts(vx: np.ndarray, vy: np.ndarray, v_start: np.ndarray,
         & (py <= np.maximum(ay, by) + _VEPS)
     )
     cond = (ay > py) != (by > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x_at = ax + (py - ay) * (bx - ax) / (by - ay)
-    cross = cond & (x_at > px)
-    cross_cnt = np.bincount(vi, weights=cross, minlength=nv)
-    on = np.bincount(vi, weights=on_seg, minlength=nv) > 0
-    odd = cross_cnt.astype(np.int64) % 2 == 1
+    # the ray-crossing division only matters where cond holds (~half the
+    # elements) — computing it compressed halves the divide cost and the
+    # quotient values are elementwise identical
+    ci = np.nonzero(cond)[0]
+    cross = np.zeros(len(vi), dtype=bool)
+    if len(ci):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_at_c = ax[ci] + (py[ci] - ay[ci]) * (bx[ci] - ax[ci]) / (
+                by[ci] - ay[ci]
+            )
+        cross[ci] = x_at_c > px[ci]
+    if uniform:
+        # uniform fast path (constant-vertex shapes: diamonds, boxes,
+        # fixed-n buffers): per-vertex reductions as contiguous reshaped
+        # any()/parity folds instead of scatter bincounts
+        R, nvc, nec = len(rows), int(vc[0]), int(ec[0])
+        g = (v_start[rows][:, None] + np.arange(nvc)[None, :]).ravel()
+        on[g] = on_seg.reshape(R * nvc, nec).any(axis=1)
+        odd[g] = (
+            cross.reshape(R * nvc, nec).sum(axis=1, dtype=np.int64) % 2 == 1
+        )
+    else:
+        # vi is non-decreasing with contiguous per-vertex blocks (the
+        # ragged walk emits vertex-major order), so segment reductions
+        # replace the old float-weighted bincounts: logical_or for "any
+        # edge holds the vertex", logical_xor for crossing parity —
+        # identical booleans, no float64 weight conversion, no modulo
+        seg = np.concatenate([[0], np.nonzero(np.diff(vi))[0] + 1])
+        vids = vi[seg]
+        on[vids] = np.logical_or.reduceat(on_seg, seg)
+        odd[vids] = np.logical_xor.reduceat(cross, seg)
     return on, odd
 
 
@@ -1291,8 +1339,8 @@ def _shell_verts_in_other(pa: _PackedPolys, pb: _PackedPolys,
     out = np.zeros(pa.n, dtype=bool)
     on, odd = _locate_verts(pa.vx, pa.vy, pa.v_start, pa.v_cnt, pb, rows, pa.vs)
     v_in = on | odd
-    hit_rows = np.unique(pa.vrow[np.nonzero(v_in)[0]])
-    out[hit_rows] = True
+    # duplicate row hits collapse in the scatter store — no sort/unique
+    out[pa.vrow[v_in]] = True
     return out
 
 
@@ -1343,8 +1391,7 @@ def _edges_intersect_any(pa: _PackedPolys, pb: _PackedPolys,
         | on_seg(dx, dy, ax, ay, bx, by, d4, np.maximum(esa, pb.e1s[bi]))
     )
     hit = proper | touch
-    hit_rows = np.unique(prow[hit])
-    out[hit_rows] = True
+    out[prow[hit]] = True
     return out
 
 
@@ -1369,7 +1416,7 @@ def _edges_cross_properly_any(pa: _PackedPolys, pb: _PackedPolys,
     proper = (((d1 > e) & (d2 < -e)) | ((d1 < -e) & (d2 > e))) & (
         ((d3 > e) & (d4 < -e)) | ((d3 < -e) & (d4 > e))
     )
-    out[np.unique(prow[proper])] = True
+    out[prow[proper]] = True
     return out
 
 
@@ -1384,8 +1431,10 @@ def _polypoly_covers_rows(pa: _PackedPolys, pb: _PackedPolys,
         return out
     on, odd = _locate_verts(pb.vx, pb.vy, pb.v_start, pb.v_cnt, pa, rows, pb.vs)
     outside = ~(on | odd)
-    bad = np.unique(pb.vrow[np.nonzero(outside)[0]])
-    ok = rows[~np.isin(rows, bad)]
+    # row-mask scatter instead of unique + isin (same kept set, no sorts)
+    bad_mask = np.zeros(pa.n, dtype=bool)
+    bad_mask[pb.vrow[outside]] = True
+    ok = rows[~bad_mask[rows]]
     if len(ok):
         proper = _edges_cross_properly_any(pb, pa, ok)
         ok = ok[~proper[ok]]
@@ -1394,8 +1443,9 @@ def _polypoly_covers_rows(pa: _PackedPolys, pb: _PackedPolys,
             pa.hvx, pa.hvy, pa.hv_start, pa.hv_cnt, pb, ok, pa.hvs
         )
         strict = hodd & ~hon
-        bitten = np.unique(pa.hvrow[np.nonzero(strict)[0]])
-        ok = ok[~np.isin(ok, bitten)]
+        bitten_mask = np.zeros(pa.n, dtype=bool)
+        bitten_mask[pa.hvrow[strict]] = True
+        ok = ok[~bitten_mask[ok]]
     out[ok] = True
     return out
 
