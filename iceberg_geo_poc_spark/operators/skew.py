@@ -112,6 +112,16 @@ def distributed_ntile(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # The input is evaluated twice — histogram pass here, rank pass in
+    # the returned plan.  When df is the tail of an expensive DAG (the
+    # perplexity scorer: 4 aggregations over a token stream) that
+    # doubles the dominant cost, so materialize the narrow (group,
+    # value, tie) projection once to executor block storage and run
+    # both passes from it; blocks are freed by the ContextCleaner when
+    # the result is dropped (same posture as perplexity_scores' token
+    # stream).  Lazy (eager=False): constructing the result DataFrame
+    # stays job-free, the histogram action below materializes it.
+    df = df.localCheckpoint(eager=False)
     hist = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -105,7 +105,7 @@ _PRIORITY_FIRST = (
     "text_quality_scores",
     "text_token_stats",
     "text_unicode_normalize",
-    # -- last seen round 9 (alphabetical, first 19) --
+    # -- last seen round 9 (alphabetical, first 17) --
     "agg_collect_stats_per_nation",
     "agg_cube_orders",
     "agg_distinct_customers_per_status",

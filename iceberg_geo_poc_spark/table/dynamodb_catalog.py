@@ -614,19 +614,23 @@ class DynamoDbLockManager:
         threading.Thread(target=beat, daemon=True).start()
 
     def release(self, entity_id: str, owner_id: str) -> bool:
-        with self._beat_lock:
-            stop = self._beats.pop(entity_id, None)
-        if stop is not None:
-            stop.set()
+        # owner-conditional delete FIRST: a release() with a wrong
+        # owner_id must not touch the live holder's heartbeat (the
+        # _beats map is keyed by entity only) — popping it before the
+        # ownership check would silently kill the holder's lease
         try:
             self.service.delete_item(
                 entity_id,
                 LOCK_NAMESPACE,
                 expected_attrs={COL_OWNER: owner_id},
             )
-            return True
         except ConditionalCheckFailed:
             return False  # not the owner / already expired-and-stolen
+        with self._beat_lock:
+            stop = self._beats.pop(entity_id, None)
+        if stop is not None:
+            stop.set()
+        return True
 
     def close(self) -> None:
         with self._beat_lock:

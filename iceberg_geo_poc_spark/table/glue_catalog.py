@@ -229,6 +229,13 @@ class GlueCommitBackend(MD.CommitBackend):
         self.lock_manager = lock_manager
 
     def _ident_of(self, location: str) -> tuple[str, str]:
+        if not (location == self.warehouse
+                or location.startswith(self.warehouse + "/")):
+            raise ValueError(
+                f"Glue backend cannot derive a table identity for "
+                f"{location!r}: it is outside the configured warehouse "
+                f"{self.warehouse!r}"
+            )
         rel = location[len(self.warehouse):].strip("/")
         parts = [p for p in rel.split("/") if p]
         if len(parts) == 1:
@@ -238,10 +245,17 @@ class GlueCommitBackend(MD.CommitBackend):
     def _entry_for_location(
         self, location: str
     ) -> tuple[tuple[str, str] | None, dict | None]:
-        db, name = self._ident_of(location)
-        t = self.service.get_table(db, name)
-        if t is not None and t["location"] == location:
-            return (db, name), t
+        try:
+            db, name = self._ident_of(location)
+        except ValueError:
+            # out-of-warehouse location: only the reverse scan below
+            # can resolve it (an already-registered entry, e.g. one
+            # imported with an explicit location)
+            db = name = None
+        if db is not None:
+            t = self.service.get_table(db, name)
+            if t is not None and t["location"] == location:
+                return (db, name), t
         # renamed tables keep their location: bounded reverse scan
         for (d, n), entry in self.service.items():
             if entry["location"] == location:

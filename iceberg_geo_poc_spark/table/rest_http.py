@@ -66,7 +66,7 @@ class _Handler(BaseHTTPRequestHandler):
             url = f"http://{self.headers.get('Host', '')}{self.path}"
             if not verify_sigv4(
                 "POST", url, dict(self.headers.items()), raw,
-                self.sigv4_secret,
+                self.sigv4_secret, max_skew_seconds=900,
             ):
                 body = _encode({"status": 403, "error": "SigV4 check failed"})
                 self.send_response(200)

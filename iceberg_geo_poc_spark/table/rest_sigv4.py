@@ -228,10 +228,20 @@ def verify_sigv4(
     received_headers: dict[str, str],
     body: bytes | None,
     secret_key: str,
+    max_skew_seconds: int | None = None,
 ) -> bool:
     """Server-side verification: recompute the signature from the
     received request and compare (the IAM-side check a SigV4 endpoint
-    performs).  Uses only the headers listed in SignedHeaders."""
+    performs).  Uses only the headers listed in SignedHeaders.
+
+    ``max_skew_seconds`` enables the IAM freshness window: a request
+    whose x-amz-date differs from current UTC time by more than the
+    window is refused even if the signature matches, so a captured
+    signed request cannot be replayed indefinitely (real IAM endpoints
+    use ~15 minutes; ``serve_catalog`` passes 900).  The default None
+    skips the clock check — that is the entry point for verifying the
+    archived AWS documentation test vectors, whose pinned 2015 dates
+    are by construction stale."""
     auth = None
     for k, v in received_headers.items():
         if k.lower() == "authorization" and v.startswith(_ALGORITHM):
@@ -254,6 +264,20 @@ def verify_sigv4(
     if set(signed) - set(subset):
         return False
     amz_date = lower.get("x-amz-date", "")
+    if max_skew_seconds is not None:
+        # freshness before cryptography: a stale-dated request is
+        # refused regardless of signature validity (replay window)
+        import datetime as _dt
+
+        try:
+            then = _dt.datetime.strptime(
+                amz_date, "%Y%m%dT%H%M%SZ"
+            ).replace(tzinfo=_dt.timezone.utc)
+        except ValueError:
+            return False
+        now = _dt.datetime.now(_dt.timezone.utc)
+        if abs((now - then).total_seconds()) > max_skew_seconds:
+            return False
     expected = sign_request(
         method,
         url,

@@ -126,3 +126,26 @@ def test_contended_acquire_exactly_one_winner_at_a_time():
         assert order[j].startswith("enter-")
         assert order[j + 1] == order[j].replace("enter-", "exit-")
     assert len(order) == 12
+
+
+def test_wrong_owner_release_keeps_holder_heartbeat_alive():
+    """release() with a WRONG owner_id must not stop the holder's
+    heartbeat (the _beats map is keyed by entity only): the delete is
+    owner-conditional and runs FIRST, so a failed release leaves the
+    lease rotating and a contender still cannot steal it."""
+    svc = DynamoService()
+    holder = _mgr(svc)
+    assert holder.acquire("db.t", "holder")
+    assert not holder.release("db.t", "intruder")
+    # the heartbeat must still be registered and rotating
+    assert "db.t" in holder._beats
+    v0 = svc.get_item("db.t", "__lock__")["v"]
+    time.sleep(0.12)
+    assert svc.get_item("db.t", "__lock__")["v"] != v0
+    # a short-patience contender cannot steal the live lease
+    contender = _mgr(svc, acquire_timeout=0.5)
+    assert not contender.acquire("db.t", "contender")
+    assert svc.get_item("db.t", "__lock__")["lockOwnerId"] == "holder"
+    assert holder.release("db.t", "holder")
+    holder.close()
+    contender.close()

@@ -312,3 +312,24 @@ def test_non_iceberg_commit_rejected_before_doc_write(spark, cat, tmp_path):
             os.path.join(mdir, "v1.metadata.json"), b"{}"
         )
     assert not os.path.exists(mdir) or os.listdir(mdir) == []
+
+
+def test_out_of_warehouse_location_refused_loudly(cat):
+    """code-review r14 advisory: _ident_of sliced location by warehouse
+    length without checking the prefix, silently deriving a garbage
+    identity for out-of-warehouse locations.  It must refuse loudly on
+    the commit path, and _entry_for_location must still resolve
+    REGISTERED out-of-warehouse entries via the reverse scan."""
+    be = cat.backend
+    with pytest.raises(ValueError, match="outside the configured warehouse"):
+        be._ident_of("/somewhere/else/db/tbl")
+    # a registered entry with an external location still resolves
+    cat.service.create_table(
+        "default", "ext",
+        parameters={"metadata_location": "/elsewhere/ext/metadata/v1.metadata.json",
+                    "table_type": "ICEBERG"},
+        location="/elsewhere/ext",
+    )
+    ident, entry = be._entry_for_location("/elsewhere/ext")
+    assert ident == ("default", "ext")
+    assert entry["location"] == "/elsewhere/ext"

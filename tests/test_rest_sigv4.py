@@ -210,3 +210,35 @@ def test_canonical_query_sorts_encoded_and_preserves_plus():
     out = sign_request("GET", url, {}, None, access_key=_AK, secret_key=_SK,
                        region="us-east-1", service="execute-api")
     assert verify_sigv4("GET", url, out, None, _SK)
+
+
+def test_freshness_window_rejects_stale_dates():
+    """code-review r14 advisory: with max_skew_seconds set (the
+    serve_catalog posture) a captured request with a stale x-amz-date
+    is refused even though its signature verifies — replay window.
+    The default None continues to accept the archived 2015 doc
+    vectors."""
+    url = "https://api.example.com/v1/catalog"
+    body = b'{"verb": "list_tables"}'
+    fresh = sign_request(
+        "POST", url, {"Content-Type": "application/json"}, body,
+        access_key=_AK, secret_key=_SK, region="us-west-2",
+        service="execute-api",
+    )
+    # current-time signature passes with the window enforced
+    assert verify_sigv4("POST", url, fresh, body, _SK, max_skew_seconds=900)
+    # pinned 2015 date: valid signature, stale clock -> refused
+    stale = sign_request(
+        "POST", url, {"Content-Type": "application/json"}, body,
+        access_key=_AK, secret_key=_SK, region="us-west-2",
+        service="execute-api", amz_date="20150830T123600Z",
+    )
+    assert verify_sigv4("POST", url, stale, body, _SK)  # no window: ok
+    assert not verify_sigv4(
+        "POST", url, stale, body, _SK, max_skew_seconds=900
+    )
+    # malformed date with the window on -> refused, never raises
+    broken = dict(fresh, **{"x-amz-date": "not-a-date"})
+    assert not verify_sigv4(
+        "POST", url, broken, body, _SK, max_skew_seconds=900
+    )
