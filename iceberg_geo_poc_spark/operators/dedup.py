@@ -224,7 +224,18 @@ def remove_duplicate_spans(
 
     Returns (doc_id, n_dup_spans, n_dropped_tokens, clean_text);
     documents shorter than ``k`` tokens pass through unchanged.
+
+    The documents are spread across the cluster first (deterministic
+    pmod(xxhash64) hash, the guide's §2.5 recipe): the gram head
+    (split + window slide + per-gram hash/join-key build) is real CPU
+    that runs BEFORE the election window's exchange, so a single-file
+    input would execute it serially in one task.  Interleaved A/B at
+    sf0.1: med 1.19 → 0.96 s, identical output.  (An earlier rejection
+    of this spread predates the one-window election rewrite, whose
+    head is proportionally heavier.)
     """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(100 * n)))
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     key_expr = (
         f"xxhash64(array_join(slice(w, i, {k}), ' '))"

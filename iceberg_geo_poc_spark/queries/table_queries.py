@@ -616,7 +616,25 @@ def stats_fastpath_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, ["count(*)", "min(l_quantity)", "max(l_quantity)", "min(l_orderkey)", "max(l_orderkey)"]
     )
     assert vals is not None, "stats fast path unexpectedly bailed"
-    row = [(int(vals[0]), float(vals[1]), float(vals[2]), int(vals[3]), int(vals[4]))]
+    mn, mx = float(vals[1]), float(vals[2])
+    import math
+
+    if math.isfinite(mn) and math.isfinite(mx):
+        # literal SELECT: the optimizer folds it to a LocalRelation, so
+        # collecting the one-row result is a driver-local read — the
+        # createDataFrame path below costs ~250 ms (python RDD
+        # parallelize + applySchema + a 1-task job) to ship one row,
+        # ~300x the metadata aggregation it reports.  repr() is the
+        # shortest exact round-trip for a double, so the CASTs rebuild
+        # bit-identical values.
+        return spark.sql(
+            f"SELECT CAST({int(vals[0])} AS BIGINT) AS n_rows, "
+            f"CAST('{mn!r}' AS DOUBLE) AS min_qty, "
+            f"CAST('{mx!r}' AS DOUBLE) AS max_qty, "
+            f"CAST({int(vals[3])} AS BIGINT) AS min_key, "
+            f"CAST({int(vals[4])} AS BIGINT) AS max_key"
+        )
+    row = [(int(vals[0]), mn, mx, int(vals[3]), int(vals[4]))]
     return spark.createDataFrame(
         row,
         "n_rows BIGINT, min_qty DOUBLE, max_qty DOUBLE, min_key BIGINT, max_key BIGINT",
