@@ -260,10 +260,7 @@ def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = grid_spatial_join(
         pts, rects, left_geom="geom", right_geom="rgeom", cell_size=20.0,
         left_bounds=("lon", "lat", "lon", "lat"),
-        right_bounds=(
-            F.col("x0"), F.col("y0"),
-            F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
-        ),
+        right_bounds=("x0", "y0", "x0 + 8.0D", "y0 + 8.0D"),
     )
     return (
         j.groupBy("s_suppkey")
@@ -330,14 +327,8 @@ def geo_polygon_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constructed-geometry bounds keep the blocking pipeline in codegen
     j = grid_spatial_join(
         polys, rects, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
-        left_bounds=(
-            F.col("lon") - F.lit(0.5), F.col("lat") - F.lit(0.5),
-            F.col("lon") + F.lit(0.5), F.col("lat") + F.lit(0.5),
-        ),
-        right_bounds=(
-            F.col("x0"), F.col("y0"),
-            F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
-        ),
+        left_bounds=("lon - 0.5D", "lat - 0.5D", "lon + 0.5D", "lat + 0.5D"),
+        right_bounds=("x0", "y0", "x0 + 8.0D", "y0 + 8.0D"),
         # both sides are axis-aligned envelopes: bbox-overlap IS
         # st_intersects, so the join never leaves whole-stage codegen
         rect_exact=True,
@@ -396,13 +387,9 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-radius diamonds: bounds = center +- r, pure codegen blocking
     j = grid_spatial_join(
         pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
-        left_bounds=(
-            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
-            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
-        ),
+        left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
-            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
-            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+            "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
     )
     return (
@@ -466,13 +453,9 @@ def geo_ragged_poly_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = grid_spatial_join(
         pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
-        left_bounds=(
-            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
-            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
-        ),
+        left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
-            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
-            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+            "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
     )
     return (
@@ -505,13 +488,9 @@ def ragged_join_candidate_count(spark: SparkSession, sf_dir: str) -> int:
     j = grid_spatial_join(
         pts, cells, left_geom="lon", right_geom="cx", cell_size=6.0,
         rect_exact=True,
-        left_bounds=(
-            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
-            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
-        ),
+        left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
-            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
-            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+            "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
     )
     return j.count()
@@ -564,13 +543,9 @@ def geo_annulus_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = grid_spatial_join(
         pdiamonds, annuli, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
-        left_bounds=(
-            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
-            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
-        ),
+        left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
-            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
-            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+            "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
     )
     return (
@@ -669,13 +644,9 @@ def geo_covers_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = grid_spatial_join(
         pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
-        left_bounds=(
-            F.col("lon") - F.lit(0.3), F.col("lat") - F.lit(0.3),
-            F.col("lon") + F.lit(0.3), F.col("lat") + F.lit(0.3),
-        ),
+        left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
-            F.col("cx") - F.lit(4.405), F.col("cy") - F.lit(4.405),
-            F.col("cx") + F.lit(4.405), F.col("cy") + F.lit(4.405),
+            "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
     )
     covered = j.filter(st_covers(F.col("rgeom"), F.col("pgeom")))
