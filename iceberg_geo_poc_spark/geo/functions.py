@@ -339,8 +339,7 @@ def _fast_rect_predicate(name: str, a, b):
 
 # -- constructors ----------------------------------------------------------
 
-@arrow_udf(BinaryType())
-def st_point_udf(x: pa.Array, y: pa.Array) -> pa.Array:
+def _point_arrow(x: pa.Array, y: pa.Array) -> pa.Array:
     # direct WKB byte assembly: 01 01000000 <x><y> — one (n, 21) uint8
     # matrix over the Arrow float buffers, one offsets arange out; no
     # Geometry objects and no per-row bytes anywhere
@@ -358,6 +357,11 @@ def st_point_udf(x: pa.Array, y: pa.Array) -> pa.Array:
             ym if ym is not None else np.ones(n, dtype=bool)
         )
     return _fixed_binary(raw, 21, valid)
+
+
+@arrow_udf(BinaryType())
+def st_point_udf(x: pa.Array, y: pa.Array) -> pa.Array:
+    return _point_arrow(x, y)
 
 
 @pandas_udf(BinaryType())
@@ -1629,6 +1633,10 @@ def _distance_fast(a, b):
 
 @arrow_udf(DoubleType())
 def st_distance_udf(a: pa.Array, b: pa.Array) -> pa.Array:
+    return _distance_arrow(a, b)
+
+
+def _distance_arrow(a: pa.Array, b: pa.Array) -> pa.Array:
     # from_pandas=True: NaN maps to null, exactly as the historical
     # pandas_udf Series conversion did
     fast = _distance_fast(a, b)
@@ -1676,8 +1684,7 @@ def st_envelope_udf(wkb: pd.Series) -> pd.Series:
     )
 
 
-@arrow_udf(BinaryType())
-def st_makeenvelope_udf(
+def _makeenvelope_arrow(
     xmin: pa.Array, ymin: pa.Array, xmax: pa.Array, ymax: pa.Array
 ) -> pa.Array:
     # whole-batch WKB assembly (the 93-byte single-ring rectangle layout
@@ -1704,6 +1711,13 @@ def st_makeenvelope_udf(
         for m in masks[1:]:
             valid = valid & m
     return _fixed_binary(raw, 93, valid)
+
+
+@arrow_udf(BinaryType())
+def st_makeenvelope_udf(
+    xmin: pa.Array, ymin: pa.Array, xmax: pa.Array, ymax: pa.Array
+) -> pa.Array:
+    return _makeenvelope_arrow(xmin, ymin, xmax, ymax)
 
 
 def st_diamond_builder(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
@@ -1735,8 +1749,7 @@ def st_diamond_builder(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
     )
 
 
-@arrow_udf(BinaryType())
-def st_diamond_udf(cx: pa.Array, cy: pa.Array, r: pa.Array) -> pa.Array:
+def _diamond_arrow(cx: pa.Array, cy: pa.Array, r: pa.Array) -> pa.Array:
     """Arrow-native st_diamond_builder: same 93-byte rows, assembled
     straight from the Arrow float buffers into one flat output buffer."""
     cxa, cm = _f64_np(cx)
@@ -1757,6 +1770,11 @@ def st_diamond_udf(cx: pa.Array, cy: pa.Array, r: pa.Array) -> pa.Array:
     coords[:, 4] = coords[:, 0]
     valid = ~(np.isnan(cxa) | np.isnan(cya) | np.isnan(ra))
     return _fixed_binary(out, 93, None if valid.all() else valid)
+
+
+@arrow_udf(BinaryType())
+def st_diamond_udf(cx: pa.Array, cy: pa.Array, r: pa.Array) -> pa.Array:
+    return _diamond_arrow(cx, cy, r)
 
 
 def st_diamond(cx, cy, r) -> Column:
@@ -1810,8 +1828,7 @@ def st_subdivided_diamond_builder(
     return pd.Series(out, dtype=object)
 
 
-@arrow_udf(BinaryType())
-def _subdiv_diamond_udf(
+def _subdiv_arrow(
     cx: pa.Array, cy: pa.Array, r: pa.Array, k: pa.Array
 ) -> pa.Array:
     """Arrow-native st_subdivided_diamond_builder: per-row byte lengths
@@ -1852,6 +1869,13 @@ def _subdiv_diamond_udf(
         coords[:, -1, :] = coords[:, 0, :]
         flat[offsets[rows][:, None] + np.arange(nb, dtype=np.int64)[None, :]] = buf
     return _var_binary(flat, offsets, None if valid.all() else valid)
+
+
+@arrow_udf(BinaryType())
+def _subdiv_diamond_udf(
+    cx: pa.Array, cy: pa.Array, r: pa.Array, k: pa.Array
+) -> pa.Array:
+    return _subdiv_arrow(cx, cy, r, k)
 
 
 def st_subdivided_diamond(cx, cy, r, k) -> Column:
@@ -1900,8 +1924,7 @@ def st_annulus_builder(
     )
 
 
-@arrow_udf(BinaryType())
-def _annulus_udf(
+def _annulus_arrow(
     cx: pa.Array, cy: pa.Array, r_outer: pa.Array, r_inner: pa.Array
 ) -> pa.Array:
     """Arrow-native st_annulus_builder (fixed 177-byte two-ring rows)."""
@@ -1935,9 +1958,155 @@ def _annulus_udf(
     return _fixed_binary(buf, nbytes, None if valid.all() else valid)
 
 
+@arrow_udf(BinaryType())
+def _annulus_udf(
+    cx: pa.Array, cy: pa.Array, r_outer: pa.Array, r_inner: pa.Array
+) -> pa.Array:
+    return _annulus_arrow(cx, cy, r_outer, r_inner)
+
+
 def st_annulus(cx, cy, r_outer, r_inner) -> Column:
     """Column expr: L1 annulus (diamond with a concentric diamond hole)."""
     return _annulus_udf(_c(cx), _c(cy), _c(r_outer), _c(r_inner))
+
+
+# -- fused pair kernels ------------------------------------------------------
+#
+# The grid spatial join composes builder UDFs (st_diamond & co., one per
+# side) with a binary predicate UDF on the joined pairs — three
+# ArrowEvalPython nodes per plan, two of them in the hot post-join stage,
+# with WKB binaries crossing the Python boundary twice (out of the
+# builders, back into the predicate).  When both geometries are
+# CONSTRUCTED from plain coordinate columns, the pair predicate factors
+# into ONE kernel: build both sides' WKB inside a single arrow UDF (the
+# identical builder code above) and run the identical packed-geometry
+# predicate on the result — one ArrowEvalPython per plan, only float64
+# columns across the boundary, evaluated only on pairs that survived the
+# codegen bbox prefilter (which rides the equi-join condition).  This is
+# physical fusion only: bytes and kernel are byte-shared with the
+# composed form, so results are identical by construction (asserted by
+# tests/test_geo_fused_pair.py against the composed UDFs).
+
+
+def _pair_predicate(name: str, a: pa.Array, b: pa.Array) -> pa.Array:
+    """The exact dispatch st_<name>_udf performs, over built arrays."""
+    res = _predicate_fast(name, a, b)
+    if res is None:
+        res = pa.array(
+            _predicate_generic(name, a.to_pandas(), b.to_pandas()),
+            type=pa.bool_(),
+        )
+    return res
+
+
+@arrow_udf(BooleanType())
+def _diamond_pair_intersects_udf(
+    ax: pa.Array, ay: pa.Array, ar: pa.Array,
+    bx: pa.Array, by: pa.Array, br: pa.Array,
+) -> pa.Array:
+    return _pair_predicate(
+        "intersects", _diamond_arrow(ax, ay, ar), _diamond_arrow(bx, by, br)
+    )
+
+
+def st_diamond_pair_intersects(ax, ay, ar, bx, by, br) -> Column:
+    """st_intersects(st_diamond(ax, ay, ar), st_diamond(bx, by, br)) as
+    one fused kernel crossing."""
+    return _diamond_pair_intersects_udf(
+        _c(ax), _c(ay), _c(ar), _c(bx), _c(by), _c(br)
+    )
+
+
+@arrow_udf(BooleanType())
+def _subdiv_pair_intersects_udf(
+    ax: pa.Array, ay: pa.Array, ar: pa.Array, ak: pa.Array,
+    bx: pa.Array, by: pa.Array, br: pa.Array, bk: pa.Array,
+) -> pa.Array:
+    return _pair_predicate(
+        "intersects", _subdiv_arrow(ax, ay, ar, ak), _subdiv_arrow(bx, by, br, bk)
+    )
+
+
+def st_subdivided_diamond_pair_intersects(
+    ax, ay, ar, ak, bx, by, br, bk
+) -> Column:
+    """st_intersects over two st_subdivided_diamond builds, fused."""
+    return _subdiv_pair_intersects_udf(
+        _c(ax), _c(ay), _c(ar), _c(ak), _c(bx), _c(by), _c(br), _c(bk)
+    )
+
+
+@arrow_udf(BooleanType())
+def _diamond_pair_covers_udf(
+    ax: pa.Array, ay: pa.Array, ar: pa.Array,
+    bx: pa.Array, by: pa.Array, br: pa.Array,
+) -> pa.Array:
+    # the exact conjunction the covers join evaluates: grid-join
+    # predicate intersects(B, A) AND the covers(A, B) post-filter —
+    # Kleene AND matches two sequential SQL filters for null rows
+    import pyarrow.compute as pc
+
+    a = _diamond_arrow(ax, ay, ar)
+    b = _diamond_arrow(bx, by, br)
+    return pc.and_kleene(
+        _pair_predicate("intersects", b, a), _pair_predicate("covers", a, b)
+    )
+
+
+def st_diamond_pair_covers(ax, ay, ar, bx, by, br) -> Column:
+    """covers(st_diamond(a…), st_diamond(b…)) AND intersects(b…, a…),
+    fused — the covers-join pair filter."""
+    return _diamond_pair_covers_udf(
+        _c(ax), _c(ay), _c(ar), _c(bx), _c(by), _c(br)
+    )
+
+
+@arrow_udf(BooleanType())
+def _diamond_annulus_pair_intersects_udf(
+    ax: pa.Array, ay: pa.Array, ar: pa.Array,
+    bx: pa.Array, by: pa.Array, bro: pa.Array, bri: pa.Array,
+) -> pa.Array:
+    return _pair_predicate(
+        "intersects",
+        _diamond_arrow(ax, ay, ar),
+        _annulus_arrow(bx, by, bro, bri),
+    )
+
+
+def st_diamond_annulus_pair_intersects(ax, ay, ar, bx, by, bro, bri) -> Column:
+    """st_intersects(st_diamond(a…), st_annulus(b…)), fused."""
+    return _diamond_annulus_pair_intersects_udf(
+        _c(ax), _c(ay), _c(ar), _c(bx), _c(by), _c(bro), _c(bri)
+    )
+
+
+@arrow_udf(BooleanType())
+def _point_envelope_pair_intersects_udf(
+    px: pa.Array, py: pa.Array,
+    x0: pa.Array, y0: pa.Array, x1: pa.Array, y1: pa.Array,
+) -> pa.Array:
+    return _pair_predicate(
+        "intersects", _point_arrow(px, py), _makeenvelope_arrow(x0, y0, x1, y1)
+    )
+
+
+def st_point_envelope_pair_intersects(px, py, x0, y0, x1, y1) -> Column:
+    """st_intersects(st_point(px, py), st_makeenvelope(x0…y1)), fused."""
+    return _point_envelope_pair_intersects_udf(
+        _c(px), _c(py), _c(x0), _c(y0), _c(x1), _c(y1)
+    )
+
+
+@arrow_udf(DoubleType())
+def _point_pair_distance_udf(
+    ax: pa.Array, ay: pa.Array, bx: pa.Array, by: pa.Array
+) -> pa.Array:
+    return _distance_arrow(_point_arrow(ax, ay), _point_arrow(bx, by))
+
+
+def st_point_pair_distance(ax, ay, bx, by) -> Column:
+    """st_distance(st_point(ax, ay), st_point(bx, by)), fused."""
+    return _point_pair_distance_udf(_c(ax), _c(ay), _c(bx), _c(by))
 
 
 @pandas_udf(BinaryType())

@@ -103,6 +103,7 @@ def grid_spatial_join(
     left_bounds: tuple | None = None,
     right_bounds: tuple | None = None,
     rect_exact: bool = False,
+    exact_predicate=None,
 ) -> DataFrame:
     """Pairs of (left row, right row) whose geometries intersect — or,
     with ``distance=d``, lie within distance d (st_dwithin semantics:
@@ -123,6 +124,20 @@ def grid_spatial_join(
     Arrow round-trip of the full geometry column per side.  Unsupplied
     sides fall back to one st_bounds_udf pass (still a single Arrow
     transfer for all four corners).
+
+    ``exact_predicate`` optionally supplies the exact pair test as a
+    boolean Column over the joined rows, replacing the default
+    ``st_intersects(left_geom, right_geom)`` (or the distance test).
+    Pass one of the FUSED pair kernels (``st_diamond_pair_intersects``
+    & co., geo/functions.py) when both geometries are constructed from
+    coordinate columns: the builder+predicate composition then runs as
+    a single ArrowEvalPython node taking only float64 columns across
+    the Python boundary — one boundary crossing instead of three, no
+    WKB payload through the join — while evaluating the identical
+    builder bytes and predicate kernel.  The caller owns semantic
+    equivalence with the composed form (asserted for the shipped
+    kernels by tests/test_geo_fused_pair.py); geometry columns need
+    not exist on either input in this mode.
 
     ``rect_exact=True`` asserts both geometries ARE axis-aligned
     rectangles equal to their envelopes (e.g. both built with
@@ -192,7 +207,9 @@ def grid_spatial_join(
         & (F.floor(refx / cell_size).cast("int") == F.col("__cell.cx"))
         & (F.floor(refy / cell_size).cast("int") == F.col("__cell.cy"))
     )
-    if distance is None and rect_exact:
+    if exact_predicate is not None:
+        out = joined.filter(exact_predicate)
+    elif distance is None and rect_exact:
         out = joined  # rect x rect: bbox overlap == st_intersects
     elif distance is None:
         out = joined.filter(st_intersects(F.col(left_geom), F.col(rg)))

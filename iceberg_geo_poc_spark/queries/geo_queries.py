@@ -18,7 +18,6 @@ from iceberg_geo_poc_spark.geo.functions import (
     geo_literal,
     st_distance,
     st_hilbert,
-    st_intersects,
     st_point,
 )
 from iceberg_geo_poc_spark.registry import query
@@ -76,31 +75,41 @@ def geo_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: a codegen bbox prefilter on the raw coordinate columns
     runs BEFORE the Arrow kernel — the window keeps ~3.9% of rows
     (measured at sf1), so 96% of the corpus never crosses the
-    Python-worker boundary; the WKB kernel stays the row-level
-    authority on the survivors.  Point-in-closed-box semantics make
-    the BETWEEN prefilter exact (NaN/null coordinates fail both)."""
+    Python-worker boundary; the WKB kernel (point build + rect
+    predicate, fused into one ArrowEvalPython node) stays the
+    row-level authority on the survivors.  Point-in-closed-box
+    semantics make the BETWEEN prefilter exact (NaN/null coordinates
+    fail both)."""
     l = load_table(spark, sf_dir, "lineitem")
-    n = spark.sparkContext.defaultParallelism
-    # bbox prefilter BEFORE the parallelizing shuffle (guide §2.3:
-    # shuffle fewer bytes): the window keeps ~4% of rows, so the
-    # exchange moves ~23k rows instead of 600k; the WKB kernel stays
-    # the row-level authority on the survivors, exactly as before.
-    pts = (
-        l.select(
-            "l_orderkey",
-            "l_linenumber",
-            F.expr(_LON).alias("lon"),
-            F.expr(_LAT).alias("lat"),
-        )
-        .filter("lon BETWEEN 10.0 AND 60.0 AND lat BETWEEN -20.0 AND 30.0")
-        .repartition(
-            n, F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100 * n))
-        )
-        .withColumn("geom", st_point("lon", "lat"))
+    # bbox prefilter at the scan (guide §2.3): the window keeps ~4% of
+    # rows, so only ~23k survivors reach the kernel.  NO repartition:
+    # the optimizer sinks deterministic UDF filters below an exchange
+    # anyway (the r15 batch-4 plan showed both ArrowEval nodes under the
+    # scan task with the exchange redistributing only the final output
+    # rows), so the exchange was pure overhead — on a multi-file table
+    # the scan splits themselves provide the parallelism.
+    pts = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"),
+    ).filter("lon BETWEEN 10.0 AND 60.0 AND lat BETWEEN -20.0 AND 30.0")
+    # FUSED point×envelope kernel: the point WKB build and the window
+    # intersects test run in ONE ArrowEvalPython node (the composed
+    # st_point + st_intersects(geo_literal) form spent two); the kernel
+    # dispatch (constant-envelope rect fast path) and the closed-box
+    # evaluation are identical
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_point_envelope_pair_intersects,
     )
-    window = box(10.0, -20.0, 60.0, 30.0)
+
     return (
-        pts.filter(st_intersects("geom", geo_literal(window)))
+        pts.filter(
+            st_point_envelope_pair_intersects(
+                "lon", "lat",
+                F.lit(10.0), F.lit(-20.0), F.lit(60.0), F.lit(30.0),
+            )
+        )
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -240,27 +249,29 @@ def geo_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spatial join (grid-blocked PBSM, geo/spatial_join.py):
     lineitem points x supplier rectangles, verified against a plain
     coordinate range join in the oracle."""
-    from iceberg_geo_poc_spark.geo.functions import st_makeenvelope
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_point_envelope_pair_intersects,
+    )
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat", "geom")
-    sup = load_table(spark, sf_dir, "supplier").select(
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
+    rects = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("x0"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("y0"),
     )
-    rects = sup.withColumn(
-        "rgeom",
-        st_makeenvelope(
-            "x0", "y0", F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0)
-        ),
-    ).select("s_suppkey", "x0", "y0", "rgeom")
     # constructed geometries -> bounds are plain arithmetic: the whole
-    # blocking pipeline stays in codegen (no bounds UDF pass)
+    # blocking pipeline stays in codegen (no bounds UDF pass), and the
+    # exact predicate is the FUSED point×envelope kernel (build + test
+    # in one ArrowEvalPython over coordinate doubles only)
     j = grid_spatial_join(
-        pts, rects, left_geom="geom", right_geom="rgeom", cell_size=20.0,
+        pts, rects, cell_size=20.0,
         left_bounds=("lon", "lat", "lon", "lat"),
         right_bounds=("x0", "y0", "x0 + 8.0D", "y0 + 8.0D"),
+        exact_predicate=st_point_envelope_pair_intersects(
+            "lon", "lat", "x0", "y0",
+            F.col("x0") + F.lit(8.0), F.col("y0") + F.lit(8.0),
+        ),
     )
     return (
         j.groupBy("s_suppkey")
@@ -368,28 +379,28 @@ def geo_diamond_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the radius sum 0.3 + 4.405 = 4.705 sits between the data's 0.01
     coordinate grid steps, so no pair lands on the boundary-epsilon.
     """
-    from iceberg_geo_poc_spark.geo.functions import st_diamond
+    from iceberg_geo_poc_spark.geo.functions import st_diamond_pair_intersects
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir)
-    pdiamonds = pts.select(
-        "l_orderkey", "lon", "lat",
-        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
-    )
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
     cells = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
     )
-    cdiamonds = cells.select(
-        "s_suppkey", "cx", "cy", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
-    )
-    # fixed-radius diamonds: bounds = center +- r, pure codegen blocking
+    # fixed-radius diamonds: bounds = center +- r, pure codegen blocking;
+    # the exact predicate is the FUSED diamond-pair kernel — both WKB
+    # builds AND the irregular polygon×polygon predicate run in ONE
+    # ArrowEvalPython node over coordinate doubles (identical builder
+    # bytes + kernel as the composed st_diamond/st_intersects form)
     j = grid_spatial_join(
-        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        pts, cells, cell_size=6.0,
         left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
             "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
+        ),
+        exact_predicate=st_diamond_pair_intersects(
+            "lon", "lat", F.lit(0.3), "cx", "cy", F.lit(4.405)
         ),
     )
     return (
@@ -430,32 +441,30 @@ def geo_ragged_poly_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     L1-ball oracle from geo_diamond_join_counts holds verbatim: two
     diamonds intersect iff their centers' L1 distance is at most the
     radius sum 0.3 + 4.405 = 4.705."""
-    from iceberg_geo_poc_spark.geo.functions import st_subdivided_diamond
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_subdivided_diamond_pair_intersects,
+    )
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir)
-    pdiamonds = pts.select(
-        "l_orderkey", "lon", "lat",
-        st_subdivided_diamond(
-            "lon", "lat", F.lit(0.3), F.lit(1) + F.col("l_orderkey") % 2
-        ).alias("pgeom"),
-    )
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
     cells = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
     )
-    cdiamonds = cells.select(
-        "s_suppkey", "cx", "cy",
-        st_subdivided_diamond(
-            "cx", "cy", F.lit(4.405), F.lit(1) + F.col("s_suppkey") % 3
-        ).alias("rgeom"),
-    )
+    # fused ragged pair kernel: both subdivided-diamond WKB builds (per-
+    # row vertex counts 4k+1) and the RAGGED pack + predicate in one
+    # ArrowEvalPython node — the workload still runs _polys_packed_ragged
+    # on varied byte lengths, exactly as the composed form did
     j = grid_spatial_join(
-        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        pts, cells, cell_size=6.0,
         left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
             "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
+        ),
+        exact_predicate=st_subdivided_diamond_pair_intersects(
+            "lon", "lat", F.lit(0.3), F.lit(1) + F.col("l_orderkey") % 2,
+            "cx", "cy", F.lit(4.405), F.lit(1) + F.col("s_suppkey") % 3,
         ),
     )
     return (
@@ -524,28 +533,28 @@ def geo_annulus_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff its center distance d satisfies d <= 4.405 + 0.3 = 4.705 (B
     reaches the shell) AND d >= 2.195 - 0.3 = 1.895 (B is not strictly
     inside the hole); both thresholds end off the data's 0.01 grid."""
-    from iceberg_geo_poc_spark.geo.functions import st_annulus, st_diamond
+    from iceberg_geo_poc_spark.geo.functions import (
+        st_diamond_annulus_pair_intersects,
+    )
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir)
-    pdiamonds = pts.select(
-        "l_orderkey", "lon", "lat",
-        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
-    )
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
     cells = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
     )
-    annuli = cells.select(
-        "s_suppkey", "cx", "cy",
-        st_annulus("cx", "cy", F.lit(4.405), F.lit(2.195)).alias("rgeom"),
-    )
+    # fused diamond×annulus kernel: both builds (incl. the two-ring holed
+    # polygon) and the multi-ring crossing-parity predicate in one
+    # ArrowEvalPython node
     j = grid_spatial_join(
-        pdiamonds, annuli, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        pts, cells, cell_size=6.0,
         left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
             "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
+        ),
+        exact_predicate=st_diamond_annulus_pair_intersects(
+            "lon", "lat", F.lit(0.3), "cx", "cy", F.lit(4.405), F.lit(2.195)
         ),
     )
     return (
@@ -580,19 +589,26 @@ def geo_dwithin_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     point×point hypot path; the radius 3.105 sits between the data's
     0.01 coordinate grid steps so no pair lands on the boundary.
     Oracle: the equivalent squared-euclidean range join."""
+    from iceberg_geo_poc_spark.geo.functions import st_point_pair_distance
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat", "geom")
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
     centers = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 170.0).alias("cx"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 80.0).alias("cy"),
-    ).withColumn("cgeom", st_point("cx", "cy"))
+    )
+    # distance=3.105 still dilates the blocking grid; the exact test is
+    # the FUSED point-pair distance kernel (point builds + vectorized
+    # hypot in one ArrowEvalPython node) compared in codegen
     j = grid_spatial_join(
-        pts, centers, left_geom="geom", right_geom="cgeom",
+        pts, centers,
         cell_size=6.0, distance=3.105,
         left_bounds=("lon", "lat", "lon", "lat"),
         right_bounds=(F.col("cx"), F.col("cy"), F.col("cx"), F.col("cy")),
+        exact_predicate=(
+            st_point_pair_distance("lon", "lat", "cx", "cy") <= F.lit(3.105)
+        ),
     )
     return (
         j.groupBy("s_suppkey")
@@ -626,32 +642,30 @@ def geo_covers_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     balls); 4.105 sits between the 0.01 coordinate grid steps so no
     pair lands on the boundary epsilon.  The grid join blocks on
     intersecting envelopes; the covers predicate then filters pairs."""
-    from iceberg_geo_poc_spark.geo.functions import st_covers, st_diamond
+    from iceberg_geo_poc_spark.geo.functions import st_diamond_pair_covers
     from iceberg_geo_poc_spark.geo.spatial_join import grid_spatial_join
 
-    pts = _lineitem_points(spark, sf_dir)
-    pdiamonds = pts.select(
-        "l_orderkey", "lon", "lat",
-        st_diamond("lon", "lat", F.lit(0.3)).alias("pgeom"),
-    )
+    pts = _lineitem_points(spark, sf_dir).select("l_orderkey", "lon", "lat")
     cells = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") % 340).cast("double") - 166.0).alias("cx"),
         (((F.col("s_suppkey") * 7) % 160).cast("double") - 76.0).alias("cy"),
     )
-    cdiamonds = cells.select(
-        "s_suppkey", "cx", "cy", st_diamond("cx", "cy", F.lit(4.405)).alias("rgeom")
-    )
+    # fused kernel evaluating the exact conjunction the composed form
+    # applied in two filters — intersects(p, c) from the grid join AND
+    # covers(c, p) from the post-filter — in one ArrowEvalPython node
     j = grid_spatial_join(
-        pdiamonds, cdiamonds, left_geom="pgeom", right_geom="rgeom", cell_size=6.0,
+        pts, cells, cell_size=6.0,
         left_bounds=("lon - 0.3D", "lat - 0.3D", "lon + 0.3D", "lat + 0.3D"),
         right_bounds=(
             "cx - 4.405D", "cy - 4.405D", "cx + 4.405D", "cy + 4.405D",
         ),
+        exact_predicate=st_diamond_pair_covers(
+            "cx", "cy", F.lit(4.405), "lon", "lat", F.lit(0.3)
+        ),
     )
-    covered = j.filter(st_covers(F.col("rgeom"), F.col("pgeom")))
     return (
-        covered.groupBy("s_suppkey")
+        j.groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_covered"))
         .orderBy("s_suppkey")
     )

@@ -125,10 +125,11 @@ def test_diamond_join_codegen_blocking(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # geometry construction (st_diamond, one per side) + exact predicate:
-    # bounds themselves must NOT add ArrowEval stages
+    # r15 batch 6: builders + exact predicate run as ONE fused
+    # ArrowEvalPython node (st_diamond_pair_intersects); bounds stay
+    # plain arithmetic, so nothing else may add Python crossings
     n_arrow = plan.count("ArrowEvalPython")
-    assert n_arrow <= 3, f"bounds UDF leaked back into the plan ({n_arrow} ArrowEval)"
+    assert n_arrow <= 1, f"fused pair kernel split apart ({n_arrow} ArrowEval)"
 
 
 def test_spark_planning_filters_manifest_scan(spark, tmp_path):
