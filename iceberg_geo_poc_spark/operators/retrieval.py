@@ -276,6 +276,7 @@ def margin_bitext_mining(
     tgt: DataFrame,
     k: int = 4,
     threshold: float = 1.05,
+    _materialize: bool = True,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
     / LASER parallel-corpus mining criterion): a (src, tgt) pair is a
@@ -310,9 +311,6 @@ def margin_bitext_mining(
         F.col("embedding").cast("array<double>").alias("vt"),
         F.col("nrm").alias("nt"),
     )
-    # persisted: three consumers (both k-NN windows + the final join)
-    # would otherwise each recompute the cross-join matrix; lifetime is
-    # the returned plan's (Spark evicts LRU / on context clear)
     scored = (
         s.crossJoin(t)
         .withColumn(
@@ -322,9 +320,8 @@ def margin_bitext_mining(
             ),
         )
         .select("src_id", "tgt_id", "cosine")
-        .persist()
     )
-    return _margin_mined(scored, k, threshold)
+    return _mine_and_release(scored, k, threshold, _materialize)
 
 
 def _margin_mined(scored: DataFrame, k: int, threshold: float) -> DataFrame:
@@ -379,6 +376,7 @@ def margin_bitext_mining_bucketed(
     threshold: float = 1.05,
     shortlist: int = 80,
     band_bits: int | None = None,
+    _materialize: bool = True,
 ) -> DataFrame:
     """Scale path for :func:`margin_bitext_mining` — the CCMatrix-size
     form (the brute miner's full src x tgt double-array matrix is a
@@ -495,8 +493,7 @@ def margin_bitext_mining_bucketed(
         .select("src_id", "tgt_id")
     )
     cand = top_s.union(top_t).distinct()
-    # exact cosine only for shortlisted pairs; persisted for the three
-    # margin-algebra consumers (same rationale as the brute miner)
+    # exact cosine only for shortlisted pairs
     scored = (
         cand.join(s, "src_id")
         .join(t, "tgt_id")
@@ -507,6 +504,31 @@ def margin_bitext_mining_bucketed(
             ),
         )
         .select("src_id", "tgt_id", "cosine")
-        .persist()
     )
-    return _margin_mined(scored, k, threshold)
+    return _mine_and_release(scored, k, threshold, _materialize)
+
+
+def _mine_and_release(
+    scored: DataFrame, k: int, threshold: float, materialize: bool
+) -> DataFrame:
+    """Run the margin algebra over a persisted scored frame and RELEASE
+    the cache before returning.
+
+    The scored frame has three margin-algebra consumers (both k-NN
+    windows + the final join), so it is persisted for the evaluation;
+    the (small) mined output is then materialized eagerly
+    (localCheckpoint) so the matrix cache can be unpersisted in this
+    call — repeated calls must not accumulate cached blocks for the
+    session lifetime (same hygiene as minhash_lsh_pairs /
+    ngram_jaccard_pairs).  ``materialize=False`` is the plan-inspection
+    escape hatch (tests assert WindowGroupLimit pushdown / no-all-pairs
+    on the algebra's real plan, which the checkpoint would truncate);
+    the caller then owns recomputation cost.
+    """
+    if not materialize:
+        return _margin_mined(scored, k, threshold)
+    scored = scored.persist()
+    try:
+        return _margin_mined(scored, k, threshold).localCheckpoint()
+    finally:
+        scored.unpersist()

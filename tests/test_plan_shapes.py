@@ -429,11 +429,16 @@ def test_bitext_knn_windows_get_group_limit_pushdown(spark, sf_dir):
     from iceberg_geo_poc_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # _materialize=False: the public entry eagerly checkpoints its
+    # (small) output so the scored-matrix cache can be released per
+    # call, which truncates the observable plan — the inspection form
+    # exposes the identical mined algebra the checkpoint executes
     df = margin_bitext_mining(
         emb.filter("vec_id % 2 = 0").limit(50),
         emb.filter("vec_id % 2 = 1").limit(50),
         k=4,
         threshold=1.0,
+        _materialize=False,
     )
     plan = _plan(df)
     limits = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
