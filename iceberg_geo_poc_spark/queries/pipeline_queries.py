@@ -516,23 +516,31 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    n_total = res.count()
-    n_dropped = res.filter(~F.col("kept")).count()
-    partition_ok = res.filter(F.col("kept")).count() + n_dropped == n_total
-    bogus = (
-        res.filter(~F.col("kept"))
-        .select(F.col("dup_of").alias("ia"), F.col("vec_id").alias("ib"))
-        .join(brute.select("ia", "ib"), ["ia", "ib"], "left_anti")
-        .count()
-    )
-    handled = (
-        brute.select(F.col("ib").alias("vec_id"))
-        .distinct()
-        .join(res.filter(~F.col("kept")).select("vec_id"), "vec_id")
-        .count()
-    )
-    n_brute_tails = brute.select("ib").distinct().count()
-    recall = handled / max(n_brute_tails, 1)
+    # every consumer below is an eager count, so both caches can be
+    # released before returning — repeated calls must not accumulate
+    # cached blocks for the session lifetime (same hygiene as
+    # minhash_lsh_pairs / the bitext miners)
+    try:
+        n_total = res.count()
+        n_dropped = res.filter(~F.col("kept")).count()
+        partition_ok = res.filter(F.col("kept")).count() + n_dropped == n_total
+        bogus = (
+            res.filter(~F.col("kept"))
+            .select(F.col("dup_of").alias("ia"), F.col("vec_id").alias("ib"))
+            .join(brute.select("ia", "ib"), ["ia", "ib"], "left_anti")
+            .count()
+        )
+        handled = (
+            brute.select(F.col("ib").alias("vec_id"))
+            .distinct()
+            .join(res.filter(~F.col("kept")).select("vec_id"), "vec_id")
+            .count()
+        )
+        n_brute_tails = brute.select("ib").distinct().count()
+        recall = handled / max(n_brute_tails, 1)
+    finally:
+        res.unpersist()
+        brute.unpersist()
     return spark.createDataFrame(
         [(n_total, bool(partition_ok), bogus == 0, recall >= 0.45)],
         "n_total LONG, partition_ok BOOLEAN, drops_justified BOOLEAN, recall_ok BOOLEAN",
