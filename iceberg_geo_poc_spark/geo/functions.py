@@ -2297,6 +2297,13 @@ def st_collect_aggr(df, geom_col: str, group_cols: list[str] | None = None):
     assembles each group's WKB parts — per-group memory is the group's
     geometry bytes, the per-executor bound every collection aggregate
     has.  Returns group_cols + ``collection`` (WKB) + ``n_parts``.
+
+    The assembly UDF is marked non-deterministic so the optimizer may
+    not duplicate it into downstream consumers: projection collapse
+    otherwise inlines ``collection = _assemble(parts)`` into EVERY
+    accessor UDF that reads the collection (N assemblies + N transfers
+    of the collected-parts array instead of one — measured 5x on
+    geo_collect_aggr's area+bounds tail).
     """
     import pyspark.sql.functions as F
 
@@ -2324,6 +2331,7 @@ def st_collect_aggr(df, geom_col: str, group_cols: list[str] | None = None):
         F.collect_list(geom_col).alias("__parts"),
         F.count(geom_col).alias("n_parts"),
     )
-    return agg.withColumn("collection", _assemble(F.col("__parts"))).drop(
+    assemble_once = _assemble.asNondeterministic()
+    return agg.withColumn("collection", assemble_once(F.col("__parts"))).drop(
         "__parts"
     )

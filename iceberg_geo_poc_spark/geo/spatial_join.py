@@ -263,8 +263,23 @@ def grid_knn_join(
     inside radius r, and every right row within r is found by that
     round's join — so its top-k within r IS its global top-k (any closer
     row would also be within r).
+
+    ITERATION POSTURE (the standard one, same as the label-propagation
+    loops in operators/dedup.py): per-round state is localCheckpoint'ed
+    so lineage stays flat.  Without it every downstream action — the
+    two broadcast builds, the per-round emptiness probe, and the final
+    collect over the unioned rounds — re-derives ALL previous rounds'
+    grid joins through the chained anti-joins (work quadratic in
+    rounds; measured 52 s -> 8 s on the sf0.01 knn driver query).  The
+    round's ranked join output is persisted for the round's duration
+    only (two consumers: ok_ids and resolved), and the checkpointed
+    frames (ok_ids, per-round resolved, unresolved) are all small:
+    O(probes) ids, <= k rows per resolved probe, and a monotonically
+    shrinking probe set.  Blocks are freed by the ContextCleaner when
+    the result is dropped.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     out = None
     unresolved = left
@@ -290,18 +305,32 @@ def grid_knn_join(
         w = Window.partitionBy(*left_id).orderBy(
             F.col("knn_dist"), *[F.col(c) for c in tie_break]
         )
-        ranked = j.withColumn("knn_rank", F.row_number().over(w))
-        counts = ranked.groupBy(*left_id).agg(F.max("knn_rank").alias("__n"))
-        ok_ids = counts.filter(F.col("__n") >= k).select(*left_id) if not last else counts.select(*left_id)
-        resolved = ranked.join(F.broadcast(ok_ids), left_id, "left_semi").filter(
-            F.col("knn_rank") <= k
+        ranked = j.withColumn("knn_rank", F.row_number().over(w)).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        try:
+            counts = ranked.groupBy(*left_id).agg(
+                F.max("knn_rank").alias("__n")
+            )
+            ok_ids = (
+                counts.filter(F.col("__n") >= k) if not last else counts
+            ).select(*left_id).localCheckpoint()
+            resolved = (
+                ranked.join(F.broadcast(ok_ids), left_id, "left_semi")
+                .filter(F.col("knn_rank") <= k)
+                .localCheckpoint()
+            )
+        finally:
+            ranked.unpersist()
         out = resolved if out is None else out.unionByName(resolved)
         if last:
             break
-        unresolved = unresolved.join(F.broadcast(ok_ids), left_id, "left_anti")
+        unresolved = unresolved.join(
+            F.broadcast(ok_ids), left_id, "left_anti"
+        ).localCheckpoint()
         # cheap emptiness probe bounds driver work (same posture as the
-        # label-propagation convergence check)
+        # label-propagation convergence check); reads the checkpoint,
+        # never the join lineage
         if unresolved.limit(1).count() == 0:
             break
         r *= 2.0

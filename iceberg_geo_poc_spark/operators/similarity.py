@@ -301,9 +301,14 @@ def kmeans_centroids(
         )
         # empty-cell guard: a centroid that lost every member keeps its
         # previous position (k stays constant, later rounds can refill)
+        # Per-round localCheckpoint (n_centroids rows): prev appears in
+        # THREE places per round (broadcast score, anti-join guard,
+        # union), so an unchecked lineage grows ~3^iters and every
+        # downstream action re-derives all rounds — the standard
+        # iterative posture used by the label-propagation loops.
         cents = updated.unionByName(
             prev.join(updated.select("cid"), "cid", "left_anti")
-        )
+        ).localCheckpoint()
     return cents
 
 
@@ -493,9 +498,13 @@ def pq_codebooks(
                 "sub_id", "code_id", F.expr("transform(pm, s -> s.mx)").alias("codevec")
             )
         )
+        # Same per-round checkpoint posture as kmeans_centroids: prev is
+        # referenced twice per round and consumers join the codebook
+        # twice (encode + LUT), so flat lineage keeps the Lloyd rounds
+        # linear instead of re-deriving the whole training per action.
         codes = updated.unionByName(
             prev.join(updated.select("sub_id", "code_id"), ["sub_id", "code_id"], "left_anti")
-        )
+        ).localCheckpoint()
     return codes
 
 

@@ -847,15 +847,19 @@ def geo_collect_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     over parts — 0.0625·n, exact in doubles), and the collection's
     union bounds, all recomputed from the assembled WKB (area and
     bounds are decoded from the collection bytes, proving the
-    multi-geometry assembly, not just the group counts)."""
+    multi-geometry assembly, not just the group counts).
+
+    The four bounds read through ONE ``st_bounds_udf`` decode of the
+    collection (a non-deterministic local copy, so projection collapse
+    cannot clone the decode per extracted field) — with the assembly
+    UDF itself single-evaluation, the tail is 1 assembly + 2 decodes
+    (bounds + area) instead of the 5 assemblies + 5 decodes the
+    duplicated plan paid (guide §4.4 shape; values identical)."""
     from iceberg_geo_poc_spark.geo.functions import (
         st_area_udf,
+        st_bounds_udf,
         st_collect_aggr,
         st_makeenvelope,
-        st_xmax_udf,
-        st_xmin_udf,
-        st_ymax_udf,
-        st_ymin_udf,
     )
 
     pts = _lineitem_points(spark, sf_dir).withColumn(
@@ -875,12 +879,14 @@ def geo_collect_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     coll = st_collect_aggr(boxes, "cell", ["quadrant"])
-    return coll.select(
+    bounds_once = st_bounds_udf.asNondeterministic()
+    withb = coll.withColumn("__cb", bounds_once(F.col("collection")))
+    return withb.select(
         "quadrant",
         F.col("n_parts").cast("long").alias("n_parts"),
         F.round(st_area_udf(F.col("collection")), 6).alias("total_area"),
-        F.round(st_xmin_udf(F.col("collection")), 6).alias("xmin"),
-        F.round(st_ymin_udf(F.col("collection")), 6).alias("ymin"),
-        F.round(st_xmax_udf(F.col("collection")), 6).alias("xmax"),
-        F.round(st_ymax_udf(F.col("collection")), 6).alias("ymax"),
+        F.round(F.col("__cb.xmin"), 6).alias("xmin"),
+        F.round(F.col("__cb.ymin"), 6).alias("ymin"),
+        F.round(F.col("__cb.xmax"), 6).alias("xmax"),
+        F.round(F.col("__cb.ymax"), 6).alias("ymax"),
     ).orderBy("quadrant")
