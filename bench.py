@@ -650,6 +650,16 @@ def main() -> None:
             denom_runs = measure("managed_date_pruned_scan", SF_DIR)
             denom_med = denom_runs[len(denom_runs) // 2]
             contracts["enc_arrow_ratio"] = round(arrow_med / denom_med, 2)
+            # r16 ADDITION (VERDICT r15 #5, carried from r14 #7): the
+            # ratio above is DENOMINATOR-dominated — its ~0.15 s plain-
+            # scan leg moves with host speed, so the ratio drifted
+            # 3.35->6.67 across rounds with no code change.  Anchor the
+            # Arrow leg ABSOLUTELY: its raw seconds (enc_arrow_sec) and
+            # its probe-normalized form (enc_arrow_norm = sec / scan
+            # probe, filled in after the probe average below) are the
+            # standing numbers; the old ratio is kept unchanged for
+            # round-over-round comparability.
+            contracts["enc_arrow_sec"] = round(arrow_med, 3)
             detail["enc_arrow_window"] = {
                 "arrow_scan_sec": round(arrow_med, 3),
                 "plain_scan_sec_same_window": round(denom_med, 3),
@@ -679,6 +689,17 @@ def main() -> None:
     # banded bitext miner and the persisted-IVF search, plus the in-plan
     # candidate-pair count for geo_ragged_join (VERDICT r11 #2).
     sf1_ratio: dict[str, float] = {}
+    # r16 ADDITION (VERDICT r15 #1): absolute sf1 seconds for the
+    # compute-bound heavy lanes go into the COMPACT line too (not just
+    # the detail file) — the driver runs this bench at two core counts,
+    # and the pair of tail JSONs is then enough to compute core-scaling
+    # on the lanes where compute actually dominates (at sf0.1 every
+    # 8-vs-32 ratio is ~1 because fixed costs dominate; sf1 is where
+    # parallelism is measurable).  Ratios alone cannot give this: both
+    # the 10x lane and its 1x control move with core count.
+    sf1_heavy_sec: dict[str, float] = {}
+    _SF1_HEAVY = ("geo_ragged_join", "dedup_minhash", "dedup_span",
+                  "perplexity_buckets", "retrieval_bitext")
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             # cache keyed by the SOURCE sf dir: a smoke run at sf0.01
@@ -715,6 +736,7 @@ def main() -> None:
                 k: round(sf1[k] / ctl[k], 2) for k in sf1 if ctl.get(k)
             }
             detail["sf1"] = {"queries": sf1, "control_same_layout_sf": ctl}
+            sf1_heavy_sec = {k: sf1[k] for k in _SF1_HEAVY if k in sf1}
             # candidate pairs the ragged join's Python kernel receives,
             # at 1x and 10x fact data (fixed supplier dim): ~10x growth
             # proves the fixed grid does not densify superlinearly, so
@@ -779,6 +801,16 @@ def main() -> None:
     }
     contracts["probe_bracket_max_ratio"] = max(bracket.values())
     contracts["probe_quiet"] = max(bracket.values()) <= 1.2
+    # r16 ADDITION (VERDICT r15 #5): host-normalized absolute Arrow
+    # crypto leg — enc_arrow_sec / scan probe.  Frozen band: 3.0-5.2
+    # (r16 quiet-run reading with the usual band headroom; the r15
+    # graded run's implied value was ~1.04/0.29 ~ 3.6).  A norm above
+    # the band means the Arrow fallback itself regressed, regardless of
+    # what the plain-scan denominator did that day.
+    if "enc_arrow_sec" in contracts and pavg["scan"] > 0:
+        contracts["enc_arrow_norm"] = round(
+            contracts["enc_arrow_sec"] / pavg["scan"], 2
+        )
     detail["probe_bracket_ratio"] = bracket
     # the discarded warm-up series: how many probes convergence took,
     # and the curve itself (attributes a failed bracket to residual
@@ -803,6 +835,7 @@ def main() -> None:
         "norm_vs_probe": norm,
         "contracts": contracts,
         "sf1_ratio_10x": sf1_ratio,
+        "sf1_sec": sf1_heavy_sec,
         "detail": "BENCH_DETAIL.json",
     }
     detail.update({k: v for k, v in out.items() if k != "detail"})
@@ -815,7 +848,9 @@ def main() -> None:
     # the driver's stdout capture is a 2,000-byte TAIL: degrade by
     # dropping the bulkiest derived blocks (all preserved in the detail
     # file) rather than ever printing a truncatable line
-    for drop in ("norm_vs_probe", "sf1_ratio_10x", "queries"):
+    # sf1_sec (the r16 addition) is dropped FIRST so it can never push a
+    # pre-existing block out of the compact line
+    for drop in ("sf1_sec", "norm_vs_probe", "sf1_ratio_10x", "queries"):
         if len(line) <= 1900:
             break
         out[drop] = f"see {out['detail']}"

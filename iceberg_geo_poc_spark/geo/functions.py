@@ -504,11 +504,7 @@ def _bounds_cols(wkb) -> dict:
     return cols
 
 
-@arrow_udf(_BOUNDS_TYPE)
-def st_bounds_udf(wkb: pa.Array) -> pa.Array:
-    """All four envelope bounds in ONE Arrow pass — used by the spatial
-    join, where four separate accessor UDFs would quadruple the Python
-    transfer cost."""
+def _bounds_struct(wkb: pa.Array) -> pa.Array:
     cols = _bounds_cols(wkb)
     # from_pandas=True: NaN («no bounds») maps to null, exactly as the
     # historical pandas_udf DataFrame conversion did
@@ -519,6 +515,29 @@ def st_bounds_udf(wkb: pa.Array) -> pa.Array:
         ],
         names=["xmin", "ymin", "xmax", "ymax"],
     )
+
+
+@arrow_udf(_BOUNDS_TYPE)
+def st_bounds_udf(wkb: pa.Array) -> pa.Array:
+    """All four envelope bounds in ONE Arrow pass — used by the spatial
+    join, where four separate accessor UDFs would quadruple the Python
+    transfer cost."""
+    return _bounds_struct(wkb)
+
+
+@arrow_udf(_BOUNDS_TYPE)
+def st_bounds_once_udf(wkb: pa.Array) -> pa.Array:
+    """Single-evaluation variant of :func:`st_bounds_udf` for consumers
+    that extract several struct fields from one decode (guide §4.4:
+    projection collapse otherwise clones the UDF per extracted field).
+    A DEDICATED instance marked non-deterministic at definition —
+    ``st_bounds_udf.asNondeterministic()`` would mutate the shared UDF
+    in place (PySpark returns self), silently flipping every other
+    consumer's planning (ADVICE r15)."""
+    return _bounds_struct(wkb)
+
+
+st_bounds_once_udf = st_bounds_once_udf.asNondeterministic()
 
 
 @pandas_udf(DoubleType())

@@ -19,6 +19,8 @@ reliable fix at any scale:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -76,6 +78,7 @@ def distributed_ntile(
     n_buckets: int,
     bucket_col: str = "bucket",
     max_hist_rows: int = 1_000_000,
+    materialize_input: bool | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (PARTITION BY group ORDER BY value, tie)``
     WITHOUT a per-group total sort.
@@ -108,6 +111,12 @@ def distributed_ntile(
     a raw continuous score would make the histogram the size of the
     corpus, a driver OOM presenting as a mystery.  The guard counts
     first (one extra cheap agg) and fails loudly with the fix.
+
+    ``materialize_input`` bounds the recompute-vs-storage trade: True
+    stores the input projection once (localCheckpoint) and runs both
+    passes from it, False evaluates the input DAG twice, None (default)
+    reads env ``SPARK_GRAFT_NTILE_MATERIALIZE`` (default on).  Output
+    is identical either way.
     """
     from pyspark.sql import Window
 
@@ -121,7 +130,24 @@ def distributed_ntile(
     # the result is dropped (same posture as perplexity_scores' token
     # stream).  Lazy (eager=False): constructing the result DataFrame
     # stays job-free, the histogram action below materializes it.
-    df = df.localCheckpoint(eager=False)
+    #
+    # RECOMPUTE-vs-STORAGE KNOB (VERDICT r15 #3): the checkpoint writes
+    # the ENTIRE input projection to executor block storage, and
+    # localCheckpoint blocks are non-replicated — on a 100 TB input
+    # that is a full-corpus materialization whose loss (executor death
+    # after lineage truncation) fails the job instead of recomputing.
+    # ``materialize_input=False`` (or env SPARK_GRAFT_NTILE_MATERIALIZE=0
+    # when the caller leaves it None) keeps the classic
+    # evaluate-twice/recompute-on-failure posture instead; results are
+    # identical either way (tests/test_skew_utils.py pins both paths).
+    # The local default stays ON: at bench scale the input DAG is the
+    # dominant cost and storing it is the measured win (guide §1.2).
+    if materialize_input is None:
+        materialize_input = (
+            os.environ.get("SPARK_GRAFT_NTILE_MATERIALIZE", "1") != "0"
+        )
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     hist = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -849,15 +849,17 @@ def geo_collect_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are decoded from the collection bytes, proving the
     multi-geometry assembly, not just the group counts).
 
-    The four bounds read through ONE ``st_bounds_udf`` decode of the
-    collection (a non-deterministic local copy, so projection collapse
-    cannot clone the decode per extracted field) — with the assembly
+    The four bounds read through ONE ``st_bounds_once_udf`` decode of
+    the collection (the dedicated non-deterministic instance, so
+    projection collapse cannot clone the decode per extracted field
+    and the shared ``st_bounds_udf`` keeps its deterministic planning
+    everywhere else — ADVICE r15) — with the assembly
     UDF itself single-evaluation, the tail is 1 assembly + 2 decodes
     (bounds + area) instead of the 5 assemblies + 5 decodes the
     duplicated plan paid (guide §4.4 shape; values identical)."""
     from iceberg_geo_poc_spark.geo.functions import (
         st_area_udf,
-        st_bounds_udf,
+        st_bounds_once_udf,
         st_collect_aggr,
         st_makeenvelope,
     )
@@ -879,8 +881,7 @@ def geo_collect_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     coll = st_collect_aggr(boxes, "cell", ["quadrant"])
-    bounds_once = st_bounds_udf.asNondeterministic()
-    withb = coll.withColumn("__cb", bounds_once(F.col("collection")))
+    withb = coll.withColumn("__cb", st_bounds_once_udf(F.col("collection")))
     return withb.select(
         "quadrant",
         F.col("n_parts").cast("long").alias("n_parts"),

@@ -28,6 +28,7 @@ def test_collect_aggr_assembles_once(spark):
     assembly: the physical plan carries exactly ONE _assemble call."""
     from iceberg_geo_poc_spark.geo.functions import (
         st_area_udf,
+        st_bounds_once_udf,
         st_bounds_udf,
         st_collect_aggr,
         st_makeenvelope,
@@ -43,8 +44,9 @@ def test_collect_aggr_assembles_once(spark):
         ).alias("cell"),
     )
     coll = st_collect_aggr(df, "cell", ["g"])
-    bounds_once = st_bounds_udf.asNondeterministic()
-    out = coll.withColumn("__b", bounds_once(F.col("collection"))).select(
+    out = coll.withColumn(
+        "__b", st_bounds_once_udf(F.col("collection"))
+    ).select(
         "g",
         st_area_udf(F.col("collection")).alias("area"),
         F.col("__b.xmin"),
@@ -52,7 +54,14 @@ def test_collect_aggr_assembles_once(spark):
     )
     plan = _plan(out)
     assert plan.count("_assemble(") == 1, plan
-    assert plan.count("st_bounds_udf(") == 1, plan
+    assert plan.count("st_bounds_once_udf(") == 1, plan
+    # the SHARED bounds UDF must stay deterministic — the dedicated
+    # instance above is the only non-deterministic one (ADVICE r15:
+    # asNondeterministic() mutates in place, so using it on
+    # st_bounds_udf would silently flip the spatial-join fallback and
+    # st_envelope_aggr planning for the rest of the session)
+    assert st_bounds_udf.deterministic, "shared st_bounds_udf was mutated"
+    assert not st_bounds_once_udf.deterministic
     # values still correct: 20 unit boxes, 5 per group
     rows = {r["g"]: r for r in out.collect()}
     assert all(abs(rows[g]["area"] - 5.0) < 1e-9 for g in rows)
