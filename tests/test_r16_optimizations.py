@@ -60,8 +60,9 @@ def test_spread_skipped_on_well_partitioned_input(spark, docs):
 
 
 def test_spread_kept_for_exchange_bearing_input(spark, docs):
-    """An input whose plan already contains an Exchange is not probed
-    (AQE could materialize stages eagerly) — it keeps the spread."""
+    """An input that is not a plain narrow scan (here: an exchange-
+    bearing repartition) is not size-estimated — it keeps the spread
+    (status quo)."""
     from iceberg_geo_poc_spark.operators.dedup import _spread_for_head
 
     shuffled = docs.repartition(2, "doc_id")
